@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory for the engine.
+  *
+  * The reference's TableEnvironment (flink-table-api-java
+  * internal/TableEnvironmentImpl.java:658) bundles parser + planner + catalog;
+  * in Spark all of that is the SparkSession itself. We only pin the configs
+  * that matter for a deterministic, scale-ready deployment:
+  *
+  *  - AQE on: runtime re-planning (skew joins, coalesced shuffle partitions)
+  *    replaces Flink 1.12's static `BatchExecExchange` planning and is the
+  *    main lever that keeps the same plan healthy from sf0.001 to 100 TB.
+  *  - shuffle.partitions=32 for local[32]; on a real cluster this is set per
+  *    deployment (or left to AQE's coalescing with a high initial value).
+  *  - UTC session time zone so timestamp semantics match the oracle.
+  */
+object GraftSession {
+  def builder(master: String = "local[32]",
+              shufflePartitions: Int = 32): SparkSession.Builder =
+    SparkSession.builder()
+      .master(master)
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+
+  def create(): SparkSession = {
+    val spark = builder().getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}
