@@ -11,7 +11,11 @@ object SparkEntry {
   type QFn = (SparkSession, String) => DataFrame
 
   private def modules: Seq[(Map[String, QFn], Map[String, String])] = Seq(
-    (operators.Relational.queries, operators.Relational.oracles)
+    (operators.Relational.queries, operators.Relational.oracles),
+    (operators.Joins.queries, operators.Joins.oracles),
+    (operators.Aggregations.queries, operators.Aggregations.oracles),
+    (operators.Windows.queries, operators.Windows.oracles),
+    (operators.SetOps.queries, operators.SetOps.oracles)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Table catalog over the driver's parquet testdata.
   *
@@ -21,8 +22,17 @@ object Tables {
 
   def path(sfDir: String, name: String): String = s"$sfDir/$name.parquet"
 
-  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(path(sfDir, name))
+  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
+    * rejects. We read it as raw nanos (legacy nanosAsLong, set in the session
+    * conf) and truncate to µs NTZ — the documented TIMESTAMP(9)→TIMESTAMP(6)
+    * degradation from SURVEY.md §1.2. All other timestamps are NTZ already. */
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(path(sfDir, name))
+    if (name == "events")
+      df.withColumn("ts",
+        expr("timestamp_micros(ts div 1000)").cast("timestamp_ntz"))
+    else df
+  }
 
   /** Register every table as a temp view so spark.sql(...) works too. */
   def registerAll(spark: SparkSession, sfDir: String): Unit =
