@@ -15,7 +15,8 @@ object SparkEntry {
     (operators.Joins.queries, operators.Joins.oracles),
     (operators.Aggregations.queries, operators.Aggregations.oracles),
     (operators.Windows.queries, operators.Windows.oracles),
-    (operators.SetOps.queries, operators.SetOps.oracles)
+    (operators.SetOps.queries, operators.SetOps.oracles),
+    (operators.FuncQueries.queries, operators.FuncQueries.oracles)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
