@@ -16,7 +16,9 @@ object SparkEntry {
     (operators.Aggregations.queries, operators.Aggregations.oracles),
     (operators.Windows.queries, operators.Windows.oracles),
     (operators.SetOps.queries, operators.SetOps.oracles),
-    (operators.FuncQueries.queries, operators.FuncQueries.oracles)
+    (operators.FuncQueries.queries, operators.FuncQueries.oracles),
+    (operators.DatasetOps.queries, operators.DatasetOps.oracles),
+    (operators.TimeOps.queries, operators.TimeOps.oracles)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
