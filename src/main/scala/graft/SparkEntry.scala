@@ -18,7 +18,11 @@ object SparkEntry {
     (operators.SetOps.queries, operators.SetOps.oracles),
     (operators.FuncQueries.queries, operators.FuncQueries.oracles),
     (operators.DatasetOps.queries, operators.DatasetOps.oracles),
-    (operators.TimeOps.queries, operators.TimeOps.oracles)
+    (operators.TimeOps.queries, operators.TimeOps.oracles),
+    (pipeline.Dedup.queries, pipeline.Dedup.oracles),
+    (pipeline.TextAnalysis.queries, pipeline.TextAnalysis.oracles),
+    (pipeline.Similarity.queries, pipeline.Similarity.oracles),
+    (pipeline.Multimodal.queries, pipeline.Multimodal.oracles)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,251 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import TextFunctions._
+
+/** Document deduplication operators for a training-data pipeline:
+  * exact, normalized-exact, n-gram Jaccard, MinHash+LSH, SimHash.
+  *
+  * Scale design (the actual point — sf0.01 is just the correctness gate):
+  *  - exact/normalized dedup is one hash-shuffle on the text (or its hash).
+  *    At 100 TB you group by a 64-bit+128-bit hash pair, never the raw text.
+  *  - n-gram Jaccard joins docs on *shared shingles*; random text shares
+  *    almost no shingles, so the join output stays near-linear. The shuffle
+  *    key is the shingle string (hash it at scale).
+  *  - MinHash+LSH is the sub-quadratic path: k=16 permutation-min hashes,
+  *    banded 4×4; candidate pairs = docs sharing a band key — a groupBy-join
+  *    on band keys, never all-pairs. Verification re-checks true Jaccard on
+  *    candidates only. This is the standard web-scale near-dup pipeline
+  *    (Broder MinHash / LSH banding) expressed as three shuffles.
+  *  - SimHash packs token hashes into a 32-bit signature per doc; near-dups
+  *    have small Hamming distance. Pairing here is blocked by `lang`
+  *    (at 100 TB: block by signature prefix bands, same join shape).
+  *
+  * All hashing is engine-agnostic integer math (TextFunctions.polyHash),
+  * so every stage is reproducible bit-for-bit in the DuckDB oracle.
+  */
+object Dedup {
+  type QFn = (SparkSession, String) => DataFrame
+
+  private val MinTokens = 3 // shingle width; shorter docs are skipped
+
+  /** Exact dedup: one representative (min doc_id) per identical text. */
+  private def exact(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+      .groupBy(col("text"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .select(col("keep_id"), col("n_copies"))
+      .orderBy(col("keep_id"))
+
+  /** Exact dedup after normalization (lower/strip punct/collapse ws). */
+  private def exactNormalized(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+      .groupBy(normalize(col("text")).as("norm"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .select(col("keep_id"), col("n_copies"))
+      .orderBy(col("keep_id"))
+
+  /** Distinct word-trigram shingles per doc, with per-doc set size. */
+  private def docShingles(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"), array_distinct(shingles(tokens(col("text")), MinTokens)).as("sh"))
+      .filter(size(col("sh")) > 0)
+
+  /** Exact n-gram (trigram) Jaccard near-dup pairs, join on shared shingle.
+    * jaccard = |A∩B| / (|A|+|B|-|A∩B|) — exact integer ratio. */
+  private def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
+    val d = docShingles(s, dir)
+    val sizes = d.select(col("doc_id"), size(col("sh")).as("sz"))
+    val ex = d.select(col("doc_id"), explode(col("sh")).as("s"))
+    val shared = ex.as("a").join(ex.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+      .agg(count(lit(1)).as("shared"))
+    shared
+      .join(sizes.as("sa"), col("i") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("j") === col("sb.doc_id"))
+      .withColumn("jaccard",
+        col("shared").cast("double") / (col("sa.sz") + col("sb.sz") - col("shared")))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("i"), col("j"), round(col("jaccard"), 6).as("jaccard"))
+      .orderBy(col("i"), col("j"))
+  }
+
+  private val NumHashes = 16
+  private val BandSize = 4 // → 4 bands
+
+  /** MinHash + LSH banding: sub-quadratic candidate generation, then exact
+    * Jaccard verification of candidates only. */
+  private def minhashLsh(s: SparkSession, dir: String): DataFrame = {
+    val d = docShingles(s, dir)
+      .withColumn("hs", transform(col("sh"), sh => polyHash(sh)))
+    // signature entries k=0..15 → band key = 4 consecutive minhashes
+    val sig = d.select(
+      col("doc_id"), col("sh"),
+      array((0 until NumHashes).map(k => minhash(col("hs"), k)): _*).as("sig"))
+    val bands = sig.select(col("doc_id"),
+        explode(array((0 until NumHashes / BandSize).map { b =>
+          struct(lit(b).as("band"),
+            concat_ws("_", (0 until BandSize).map(r => col("sig")(b * BandSize + r)): _*).as("key"))
+        }: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band"), col("bk.key"))
+    val candidates = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("i"), col("y.doc_id").as("j"))
+      .distinct()
+    // verify: true Jaccard on candidate pairs only
+    val withSets = candidates
+      .join(d.select(col("doc_id").as("i"), col("sh").as("sh_i")), "i")
+      .join(d.select(col("doc_id").as("j"), col("sh").as("sh_j")), "j")
+    withSets
+      .withColumn("shared", size(array_intersect(col("sh_i"), col("sh_j"))))
+      .withColumn("jaccard", col("shared").cast("double") /
+        (size(col("sh_i")) + size(col("sh_j")) - col("shared")))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("i"), col("j"), round(col("jaccard"), 6).as("jaccard"))
+      .orderBy(col("i"), col("j"))
+  }
+
+  /** SimHash: 32-bit signature from per-token hashes; near-dup candidates =
+    * same-lang pairs with Hamming distance ≤ 6. */
+  private def simhash(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= MinTokens)
+      .withColumn("th", transform(col("toks"), t => polyHash(t)))
+    // bit j of the signature: majority vote of token-hash bit j
+    val sigExpr = (0 until 32).map { j =>
+      val votes = aggregate(col("th"), lit(0L),
+        (a, h) => a + when(shiftright(h, j) % 2 === 1, 1L).otherwise(-1L))
+      when(votes > 0, lit(1L << j)).otherwise(0L)
+    }.reduce(_ + _)
+    val sig = d.withColumn("sig", sigExpr)
+      .select(col("doc_id"), col("lang"), col("sig"))
+    sig.as("a").join(sig.as("b"),
+        col("a.lang") === col("b.lang") && col("a.doc_id") < col("b.doc_id"))
+      .withColumn("hamming", bit_count(col("a.sig").bitwiseXOR(col("b.sig"))))
+      .filter(col("hamming") <= 6)
+      .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"), col("hamming"))
+      .orderBy(col("i"), col("j"))
+  }
+
+  /** Embedding near-dup: cosine ≥ 0.45 pairs (brute force here; the
+    * LSH-bucketed scale path is in Similarity.annIvf). */
+  private def embeddingCosine(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("norm", sqrt(aggregate(col("v"), lit(0.0), (a, x) => a + x * x)))
+    e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .withColumn("dot", aggregate(
+        zip_with(col("a.v"), col("b.v"), (x, y) => x * y),
+        lit(0.0), (a, x) => a + x))
+      .withColumn("cosine", col("dot") / (col("a.norm") * col("b.norm")))
+      .filter(col("cosine") >= 0.45)
+      .select(col("a.vec_id").as("i"), col("b.vec_id").as("j"),
+              round(col("cosine"), 6).as("cosine"))
+      .orderBy(col("i"), col("j"))
+  }
+
+  def queries: Map[String, QFn] = Map(
+    "dedup_exact" -> (exact _),
+    "dedup_exact_norm" -> (exactNormalized _),
+    "dedup_ngram_jaccard" -> (ngramJaccard _),
+    "dedup_minhash_lsh" -> (minhashLsh _),
+    "dedup_simhash" -> (simhash _),
+    "dedup_embedding" -> (embeddingCosine _)
+  )
+
+  // ---- DuckDB oracles: same math, same hashes -------------------------
+
+  private val tokensSql = "string_split(trim(text), ' ')"
+  // distinct word-trigram shingles
+  private def shinglesSql(t: String) =
+    s"list_distinct(list_transform(range(1, greatest(len($t) - 1, 1)), i -> array_to_string($t[i:i+2], ' ')))"
+  private def polyHashSqlOf(v: String): String =
+    s"list_reduce(list_prepend(0, list_transform(string_split($v, ''), c -> CAST(ascii(c) AS BIGINT))), (a, x) -> (a * 31 + x) % 1000000007)"
+
+  private val docShinglesSql =
+    s"""SELECT doc_id, ${shinglesSql(tokensSql)} AS sh
+        FROM documents WHERE len($tokensSql) >= 3"""
+
+  def oracles: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+         FROM documents GROUP BY text ORDER BY keep_id""",
+    "dedup_exact_norm" ->
+      """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+         FROM documents
+         GROUP BY trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))
+         ORDER BY keep_id""",
+    "dedup_ngram_jaccard" ->
+      s"""WITH d AS ($docShinglesSql),
+          ex AS (SELECT doc_id, unnest(sh) AS s FROM d),
+          sizes AS (SELECT doc_id, len(sh) AS sz FROM d),
+          shared AS (
+            SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS shared
+            FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY 1, 2)
+          SELECT i, j,
+                 round(CAST(shared AS DOUBLE) / (sa.sz + sb.sz - shared), 6) AS jaccard
+          FROM shared
+          JOIN sizes sa ON i = sa.doc_id
+          JOIN sizes sb ON j = sb.doc_id
+          WHERE CAST(shared AS DOUBLE) / (sa.sz + sb.sz - shared) >= 0.5
+          ORDER BY i, j""",
+    "dedup_minhash_lsh" ->
+      s"""WITH d AS ($docShinglesSql),
+          hs AS (SELECT doc_id, sh,
+                   list_transform(sh, s -> ${polyHashSqlOf("s")}) AS h
+                 FROM d),
+          sig AS (SELECT doc_id, sh,
+                   list_transform(range(0, 16),
+                     k -> list_min(list_transform(h, x -> (x * (2*k + 1) + (7919*k + 1)) % 1000000007))) AS sg
+                  FROM hs),
+          bands AS (SELECT doc_id, b.b AS band,
+                      array_to_string(sg[b.b*4 + 1 : b.b*4 + 4], '_') AS key
+                    FROM sig, range(0, 4) b(b)),
+          cand AS (SELECT DISTINCT x.doc_id AS i, y.doc_id AS j
+                   FROM bands x JOIN bands y
+                     ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id),
+          ver AS (SELECT i, j,
+                    len(list_intersect(di.sh, dj.sh)) AS shared,
+                    len(di.sh) AS szi, len(dj.sh) AS szj
+                  FROM cand JOIN d di ON i = di.doc_id JOIN d dj ON j = dj.doc_id)
+          SELECT i, j, round(CAST(shared AS DOUBLE) / (szi + szj - shared), 6) AS jaccard
+          FROM ver
+          WHERE CAST(shared AS DOUBLE) / (szi + szj - shared) >= 0.5
+          ORDER BY i, j""",
+    "dedup_simhash" ->
+      s"""WITH d AS (
+            SELECT doc_id, lang,
+              list_transform($tokensSql, t -> ${polyHashSqlOf("t")}) AS th
+            FROM documents WHERE len($tokensSql) >= 3),
+          sig AS (
+            SELECT doc_id, lang,
+              list_sum(list_transform(range(0, 32), j ->
+                CASE WHEN list_sum(list_transform(th,
+                       h -> CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+                     THEN (1::BIGINT << j) ELSE 0 END)) AS sig
+            FROM d)
+          SELECT a.doc_id AS i, b.doc_id AS j,
+                 CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+          FROM sig a JOIN sig b ON a.lang = b.lang AND a.doc_id < b.doc_id
+          WHERE bit_count(xor(a.sig, b.sig)) <= 6
+          ORDER BY i, j""",
+    "dedup_embedding" ->
+      """WITH e AS (
+           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         n AS (SELECT vec_id, v, sqrt(list_reduce(list_prepend(0.0, list_transform(v, x -> x*x)), (a,x) -> a + x)) AS nrm FROM e)
+         SELECT a.vec_id AS i, b.vec_id AS j,
+           round(list_reduce(list_prepend(0.0, list_transform(range(1, 65), k -> a.v[k] * b.v[k])), (acc,x) -> acc + x)
+                 / (a.nrm * b.nrm), 6) AS cosine
+         FROM n a JOIN n b ON a.vec_id < b.vec_id
+         WHERE list_reduce(list_prepend(0.0, list_transform(range(1, 65), k -> a.v[k] * b.v[k])), (acc,x) -> acc + x)
+               / (a.nrm * b.nrm) >= 0.45
+         ORDER BY i, j"""
+  )
+}

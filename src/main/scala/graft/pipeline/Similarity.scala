@@ -1,0 +1,109 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Similarity search over an embedding column (`embeddings.embedding`,
+  * Array[Float] ×64).
+  *
+  * Two paths, mirroring a production ANN stack:
+  *  - `cosineTopK`: exact brute-force top-k — the correctness baseline.
+  *    O(Q×N) with Q kept small; at 100 TB this is only for oracle checks.
+  *  - `annIvf`: IVF-style search — probe only the query's coarse cluster
+  *    (the `label` column plays the role of a k-means assignment, which a
+  *    real pipeline would precompute the same way). The candidate set drops
+  *    by ~|clusters|× while the join stays a hash join on the cluster id;
+  *    at scale you'd bucket-partition the table by cluster so probes are
+  *    partition-pruned scans.
+  *
+  * Dot products run as sequential left folds in double precision — the
+  * same order and arithmetic the DuckDB oracle uses, so results are
+  * bit-identical; ranking ties are broken by vec_id.
+  */
+object Similarity {
+  type QFn = (SparkSession, String) => DataFrame
+
+  private def withNorm(df: DataFrame): DataFrame =
+    df.select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("v"))
+      .withColumn("norm", sqrt(aggregate(col("v"), lit(0.0), (a, x) => a + x * x)))
+
+  private def cosine(a: Column, b: Column, na: Column, nb: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x) / (na * nb)
+
+  /** Exact brute-force cosine top-3 for a fixed query subset. */
+  private def cosineTopK(s: SparkSession, dir: String): DataFrame = {
+    val e = withNorm(Tables.load(s, dir, "embeddings"))
+    val q = e.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("norm").as("qn"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    q.join(e, col("vec_id") =!= col("q_id"))
+      .withColumn("cos", cosine(col("qv"), col("v"), col("qn"), col("norm")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("q_id"), col("rn").as("rank"), col("vec_id").as("neighbor"),
+              round(col("cos"), 6).as("cosine"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** IVF-probed ANN: search only within the query's coarse cluster. */
+  private def annIvf(s: SparkSession, dir: String): DataFrame = {
+    val e = withNorm(Tables.load(s, dir, "embeddings"))
+    val q = e.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+              col("v").as("qv"), col("norm").as("qn"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    q.join(e, col("label") === col("q_label") && col("vec_id") =!= col("q_id"))
+      .withColumn("cos", cosine(col("qv"), col("v"), col("qn"), col("norm")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("q_id"), col("rn").as("rank"), col("vec_id").as("neighbor"),
+              round(col("cos"), 6).as("cosine"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  def queries: Map[String, QFn] = Map(
+    "sim_cosine_topk" -> (cosineTopK _),
+    "sim_ann_ivf" -> (annIvf _)
+  )
+
+  private val normSql =
+    """SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+       sqrt(list_reduce(list_prepend(0.0, list_transform(CAST(embedding AS DOUBLE[]), x -> x*x)), (a,x) -> a + x)) AS nrm
+       FROM embeddings"""
+  private val dotSql =
+    "list_reduce(list_prepend(0.0, list_transform(range(1, 65), k -> q.v[k] * e.v[k])), (a,x) -> a + x)"
+
+  def oracles: Map[String, String] = Map(
+    "sim_cosine_topk" ->
+      s"""WITH n AS ($normSql),
+          scored AS (
+            SELECT q.vec_id AS q_id, e.vec_id AS neighbor,
+                   $dotSql / (q.nrm * e.nrm) AS cos
+            FROM n q JOIN n e ON e.vec_id <> q.vec_id
+            WHERE q.vec_id % 50 = 0),
+          ranked AS (
+            SELECT q_id, neighbor, cos,
+                   row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor) AS rn
+            FROM scored)
+          SELECT q_id, rn AS rank, neighbor, round(cos, 6) AS cosine
+          FROM ranked WHERE rn <= 3 ORDER BY q_id, rank""",
+    "sim_ann_ivf" ->
+      s"""WITH n AS ($normSql),
+          scored AS (
+            SELECT q.vec_id AS q_id, e.vec_id AS neighbor,
+                   $dotSql / (q.nrm * e.nrm) AS cos
+            FROM n q JOIN n e ON e.label = q.label AND e.vec_id <> q.vec_id
+            WHERE q.vec_id % 50 = 0),
+          ranked AS (
+            SELECT q_id, neighbor, cos,
+                   row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor) AS rn
+            FROM scored)
+          SELECT q_id, rn AS rank, neighbor, round(cos, 6) AS cosine
+          FROM ranked WHERE rn <= 3 ORDER BY q_id, rank"""
+  )
+}
