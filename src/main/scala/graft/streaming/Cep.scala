@@ -1,0 +1,200 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Complex-event-processing pattern matching — the reference's flink-cep
+  * library (Pattern.java:129-542 fluent builder, NFA.java:85 with
+  * computeNextStates:539, SharedBuffer.java) and SQL MATCH_RECOGNIZE
+  * (StreamExecMatch.scala:68), re-expressed as a small explicit NFA run
+  * per key inside flatMapGroupsWithState / a sorted batch scan.
+  *
+  * Supported surface (what MatchRecognizeITCase exercises): a sequence of
+  * named steps, each with a predicate; strict (`next`) or relaxed
+  * (`followedBy`) contiguity per step; `within` time bound; after-match
+  * skip strategies PAST LAST ROW / TO NEXT ROW.
+  *
+  * Scale: state per key is the set of active partial runs — bounded by
+  * pattern length × concurrent starts inside the `within` horizon, never by
+  * stream length. The NFA advances row-at-a-time, so the streaming variant
+  * processes each watermark-released row exactly once.
+  */
+object Cep {
+
+  /** One NFA step: matches rows satisfying `pred`; `strict` = the step must
+    * match the row immediately following the previous step's row (CEP
+    * `next`), otherwise non-matching rows may intervene (`followedBy`). */
+  case class Step(name: String, pred: KeyedRow => Boolean, strict: Boolean = false)
+
+  sealed trait AfterMatch
+  /** drop all partial runs overlapping the match (MATCH_RECOGNIZE default) */
+  case object SkipPastLastRow extends AfterMatch
+  /** keep scanning from the next row — overlapping matches allowed */
+  case object SkipToNextRow extends AfterMatch
+
+  case class Pattern(steps: Seq[Step], withinMs: Long = Long.MaxValue,
+                     afterMatch: AfterMatch = SkipPastLastRow)
+
+  case class Match(key: Long, start_ts: Long, end_ts: Long, ids: Seq[Long])
+
+  /** A partial run: index of the next step to satisfy + matched row ids. */
+  private[streaming] case class Run(nextStep: Int, startTs: Long, ids: List[Long], lastRowId: Long)
+
+  /** Advance the NFA by one row; returns (new active runs, completed matches).
+    * Mirrors NFA.computeNextStates (cep/nfa/NFA.java:539): each active run
+    * either advances, survives (relaxed contiguity), or dies (strict miss /
+    * within-timeout); every row may also start a fresh run. */
+  private def advance(pattern: Pattern, key: Long, active: List[Run], r: KeyedRow,
+                      prevRowId: Long): (List[Run], List[Match]) = {
+    val alive = active.filter(run => r.ts - run.startTs <= pattern.withinMs)
+    val stepped = alive.flatMap { run =>
+      val step = pattern.steps(run.nextStep)
+      if (step.pred(r) && (!step.strict || run.lastRowId == prevRowId))
+        Some(Run(run.nextStep + 1, run.startTs, r.id :: run.ids, r.id))
+      else if (step.strict && run.lastRowId == prevRowId) None // strict miss on the adjacent row
+      else if (step.strict) None
+      else Some(run) // relaxed: keep waiting
+    }
+    val started =
+      if (pattern.steps.head.pred(r)) List(Run(1, r.ts, List(r.id), r.id)) else Nil
+    val (done, pending) = (stepped ++ started).partition(_.nextStep == pattern.steps.size)
+    // several runs may complete on the same row; MATCH_RECOGNIZE emits the
+    // earliest-started one and (skip-past-last-row) discards the overlap
+    val ranked = done.sortBy(d => (d.startTs, d.ids.last)) // ids is reversed: last = first matched
+    pattern.afterMatch match {
+      case SkipPastLastRow if ranked.nonEmpty =>
+        (Nil, List(Match(key, ranked.head.startTs, r.ts, ranked.head.ids.reverse)))
+      case _ =>
+        (pending, ranked.map(d => Match(key, d.startTs, r.ts, d.ids.reverse)))
+    }
+  }
+
+  private def runOrdered(pattern: Pattern, key: Long, rows: Iterator[KeyedRow],
+                         init: List[Run]): (List[Run], List[Match]) = {
+    var active = init
+    var prevId = Long.MinValue
+    val out = scala.collection.mutable.ListBuffer.empty[Match]
+    rows.foreach { r =>
+      val (next, ms) = advance(pattern, key, active, r, prevId)
+      active = next
+      out ++= ms
+      prevId = r.id
+    }
+    (active, out.toList)
+  }
+
+  /** Batch CEP: per-key (ts, id)-ordered scan — the reference's batch
+    * equivalent of MATCH_RECOGNIZE. */
+  def matchBatch(rows: Dataset[KeyedRow], pattern: Pattern): Dataset[Match] = {
+    import rows.sparkSession.implicits._
+    rows.groupByKey(_.key).flatMapGroups { (key, it) =>
+      runOrdered(pattern, key, it.toArray.sortBy(r => (r.ts, r.id)).iterator, Nil)._2.iterator
+    }
+  }
+
+  private[streaming] case class CepState(active: List[Run], pending: List[KeyedRow], prevId: Long)
+
+  /** KeyedRow + the materialized event-time column the watermark rides on —
+    * Spark's event-time-timeout check requires the watermarked attribute to
+    * be visible in the stateful operator's input. */
+  private[streaming] case class KeyedRowW(key: Long, ts: Long, id: Long, kind: String,
+                               value: Double, ets: java.sql.Timestamp)
+
+  /** Streaming CEP: buffer rows per key until the event-time watermark passes
+    * them (the ordering guarantee Flink gets from its watermark/sorted-state
+    * machinery), then feed them through the same NFA. `delay` is the bounded
+    * out-of-orderness (WatermarkStrategy.forBoundedOutOfOrderness). */
+  def matchStream(rows: Dataset[KeyedRow], pattern: Pattern,
+                  delay: String = "0 seconds"): Dataset[Match] = {
+    import rows.sparkSession.implicits._
+    rows
+      .withColumn("ets", timestamp_micros(col("ts")))
+      .withWatermark("ets", delay)
+      .as[KeyedRowW]
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[CepState, Match](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (key, it, state) =>
+          val st = state.getOption.getOrElse(CepState(Nil, Nil, Long.MinValue))
+          val wmMicros = state.getCurrentWatermarkMs() * 1000L
+          val incoming = it.map(w => KeyedRow(w.key, w.ts, w.id, w.kind, w.value))
+          val all = (st.pending ++ incoming).sortBy(r => (r.ts, r.id))
+          val (ready, pending) = all.partition(_.ts <= wmMicros)
+          var prev = st.prevId
+          var active = st.active
+          val out = scala.collection.mutable.ListBuffer.empty[Match]
+          ready.foreach { r =>
+            val (next, ms) = advance(pattern, key, active, r, prev)
+            active = next; out ++= ms; prev = r.id
+          }
+          state.update(CepState(active, pending, prev))
+          // flush guarantee: wake this key once the watermark passes its
+          // oldest pending row, even if no new data arrives for it
+          if (pending.nonEmpty)
+            state.setTimeoutTimestamp(
+              math.max(pending.head.ts / 1000L + 1L, state.getCurrentWatermarkMs() + 1L))
+          out.iterator
+      }
+  }
+
+  // ---- named patterns + batch oracle surface over the events table ----
+
+  /** three consecutive error events (strict contiguity, overlapping starts) */
+  def errorBurst: Pattern = Pattern(
+    Seq(Step("e1", _.kind == "error"),
+        Step("e2", _.kind == "error", strict = true),
+        Step("e3", _.kind == "error", strict = true)),
+    afterMatch = SkipToNextRow)
+
+  /** signup followed (relaxed) by a purchase within 1 hour, non-overlapping */
+  def signupFunnel: Pattern = Pattern(
+    Seq(Step("signup", _.kind == "signup"),
+        Step("purchase", _.kind == "purchase")),
+    withinMs = 3600L * 1000000L, // µs — KeyedRow.ts is epoch micros
+    afterMatch = SkipPastLastRow)
+
+  private def eventRows(s: SparkSession, dir: String): Dataset[KeyedRow] = {
+    import s.implicits._
+    graft.Tables.load(s, dir, "events")
+      .select(col("user_id").as("key"),
+        expr("unix_micros(cast(ts as timestamp))").as("ts"),
+        col("event_id").as("id"), col("event_type").as("kind"), col("value"))
+      .as[KeyedRow]
+  }
+
+  def qErrorBurst(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    matchBatch(eventRows(s, dir), errorBurst)
+      .groupBy($"key".as("user_id")).agg(count(lit(1)).as("n_matches"))
+      .orderBy($"user_id")
+  }
+
+  def qSignupFunnel(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    matchBatch(eventRows(s, dir), signupFunnel)
+      .select($"key".as("user_id"), $"start_ts", $"end_ts")
+      .orderBy($"user_id", $"start_ts")
+  }
+
+  type QFn = (SparkSession, String) => DataFrame
+  def queries: Map[String, QFn] = Map(
+    "cep_error_burst" -> (qErrorBurst _),
+    "cep_signup_funnel" -> (qSignupFunnel _)
+  )
+
+  /** error-burst is SQL-expressible (sliding 3-row check via lag);
+    * signup-funnel's skip-past-last-row semantics is not — rows-only check,
+    * exact-match covered by CepSpec. */
+  def oracles: Map[String, String] = Map(
+    "cep_error_burst" ->
+      """SELECT user_id, count(*) AS n_matches FROM (
+           SELECT user_id, event_type,
+                  lag(event_type, 1) OVER w AS p1,
+                  lag(event_type, 2) OVER w AS p2
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+         WHERE event_type = 'error' AND p1 = 'error' AND p2 = 'error'
+         GROUP BY user_id ORDER BY user_id"""
+  )
+}

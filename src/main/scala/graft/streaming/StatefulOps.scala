@@ -1,0 +1,207 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import graft.Tables
+
+/** A keyed, timestamped record — the shape every stateful operator below
+  * consumes. `ts` is epoch micros (the TIMESTAMP(9)→µs degradation documented
+  * in SURVEY.md §1.2). */
+case class KeyedRow(key: Long, ts: Long, id: Long, kind: String, value: Double)
+
+case class TopNEmit(key: Long, id: Long, value: Double, rnk: Int)
+case class LastRowEmit(key: Long, id: Long, ts: Long, value: Double)
+case class RunningEmit(key: Long, id: Long, run_sum: Double)
+case class CountWindowEmit(key: Long, win_id: Long, n_events: Long, max_value: Double, last_id: Long)
+
+/** Custom stateful operators re-expressing the reference's keyed-state
+  * streaming runtime on `flatMapGroupsWithState` (SURVEY.md §2.6 / §2.10).
+  *
+  * Each operator runs identically on a bounded Dataset (single group
+  * invocation — how the driver's oracle gate exercises it) and on a streaming
+  * Dataset (incremental state across micro-batches — covered by the
+  * StatefulOpsSpec using MemoryStream).
+  *
+  * Scale notes: state is per-key and O(N) bounded (Top-N keeps N rows, dedup
+  * keeps 1, count windows keep <n pending rows), so a 1000-executor run holds
+  * state proportional to keys × N in the state store, never to input size.
+  * The only shuffle is the groupByKey hash partitioning — same as the
+  * reference's keyBy.
+  */
+object StatefulOps {
+
+  /** Streaming Top-N per key — semantics of the reference's
+    * AppendOnlyTopNFunction (flink-table-runtime-blink
+    * operators/rank/AppendOnlyTopNFunction.java:240 LoC): keep the N best
+    * rows per key in state; on each new row, insert-sort and re-emit the
+    * affected suffix. Batch: one invocation emits the final ranking. */
+  def topNPerKey(rows: Dataset[KeyedRow], n: Int): Dataset[TopNEmit] = {
+    import rows.sparkSession.implicits._
+    val ord: Ordering[KeyedRow] =
+      Ordering.by((r: KeyedRow) => (-r.value, r.id))
+    rows.groupByKey(_.key)
+      .flatMapGroupsWithState[List[KeyedRow], TopNEmit](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        case (key, it, state) =>
+          var top = state.getOption.getOrElse(Nil)
+          it.foreach { r =>
+            top = (r :: top).sorted(ord).take(n)
+          }
+          state.update(top)
+          top.iterator.zipWithIndex
+            .map { case (r, i) => TopNEmit(key, r.id, r.value, i + 1) }
+      }
+  }
+
+  /** Deduplicate keep-last per key (StreamExecDeduplicate.scala:58 with
+    * keep-last = ProcTimeDeduplicateKeepLastRowFunction): state is the single
+    * latest row by (ts, id); each invocation emits the current winner —
+    * Update-mode changelog, one row per key. */
+  def dedupKeepLast(rows: Dataset[KeyedRow]): Dataset[LastRowEmit] = {
+    import rows.sparkSession.implicits._
+    rows.groupByKey(_.key)
+      .flatMapGroupsWithState[LastRowEmit, LastRowEmit](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        case (key, it, state) =>
+          var cur = state.getOption.orNull
+          it.foreach { r =>
+            if (cur == null || r.ts > cur.ts || (r.ts == cur.ts && r.id > cur.id))
+              cur = LastRowEmit(key, r.id, r.ts, r.value)
+          }
+          state.update(cur)
+          Iterator.single(cur)
+      }
+  }
+
+  /** Streaming OVER aggregate: per-key running sum in (ts, id) order —
+    * semantics of RowTimeRowsUnboundedPrecedingFunction (operators/over/).
+    * Money-exact: accumulates BigDecimal(2dp) so emission order can never
+    * change the sum (the property that makes this safe under re-partitioning
+    * at any scale). Batch: rows arrive unordered, so sort within the group. */
+  def runningSumPerKey(rows: Dataset[KeyedRow]): Dataset[RunningEmit] = {
+    import rows.sparkSession.implicits._
+    rows.groupByKey(_.key)
+      .flatMapGroupsWithState[(Long, java.math.BigDecimal), RunningEmit](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (key, it, state) =>
+          var (lastTs, acc) = state.getOption.getOrElse(
+            (Long.MinValue, java.math.BigDecimal.ZERO.setScale(2)))
+          val sorted = it.toArray.sortBy(r => (r.ts, r.id))
+          val out = sorted.iterator.map { r =>
+            acc = acc.add(java.math.BigDecimal.valueOf(r.value)
+              .setScale(2, java.math.RoundingMode.HALF_UP))
+            lastTs = r.ts
+            RunningEmit(key, r.id, acc.doubleValue)
+          }.toList
+          state.update((lastTs, acc))
+          out.iterator
+      }
+  }
+
+  /** Count-tumbling windows (CountTumblingWindowAssigner,
+    * operators/window/assigners/): every n rows per key — ordered by
+    * (ts, id) — close a window and emit its aggregate. Partial windows stay
+    * pending in state (streaming semantics; the oracle checks full windows). */
+  def countTumblingWindows(rows: Dataset[KeyedRow], n: Int): Dataset[CountWindowEmit] = {
+    import rows.sparkSession.implicits._
+    // state: (next window id, pending rows of the open window)
+    rows.groupByKey(_.key)
+      .flatMapGroupsWithState[(Long, List[KeyedRow]), CountWindowEmit](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (key, it, state) =>
+          var (winId, pending) = state.getOption.getOrElse((0L, List.empty[KeyedRow]))
+          val out = scala.collection.mutable.ListBuffer.empty[CountWindowEmit]
+          (pending ++ it.toArray.sortBy(r => (r.ts, r.id))).foldLeft(List.empty[KeyedRow]) {
+            case (buf, r) =>
+              val nb = buf :+ r
+              if (nb.size == n) {
+                out += CountWindowEmit(key, winId, n.toLong,
+                  nb.map(_.value).max, nb.last.id)
+                winId += 1
+                Nil
+              } else nb
+          } match { case rest => pending = rest }
+          state.update((winId, pending))
+          out.iterator
+      }
+  }
+
+  // ---- batch adapters over the events table (driver's oracle surface) ----
+
+  private def eventRows(s: SparkSession, dir: String): Dataset[KeyedRow] = {
+    import s.implicits._
+    Tables.load(s, dir, "events")
+      .select(col("user_id").as("key"),
+        expr("unix_micros(cast(ts as timestamp))").as("ts"),
+        col("event_id").as("id"), col("event_type").as("kind"), col("value"))
+      .as[KeyedRow]
+  }
+
+  def qTopN(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    topNPerKey(eventRows(s, dir), 3)
+      .select($"key".as("user_id"), $"id".as("event_id"), $"value", $"rnk")
+      .orderBy($"user_id", $"rnk")
+  }
+
+  def qDedupLast(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    dedupKeepLast(eventRows(s, dir))
+      .select($"key".as("user_id"), $"id".as("event_id"), $"ts", $"value")
+      .orderBy($"user_id")
+  }
+
+  def qRunningSum(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    runningSumPerKey(eventRows(s, dir))
+      .select($"key".as("user_id"), $"id".as("event_id"), $"run_sum")
+      .orderBy($"user_id", $"event_id")
+  }
+
+  def qCountWindows(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    countTumblingWindows(eventRows(s, dir), 10)
+      .select($"key".as("user_id"), $"win_id", $"n_events", $"max_value", $"last_id")
+      .orderBy($"user_id", $"win_id")
+  }
+
+  type QFn = (SparkSession, String) => DataFrame
+  def queries: Map[String, QFn] = Map(
+    "stream_topn" -> (qTopN _),
+    "stream_dedup_last" -> (qDedupLast _),
+    "stream_over_running" -> (qRunningSum _),
+    "stream_count_windows" -> (qCountWindows _)
+  )
+
+  def oracles: Map[String, String] = Map(
+    "stream_topn" ->
+      """SELECT user_id, event_id, value, CAST(rnk AS INT) AS rnk FROM (
+           SELECT user_id, event_id, value,
+                  row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rnk
+           FROM events)
+         WHERE rnk <= 3 ORDER BY user_id, rnk""",
+    "stream_dedup_last" ->
+      """SELECT user_id, event_id, epoch_us(ts) AS ts, value FROM (
+           SELECT user_id, event_id, ts, value,
+                  row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+           FROM events)
+         WHERE rn = 1 ORDER BY user_id""",
+    "stream_over_running" ->
+      """SELECT user_id, event_id,
+                CAST(sum(CAST(value AS DECIMAL(18,2)))
+                     OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS run_sum
+         FROM events ORDER BY user_id, event_id""",
+    "stream_count_windows" ->
+      """SELECT user_id, win_id, count(*) AS n_events, max(value) AS max_value,
+                max(event_id) FILTER (rn_in = 9) AS last_id
+         FROM (
+           SELECT user_id, event_id, value,
+                  (row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1) // 10 AS win_id,
+                  (row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1) % 10 AS rn_in
+           FROM events)
+         GROUP BY user_id, win_id HAVING count(*) = 10
+         ORDER BY user_id, win_id"""
+  )
+}

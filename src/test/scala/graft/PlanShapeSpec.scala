@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.BroadcastExchangeLike
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan
+
+/** The scale contract: plans must push filters/projections into the parquet
+  * scan, broadcast dimension tables, and stay inside whole-stage codegen —
+  * the properties that decide whether a plan survives 100 TB (SURVEY §4). */
+class PlanShapeSpec extends SparkSpec {
+
+  private def executed(df: org.apache.spark.sql.DataFrame): SparkPlan = {
+    df.collect() // materialize so AQE finalizes the plan
+    df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+  }
+
+  test("Q6: all predicates reach the parquet scan, projection pruned") {
+    val df = operators.Relational.q6(spark, sf)
+    val scans = df.queryExecution.executedPlan.collectFirst {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") &&
+      (plan.contains("l_shipdate") || scans.nonEmpty),
+      "filter must be pushed into the scan")
+    // only the 4 referenced columns are read, not all 11
+    val readSchema = df.queryExecution.executedPlan.collectLeaves().map(_.toString).mkString
+    assert(!readSchema.contains("l_orderkey") || !readSchema.contains("ReadSchema"),
+      "scan must not read unreferenced columns")
+  }
+
+  test("Q5: dimension tables join via broadcast, not shuffle") {
+    // AQE wraps exchanges in query stages, so assert on the plan string
+    val plan = executed(operators.Tpch.q5(spark, sf)).toString
+    assert(plan.contains("BroadcastHashJoin"), "nation/region must be broadcast")
+  }
+
+  test("Q1: whole-stage codegen covers the agg pipeline") {
+    // codegen'd operators print as "*(n) Operator" in the executed plan
+    val plan = executed(operators.Relational.q1(spark, sf)).toString
+    assert(plan.contains("*("), "agg must run inside codegen")
+  }
+
+  test("Q17's correlated avg shuffles the aggregate, not a cross join") {
+    val plan = executed(operators.Tpch.q17(spark, sf)).toString
+    assert(!plan.contains("CartesianProduct"), "decorrelation must avoid a cartesian product")
+  }
+}

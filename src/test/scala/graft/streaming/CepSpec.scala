@@ -1,0 +1,74 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+/** NFA semantics on hand fixtures (what MatchRecognizeITCase pins in the
+  * reference): contiguity, within, and after-match skip strategies. */
+class CepSpec extends SparkSpec {
+
+  private def ev(key: Long, ts: Long, id: Long, kind: String) =
+    KeyedRow(key, ts, id, kind, 0.0)
+
+  test("strict contiguity: an intervening row kills the run") {
+    val s = spark
+    import s.implicits._
+    val rows = Seq(
+      ev(1, 1, 1, "error"), ev(1, 2, 2, "error"), ev(1, 3, 3, "view"),
+      ev(1, 4, 4, "error"), ev(1, 5, 5, "error"), ev(1, 6, 6, "error"),
+      ev(1, 7, 7, "error")).toDS()
+    val ms = Cep.matchBatch(rows, Cep.errorBurst).collect()
+    // positions ending at id=6 (4,5,6) and id=7 (5,6,7); 1,2 broken by the view
+    assert(ms.map(_.ids).toSet == Set(Seq(4L, 5L, 6L), Seq(5L, 6L, 7L)))
+  }
+
+  test("relaxed contiguity + within: funnel matches only inside the horizon") {
+    val s = spark
+    import s.implicits._
+    val h = 3600L * 1000000L
+    val rows = Seq(
+      ev(1, 0, 1, "signup"), ev(1, 10, 2, "view"), ev(1, 20, 3, "purchase"), // match
+      ev(2, 0, 4, "signup"), ev(2, h + 1, 5, "purchase") // outside within → no match
+    ).toDS()
+    val ms = Cep.matchBatch(rows, Cep.signupFunnel).collect()
+    assert(ms.map(m => (m.key, m.ids)).toSeq == Seq((1L, Seq(1L, 3L))))
+  }
+
+  test("skip-past-last-row suppresses overlapping funnel matches") {
+    val s = spark
+    import s.implicits._
+    val rows = Seq(
+      ev(1, 0, 1, "signup"), ev(1, 1, 2, "signup"),
+      ev(1, 2, 3, "purchase"), // completes run started at id=1; run at id=2 dropped
+      ev(1, 3, 4, "purchase") // must NOT match the dropped id=2 run
+    ).toDS()
+    val ms = Cep.matchBatch(rows, Cep.signupFunnel).collect()
+    assert(ms.map(_.ids).toSeq == Seq(Seq(1L, 3L)))
+  }
+
+  test("streaming CEP: watermark-ordered processing matches batch result") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val in = MemoryStream[KeyedRow]
+    // 10s bounded out-of-orderness so the gap-filling row isn't late-dropped
+    val q = Cep.matchStream(in.toDS(), Cep.errorBurst, "10 seconds")
+      .writeStream.format("memory").queryName("cep").outputMode("append").start()
+    try {
+      // batch 1: out-of-order arrival — nothing may fire before the watermark
+      in.addData(ev(1, 3000000, 3, "error"), ev(1, 1000000, 1, "error"))
+      q.processAllAvailable()
+      in.addData(ev(1, 2000000, 2, "error")) // fills the gap (still ≥ wm? dropped if late!)
+      q.processAllAvailable()
+      in.addData(ev(1, 10000000, 9, "view")) // push watermark past ts=3s
+      q.processAllAvailable()
+      in.addData(ev(1, 20000000, 10, "view")) // one more advance to flush
+      q.processAllAvailable()
+      val ms = s.sql("select * from cep").as[Cep.Match].collect()
+      // row id=2 arrived after rows 1,3 but before the watermark passed 3s,
+      // so the NFA must see 1,2,3 in event-time order → one match
+      assert(ms.map(_.ids).toSeq == Seq(Seq(1L, 2L, 3L)))
+    } finally q.stop()
+  }
+}

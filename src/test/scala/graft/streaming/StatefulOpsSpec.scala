@@ -1,0 +1,86 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+/** True-streaming behavior of the custom stateful operators: state must
+  * carry across micro-batches (the property the batch oracle can't see). */
+class StatefulOpsSpec extends SparkSpec {
+
+  private def row(key: Long, ts: Long, id: Long, kind: String = "x", value: Double = 0.0) =
+    KeyedRow(key, ts, id, kind, value)
+
+  test("topNPerKey keeps the N best per key across micro-batches") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val in = MemoryStream[KeyedRow]
+    val q = StatefulOps.topNPerKey(in.toDS(), 2)
+      .writeStream.format("memory").queryName("topn").outputMode("update").start()
+    try {
+      in.addData(row(1, 10, 1, value = 5.0), row(1, 11, 2, value = 9.0))
+      q.processAllAvailable()
+      val b1 = s.sql("select * from topn").as[TopNEmit].collect().toSet
+      assert(b1 == Set(TopNEmit(1, 2, 9.0, 1), TopNEmit(1, 1, 5.0, 2)))
+      // a better row arrives later: displaces rank 2, re-emits the ranking
+      in.addData(row(1, 12, 3, value = 7.0))
+      q.processAllAvailable()
+      val all = s.sql("select * from topn").as[TopNEmit].collect()
+      assert(all.count(_.rnk == 1) == 2) // rank-1 emitted in both batches
+      assert(all.filter(_.id == 3).map(_.rnk).toSet == Set(2))
+      assert(!all.exists(e => e.id == 1 && e.rnk == 1)) // 5.0 never ranked first
+    } finally q.stop()
+  }
+
+  test("dedupKeepLast emits the latest row per key, state across batches") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val in = MemoryStream[KeyedRow]
+    val q = StatefulOps.dedupKeepLast(in.toDS())
+      .writeStream.format("memory").queryName("dedup").outputMode("update").start()
+    try {
+      in.addData(row(1, 100, 1, value = 1.0), row(1, 50, 2, value = 2.0))
+      q.processAllAvailable()
+      in.addData(row(1, 80, 3, value = 3.0)) // older than current last → no change
+      q.processAllAvailable()
+      val winners = s.sql("select * from dedup").as[LastRowEmit].collect()
+      assert(winners.forall(w => w.id == 1 && w.ts == 100))
+    } finally q.stop()
+  }
+
+  test("countTumblingWindows closes windows of exactly n rows, pending carries over") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val in = MemoryStream[KeyedRow]
+    val q = StatefulOps.countTumblingWindows(in.toDS(), 3)
+      .writeStream.format("memory").queryName("cw").outputMode("append").start()
+    try {
+      in.addData(row(7, 1, 1, value = 1.0), row(7, 2, 2, value = 5.0))
+      q.processAllAvailable()
+      assert(s.sql("select * from cw").count() == 0) // window still open
+      in.addData(row(7, 3, 3, value = 2.0), row(7, 4, 4, value = 9.0))
+      q.processAllAvailable()
+      val wins = s.sql("select * from cw").as[CountWindowEmit].collect()
+      assert(wins.toSeq == Seq(CountWindowEmit(7, 0, 3, 5.0, 3))) // 4th row pending
+    } finally q.stop()
+  }
+
+  test("runningSumPerKey accumulates exact decimal across batches") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val in = MemoryStream[KeyedRow]
+    val q = StatefulOps.runningSumPerKey(in.toDS())
+      .writeStream.format("memory").queryName("run").outputMode("append").start()
+    try {
+      in.addData(row(1, 1, 1, value = 0.1), row(1, 2, 2, value = 0.2))
+      q.processAllAvailable()
+      in.addData(row(1, 3, 3, value = 0.3))
+      q.processAllAvailable()
+      val sums = s.sql("select * from run order by id").as[RunningEmit].collect()
+      assert(sums.map(_.run_sum).toSeq == Seq(0.1, 0.3, 0.6)) // 0.1+0.2+0.3 exact, not 0.6000000000000001
+    } finally q.stop()
+  }
+}
