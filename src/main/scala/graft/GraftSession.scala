@@ -22,6 +22,8 @@ object GraftSession {
     SparkSession.builder()
       .master(master)
       .appName("graft")
+      // Flink-SQL group-window dialect (TUMBLE/HOP/SESSION) — SURVEY §7.2 M4
+      .withExtensions(sql.FlinkSql.extensions)
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

