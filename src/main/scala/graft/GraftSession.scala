@@ -24,6 +24,8 @@ object GraftSession {
       .appName("graft")
       // Flink-SQL group-window dialect (TUMBLE/HOP/SESSION) — SURVEY §7.2 M4
       .withExtensions(sql.FlinkSql.extensions)
+      // native codegen expressions for pipeline hot loops — SURVEY §7.3
+      .withExtensions(functions.NativeExpressions.extensions)
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -48,18 +48,29 @@ object Dedup {
       .select(col("keep_id"), col("n_copies"))
       .orderBy(col("keep_id"))
 
-  /** Distinct word-trigram shingles per doc, with per-doc set size. */
+  /** Distinct word-trigram shingles per doc, with per-doc set size.
+    * Persisted: both dedup queries reference it from several plan branches
+    * (sizes, both self-join sides), and it is tiny relative to the raw text
+    * (at 100 TB you would materialize it the same way — shingle once,
+    * join many). */
   private def docShingles(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
-      .select(col("doc_id"), array_distinct(shingles(tokens(col("text")), MinTokens)).as("sh"))
+      .select(col("doc_id"), array_distinct(shinglesOf(col("text"), MinTokens)).as("sh"))
       .filter(size(col("sh")) > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
   /** Exact n-gram (trigram) Jaccard near-dup pairs, join on shared shingle.
     * jaccard = |A∩B| / (|A|+|B|-|A∩B|) — exact integer ratio. */
   private def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
     val d = docShingles(s, dir)
     val sizes = d.select(col("doc_id"), size(col("sh")).as("sz"))
-    val ex = d.select(col("doc_id"), explode(col("sh")).as("s"))
+    val ex0 = d.select(col("doc_id"), explode(col("sh")).as("s"))
+    // shingles appearing in a single doc can never form a pair — dropping
+    // them first shrinks the self-join input by the unique-shingle mass
+    // (the dominant fraction for natural text), without changing results
+    val rep = ex0.groupBy(col("s")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") > 1).select(col("s"))
+    val ex = ex0.join(rep, "s")
     val shared = ex.as("a").join(ex.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
@@ -82,16 +93,23 @@ object Dedup {
   private def minhashLsh(s: SparkSession, dir: String): DataFrame = {
     val d = docShingles(s, dir)
       .withColumn("hs", transform(col("sh"), sh => polyHash(sh)))
-    // signature entries k=0..15 → band key = 4 consecutive minhashes
+    // one-pass k=16 signature (native MinhashSig); band key = 4 consecutive
     val sig = d.select(
       col("doc_id"), col("sh"),
-      array((0 until NumHashes).map(k => minhash(col("hs"), k)): _*).as("sig"))
-    val bands = sig.select(col("doc_id"),
+      call_function("minhash_sig", col("hs"), lit(NumHashes)).as("sig"))
+    val bands0 = sig.select(col("doc_id"),
         explode(array((0 until NumHashes / BandSize).map { b =>
           struct(lit(b).as("band"),
             concat_ws("_", (0 until BandSize).map(r => col("sig")(b * BandSize + r)): _*).as("key"))
         }: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band"), col("bk.key"))
+    // band keys hit by a single doc produce no candidates — prefilter them
+    val hot = bands0.groupBy(col("band"), col("key"))
+      .agg(count(lit(1)).as("cnt")).filter(col("cnt") > 1)
+      .select(col("band").as("hb"), col("key").as("hk"))
+    val bands = bands0.join(hot,
+      col("band") === col("hb") && col("key") === col("hk"))
+      .select(col("doc_id"), col("band"), col("key"))
     val candidates = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
         col("x.doc_id") < col("y.doc_id"))
@@ -117,13 +135,9 @@ object Dedup {
       .select(col("doc_id"), col("lang"), tokens(col("text")).as("toks"))
       .filter(size(col("toks")) >= MinTokens)
       .withColumn("th", transform(col("toks"), t => polyHash(t)))
-    // bit j of the signature: majority vote of token-hash bit j
-    val sigExpr = (0 until 32).map { j =>
-      val votes = aggregate(col("th"), lit(0L),
-        (a, h) => a + when(shiftright(h, j) % 2 === 1, 1L).otherwise(-1L))
-      when(votes > 0, lit(1L << j)).otherwise(0L)
-    }.reduce(_ + _)
-    val sig = d.withColumn("sig", sigExpr)
+    // bit j of the signature: majority vote of token-hash bit j — one native
+    // pass (SimHash32) instead of 32 interpreted aggregate() sweeps
+    val sig = d.withColumn("sig", call_function("simhash32", col("th")))
       .select(col("doc_id"), col("lang"), col("sig"))
     sig.as("a").join(sig.as("b"),
         col("a.lang") === col("b.lang") && col("a.doc_id") < col("b.doc_id"))
@@ -138,11 +152,9 @@ object Dedup {
   private def embeddingCosine(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.load(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      .withColumn("norm", sqrt(aggregate(col("v"), lit(0.0), (a, x) => a + x * x)))
+      .withColumn("norm", sqrt(call_function("dot_f64", col("v"), col("v"))))
     e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
-      .withColumn("dot", aggregate(
-        zip_with(col("a.v"), col("b.v"), (x, y) => x * y),
-        lit(0.0), (a, x) => a + x))
+      .withColumn("dot", call_function("dot_f64", col("a.v"), col("b.v")))
       .withColumn("cosine", col("dot") / (col("a.norm") * col("b.norm")))
       .filter(col("cosine") >= 0.45)
       .select(col("a.vec_id").as("i"), col("b.vec_id").as("j"),

@@ -28,10 +28,10 @@ object Similarity {
   private def withNorm(df: DataFrame): DataFrame =
     df.select(col("vec_id"), col("label"),
         col("embedding").cast("array<double>").as("v"))
-      .withColumn("norm", sqrt(aggregate(col("v"), lit(0.0), (a, x) => a + x * x)))
+      .withColumn("norm", sqrt(call_function("dot_f64", col("v"), col("v"))))
 
   private def cosine(a: Column, b: Column, na: Column, nb: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x) / (na * nb)
+    call_function("dot_f64", a, b) / (na * nb)
 
   /** Exact brute-force cosine top-3 for a fixed query subset. */
   private def cosineTopK(s: SparkSession, dir: String): DataFrame = {

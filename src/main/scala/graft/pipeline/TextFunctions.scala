@@ -20,22 +20,21 @@ object TextFunctions {
   /** Whitespace tokens of a trimmed document. */
   def tokens(text: Column): Column = split(trim(text), " +")
 
-  /** Word n-gram shingles: ["a b c", "b c d", ...]. Documents shorter than
-    * n tokens yield an empty array. */
-  def shingles(toks: Column, n: Int): Column =
-    when(size(toks) >= n,
-      transform(sequence(lit(1), size(toks) - (n - 1)),
-        i => concat_ws(" ", slice(toks, i, lit(n)))))
-      .otherwise(array().cast("array<string>"))
+  /** Word n-gram shingles straight off the raw text: ["a b c", "b c d", ...].
+    * Documents shorter than n tokens yield an empty array. Native single-pass
+    * expression (NativeExpressions.WordShingles) — the HOF formulation
+    * (transform∘sequence∘slice∘concat_ws) interpreted a lambda per token and
+    * dominated the dedup bench. */
+  def shinglesOf(text: Column, n: Int): Column =
+    call_function("word_shingles", trim(text), lit(n))
 
-  /** Deterministic polynomial string hash: fold(acc*31 + ascii(ch)) mod p.
+  /** Deterministic polynomial string hash: fold(acc*31 + char) mod p.
     * Mirrors the rolling-hash document fingerprint of classic dedup
-    * pipelines; reproducible in any engine with 64-bit ints. */
-  def polyHash(str: Column): Column =
-    aggregate(
-      transform(split(str, ""), ch => ascii(ch).cast("long")),
-      lit(0L),
-      (acc, x) => (acc * 31L + x) % HashMod)
+    * pipelines; reproducible in any engine with 64-bit ints. Runs as the
+    * native codegen'd expression graft.functions.NativeExpressions.PolyHash
+    * (registered in GraftSession) — the interpreted HOF version
+    * (aggregate∘transform∘split) was the bench hotspot. */
+  def polyHash(str: Column): Column = call_function("poly_hash", str)
 
   /** k-th universal hash over an already-hashed value:
     * h_k(x) = ((2k+1)*x + 7919k + 1) mod p. */
