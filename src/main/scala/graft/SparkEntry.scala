@@ -20,6 +20,9 @@ object SparkEntry {
     (operators.FuncQueries.queries, operators.FuncQueries.oracles),
     (operators.DatasetOps.queries, operators.DatasetOps.oracles),
     (operators.TimeOps.queries, operators.TimeOps.oracles),
+    (operators.UdfSurface.queries, operators.UdfSurface.oracles),
+    (operators.LookupJoin.queries, operators.LookupJoin.oracles),
+    (sources.Formats.queries, sources.Formats.oracles),
     (sql.FlinkSqlQueries.queries, sql.FlinkSqlQueries.oracles),
     (graph.Graphs.queries, graph.Graphs.oracles),
     (streaming.StatefulOps.queries, streaming.StatefulOps.oracles),

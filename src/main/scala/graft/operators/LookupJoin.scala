@@ -1,0 +1,111 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import scala.concurrent.{Await, ExecutionContext, Future}
+import scala.concurrent.duration._
+import graft.Tables
+
+/** Lookup (dimension-table) join — SURVEY.md §2.3: the reference's
+  * StreamExecLookupJoin / LookupJoinRunner does a per-record point lookup
+  * into an external system; AsyncLookupJoinRunner + AsyncDataStream
+  * (AsyncDataStream.java:103-169, orderedWait) overlap many lookups.
+  *
+  * Spark-first mapping, in preference order:
+  *  1. If the dimension fits in memory → broadcast hash join (what Catalyst
+  *     does for `fact.join(broadcast(dim))`): no per-row RPC at all. That is
+  *     `lookupBroadcast` and is the right answer at any scale where the dim
+  *     is "a table you'd point-lookup".
+  *  2. If the dim is truly external/unbounded → `mapPartitions` holding one
+  *     client per partition, batching requests; async variant overlaps
+  *     in-flight lookups with Futures and preserves input order (the
+  *     semantics of orderedWait). Here the "external store" is a stand-in
+  *     keyed map built from the customer table — the Spark-side shape
+  *     (connection-per-partition, batched async, ordered emission) is the
+  *     real content.
+  */
+object LookupJoin {
+  type QFn = (SparkSession, String) => DataFrame
+
+  /** The mock external KV service: nationkey per customer. One "connection"
+    * per partition; `get` has per-call latency in a real system, which is
+    * why the async variant exists. */
+  private class DimClient(snapshot: Map[Long, Int]) {
+    def get(key: Long): Option[Int] = snapshot.get(key)
+    def getAsync(key: Long)(implicit ec: ExecutionContext): Future[Option[Int]] =
+      Future(snapshot.get(key))
+  }
+
+  /** Broadcast-join formulation — the scale-preferred path. */
+  private def lookupBroadcast(s: SparkSession, dir: String): DataFrame = {
+    val dim = Tables.load(s, dir, "customer")
+      .select(col("c_custkey"), col("c_nationkey"))
+    Tables.load(s, dir, "orders")
+      .join(broadcast(dim), col("o_custkey") === col("c_custkey"), "left")
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy(col("c_nationkey"))
+  }
+
+  /** Synchronous per-partition lookup: one client, row-at-a-time get. */
+  private def lookupSync(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val snapshot = Tables.load(s, dir, "customer")
+      .select(col("c_custkey"), col("c_nationkey"))
+      .as[(Long, Int)].collect().toMap
+    val bc = s.sparkContext.broadcast(snapshot)
+    Tables.load(s, dir, "orders").select(col("o_custkey")).as[Long]
+      .mapPartitions { it =>
+        val client = new DimClient(bc.value) // connection per partition
+        it.map(k => (k, client.get(k).getOrElse(-1)))
+      }
+      .toDF("o_custkey", "c_nationkey")
+      .groupBy(col("c_nationkey")).agg(count(lit(1)).as("n_orders"))
+      .orderBy(col("c_nationkey"))
+  }
+
+  /** Async ordered lookup (AsyncDataStream.orderedWait semantics): up to
+    * `parallelism` in-flight futures per partition, results emitted in
+    * input order. */
+  def asyncOrderedLookup[K, V](it: Iterator[K], lookup: K => Future[V],
+                               parallelism: Int)(implicit ec: ExecutionContext): Iterator[(K, V)] =
+    it.grouped(parallelism).flatMap { batch =>
+      val futs = batch.map(k => lookup(k).map(v => (k, v))) // launch the window
+      futs.map(f => Await.result(f, 30.seconds)) // emit in input order
+    }
+
+  private def lookupAsync(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val snapshot = Tables.load(s, dir, "customer")
+      .select(col("c_custkey"), col("c_nationkey"))
+      .as[(Long, Int)].collect().toMap
+    val bc = s.sparkContext.broadcast(snapshot)
+    Tables.load(s, dir, "orders").select(col("o_custkey")).as[Long]
+      .mapPartitions { it =>
+        implicit val ec: ExecutionContext = ExecutionContext.global
+        val client = new DimClient(bc.value)
+        asyncOrderedLookup[Long, Option[Int]](it, client.getAsync(_), parallelism = 32)
+          .map { case (k, v) => (k, v.getOrElse(-1)) }
+      }
+      .toDF("o_custkey", "c_nationkey")
+      .groupBy(col("c_nationkey")).agg(count(lit(1)).as("n_orders"))
+      .orderBy(col("c_nationkey"))
+  }
+
+  def queries: Map[String, QFn] = Map(
+    "lookup_broadcast" -> (lookupBroadcast _),
+    "lookup_sync" -> (lookupSync _),
+    "lookup_async" -> (lookupAsync _)
+  )
+
+  private val oracle =
+    """SELECT c_nationkey, count(*) AS n_orders
+       FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+       GROUP BY c_nationkey ORDER BY c_nationkey"""
+
+  def oracles: Map[String, String] = Map(
+    "lookup_broadcast" -> oracle,
+    "lookup_sync" -> oracle,
+    "lookup_async" -> oracle
+  )
+}
