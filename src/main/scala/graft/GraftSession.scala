@@ -26,6 +26,8 @@ object GraftSession {
       .withExtensions(sql.FlinkSql.extensions)
       // native codegen expressions for pipeline hot loops — SURVEY §7.3
       .withExtensions(functions.NativeExpressions.extensions)
+      // custom whole-operator planning (as-of join) — SURVEY §7.3(c)
+      .withExtensions(plans.AsOfJoinPlan.extensions)
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

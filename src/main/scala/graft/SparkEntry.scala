@@ -23,6 +23,7 @@ object SparkEntry {
     (operators.UdfSurface.queries, operators.UdfSurface.oracles),
     (operators.LookupJoin.queries, operators.LookupJoin.oracles),
     (sources.Formats.queries, sources.Formats.oracles),
+    (plans.AsOf.queries, plans.AsOf.oracles),
     (sql.FlinkSqlQueries.queries, sql.FlinkSqlQueries.oracles),
     (graph.Graphs.queries, graph.Graphs.oracles),
     (streaming.StatefulOps.queries, streaming.StatefulOps.oracles),

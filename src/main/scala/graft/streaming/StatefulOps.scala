@@ -10,6 +10,10 @@ import graft.Tables
   * in SURVEY.md §1.2). */
 case class KeyedRow(key: Long, ts: Long, id: Long, kind: String, value: Double)
 
+/** KeyedRow + materialized event-time column (watermark carrier). */
+case class SortRowW(key: Long, ts: Long, id: Long, kind: String, value: Double,
+                    ets: java.sql.Timestamp)
+
 case class TopNEmit(key: Long, id: Long, value: Double, rnk: Int)
 case class LastRowEmit(key: Long, id: Long, ts: Long, value: Double)
 case class RunningEmit(key: Long, id: Long, run_sum: Double)
@@ -125,6 +129,45 @@ object StatefulOps {
           state.update((winId, pending))
           out.iterator
       }
+  }
+
+  /** Temporal sort (StreamExecTemporalSort.scala:50 /
+    * RowTimeSortOperator.java): emit rows in event-time order once the
+    * watermark passes them. Same buffer-and-release discipline as the
+    * streaming CEP operator; requires a watermark upstream. */
+  def temporalSort(rows: Dataset[KeyedRow], delay: String = "0 seconds"): Dataset[KeyedRow] = {
+    import rows.sparkSession.implicits._
+    rows
+      .withColumn("ets", timestamp_micros(col("ts")))
+      .withWatermark("ets", delay)
+      .as[SortRowW]
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[List[KeyedRow], KeyedRow](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (_, it, state) =>
+          val wmMicros = state.getCurrentWatermarkMs() * 1000L
+          val all = (state.getOption.getOrElse(Nil) ++
+            it.map(w => KeyedRow(w.key, w.ts, w.id, w.kind, w.value)))
+            .sortBy(r => (r.ts, r.id))
+          val (ready, pending) = all.partition(_.ts <= wmMicros)
+          state.update(pending)
+          if (pending.nonEmpty)
+            state.setTimeoutTimestamp(
+              math.max(pending.head.ts / 1000L + 1L, state.getCurrentWatermarkMs() + 1L))
+          ready.iterator
+      }
+  }
+
+  /** Side outputs (OutputTag / SingleOutputStreamOperator.getSideOutput):
+    * one pass tags each row, consumers split by tag — the "tagged union"
+    * mapping from SURVEY §2.2. Returns the tagged stream plus a selector. */
+  def tagRows(rows: Dataset[KeyedRow], tagOf: KeyedRow => String): Dataset[(String, KeyedRow)] = {
+    import rows.sparkSession.implicits._
+    rows.map(r => (tagOf(r), r))
+  }
+  def sideOutput(tagged: Dataset[(String, KeyedRow)], tag: String): Dataset[KeyedRow] = {
+    import tagged.sparkSession.implicits._
+    tagged.filter(_._1 == tag).map(_._2)
   }
 
   // ---- batch adapters over the events table (driver's oracle surface) ----
