@@ -119,6 +119,8 @@ object AsOfJoinStrategy extends SparkStrategy {
 
 object AsOfJoinPlan {
   /** Register with the session (GraftSession wires this in). */
-  val extensions: SparkSessionExtensions => Unit =
-    ext => ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
+  val extensions: SparkSessionExtensions => Unit = { ext =>
+    ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
+    ext.injectOptimizerRule(_ => PruneAsOfJoin)
+  }
 }
