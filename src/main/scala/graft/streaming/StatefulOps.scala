@@ -131,6 +131,62 @@ object StatefulOps {
       }
   }
 
+  /** Count-sliding windows (CountSlidingWindowAssigner): every `slide` rows
+    * per key, emit the aggregate of the last `n` rows — requires `n` rows of
+    * retained state per key (the reference's count evictor buffer). */
+  def countSlidingWindows(rows: Dataset[KeyedRow], n: Int, slide: Int): Dataset[CountWindowEmit] = {
+    import rows.sparkSession.implicits._
+    // state: (rows seen, last n rows newest-last)
+    rows.groupByKey(_.key)
+      .flatMapGroupsWithState[(Long, List[KeyedRow]), CountWindowEmit](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (key, it, state) =>
+          var (seen, buf) = state.getOption.getOrElse((0L, List.empty[KeyedRow]))
+          val out = scala.collection.mutable.ListBuffer.empty[CountWindowEmit]
+          it.toArray.sortBy(r => (r.ts, r.id)).foreach { r =>
+            seen += 1
+            buf = (buf :+ r).takeRight(n)
+            // fire on every slide boundary once the buffer is full
+            if (seen >= n && (seen - n) % slide == 0)
+              out += CountWindowEmit(key, (seen - n) / slide,
+                buf.size.toLong, buf.map(_.value).max, buf.last.id)
+          }
+          state.update((seen, buf))
+          out.iterator
+      }
+  }
+
+  /** Dynamic-gap session windows (DynamicEventTimeSessionWindows): the
+    * merge gap is a per-row function of the data — impossible with
+    * session_window(col, constant), hence the custom op. A new session
+    * starts when the gap SINCE THE PREVIOUS ROW exceeds gapOf(previous). */
+  def dynamicGapSessions(rows: Dataset[KeyedRow], gapOfMicros: KeyedRow => Long): Dataset[CountWindowEmit] = {
+    import rows.sparkSession.implicits._
+    rows.groupByKey(_.key)
+      .flatMapGroupsWithState[Int, CountWindowEmit](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (key, it, _) =>
+          // batch semantics: whole key group in one invocation
+          val sorted = it.toArray.sortBy(r => (r.ts, r.id))
+          val out = scala.collection.mutable.ListBuffer.empty[CountWindowEmit]
+          var sid = 0L
+          var cur = List.empty[KeyedRow]
+          def close(): Unit = if (cur.nonEmpty) {
+            out += CountWindowEmit(key, sid, cur.size.toLong, cur.map(_.value).max, cur.last.id)
+            sid += 1; cur = Nil
+          }
+          sorted.foreach { r =>
+            cur.lastOption match {
+              case Some(prev) if r.ts - prev.ts > gapOfMicros(prev) => close()
+              case _ =>
+            }
+            cur = cur :+ r
+          }
+          close()
+          out.iterator
+      }
+  }
+
   /** Temporal sort (StreamExecTemporalSort.scala:50 /
     * RowTimeSortOperator.java): emit rows in event-time order once the
     * watermark passes them. Same buffer-and-release discipline as the
@@ -209,12 +265,31 @@ object StatefulOps {
       .orderBy($"user_id", $"win_id")
   }
 
+  def qCountSliding(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    countSlidingWindows(eventRows(s, dir), 10, 5)
+      .select($"key".as("user_id"), $"win_id", $"n_events", $"max_value", $"last_id")
+      .orderBy($"user_id", $"win_id")
+  }
+
+  /** gap = 30 min for events with value < 100, else 2 h — data-dependent. */
+  def qDynamicSession(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    dynamicGapSessions(eventRows(s, dir),
+      r => if (r.value < 100) 1800L * 1000000L else 7200L * 1000000L)
+      .select($"key".as("user_id"), $"win_id".as("session_id"),
+        $"n_events", $"max_value", $"last_id")
+      .orderBy($"user_id", $"session_id")
+  }
+
   type QFn = (SparkSession, String) => DataFrame
   def queries: Map[String, QFn] = Map(
     "stream_topn" -> (qTopN _),
     "stream_dedup_last" -> (qDedupLast _),
     "stream_over_running" -> (qRunningSum _),
-    "stream_count_windows" -> (qCountWindows _)
+    "stream_count_windows" -> (qCountWindows _),
+    "stream_count_sliding" -> (qCountSliding _),
+    "stream_dynamic_session" -> (qDynamicSession _)
   )
 
   def oracles: Map[String, String] = Map(
@@ -245,6 +320,39 @@ object StatefulOps {
                   (row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1) % 10 AS rn_in
            FROM events)
          GROUP BY user_id, win_id HAVING count(*) = 10
-         ORDER BY user_id, win_id"""
+         ORDER BY user_id, win_id""",
+    "stream_count_sliding" ->
+      """SELECT user_id, (rn - 10) // 5 AS win_id, CAST(10 AS BIGINT) AS n_events,
+                mx AS max_value, event_id AS last_id
+         FROM (
+           SELECT user_id, event_id,
+                  row_number() OVER w AS rn,
+                  max(value) OVER (w ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS mx
+           FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+         WHERE rn >= 10 AND (rn - 10) % 5 = 0
+         ORDER BY user_id, win_id""",
+    "stream_dynamic_session" ->
+      """WITH o AS (
+           SELECT user_id, event_id, value, ts,
+                  lag(ts) OVER w AS pts, lag(value) OVER w AS pv
+           FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         b AS (
+           SELECT *, CASE WHEN pts IS NULL THEN 0
+                          WHEN epoch_us(ts) - epoch_us(pts) >
+                               (CASE WHEN pv < 100 THEN 1800000000 ELSE 7200000000 END) THEN 1
+                          ELSE 0 END AS brk
+           FROM o),
+         s AS (
+           SELECT *, CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+           FROM b),
+         r AS (
+           SELECT *, row_number() OVER (PARTITION BY user_id, session_id
+                                        ORDER BY ts DESC, event_id DESC) AS rn_desc
+           FROM s)
+         SELECT user_id, session_id, count(*) AS n_events, max(value) AS max_value,
+                max(CASE WHEN rn_desc = 1 THEN event_id END) AS last_id
+         FROM r GROUP BY user_id, session_id
+         ORDER BY user_id, session_id"""
   )
 }
