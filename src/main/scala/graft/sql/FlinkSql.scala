@@ -116,14 +116,24 @@ object FlinkSql {
     s
   }
 
-  /** Parser delegate: rewrite, then hand to Spark's parser. */
-  class Parser(delegate: ParserInterface) extends ParserInterface {
+  /** Parser delegate: MATCH_RECOGNIZE routes to the CEP front-end;
+    * everything else is dialect-rewritten and handed to Spark's parser. */
+  class Parser(session: SparkSession, delegate: ParserInterface) extends ParserInterface {
     override def parsePlan(sqlText: String): LogicalPlan =
-      delegate.parsePlan(rewrite(sqlText))
+      if (MatchRecognize.matches(sqlText))
+        org.apache.spark.sql.GraftSqlBridge.logicalPlan(
+          MatchRecognize.run(session, sqlText))
+      else delegate.parsePlan(rewrite(sqlText))
     override def parseQuery(sqlText: String): LogicalPlan =
-      delegate.parseQuery(rewrite(sqlText))
+      if (MatchRecognize.matches(sqlText))
+        org.apache.spark.sql.GraftSqlBridge.logicalPlan(
+          MatchRecognize.run(session, sqlText))
+      else delegate.parseQuery(rewrite(sqlText))
     override def parsePlanWithParameters(sqlText: String, ctx: ParameterContext): LogicalPlan =
-      delegate.parsePlanWithParameters(rewrite(sqlText), ctx)
+      if (MatchRecognize.matches(sqlText))
+        org.apache.spark.sql.GraftSqlBridge.logicalPlan(
+          MatchRecognize.run(session, sqlText))
+      else delegate.parsePlanWithParameters(rewrite(sqlText), ctx)
     override def parseExpression(sqlText: String): Expression =
       delegate.parseExpression(rewrite(sqlText))
     override def parseTableIdentifier(sqlText: String): TableIdentifier =
@@ -142,5 +152,5 @@ object FlinkSql {
 
   /** Install via `SparkSession.builder.withExtensions(FlinkSql.extensions)`. */
   val extensions: SparkSessionExtensions => Unit =
-    ext => ext.injectParser((_, delegate) => new Parser(delegate))
+    ext => ext.injectParser((session, delegate) => new Parser(session, delegate))
 }

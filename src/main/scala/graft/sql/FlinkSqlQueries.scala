@@ -37,13 +37,42 @@ object FlinkSqlQueries {
                 count(*) AS n
          FROM events
          GROUP BY SESSION(ts, INTERVAL '30' MINUTE), user_id
-         ORDER BY user_id, s_start"""))
+         ORDER BY user_id, s_start""")),
+    "mr_error_pairs" -> ((s, dir) => run(s, dir,
+      """SELECT user_id, start_ts, end_ts FROM events
+         MATCH_RECOGNIZE (
+           PARTITION BY user_id
+           ORDER BY ts
+           ONE ROW PER MATCH
+           AFTER MATCH SKIP PAST LAST ROW
+           PATTERN (E1 E2)
+           DEFINE E1 AS event_type = 'error', E2 AS event_type = 'error'
+         ) ORDER BY user_id, start_ts"""))
   )
 
-  /** Same semantics as the TimeOps DataFrame queries → same oracles. */
+  /** Same semantics as the TimeOps DataFrame queries → same oracles.
+    * mr_error_pairs: MATCH_RECOGNIZE (E1 E2) over errors with SKIP PAST LAST
+    * ROW = greedy pairing inside each maximal run of consecutive errors —
+    * the gaps-and-islands formulation below. */
   def oracles: Map[String, String] = Map(
     "fsql_tumble" -> TimeOps.oracles("time_tumble"),
     "fsql_hop" -> TimeOps.oracles("time_hop"),
-    "fsql_session" -> TimeOps.oracles("time_session")
+    "fsql_session" -> TimeOps.oracles("time_session"),
+    "mr_error_pairs" ->
+      """WITH o AS (
+           SELECT user_id, event_id, ts, event_type,
+                  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+           FROM events),
+         runs AS (
+           SELECT *, rn - row_number() OVER (PARTITION BY user_id ORDER BY rn) AS grp
+           FROM o WHERE event_type = 'error'),
+         err AS (
+           SELECT *, row_number() OVER (PARTITION BY user_id, grp ORDER BY rn) AS idx,
+                  count(*) OVER (PARTITION BY user_id, grp) AS len,
+                  lead(ts) OVER (PARTITION BY user_id, grp ORDER BY rn) AS next_ts
+           FROM runs)
+         SELECT user_id, epoch_us(ts) AS start_ts, epoch_us(next_ts) AS end_ts
+         FROM err WHERE idx % 2 = 1 AND idx < len
+         ORDER BY user_id, start_ts"""
   )
 }
