@@ -119,21 +119,23 @@ object FlinkSql {
   /** Parser delegate: MATCH_RECOGNIZE routes to the CEP front-end;
     * everything else is dialect-rewritten and handed to Spark's parser. */
   class Parser(session: SparkSession, delegate: ParserInterface) extends ParserInterface {
+    /** front-end dispatch: MATCH_RECOGNIZE / FOR SYSTEM_TIME AS OF clauses
+      * build their plan through the custom operators; None = plain dialect */
+    private def frontEnd(sqlText: String): Option[LogicalPlan] =
+      if (MatchRecognize.matches(sqlText))
+        Some(org.apache.spark.sql.GraftSqlBridge.logicalPlan(
+          MatchRecognize.run(session, sqlText)))
+      else if (SystemTimeJoin.matches(sqlText))
+        Some(org.apache.spark.sql.GraftSqlBridge.logicalPlan(
+          SystemTimeJoin.run(session, sqlText)))
+      else None
+
     override def parsePlan(sqlText: String): LogicalPlan =
-      if (MatchRecognize.matches(sqlText))
-        org.apache.spark.sql.GraftSqlBridge.logicalPlan(
-          MatchRecognize.run(session, sqlText))
-      else delegate.parsePlan(rewrite(sqlText))
+      frontEnd(sqlText).getOrElse(delegate.parsePlan(rewrite(sqlText)))
     override def parseQuery(sqlText: String): LogicalPlan =
-      if (MatchRecognize.matches(sqlText))
-        org.apache.spark.sql.GraftSqlBridge.logicalPlan(
-          MatchRecognize.run(session, sqlText))
-      else delegate.parseQuery(rewrite(sqlText))
+      frontEnd(sqlText).getOrElse(delegate.parseQuery(rewrite(sqlText)))
     override def parsePlanWithParameters(sqlText: String, ctx: ParameterContext): LogicalPlan =
-      if (MatchRecognize.matches(sqlText))
-        org.apache.spark.sql.GraftSqlBridge.logicalPlan(
-          MatchRecognize.run(session, sqlText))
-      else delegate.parsePlanWithParameters(rewrite(sqlText), ctx)
+      frontEnd(sqlText).getOrElse(delegate.parsePlanWithParameters(rewrite(sqlText), ctx))
     override def parseExpression(sqlText: String): Expression =
       delegate.parseExpression(rewrite(sqlText))
     override def parseTableIdentifier(sqlText: String): TableIdentifier =

@@ -38,6 +38,17 @@ object FlinkSqlQueries {
          FROM events
          GROUP BY SESSION(ts, INTERVAL '30' MINUTE), user_id
          ORDER BY user_id, s_start""")),
+    "fsql_system_time" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("""SELECT user_id AS u, event_id AS p_id, ts AS p_ts FROM events
+               WHERE event_type = 'purchase'""").createOrReplaceTempView("purchases")
+      s.sql("""SELECT user_id AS cu, event_id AS c_id, ts AS c_ts FROM events
+               WHERE event_type = 'click'""").createOrReplaceTempView("clicks")
+      SystemTimeJoin.declareWatermark("clicks", "c_ts") // DDL WATERMARK FOR c_ts
+      s.sql("""SELECT u, p_id, c_id AS asof_click_id, c_ts AS asof_click_ts
+               FROM purchases JOIN clicks FOR SYSTEM_TIME AS OF p_ts ON u = cu
+               ORDER BY u, p_id""")
+    }),
     "mr_error_pairs" -> ((s, dir) => run(s, dir,
       """SELECT user_id, start_ts, end_ts FROM events
          MATCH_RECOGNIZE (
@@ -58,6 +69,15 @@ object FlinkSqlQueries {
     "fsql_tumble" -> TimeOps.oracles("time_tumble"),
     "fsql_hop" -> TimeOps.oracles("time_hop"),
     "fsql_session" -> TimeOps.oracles("time_session"),
+    "fsql_system_time" ->
+      """SELECT u, p_id, c_id AS asof_click_id, c_ts AS asof_click_ts FROM (
+           SELECT p.user_id AS u, p.event_id AS p_id, c.event_id AS c_id, c.ts AS c_ts,
+                  row_number() OVER (PARTITION BY p.user_id, p.event_id
+                                     ORDER BY c.ts DESC, c.event_id DESC) AS rn
+           FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+           LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+             ON c.user_id = p.user_id AND c.ts <= p.ts)
+         WHERE rn = 1 ORDER BY u, p_id""",
     "mr_error_pairs" ->
       """WITH o AS (
            SELECT user_id, event_id, ts, event_type,

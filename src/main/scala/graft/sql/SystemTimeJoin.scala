@@ -1,0 +1,60 @@
+package graft.sql
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.plans.AsOf
+
+/** `FOR SYSTEM_TIME AS OF` SQL syntax (SURVEY.md §7.2 M4) — the reference's
+  * temporal-join SQL surface (parserImpls.ftl snapshot clause +
+  * LogicalCorrelateToJoinFromTemporalTableRule.scala), routed through the
+  * injected parser onto the custom AsOfJoin operator (plans/AsOfJoinPlan).
+  *
+  * Flink learns the versioned table's event-time attribute from its DDL
+  * (`WATERMARK FOR col AS ...`); the analogue here is
+  * [[declareWatermark]](table, col) — the same information, declared
+  * programmatically instead of via DDL.
+  *
+  * Restricted statement shape:
+  *
+  *   SELECT <cols> FROM <left> JOIN <right> FOR SYSTEM_TIME AS OF <timeExpr>
+  *   ON <leftKey> = <rightKey> [WHERE ... | ORDER BY ...]
+  *
+  * where <timeExpr>/<leftKey>/<rightKey> are bare or dotted column names.
+  * Output = left columns + right columns (null when no version ≤ time).
+  */
+object SystemTimeJoin {
+
+  /** table → event-time column; the DDL watermark registry. */
+  private val timeAttributes = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** Mirror of `WATERMARK FOR <col>` DDL on a (temp) table. */
+  def declareWatermark(table: String, timeCol: String): Unit =
+    timeAttributes(table.toLowerCase) = timeCol
+
+  def matches(sql: String): Boolean =
+    """(?i)FOR\s+SYSTEM_TIME\s+AS\s+OF""".r.findFirstIn(sql).isDefined
+
+  private val stRe =
+    """(?is)SELECT\s+(.*?)\s+FROM\s+(\w+)\s+JOIN\s+(\w+)\s+FOR\s+SYSTEM_TIME\s+AS\s+OF\s+([\w.]+)\s+ON\s+([\w.]+)\s*=\s*([\w.]+)\s*(.*)""".r
+
+  private def bare(c: String): String = c.split("\\.").last
+
+  def run(spark: SparkSession, sql: String): DataFrame = sql.trim match {
+    case stRe(select, lt, rt, timeExpr, k1, k2, tail) =>
+      val left = spark.table(lt)
+      val right = spark.table(rt)
+      val rTimeCol = timeAttributes.getOrElse(rt.toLowerCase,
+        throw new IllegalArgumentException(
+          s"no watermark declared for versioned table $rt — call " +
+            s"SystemTimeJoin.declareWatermark(\"$rt\", <timeCol>) (DDL WATERMARK FOR)"))
+      // resolve which side each ON operand belongs to
+      val (lk, rk) =
+        if (left.columns.contains(bare(k1))) (bare(k1), bare(k2))
+        else (bare(k2), bare(k1))
+      val joined = AsOf.join(left, right,
+        left(lk), right(rk), left(bare(timeExpr)), right(rTimeCol))
+      joined.createOrReplaceTempView("__st_out")
+      spark.sql(s"SELECT $select FROM __st_out ${Option(tail).getOrElse("")}")
+    case _ =>
+      throw new IllegalArgumentException("unsupported FOR SYSTEM_TIME AS OF shape")
+  }
+}

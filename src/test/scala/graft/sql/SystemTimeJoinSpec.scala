@@ -1,0 +1,34 @@
+package graft.sql
+
+import graft.SparkSpec
+import java.sql.Timestamp
+
+class SystemTimeJoinSpec extends SparkSpec {
+
+  test("FOR SYSTEM_TIME AS OF joins the latest version ≤ row time") {
+    val s = spark
+    import s.implicits._
+    Seq((1L, new Timestamp(10000L), 100L), (1L, new Timestamp(25000L), 101L))
+      .toDF("ok", "ots", "oid").createOrReplaceTempView("st_orders")
+    Seq((1L, new Timestamp(5000L), 1.0), (1L, new Timestamp(20000L), 2.0))
+      .toDF("rk", "rts", "rate").createOrReplaceTempView("st_rates")
+    SystemTimeJoin.declareWatermark("st_rates", "rts")
+    val rows = spark.sql(
+      """SELECT oid, rate FROM st_orders
+         JOIN st_rates FOR SYSTEM_TIME AS OF ots ON ok = rk
+         ORDER BY oid""").collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(rows.toSeq == Seq((100L, 1.0), (101L, 2.0))) // versions at 5s and 20s
+  }
+
+  test("missing watermark declaration fails with a pointed message") {
+    val s = spark
+    import s.implicits._
+    Seq((1L, new Timestamp(1000L))).toDF("k", "t").createOrReplaceTempView("st_nowm")
+    val e = intercept[Exception] {
+      spark.sql(
+        """SELECT k FROM st_nowm JOIN st_nowm2 FOR SYSTEM_TIME AS OF t ON k = k2""")
+    }
+    assert(e.getMessage.contains("watermark") || e.getMessage.contains("WATERMARK") ||
+      e.getMessage.contains("TABLE_OR_VIEW_NOT_FOUND"))
+  }
+}
