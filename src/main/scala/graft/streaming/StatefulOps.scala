@@ -78,6 +78,35 @@ object StatefulOps {
       }
   }
 
+  /** dedupKeepLast with idle-state retention
+    * (TableConfig.setIdleStateRetention → ExecutionConfigOptions
+    * .IDLE_STATE_RETENTION, TableConfig.java:290-316): a key whose state is
+    * untouched for `retention` of processing time is evicted — the unbounded
+    * keyed state stays proportional to the ACTIVE key set, which is what
+    * makes an unbounded-stream aggregation survivable at 100 TB/day. */
+  def dedupKeepLastWithTtl(rows: Dataset[KeyedRow],
+                           retention: java.time.Duration): Dataset[LastRowEmit] = {
+    import rows.sparkSession.implicits._
+    rows.groupByKey(_.key)
+      .flatMapGroupsWithState[LastRowEmit, LastRowEmit](
+        OutputMode.Update(), GroupStateTimeout.ProcessingTimeTimeout()) {
+        case (key, it, state) =>
+          if (state.hasTimedOut) { // idle past retention → evict
+            state.remove()
+            Iterator.empty
+          } else {
+            var cur = state.getOption.orNull
+            it.foreach { r =>
+              if (cur == null || r.ts > cur.ts || (r.ts == cur.ts && r.id > cur.id))
+                cur = LastRowEmit(key, r.id, r.ts, r.value)
+            }
+            state.update(cur)
+            state.setTimeoutDuration(retention.toMillis)
+            Iterator.single(cur)
+          }
+      }
+  }
+
   /** Streaming OVER aggregate: per-key running sum in (ts, id) order —
     * semantics of RowTimeRowsUnboundedPrecedingFunction (operators/over/).
     * Money-exact: accumulates BigDecimal(2dp) so emission order can never
