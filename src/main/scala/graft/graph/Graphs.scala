@@ -42,6 +42,12 @@ object Graphs {
     var labels = e.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
       .localCheckpoint(eager = true)
+    // labels only ever decrease under min-propagation, so the label sum is
+    // strictly monotone until the fixpoint — a one-stage agg per superstep
+    // replaces a join-based change detector
+    def labelSum(df: org.apache.spark.sql.DataFrame): Long =
+      df.agg(sum(col("label"))).head.getLong(0)
+    var prevSum = labelSum(labels)
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -52,10 +58,10 @@ object Graphs {
         .union(msgs)
         .groupBy(col("node")).agg(min(col("label")).as("label"))
         .localCheckpoint(eager = true)
-      val changed = next.join(labels.withColumnRenamed("label", "old"), "node")
-        .filter(col("label") =!= col("old")).limit(1).count()
+      val curSum = labelSum(next)
       labels = next
-      converged = changed == 0
+      converged = curSum == prevSum
+      prevSum = curSum
       i += 1
     }
     e.unpersist()
