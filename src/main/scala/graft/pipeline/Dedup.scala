@@ -97,12 +97,15 @@ object Dedup {
     val sig = d.select(
       col("doc_id"), col("sh"),
       call_function("minhash_sig", col("hs"), lit(NumHashes)).as("sig"))
+    // persisted: the hot-key filter and both self-join sides would otherwise
+    // recompute the whole hash→signature chain (4 band rows per doc — tiny)
     val bands0 = sig.select(col("doc_id"),
         explode(array((0 until NumHashes / BandSize).map { b =>
           struct(lit(b).as("band"),
             concat_ws("_", (0 until BandSize).map(r => col("sig")(b * BandSize + r)): _*).as("key"))
         }: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band"), col("bk.key"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // band keys hit by a single doc produce no candidates — prefilter them
     val hot = bands0.groupBy(col("band"), col("key"))
       .agg(count(lit(1)).as("cnt")).filter(col("cnt") > 1)
