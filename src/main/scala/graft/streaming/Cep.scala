@@ -24,8 +24,15 @@ object Cep {
 
   /** One NFA step: matches rows satisfying `pred`; `strict` = the step must
     * match the row immediately following the previous step's row (CEP
-    * `next`), otherwise non-matching rows may intervene (`followedBy`). */
-  case class Step(name: String, pred: KeyedRow => Boolean, strict: Boolean = false)
+    * `next`), otherwise non-matching rows may intervene (`followedBy`);
+    * `oneOrMore` = the step may absorb multiple rows (Pattern.oneOrMore,
+    * greedy — the longest absorption wins when matches compete). */
+  case class Step(name: String, pred: KeyedRow => Boolean, strict: Boolean = false,
+                  oneOrMore: Boolean = false)
+
+  /** Pattern.times(n) (Pattern.java:times): n consecutive occurrences —
+    * pure expansion into n copies of the step. */
+  def times(step: Step, n: Int): Seq[Step] = Seq.fill(n)(step)
 
   sealed trait AfterMatch
   /** drop all partial runs overlapping the match (MATCH_RECOGNIZE default) */
@@ -50,18 +57,25 @@ object Cep {
     val alive = active.filter(run => r.ts - run.startTs <= pattern.withinMs)
     val stepped = alive.flatMap { run =>
       val step = pattern.steps(run.nextStep)
-      if (step.pred(r) && (!step.strict || run.lastRowId == prevRowId))
-        Some(Run(run.nextStep + 1, run.startTs, r.id :: run.ids, r.id))
-      else if (step.strict && run.lastRowId == prevRowId) None // strict miss on the adjacent row
-      else if (step.strict) None
-      else Some(run) // relaxed: keep waiting
+      if (step.pred(r) && (!step.strict || run.lastRowId == prevRowId)) {
+        val advanced = Run(run.nextStep + 1, run.startTs, r.id :: run.ids, r.id)
+        // a oneOrMore step also branches into "absorb and stay" — the
+        // parallel run-set is how the NFA explores every absorption length
+        if (step.oneOrMore)
+          List(advanced, Run(run.nextStep, run.startTs, r.id :: run.ids, r.id))
+        else List(advanced)
+      }
+      else if (step.strict && run.lastRowId == prevRowId) Nil // strict miss on the adjacent row
+      else if (step.strict) Nil
+      else List(run) // relaxed: keep waiting
     }
     val started =
       if (pattern.steps.head.pred(r)) List(Run(1, r.ts, List(r.id), r.id)) else Nil
     val (done, pending) = (stepped ++ started).partition(_.nextStep == pattern.steps.size)
     // several runs may complete on the same row; MATCH_RECOGNIZE emits the
-    // earliest-started one and (skip-past-last-row) discards the overlap
-    val ranked = done.sortBy(d => (d.startTs, d.ids.last)) // ids is reversed: last = first matched
+    // earliest-started (then greediest = most rows absorbed) one and
+    // (skip-past-last-row) discards the overlap
+    val ranked = done.sortBy(d => (d.startTs, d.ids.last, -d.ids.size)) // ids reversed: last = first matched
     pattern.afterMatch match {
       case SkipPastLastRow if ranked.nonEmpty =>
         (Nil, List(Match(key, ranked.head.startTs, r.ts, ranked.head.ids.reverse)))

@@ -47,6 +47,34 @@ class CepSpec extends SparkSpec {
     assert(ms.map(_.ids).toSeq == Seq(Seq(1L, 3L)))
   }
 
+  test("times(n) expansion equals the hand-written repeated pattern") {
+    val s = spark
+    import s.implicits._
+    val rows = Seq(ev(1, 1, 1, "error"), ev(1, 2, 2, "error"), ev(1, 3, 3, "error"),
+      ev(1, 4, 4, "view"), ev(1, 5, 5, "error")).toDS()
+    val viaTimes = Cep.Pattern(
+      Cep.times(Cep.Step("e", _.kind == "error", strict = true), 3)
+        .zipWithIndex.map { case (st, i) => if (i == 0) st.copy(strict = false) else st },
+      afterMatch = Cep.SkipToNextRow)
+    val a = Cep.matchBatch(rows, viaTimes).collect().map(_.ids).toSet
+    val b = Cep.matchBatch(rows, Cep.errorBurst).collect().map(_.ids).toSet
+    assert(a == b && a == Set(Seq(1L, 2L, 3L)))
+  }
+
+  test("oneOrMore is greedy: the longest absorption wins under skip-past-last") {
+    val s = spark
+    import s.implicits._
+    val rows = Seq(
+      ev(1, 1, 1, "signup"), ev(1, 2, 2, "purchase"), ev(1, 3, 3, "purchase"),
+      ev(1, 4, 4, "view")).toDS()
+    val p = Cep.Pattern(Seq(
+      Cep.Step("s", _.kind == "signup"),
+      Cep.Step("p", _.kind == "purchase", oneOrMore = true),
+      Cep.Step("v", _.kind == "view")))
+    val ms = Cep.matchBatch(rows, p).collect()
+    assert(ms.map(_.ids).toSeq == Seq(Seq(1L, 2L, 3L, 4L))) // both purchases absorbed
+  }
+
   test("streaming CEP: watermark-ordered processing matches batch result") {
     val s = spark
     import s.implicits._
