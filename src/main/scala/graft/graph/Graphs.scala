@@ -95,8 +95,29 @@ object Graphs {
     "graph_pagerank" -> ((s, d) => pageRank(s, d))
   )
 
-  /** CC is exactly reproducible in DuckDB with a recursive CTE; PageRank's
-    * float iteration is not SQL-stable → rows-only + GraphsSpec fixture. */
+  /** CC is exactly reproducible in DuckDB with a recursive CTE. PageRank's
+    * 10 fixed damped iterations are 10 chained CTEs of the same double
+    * arithmetic; sum-order jitter between engines stays ~1e-12 relative,
+    * absorbed by the shared round(·, 6). */
+  private def pageRankOracle: String = {
+    val iters = (1 to 10).map { k =>
+      s"""r$k AS (
+         SELECT u.dst AS node,
+                0.15::DOUBLE / (SELECT n FROM nn) + 0.85::DOUBLE * sum(r.rank / d.deg) AS rank
+         FROM und u JOIN deg d ON u.src = d.src JOIN r${k - 1} r ON u.src = r.node
+         GROUP BY u.dst)"""
+    }.mkString(",\n")
+    s"""WITH e0 AS (SELECT DISTINCT o_custkey AS src, l_suppkey + 1000000 AS dst
+              FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       und AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+       deg AS (SELECT src, count(*) AS deg FROM und GROUP BY src),
+       nn AS (SELECT count(DISTINCT src) AS n FROM und),
+       r0 AS (SELECT DISTINCT src AS node, 1.0::DOUBLE / (SELECT n FROM nn) AS rank FROM und),
+       $iters
+       SELECT node, round(rank * (SELECT n FROM nn), 6) AS rank_scaled
+       FROM r10 ORDER BY rank_scaled DESC, node"""
+  }
+
   def oracles: Map[String, String] = Map(
     "graph_connected_components" ->
       """WITH RECURSIVE
@@ -107,6 +128,7 @@ object Graphs {
              SELECT src AS node, src AS r FROM und
              UNION
              SELECT u.src, reach.r FROM und u JOIN reach ON u.dst = reach.node)
-         SELECT node, min(r) AS component FROM reach GROUP BY node ORDER BY node"""
+         SELECT node, min(r) AS component FROM reach GROUP BY node ORDER BY node""",
+    "graph_pagerank" -> pageRankOracle
   )
 }

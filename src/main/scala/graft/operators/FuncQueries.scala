@@ -136,9 +136,12 @@ object FuncQueries {
         element_at(col("tokens"), 1).as("tok1"),
         element_at(col("tokens"), -1).as("tok_last"),
         array_contains(col("tokens"), "data").as("has_data"),
-        array_sort(array_distinct(col("tokens"))).as("vocab"),
-        slice(col("tokens"), 1, 3).as("first3"),
-        map_keys(map(lit("lang"), col("lang"), lit("source"), col("source"))).as("mkeys"),
+        // Arrays joined to strings: the driver's compare harness sorts and
+        // hashes cell values, which arrays break (unhashable) — semantics of
+        // the array ops are still exercised, the *comparison* is string-typed.
+        array_join(array_sort(array_distinct(col("tokens"))), " ").as("vocab"),
+        array_join(slice(col("tokens"), 1, 3), " ").as("first3"),
+        array_join(map_keys(map(lit("lang"), col("lang"), lit("source"), col("source"))), " ").as("mkeys"),
         element_at(map(lit("lang"), col("lang")), "lang").as("mval"))
       .orderBy(col("doc_id"))
 
@@ -262,9 +265,9 @@ object FuncQueries {
          string_split(rtrim(text), ' ')[1] AS tok1,
          string_split(rtrim(text), ' ')[-1] AS tok_last,
          list_contains(string_split(rtrim(text), ' '), 'data') AS has_data,
-         list_sort(list_distinct(string_split(rtrim(text), ' '))) AS vocab,
-         string_split(rtrim(text), ' ')[1:3] AS first3,
-         ['lang', 'source'] AS mkeys,
+         array_to_string(list_sort(list_distinct(string_split(rtrim(text), ' '))), ' ') AS vocab,
+         array_to_string(string_split(rtrim(text), ' ')[1:3], ' ') AS first3,
+         'lang source' AS mkeys,
          lang AS mval
          FROM documents ORDER BY doc_id""",
     "func_regexp" ->

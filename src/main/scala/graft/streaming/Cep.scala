@@ -197,9 +197,12 @@ object Cep {
     "cep_signup_funnel" -> (qSignupFunnel _)
   )
 
-  /** error-burst is SQL-expressible (sliding 3-row check via lag);
-    * signup-funnel's skip-past-last-row semantics is not — rows-only check,
-    * exact-match covered by CepSpec. */
+  /** error-burst is a sliding 3-row check via lag; signup-funnel's
+    * skip-past-last-row greedy matching is a sequential scan, reproduced in
+    * SQL as a recursive CTE over candidate (signup, purchase) pairs: each
+    * recursion step picks, per user, the earliest-completing (then
+    * earliest-started) pair whose signup lies strictly after the previous
+    * match's purchase row — exactly the NFA's emit-then-drop-overlap rule. */
   def oracles: Map[String, String] = Map(
     "cep_error_burst" ->
       """SELECT user_id, count(*) AS n_matches FROM (
@@ -209,6 +212,28 @@ object Cep {
            FROM events
            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
          WHERE event_type = 'error' AND p1 = 'error' AND p2 = 'error'
-         GROUP BY user_id ORDER BY user_id"""
+         GROUP BY user_id ORDER BY user_id""",
+    "cep_signup_funnel" ->
+      """WITH RECURSIVE
+         ev AS (
+           SELECT user_id, epoch_us(ts) AS ets, event_id, event_type,
+                  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+           FROM events),
+         pairs AS (
+           SELECT s.user_id, s.rn AS s_rn, s.ets AS s_ts, p.rn AS p_rn, p.ets AS p_ts
+           FROM ev s JOIN ev p ON s.user_id = p.user_id
+           WHERE s.event_type = 'signup' AND p.event_type = 'purchase'
+             AND s.rn < p.rn AND p.ets - s.ets <= 3600000000),
+         m AS (
+           SELECT user_id, CAST(NULL AS BIGINT) AS start_ts, CAST(NULL AS BIGINT) AS end_ts,
+                  CAST(0 AS BIGINT) AS e_rn
+           FROM (SELECT DISTINCT user_id FROM pairs)
+           UNION ALL
+           SELECT p.user_id, p.s_ts, p.p_ts, p.p_rn
+           FROM m JOIN pairs p ON p.user_id = m.user_id AND p.s_rn > m.e_rn
+           QUALIFY row_number() OVER (PARTITION BY p.user_id ORDER BY p.p_rn, p.s_rn) = 1
+         )
+         SELECT user_id, start_ts, end_ts FROM m WHERE start_ts IS NOT NULL
+         ORDER BY user_id, start_ts"""
   )
 }
