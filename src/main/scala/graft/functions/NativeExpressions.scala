@@ -66,8 +66,10 @@ object NativeExpressions {
   case class DoubleDot(left: Expression, right: Expression)
       extends BinaryExpression {
     override def checkInputDataTypes(): TypeCheckResult =
-      if (Seq(left, right).forall(_.dataType == ArrayType(DoubleType, false)) ||
-          Seq(left, right).forall(_.dataType == ArrayType(DoubleType, true)))
+      if (Seq(left, right).forall(_.dataType match {
+            case ArrayType(DoubleType, _) => true // either nullability
+            case _ => false
+          }))
         TypeCheckResult.TypeCheckSuccess
       else TypeCheckResult.TypeCheckFailure(
         s"dot_f64 needs ARRAY<DOUBLE>, got ${left.dataType} / ${right.dataType}")

@@ -21,8 +21,11 @@ import TextFunctions._
   *    candidates only. This is the standard web-scale near-dup pipeline
   *    (Broder MinHash / LSH banding) expressed as three shuffles.
   *  - SimHash packs token hashes into a 32-bit signature per doc; near-dups
-  *    have small Hamming distance. Pairing here is blocked by `lang`
-  *    (at 100 TB: block by signature prefix bands, same join shape).
+  *    have small Hamming distance. Pairing is blocked by 7 disjoint
+  *    signature bit-bands (lossless for Hamming ≤ 6 by pigeonhole) — an
+  *    equi-join on (band, bits), never all-pairs.
+  *  - Embedding near-dup buckets by a 16-bit random-hyperplane signature
+  *    (Charikar), banded 4×4, verifying true cosine on candidates only.
   *
   * All hashing is engine-agnostic integer math (TextFunctions.polyHash),
   * so every stage is reproducible bit-for-bit in the DuckDB oracle.
@@ -131,37 +134,98 @@ object Dedup {
       .orderBy(col("i"), col("j"))
   }
 
-  /** SimHash: 32-bit signature from per-token hashes; near-dup candidates =
-    * same-lang pairs with Hamming distance ≤ 6. */
+  /** 7-way split of the 32-bit signature: by pigeonhole, two signatures at
+    * Hamming distance ≤ 6 agree exactly on at least one of 7 disjoint bit
+    * bands — so banding is a lossless candidate generator for d ≤ 6. */
+  private val SimBandWidths = Seq(5, 5, 5, 5, 4, 4, 4)
+  private val SimBandOffsets = SimBandWidths.scanLeft(0)(_ + _).init
+
+  /** SimHash: 32-bit signature from per-token hashes; near-dup pairs =
+    * Hamming distance ≤ 6, found via signature-band blocking (never
+    * all-pairs): explode each doc into 7 (band, bits) keys, equi-join on the
+    * key, verify full Hamming on candidates. Per-band buckets shrink
+    * exponentially in band width, so the join stays near-linear; at 100 TB
+    * you widen the signature (64/128-bit) and the bands with it — the shape
+    * is unchanged. */
   private def simhash(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.load(s, dir, "documents")
-      .select(col("doc_id"), col("lang"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
       .filter(size(col("toks")) >= MinTokens)
       .withColumn("th", transform(col("toks"), t => polyHash(t)))
     // bit j of the signature: majority vote of token-hash bit j — one native
     // pass (SimHash32) instead of 32 interpreted aggregate() sweeps
-    val sig = d.withColumn("sig", call_function("simhash32", col("th")))
-      .select(col("doc_id"), col("lang"), col("sig"))
-    sig.as("a").join(sig.as("b"),
-        col("a.lang") === col("b.lang") && col("a.doc_id") < col("b.doc_id"))
-      .withColumn("hamming", bit_count(col("a.sig").bitwiseXOR(col("b.sig"))))
+    val sig = d.select(col("doc_id"), call_function("simhash32", col("th")).as("sig"))
+    val bands = sig.select(col("doc_id"), col("sig"),
+        explode(array(SimBandOffsets.zip(SimBandWidths).zipWithIndex.map {
+          case ((off, w), b) =>
+            struct(lit(b).as("band"),
+              shiftright(col("sig"), off).bitwiseAND(lit((1 << w) - 1)).as("bits"))
+        }: _*)).as("bk"))
+      .select(col("doc_id"), col("sig"), col("bk.band"), col("bk.bits"))
+    bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bits") === col("y.bits") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("i"), col("y.doc_id").as("j"),
+              col("x.sig").as("si"), col("y.sig").as("sj"))
+      .distinct() // a close pair may collide in several bands
+      .withColumn("hamming", bit_count(col("si").bitwiseXOR(col("sj"))))
       .filter(col("hamming") <= 6)
-      .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"), col("hamming"))
+      .select(col("i"), col("j"), col("hamming"))
       .orderBy(col("i"), col("j"))
   }
 
-  /** Embedding near-dup: cosine ≥ 0.45 pairs (brute force here; the
-    * LSH-bucketed scale path is in Similarity.annIvf). */
+  private val NumPlanes = 16
+  private val PlaneBand = 4 // → 4 bands of 4 sign-bits
+
+  /** Deterministic ±1 random-hyperplane entries (LCG-mixed parity). The
+    * exact same literals are embedded in the DuckDB oracle, so the
+    * signature — and therefore the candidate set — is bit-identical on
+    * both sides. */
+  private def planeEntry(p: Int, k: Int): Double = {
+    val y = ((p * 64L + k) * 2654435761L + 1013904223L) % 4294967296L
+    if (((y >> 13) & 1L) == 1L) 1.0 else -1.0
+  }
+  private lazy val planes: IndexedSeq[IndexedSeq[Double]] =
+    (0 until NumPlanes).map(p => (0 until 64).map(k => planeEntry(p, k)))
+
+  /** Embedding near-dup: cosine ≥ 0.45 pairs via random-hyperplane LSH
+    * (Charikar SimHash for angles): sign of ⟨v, rᵖ⟩ for 16 fixed ±1
+    * hyperplanes → 16-bit signature, banded 4×4; candidates = vectors
+    * sharing a band; true cosine verified on candidates only. Same
+    * three-shuffle shape as minhashLsh — no all-pairs join anywhere.
+    * Approximate by construction (a far-apart band-collision-free pair is
+    * never considered), which is the 100 TB trade: recall is tuned by adding
+    * planes/bands, not by going quadratic. Exact brute-force search lives in
+    * Similarity.annBrute as the small-query-set baseline. */
   private def embeddingCosine(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.load(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("norm", sqrt(call_function("dot_f64", col("v"), col("v"))))
-    e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
-      .withColumn("dot", call_function("dot_f64", col("a.v"), col("b.v")))
-      .withColumn("cosine", col("dot") / (col("a.norm") * col("b.norm")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bits = (0 until NumPlanes).map { p =>
+      (call_function("dot_f64", col("v"), typedLit(planes(p))) > 0)
+        .cast("int").as(s"b$p")
+    }
+    val sig = e.select(col("vec_id") +: bits: _*)
+    val bands = sig.select(col("vec_id"),
+        explode(array((0 until NumPlanes / PlaneBand).map { b =>
+          struct(lit(b).as("band"),
+            (0 until PlaneBand).map(r => col(s"b${b * PlaneBand + r}") * lit(1 << r))
+              .reduce(_ + _).as("bits"))
+        }: _*)).as("bk"))
+      .select(col("vec_id"), col("bk.band"), col("bk.bits"))
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bits") === col("y.bits") &&
+        col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("i"), col("y.vec_id").as("j"))
+      .distinct()
+    cand
+      .join(e.select(col("vec_id").as("i"), col("v").as("vi"), col("norm").as("ni")), "i")
+      .join(e.select(col("vec_id").as("j"), col("v").as("vj"), col("norm").as("nj")), "j")
+      .withColumn("cosine",
+        call_function("dot_f64", col("vi"), col("vj")) / (col("ni") * col("nj")))
       .filter(col("cosine") >= 0.45)
-      .select(col("a.vec_id").as("i"), col("b.vec_id").as("j"),
-              round(col("cosine"), 6).as("cosine"))
+      .select(col("i"), col("j"), round(col("cosine"), 6).as("cosine"))
       .orderBy(col("i"), col("j"))
   }
 
@@ -234,13 +298,15 @@ object Dedup {
           FROM ver
           WHERE CAST(shared AS DOUBLE) / (szi + szj - shared) >= 0.5
           ORDER BY i, j""",
+    // banding is lossless for Hamming ≤ 6 (pigeonhole over 7 bands), so the
+    // oracle is the straightforward all-pairs check — same result set
     "dedup_simhash" ->
       s"""WITH d AS (
-            SELECT doc_id, lang,
+            SELECT doc_id,
               list_transform($tokensSql, t -> ${polyHashSqlOf("t")}) AS th
             FROM documents WHERE len($tokensSql) >= 3),
           sig AS (
-            SELECT doc_id, lang,
+            SELECT doc_id,
               list_sum(list_transform(range(0, 32), j ->
                 CASE WHEN list_sum(list_transform(th,
                        h -> CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END)) > 0
@@ -248,19 +314,36 @@ object Dedup {
             FROM d)
           SELECT a.doc_id AS i, b.doc_id AS j,
                  CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
-          FROM sig a JOIN sig b ON a.lang = b.lang AND a.doc_id < b.doc_id
+          FROM sig a JOIN sig b ON a.doc_id < b.doc_id
           WHERE bit_count(xor(a.sig, b.sig)) <= 6
           ORDER BY i, j""",
-    "dedup_embedding" ->
-      """WITH e AS (
+    // replicates the hyperplane-LSH pipeline (same ±1 plane literals, same
+    // sequential-fold dot) so the approximate candidate set is identical
+    "dedup_embedding" -> {
+      val planesLit = planes
+        .map(_.map(x => if (x > 0) "1.0" else "-1.0").mkString("[", ",", "]"))
+        .mkString("[", ",", "]")
+      val dot = (a: String, b: String) =>
+        s"list_reduce(list_prepend(0.0, list_transform(range(1, 65), k -> $a[k] * $b[k])), (acc,x) -> acc + x)"
+      s"""WITH e AS (
            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         n AS (SELECT vec_id, v, sqrt(list_reduce(list_prepend(0.0, list_transform(v, x -> x*x)), (a,x) -> a + x)) AS nrm FROM e)
-         SELECT a.vec_id AS i, b.vec_id AS j,
-           round(list_reduce(list_prepend(0.0, list_transform(range(1, 65), k -> a.v[k] * b.v[k])), (acc,x) -> acc + x)
-                 / (a.nrm * b.nrm), 6) AS cosine
-         FROM n a JOIN n b ON a.vec_id < b.vec_id
-         WHERE list_reduce(list_prepend(0.0, list_transform(range(1, 65), k -> a.v[k] * b.v[k])), (acc,x) -> acc + x)
-               / (a.nrm * b.nrm) >= 0.45
+         n AS (SELECT vec_id, v,
+                 sqrt(list_reduce(list_prepend(0.0, list_transform(v, x -> x*x)), (a,x) -> a + x)) AS nrm
+               FROM e),
+         sig AS (SELECT vec_id, v, nrm,
+                   list_transform($planesLit, pl ->
+                     CASE WHEN ${dot("v", "pl")} > 0 THEN 1 ELSE 0 END) AS bs
+                 FROM n),
+         bands AS (SELECT vec_id, b.b AS band,
+                     bs[b.b*4 + 1] + 2*bs[b.b*4 + 2] + 4*bs[b.b*4 + 3] + 8*bs[b.b*4 + 4] AS bits
+                   FROM sig, range(0, 4) b(b)),
+         cand AS (SELECT DISTINCT x.vec_id AS i, y.vec_id AS j
+                  FROM bands x JOIN bands y
+                    ON x.band = y.band AND x.bits = y.bits AND x.vec_id < y.vec_id)
+         SELECT i, j, round(${dot("a.v", "b.v")} / (a.nrm * b.nrm), 6) AS cosine
+         FROM cand JOIN n a ON i = a.vec_id JOIN n b ON j = b.vec_id
+         WHERE ${dot("a.v", "b.v")} / (a.nrm * b.nrm) >= 0.45
          ORDER BY i, j"""
+    }
   )
 }

@@ -49,4 +49,19 @@ class PlanShapeSpec extends SparkSpec {
     val plan = executed(operators.Tpch.q17(spark, sf)).toString
     assert(!plan.contains("CartesianProduct"), "decorrelation must avoid a cartesian product")
   }
+
+  test("dedup_embedding: LSH-bucketed — no all-pairs join anywhere in the plan") {
+    val plan = executed(pipeline.Dedup.queries("dedup_embedding")(spark, sf)).toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      "embedding near-dup must bucket by hyperplane signature, not compare all pairs")
+  }
+
+  test("dedup_simhash: candidate join keyed on signature bit-bands") {
+    val df = pipeline.Dedup.queries("dedup_simhash")(spark, sf)
+    val plan = executed(df).toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      "simhash pairing must block on signature bands, not all pairs")
+    // the equi-join key must include the extracted signature bits
+    assert(plan.contains("bits"), "join key must carry signature band bits")
+  }
 }
