@@ -116,19 +116,55 @@ object FlinkSql {
     s
   }
 
+  /** Blank out single-quoted string literals and SQL comments (`--` and
+    * `/* */`) so keyword dispatch can't be fooled by a literal or comment
+    * containing MATCH_RECOGNIZE / FOR SYSTEM_TIME. Replacement preserves
+    * offsets (chars become spaces) — only used for the dispatch *test*; the
+    * original text is what gets parsed. */
+  private[sql] def blankLiteralsAndComments(sql: String): String = {
+    val out = sql.toCharArray
+    var i = 0
+    def blank(from: Int, until: Int): Unit = {
+      var k = from
+      while (k < until) { if (!out(k).isWhitespace) out(k) = ' '; k += 1 }
+    }
+    while (i < out.length) {
+      out(i) match {
+        case '\'' =>
+          var j = i + 1
+          while (j < out.length && out(j) != '\'') j += 1
+          blank(i + 1, math.min(j, out.length)); i = j + 1
+        case '-' if i + 1 < out.length && out(i + 1) == '-' =>
+          var j = i
+          while (j < out.length && out(j) != '\n') j += 1
+          blank(i, j); i = j
+        case '/' if i + 1 < out.length && out(i + 1) == '*' =>
+          var j = i + 2
+          while (j + 1 < out.length && !(out(j) == '*' && out(j + 1) == '/')) j += 1
+          blank(i, math.min(j + 2, out.length)); i = j + 2
+        case _ => i += 1
+      }
+    }
+    new String(out)
+  }
+
   /** Parser delegate: MATCH_RECOGNIZE routes to the CEP front-end;
     * everything else is dialect-rewritten and handed to Spark's parser. */
   class Parser(session: SparkSession, delegate: ParserInterface) extends ParserInterface {
     /** front-end dispatch: MATCH_RECOGNIZE / FOR SYSTEM_TIME AS OF clauses
-      * build their plan through the custom operators; None = plain dialect */
-    private def frontEnd(sqlText: String): Option[LogicalPlan] =
-      if (MatchRecognize.matches(sqlText))
+      * build their plan through the custom operators; None = plain dialect.
+      * The keyword test runs on literal/comment-stripped text so e.g. a
+      * query selecting the string 'MATCH_RECOGNIZE(' parses normally. */
+    private def frontEnd(sqlText: String): Option[LogicalPlan] = {
+      val probe = blankLiteralsAndComments(sqlText)
+      if (MatchRecognize.matches(probe))
         Some(org.apache.spark.sql.GraftSqlBridge.logicalPlan(
           MatchRecognize.run(session, sqlText)))
-      else if (SystemTimeJoin.matches(sqlText))
+      else if (SystemTimeJoin.matches(probe))
         Some(org.apache.spark.sql.GraftSqlBridge.logicalPlan(
           SystemTimeJoin.run(session, sqlText)))
       else None
+    }
 
     override def parsePlan(sqlText: String): LogicalPlan =
       frontEnd(sqlText).getOrElse(delegate.parsePlan(rewrite(sqlText)))

@@ -58,6 +58,45 @@ object FlinkSqlQueries {
            AFTER MATCH SKIP PAST LAST ROW
            PATTERN (E1 E2)
            DEFINE E1 AS event_type = 'error', E2 AS event_type = 'error'
+         ) ORDER BY user_id, start_ts""")),
+    // greedy + quantifier with MEASURES: a maximal run of consecutive errors
+    // absorbed by E+, closed by the view that follows it
+    "mr_error_run_view" -> ((s, dir) => run(s, dir,
+      """SELECT user_id, start_ts, end_ts, n_rows, n_err, first_val, last_val FROM events
+         MATCH_RECOGNIZE (
+           PARTITION BY user_id
+           ORDER BY ts
+           MEASURES COUNT(E.*) AS n_err, FIRST(E.value) AS first_val, LAST(E.value) AS last_val
+           ONE ROW PER MATCH
+           AFTER MATCH SKIP PAST LAST ROW
+           PATTERN (E+ V)
+           DEFINE E AS event_type = 'error', V AS event_type = 'view'
+         ) ORDER BY user_id, start_ts""")),
+    // {n} quantifier: exactly two consecutive clicks then a purchase
+    "mr_double_click_buy" -> ((s, dir) => run(s, dir,
+      """SELECT user_id, start_ts, end_ts, click_sum FROM events
+         MATCH_RECOGNIZE (
+           PARTITION BY user_id
+           ORDER BY ts
+           MEASURES SUM(C.value) AS click_sum
+           ONE ROW PER MATCH
+           AFTER MATCH SKIP PAST LAST ROW
+           PATTERN (C{2} P)
+           DEFINE C AS event_type = 'click', P AS event_type = 'purchase'
+         ) ORDER BY user_id, start_ts""")),
+    // ? quantifier: signup, optionally one view, then purchase — COUNT over
+    // the optional variable distinguishes the two shapes
+    "mr_signup_opt_view" -> ((s, dir) => run(s, dir,
+      """SELECT user_id, start_ts, end_ts, n_views, n_rows FROM events
+         MATCH_RECOGNIZE (
+           PARTITION BY user_id
+           ORDER BY ts
+           MEASURES COUNT(V.*) AS n_views
+           ONE ROW PER MATCH
+           AFTER MATCH SKIP PAST LAST ROW
+           PATTERN (S V? P)
+           DEFINE S AS event_type = 'signup', V AS event_type = 'view',
+                  P AS event_type = 'purchase'
          ) ORDER BY user_id, start_ts"""))
   )
 
@@ -78,6 +117,53 @@ object FlinkSqlQueries {
            LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
              ON c.user_id = p.user_id AND c.ts <= p.ts)
          WHERE rn = 1 ORDER BY u, p_id""",
+    // E+ V under strict contiguity = each maximal island of consecutive
+    // errors whose next row is a view; measures fold over the island
+    "mr_error_run_view" ->
+      """WITH o AS (
+           SELECT user_id, ts, value, event_type,
+                  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+           FROM events),
+         isl AS (
+           SELECT *, rn - row_number() OVER (PARTITION BY user_id ORDER BY rn) AS grp
+           FROM o WHERE event_type = 'error'),
+         agg AS (
+           SELECT user_id, grp, max(rn) AS rn1, CAST(count(*) AS BIGINT) AS n_err,
+                  min(ts) AS t0, arg_min(value, rn) AS first_val, arg_max(value, rn) AS last_val
+           FROM isl GROUP BY user_id, grp)
+         SELECT a.user_id, epoch_us(a.t0) AS start_ts, epoch_us(v.ts) AS end_ts,
+                CAST(a.n_err + 1 AS BIGINT) AS n_rows, a.n_err, a.first_val, a.last_val
+         FROM agg a JOIN o v
+           ON v.user_id = a.user_id AND v.rn = a.rn1 + 1 AND v.event_type = 'view'
+         ORDER BY a.user_id, start_ts""",
+    // C{2} P = purchase preceded by exactly two consecutive clicks (the lag
+    // formulation; overlaps are impossible because row i is a purchase)
+    "mr_double_click_buy" ->
+      """WITH o AS (
+           SELECT user_id, ts, value, event_type,
+                  lag(event_type, 1) OVER w AS t1, lag(event_type, 2) OVER w AS t2,
+                  lag(value, 1) OVER w AS v1, lag(value, 2) OVER w AS v2,
+                  lag(ts, 2) OVER w AS ts2
+           FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+         SELECT user_id, epoch_us(ts2) AS start_ts, epoch_us(ts) AS end_ts,
+                v1 + v2 AS click_sum
+         FROM o WHERE event_type = 'purchase' AND t1 = 'click' AND t2 = 'click'
+         ORDER BY user_id, start_ts""",
+    // S V? P = purchase preceded by signup directly, or by signup+view
+    "mr_signup_opt_view" ->
+      """WITH o AS (
+           SELECT user_id, ts, event_type,
+                  lag(event_type, 1) OVER w AS t1, lag(ts, 1) OVER w AS ts1,
+                  lag(event_type, 2) OVER w AS t2, lag(ts, 2) OVER w AS ts2
+           FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+         SELECT user_id,
+                CASE WHEN t1 = 'signup' THEN epoch_us(ts1) ELSE epoch_us(ts2) END AS start_ts,
+                epoch_us(ts) AS end_ts,
+                CAST(CASE WHEN t1 = 'signup' THEN 0 ELSE 1 END AS BIGINT) AS n_views,
+                CAST(CASE WHEN t1 = 'signup' THEN 2 ELSE 3 END AS BIGINT) AS n_rows
+         FROM o WHERE event_type = 'purchase'
+           AND (t1 = 'signup' OR (t1 = 'view' AND t2 = 'signup'))
+         ORDER BY user_id, start_ts""",
     "mr_error_pairs" ->
       """WITH o AS (
            SELECT user_id, event_id, ts, event_type,

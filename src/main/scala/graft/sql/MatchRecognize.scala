@@ -1,44 +1,63 @@
 package graft.sql
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.streaming.{Cep, KeyedRow}
 
-/** Restricted SQL MATCH_RECOGNIZE front-end over the CEP NFA
+/** SQL MATCH_RECOGNIZE front-end over the CEP NFA
   * (SURVEY.md §2.10 — StreamExecMatch.scala:68 / MatchCodeGenerator.scala;
   * grammar subset of flink-sql-parser's Calcite MATCH_RECOGNIZE).
   *
   * Supported clause shape (what MatchRecognizeITCase's core cases use):
   *
-  *   SELECT <cols of: partition col, start_ts, end_ts, n_rows>
+  *   SELECT <cols of: partition col, start_ts, end_ts, n_rows, measures>
   *   FROM <table> MATCH_RECOGNIZE (
   *     PARTITION BY <col>
   *     ORDER BY <col>                  -- an event-time column
+  *     [MEASURES <m> AS <alias>, ...]  -- m: V.c | FIRST/LAST(V.c) |
+  *                                     --    COUNT(V.*|*) | SUM/AVG/MIN/MAX(V.c)
   *     ONE ROW PER MATCH
   *     [AFTER MATCH SKIP PAST LAST ROW | AFTER MATCH SKIP TO NEXT ROW]
-  *     PATTERN ( V1 V2 ... )           -- plain variables, strict contiguity
+  *     PATTERN ( V1[q] V2[q] ... )     -- q: + * ? {n}; strict contiguity
   *     [WITHIN INTERVAL '<n>' <UNIT>]
-  *     DEFINE V1 AS <sql predicate>, V2 AS <sql predicate>, ...
+  *     DEFINE V1 AS <sql predicate>, ...
   *   )
   *   [ORDER BY ...]
   *
-  * Not supported (documented gaps, API-level Cep covers the semantics):
-  * quantifiers (+ * ? {n}), MEASURES expressions, ALL ROWS PER MATCH,
-  * PREV/NEXT/FIRST/LAST navigation in DEFINE.
+  * Like the reference, a greedy/optional quantifier (+ * ?) on the LAST
+  * pattern variable is rejected (the NFA would have to hold a completed
+  * match open forever waiting for one more row); {n} is fine anywhere.
+  * Still not supported: ALL ROWS PER MATCH, PREV/NEXT navigation in DEFINE,
+  * {n,m} ranges, reluctant quantifiers.
   *
   * Implementation: each DEFINE predicate is compiled by Spark itself into a
   * boolean column (so the full scalar expression surface works), the row is
   * reduced to (partition, time, seq, defines-bitmask), and the bitmask
-  * drives the NFA steps. Output schema: partition col (as `part_key`),
-  * start_ts / end_ts (epoch µs of the first/last matched row), n_rows.
+  * drives the NFA steps. MEASURES are computed by exploding each match's
+  * (row id, step label) list and hash-joining back to the source rows on
+  * (partition, seq) — matches are sparse relative to input, so the join-back
+  * touches only matched rows; aggregation is per match id. Output schema:
+  * partition col, start_ts / end_ts (epoch µs of the first/last matched
+  * row), n_rows, then one column per measure alias.
   */
 object MatchRecognize {
 
+  sealed trait Quant
+  case object One extends Quant
+  case object Plus extends Quant      // +  : one or more (greedy)
+  case object Star extends Quant      // *  : zero or more (greedy)
+  case object Opt extends Quant       // ?  : zero or one
+  case class Times(n: Int) extends Quant // {n} : exactly n
+
+  /** One MEASURES item. fn: LAST (also the bare `V.c` default), FIRST,
+    * COUNT, SUM, AVG, MIN, MAX. variable None = COUNT(*). */
+  case class Measure(alias: String, fn: String, variable: Option[String], expr: String)
+
   case class Spec(table: String, partitionBy: String, orderBy: String,
-                  afterMatch: Cep.AfterMatch, pattern: Seq[String],
+                  afterMatch: Cep.AfterMatch, pattern: Seq[(String, Quant)],
                   withinMs: Long, defines: Map[String, String],
-                  selectList: String, tailClause: String)
+                  measures: Seq[Measure], selectList: String, tailClause: String)
 
   private val mrRe =
     """(?is)SELECT\s+(.*?)\s+FROM\s+(\w+)\s+MATCH_RECOGNIZE\s*\((.*)\)\s*(ORDER\s+BY.*)?""".r
@@ -48,6 +67,11 @@ object MatchRecognize {
   private val patRe = """(?is)PATTERN\s*\(\s*([\w\s+*?{},]+?)\s*\)""".r
   private val withinRe = """(?is)WITHIN\s+INTERVAL\s+'(\d+)'\s+(\w+)""".r
   private val defineRe = """(?is)DEFINE\s+(.*)$""".r
+  private val measuresRe =
+    """(?is)MEASURES\s+(.*?)\s+(?=ONE\s+ROW|ALL\s+ROWS|AFTER\s+MATCH|PATTERN\s*\()""".r
+  private val tokRe = """(\w+)(\+|\*|\?|\{(\d+)\})?""".r
+  private val aggMeasureRe = """(?is)^(FIRST|LAST|COUNT|SUM|AVG|MIN|MAX)\s*\((.*)\)\s+AS\s+(\w+)$""".r
+  private val bareMeasureRe = """(?is)^(\w+)\.(\w+)\s+AS\s+(\w+)$""".r
 
   private def unitMicros(u: String): Long = u.toUpperCase match {
     case "SECOND" => 1000000L
@@ -59,9 +83,65 @@ object MatchRecognize {
 
   /** Is this statement a (restricted) MATCH_RECOGNIZE query? Requires the
     * keyword followed by its clause paren so table/view names containing the
-    * word don't re-trigger the front-end. */
+    * word don't re-trigger the front-end. Caller (FlinkSql.Parser) tests
+    * against literal/comment-stripped text. */
   def matches(sql: String): Boolean =
     """(?i)\bMATCH_RECOGNIZE\s*\(""".r.findFirstIn(sql).isDefined
+
+  private def parsePattern(raw: String): Seq[(String, Quant)] = {
+    val toks = raw.trim.split("""\s+""").toSeq.map {
+      case tokRe(name, null, _) => name -> (One: Quant)
+      case tokRe(name, "+", _) => name -> (Plus: Quant)
+      case tokRe(name, "*", _) => name -> (Star: Quant)
+      case tokRe(name, "?", _) => name -> (Opt: Quant)
+      case tokRe(name, _, n) if n != null => name -> (Times(n.toInt): Quant)
+      case other => throw new IllegalArgumentException(
+        s"unsupported pattern element (quantifiers beyond + * ? {n}): $other")
+    }
+    toks.last._2 match {
+      case Plus | Star | Opt => throw new IllegalArgumentException(
+        "greedy/optional quantifier on the last pattern variable is unsupported " +
+          "(the match could never be finalized); end the pattern with a plain or {n} variable")
+      case _ =>
+    }
+    toks
+  }
+
+  private def parseMeasures(body: String): Seq[Measure] = {
+    val clause = measuresRe.findFirstMatchIn(body).map(_.group(1)).getOrElse(return Nil)
+    // split on top-level commas (measure exprs may contain nested parens)
+    val items = {
+      val out = Seq.newBuilder[String]
+      var depth = 0; var start = 0
+      clause.zipWithIndex.foreach { case (c, i) =>
+        c match {
+          case '(' => depth += 1
+          case ')' => depth -= 1
+          case ',' if depth == 0 => out += clause.substring(start, i).trim; start = i + 1
+          case _ =>
+        }
+      }
+      out += clause.substring(start).trim
+      out.result().filter(_.nonEmpty)
+    }
+    items.map {
+      case aggMeasureRe(fn, inner, alias) =>
+        val in = inner.trim
+        if (fn.toUpperCase == "COUNT" && (in == "*" || in.isEmpty))
+          Measure(alias, "COUNT", None, "*")
+        else {
+          val varDot = """(?s)^(\w+)\.(.*)$""".r
+          in match {
+            case varDot(v, "*") => Measure(alias, fn.toUpperCase, Some(v), "*")
+            case varDot(v, e) => Measure(alias, fn.toUpperCase, Some(v), e.trim)
+            case other => throw new IllegalArgumentException(
+              s"measure must navigate a pattern variable (V.col): $other")
+          }
+        }
+      case bareMeasureRe(v, c, alias) => Measure(alias, "LAST", Some(v), c) // MR: bare V.c = LAST
+      case other => throw new IllegalArgumentException(s"unsupported measure: $other")
+    }
+  }
 
   def parse(sql: String): Spec = sql.trim match {
     case mrRe(select, table, body, tail) =>
@@ -74,11 +154,8 @@ object MatchRecognize {
         case _ => Cep.SkipPastLastRow
       }
       val pattern = patRe.findFirstMatchIn(body)
-        .map(_.group(1).trim.split("""\s+""").toSeq)
+        .map(m => parsePattern(m.group(1)))
         .getOrElse(throw new IllegalArgumentException("PATTERN required"))
-      pattern.foreach { v =>
-        require(v.matches("""\w+"""), s"quantifiers not supported: $v")
-      }
       val within = withinRe.findFirstMatchIn(body)
         .map(m => m.group(1).toLong * unitMicros(m.group(2)))
         .getOrElse(Long.MaxValue)
@@ -90,35 +167,93 @@ object MatchRecognize {
         // strip the variable's own prefix: "A.col" → "col"
         name.trim -> pred.trim.replaceAll(s"""(?i)\\b${name.trim}\\.""", "")
       }.toMap
-      Spec(table, part, ord, skip, pattern, within, defines,
+      Spec(table, part, ord, skip, pattern, within, defines, parseMeasures(body),
         select.trim, Option(tail).getOrElse("").trim)
     case _ => throw new IllegalArgumentException("unsupported MATCH_RECOGNIZE shape")
+  }
+
+  /** Compile one measure into an aggregate Column over the exploded
+    * (match id, __label, __seq, source columns) frame. FIRST/LAST ride a
+    * (seq, value) struct through min/max — null for other variables' rows,
+    * which min/max skip — so no per-variable shuffle or sort is needed. */
+  private def measureCol(m: Measure): Column = {
+    def onVar(e: Column): Column = m.variable match {
+      case Some(v) => when(col("__label") === v, e)
+      case None => e
+    }
+    val out = m.fn match {
+      case "COUNT" => count(onVar(lit(1)))
+      case "FIRST" =>
+        min(onVar(struct(col("__seq").as("s"), expr(m.expr).as("v")))).getField("v")
+      case "LAST" =>
+        max(onVar(struct(col("__seq").as("s"), expr(m.expr).as("v")))).getField("v")
+      case "SUM" => sum(onVar(expr(m.expr)))
+      case "AVG" => avg(onVar(expr(m.expr)))
+      case "MIN" => min(onVar(expr(m.expr)))
+      case "MAX" => max(onVar(expr(m.expr)))
+      case other => throw new IllegalArgumentException(s"measure function $other")
+    }
+    out.as(m.alias)
   }
 
   /** Execute against the registered table; returns the outer SELECT. */
   def run(spark: SparkSession, sql: String): DataFrame = {
     val spec = parse(sql)
     val src = spark.table(spec.table)
-    // compile DEFINE predicates with Spark, pack into a bitmask string
-    val flags = spec.pattern.map(v => expr(spec.defines.getOrElse(v,
+    // compile DEFINE predicates with Spark, pack into a bitmask string —
+    // one bit per distinct pattern variable
+    val vars = spec.pattern.map(_._1).distinct
+    val varBit = vars.zipWithIndex.toMap
+    val flags = vars.map(v => expr(spec.defines.getOrElse(v,
       throw new IllegalArgumentException(s"no DEFINE for pattern variable $v"))))
     val mask = concat(flags.map(f => when(f, lit("1")).otherwise(lit("0"))): _*)
     val seqW = Window.partitionBy(col(spec.partitionBy)).orderBy(col(spec.orderBy))
     import spark.implicits._
-    val rows = src
+    val prepared = src
       .withColumn("__mask", mask)
       .withColumn("__seq", row_number().over(seqW).cast("long"))
+    val rows = prepared
       .select(col(spec.partitionBy).cast("long").as("key"),
         expr(s"unix_micros(cast(${spec.orderBy} as timestamp))").as("ts"),
         col("__seq").as("id"), col("__mask").as("kind"), lit(0.0).as("value"))
       .as[KeyedRow]
-    val steps = spec.pattern.zipWithIndex.map { case (v, i) =>
-      Cep.Step(v, r => r.kind.charAt(i) == '1', strict = i > 0) // MR = strict contiguity
+    // expand quantifiers onto NFA steps; MR contiguity is strict everywhere
+    // (fresh starts are unaffected by the flag, but a quantifier's
+    // absorb-branch must die — not wait — when contiguity breaks)
+    val steps = spec.pattern.flatMap { case (v, q) =>
+      def base = Cep.Step(v, r => r.kind.charAt(varBit(v)) == '1', strict = true)
+      q match {
+        case One => Seq(base)
+        case Plus => Seq(base.copy(oneOrMore = true))
+        case Star => Seq(base.copy(oneOrMore = true, optional = true))
+        case Opt => Seq(base.copy(optional = true))
+        case Times(n) => Seq.fill(n)(base)
+      }
     }
     val matchesDs = Cep.matchBatch(rows,
       Cep.Pattern(steps, spec.withinMs, spec.afterMatch))
-    val out = matchesDs.select(col("key").as(spec.partitionBy),
-      col("start_ts"), col("end_ts"), size(col("ids")).cast("long").as("n_rows"))
+    val m = matchesDs.toDF().withColumn("__mid", monotonically_increasing_id())
+    val base = m.select(col("key").as("__pkey"), col("start_ts"), col("end_ts"),
+      size(col("ids")).cast("long").as("n_rows"), col("__mid"), col("ids"), col("labels"))
+    val out =
+      if (spec.measures.isEmpty)
+        base.select(col("__pkey").as(spec.partitionBy),
+          col("start_ts"), col("end_ts"), col("n_rows"))
+      else {
+        val exploded = base.select(col("__mid"), col("__pkey"),
+            explode(arrays_zip(col("ids"), col("labels"))).as("z"))
+          .select(col("__mid"), col("__pkey"),
+            col("z.ids").as("__seq"), col("z.labels").as("__label"))
+        val joined = exploded.join(
+          prepared.withColumn("__pkey", col(spec.partitionBy).cast("long")),
+          Seq("__pkey", "__seq"))
+        val aggs = spec.measures.map(measureCol)
+        val meas = joined.groupBy(col("__mid")).agg(aggs.head, aggs.tail: _*)
+        base.join(meas, "__mid")
+          .select(col("__pkey").as(spec.partitionBy) +:
+            col("start_ts") +: col("end_ts") +: col("n_rows") +:
+            spec.measures.map(mm => col(mm.alias)): _*)
+      }
     out.createOrReplaceTempView("__mr_out")
     spark.sql(s"SELECT ${spec.selectList} FROM __mr_out ${spec.tailClause}")
   }

@@ -26,9 +26,11 @@ object Cep {
     * match the row immediately following the previous step's row (CEP
     * `next`), otherwise non-matching rows may intervene (`followedBy`);
     * `oneOrMore` = the step may absorb multiple rows (Pattern.oneOrMore,
-    * greedy — the longest absorption wins when matches compete). */
+    * greedy — the longest absorption wins when matches compete);
+    * `optional` = the step may be skipped entirely (Pattern.optional — `?`;
+    * combined with oneOrMore it is `*`). */
   case class Step(name: String, pred: KeyedRow => Boolean, strict: Boolean = false,
-                  oneOrMore: Boolean = false)
+                  oneOrMore: Boolean = false, optional: Boolean = false)
 
   /** Pattern.times(n) (Pattern.java:times): n consecutive occurrences —
     * pure expansion into n copies of the step. */
@@ -43,10 +45,26 @@ object Cep {
   case class Pattern(steps: Seq[Step], withinMs: Long = Long.MaxValue,
                      afterMatch: AfterMatch = SkipPastLastRow)
 
-  case class Match(key: Long, start_ts: Long, end_ts: Long, ids: Seq[Long])
+  case class Match(key: Long, start_ts: Long, end_ts: Long, ids: Seq[Long],
+                   labels: Seq[String])
 
-  /** A partial run: index of the next step to satisfy + matched row ids. */
-  private[streaming] case class Run(nextStep: Int, startTs: Long, ids: List[Long], lastRowId: Long)
+  /** A partial run: index of the next step to satisfy, matched row ids and
+    * the step name each id matched under (both newest-first). */
+  private[streaming] case class Run(nextStep: Int, startTs: Long, ids: List[Long],
+                                    lastRowId: Long, labels: List[String])
+
+  /** ε-closure over optional steps: a run standing before an optional step
+    * may equally stand after it — expand into one sibling per skippable
+    * position (possibly including the completed position). */
+  private def closure(pattern: Pattern, run: Run): List[Run] = {
+    val out = scala.collection.mutable.ListBuffer(run)
+    var p = run.nextStep
+    while (p < pattern.steps.size && pattern.steps(p).optional) {
+      p += 1
+      out += run.copy(nextStep = p)
+    }
+    out.toList
+  }
 
   /** Advance the NFA by one row; returns (new active runs, completed matches).
     * Mirrors NFA.computeNextStates (cep/nfa/NFA.java:539): each active run
@@ -58,29 +76,49 @@ object Cep {
     val stepped = alive.flatMap { run =>
       val step = pattern.steps(run.nextStep)
       if (step.pred(r) && (!step.strict || run.lastRowId == prevRowId)) {
-        val advanced = Run(run.nextStep + 1, run.startTs, r.id :: run.ids, r.id)
+        val advanced = Run(run.nextStep + 1, run.startTs, r.id :: run.ids, r.id,
+          step.name :: run.labels)
         // a oneOrMore step also branches into "absorb and stay" — the
         // parallel run-set is how the NFA explores every absorption length
         if (step.oneOrMore)
-          List(advanced, Run(run.nextStep, run.startTs, r.id :: run.ids, r.id))
-        else List(advanced)
+          closure(pattern, advanced) :+
+            Run(run.nextStep, run.startTs, r.id :: run.ids, r.id, step.name :: run.labels)
+        else closure(pattern, advanced)
       }
-      else if (step.strict && run.lastRowId == prevRowId) Nil // strict miss on the adjacent row
-      else if (step.strict) Nil
+      else if (step.strict) Nil // strict miss kills the run
       else List(run) // relaxed: keep waiting
     }
-    val started =
-      if (pattern.steps.head.pred(r)) List(Run(1, r.ts, List(r.id), r.id)) else Nil
-    val (done, pending) = (stepped ++ started).partition(_.nextStep == pattern.steps.size)
+    // fresh runs may anchor at step 0 or at any position reachable from it
+    // by skipping optional steps
+    val startPositions = {
+      val b = scala.collection.mutable.ListBuffer(0)
+      var p = 0
+      while (p < pattern.steps.size - 1 && pattern.steps(p).optional) { p += 1; b += p }
+      b.toList
+    }
+    val started = startPositions.flatMap { j =>
+      val st = pattern.steps(j)
+      if (st.pred(r)) {
+        val adv = Run(j + 1, r.ts, List(r.id), r.id, List(st.name))
+        // a oneOrMore start step keeps an absorb-branch anchored at itself
+        val stay = if (st.oneOrMore) List(Run(j, r.ts, List(r.id), r.id, List(st.name))) else Nil
+        closure(pattern, adv) ++ stay
+      } else Nil
+    }
+    val (done0, pending0) = (stepped ++ started).partition(_.nextStep == pattern.steps.size)
+    // ε-closure can reach the same configuration along several skip paths
+    val done = done0.distinctBy(_.ids)
+    val pending = pending0.distinctBy(p0 => (p0.nextStep, p0.ids))
     // several runs may complete on the same row; MATCH_RECOGNIZE emits the
     // earliest-started (then greediest = most rows absorbed) one and
     // (skip-past-last-row) discards the overlap
     val ranked = done.sortBy(d => (d.startTs, d.ids.last, -d.ids.size)) // ids reversed: last = first matched
     pattern.afterMatch match {
       case SkipPastLastRow if ranked.nonEmpty =>
-        (Nil, List(Match(key, ranked.head.startTs, r.ts, ranked.head.ids.reverse)))
+        (Nil, List(Match(key, ranked.head.startTs, r.ts, ranked.head.ids.reverse,
+          ranked.head.labels.reverse)))
       case _ =>
-        (pending, ranked.map(d => Match(key, d.startTs, r.ts, d.ids.reverse)))
+        (pending, ranked.map(d => Match(key, d.startTs, r.ts, d.ids.reverse, d.labels.reverse)))
     }
   }
 

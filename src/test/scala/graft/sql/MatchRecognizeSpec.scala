@@ -54,14 +54,100 @@ class MatchRecognizeSpec extends SparkSpec {
     assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 2L)) // 1s gaps are exactly within
   }
 
-  test("unsupported quantifiers are rejected loudly") {
+  test("greedy quantifier on the last pattern variable is rejected loudly") {
     fixture()
     val e = intercept[Exception] {
       spark.sql(
         """SELECT user_id FROM mr_events MATCH_RECOGNIZE (
              PARTITION BY user_id ORDER BY ts ONE ROW PER MATCH
-             PATTERN (A+ B) DEFINE A AS true, B AS true)""").collect()
+             PATTERN (A B+) DEFINE A AS true, B AS true)""").collect()
     }
-    assert(e.getMessage.contains("quantifiers") || e.getMessage.contains("unsupported"))
+    assert(e.getMessage.contains("last pattern variable"))
+  }
+
+  test("{n,m} ranges are rejected loudly") {
+    fixture()
+    val e = intercept[Exception] {
+      spark.sql(
+        """SELECT user_id FROM mr_events MATCH_RECOGNIZE (
+             PARTITION BY user_id ORDER BY ts ONE ROW PER MATCH
+             PATTERN (A{1,3} B) DEFINE A AS true, B AS true)""").collect()
+    }
+    assert(e.getMessage.contains("unsupported"))
+  }
+
+  test("B+ absorbs a maximal run; MEASURES fold over it") {
+    val s = spark
+    import s.implicits._
+    Seq(
+      (1L, new Timestamp(1000L), "view", 1.0),
+      (1L, new Timestamp(2000L), "view", 2.0),
+      (1L, new Timestamp(3000L), "view", 3.0),
+      (1L, new Timestamp(4000L), "purchase", 9.0),
+      (1L, new Timestamp(5000L), "view", 4.0),
+      (1L, new Timestamp(6000L), "purchase", 8.0)
+    ).toDF("user_id", "ts", "event_type", "value").createOrReplaceTempView("mrq_events")
+    val rows = spark.sql(
+      """SELECT user_id, n_rows, n_v, first_v, last_v, sum_v FROM mrq_events
+         MATCH_RECOGNIZE (
+           PARTITION BY user_id ORDER BY ts
+           MEASURES COUNT(V.*) AS n_v, FIRST(V.value) AS first_v,
+                    LAST(V.value) AS last_v, SUM(V.value) AS sum_v
+           ONE ROW PER MATCH
+           AFTER MATCH SKIP PAST LAST ROW
+           PATTERN (V+ P)
+           DEFINE V AS event_type = 'view', P AS event_type = 'purchase'
+         ) ORDER BY user_id, start_ts""").collect()
+    assert(rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getDouble(3), r.getDouble(4), r.getDouble(5))).toSeq ==
+      Seq((1L, 4L, 3L, 1.0, 3.0, 6.0), (1L, 2L, 1L, 4.0, 4.0, 4.0)))
+  }
+
+  test("{n} expands to exactly n strict occurrences") {
+    fixture()
+    val rows = spark.sql(
+      """SELECT user_id, n_rows FROM mr_events
+         MATCH_RECOGNIZE (
+           PARTITION BY user_id ORDER BY ts ONE ROW PER MATCH
+           PATTERN (A{1} B{1})
+           DEFINE A AS event_type = 'signup', B AS event_type = 'purchase'
+         ) ORDER BY user_id""").collect()
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((1L, 2L), (2L, 2L)))
+  }
+
+  test("optional variable matches present and absent shapes") {
+    val s = spark
+    import s.implicits._
+    Seq(
+      (1L, new Timestamp(1000L), "signup"),
+      (1L, new Timestamp(2000L), "view"),
+      (1L, new Timestamp(3000L), "purchase"), // S V P
+      (2L, new Timestamp(1000L), "signup"),
+      (2L, new Timestamp(2000L), "purchase")  // S P (V absent)
+    ).toDF("user_id", "ts", "event_type").createOrReplaceTempView("mro_events")
+    val rows = spark.sql(
+      """SELECT user_id, n_rows, n_v FROM mro_events
+         MATCH_RECOGNIZE (
+           PARTITION BY user_id ORDER BY ts
+           MEASURES COUNT(V.*) AS n_v
+           ONE ROW PER MATCH
+           PATTERN (S V? P)
+           DEFINE S AS event_type = 'signup', V AS event_type = 'view',
+                  P AS event_type = 'purchase'
+         ) ORDER BY user_id""").collect()
+    assert(rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq((1L, 3L, 1L), (2L, 2L, 0L)))
+  }
+
+  test("MATCH_RECOGNIZE inside a string literal does not hijack dispatch") {
+    val rows = spark.sql("SELECT 'MATCH_RECOGNIZE(' AS s, 1 AS one").collect()
+    assert(rows.head.getString(0) == "MATCH_RECOGNIZE(" && rows.head.getInt(1) == 1)
+  }
+
+  test("MATCH_RECOGNIZE in a comment does not hijack dispatch") {
+    val rows = spark.sql(
+      "SELECT 2 AS two -- MATCH_RECOGNIZE ( not a real clause\n").collect()
+    assert(rows.head.getInt(0) == 2)
   }
 }
