@@ -157,7 +157,10 @@ object FlinkSql {
       * query selecting the string 'MATCH_RECOGNIZE(' parses normally. */
     private def frontEnd(sqlText: String): Option[LogicalPlan] = {
       val probe = blankLiteralsAndComments(sqlText)
-      if (MatchRecognize.matches(probe))
+      if (WatermarkDdl.matches(probe))
+        Some(org.apache.spark.sql.GraftSqlBridge.logicalPlan(
+          WatermarkDdl.run(session, sqlText)))
+      else if (MatchRecognize.matches(probe))
         Some(org.apache.spark.sql.GraftSqlBridge.logicalPlan(
           MatchRecognize.run(session, sqlText)))
       else if (SystemTimeJoin.matches(probe))

@@ -49,6 +49,23 @@ object FlinkSqlQueries {
                FROM purchases JOIN clicks FOR SYSTEM_TIME AS OF p_ts ON u = cu
                ORDER BY u, p_id""")
     }),
+    // watermark declared via DDL (WATERMARK FOR in CREATE VIEW) instead of
+    // a programmatic declareWatermark call; the as-of join resolves the
+    // versioned side's time attribute from the registry the DDL fed
+    "fsql_watermark_ddl" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("""CREATE OR REPLACE TEMPORARY VIEW wm_purchases
+               WATERMARK FOR p_ts AS p_ts - INTERVAL '5' SECOND
+               AS SELECT user_id AS u2, event_id AS p_id2, ts AS p_ts FROM events
+                  WHERE event_type = 'purchase'""")
+      s.sql("""CREATE OR REPLACE TEMPORARY VIEW wm_clicks
+               WATERMARK FOR c_ts AS c_ts - INTERVAL '5' SECOND
+               AS SELECT user_id AS cu, event_id AS c_id, ts AS c_ts FROM events
+                  WHERE event_type = 'click'""")
+      s.sql("""SELECT u2 AS u, p_id2 AS p_id, c_id AS asof_click_id, c_ts AS asof_click_ts
+               FROM wm_purchases JOIN wm_clicks FOR SYSTEM_TIME AS OF p_ts ON u2 = cu
+               ORDER BY u, p_id""")
+    }),
     "mr_error_pairs" -> ((s, dir) => run(s, dir,
       """SELECT user_id, start_ts, end_ts FROM events
          MATCH_RECOGNIZE (
@@ -109,6 +126,17 @@ object FlinkSqlQueries {
     "fsql_hop" -> TimeOps.oracles("time_hop"),
     "fsql_session" -> TimeOps.oracles("time_session"),
     "fsql_system_time" ->
+      """SELECT u, p_id, c_id AS asof_click_id, c_ts AS asof_click_ts FROM (
+           SELECT p.user_id AS u, p.event_id AS p_id, c.event_id AS c_id, c.ts AS c_ts,
+                  row_number() OVER (PARTITION BY p.user_id, p.event_id
+                                     ORDER BY c.ts DESC, c.event_id DESC) AS rn
+           FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+           LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+             ON c.user_id = p.user_id AND c.ts <= p.ts)
+         WHERE rn = 1 ORDER BY u, p_id""",
+    // same semantics as fsql_system_time — the DDL only changes how the
+    // time attribute is declared, not the join result
+    "fsql_watermark_ddl" ->
       """SELECT u, p_id, c_id AS asof_click_id, c_ts AS asof_click_ts FROM (
            SELECT p.user_id AS u, p.event_id AS p_id, c.event_id AS c_id, c.ts AS c_ts,
                   row_number() OVER (PARTITION BY p.user_id, p.event_id

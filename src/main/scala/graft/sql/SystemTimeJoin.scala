@@ -23,12 +23,20 @@ import graft.plans.AsOf
   */
 object SystemTimeJoin {
 
-  /** table → event-time column; the DDL watermark registry. */
-  private val timeAttributes = scala.collection.concurrent.TrieMap.empty[String, String]
+  /** table → (event-time column, bounded-out-of-orderness delay); the DDL
+    * watermark registry. Fed by `WATERMARK FOR` DDL (sql/WatermarkDdl) or
+    * programmatically. */
+  private val timeAttributes =
+    scala.collection.concurrent.TrieMap.empty[String, (String, String)]
 
-  /** Mirror of `WATERMARK FOR <col>` DDL on a (temp) table. */
-  def declareWatermark(table: String, timeCol: String): Unit =
-    timeAttributes(table.toLowerCase) = timeCol
+  /** Mirror of `WATERMARK FOR <col> AS <col> - INTERVAL ...` DDL on a (temp)
+    * table. `delay` is a Spark duration literal ("5 seconds"). */
+  def declareWatermark(table: String, timeCol: String, delay: String = "0 seconds"): Unit =
+    timeAttributes(table.toLowerCase) = (timeCol, delay)
+
+  /** The declared (event-time col, delay) for a table, if any. */
+  def watermarkOf(table: String): Option[(String, String)] =
+    timeAttributes.get(table.toLowerCase)
 
   def matches(sql: String): Boolean =
     """(?i)FOR\s+SYSTEM_TIME\s+AS\s+OF""".r.findFirstIn(sql).isDefined
@@ -42,10 +50,10 @@ object SystemTimeJoin {
     case stRe(select, lt, rt, timeExpr, k1, k2, tail) =>
       val left = spark.table(lt)
       val right = spark.table(rt)
-      val rTimeCol = timeAttributes.getOrElse(rt.toLowerCase,
+      val rTimeCol = timeAttributes.get(rt.toLowerCase).map(_._1).getOrElse(
         throw new IllegalArgumentException(
-          s"no watermark declared for versioned table $rt — call " +
-            s"SystemTimeJoin.declareWatermark(\"$rt\", <timeCol>) (DDL WATERMARK FOR)"))
+          s"no watermark declared for versioned table $rt — declare it in DDL " +
+            s"(WATERMARK FOR <col> AS ...) or call SystemTimeJoin.declareWatermark"))
       // resolve which side each ON operand belongs to
       val (lk, rk) =
         if (left.columns.contains(bare(k1))) (bare(k1), bare(k2))

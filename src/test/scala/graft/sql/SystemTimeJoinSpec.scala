@@ -20,6 +20,41 @@ class SystemTimeJoinSpec extends SparkSpec {
     assert(rows.toSeq == Seq((100L, 1.0), (101L, 2.0))) // versions at 5s and 20s
   }
 
+  test("WATERMARK FOR DDL on a view feeds the as-of join's time attribute") {
+    val s = spark
+    import s.implicits._
+    Seq((1L, new Timestamp(10000L), 100L), (1L, new Timestamp(25000L), 101L))
+      .toDF("ok", "ots", "oid").createOrReplaceTempView("wmd_orders")
+    Seq((1L, new Timestamp(5000L), 1.0), (1L, new Timestamp(20000L), 2.0))
+      .toDF("rk", "rts", "rate").createOrReplaceTempView("wmd_rates_src")
+    // no programmatic declareWatermark — the DDL clause is the declaration
+    spark.sql(
+      """CREATE OR REPLACE TEMPORARY VIEW wmd_rates
+         WATERMARK FOR rts AS rts - INTERVAL '5' SECOND
+         AS SELECT * FROM wmd_rates_src""")
+    assert(SystemTimeJoin.watermarkOf("wmd_rates").contains(("rts", "5 seconds")))
+    val rows = spark.sql(
+      """SELECT oid, rate FROM wmd_orders
+         JOIN wmd_rates FOR SYSTEM_TIME AS OF ots ON ok = rk
+         ORDER BY oid""").collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(rows.toSeq == Seq((100L, 1.0), (101L, 2.0)))
+  }
+
+  test("Flink connector-table DDL: CREATE TABLE ... WATERMARK ... WITH path") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("wmddl").toString
+    Seq((1L, new Timestamp(5000L), 1.0), (1L, new Timestamp(20000L), 2.0))
+      .toDF("rk", "rts", "rate").write.mode("overwrite").parquet(s"$dir/rates")
+    spark.sql(
+      s"""CREATE TABLE wmd_fs_rates (
+            rk BIGINT, rts TIMESTAMP, rate DOUBLE,
+            WATERMARK FOR rts AS rts - INTERVAL '10' SECOND
+          ) WITH ('connector' = 'filesystem', 'path' = '$dir/rates', 'format' = 'parquet')""")
+    assert(SystemTimeJoin.watermarkOf("wmd_fs_rates").contains(("rts", "10 seconds")))
+    assert(spark.table("wmd_fs_rates").count() == 2)
+  }
+
   test("missing watermark declaration fails with a pointed message") {
     val s = spark
     import s.implicits._
