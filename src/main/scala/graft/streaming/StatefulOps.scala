@@ -14,6 +14,28 @@ case class KeyedRow(key: Long, ts: Long, id: Long, kind: String, value: Double)
 case class SortRowW(key: Long, ts: Long, id: Long, kind: String, value: Double,
                     ets: java.sql.Timestamp)
 
+/** One side of the unbounded two-stream join ("L" / "R"). */
+case class SidedRow(side: String, key: Long, ts: Long, id: Long, value: Double)
+
+/** Changelog row of the unbounded join: `op` is the reference's RowKind
+  * (+I insert, -U retract-update, +U update); right_id/right_value are null
+  * for a null-padded outer row. */
+case class JoinEmit(op: String, key: Long, left_id: Long, right_id: Option[Long],
+                    left_value: Double, right_value: Option[Double])
+
+private[streaming] case class JoinSideState(
+  left: List[(Long, Double, Boolean)], // (id, value, emitted-null-padded)
+  right: List[(Long, Double)])
+
+/** Windowed-agg emission with a late-data side channel: tag "window" rows
+  * carry the closed window's aggregate; tag "late" rows carry the dropped
+  * row's id (win_start = the window it would have belonged to). */
+case class LateTagEmit(tag: String, key: Long, win_start: Long, n_events: Long,
+                       sum_value: Double, row_id: Long)
+
+private[streaming] case class WindowAggState(
+  windows: List[(Long, Long, Double)]) // (winStart, count, sum) still open
+
 case class TopNEmit(key: Long, id: Long, value: Double, rnk: Int)
 case class LastRowEmit(key: Long, id: Long, ts: Long, value: Double)
 case class RunningEmit(key: Long, id: Long, run_sum: Double)
@@ -212,6 +234,112 @@ object StatefulOps {
             cur = cur :+ r
           }
           close()
+          out.iterator
+      }
+  }
+
+  /** Unbounded (no-watermark) stream-stream left-outer join with idle-state
+    * TTL — the reference's StreamingJoinOperator
+    * (operators/join/stream/StreamingJoinOperator.java:38; retraction logic
+    * :124-242). Neither side carries a watermark, so no row is ever "too
+    * late": each arriving row joins against the other side's full retained
+    * state. Outer semantics are eager-with-retraction, exactly like the
+    * reference: a left row with no match emits a null-padded +I immediately;
+    * when a matching right row arrives later, the pad is retracted (-U) and
+    * the real pairing emitted (+U). State on both sides is evicted after
+    * `retention` of processing-time idleness (IDLE_STATE_RETENTION) — that
+    * TTL is the only thing bounding state on a truly unbounded stream, which
+    * is why the reference makes it a hard prerequisite for this operator at
+    * scale. Shuffle: one hash partitioning of the tagged union on the key —
+    * the same single keyBy as the reference. */
+  def unboundedLeftOuterJoinWithTtl(left: Dataset[KeyedRow], right: Dataset[KeyedRow],
+                                    retention: java.time.Duration): Dataset[JoinEmit] = {
+    import left.sparkSession.implicits._
+    val tagged =
+      left.map(r => SidedRow("L", r.key, r.ts, r.id, r.value))
+        .union(right.map(r => SidedRow("R", r.key, r.ts, r.id, r.value)))
+    tagged.groupByKey(_.key)
+      .flatMapGroupsWithState[JoinSideState, JoinEmit](
+        OutputMode.Append(), GroupStateTimeout.ProcessingTimeTimeout()) {
+        case (key, it, state) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var st = state.getOption.getOrElse(JoinSideState(Nil, Nil))
+            val out = scala.collection.mutable.ListBuffer.empty[JoinEmit]
+            // deterministic within-batch order (cross-batch order is arrival)
+            it.toArray.sortBy(r => (r.ts, r.id)).foreach { r =>
+              if (r.side == "L") {
+                if (st.right.nonEmpty)
+                  st.right.sortBy(_._1).foreach { case (rid, rv) =>
+                    out += JoinEmit("+I", key, r.id, Some(rid), r.value, Some(rv))
+                  }
+                else
+                  out += JoinEmit("+I", key, r.id, None, r.value, None)
+                st = st.copy(left = (r.id, r.value, st.right.isEmpty) :: st.left)
+              } else {
+                st.left.sortBy(_._1).foreach { case (lid, lv, padded) =>
+                  if (padded) out += JoinEmit("-U", key, lid, None, lv, None)
+                  out += JoinEmit(if (padded) "+U" else "+I", key, lid, Some(r.id), lv, Some(r.value))
+                }
+                st = JoinSideState(st.left.map(l => (l._1, l._2, false)),
+                  (r.id, r.value) :: st.right)
+              }
+            }
+            state.update(st)
+            state.setTimeoutDuration(retention.toMillis)
+            out.iterator
+          }
+      }
+  }
+
+  /** Tumbling window aggregate with a late-data side output — the
+    * reference's WindowOperator.sideOutputLateData
+    * (windowing/WindowOperator.java:136-139): a row whose window has already
+    * fired (window end ≤ current watermark) is not silently dropped but
+    * emitted on the "late" channel, so a pipeline can quarantine it. Closed
+    * windows emit on the "window" channel once the watermark passes their
+    * end; open-window partials (count+sum only — O(#open windows) state, not
+    * O(rows)) wait in state with an event-time timeout to guarantee the
+    * flush even if the key goes quiet. */
+  def tumbleAggWithLateSideOutput(rows: Dataset[KeyedRow], widthMicros: Long,
+                                  delay: String = "0 seconds"): Dataset[LateTagEmit] = {
+    import rows.sparkSession.implicits._
+    rows
+      .withColumn("ets", timestamp_micros(col("ts")))
+      .withWatermark("ets", delay)
+      .as[SortRowW]
+      .groupByKey(_.key)
+      // window closure is driven by the EVENT-time watermark (read via
+      // getCurrentWatermarkMs); the timeout is processing-time only as a
+      // liveness nudge, because an event-time timeout would also re-enable
+      // the engine's pre-operator late-row filter — and late rows must
+      // reach the operator to be side-output instead of silently dropped
+      .flatMapGroupsWithState[WindowAggState, LateTagEmit](
+        OutputMode.Append(), GroupStateTimeout.ProcessingTimeTimeout()) {
+        case (key, it, state) =>
+          val wm = state.getCurrentWatermarkMs() * 1000L
+          var st = state.getOption.getOrElse(WindowAggState(Nil))
+          val out = scala.collection.mutable.ListBuffer.empty[LateTagEmit]
+          if (!state.hasTimedOut)
+            it.toArray.sortBy(r => (r.ts, r.id)).foreach { r =>
+              val winStart = (r.ts / widthMicros) * widthMicros
+              if (winStart + widthMicros <= wm) // window already fired → quarantine
+                out += LateTagEmit("late", key, winStart, 0L, r.value, r.id)
+              else {
+                val (same, rest) = st.windows.partition(_._1 == winStart)
+                val (_, n, sum) = same.headOption.getOrElse((winStart, 0L, 0.0))
+                st = WindowAggState((winStart, n + 1, sum + r.value) :: rest)
+              }
+            }
+          val (closed, open) = st.windows.partition(_._1 + widthMicros <= wm)
+          closed.sortBy(_._1).foreach { case (ws, n, sum) =>
+            out += LateTagEmit("window", key, ws, n, sum, -1L)
+          }
+          if (open.isEmpty) { if (state.exists) state.remove() } // no open windows → no state
+          else {
+            state.update(WindowAggState(open))
+            state.setTimeoutDuration(500L) // re-check closure as wm advances
+          }
           out.iterator
       }
   }
