@@ -90,9 +90,71 @@ object Graphs {
       .orderBy(col("rank_scaled").desc, col("node"))
   }
 
+  /** Single-source shortest paths (Gelly library/SingleSourceShortestPaths
+    * .java — scatter-gather min-distance). Unit edge weights here (hop
+    * count); the fold is `min(dist + w)` so a weighted edge list drops in
+    * unchanged. Source = min vertex id (deterministic). Frontier
+    * representation: only reached nodes carry state, so early supersteps
+    * shuffle the frontier, not the whole vertex set. Convergence: the
+    * (reached-count, dist-sum) pair is monotone (count up, sum down) —
+    * fixpoint when both stall, same one-agg-per-superstep discipline as CC. */
+  def sssp(s: SparkSession, dir: String, maxIter: Int = 30): DataFrame = {
+    val e = edges(s, dir).persist(StorageLevel.MEMORY_AND_DISK)
+    val source = e.agg(min(col("src"))).head.getLong(0)
+    var dist = e.sparkSession.range(1)
+      .select(lit(source).as("node"), lit(0L).as("dist"))
+      .localCheckpoint(eager = true)
+    def signature(df: DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)), sum(col("dist"))).head
+      (r.getLong(0), r.getLong(1))
+    }
+    var prev = signature(dist)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val msgs = e.join(dist, e("src") === dist("node"))
+        .select(e("dst").as("node"), (col("dist") + 1L).as("dist"))
+      val next = dist.union(msgs)
+        .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+        .localCheckpoint(eager = true)
+      val cur = signature(next)
+      dist = next
+      converged = cur == prev
+      prev = cur
+      i += 1
+    }
+    e.unpersist()
+    dist.orderBy(col("node"))
+  }
+
+  /** Label propagation (Gelly library/LabelPropagation.java): each vertex
+    * adopts the most frequent label among its neighbors, ties to the
+    * smallest label; synchronous supersteps, fixed iteration count so the
+    * result is deterministic and oracle-reproducible. The per-superstep
+    * argmax is a two-stage aggregation — `max(struct(count, -label))` picks
+    * (max count, min label) without a window shuffle. */
+  def labelPropagation(s: SparkSession, dir: String, iters: Int = 5): DataFrame = {
+    val e = edges(s, dir).persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = e.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint(eager = true)
+    for (_ <- 1 to iters) {
+      val freq = e.join(labels, e("dst") === labels("node"))
+        .groupBy(e("src").as("n2"), col("label")).agg(count(lit(1)).as("c"))
+      labels = freq.groupBy(col("n2").as("node"))
+        .agg(max(struct(col("c"), (-col("label")).as("nl"))).as("m"))
+        .select(col("node"), (-col("m.nl")).as("label"))
+        .localCheckpoint(eager = true)
+    }
+    e.unpersist()
+    labels.orderBy(col("node"))
+  }
+
   def queries: Map[String, QFn] = Map(
     "graph_connected_components" -> ((s, d) => connectedComponents(s, d)),
-    "graph_pagerank" -> ((s, d) => pageRank(s, d))
+    "graph_pagerank" -> ((s, d) => pageRank(s, d)),
+    "graph_sssp" -> ((s, d) => sssp(s, d)),
+    "graph_label_propagation" -> ((s, d) => labelPropagation(s, d))
   )
 
   /** CC is exactly reproducible in DuckDB with a recursive CTE. PageRank's
@@ -129,6 +191,36 @@ object Graphs {
              UNION
              SELECT u.src, reach.r FROM und u JOIN reach ON u.dst = reach.node)
          SELECT node, min(r) AS component FROM reach GROUP BY node ORDER BY node""",
-    "graph_pagerank" -> pageRankOracle
+    "graph_pagerank" -> pageRankOracle,
+    // min-hop distances: bounded recursive walk (the d < 30 cap only bounds
+    // the CTE; the graph's diameter is far smaller, so min(d) is exact)
+    "graph_sssp" ->
+      """WITH RECURSIVE
+           e0 AS (SELECT DISTINCT o_custkey AS src, l_suppkey + 1000000 AS dst
+                  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+           und AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+           srcn AS (SELECT min(src) AS s FROM und),
+           walk(node, d) AS (
+             SELECT s, CAST(0 AS BIGINT) FROM srcn
+             UNION
+             SELECT u.dst, w.d + 1 FROM und u JOIN walk w ON u.src = w.node
+             WHERE w.d < 30)
+         SELECT node, min(d) AS dist FROM walk GROUP BY node ORDER BY node""",
+    "graph_label_propagation" -> {
+      val iters = (1 to 5).map { k =>
+        s"""l$k AS (SELECT node, label FROM (
+             SELECT u.src AS node, l.label, count(*) AS c,
+                    row_number() OVER (PARTITION BY u.src
+                                       ORDER BY count(*) DESC, l.label) AS rn
+             FROM und u JOIN l${k - 1} l ON u.dst = l.node
+             GROUP BY u.src, l.label) WHERE rn = 1)"""
+      }.mkString(",\n")
+      s"""WITH e0 AS (SELECT DISTINCT o_custkey AS src, l_suppkey + 1000000 AS dst
+                FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         und AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+         l0 AS (SELECT DISTINCT src AS node, src AS label FROM und),
+         $iters
+         SELECT node, label FROM l5 ORDER BY node"""
+    }
   )
 }

@@ -47,13 +47,29 @@ object LookupJoin {
       .orderBy(col("c_nationkey"))
   }
 
+  /** Hard cap on the mock store's snapshot size. The stand-in KV "service"
+    * is seeded from a driver-side collect, which is ONLY safe because it
+    * mocks an external system at test scale — the guard makes the failure
+    * mode explicit instead of an OOM. A real deployment either queries the
+    * actual external store from executors (no snapshot at all) or uses
+    * lookupBroadcast, which never routes the dim through the driver. */
+  private val SnapshotRowCap = 5000000L
+
+  private def dimSnapshot(s: SparkSession, dir: String): Map[Long, Int] = {
+    import s.implicits._
+    val dim = Tables.load(s, dir, "customer")
+      .select(col("c_custkey"), col("c_nationkey"))
+    val n = dim.count()
+    require(n <= SnapshotRowCap,
+      s"dim snapshot has $n rows > $SnapshotRowCap: a driver-side snapshot of the mock " +
+        "KV store would OOM — use lookupBroadcast (broadcast hash join) or a real external client")
+    dim.as[(Long, Int)].collect().toMap
+  }
+
   /** Synchronous per-partition lookup: one client, row-at-a-time get. */
   private def lookupSync(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val snapshot = Tables.load(s, dir, "customer")
-      .select(col("c_custkey"), col("c_nationkey"))
-      .as[(Long, Int)].collect().toMap
-    val bc = s.sparkContext.broadcast(snapshot)
+    val bc = s.sparkContext.broadcast(dimSnapshot(s, dir))
     Tables.load(s, dir, "orders").select(col("o_custkey")).as[Long]
       .mapPartitions { it =>
         val client = new DimClient(bc.value) // connection per partition
@@ -76,10 +92,7 @@ object LookupJoin {
 
   private def lookupAsync(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val snapshot = Tables.load(s, dir, "customer")
-      .select(col("c_custkey"), col("c_nationkey"))
-      .as[(Long, Int)].collect().toMap
-    val bc = s.sparkContext.broadcast(snapshot)
+    val bc = s.sparkContext.broadcast(dimSnapshot(s, dir))
     Tables.load(s, dir, "orders").select(col("o_custkey")).as[Long]
       .mapPartitions { it =>
         implicit val ec: ExecutionContext = ExecutionContext.global

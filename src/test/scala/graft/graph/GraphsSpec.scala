@@ -23,6 +23,27 @@ class GraphsSpec extends SparkSpec {
     assert(comp(20L) == 20L)
   }
 
+  test("sssp: hop distances from the min vertex") {
+    val rows = Graphs.sssp(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val dist = rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val source = dist.keys.min
+    assert(dist(source) == 0L, "source at distance 0")
+    // bipartite customer↔supplier graph: odd distances land in supplier id
+    // space, even in customer space
+    assert(dist.forall { case (n, d) =>
+      if (d % 2 == 1) n >= 1000000L else n < 1000000L || d == 0L })
+  }
+
+  test("label propagation: labels converge toward dominant components") {
+    val rows = Graphs.labelPropagation(spark, sf, iters = 5).collect()
+    assert(rows.nonEmpty)
+    // every node ends with SOME neighbor-derived label; far fewer distinct
+    // labels than nodes after 5 rounds on a dense bipartite graph
+    val labels = rows.map(_.getLong(1)).distinct
+    assert(labels.length < rows.length / 10)
+  }
+
   test("pagerank: star center dominates, mass conserved") {
     val df = Graphs.pageRank(spark, sf, iters = 5)
     val rows = df.collect()
