@@ -225,6 +225,49 @@ object NativeExpressions {
     sig
   }
 
+  /** 63-bit SimHash: bit j is the majority vote of a per-bit REHASH of each
+    * token hash — `((h*(2j+3) + 7919j+1) mod 1e9+7) & 1` — rather than the
+    * token hash's own bit j, because the upstream poly_hash only carries
+    * ~30 bits of entropy. All arithmetic stays below 2^63 and never wraps,
+    * so the DuckDB oracle reproduces it with plain BIGINT math (DuckDB
+    * raises on 64-bit overflow, which rules out multiplicative mixing).
+    * 63 bits = 7 exact 9-bit LSH bands for the Hamming ≤ 6 pigeonhole. */
+  def simhash63(hashes: ArrayData): Long = {
+    val n = hashes.numElements()
+    val votes = new Array[Int](63)
+    var i = 0
+    while (i < n) {
+      val h = hashes.getLong(i)
+      var j = 0
+      while (j < 63) {
+        val b = ((h * (2L * j + 3L) + (7919L * j + 1L)) % 1000000007L) & 1L
+        if (b == 1L) votes(j) += 1 else votes(j) -= 1
+        j += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var j = 0
+    while (j < 63) { if (votes(j) > 0) sig |= (1L << j); j += 1 }
+    sig
+  }
+
+  /** simhash63(hashes): 63-bit majority-vote signature (see [[simhash63]]). */
+  case class SimHash63(child: Expression) extends UnaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (child.dataType.isInstanceOf[ArrayType]) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(s"simhash63 needs ARRAY<BIGINT>, got ${child.dataType}")
+    override def dataType: DataType = LongType
+    override def prettyName: String = "simhash63"
+    override protected def nullSafeEval(input: Any): Any =
+      simhash63(input.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.NativeExpressions.simhash63($c);")
+    override protected def withNewChildInternal(newChild: Expression): SimHash63 =
+      copy(child = newChild)
+  }
+
   /** simhash32(hashes): 32-bit majority-vote signature. */
   case class SimHash32(child: Expression) extends UnaryExpression {
     override def checkInputDataTypes(): TypeCheckResult =
@@ -264,5 +307,9 @@ object NativeExpressions {
       FunctionIdentifier("simhash32"),
       new ExpressionInfo(classOf[SimHash32].getName, "simhash32"),
       (args: Seq[Expression]) => SimHash32(args.head)))
+    ext.injectFunction((
+      FunctionIdentifier("simhash63"),
+      new ExpressionInfo(classOf[SimHash63].getName, "simhash63"),
+      (args: Seq[Expression]) => SimHash63(args.head)))
   }
 }

@@ -20,9 +20,9 @@ import TextFunctions._
   *    on band keys, never all-pairs. Verification re-checks true Jaccard on
   *    candidates only. This is the standard web-scale near-dup pipeline
   *    (Broder MinHash / LSH banding) expressed as three shuffles.
-  *  - SimHash packs token hashes into a 32-bit signature per doc; near-dups
-  *    have small Hamming distance. Pairing is blocked by 7 disjoint
-  *    signature bit-bands (lossless for Hamming ≤ 6 by pigeonhole) — an
+  *  - SimHash packs token hashes into a 63-bit signature per doc; near-dups
+  *    have small Hamming distance. Pairing is blocked by 7 disjoint 9-bit
+  *    signature bands (lossless for Hamming ≤ 6 by pigeonhole) — an
   *    equi-join on (band, bits), never all-pairs.
   *  - Embedding near-dup buckets by a 16-bit random-hyperplane signature
   *    (Charikar), banded 4×4, verifying true cosine on candidates only.
@@ -62,6 +62,19 @@ object Dedup {
       .filter(size(col("sh")) > 0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
+  /** Materialize the (small) pair result while the upstream caches are
+    * alive, then release them — otherwise every dedup query leaves its
+    * shingle/signature cache pinned for the rest of the session, and 100+
+    * queries later the accumulated storage pressure slows unrelated
+    * operators (measured: a 5× swing on a simple groupBy late in a bench
+    * run). */
+  private def releasing(caches: org.apache.spark.sql.DataFrame*)(result: DataFrame): DataFrame = {
+    val out = result.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    caches.foreach(_.unpersist(blocking = false))
+    out
+  }
+
   /** Exact n-gram (trigram) Jaccard near-dup pairs, join on shared shingle.
     * jaccard = |A∩B| / (|A|+|B|-|A∩B|) — exact integer ratio. */
   private def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
@@ -78,14 +91,16 @@ object Dedup {
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
       .agg(count(lit(1)).as("shared"))
-    shared
-      .join(sizes.as("sa"), col("i") === col("sa.doc_id"))
-      .join(sizes.as("sb"), col("j") === col("sb.doc_id"))
-      .withColumn("jaccard",
-        col("shared").cast("double") / (col("sa.sz") + col("sb.sz") - col("shared")))
-      .filter(col("jaccard") >= 0.5)
-      .select(col("i"), col("j"), round(col("jaccard"), 6).as("jaccard"))
-      .orderBy(col("i"), col("j"))
+    releasing(d) {
+      shared
+        .join(sizes.as("sa"), col("i") === col("sa.doc_id"))
+        .join(sizes.as("sb"), col("j") === col("sb.doc_id"))
+        .withColumn("jaccard",
+          col("shared").cast("double") / (col("sa.sz") + col("sb.sz") - col("shared")))
+        .filter(col("jaccard") >= 0.5)
+        .select(col("i"), col("j"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy(col("i"), col("j"))
+    }
   }
 
   private val NumHashes = 16
@@ -125,36 +140,40 @@ object Dedup {
     val withSets = candidates
       .join(d.select(col("doc_id").as("i"), col("sh").as("sh_i")), "i")
       .join(d.select(col("doc_id").as("j"), col("sh").as("sh_j")), "j")
-    withSets
-      .withColumn("shared", size(array_intersect(col("sh_i"), col("sh_j"))))
-      .withColumn("jaccard", col("shared").cast("double") /
-        (size(col("sh_i")) + size(col("sh_j")) - col("shared")))
-      .filter(col("jaccard") >= 0.5)
-      .select(col("i"), col("j"), round(col("jaccard"), 6).as("jaccard"))
-      .orderBy(col("i"), col("j"))
+    releasing(d, bands0) {
+      withSets
+        .withColumn("shared", size(array_intersect(col("sh_i"), col("sh_j"))))
+        .withColumn("jaccard", col("shared").cast("double") /
+          (size(col("sh_i")) + size(col("sh_j")) - col("shared")))
+        .filter(col("jaccard") >= 0.5)
+        .select(col("i"), col("j"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy(col("i"), col("j"))
+    }
   }
 
-  /** 7-way split of the 32-bit signature: by pigeonhole, two signatures at
-    * Hamming distance ≤ 6 agree exactly on at least one of 7 disjoint bit
-    * bands — so banding is a lossless candidate generator for d ≤ 6. */
-  private val SimBandWidths = Seq(5, 5, 5, 5, 4, 4, 4)
+  /** 7-way split of the 63-bit signature: by pigeonhole, two signatures at
+    * Hamming distance ≤ 6 agree exactly on at least one of 7 disjoint 9-bit
+    * bands — so banding is a lossless candidate generator for d ≤ 6, and a
+    * 9-bit band key (512 buckets) keeps per-bucket populations — and hence
+    * the candidate join output — near-linear. (A 32-bit signature's 4-5-bit
+    * bands were measured 6× slower at sf0.1: 16-32 buckets per band is
+    * still quadratic-ish. Wider signature = finer bands = fewer false
+    * candidates; at larger corpora widen again, same shape.) */
+  private val SimBandWidths = Seq.fill(7)(9)
   private val SimBandOffsets = SimBandWidths.scanLeft(0)(_ + _).init
 
-  /** SimHash: 32-bit signature from per-token hashes; near-dup pairs =
+  /** SimHash: 63-bit signature from per-token hashes; near-dup pairs =
     * Hamming distance ≤ 6, found via signature-band blocking (never
     * all-pairs): explode each doc into 7 (band, bits) keys, equi-join on the
-    * key, verify full Hamming on candidates. Per-band buckets shrink
-    * exponentially in band width, so the join stays near-linear; at 100 TB
-    * you widen the signature (64/128-bit) and the bands with it — the shape
-    * is unchanged. */
+    * key, verify full Hamming on candidates. */
   private def simhash(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.load(s, dir, "documents")
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .filter(size(col("toks")) >= MinTokens)
       .withColumn("th", transform(col("toks"), t => polyHash(t)))
-    // bit j of the signature: majority vote of token-hash bit j — one native
-    // pass (SimHash32) instead of 32 interpreted aggregate() sweeps
-    val sig = d.select(col("doc_id"), call_function("simhash32", col("th")).as("sig"))
+    // bit j of the signature: majority vote of a per-bit rehash — one native
+    // pass (SimHash63) instead of 63 interpreted aggregate() sweeps
+    val sig = d.select(col("doc_id"), call_function("simhash63", col("th")).as("sig"))
     val bands = sig.select(col("doc_id"), col("sig"),
         explode(array(SimBandOffsets.zip(SimBandWidths).zipWithIndex.map {
           case ((off, w), b) =>
@@ -219,14 +238,16 @@ object Dedup {
         col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("i"), col("y.vec_id").as("j"))
       .distinct()
-    cand
-      .join(e.select(col("vec_id").as("i"), col("v").as("vi"), col("norm").as("ni")), "i")
-      .join(e.select(col("vec_id").as("j"), col("v").as("vj"), col("norm").as("nj")), "j")
-      .withColumn("cosine",
-        call_function("dot_f64", col("vi"), col("vj")) / (col("ni") * col("nj")))
-      .filter(col("cosine") >= 0.45)
-      .select(col("i"), col("j"), round(col("cosine"), 6).as("cosine"))
-      .orderBy(col("i"), col("j"))
+    releasing(e) {
+      cand
+        .join(e.select(col("vec_id").as("i"), col("v").as("vi"), col("norm").as("ni")), "i")
+        .join(e.select(col("vec_id").as("j"), col("v").as("vj"), col("norm").as("nj")), "j")
+        .withColumn("cosine",
+          call_function("dot_f64", col("vi"), col("vj")) / (col("ni") * col("nj")))
+        .filter(col("cosine") >= 0.45)
+        .select(col("i"), col("j"), round(col("cosine"), 6).as("cosine"))
+        .orderBy(col("i"), col("j"))
+    }
   }
 
   def queries: Map[String, QFn] = Map(
@@ -299,7 +320,8 @@ object Dedup {
           WHERE CAST(shared AS DOUBLE) / (szi + szj - shared) >= 0.5
           ORDER BY i, j""",
     // banding is lossless for Hamming ≤ 6 (pigeonhole over 7 bands), so the
-    // oracle is the straightforward all-pairs check — same result set
+    // oracle is the straightforward all-pairs check — same result set. The
+    // per-bit rehash mirrors SimHash63 exactly (no 64-bit overflow anywhere)
     "dedup_simhash" ->
       s"""WITH d AS (
             SELECT doc_id,
@@ -307,9 +329,10 @@ object Dedup {
             FROM documents WHERE len($tokensSql) >= 3),
           sig AS (
             SELECT doc_id,
-              list_sum(list_transform(range(0, 32), j ->
+              list_sum(list_transform(range(0, 63), j ->
                 CASE WHEN list_sum(list_transform(th,
-                       h -> CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+                       h -> CASE WHEN (h * (2*j + 3) + (7919*j + 1)) % 1000000007 & 1 = 1
+                            THEN 1 ELSE -1 END)) > 0
                      THEN (1::BIGINT << j) ELSE 0 END)) AS sig
             FROM d)
           SELECT a.doc_id AS i, b.doc_id AS j,

@@ -43,7 +43,18 @@ object Cep {
   case object SkipToNextRow extends AfterMatch
 
   case class Pattern(steps: Seq[Step], withinMs: Long = Long.MaxValue,
-                     afterMatch: AfterMatch = SkipPastLastRow)
+                     afterMatch: AfterMatch = SkipPastLastRow) {
+    /** any optional step → ε-closure can duplicate configurations */
+    lazy val hasOptional: Boolean = steps.exists(_.optional)
+    /** positions a fresh run may anchor at: 0 plus whatever is reachable by
+      * skipping leading optional steps (computed once, not per row) */
+    lazy val startPositions: List[Int] = {
+      val b = scala.collection.mutable.ListBuffer(0)
+      var p = 0
+      while (p < steps.size - 1 && steps(p).optional) { p += 1; b += p }
+      b.toList
+    }
+  }
 
   case class Match(key: Long, start_ts: Long, end_ts: Long, ids: Seq[Long],
                    labels: Seq[String])
@@ -56,15 +67,17 @@ object Cep {
   /** ε-closure over optional steps: a run standing before an optional step
     * may equally stand after it — expand into one sibling per skippable
     * position (possibly including the completed position). */
-  private def closure(pattern: Pattern, run: Run): List[Run] = {
-    val out = scala.collection.mutable.ListBuffer(run)
-    var p = run.nextStep
-    while (p < pattern.steps.size && pattern.steps(p).optional) {
-      p += 1
-      out += run.copy(nextStep = p)
+  private def closure(pattern: Pattern, run: Run): List[Run] =
+    if (!pattern.hasOptional) run :: Nil // hot path: no allocation beyond the cons
+    else {
+      val out = scala.collection.mutable.ListBuffer(run)
+      var p = run.nextStep
+      while (p < pattern.steps.size && pattern.steps(p).optional) {
+        p += 1
+        out += run.copy(nextStep = p)
+      }
+      out.toList
     }
-    out.toList
-  }
 
   /** Advance the NFA by one row; returns (new active runs, completed matches).
     * Mirrors NFA.computeNextStates (cep/nfa/NFA.java:539): each active run
@@ -90,13 +103,7 @@ object Cep {
     }
     // fresh runs may anchor at step 0 or at any position reachable from it
     // by skipping optional steps
-    val startPositions = {
-      val b = scala.collection.mutable.ListBuffer(0)
-      var p = 0
-      while (p < pattern.steps.size - 1 && pattern.steps(p).optional) { p += 1; b += p }
-      b.toList
-    }
-    val started = startPositions.flatMap { j =>
+    val started = pattern.startPositions.flatMap { j =>
       val st = pattern.steps(j)
       if (st.pred(r)) {
         val adv = Run(j + 1, r.ts, List(r.id), r.id, List(st.name))
@@ -106,9 +113,12 @@ object Cep {
       } else Nil
     }
     val (done0, pending0) = (stepped ++ started).partition(_.nextStep == pattern.steps.size)
-    // ε-closure can reach the same configuration along several skip paths
-    val done = done0.distinctBy(_.ids)
-    val pending = pending0.distinctBy(p0 => (p0.nextStep, p0.ids))
+    // ε-closure can reach the same configuration along several skip paths —
+    // but only when optional steps exist; skip the (O(runs·|ids|)) dedup
+    // entirely for plain patterns, which are the hot path
+    val done = if (pattern.hasOptional) done0.distinctBy(_.ids) else done0
+    val pending =
+      if (pattern.hasOptional) pending0.distinctBy(p0 => (p0.nextStep, p0.ids)) else pending0
     // several runs may complete on the same row; MATCH_RECOGNIZE emits the
     // earliest-started (then greediest = most rows absorbed) one and
     // (skip-past-last-row) discards the overlap
