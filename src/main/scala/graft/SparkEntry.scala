@@ -27,6 +27,7 @@ object SparkEntry {
     (sql.FlinkSqlQueries.queries, sql.FlinkSqlQueries.oracles),
     (graph.Graphs.queries, graph.Graphs.oracles),
     (streaming.StatefulOps.queries, streaming.StatefulOps.oracles),
+    (streaming.Triggers.queries, streaming.Triggers.oracles),
     (streaming.Cep.queries, streaming.Cep.oracles),
     (pipeline.Dedup.queries, pipeline.Dedup.oracles),
     (pipeline.TextAnalysis.queries, pipeline.TextAnalysis.oracles),

@@ -76,6 +76,19 @@ object FlinkSqlQueries {
            PATTERN (E1 E2)
            DEFINE E1 AS event_type = 'error', E2 AS event_type = 'error'
          ) ORDER BY user_id, start_ts""")),
+    // ALL ROWS PER MATCH + PREV navigation: click followed by a pricier
+    // purchase; every matched row comes back with CLASSIFIER/MATCH_NUMBER
+    "mr_all_rows_nav" -> ((s, dir) => run(s, dir,
+      """SELECT user_id, row_seq, event_id, classifier, match_no FROM events
+         MATCH_RECOGNIZE (
+           PARTITION BY user_id
+           ORDER BY ts
+           ALL ROWS PER MATCH
+           AFTER MATCH SKIP PAST LAST ROW
+           PATTERN (A B)
+           DEFINE A AS event_type = 'click',
+                  B AS event_type = 'purchase' AND value > PREV(value)
+         ) ORDER BY user_id, match_no, row_seq""")),
     // greedy + quantifier with MEASURES: a maximal run of consecutive errors
     // absorbed by E+, closed by the view that follows it
     "mr_error_run_view" -> ((s, dir) => run(s, dir,
@@ -145,6 +158,25 @@ object FlinkSqlQueries {
            LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
              ON c.user_id = p.user_id AND c.ts <= p.ts)
          WHERE rn = 1 ORDER BY u, p_id""",
+    // (A B) with SKIP PAST LAST ROW can never overlap (B is a purchase, A a
+    // click), so the lag formulation is exact; two output rows per match
+    "mr_all_rows_nav" ->
+      """WITH o0 AS (
+           SELECT user_id, ts, event_id, event_type, value,
+                  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+           FROM events),
+         o AS (
+           SELECT *, lag(event_type) OVER w AS t1, lag(value) OVER w AS v1,
+                  lag(event_id) OVER w AS id1, lag(rn) OVER w AS rn1
+           FROM o0 WINDOW w AS (PARTITION BY user_id ORDER BY rn)),
+         mt AS (
+           SELECT user_id, id1, rn1, event_id AS p_id, rn AS p_rn,
+                  CAST(row_number() OVER (PARTITION BY user_id ORDER BY rn) AS INT) AS match_no
+           FROM o WHERE event_type = 'purchase' AND t1 = 'click' AND value > v1)
+         SELECT user_id, rn1 AS row_seq, id1 AS event_id, 'A' AS classifier, match_no FROM mt
+         UNION ALL
+         SELECT user_id, p_rn, p_id, 'B', match_no FROM mt
+         ORDER BY user_id, match_no, row_seq""",
     // E+ V under strict contiguity = each maximal island of consecutive
     // errors whose next row is a view; measures fold over the island
     "mr_error_run_view" ->

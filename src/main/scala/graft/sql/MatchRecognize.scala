@@ -17,19 +17,25 @@ import graft.streaming.{Cep, KeyedRow}
   *     ORDER BY <col>                  -- an event-time column
   *     [MEASURES <m> AS <alias>, ...]  -- m: V.c | FIRST/LAST(V.c) |
   *                                     --    COUNT(V.*|*) | SUM/AVG/MIN/MAX(V.c)
-  *     ONE ROW PER MATCH
+  *     ONE ROW PER MATCH | ALL ROWS PER MATCH
   *     [AFTER MATCH SKIP PAST LAST ROW | AFTER MATCH SKIP TO NEXT ROW]
   *     PATTERN ( V1[q] V2[q] ... )     -- q: + * ? {n}; strict contiguity
   *     [WITHIN INTERVAL '<n>' <UNIT>]
-  *     DEFINE V1 AS <sql predicate>, ...
+  *     DEFINE V1 AS <sql predicate>, ...  -- may navigate PREV/NEXT(V.c[, k])
   *   )
   *   [ORDER BY ...]
+  *
+  * ALL ROWS PER MATCH emits each matched input row with CLASSIFIER() (the
+  * step label, column `classifier`), MATCH_NUMBER() (1-based per partition,
+  * column `match_no`) and the row's partition-order position (`row_seq`).
+  * PREV/NEXT in DEFINE compile onto lag/lead over the partition order —
+  * physical-row navigation, which is what they mean under strict contiguity.
   *
   * Like the reference, a greedy/optional quantifier (+ * ?) on the LAST
   * pattern variable is rejected (the NFA would have to hold a completed
   * match open forever waiting for one more row); {n} is fine anywhere.
-  * Still not supported: ALL ROWS PER MATCH, PREV/NEXT navigation in DEFINE,
-  * {n,m} ranges, reluctant quantifiers.
+  * Still not supported: running measures over ALL ROWS PER MATCH, {n,m}
+  * ranges, reluctant quantifiers, AFTER MATCH SKIP TO FIRST/LAST <var>.
   *
   * Implementation: each DEFINE predicate is compiled by Spark itself into a
   * boolean column (so the full scalar expression surface works), the row is
@@ -57,7 +63,8 @@ object MatchRecognize {
   case class Spec(table: String, partitionBy: String, orderBy: String,
                   afterMatch: Cep.AfterMatch, pattern: Seq[(String, Quant)],
                   withinMs: Long, defines: Map[String, String],
-                  measures: Seq[Measure], selectList: String, tailClause: String)
+                  measures: Seq[Measure], allRows: Boolean,
+                  selectList: String, tailClause: String)
 
   private val mrRe =
     """(?is)SELECT\s+(.*?)\s+FROM\s+(\w+)\s+MATCH_RECOGNIZE\s*\((.*)\)\s*(ORDER\s+BY.*)?""".r
@@ -164,11 +171,23 @@ object MatchRecognize {
       // split "A AS pred, B AS pred" on top-level commas preceding "<var> AS"
       val defines = defBody.split("""(?i),(?=\s*\w+\s+AS\s)""").map { d =>
         val Array(name, pred) = d.trim.split("""(?i)\s+AS\s+""", 2)
-        // strip the variable's own prefix: "A.col" → "col"
-        name.trim -> pred.trim.replaceAll(s"""(?i)\\b${name.trim}\\.""", "")
+        // strip the variable's own prefix: "A.col" → "col", then compile
+        // PREV/NEXT row navigation onto lag/lead over the partition order
+        // (the reference's MatchCodeGenerator does the same row-offset
+        // resolution; restricted here to physical-row navigation, which is
+        // what PREV/NEXT mean under strict contiguity)
+        val stripped = pred.trim.replaceAll(s"""(?i)\\b${name.trim}\\.""", "")
+        val w = s"OVER (PARTITION BY $part ORDER BY $ord)"
+        val nav = stripped
+          .replaceAll("""(?i)\bPREV\s*\(\s*(\w+)\s*,\s*(\d+)\s*\)""", s"lag($$1, $$2) $w")
+          .replaceAll("""(?i)\bPREV\s*\(\s*(\w+)\s*\)""", s"lag($$1, 1) $w")
+          .replaceAll("""(?i)\bNEXT\s*\(\s*(\w+)\s*,\s*(\d+)\s*\)""", s"lead($$1, $$2) $w")
+          .replaceAll("""(?i)\bNEXT\s*\(\s*(\w+)\s*\)""", s"lead($$1, 1) $w")
+        name.trim -> nav
       }.toMap
+      val allRows = """(?i)ALL\s+ROWS\s+PER\s+MATCH""".r.findFirstIn(body).isDefined
       Spec(table, part, ord, skip, pattern, within, defines, parseMeasures(body),
-        select.trim, Option(tail).getOrElse("").trim)
+        allRows, select.trim, Option(tail).getOrElse("").trim)
     case _ => throw new IllegalArgumentException("unsupported MATCH_RECOGNIZE shape")
   }
 
@@ -236,7 +255,26 @@ object MatchRecognize {
     val base = m.select(col("key").as("__pkey"), col("start_ts"), col("end_ts"),
       size(col("ids")).cast("long").as("n_rows"), col("__mid"), col("ids"), col("labels"))
     val out =
-      if (spec.measures.isEmpty)
+      if (spec.allRows) {
+        // ALL ROWS PER MATCH: one output row per MATCHED input row — source
+        // columns + CLASSIFIER() (the step label) + MATCH_NUMBER() (1-based
+        // per partition, ordered by match start). Calcite's running-measure
+        // semantics over these rows is not supported.
+        val exploded = base
+          .withColumn("__first_seq", element_at(col("ids"), 1))
+          .select(col("__mid"), col("__pkey"), col("start_ts"), col("__first_seq"),
+            explode(arrays_zip(col("ids"), col("labels"))).as("z"))
+          .select(col("__mid"), col("__pkey"), col("start_ts"), col("__first_seq"),
+            col("z.ids").as("__seq"), col("z.labels").as("classifier"))
+          .withColumn("match_no", dense_rank().over(
+            Window.partitionBy(col("__pkey")).orderBy(col("start_ts"), col("__first_seq"))))
+        exploded.join(
+            prepared.withColumn("__pkey", col(spec.partitionBy).cast("long")),
+            Seq("__pkey", "__seq"))
+          .drop("__mid", "__pkey", "start_ts", "__first_seq", "__mask")
+          .withColumnRenamed("__seq", "row_seq")
+      }
+      else if (spec.measures.isEmpty)
         base.select(col("__pkey").as(spec.partitionBy),
           col("start_ts"), col("end_ts"), col("n_rows"))
       else {

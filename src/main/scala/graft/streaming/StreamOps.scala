@@ -29,6 +29,20 @@ object StreamOps {
   def withEventTime(df: DataFrame, tsCol: String, delay: String): DataFrame =
     df.withWatermark(tsCol, delay)
 
+  /** Watermark idleness (WatermarkStrategy.withIdleness, reference
+    * WatermarksWithIdleness.java): in the reference an idle source partition
+    * is excluded from the min-watermark so it can't stall every downstream
+    * event-time operator. Spark's global watermark is per-QUERY, min over
+    * the query's watermarked STREAMS — so the stall shows up when a
+    * multi-stream query (union/join) has one idle input. The mapped control
+    * is the multiple-watermark policy: "max" lets the active stream drive
+    * progress (≈ declaring idle inputs ignorable), "min" (default) is the
+    * stall-prone strict behavior. Set BEFORE starting the query. */
+  def setWatermarkIdlenessPolicy(spark: org.apache.spark.sql.SparkSession,
+                                 advanceOnIdle: Boolean): Unit =
+    spark.conf.set("spark.sql.streaming.multipleWatermarkPolicy",
+      if (advanceOnIdle) "max" else "min")
+
   /** Tumbling event-time window aggregation. */
   def tumbleAgg(df: DataFrame, tsCol: String, width: String,
                 keys: Seq[Column], aggs: Seq[Column]): DataFrame =

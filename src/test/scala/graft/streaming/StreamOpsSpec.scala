@@ -119,4 +119,35 @@ class StreamOpsSpec extends SparkSpec {
       assert(emitted.toSeq == Seq(1.5, 4.0)) // accumulator state carried across batches
     } finally q.stop()
   }
+
+  test("watermark idleness policy: an idle input no longer stalls the window") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    // withIdleness analogue: policy=max lets the ACTIVE stream advance the
+    // query watermark although the second stream never produces a row
+    StreamOps.setWatermarkIdlenessPolicy(s, advanceOnIdle = true)
+    try {
+      val active = MemoryStream[Ev]
+      val idle = MemoryStream[Ev]
+      val union = StreamOps.withEventTime(active.toDF(), "ts", "0 seconds")
+        .union(StreamOps.withEventTime(idle.toDF(), "ts", "0 seconds"))
+      val agged = StreamOps.tumbleAgg(union, "ts", "10 seconds",
+        Seq(col("user")), Seq(count(lit(1)).as("n")))
+      val q = agged.writeStream.format("memory").queryName("idlewm")
+        .outputMode("append").start()
+      try {
+        active.addData(Ev(t(1), 1, 1.0), Ev(t(4), 1, 1.0))
+        q.processAllAvailable()
+        active.addData(Ev(t(30), 1, 1.0)) // only the active stream moves time
+        q.processAllAvailable()
+        active.addData(Ev(t(40), 1, 1.0)) // one more batch applies the new watermark
+        q.processAllAvailable()
+        val fired = s.sql("select n from idlewm").collect().map(_.getLong(0))
+        // under the default min policy the idle stream pins the watermark at
+        // -inf and nothing ever fires; with idleness it closes [0,10) → n=2
+        assert(fired.contains(2L), s"window must fire despite the idle input; got ${fired.toSeq}")
+      } finally q.stop()
+    } finally StreamOps.setWatermarkIdlenessPolicy(s, advanceOnIdle = false)
+  }
 }
