@@ -132,26 +132,22 @@ object Cep {
     }
   }
 
-  private def runOrdered(pattern: Pattern, key: Long, rows: Iterator[KeyedRow],
-                         init: List[Run]): (List[Run], List[Match]) = {
-    var active = init
-    var prevId = Long.MinValue
-    val out = scala.collection.mutable.ListBuffer.empty[Match]
-    rows.foreach { r =>
-      val (next, ms) = advance(pattern, key, active, r, prevId)
-      active = next
-      out ++= ms
-      prevId = r.id
-    }
-    (active, out.toList)
-  }
-
   /** Batch CEP: per-key (ts, id)-ordered scan — the reference's batch
-    * equivalent of MATCH_RECOGNIZE. */
+    * equivalent of MATCH_RECOGNIZE. Rides [[SortedScan.perKeyOrdered]] (a
+    * spillable partition sort + boundary scan), so executor memory holds only
+    * the active run set per key — never the key group, never the match list:
+    * matches stream out row-by-row as the NFA completes them. */
   def matchBatch(rows: Dataset[KeyedRow], pattern: Pattern): Dataset[Match] = {
     import rows.sparkSession.implicits._
-    rows.groupByKey(_.key).flatMapGroups { (key, it) =>
-      runOrdered(pattern, key, it.toArray.sortBy(r => (r.ts, r.id)).iterator, Nil)._2.iterator
+    SortedScan.perKeyOrdered(rows) { (key, it) =>
+      var active: List[Run] = Nil
+      var prevId = Long.MinValue
+      it.flatMap { r =>
+        val (next, ms) = advance(pattern, key, active, r, prevId)
+        active = next
+        prevId = r.id
+        ms
+      }
     }
   }
 

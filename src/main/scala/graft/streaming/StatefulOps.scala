@@ -238,6 +238,91 @@ object StatefulOps {
       }
   }
 
+  // ---- bounded-memory batch variants (SortedScan) -------------------------
+  //
+  // The flatMapGroupsWithState operators above serve the STREAMING path,
+  // where each micro-batch bounds the per-invocation sort. On the batch
+  // path a whole key group arrives in one invocation, so sorting it with
+  // `toArray` would materialize the group — a skewed key OOMs an executor.
+  // These variants ride SortedScan.perKeyOrdered (spillable partition sort +
+  // boundary scan) and keep only O(1)/O(n) rolling state per key, mirroring
+  // the reference's RowTimeSortOperator buffer-per-watermark discipline.
+
+  /** Batch running sum: state per key = (BigDecimal accumulator). */
+  def runningSumBatch(rows: Dataset[KeyedRow]): Dataset[RunningEmit] = {
+    import rows.sparkSession.implicits._
+    SortedScan.perKeyOrdered(rows) { (key, it) =>
+      var acc = java.math.BigDecimal.ZERO.setScale(2)
+      it.map { r =>
+        acc = acc.add(java.math.BigDecimal.valueOf(r.value)
+          .setScale(2, java.math.RoundingMode.HALF_UP))
+        RunningEmit(key, r.id, acc.doubleValue)
+      }
+    }
+  }
+
+  /** Batch count-tumbling windows: state per key = (winId, count, max,
+    * lastId) — the open window's aggregate only, no pending row buffer. */
+  def countTumblingBatch(rows: Dataset[KeyedRow], n: Int): Dataset[CountWindowEmit] = {
+    import rows.sparkSession.implicits._
+    SortedScan.perKeyOrdered(rows) { (key, it) =>
+      var winId = 0L; var cnt = 0; var mx = Double.NegativeInfinity; var last = 0L
+      it.flatMap { r =>
+        cnt += 1; mx = math.max(mx, r.value); last = r.id
+        if (cnt == n) {
+          val e = CountWindowEmit(key, winId, n.toLong, mx, last)
+          winId += 1; cnt = 0; mx = Double.NegativeInfinity
+          Iterator.single(e)
+        } else Iterator.empty
+      }
+    }
+  }
+
+  /** Batch count-sliding windows: state per key = ring buffer of the last
+    * `n` (value, id) pairs — the reference's count-evictor buffer, O(n). */
+  def countSlidingBatch(rows: Dataset[KeyedRow], n: Int, slide: Int): Dataset[CountWindowEmit] = {
+    import rows.sparkSession.implicits._
+    SortedScan.perKeyOrdered(rows) { (key, it) =>
+      val buf = scala.collection.mutable.ArrayDeque.empty[(Double, Long)]
+      var seen = 0L
+      it.flatMap { r =>
+        seen += 1
+        buf.append((r.value, r.id))
+        if (buf.size > n) buf.removeHead()
+        if (seen >= n && (seen - n) % slide == 0)
+          Iterator.single(CountWindowEmit(key, (seen - n) / slide,
+            buf.size.toLong, buf.iterator.map(_._1).max, buf.last._2))
+        else Iterator.empty
+      }
+    }
+  }
+
+  /** Batch dynamic-gap sessions: state per key = the open session's
+    * (count, max, lastId) plus the previous row — O(1). */
+  def dynamicGapSessionsBatch(rows: Dataset[KeyedRow],
+                              gapOfMicros: KeyedRow => Long): Dataset[CountWindowEmit] = {
+    import rows.sparkSession.implicits._
+    SortedScan.perKeyOrdered(rows) { (key, it) =>
+      var sid = 0L; var cnt = 0L; var mx = Double.NegativeInfinity; var last = 0L
+      var prev: KeyedRow = null
+      // None sentinel closes the final open session at end-of-key
+      (it.map(Option(_)) ++ Iterator(None)).flatMap {
+        case Some(r) =>
+          val closed =
+            if (prev != null && r.ts - prev.ts > gapOfMicros(prev)) {
+              val e = CountWindowEmit(key, sid, cnt, mx, last)
+              sid += 1; cnt = 0; mx = Double.NegativeInfinity
+              Iterator.single(e)
+            } else Iterator.empty
+          cnt += 1; mx = math.max(mx, r.value); last = r.id; prev = r
+          closed
+        case None =>
+          if (cnt > 0) Iterator.single(CountWindowEmit(key, sid, cnt, mx, last))
+          else Iterator.empty
+      }
+    }
+  }
+
   /** Unbounded (no-watermark) stream-stream left-outer join with idle-state
     * TTL — the reference's StreamingJoinOperator
     * (operators/join/stream/StreamingJoinOperator.java:38; retraction logic
@@ -410,21 +495,21 @@ object StatefulOps {
 
   def qRunningSum(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    runningSumPerKey(eventRows(s, dir))
+    runningSumBatch(eventRows(s, dir))
       .select($"key".as("user_id"), $"id".as("event_id"), $"run_sum")
       .orderBy($"user_id", $"event_id")
   }
 
   def qCountWindows(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    countTumblingWindows(eventRows(s, dir), 10)
+    countTumblingBatch(eventRows(s, dir), 10)
       .select($"key".as("user_id"), $"win_id", $"n_events", $"max_value", $"last_id")
       .orderBy($"user_id", $"win_id")
   }
 
   def qCountSliding(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    countSlidingWindows(eventRows(s, dir), 10, 5)
+    countSlidingBatch(eventRows(s, dir), 10, 5)
       .select($"key".as("user_id"), $"win_id", $"n_events", $"max_value", $"last_id")
       .orderBy($"user_id", $"win_id")
   }
@@ -432,7 +517,7 @@ object StatefulOps {
   /** gap = 30 min for events with value < 100, else 2 h — data-dependent. */
   def qDynamicSession(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    dynamicGapSessions(eventRows(s, dir),
+    dynamicGapSessionsBatch(eventRows(s, dir),
       r => if (r.value < 100) 1800L * 1000000L else 7200L * 1000000L)
       .select($"key".as("user_id"), $"win_id".as("session_id"),
         $"n_events", $"max_value", $"last_id")

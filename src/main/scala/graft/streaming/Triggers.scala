@@ -142,6 +142,62 @@ object Triggers {
       }
   }
 
+  /** Bounded-memory batch variant on [[SortedScan.perKeyOrdered]]: state per
+    * key = the open pane's row buffer only (inherent to evictors — the
+    * reference's EvictingWindowOperator keeps the same list state), never
+    * the whole key group. Same trigger/evictor semantics as the streaming
+    * operator above, terminal fire at end-of-key. */
+  def triggeredTumbleWindowsBatch(rows: Dataset[KeyedRow], widthMicros: Long,
+                                  trigger: WinTrigger, evictor: WinEvictor): Dataset[TriggerEmit] = {
+    import rows.sparkSession.implicits._
+    val terminalFires = trigger match {
+      case EventTimeTriggerOnly | ContinuousEventTimeTrigger(_) => true
+      case _ => false
+    }
+    SortedScan.perKeyOrdered(rows) { (key, it) =>
+      var st: PaneState = null
+      def fire(): Option[TriggerEmit] = {
+        val b = evict(st.buf, evictor)
+        val e = if (b.nonEmpty) Some(emit(key, st, b)) else None
+        st = st.copy(buf = b, sinceFire = 0, fires = st.fires + 1)
+        e
+      }
+      // None sentinel closes the last open window at end-of-key
+      (it.map(Option(_)) ++ Iterator(None)).flatMap {
+        case Some(r) =>
+          val out = scala.collection.mutable.ListBuffer.empty[TriggerEmit]
+          val ws = (r.ts / widthMicros) * widthMicros
+          if (st == null || ws != st.winStart) {
+            if (st != null && st.buf.nonEmpty && terminalFires) fire().foreach(out += _)
+            val firstCont = trigger match {
+              case ContinuousEventTimeTrigger(iv) => (r.ts / iv) * iv + iv
+              case _ => Long.MaxValue
+            }
+            st = PaneState(ws, Nil, 0, 0L, Some(r), firstCont)
+          }
+          st = st.copy(buf = st.buf :+ r, sinceFire = st.sinceFire + 1)
+          val fires = trigger match {
+            case CountTrigger(n) => st.sinceFire >= n
+            case DeltaTrigger(th, d) => st.lastFired.exists(lf => d(lf, r) > th)
+            case ContinuousEventTimeTrigger(_) => r.ts >= st.nextContinuous
+            case EventTimeTriggerOnly => false
+          }
+          if (fires) {
+            val nextCont = trigger match {
+              case ContinuousEventTimeTrigger(iv) => (r.ts / iv) * iv + iv
+              case _ => st.nextContinuous
+            }
+            st = st.copy(lastFired = Some(r), nextContinuous = nextCont)
+            fire().foreach(out += _)
+          }
+          out.iterator
+        case None =>
+          if (st != null && st.buf.nonEmpty && terminalFires) fire().iterator
+          else Iterator.empty
+      }
+    }
+  }
+
   // ---- oracle surface: CountTrigger(5) + CountEvictor(3) on 1h windows ----
 
   /** Every 5th row of each (user, hour) pane emits max/sum of the last 3
@@ -154,7 +210,7 @@ object Triggers {
         expr("unix_micros(cast(ts as timestamp))").as("ts"),
         col("event_id").as("id"), col("event_type").as("kind"), col("value"))
       .as[KeyedRow]
-    triggeredTumbleWindows(rows, 3600L * 1000000L, CountTrigger(5), CountEvictor(3))
+    triggeredTumbleWindowsBatch(rows, 3600L * 1000000L, CountTrigger(5), CountEvictor(3))
       .select($"key".as("user_id"), $"win_start", $"fire_seq", $"n_buf",
         $"max_value", $"last_id")
       .orderBy($"user_id", $"win_start", $"fire_seq")
