@@ -127,7 +127,45 @@ object FlinkSqlQueries {
            PATTERN (S V? P)
            DEFINE S AS event_type = 'signup', V AS event_type = 'view',
                   P AS event_type = 'purchase'
-         ) ORDER BY user_id, start_ts"""))
+         ) ORDER BY user_id, start_ts""")),
+    // {n,m} bounded range: 2-4 consecutive errors (greedy) closed by any
+    // non-error row
+    "mr_bounded_times" -> ((s, dir) => run(s, dir,
+      """SELECT user_id, start_ts, end_ts, n_rows, n_err FROM events
+         MATCH_RECOGNIZE (
+           PARTITION BY user_id
+           ORDER BY ts
+           MEASURES COUNT(E.*) AS n_err
+           ONE ROW PER MATCH
+           AFTER MATCH SKIP PAST LAST ROW
+           PATTERN (E{2,4} N)
+           DEFINE E AS event_type = 'error', N AS event_type <> 'error'
+         ) ORDER BY user_id, start_ts""")),
+    // reluctant +?: fewest clicks before the first error that closes the run
+    "mr_reluctant_plus" -> ((s, dir) => run(s, dir,
+      """SELECT user_id, start_ts, end_ts, n_clicks FROM events
+         MATCH_RECOGNIZE (
+           PARTITION BY user_id
+           ORDER BY ts
+           MEASURES COUNT(C.*) AS n_clicks
+           ONE ROW PER MATCH
+           AFTER MATCH SKIP PAST LAST ROW
+           PATTERN (C+? E)
+           DEFINE C AS event_type = 'click', E AS event_type = 'error'
+         ) ORDER BY user_id, start_ts""")),
+    // the canonical V-shape with AFTER MATCH SKIP TO FIRST DOWN: overlapping
+    // matches cascade — each resumes at the previous match's first DOWN row;
+    // STRT has no DEFINE (matches any row, the standard default)
+    "mr_v_shape" -> ((s, dir) => run(s, dir,
+      """SELECT user_id, start_ts, end_ts, n_rows FROM events
+         MATCH_RECOGNIZE (
+           PARTITION BY user_id
+           ORDER BY ts
+           ONE ROW PER MATCH
+           AFTER MATCH SKIP TO FIRST DOWN
+           PATTERN (STRT DOWN+ UP)
+           DEFINE DOWN AS value < PREV(value), UP AS value > PREV(value)
+         ) ORDER BY user_id, start_ts, end_ts"""))
   )
 
   /** Same semantics as the TimeOps DataFrame queries → same oracles.
@@ -224,6 +262,74 @@ object FlinkSqlQueries {
          FROM o WHERE event_type = 'purchase'
            AND (t1 = 'signup' OR (t1 = 'view' AND t2 = 'signup'))
          ORDER BY user_id, start_ts""",
+    // E{2,4} N: each maximal error island of length >= 2 whose next row
+    // exists (and is non-error by maximality) yields one match absorbing the
+    // LAST least(len,4) errors — the leftmost surviving anchor is the one
+    // whose absorption fits the {2,4} bound
+    "mr_bounded_times" ->
+      """WITH o AS (
+           SELECT user_id, ts, event_type, event_id,
+                  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+           FROM events),
+         isl AS (
+           SELECT *, rn - row_number() OVER (PARTITION BY user_id ORDER BY rn) AS grp
+           FROM o WHERE event_type = 'error'),
+         agg AS (
+           SELECT user_id, grp, count(*) AS len, max(rn) AS rn_last
+           FROM isl GROUP BY user_id, grp),
+         m AS (
+           SELECT a.user_id, a.len, a.rn_last, n.ts AS n_ts
+           FROM agg a JOIN o n ON n.user_id = a.user_id AND n.rn = a.rn_last + 1
+           WHERE a.len >= 2)
+         SELECT m.user_id, epoch_us(s.ts) AS start_ts, epoch_us(m.n_ts) AS end_ts,
+                CAST(LEAST(m.len, 4) + 1 AS BIGINT) AS n_rows,
+                CAST(LEAST(m.len, 4) AS BIGINT) AS n_err
+         FROM m JOIN o s
+           ON s.user_id = m.user_id AND s.rn = m.rn_last - LEAST(m.len, 4) + 1
+         ORDER BY m.user_id, start_ts""",
+    // C+? E: a maximal click island whose next row is an error — the
+    // leftmost anchor still wins (leftmost-first outranks reluctance), so
+    // the match covers the whole island plus the error
+    "mr_reluctant_plus" ->
+      """WITH o AS (
+           SELECT user_id, ts, event_type, event_id,
+                  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+           FROM events),
+         isl AS (
+           SELECT *, rn - row_number() OVER (PARTITION BY user_id ORDER BY rn) AS grp
+           FROM o WHERE event_type = 'click'),
+         agg AS (
+           SELECT user_id, grp, count(*) AS len, min(ts) AS t0, max(rn) AS rn1
+           FROM isl GROUP BY user_id, grp)
+         SELECT a.user_id, epoch_us(a.t0) AS start_ts, epoch_us(e.ts) AS end_ts,
+                CAST(a.len AS BIGINT) AS n_clicks
+         FROM agg a JOIN o e
+           ON e.user_id = a.user_id AND e.rn = a.rn1 + 1 AND e.event_type = 'error'
+         ORDER BY a.user_id, start_ts""",
+    // V-shape with SKIP TO FIRST DOWN: each maximal descending run [s..e]
+    // whose next row ascends yields one match per anchor in [s-1, e-1] (the
+    // cascade: every emitted match resumes at its own first DOWN row)
+    "mr_v_shape" ->
+      """WITH o AS (
+           SELECT user_id, ts, value, event_id,
+                  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+                  lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pv
+           FROM events),
+         d AS (
+           SELECT *, CASE WHEN value < pv THEN 1 ELSE 0 END AS is_down,
+                  CASE WHEN value > pv THEN 1 ELSE 0 END AS is_up
+           FROM o),
+         isl AS (
+           SELECT user_id, rn, rn - row_number() OVER (PARTITION BY user_id ORDER BY rn) AS grp
+           FROM d WHERE is_down = 1),
+         runs AS (SELECT user_id, grp, min(rn) AS s, max(rn) AS e FROM isl GROUP BY user_id, grp),
+         v AS (
+           SELECT r.user_id, r.s, r.e, u.ts AS up_ts
+           FROM runs r JOIN d u ON u.user_id = r.user_id AND u.rn = r.e + 1 AND u.is_up = 1)
+         SELECT v.user_id, epoch_us(a.ts) AS start_ts, epoch_us(v.up_ts) AS end_ts,
+                CAST(v.e - a.rn + 2 AS BIGINT) AS n_rows
+         FROM v JOIN o a ON a.user_id = v.user_id AND a.rn BETWEEN v.s - 1 AND v.e - 1
+         ORDER BY v.user_id, start_ts, end_ts""",
     "mr_error_pairs" ->
       """WITH o AS (
            SELECT user_id, event_id, ts, event_type,

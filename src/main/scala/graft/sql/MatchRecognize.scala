@@ -31,11 +31,14 @@ import graft.streaming.{Cep, KeyedRow}
   * PREV/NEXT in DEFINE compile onto lag/lead over the partition order —
   * physical-row navigation, which is what they mean under strict contiguity.
   *
-  * Like the reference, a greedy/optional quantifier (+ * ?) on the LAST
-  * pattern variable is rejected (the NFA would have to hold a completed
-  * match open forever waiting for one more row); {n} is fine anywhere.
-  * Still not supported: running measures over ALL ROWS PER MATCH, {n,m}
-  * ranges, reluctant quantifiers, AFTER MATCH SKIP TO FIRST/LAST <var>.
+  * Quantifiers: + * ? {n} {n,m} and their reluctant forms (+? *? {n,m}?);
+  * AFTER MATCH SKIP TO FIRST/LAST <var> resumes at the matched row of that
+  * variable (overlapping matches cascade, as in the reference). A variable
+  * with no DEFINE matches every row (the standard default). Like the
+  * reference, an unbounded/optional/ranged quantifier on the LAST pattern
+  * variable is rejected (the NFA would have to hold a completed match open
+  * forever waiting for one more row); {n} is fine anywhere.
+  * Still not supported: running measures over ALL ROWS PER MATCH.
   *
   * Implementation: each DEFINE predicate is compiled by Spark itself into a
   * boolean column (so the full scalar expression surface works), the row is
@@ -49,12 +52,11 @@ import graft.streaming.{Cep, KeyedRow}
   */
 object MatchRecognize {
 
-  sealed trait Quant
-  case object One extends Quant
-  case object Plus extends Quant      // +  : one or more (greedy)
-  case object Star extends Quant      // *  : zero or more (greedy)
-  case object Opt extends Quant       // ?  : zero or one
-  case class Times(n: Int) extends Quant // {n} : exactly n
+  /** Quantifier: min..max occurrences (max None = unbounded); `reluctant` =
+    * non-greedy (`+?` `*?` `{n,m}?`) — same-row completion ties resolve to
+    * the fewest absorbed rows. One = (1,1); + = (1,∞); * = (0,∞); ? = (0,1);
+    * {n} = (n,n); {n,m} = (n,m). */
+  case class Quant(min: Int, max: Option[Int], reluctant: Boolean = false)
 
   /** One MEASURES item. fn: LAST (also the bare `V.c` default), FIRST,
     * COUNT, SUM, AVG, MIN, MAX. variable None = COUNT(*). */
@@ -70,13 +72,14 @@ object MatchRecognize {
     """(?is)SELECT\s+(.*?)\s+FROM\s+(\w+)\s+MATCH_RECOGNIZE\s*\((.*)\)\s*(ORDER\s+BY.*)?""".r
   private val partRe = """(?is)PARTITION\s+BY\s+(\w+)""".r
   private val ordRe = """(?is)ORDER\s+BY\s+(\w+)""".r
-  private val skipRe = """(?is)AFTER\s+MATCH\s+SKIP\s+(PAST\s+LAST\s+ROW|TO\s+NEXT\s+ROW)""".r
+  private val skipRe =
+    """(?is)AFTER\s+MATCH\s+SKIP\s+(PAST\s+LAST\s+ROW|TO\s+NEXT\s+ROW|TO\s+(FIRST|LAST)\s+(\w+))""".r
   private val patRe = """(?is)PATTERN\s*\(\s*([\w\s+*?{},]+?)\s*\)""".r
   private val withinRe = """(?is)WITHIN\s+INTERVAL\s+'(\d+)'\s+(\w+)""".r
   private val defineRe = """(?is)DEFINE\s+(.*)$""".r
   private val measuresRe =
     """(?is)MEASURES\s+(.*?)\s+(?=ONE\s+ROW|ALL\s+ROWS|AFTER\s+MATCH|PATTERN\s*\()""".r
-  private val tokRe = """(\w+)(\+|\*|\?|\{(\d+)\})?""".r
+  private val tokRe = """(\w+)(\+\??|\*\??|\?\??|\{(\d+)(?:,(\d+))?\}\??)?""".r
   private val aggMeasureRe = """(?is)^(FIRST|LAST|COUNT|SUM|AVG|MIN|MAX)\s*\((.*)\)\s+AS\s+(\w+)$""".r
   private val bareMeasureRe = """(?is)^(\w+)\.(\w+)\s+AS\s+(\w+)$""".r
 
@@ -97,17 +100,25 @@ object MatchRecognize {
 
   private def parsePattern(raw: String): Seq[(String, Quant)] = {
     val toks = raw.trim.split("""\s+""").toSeq.map {
-      case tokRe(name, null, _) => name -> (One: Quant)
-      case tokRe(name, "+", _) => name -> (Plus: Quant)
-      case tokRe(name, "*", _) => name -> (Star: Quant)
-      case tokRe(name, "?", _) => name -> (Opt: Quant)
-      case tokRe(name, _, n) if n != null => name -> (Times(n.toInt): Quant)
+      case tokRe(name, null, _, _) => name -> Quant(1, Some(1))
+      case tokRe(name, q, n, m) =>
+        val rel = q.endsWith("?") && q != "?" // a bare ? is optional, not reluctant
+        q.charAt(0) match {
+          case '+' => name -> Quant(1, None, rel)
+          case '*' => name -> Quant(0, None, rel)
+          case '?' => name -> Quant(0, Some(1), q == "??")
+          case '{' =>
+            val lo = n.toInt
+            val hi = if (m != null) m.toInt else lo
+            if (hi < lo) throw new IllegalArgumentException(s"bad range {$lo,$hi}")
+            name -> Quant(lo, Some(hi), rel)
+        }
       case other => throw new IllegalArgumentException(
-        s"unsupported pattern element (quantifiers beyond + * ? {n}): $other")
+        s"unsupported pattern element (quantifiers beyond + * ? {n} {n,m} and reluctant ?): $other")
     }
     toks.last._2 match {
-      case Plus | Star | Opt => throw new IllegalArgumentException(
-        "greedy/optional quantifier on the last pattern variable is unsupported " +
+      case Quant(lo, hi, _) if hi.isEmpty || hi.get > lo => throw new IllegalArgumentException(
+        "greedy/optional/ranged quantifier on the last pattern variable is unsupported " +
           "(the match could never be finalized); end the pattern with a plain or {n} variable")
       case _ =>
     }
@@ -156,8 +167,10 @@ object MatchRecognize {
         .getOrElse(throw new IllegalArgumentException("PARTITION BY required"))
       val ord = ordRe.findFirstMatchIn(body).map(_.group(1))
         .getOrElse(throw new IllegalArgumentException("ORDER BY required"))
-      val skip = skipRe.findFirstMatchIn(body).map(_.group(1).toUpperCase) match {
-        case Some(s) if s.startsWith("TO") => Cep.SkipToNextRow
+      val skip = skipRe.findFirstMatchIn(body) match {
+        case Some(m) if m.group(2) != null =>
+          Cep.SkipToVar(m.group(3), m.group(2).equalsIgnoreCase("FIRST"))
+        case Some(m) if m.group(1).toUpperCase.startsWith("TO") => Cep.SkipToNextRow
         case _ => Cep.SkipPastLastRow
       }
       val pattern = patRe.findFirstMatchIn(body)
@@ -223,8 +236,9 @@ object MatchRecognize {
     // one bit per distinct pattern variable
     val vars = spec.pattern.map(_._1).distinct
     val varBit = vars.zipWithIndex.toMap
-    val flags = vars.map(v => expr(spec.defines.getOrElse(v,
-      throw new IllegalArgumentException(s"no DEFINE for pattern variable $v"))))
+    // a pattern variable without a DEFINE matches every row (the standard's
+    // default — e.g. the STRT anchor of the canonical V-shape query)
+    val flags = vars.map(v => expr(spec.defines.getOrElse(v, "true")))
     val mask = concat(flags.map(f => when(f, lit("1")).otherwise(lit("0"))): _*)
     val seqW = Window.partitionBy(col(spec.partitionBy)).orderBy(col(spec.orderBy))
     import spark.implicits._
@@ -240,13 +254,13 @@ object MatchRecognize {
     // (fresh starts are unaffected by the flag, but a quantifier's
     // absorb-branch must die — not wait — when contiguity breaks)
     val steps = spec.pattern.flatMap { case (v, q) =>
-      def base = Cep.Step(v, r => r.kind.charAt(varBit(v)) == '1', strict = true)
-      q match {
-        case One => Seq(base)
-        case Plus => Seq(base.copy(oneOrMore = true))
-        case Star => Seq(base.copy(oneOrMore = true, optional = true))
-        case Opt => Seq(base.copy(optional = true))
-        case Times(n) => Seq.fill(n)(base)
+      def base = Cep.Step(v, r => r.kind.charAt(varBit(v)) == '1', strict = true,
+        reluctant = q.reluctant)
+      (q.min, q.max) match {
+        case (0, None) => Seq(base.copy(oneOrMore = true, optional = true)) // *
+        case (n, None) => Seq.fill(n - 1)(base) :+ base.copy(oneOrMore = true) // + / {n,}
+        case (n, Some(m)) => Seq.fill(n)(base) ++
+          Seq.fill(m - n)(base.copy(optional = true)) // {n} / {n,m} / ?
       }
     }
     val matchesDs = Cep.matchBatch(rows,

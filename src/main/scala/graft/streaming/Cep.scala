@@ -28,9 +28,27 @@ object Cep {
     * `oneOrMore` = the step may absorb multiple rows (Pattern.oneOrMore,
     * greedy — the longest absorption wins when matches compete);
     * `optional` = the step may be skipped entirely (Pattern.optional — `?`;
-    * combined with oneOrMore it is `*`). */
+    * combined with oneOrMore it is `*`);
+    * `reluctant` = non-greedy quantifier (`+?` / `*?`): when several
+    * absorption lengths complete on the same row, the SHORTEST wins (and
+    * because this NFA emits at first completion, shorter parses already
+    * finish earlier across rows);
+    * `guardNot` = absence constraint (Pattern.notFollowedBy, Pattern.java:
+    * 379): while a run waits at this step, a row matching the guard kills it
+    * — `guardOnNext` restricts the guard to the row immediately following
+    * the previous step's row (Pattern.notNext, Pattern.java:354);
+    * `anyMatch` = Pattern.followedByAny (Pattern.java:443): on a match the
+    * un-advanced run ALSO survives, so later rows matching this step open
+    * alternative branches;
+    * `untilPred` = Pattern.until (Pattern.java:259): closes a oneOrMore
+    * loop — once a row satisfies it, absorb branches at this step die. */
   case class Step(name: String, pred: KeyedRow => Boolean, strict: Boolean = false,
-                  oneOrMore: Boolean = false, optional: Boolean = false)
+                  oneOrMore: Boolean = false, optional: Boolean = false,
+                  reluctant: Boolean = false,
+                  guardNot: Option[KeyedRow => Boolean] = None,
+                  guardOnNext: Boolean = false,
+                  anyMatch: Boolean = false,
+                  untilPred: Option[KeyedRow => Boolean] = None)
 
   /** Pattern.times(n) (Pattern.java:times): n consecutive occurrences —
     * pure expansion into n copies of the step. */
@@ -41,11 +59,29 @@ object Cep {
   case object SkipPastLastRow extends AfterMatch
   /** keep scanning from the next row — overlapping matches allowed */
   case object SkipToNextRow extends AfterMatch
+  /** resume AT the first/last row the match mapped to `variable`
+    * (AFTER MATCH SKIP TO FIRST/LAST <var> — AfterMatchSkipStrategy.java).
+    * Runs anchored at or after that row survive the emit; completions on the
+    * same row cascade (each emitted match applies its own skip), matching
+    * the reference's re-scan-from-the-skip-point behavior without
+    * re-consuming input. A match can never resume at its own start row
+    * (the reference throws on that infinite loop; here it is excluded). */
+  case class SkipToVar(variable: String, first: Boolean) extends AfterMatch
 
+  /** `tailNot` = a trailing Pattern.notFollowedBy (absence at the end of the
+    * pattern, Pattern.java:379): a run that completes all concrete steps is
+    * HELD; a row matching `tailNot` within `withinMs` of the run's start
+    * kills it, and the hold is emitted as a match once the window passes
+    * without one (or the bounded input ends — no later row can arrive).
+    * Matches from held runs are independent (SkipToNextRow semantics); the
+    * reference likewise requires a time bound for trailing absence. */
   case class Pattern(steps: Seq[Step], withinMs: Long = Long.MaxValue,
-                     afterMatch: AfterMatch = SkipPastLastRow) {
+                     afterMatch: AfterMatch = SkipPastLastRow,
+                     tailNot: Option[KeyedRow => Boolean] = None) {
     /** any optional step → ε-closure can duplicate configurations */
     lazy val hasOptional: Boolean = steps.exists(_.optional)
+    /** reluctant quantifier anywhere → same-row completions rank shortest-first */
+    lazy val preferFewest: Boolean = steps.exists(_.reluctant)
     /** positions a fresh run may anchor at: 0 plus whatever is reachable by
       * skipping leading optional steps (computed once, not per row) */
     lazy val startPositions: List[Int] = {
@@ -60,9 +96,13 @@ object Cep {
                    labels: Seq[String])
 
   /** A partial run: index of the next step to satisfy, matched row ids and
-    * the step name each id matched under (both newest-first). */
+    * the step name each id matched under (both newest-first). `firstId` is
+    * the anchor row's id (= ids.last, kept O(1) for skip-strategy pruning);
+    * `lastTs` the timestamp of the newest matched row (the end_ts of a match
+    * emitted from a held run). */
   private[streaming] case class Run(nextStep: Int, startTs: Long, ids: List[Long],
-                                    lastRowId: Long, labels: List[String])
+                                    lastRowId: Long, labels: List[String],
+                                    firstId: Long, lastTs: Long)
 
   /** ε-closure over optional steps: a run standing before an optional step
     * may equally stand after it — expand into one sibling per skippable
@@ -79,26 +119,61 @@ object Cep {
       out.toList
     }
 
-  /** Advance the NFA by one row; returns (new active runs, completed matches).
+  private def toMatch(key: Long, d: Run): Match =
+    Match(key, d.startTs, d.lastTs, d.ids.reverse, d.labels.reverse)
+
+  /** Row id the scan resumes at under SKIP TO FIRST/LAST <var>: the id of
+    * the first/last matched row labeled `variable` (ids/labels newest-first).
+    * A match with no row under that variable skips past its last row — the
+    * reference treats it as PAST LAST ROW in that case. */
+  private def skipTargetId(d: Run, variable: String, first: Boolean): Long = {
+    var found = -1L
+    var ids = d.ids; var labels = d.labels
+    while (ids.nonEmpty) {
+      if (labels.head == variable) {
+        found = ids.head           // newest-first: keep overwriting → FIRST
+        if (!first) return found   // newest-first head = LAST
+      }
+      ids = ids.tail; labels = labels.tail
+    }
+    if (found >= 0) found else d.lastRowId + 1
+  }
+
+  /** Advance the NFA by one row; returns (new active runs, completed matches,
+    * newly held runs — only for tailNot patterns).
     * Mirrors NFA.computeNextStates (cep/nfa/NFA.java:539): each active run
     * either advances, survives (relaxed contiguity), or dies (strict miss /
-    * within-timeout); every row may also start a fresh run. */
+    * within-timeout / absence-guard hit); every row may also start a fresh
+    * run. */
   private def advance(pattern: Pattern, key: Long, active: List[Run], r: KeyedRow,
-                      prevRowId: Long): (List[Run], List[Match]) = {
+                      prevRowId: Long): (List[Run], List[Match], List[Run]) = {
     val alive = active.filter(run => r.ts - run.startTs <= pattern.withinMs)
     val stepped = alive.flatMap { run =>
       val step = pattern.steps(run.nextStep)
-      if (step.pred(r) && (!step.strict || run.lastRowId == prevRowId)) {
+      // absence guard (notFollowedBy / notNext): the constraint outranks the
+      // step predicate — a row that violates the absence kills the run even
+      // if it could also have advanced it
+      val guarded = step.guardNot.exists(g =>
+        (!step.guardOnNext || run.lastRowId == prevRowId) && g(r))
+      if (guarded) Nil
+      else if (step.pred(r) && (!step.strict || run.lastRowId == prevRowId)) {
         val advanced = Run(run.nextStep + 1, run.startTs, r.id :: run.ids, r.id,
-          step.name :: run.labels)
+          step.name :: run.labels, run.firstId, r.ts)
         // a oneOrMore step also branches into "absorb and stay" — the
-        // parallel run-set is how the NFA explores every absorption length
-        if (step.oneOrMore)
-          closure(pattern, advanced) :+
-            Run(run.nextStep, run.startTs, r.id :: run.ids, r.id, step.name :: run.labels)
-        else closure(pattern, advanced)
+        // parallel run-set is how the NFA explores every absorption length;
+        // `until` closes the loop: no absorb branch once its condition holds
+        val stay =
+          if (step.oneOrMore && !step.untilPred.exists(_(r)))
+            Run(run.nextStep, run.startTs, r.id :: run.ids, r.id,
+              step.name :: run.labels, run.firstId, r.ts) :: Nil
+          else Nil
+        // followedByAny: the un-advanced run survives too, so a later row
+        // matching this step opens an alternative branch
+        val keep = if (step.anyMatch && !step.strict) run :: Nil else Nil
+        closure(pattern, advanced) ++ stay ++ keep
       }
       else if (step.strict) Nil // strict miss kills the run
+      else if (step.oneOrMore && step.untilPred.exists(_(r))) Nil // loop closed
       else List(run) // relaxed: keep waiting
     }
     // fresh runs may anchor at step 0 or at any position reachable from it
@@ -106,9 +181,12 @@ object Cep {
     val started = pattern.startPositions.flatMap { j =>
       val st = pattern.steps(j)
       if (st.pred(r)) {
-        val adv = Run(j + 1, r.ts, List(r.id), r.id, List(st.name))
+        val adv = Run(j + 1, r.ts, List(r.id), r.id, List(st.name), r.id, r.ts)
         // a oneOrMore start step keeps an absorb-branch anchored at itself
-        val stay = if (st.oneOrMore) List(Run(j, r.ts, List(r.id), r.id, List(st.name))) else Nil
+        val stay =
+          if (st.oneOrMore && !st.untilPred.exists(_(r)))
+            List(Run(j, r.ts, List(r.id), r.id, List(st.name), r.id, r.ts))
+          else Nil
         closure(pattern, adv) ++ stay
       } else Nil
     }
@@ -119,16 +197,35 @@ object Cep {
     val done = if (pattern.hasOptional) done0.distinctBy(_.ids) else done0
     val pending =
       if (pattern.hasOptional) pending0.distinctBy(p0 => (p0.nextStep, p0.ids)) else pending0
+    // a trailing absence holds completions open instead of emitting — the
+    // caller owns the hold list (kill on tailNot hit, emit on window expiry)
+    if (pattern.tailNot.isDefined) return (pending, Nil, done)
     // several runs may complete on the same row; MATCH_RECOGNIZE emits the
-    // earliest-started (then greediest = most rows absorbed) one and
-    // (skip-past-last-row) discards the overlap
-    val ranked = done.sortBy(d => (d.startTs, d.ids.last, -d.ids.size)) // ids reversed: last = first matched
+    // earliest-started (then greediest = most rows absorbed; reluctant
+    // quantifiers flip that to fewest) one first
+    val sizeKey: Run => Int =
+      if (pattern.preferFewest) d => d.ids.size else d => -d.ids.size
+    val ranked = done.sortBy(d => (d.startTs, d.firstId, sizeKey(d)))
     pattern.afterMatch match {
       case SkipPastLastRow if ranked.nonEmpty =>
-        (Nil, List(Match(key, ranked.head.startTs, r.ts, ranked.head.ids.reverse,
-          ranked.head.labels.reverse)))
+        (Nil, List(toMatch(key, ranked.head)), Nil)
+      case SkipToVar(v, first) if ranked.nonEmpty =>
+        // cascade: each emitted match applies its own skip; completions and
+        // pending runs anchored before the skip point (or at the emitted
+        // match's own anchor — the reference's infinite-loop guard) drop
+        val out = scala.collection.mutable.ListBuffer.empty[Match]
+        var rest = ranked
+        var pendingOut = pending
+        while (rest.nonEmpty) {
+          val m = rest.head
+          out += toMatch(key, m)
+          val skipId = skipTargetId(m, v, first)
+          rest = rest.tail.filter(d => d.firstId >= skipId && d.firstId > m.firstId)
+          pendingOut = pendingOut.filter(p => p.firstId >= skipId && p.firstId > m.firstId)
+        }
+        (pendingOut, out.toList, Nil)
       case _ =>
-        (pending, ranked.map(d => Match(key, d.startTs, r.ts, d.ids.reverse, d.labels.reverse)))
+        (pending, ranked.map(d => toMatch(key, d)), Nil)
     }
   }
 
@@ -141,17 +238,33 @@ object Cep {
     import rows.sparkSession.implicits._
     SortedScan.perKeyOrdered(rows) { (key, it) =>
       var active: List[Run] = Nil
+      var holds: List[Run] = Nil // completed, awaiting trailing-absence expiry
       var prevId = Long.MinValue
-      it.flatMap { r =>
-        val (next, ms) = advance(pattern, key, active, r, prevId)
+      val main = it.flatMap { r =>
+        val fromHolds: List[Match] =
+          if (holds.isEmpty) Nil
+          else {
+            // expiry first: a hold whose window closed strictly before this
+            // row is already a confirmed match, whatever this row is
+            val (expired, live) = holds.partition(h => r.ts - h.startTs > pattern.withinMs)
+            holds = if (pattern.tailNot.exists(_(r))) Nil else live
+            expired.map(h => toMatch(key, h))
+          }
+        val (next, ms, newHolds) = advance(pattern, key, active, r, prevId)
         active = next
+        holds ++= newHolds
         prevId = r.id
-        ms
+        fromHolds ++ ms
       }
+      // end of bounded input: no later row can violate the absence — all
+      // remaining holds are matches (`++` is by-name, so `holds` is read
+      // only after the scan above drained)
+      main ++ holds.map(h => toMatch(key, h))
     }
   }
 
-  private[streaming] case class CepState(active: List[Run], pending: List[KeyedRow], prevId: Long)
+  private[streaming] case class CepState(active: List[Run], pending: List[KeyedRow],
+                                         prevId: Long, holds: List[Run])
 
   /** KeyedRow + the materialized event-time column the watermark rides on —
     * Spark's event-time-timeout check requires the watermarked attribute to
@@ -174,24 +287,42 @@ object Cep {
       .flatMapGroupsWithState[CepState, Match](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         case (key, it, state) =>
-          val st = state.getOption.getOrElse(CepState(Nil, Nil, Long.MinValue))
+          val st = state.getOption.getOrElse(CepState(Nil, Nil, Long.MinValue, Nil))
           val wmMicros = state.getCurrentWatermarkMs() * 1000L
           val incoming = it.map(w => KeyedRow(w.key, w.ts, w.id, w.kind, w.value))
           val all = (st.pending ++ incoming).sortBy(r => (r.ts, r.id))
           val (ready, pending) = all.partition(_.ts <= wmMicros)
           var prev = st.prevId
           var active = st.active
+          var holds = st.holds
           val out = scala.collection.mutable.ListBuffer.empty[Match]
           ready.foreach { r =>
-            val (next, ms) = advance(pattern, key, active, r, prev)
-            active = next; out ++= ms; prev = r.id
+            if (holds.nonEmpty) {
+              val (expired, live) = holds.partition(h => r.ts - h.startTs > pattern.withinMs)
+              out ++= expired.map(h => toMatch(key, h))
+              holds = if (pattern.tailNot.exists(_(r))) Nil else live
+            }
+            val (next, ms, newHolds) = advance(pattern, key, active, r, prev)
+            active = next; out ++= ms; holds ++= newHolds; prev = r.id
           }
-          state.update(CepState(active, pending, prev))
+          // the watermark itself confirms absence: holds whose window closed
+          // below it can no longer be killed by any in-order row
+          if (holds.nonEmpty) {
+            val (expired, live) = holds.partition(h => wmMicros - h.startTs > pattern.withinMs)
+            out ++= expired.map(h => toMatch(key, h))
+            holds = live
+          }
+          state.update(CepState(active, pending, prev, holds))
           // flush guarantee: wake this key once the watermark passes its
-          // oldest pending row, even if no new data arrives for it
-          if (pending.nonEmpty)
+          // oldest pending row (or a hold's absence window), even if no new
+          // data arrives for it
+          val wakeAtMicros =
+            (pending.headOption.map(_.ts) ++
+             holds.headOption.map(_.startTs + pattern.withinMs)).minOption
+          wakeAtMicros.foreach { t =>
             state.setTimeoutTimestamp(
-              math.max(pending.head.ts / 1000L + 1L, state.getCurrentWatermarkMs() + 1L))
+              math.max(t / 1000L + 1L, state.getCurrentWatermarkMs() + 1L))
+          }
           out.iterator
       }
   }
@@ -210,6 +341,24 @@ object Cep {
     Seq(Step("signup", _.kind == "signup"),
         Step("purchase", _.kind == "purchase")),
     withinMs = 3600L * 1000000L, // µs — KeyedRow.ts is epoch micros
+    afterMatch = SkipPastLastRow)
+
+  /** signup NOT followed by a purchase within 1 hour — a trailing absence
+    * (Pattern.notFollowedBy at the end of the pattern, which the reference
+    * only allows with a time bound: Pattern.java:379 + NFACompiler). Each
+    * surviving signup is an independent match. */
+  def abandonedSignup: Pattern = Pattern(
+    Seq(Step("signup", _.kind == "signup")),
+    withinMs = 3600L * 1000000L,
+    tailNot = Some(_.kind == "purchase"))
+
+  /** signup then purchase within 1 hour with NO error in between — an
+    * interior absence (signup.notFollowedBy(error).followedBy(purchase)):
+    * the error guard kills a run while it waits for the purchase. */
+  def cleanFunnel: Pattern = Pattern(
+    Seq(Step("signup", _.kind == "signup"),
+        Step("purchase", _.kind == "purchase", guardNot = Some(_.kind == "error"))),
+    withinMs = 3600L * 1000000L,
     afterMatch = SkipPastLastRow)
 
   private def eventRows(s: SparkSession, dir: String): Dataset[KeyedRow] = {
@@ -235,10 +384,26 @@ object Cep {
       .orderBy($"user_id", $"start_ts")
   }
 
+  def qAbandonedSignup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    matchBatch(eventRows(s, dir), abandonedSignup)
+      .select($"key".as("user_id"), $"start_ts")
+      .orderBy($"user_id", $"start_ts")
+  }
+
+  def qCleanFunnel(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    matchBatch(eventRows(s, dir), cleanFunnel)
+      .select($"key".as("user_id"), $"start_ts", $"end_ts")
+      .orderBy($"user_id", $"start_ts")
+  }
+
   type QFn = (SparkSession, String) => DataFrame
   def queries: Map[String, QFn] = Map(
     "cep_error_burst" -> (qErrorBurst _),
-    "cep_signup_funnel" -> (qSignupFunnel _)
+    "cep_signup_funnel" -> (qSignupFunnel _),
+    "cep_abandoned_signup" -> (qAbandonedSignup _),
+    "cep_clean_funnel" -> (qCleanFunnel _)
   )
 
   /** error-burst is a sliding 3-row check via lag; signup-funnel's
@@ -257,6 +422,48 @@ object Cep {
            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
          WHERE event_type = 'error' AND p1 = 'error' AND p2 = 'error'
          GROUP BY user_id ORDER BY user_id""",
+    // trailing absence: a signup is a match iff NO purchase follows it (in
+    // (ts, id) scan order) within the hour
+    "cep_abandoned_signup" ->
+      """WITH ev AS (
+           SELECT user_id, epoch_us(ts) AS ets, event_id, event_type,
+                  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+           FROM events)
+         SELECT s.user_id, s.ets AS start_ts
+         FROM ev s
+         WHERE s.event_type = 'signup' AND NOT EXISTS (
+           SELECT 1 FROM ev p
+           WHERE p.user_id = s.user_id AND p.event_type = 'purchase'
+             AND p.rn > s.rn AND p.ets - s.ets <= 3600000000)
+         ORDER BY s.user_id, start_ts""",
+    // interior absence: the funnel recursion restricted to error-free
+    // (signup, purchase) pairs — the guard kills a waiting run on any error
+    "cep_clean_funnel" ->
+      """WITH RECURSIVE
+         ev AS (
+           SELECT user_id, epoch_us(ts) AS ets, event_id, event_type,
+                  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+           FROM events),
+         pairs AS (
+           SELECT s.user_id, s.rn AS s_rn, s.ets AS s_ts, p.rn AS p_rn, p.ets AS p_ts
+           FROM ev s JOIN ev p ON s.user_id = p.user_id
+           WHERE s.event_type = 'signup' AND p.event_type = 'purchase'
+             AND s.rn < p.rn AND p.ets - s.ets <= 3600000000
+             AND NOT EXISTS (
+               SELECT 1 FROM ev e
+               WHERE e.user_id = s.user_id AND e.event_type = 'error'
+                 AND e.rn > s.rn AND e.rn < p.rn)),
+         m AS (
+           SELECT user_id, CAST(NULL AS BIGINT) AS start_ts, CAST(NULL AS BIGINT) AS end_ts,
+                  CAST(0 AS BIGINT) AS e_rn
+           FROM (SELECT DISTINCT user_id FROM pairs)
+           UNION ALL
+           SELECT p.user_id, p.s_ts, p.p_ts, p.p_rn
+           FROM m JOIN pairs p ON p.user_id = m.user_id AND p.s_rn > m.e_rn
+           QUALIFY row_number() OVER (PARTITION BY p.user_id ORDER BY p.p_rn, p.s_rn) = 1
+         )
+         SELECT user_id, start_ts, end_ts FROM m WHERE start_ts IS NOT NULL
+         ORDER BY user_id, start_ts""",
     "cep_signup_funnel" ->
       """WITH RECURSIVE
          ev AS (

@@ -65,15 +65,31 @@ class MatchRecognizeSpec extends SparkSpec {
     assert(e.getMessage.contains("last pattern variable"))
   }
 
-  test("{n,m} ranges are rejected loudly") {
+  test("{n,m} range absorbs greedily within the bound") {
+    fixture()
+    // user 1 rows: signup purchase view signup view purchase — V{1,2}
+    // between signup and purchase absorbs one or two middle rows
+    val rows = spark.sql(
+      """SELECT user_id, n_rows FROM mr_events MATCH_RECOGNIZE (
+           PARTITION BY user_id ORDER BY ts ONE ROW PER MATCH
+           AFTER MATCH SKIP PAST LAST ROW
+           PATTERN (A V{1,2} B)
+           DEFINE A AS event_type = 'signup', V AS event_type = 'view',
+                  B AS event_type = 'purchase')
+         ORDER BY user_id""").collect()
+    // only user 1's second signup (signup view purchase, one V absorbed)
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 3L)))
+  }
+
+  test("a range open at the top on the last variable is rejected loudly") {
     fixture()
     val e = intercept[Exception] {
       spark.sql(
         """SELECT user_id FROM mr_events MATCH_RECOGNIZE (
              PARTITION BY user_id ORDER BY ts ONE ROW PER MATCH
-             PATTERN (A{1,3} B) DEFINE A AS true, B AS true)""").collect()
+             PATTERN (A B{1,3}) DEFINE A AS true, B AS true)""").collect()
     }
-    assert(e.getMessage.contains("unsupported"))
+    assert(e.getMessage.contains("last pattern variable"))
   }
 
   test("B+ absorbs a maximal run; MEASURES fold over it") {

@@ -99,4 +99,112 @@ class CepSpec extends SparkSpec {
       assert(ms.map(_.ids).toSeq == Seq(Seq(1L, 2L, 3L)))
     } finally q.stop()
   }
+
+  // ---- negative patterns / branching (Pattern.java:129-542) ----
+
+  test("interior absence: notFollowedBy guard kills a waiting run") {
+    val s = spark
+    import s.implicits._
+    val rows = Seq(
+      ev(1, 1, 1, "signup"), ev(1, 2, 2, "error"), ev(1, 3, 3, "purchase"), // killed
+      ev(2, 1, 4, "signup"), ev(2, 2, 5, "view"), ev(2, 3, 6, "purchase") // clean
+    ).toDS()
+    val ms = Cep.matchBatch(rows, Cep.cleanFunnel).collect()
+    assert(ms.map(m => (m.key, m.ids)).toSet == Set((2L, Seq(4L, 6L))))
+  }
+
+  test("notNext: the absence guard only checks the immediately-following row") {
+    val s = spark
+    import s.implicits._
+    val p = Cep.Pattern(Seq(
+      Cep.Step("s", _.kind == "signup"),
+      Cep.Step("p", _.kind == "purchase",
+        guardNot = Some(_.kind == "error"), guardOnNext = true)))
+    val rows = Seq(
+      ev(1, 1, 1, "signup"), ev(1, 2, 2, "error"), ev(1, 3, 3, "purchase"), // error is next → killed
+      ev(2, 1, 4, "signup"), ev(2, 2, 5, "view"), ev(2, 3, 6, "error"), // error NOT next → ok
+      ev(2, 4, 7, "purchase")
+    ).toDS()
+    val ms = Cep.matchBatch(rows, p).collect()
+    assert(ms.map(m => (m.key, m.ids)).toSet == Set((2L, Seq(4L, 7L))))
+  }
+
+  test("trailing absence: hold dies on a hit, emits on expiry or input end") {
+    val s = spark
+    import s.implicits._
+    val h = 3600L * 1000000L
+    val rows = Seq(
+      ev(1, 0, 1, "signup"), ev(1, 10, 2, "purchase"), // purchase in window → no match
+      ev(2, 0, 3, "signup"), ev(2, h + 1, 4, "purchase"), // window already closed → match
+      ev(3, 0, 5, "signup") // input ends → match
+    ).toDS()
+    val ms = Cep.matchBatch(rows, Cep.abandonedSignup).collect()
+    assert(ms.map(m => (m.key, m.ids)).toSet == Set((2L, Seq(3L)), (3L, Seq(5L))))
+  }
+
+  test("followedByAny: later rows keep opening alternative branches") {
+    val s = spark
+    import s.implicits._
+    def p(any: Boolean) = Cep.Pattern(Seq(
+      Cep.Step("s", _.kind == "signup"),
+      Cep.Step("p", _.kind == "purchase", anyMatch = any)),
+      afterMatch = Cep.SkipToNextRow)
+    val rows = Seq(
+      ev(1, 1, 1, "signup"), ev(1, 2, 2, "purchase"), ev(1, 3, 3, "purchase")).toDS()
+    val any = Cep.matchBatch(rows, p(any = true)).collect().map(_.ids).toSet
+    val one = Cep.matchBatch(rows, p(any = false)).collect().map(_.ids).toSet
+    assert(one == Set(Seq(1L, 2L)))
+    assert(any == Set(Seq(1L, 2L), Seq(1L, 3L)))
+  }
+
+  test("until closes a oneOrMore loop") {
+    val s = spark
+    import s.implicits._
+    def p(until: Option[KeyedRow => Boolean]) = Cep.Pattern(Seq(
+      Cep.Step("s", _.kind == "signup"),
+      Cep.Step("c", _.kind == "click", oneOrMore = true, untilPred = until),
+      Cep.Step("b", _.kind == "purchase")))
+    val rows = Seq(
+      ev(1, 1, 1, "signup"), ev(1, 2, 2, "click"), ev(1, 3, 3, "view"),
+      ev(1, 4, 4, "click"), ev(1, 5, 5, "purchase")).toDS()
+    val plain = Cep.matchBatch(rows, p(None)).collect().map(_.ids).toSeq
+    val closed = Cep.matchBatch(rows, p(Some(_.kind == "view"))).collect().map(_.ids).toSeq
+    assert(plain == Seq(Seq(1L, 2L, 4L, 5L))) // greedy absorbs across the view
+    assert(closed == Seq(Seq(1L, 2L, 5L))) // the view closes the loop
+  }
+
+  test("reluctant ranking prefers the shortest same-row completion") {
+    val s = spark
+    import s.implicits._
+    def p(rel: Boolean) = Cep.Pattern(Seq(
+      Cep.Step("a", _.kind == "signup"),
+      Cep.Step("v", _.kind == "view", optional = true, reluctant = rel),
+      Cep.Step("b", _.kind == "purchase")))
+    val rows = Seq(
+      ev(1, 1, 1, "signup"), ev(1, 2, 2, "view"), ev(1, 3, 3, "purchase")).toDS()
+    val greedy = Cep.matchBatch(rows, p(rel = false)).collect().map(_.ids).toSeq
+    val rel = Cep.matchBatch(rows, p(rel = true)).collect().map(_.ids).toSeq
+    assert(greedy == Seq(Seq(1L, 2L, 3L)))
+    assert(rel == Seq(Seq(1L, 3L))) // ε-path skipping the view wins
+  }
+
+  test("skip to last <var>: resume at the skipped-to row, overlap pruned") {
+    val s = spark
+    import s.implicits._
+    // A = any row, B = click (1..2 of them), C = purchase
+    def p(am: Cep.AfterMatch) = Cep.Pattern(Seq(
+      Cep.Step("A", _ => true),
+      Cep.Step("B", _.kind == "click"),
+      Cep.Step("B", _.kind == "click", optional = true),
+      Cep.Step("C", _.kind == "purchase")), afterMatch = am)
+    val rows = Seq(
+      ev(1, 1, 1, "view"), ev(1, 2, 2, "click"), ev(1, 3, 3, "click"),
+      ev(1, 4, 4, "purchase"), ev(1, 5, 5, "click"), ev(1, 6, 6, "purchase")).toDS()
+    val past = Cep.matchBatch(rows, p(Cep.SkipPastLastRow)).collect().map(_.ids).toSet
+    val toLastB = Cep.matchBatch(rows, p(Cep.SkipToVar("B", first = false)))
+      .collect().map(_.ids).toSet
+    assert(past == Set(Seq(1L, 2L, 3L, 4L)))
+    // resuming at the last B (row 3) lets the run anchored there finish later
+    assert(toLastB == Set(Seq(1L, 2L, 3L, 4L), Seq(3L, 5L, 6L)))
+  }
 }
