@@ -36,9 +36,16 @@ object Graphs {
 
   /** Connected components by min-label propagation (Gelly
     * library/ConnectedComponents.java semantics: component id = min vertex
-    * id in the component). */
+    * id in the component).
+    *
+    * Per-superstep cost discipline: the edge list is hash-partitioned on the
+    * join key ONCE and cached with that partitioning (InMemoryRelation keeps
+    * outputPartitioning, so every superstep's join reuses it — only the tiny
+    * label side shuffles); the lineage cut (localCheckpoint) is LAZY and the
+    * convergence aggregate doubles as its materializing action, so each
+    * superstep is a single Spark job. */
   def connectedComponents(s: SparkSession, dir: String, maxIter: Int = 50): DataFrame = {
-    val e = edges(s, dir).persist(StorageLevel.MEMORY_AND_DISK)
+    val e = edges(s, dir).repartition(col("dst")).persist(StorageLevel.MEMORY_AND_DISK)
     var labels = e.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
       .localCheckpoint(eager = true)
@@ -57,8 +64,8 @@ object Graphs {
       val next = labels.select(col("node"), col("label"))
         .union(msgs)
         .groupBy(col("node")).agg(min(col("label")).as("label"))
-        .localCheckpoint(eager = true)
-      val curSum = labelSum(next)
+        .localCheckpoint(eager = false)
+      val curSum = labelSum(next) // materializes the checkpoint — one job
       labels = next
       converged = curSum == prevSum
       prevSum = curSum
@@ -73,7 +80,9 @@ object Graphs {
   def pageRank(s: SparkSession, dir: String, iters: Int = 10): DataFrame = {
     val e = edges(s, dir).persist(StorageLevel.MEMORY_AND_DISK)
     val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-    val linked = e.join(outDeg, "src").persist(StorageLevel.MEMORY_AND_DISK)
+    // cached partitioned on the per-superstep join key — only ranks reshuffle
+    val linked = e.join(outDeg, "src").repartition(col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val n = e.select(col("src")).distinct().count()
     var ranks = e.select(col("src").as("node")).distinct()
       .withColumn("rank", lit(1.0 / n)).localCheckpoint(eager = true)
@@ -99,7 +108,7 @@ object Graphs {
     * (reached-count, dist-sum) pair is monotone (count up, sum down) —
     * fixpoint when both stall, same one-agg-per-superstep discipline as CC. */
   def sssp(s: SparkSession, dir: String, maxIter: Int = 30): DataFrame = {
-    val e = edges(s, dir).persist(StorageLevel.MEMORY_AND_DISK)
+    val e = edges(s, dir).repartition(col("src")).persist(StorageLevel.MEMORY_AND_DISK)
     val source = e.agg(min(col("src"))).head.getLong(0)
     var dist = e.sparkSession.range(1)
       .select(lit(source).as("node"), lit(0L).as("dist"))
@@ -116,8 +125,8 @@ object Graphs {
         .select(e("dst").as("node"), (col("dist") + 1L).as("dist"))
       val next = dist.union(msgs)
         .groupBy(col("node")).agg(min(col("dist")).as("dist"))
-        .localCheckpoint(eager = true)
-      val cur = signature(next)
+        .localCheckpoint(eager = false)
+      val cur = signature(next) // materializes the checkpoint — one job
       dist = next
       converged = cur == prev
       prev = cur
@@ -134,7 +143,7 @@ object Graphs {
     * argmax is a two-stage aggregation — `max(struct(count, -label))` picks
     * (max count, min label) without a window shuffle. */
   def labelPropagation(s: SparkSession, dir: String, iters: Int = 5): DataFrame = {
-    val e = edges(s, dir).persist(StorageLevel.MEMORY_AND_DISK)
+    val e = edges(s, dir).repartition(col("dst")).persist(StorageLevel.MEMORY_AND_DISK)
     var labels = e.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
       .localCheckpoint(eager = true)
@@ -150,11 +159,38 @@ object Graphs {
     labels.orderBy(col("node"))
   }
 
+  /** Triangle enumeration (Gelly library/TriangleEnumerator.java — Schank's
+    * edge-orientation algorithm). The customer–supplier graph is bipartite
+    * (triangle-free), so the test graph here is supplier co-occurrence:
+    * suppliers sharing an order's high-quantity lines (l_quantity >= 48
+    * keeps it sparse). Every edge is oriented low-id → high-id, so each
+    * triangle is enumerated exactly once by two equi-joins — no undirected
+    * double-count blowup; at scale the orientation would be by degree
+    * (Schank's trick bounds the join fan-out by arboricity), id order is the
+    * deterministic stand-in. */
+  def triangles(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(s, dir, "lineitem")
+      .filter(col("l_quantity") >= 48)
+      .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk")).distinct()
+    val e = li.as("a").join(li.as("b"),
+        col("a.ok") === col("b.ok") && col("a.sk") < col("b.sk"))
+      .select(col("a.sk").as("src"), col("b.sk").as("dst")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val out = e.as("e1")
+      .join(e.as("e2"), col("e1.dst") === col("e2.src"))
+      .join(e.as("e3"),
+        col("e3.src") === col("e1.src") && col("e3.dst") === col("e2.dst"))
+      .select(col("e1.src").as("a"), col("e1.dst").as("b"), col("e2.dst").as("c"))
+      .orderBy(col("a"), col("b"), col("c"))
+    out
+  }
+
   def queries: Map[String, QFn] = Map(
     "graph_connected_components" -> ((s, d) => connectedComponents(s, d)),
     "graph_pagerank" -> ((s, d) => pageRank(s, d)),
     "graph_sssp" -> ((s, d) => sssp(s, d)),
-    "graph_label_propagation" -> ((s, d) => labelPropagation(s, d))
+    "graph_label_propagation" -> ((s, d) => labelPropagation(s, d)),
+    "graph_triangles" -> ((s, d) => triangles(s, d))
   )
 
   /** CC is exactly reproducible in DuckDB with a recursive CTE. PageRank's
@@ -192,6 +228,16 @@ object Graphs {
              SELECT u.src, reach.r FROM und u JOIN reach ON u.dst = reach.node)
          SELECT node, min(r) AS component FROM reach GROUP BY node ORDER BY node""",
     "graph_pagerank" -> pageRankOracle,
+    "graph_triangles" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk
+                FROM lineitem WHERE l_quantity >= 48),
+         e AS (SELECT DISTINCT a.sk AS src, b.sk AS dst
+               FROM li a JOIN li b ON a.ok = b.ok AND a.sk < b.sk)
+         SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+         FROM e e1
+         JOIN e e2 ON e1.dst = e2.src
+         JOIN e e3 ON e3.src = e1.src AND e3.dst = e2.dst
+         ORDER BY a, b, c""",
     // min-hop distances: bounded recursive walk (the d < 30 cap only bounds
     // the CTE; the graph's diameter is far smaller, so min(d) is exact)
     "graph_sssp" ->
