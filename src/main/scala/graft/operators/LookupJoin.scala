@@ -80,14 +80,32 @@ object LookupJoin {
       .orderBy(col("c_nationkey"))
   }
 
-  /** Async ordered lookup (AsyncDataStream.orderedWait semantics): up to
-    * `parallelism` in-flight futures per partition, results emitted in
-    * input order. */
+  /** Async ordered lookup (AsyncDataStream.orderedWait semantics,
+    * AsyncDataStream.java:103-169): a ring of up to `parallelism` in-flight
+    * futures per partition, results emitted in INPUT order. The window
+    * SLIDES: the head is awaited, emitted, and the freed slot immediately
+    * refilled from the input — so a slow lookup delays only the emissions
+    * that must wait for it by order, never the launching of later lookups
+    * (the previous formulation batch-barriered every `parallelism` rows:
+    * one slow future stalled its whole window and the next window's
+    * launches). */
   def asyncOrderedLookup[K, V](it: Iterator[K], lookup: K => Future[V],
                                parallelism: Int)(implicit ec: ExecutionContext): Iterator[(K, V)] =
-    it.grouped(parallelism).flatMap { batch =>
-      val futs = batch.map(k => lookup(k).map(v => (k, v))) // launch the window
-      futs.map(f => Await.result(f, 30.seconds)) // emit in input order
+    new Iterator[(K, V)] {
+      private val ring = scala.collection.mutable.Queue.empty[(K, Future[V])]
+      private def refill(): Unit =
+        while (ring.size < parallelism && it.hasNext) {
+          val k = it.next()
+          ring.enqueue(k -> lookup(k))
+        }
+      refill()
+      def hasNext: Boolean = ring.nonEmpty
+      def next(): (K, V) = {
+        val (k, f) = ring.dequeue()
+        val v = Await.result(f, 30.seconds) // block only on the HEAD
+        refill() // freed slot relaunches immediately — the window slides
+        (k, v)
+      }
     }
 
   private def lookupAsync(s: SparkSession, dir: String): DataFrame = {

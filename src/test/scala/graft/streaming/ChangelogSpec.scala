@@ -69,4 +69,57 @@ class ChangelogSpec extends SparkSpec {
       assert(store(1L).value == 3.0 && store(2L).value == 5.0)
     } finally q.stop()
   }
+
+  test("e2e: unbounded join changelog through a foreachBatch upsert equals the batch join") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    // upsert table keyed on the join's output identity (key, left_id,
+    // right_id) — the reference's upsert-kafka/StreamExecSink contract:
+    // +I/+U put, -U retracts the null-padded row it corrects
+    val store = scala.collection.concurrent.TrieMap
+      .empty[(Long, Long, Option[Long]), (Double, Option[Double])]
+    val lIn = MemoryStream[KeyedRow]
+    val rIn = MemoryStream[KeyedRow]
+    val q = StatefulOps
+      .unboundedLeftOuterJoinWithTtl(lIn.toDS(), rIn.toDS(), java.time.Duration.ofMinutes(10))
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[JoinEmit], _: Long) =>
+        batch.collect().foreach { e =>
+          e.op match {
+            case "+I" | "+U" => store((e.key, e.left_id, e.right_id)) = (e.left_value, e.right_value)
+            case "-U" => store.remove((e.key, e.left_id, e.right_id))
+            case _ =>
+          }
+        }
+      }.start()
+    // ProcessingTimeTimeout keeps scheduling batches → processAllAvailable
+    // never quiesces; poll the upsert table instead
+    def awaitStore(n: Int, what: String): Unit = {
+      val deadline = System.nanoTime() + 60L * 1000000000L
+      while (store.size != n) {
+        if (q.exception.isDefined) throw q.exception.get
+        assert(System.nanoTime() < deadline, s"timed out waiting for $what; store=$store")
+        Thread.sleep(100)
+      }
+    }
+    try {
+      in(lIn, row(1, 1, 101, 10.0)); awaitStore(1, "+I pad for 101") // unmatched → +I pad
+      in(rIn, row(1, 2, 901, 1.0)); awaitStore(1, "pad retracted, (101,901) upserted")
+      in(lIn, row(1, 5, 102, 20.0), row(2, 1, 201, 30.0)); awaitStore(3, "102 joined, 201 padded")
+      in(rIn, row(1, 9, 902, 2.0)); awaitStore(5, "902 joined to 101 and 102")
+      // final upserted state == the batch left-outer join of everything seen
+      val left = Seq((1L, 101L, 10.0), (1L, 102L, 20.0), (2L, 201L, 30.0))
+        .toDF("key", "left_id", "left_value")
+      val right = Seq((1L, 901L, 1.0), (1L, 902L, 2.0))
+        .toDF("key", "right_id", "right_value")
+      val expected = left.join(right, Seq("key"), "left_outer").collect().map { r =>
+        (r.getLong(0), r.getLong(1), if (r.isNullAt(3)) None else Some(r.getLong(3))) ->
+          (r.getDouble(2), if (r.isNullAt(4)) None else Some(r.getDouble(4)))
+      }.toMap
+      assert(store.toMap == expected)
+    } finally q.stop()
+  }
+
+  private def in(ms: MemoryStream[KeyedRow], rows: KeyedRow*): Unit = ms.addData(rows)
 }
