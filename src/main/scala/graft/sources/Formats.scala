@@ -10,12 +10,14 @@ import graft.Tables
   * DataSource formats, which add schema inference, predicate pushdown
   * (ORC/Parquet), and vectorized reading on top.
   *
-  * Avro (flink-formats/flink-avro) is noted as covered-by-design via
-  * `spark.read.format("avro")` but is NOT exercised here: the spark-avro
-  * module jar is not part of this environment's /opt/spark/jars.
-  * Kafka (flink-connector-kafka) likewise needs spark-sql-kafka — the
-  * mapping is `readStream/writeStream.format("kafka")`, documented in
-  * SURVEY §2.1.
+  * Avro (flink-formats/flink-avro) is exercised through [[AvroCodec]] — a
+  * native record-level codec on the core avro library (the spark-avro
+  * DataSource jar is not in this environment's /opt/spark/jars, but the
+  * format itself is fully provable without it): `fmt_avro_roundtrip` pushes
+  * every row through Avro binary encode → decode before aggregating.
+  * Kafka (flink-connector-kafka) needs spark-sql-kafka — the mapping is
+  * `readStream/writeStream.format("kafka")`, documented in SURVEY §2.1;
+  * AvroCodec's binary `value` column is exactly that sink's input contract.
   *
   * Each query round-trips a table through the format under test (write to
   * the build dir, read back, aggregate) and must hash-match the oracle run
@@ -56,16 +58,27 @@ object Formats {
               CAST(max(l_shipdate) AS VARCHAR) AS max_ship
        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
 
+  /** Avro round-trip without any file: every row → Avro binary record →
+    * back, in-pipeline (the Kafka value-bytes shape). */
+  private def avroRoundTrip(s: SparkSession, dir: String): DataFrame = {
+    val src = Tables.load(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"),
+        col("l_returnflag"), col("l_shipdate").cast("string").as("l_shipdate"))
+    AvroCodec.decodeRows(AvroCodec.encodeRows(src), src.schema)
+  }
+
   def queries: Map[String, QFn] = Map(
     "fmt_csv_roundtrip" -> ((s, d) =>
       agged(roundTrip(s, d, "csv", Map("header" -> "true")))),
     "fmt_json_roundtrip" -> ((s, d) => agged(roundTrip(s, d, "json"))),
-    "fmt_orc_roundtrip" -> ((s, d) => agged(roundTrip(s, d, "orc")))
+    "fmt_orc_roundtrip" -> ((s, d) => agged(roundTrip(s, d, "orc"))),
+    "fmt_avro_roundtrip" -> ((s, d) => agged(avroRoundTrip(s, d)))
   )
 
   def oracles: Map[String, String] = Map(
     "fmt_csv_roundtrip" -> aggOracle,
     "fmt_json_roundtrip" -> aggOracle,
-    "fmt_orc_roundtrip" -> aggOracle
+    "fmt_orc_roundtrip" -> aggOracle,
+    "fmt_avro_roundtrip" -> aggOracle
   )
 }
