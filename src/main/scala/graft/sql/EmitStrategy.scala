@@ -1,0 +1,132 @@
+package graft.sql
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Early-fire emission for the SQL group windows — the reference's
+  * WindowEmitStrategy (table/planner WindowEmitStrategy.scala:143-159),
+  * enabled by TABLE_EXEC_EMIT_EARLY_FIRE_ENABLED / _DELAY config, not by
+  * SQL syntax. Mirrored here: when the session conf
+  * `graft.exec.emit.early-fire.delay` is set (e.g. "10 minutes"), a
+  * `GROUP BY TUMBLE(...)` query stops meaning "one row per closed window"
+  * and becomes the window's EMISSION LOG — one row per early fire (the
+  * accumulated aggregate each time event time crosses a delay boundary —
+  * ContinuousEventTimeTrigger semantics, Triggers.scala) plus the terminal
+  * fire at window close, tagged `is_final` with `fire_time` = window end.
+  * A terminal row that also crosses a boundary emits once, as the final.
+  *
+  * Batch-deterministic formulation (what the oracle reproduces with window
+  * frames): rows scan in (ts [, tiebreak]) order per (group, window); a row
+  * whose delay-bucket index exceeds the previous row's fires the pane
+  * including itself; the last row of the window is the terminal fire.
+  * Everything compiles to running window aggregates — declarative, one
+  * shuffle on (group, window), no stateful operator, codegen throughout.
+  *
+  * Restricted shape (the M4 dialect subset): single TUMBLE group window +
+  * group columns, aggregates COUNT(*)/COUNT(x)/SUM/MIN/MAX/AVG with
+  * aliases. `graft.exec.emit.tiebreak-column` names a unique column that
+  * makes the scan order total (batch determinism needs it when event times
+  * can tie).
+  */
+object EmitStrategy {
+
+  val DelayConf = "graft.exec.emit.early-fire.delay"
+  val TiebreakConf = "graft.exec.emit.tiebreak-column"
+
+  def enabled(session: SparkSession): Option[String] =
+    try session.conf.getOption(DelayConf) catch { case _: Throwable => None }
+
+  def matches(probe: String): Boolean =
+    """(?i)\bTUMBLE\s*\(""".r.findFirstIn(probe).isDefined &&
+      """(?i)\bGROUP\s+BY""".r.findFirstIn(probe).isDefined
+
+  private val shapeRe =
+    """(?is)\s*SELECT\s+(.*?)\s+FROM\s+(\w+)\s+GROUP\s+BY\s+TUMBLE\s*\(\s*(\w+)\s*,\s*INTERVAL\s+'(\d+)'\s+(\w+)\s*\)\s*(?:,\s*([\w\s,]+?))?\s*(ORDER\s+BY\s+.*)?""".r
+  private val tumbleStartRe =
+    """(?is)^TUMBLE_START\s*\(.*?\)\s+AS\s+(\w+)$""".r
+  private val aggRe = """(?is)^(COUNT|SUM|MIN|MAX|AVG)\s*\(\s*(\*|\w+)\s*\)\s+AS\s+(\w+)$""".r
+
+  private def unitMicros(u: String): Long = u.toUpperCase.stripSuffix("S") match {
+    case "SECOND" => 1000000L
+    case "MINUTE" => 60L * 1000000L
+    case "HOUR" => 3600L * 1000000L
+    case "DAY" => 86400L * 1000000L
+    case other => throw new IllegalArgumentException(s"interval unit $other")
+  }
+
+  private def delayMicros(spec: String): Long = {
+    val m = """(\d+)\s*(\w+)""".r.findFirstMatchIn(spec.trim)
+      .getOrElse(throw new IllegalArgumentException(s"bad $DelayConf: $spec"))
+    m.group(1).toLong * unitMicros(m.group(2))
+  }
+
+  /** Rewrite + execute. The produced SQL contains no TUMBLE, so it parses
+    * through the stock path (no re-entry into this front-end). */
+  def run(session: SparkSession, sql: String): DataFrame = sql match {
+    case shapeRe(select, table, tsCol, n, unit, extraGroups, tail) =>
+      val widthUs = n.toLong * unitMicros(unit)
+      val delayUs = delayMicros(enabled(session).get)
+      val groupCols = Option(extraGroups).map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+        .getOrElse(Nil)
+      var wsAlias = "w_start"
+      val aggBuilder = Seq.newBuilder[(String, String, String)] // (fn, arg, alias)
+      FlinkSqlSupport.splitTop(select).foreach {
+        case tumbleStartRe(a) => wsAlias = a
+        case item if groupCols.contains(item.trim) => // group col, passes through
+        case aggRe(fn, arg, alias) => aggBuilder += ((fn.toUpperCase, arg, alias))
+        case other => throw new IllegalArgumentException(
+          s"early-fire TUMBLE supports TUMBLE_START, group columns and COUNT/SUM/MIN/MAX/AVG: $other")
+      }
+      val aggs = aggBuilder.result()
+      require(aggs.nonEmpty, "early-fire TUMBLE needs at least one aggregate")
+      val tiebreak = (try session.conf.getOption(TiebreakConf) catch { case _: Throwable => None })
+        .map(c => s", $c").getOrElse("")
+      val gComma = if (groupCols.isEmpty) "" else groupCols.mkString(", ") + ", "
+      val part = (Seq("__ws") ++ groupCols).mkString(", ")
+      val ord = s"PARTITION BY $part ORDER BY __uts$tiebreak"
+      val runningAggs = aggs.map { case (fn, arg, alias) =>
+        val a = if (arg == "*") "1" else arg
+        s"${fn.toLowerCase}($a) OVER ($ord ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS $alias"
+      }.mkString(", ")
+      val aliases = aggs.map(_._3).mkString(", ")
+      session.sql(
+        s"""SELECT $wsAlias, $gComma$aliases,
+                   CASE WHEN __last THEN __wend ELSE __fire0 END AS fire_time,
+                   __last AS is_final
+            FROM (
+              SELECT timestamp_micros(__ws) AS $wsAlias, $gComma$runningAggs,
+                     timestamp_micros((__bidx + 1) * ${delayUs}L) AS __fire0,
+                     lag(__bidx) OVER ($ord) IS NOT NULL
+                       AND __bidx > lag(__bidx) OVER ($ord) AS __early,
+                     row_number() OVER ($ord)
+                       = count(1) OVER (PARTITION BY $part) AS __last,
+                     timestamp_micros(__ws + ${widthUs}L) AS __wend
+              FROM (SELECT *, unix_micros(cast($tsCol as timestamp)) AS __uts,
+                           (unix_micros(cast($tsCol as timestamp)) div ${widthUs}L) * ${widthUs}L AS __ws,
+                           unix_micros(cast($tsCol as timestamp)) div ${delayUs}L AS __bidx
+                    FROM $table)
+            )
+            WHERE __early OR __last ${Option(tail).getOrElse("")}""")
+    case _ => throw new IllegalArgumentException(
+      "early-fire emit supports: SELECT TUMBLE_START(..) AS a, <group cols>, <aggs> " +
+        "FROM t GROUP BY TUMBLE(ts, INTERVAL 'n' UNIT)[, group cols] [ORDER BY ...]")
+  }
+}
+
+/** Shared split helper (top-level commas, paren/quote aware). */
+private[sql] object FlinkSqlSupport {
+  def splitTop(s: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var depth = 0; var start = 0; var inStr = false
+    s.zipWithIndex.foreach { case (c, i) =>
+      c match {
+        case '\'' => inStr = !inStr
+        case '(' if !inStr => depth += 1
+        case ')' if !inStr => depth -= 1
+        case ',' if depth == 0 && !inStr => out += s.substring(start, i).trim; start = i + 1
+        case _ =>
+      }
+    }
+    out += s.substring(start).trim
+    out.result().filter(_.nonEmpty)
+  }
+}

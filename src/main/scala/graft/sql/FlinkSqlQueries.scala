@@ -153,6 +153,26 @@ object FlinkSqlQueries {
            PATTERN (C+? E)
            DEFINE C AS event_type = 'click', E AS event_type = 'error'
          ) ORDER BY user_id, start_ts""")),
+    // early-fire emit strategy on the SQL TUMBLE window: with the
+    // table-exec-emit conf set, the query yields the window's emission log —
+    // accumulated aggregates at every 10-minute event-time boundary plus the
+    // terminal fire (conf-gated exactly like the reference's
+    // TABLE_EXEC_EMIT_EARLY_FIRE_ENABLED/_DELAY)
+    "fsql_early_fire" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.conf.set(EmitStrategy.DelayConf, "10 minutes")
+      s.conf.set(EmitStrategy.TiebreakConf, "event_id")
+      try s.sql(
+        """SELECT TUMBLE_START(ts, INTERVAL '1' HOUR) AS w_start, user_id,
+                  count(*) AS n, max(value) AS mx
+           FROM events
+           GROUP BY TUMBLE(ts, INTERVAL '1' HOUR), user_id
+           ORDER BY user_id, w_start, fire_time, is_final""")
+      finally {
+        s.conf.unset(EmitStrategy.DelayConf)
+        s.conf.unset(EmitStrategy.TiebreakConf)
+      }
+    }),
     // the canonical V-shape with AFTER MATCH SKIP TO FIRST DOWN: overlapping
     // matches cascade — each resumes at the previous match's first DOWN row;
     // STRT has no DEFINE (matches any row, the standard default)
@@ -262,6 +282,33 @@ object FlinkSqlQueries {
          FROM o WHERE event_type = 'purchase'
            AND (t1 = 'signup' OR (t1 = 'view' AND t2 = 'signup'))
          ORDER BY user_id, start_ts""",
+    // emission log reproduced with window frames: running aggregates in
+    // (uts, event_id) order; early fires where the 10-min bucket index
+    // steps up, terminal fire on the window's last row
+    "fsql_early_fire" ->
+      """WITH o AS (
+           SELECT user_id, event_id, value, epoch_us(ts) AS uts,
+                  (epoch_us(ts) // 3600000000) * 3600000000 AS ws,
+                  epoch_us(ts) // 600000000 AS bidx
+           FROM events),
+         w AS (
+           SELECT user_id, ws, bidx, uts, event_id,
+                  count(*) OVER win AS n,
+                  max(value) OVER win AS mx,
+                  lag(bidx) OVER win2 AS pb,
+                  row_number() OVER win2 AS rn,
+                  count(*) OVER (PARTITION BY ws, user_id) AS cnt
+           FROM o
+           WINDOW win AS (PARTITION BY ws, user_id ORDER BY uts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                  win2 AS (PARTITION BY ws, user_id ORDER BY uts, event_id))
+         SELECT make_timestamp(ws) AS w_start, user_id, n, mx,
+                CASE WHEN rn = cnt THEN make_timestamp(ws + 3600000000)
+                     ELSE make_timestamp((bidx + 1) * 600000000) END AS fire_time,
+                rn = cnt AS is_final
+         FROM w
+         WHERE (pb IS NOT NULL AND bidx > pb) OR rn = cnt
+         ORDER BY user_id, w_start, fire_time, is_final""",
     // E{2,4} N: each maximal error island of length >= 2 whose next row
     // exists (and is non-error by maximality) yields one match absorbing the
     // LAST least(len,4) errors — the leftmost surviving anchor is the one

@@ -1,0 +1,54 @@
+package graft.sql
+
+import graft.SparkSpec
+import java.sql.Timestamp
+
+/** Config-gated early-fire on the SQL TUMBLE window (the reference's
+  * WindowEmitStrategy + TABLE_EXEC_EMIT_EARLY_FIRE_*): with the conf unset
+  * the query is a plain window aggregate; with it set, the emission log. */
+class EmitStrategySpec extends SparkSpec {
+
+  private def fixture(): Unit = {
+    val s = spark
+    import s.implicits._
+    // one user, one 1-hour window [00:00, 01:00): rows at 00:01, 00:12,
+    // 00:25, 00:55 with a 10-minute delay → early fires at the 00:12 row
+    // (bucket 0→1) and the 00:25 row (1→2); terminal fire at 00:55
+    Seq(
+      (1L, Timestamp.valueOf("2021-01-01 00:01:00"), 10L, 1.0),
+      (1L, Timestamp.valueOf("2021-01-01 00:12:00"), 11L, 5.0),
+      (1L, Timestamp.valueOf("2021-01-01 00:25:00"), 12L, 3.0),
+      (1L, Timestamp.valueOf("2021-01-01 00:55:00"), 13L, 2.0)
+    ).toDF("user_id", "ts", "event_id", "value").createOrReplaceTempView("ef_events")
+  }
+
+  private val q =
+    """SELECT TUMBLE_START(ts, INTERVAL '1' HOUR) AS w_start, user_id,
+              count(*) AS n, max(value) AS mx
+       FROM ef_events
+       GROUP BY TUMBLE(ts, INTERVAL '1' HOUR), user_id
+       ORDER BY user_id, w_start"""
+
+  test("conf unset: plain one-row-per-window aggregate") {
+    fixture()
+    val rows = spark.sql(q).collect()
+    assert(rows.length == 1 && rows(0).getLong(2) == 4L && rows(0).getDouble(3) == 5.0)
+  }
+
+  test("conf set: emission log with accumulating early fires and a terminal fire") {
+    fixture()
+    spark.conf.set(EmitStrategy.DelayConf, "10 minutes")
+    spark.conf.set(EmitStrategy.TiebreakConf, "event_id")
+    try {
+      val rows = spark.sql(q).collect()
+        .map(r => (r.getLong(2), r.getDouble(3), r.getBoolean(5))).toList
+      assert(rows == List(
+        (2L, 5.0, false), // 00:12 crosses the 00:10 boundary: 2 rows so far
+        (3L, 5.0, false), // 00:25 crosses 00:20: 3 rows
+        (4L, 5.0, true))) // terminal: the full window
+    } finally {
+      spark.conf.unset(EmitStrategy.DelayConf)
+      spark.conf.unset(EmitStrategy.TiebreakConf)
+    }
+  }
+}
