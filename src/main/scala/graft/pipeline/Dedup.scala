@@ -83,10 +83,15 @@ object Dedup {
     val ex0 = d.select(col("doc_id"), explode(col("sh")).as("s"))
     // shingles appearing in a single doc can never form a pair — dropping
     // them first shrinks the self-join input by the unique-shingle mass
-    // (the dominant fraction for natural text), without changing results
-    val rep = ex0.groupBy(col("s")).agg(count(lit(1)).as("cnt"))
-      .filter(col("cnt") > 1).select(col("s"))
-    val ex = ex0.join(rep, "s")
+    // (the dominant fraction for natural text), without changing results.
+    // The count rides a window over the SAME hash partitioning the
+    // self-join needs (one shuffle of the exploded shingles total), instead
+    // of a separate groupBy + join-back (which re-shuffled ex0 twice and
+    // cost +76% at sf0.1 without changing the asymptotics)
+    val ex = ex0
+      .withColumn("cnt", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("s"))))
+      .filter(col("cnt") > 1).drop("cnt")
     val shared = ex.as("a").join(ex.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
