@@ -128,6 +128,22 @@ object FlinkSqlQueries {
            DEFINE S AS event_type = 'signup', V AS event_type = 'view',
                   P AS event_type = 'purchase'
          ) ORDER BY user_id, start_ts""")),
+    // RUNNING vs FINAL measures over ALL ROWS PER MATCH: each matched row
+    // carries the error count so far, the whole match's total, and the
+    // latest error value seen up to that row
+    "mr_running_measures" -> ((s, dir) => run(s, dir,
+      """SELECT user_id, row_seq, classifier, err_so_far, err_total, last_err_val FROM events
+         MATCH_RECOGNIZE (
+           PARTITION BY user_id
+           ORDER BY ts
+           MEASURES RUNNING COUNT(E.*) AS err_so_far,
+                    FINAL COUNT(E.*) AS err_total,
+                    RUNNING LAST(E.value) AS last_err_val
+           ALL ROWS PER MATCH
+           AFTER MATCH SKIP PAST LAST ROW
+           PATTERN (E+ V)
+           DEFINE E AS event_type = 'error', V AS event_type = 'view'
+         ) ORDER BY user_id, match_no, row_seq""")),
     // {n,m} bounded range: 2-4 consecutive errors (greedy) closed by any
     // non-error row
     "mr_bounded_times" -> ((s, dir) => run(s, dir,
@@ -282,6 +298,32 @@ object FlinkSqlQueries {
          FROM o WHERE event_type = 'purchase'
            AND (t1 = 'signup' OR (t1 = 'view' AND t2 = 'signup'))
          ORDER BY user_id, start_ts""",
+    // E+ V islands exploded to one row per matched position: err_so_far
+    // counts errors up to the row, err_total the island, last_err_val the
+    // value at position min(row, island end)
+    "mr_running_measures" ->
+      """WITH o AS (
+           SELECT user_id, ts, value, event_type, event_id,
+                  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+           FROM events),
+         isl AS (
+           SELECT *, rn - row_number() OVER (PARTITION BY user_id ORDER BY rn) AS grp
+           FROM o WHERE event_type = 'error'),
+         agg AS (
+           SELECT user_id, grp, count(*) AS len, min(rn) AS rn0, max(rn) AS rn1
+           FROM isl GROUP BY user_id, grp),
+         m AS (
+           SELECT a.* FROM agg a
+           JOIN o v ON v.user_id = a.user_id AND v.rn = a.rn1 + 1 AND v.event_type = 'view')
+         SELECT m.user_id, r.rn AS row_seq,
+                CASE WHEN r.rn <= m.rn1 THEN 'E' ELSE 'V' END AS classifier,
+                CAST(LEAST(r.rn - m.rn0 + 1, m.len) AS BIGINT) AS err_so_far,
+                CAST(m.len AS BIGINT) AS err_total,
+                lv.value AS last_err_val
+         FROM m
+         JOIN o r ON r.user_id = m.user_id AND r.rn BETWEEN m.rn0 AND m.rn1 + 1
+         JOIN o lv ON lv.user_id = m.user_id AND lv.rn = LEAST(r.rn, m.rn1)
+         ORDER BY m.user_id, row_seq""",
     // emission log reproduced with window frames: running aggregates in
     // (uts, event_id) order; early fires where the 10-min bucket index
     // steps up, terminal fire on the window's last row

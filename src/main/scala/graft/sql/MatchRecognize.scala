@@ -59,8 +59,13 @@ object MatchRecognize {
   case class Quant(min: Int, max: Option[Int], reluctant: Boolean = false)
 
   /** One MEASURES item. fn: LAST (also the bare `V.c` default), FIRST,
-    * COUNT, SUM, AVG, MIN, MAX. variable None = COUNT(*). */
-  case class Measure(alias: String, fn: String, variable: Option[String], expr: String)
+    * COUNT, SUM, AVG, MIN, MAX. variable None = COUNT(*). `running`:
+    * under ALL ROWS PER MATCH a RUNNING measure aggregates the match's rows
+    * up to and including the current one, FINAL the whole match (the
+    * standard's default is RUNNING there; ONE ROW PER MATCH is always
+    * FINAL). */
+  case class Measure(alias: String, fn: String, variable: Option[String], expr: String,
+                     running: Boolean = true)
 
   case class Spec(table: String, partitionBy: String, orderBy: String,
                   afterMatch: Cep.AfterMatch, pattern: Seq[(String, Quant)],
@@ -80,7 +85,8 @@ object MatchRecognize {
   private val measuresRe =
     """(?is)MEASURES\s+(.*?)\s+(?=ONE\s+ROW|ALL\s+ROWS|AFTER\s+MATCH|PATTERN\s*\()""".r
   private val tokRe = """(\w+)(\+\??|\*\??|\?\??|\{(\d+)(?:,(\d+))?\}\??)?""".r
-  private val aggMeasureRe = """(?is)^(FIRST|LAST|COUNT|SUM|AVG|MIN|MAX)\s*\((.*)\)\s+AS\s+(\w+)$""".r
+  private val aggMeasureRe =
+    """(?is)^(?:(RUNNING|FINAL)\s+)?(FIRST|LAST|COUNT|SUM|AVG|MIN|MAX)\s*\((.*)\)\s+AS\s+(\w+)$""".r
   private val bareMeasureRe = """(?is)^(\w+)\.(\w+)\s+AS\s+(\w+)$""".r
 
   private def unitMicros(u: String): Long = u.toUpperCase match {
@@ -143,15 +149,16 @@ object MatchRecognize {
       out.result().filter(_.nonEmpty)
     }
     items.map {
-      case aggMeasureRe(fn, inner, alias) =>
+      case aggMeasureRe(mode, fn, inner, alias) =>
+        val running = mode == null || !mode.equalsIgnoreCase("FINAL")
         val in = inner.trim
         if (fn.toUpperCase == "COUNT" && (in == "*" || in.isEmpty))
-          Measure(alias, "COUNT", None, "*")
+          Measure(alias, "COUNT", None, "*", running)
         else {
           val varDot = """(?s)^(\w+)\.(.*)$""".r
           in match {
-            case varDot(v, "*") => Measure(alias, fn.toUpperCase, Some(v), "*")
-            case varDot(v, e) => Measure(alias, fn.toUpperCase, Some(v), e.trim)
+            case varDot(v, "*") => Measure(alias, fn.toUpperCase, Some(v), "*", running)
+            case varDot(v, e) => Measure(alias, fn.toUpperCase, Some(v), e.trim, running)
             case other => throw new IllegalArgumentException(
               s"measure must navigate a pattern variable (V.col): $other")
           }
@@ -204,28 +211,34 @@ object MatchRecognize {
     case _ => throw new IllegalArgumentException("unsupported MATCH_RECOGNIZE shape")
   }
 
-  /** Compile one measure into an aggregate Column over the exploded
-    * (match id, __label, __seq, source columns) frame. FIRST/LAST ride a
+  /** Compile one measure into (aggregate, post-projection) over the exploded
+    * (match id, label, __seq, source columns) frame. FIRST/LAST ride a
     * (seq, value) struct through min/max — null for other variables' rows,
-    * which min/max skip — so no per-variable shuffle or sort is needed. */
-  private def measureCol(m: Measure): Column = {
+    * which min/max skip — so no per-variable shuffle or sort is needed. The
+    * post step (struct field extraction) applies AFTER the aggregate so the
+    * same pair works in a groupBy and over a window frame. */
+  private def measureAgg(m: Measure, labelCol: String): (Column, Column => Column) = {
     def onVar(e: Column): Column = m.variable match {
-      case Some(v) => when(col("__label") === v, e)
+      case Some(v) => when(col(labelCol) === v, e)
       case None => e
     }
-    val out = m.fn match {
-      case "COUNT" => count(onVar(lit(1)))
+    m.fn match {
+      case "COUNT" => (count(onVar(lit(1))), identity)
       case "FIRST" =>
-        min(onVar(struct(col("__seq").as("s"), expr(m.expr).as("v")))).getField("v")
+        (min(onVar(struct(col("__seq").as("s"), expr(m.expr).as("v")))), _.getField("v"))
       case "LAST" =>
-        max(onVar(struct(col("__seq").as("s"), expr(m.expr).as("v")))).getField("v")
-      case "SUM" => sum(onVar(expr(m.expr)))
-      case "AVG" => avg(onVar(expr(m.expr)))
-      case "MIN" => min(onVar(expr(m.expr)))
-      case "MAX" => max(onVar(expr(m.expr)))
+        (max(onVar(struct(col("__seq").as("s"), expr(m.expr).as("v")))), _.getField("v"))
+      case "SUM" => (sum(onVar(expr(m.expr))), identity)
+      case "AVG" => (avg(onVar(expr(m.expr))), identity)
+      case "MIN" => (min(onVar(expr(m.expr))), identity)
+      case "MAX" => (max(onVar(expr(m.expr))), identity)
       case other => throw new IllegalArgumentException(s"measure function $other")
     }
-    out.as(m.alias)
+  }
+
+  private def measureCol(m: Measure): Column = {
+    val (agg, post) = measureAgg(m, "__label")
+    post(agg).as(m.alias)
   }
 
   /** Execute against the registered table; returns the outer SELECT. */
@@ -272,8 +285,9 @@ object MatchRecognize {
       if (spec.allRows) {
         // ALL ROWS PER MATCH: one output row per MATCHED input row — source
         // columns + CLASSIFIER() (the step label) + MATCH_NUMBER() (1-based
-        // per partition, ordered by match start). Calcite's running-measure
-        // semantics over these rows is not supported.
+        // per partition, ordered by match start). Measures are RUNNING by
+        // default (aggregate over the match's rows up to and including this
+        // one — a window frame per __mid) or FINAL (the whole match).
         val exploded = base
           .withColumn("__first_seq", element_at(col("ids"), 1))
           .select(col("__mid"), col("__pkey"), col("start_ts"), col("__first_seq"),
@@ -282,9 +296,18 @@ object MatchRecognize {
             col("z.ids").as("__seq"), col("z.labels").as("classifier"))
           .withColumn("match_no", dense_rank().over(
             Window.partitionBy(col("__pkey")).orderBy(col("start_ts"), col("__first_seq"))))
-        exploded.join(
+        val joined = exploded.join(
             prepared.withColumn("__pkey", col(spec.partitionBy).cast("long")),
             Seq("__pkey", "__seq"))
+        val runW = Window.partitionBy(col("__mid")).orderBy(col("__seq"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val finW = Window.partitionBy(col("__mid"))
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        val withMeasures = spec.measures.foldLeft(joined) { (df, m) =>
+          val (agg, post) = measureAgg(m, "classifier")
+          df.withColumn(m.alias, post(agg.over(if (m.running) runW else finW)))
+        }
+        withMeasures
           .drop("__mid", "__pkey", "start_ts", "__first_seq", "__mask")
           .withColumnRenamed("__seq", "row_seq")
       }
