@@ -185,12 +185,78 @@ object Graphs {
     out
   }
 
+  /** Community detection (Gelly library/CommunityDetection.java — Leung et
+    * al.'s score-attenuated label propagation): each vertex sends
+    * (label, score) to its neighbors; a vertex adopts the label with the
+    * highest summed score (ties to the smallest label, the reference's
+    * TreeMap-ascending + strict-greater scan), re-scored to that label's
+    * highest single received score minus delta/superstep when the label
+    * changed. delta = 0.5 (the reference default), 3 supersteps — the
+    * attenuation stays dyadic wherever it feeds a later sum, so the double
+    * arithmetic is order-independent and the oracle exact. */
+  def communityDetection(s: SparkSession, dir: String, iters: Int = 3,
+                         delta: Double = 0.5): DataFrame = {
+    val e = edges(s, dir).repartition(col("dst")).persist(StorageLevel.MEMORY_AND_DISK)
+    var st = e.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("label"), lit(1.0).as("score"))
+      .localCheckpoint(eager = true)
+    for (k <- 1 to iters) {
+      val msgs = e.join(st, e("dst") === st("node"))
+        .select(e("src").as("node"), col("label"), col("score"))
+      val perLabel = msgs.groupBy(col("node"), col("label"))
+        .agg(sum(col("score")).as("ssum"), max(col("score")).as("smax"))
+      // argmax by (sum, min label), carrying that label's max single score
+      val winner = perLabel.groupBy(col("node"))
+        .agg(max(struct(col("ssum"), (-col("label")).as("nl"), col("smax"))).as("m"))
+        .select(col("node"), (-col("m.nl")).as("new_label"), col("m.smax").as("wmax"))
+      st = winner.join(st.select(col("node"), col("label").as("old_label")), "node")
+        .select(col("node"), col("new_label").as("label"),
+          when(col("new_label") === col("old_label"), col("wmax"))
+            .otherwise(col("wmax") - lit(delta / k)).as("score"))
+        .localCheckpoint(eager = true)
+    }
+    e.unpersist()
+    st.select(col("node"), col("label")).orderBy(col("node"))
+  }
+
+  /** Summarization (Gelly library/Summarization.java): condense the graph
+    * by grouping vertices on their value — here the nation of each
+    * customer/supplier, the natural "vertex value" of the test graph. Output
+    * = one row per (source group, target group) with the edge count plus
+    * both groups' vertex counts (the reference's VertexValue/EdgeValue
+    * group counts, keyed by group VALUE rather than a representative id so
+    * the result is deterministic). */
+  def summarize(s: SparkSession, dir: String): DataFrame = {
+    val labels = Tables.load(s, dir, "customer")
+      .select(col("c_custkey").as("node"), concat(lit("C"), col("c_nationkey")).as("label"))
+      .union(Tables.load(s, dir, "supplier")
+        .select((col("s_suppkey") + SuppOffset).as("node"),
+          concat(lit("S"), col("s_nationkey")).as("label")))
+    val e = edges(s, dir)
+    val grouped = e
+      .join(labels.as("ls"), e("src") === col("ls.node"))
+      .join(labels.as("ld"), e("dst") === col("ld.node"))
+      .groupBy(col("ls.label").as("src_group"), col("ld.label").as("dst_group"))
+      .agg(count(lit(1)).as("n_edges"))
+    val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("n_vertices"))
+    grouped
+      .join(sizes.select(col("label").as("src_group"), col("n_vertices").as("src_vertices")),
+        "src_group")
+      .join(sizes.select(col("label").as("dst_group"), col("n_vertices").as("dst_vertices")),
+        "dst_group")
+      .select(col("src_group"), col("dst_group"), col("n_edges"),
+        col("src_vertices"), col("dst_vertices"))
+      .orderBy(col("src_group"), col("dst_group"))
+  }
+
   def queries: Map[String, QFn] = Map(
     "graph_connected_components" -> ((s, d) => connectedComponents(s, d)),
     "graph_pagerank" -> ((s, d) => pageRank(s, d)),
     "graph_sssp" -> ((s, d) => sssp(s, d)),
     "graph_label_propagation" -> ((s, d) => labelPropagation(s, d)),
-    "graph_triangles" -> ((s, d) => triangles(s, d))
+    "graph_triangles" -> ((s, d) => triangles(s, d)),
+    "graph_community" -> ((s, d) => communityDetection(s, d)),
+    "graph_summarize" -> ((s, d) => summarize(s, d))
   )
 
   /** CC is exactly reproducible in DuckDB with a recursive CTE. PageRank's
@@ -216,7 +282,49 @@ object Graphs {
        FROM r10 ORDER BY rank_scaled DESC, node"""
   }
 
+  /** Three chained supersteps of the scatter-gather update; the QUALIFY
+    * row_number picks (max summed score, min label) exactly as the Spark
+    * struct-argmax does. */
+  private def communityOracle: String = {
+    val steps = (1 to 3).map { k =>
+      s"""m$k AS (SELECT u.src AS node, c.label, c.score
+             FROM und u JOIN c${k - 1} c ON u.dst = c.node),
+         g$k AS (SELECT node, label, sum(score) AS ssum, max(score) AS smax
+             FROM m$k GROUP BY node, label),
+         w$k AS (SELECT node, label, smax FROM (
+               SELECT *, row_number() OVER (PARTITION BY node
+                         ORDER BY ssum DESC, label) AS rn FROM g$k) WHERE rn = 1),
+         c$k AS (SELECT w.node, w.label,
+                CASE WHEN w.label = p.label THEN w.smax
+                     ELSE w.smax - 0.5 / $k END AS score
+             FROM w$k w JOIN c${k - 1} p ON w.node = p.node)"""
+    }.mkString(",\n")
+    s"""WITH e0 AS (SELECT DISTINCT o_custkey AS src, l_suppkey + 1000000 AS dst
+              FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       und AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+       c0 AS (SELECT DISTINCT src AS node, src AS label, 1.0::DOUBLE AS score FROM und),
+       $steps
+       SELECT node, label FROM c3 ORDER BY node"""
+  }
+
   def oracles: Map[String, String] = Map(
+    "graph_community" -> communityOracle,
+    "graph_summarize" ->
+      """WITH e0 AS (SELECT DISTINCT o_custkey AS src, l_suppkey + 1000000 AS dst
+              FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         und AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+         lab AS (SELECT c_custkey AS node, 'C' || c_nationkey AS label FROM customer
+                 UNION ALL
+                 SELECT s_suppkey + 1000000, 'S' || s_nationkey FROM supplier),
+         sizes AS (SELECT label, count(*) AS n_vertices FROM lab GROUP BY label),
+         ge AS (SELECT ls.label AS src_group, ld.label AS dst_group, count(*) AS n_edges
+                FROM und u JOIN lab ls ON u.src = ls.node JOIN lab ld ON u.dst = ld.node
+                GROUP BY ls.label, ld.label)
+         SELECT g.src_group, g.dst_group, g.n_edges,
+                ss.n_vertices AS src_vertices, sd.n_vertices AS dst_vertices
+         FROM ge g JOIN sizes ss ON g.src_group = ss.label
+                   JOIN sizes sd ON g.dst_group = sd.label
+         ORDER BY g.src_group, g.dst_group""",
     "graph_connected_components" ->
       """WITH RECURSIVE
            e0 AS (SELECT DISTINCT o_custkey AS src, l_suppkey + 1000000 AS dst
