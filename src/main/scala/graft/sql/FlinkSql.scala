@@ -157,7 +157,13 @@ object FlinkSql {
       * query selecting the string 'MATCH_RECOGNIZE(' parses normally. */
     private def frontEnd(sqlText: String): Option[LogicalPlan] = {
       val probe = blankLiteralsAndComments(sqlText)
-      if (WatermarkDdl.matches(probe))
+      if (FunctionDdl.matches(probe))
+        // CREATE FUNCTION <name> AS '<GraftSqlFunction class>'; non-graft
+        // classes (Hive-style DDL) fall through to the stock parser
+        FunctionDdl.tryRun(session, sqlText)
+          .map(org.apache.spark.sql.GraftSqlBridge.logicalPlan)
+          .orElse(Some(delegate.parsePlan(sqlText)))
+      else if (WatermarkDdl.matches(probe))
         Some(org.apache.spark.sql.GraftSqlBridge.logicalPlan(
           WatermarkDdl.run(session, sqlText)))
       else if (MatchRecognize.matches(probe))

@@ -66,6 +66,26 @@ object FlinkSqlQueries {
                FROM wm_purchases JOIN wm_clicks FOR SYSTEM_TIME AS OF p_ts ON u2 = cu
                ORDER BY u, p_id""")
     }),
+    // CREATE FUNCTION DDL: class resolved reflectively, UDF registered
+    // under the DDL name, then used from plain SQL
+    "fsql_function_ddl" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("CREATE TEMPORARY FUNCTION vowel_count AS 'graft.functions.VowelCountFn'")
+      s.sql("""SELECT n_name, vowel_count(n_name) AS nv FROM nation ORDER BY n_name""")
+    }),
+    // computed column in the connector-table DDL (`col AS expr`), stacked
+    // with the WATERMARK clause; the generated column is queryable
+    "fsql_computed_column" -> ((s, dir) => {
+      s.sql(s"""CREATE TABLE ev_cc (
+                  event_id BIGINT,
+                  value DOUBLE,
+                  value_bucket AS CAST(floor(value) AS BIGINT),
+                  WATERMARK FOR ts AS ts - INTERVAL '5' SECOND
+                ) WITH ('connector' = 'filesystem',
+                        'path' = '$dir/events.parquet', 'format' = 'parquet')""")
+      s.sql("""SELECT value_bucket, count(*) AS n FROM ev_cc
+               GROUP BY value_bucket ORDER BY value_bucket""")
+    }),
     "mr_error_pairs" -> ((s, dir) => run(s, dir,
       """SELECT user_id, start_ts, end_ts FROM events
          MATCH_RECOGNIZE (
@@ -298,6 +318,14 @@ object FlinkSqlQueries {
          FROM o WHERE event_type = 'purchase'
            AND (t1 = 'signup' OR (t1 = 'view' AND t2 = 'signup'))
          ORDER BY user_id, start_ts""",
+    "fsql_function_ddl" ->
+      """SELECT n_name,
+                CAST(length(lower(n_name)) -
+                     length(regexp_replace(lower(n_name), '[aeiou]', '', 'g')) AS INTEGER) AS nv
+         FROM nation ORDER BY n_name""",
+    "fsql_computed_column" ->
+      """SELECT CAST(floor(value) AS BIGINT) AS value_bucket, count(*) AS n
+         FROM events GROUP BY 1 ORDER BY value_bucket""",
     // E+ V islands exploded to one row per matched position: err_so_far
     // counts errors up to the row, err_total the island, last_err_val the
     // value at position min(row, island end)

@@ -66,9 +66,22 @@ object WatermarkDdl {
       val path = props.getOrElse("path",
         throw new IllegalArgumentException(s"CREATE TABLE $name: 'path' property required"))
       val fmt = props.getOrElse("format", "parquet")
-      // column defs are informational — the schema is read from the files,
-      // exactly like Spark's own schema inference on the same connector
-      spark.read.format(fmt).load(path).createOrReplaceTempView(name)
+      // plain column defs are informational — the schema is read from the
+      // files, exactly like Spark's own schema inference on the same
+      // connector. COMPUTED columns (`col AS expr`, parserImpls.ftl:551)
+      // are applied on top in declaration order, so later ones may
+      // reference earlier ones — the reference's generated-column flow.
+      val computedRe = """(?is)^(\w+)\s+AS\s+(.+)$""".r
+      val base = FlinkSqlSupport.splitTop(schemaBody).foldLeft(
+        spark.read.format(fmt).load(path)) { (df, item) =>
+        item match {
+          case i if wmRe.findFirstIn(i).isDefined => df // the WATERMARK item
+          case computedRe(colName, colExpr) =>
+            df.withColumn(colName, org.apache.spark.sql.functions.expr(colExpr))
+          case _ => df // plain column def
+        }
+      }
+      base.createOrReplaceTempView(name)
       SystemTimeJoin.declareWatermark(name, wm.group(1),
         delayLiteral(wm.group(2), wm.group(3)))
       spark.emptyDataFrame
