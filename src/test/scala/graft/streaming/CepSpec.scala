@@ -188,6 +188,52 @@ class CepSpec extends SparkSpec {
     assert(rel == Seq(Seq(1L, 3L))) // ε-path skipping the view wins
   }
 
+  test("streaming trailing absence: holds expire on the watermark, agree with batch") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val h = 3600L * 1000000L
+    val t0 = 10000000L // above the initial watermark — an event AT epoch 0
+                       // would be pre-filtered as late before the operator
+    val in = MemoryStream[KeyedRow]
+    val q = Cep.matchStream(in.toDS(), Cep.abandonedSignup, "0 seconds")
+      .writeStream.format("memory").queryName("cep_abs").outputMode("append").start()
+    try {
+      in.addData(ev(1, t0, 1, "signup"), ev(2, t0, 2, "signup"))
+      q.processAllAvailable()
+      // key 1's purchase arrives inside the window → kills its hold; the
+      // same row advances the watermark past key 2's window → key 2 emits
+      in.addData(ev(1, t0 + 100, 3, "purchase"), ev(2, t0 + 2 * h, 4, "view"))
+      q.processAllAvailable()
+      in.addData(ev(1, t0 + 3 * h, 5, "view")) // push watermark for everyone
+      q.processAllAvailable()
+      in.addData(ev(1, t0 + 4 * h, 6, "view"))
+      q.processAllAvailable()
+      val ms = s.sql("select * from cep_abs").as[Cep.Match].collect()
+      // key 1: purchase within the hour → no match; key 2: no purchase → match
+      assert(ms.map(m => (m.key, m.ids)).toSet == Set((2L, Seq(2L))))
+    } finally q.stop()
+  }
+
+  test("skew: 10^6 rows on one key through the absence-hold scan") {
+    val s = spark
+    import s.implicits._
+    val n = 1000000
+    // alternating signup/other traffic on ONE key; every 10th row a signup,
+    // purchases only in the first half → second-half signups all match
+    val rows = s.range(n.toLong).map { i =>
+      val kind =
+        if (i % 10 == 0) "signup"
+        else if (i % 10 == 5 && i < n / 2) "purchase"
+        else "view"
+      KeyedRow(7L, i * 1000000L, i, kind, 0.0) // 1s apart → 1h window = 3600 rows
+    }
+    val ms = Cep.matchBatch(rows, Cep.abandonedSignup).count()
+    // signups at i % 10 == 0; a purchase follows within 3600 rows for every
+    // signup before n/2 - 3600ish; all later signups are unmatched
+    assert(ms >= (n / 2 / 10) - 400 && ms <= n / 2 / 10 + 400, s"got $ms")
+  }
+
   test("skip to last <var>: resume at the skipped-to row, overlap pruned") {
     val s = spark
     import s.implicits._
