@@ -79,7 +79,9 @@ object Joins {
   /** Left anti join — SQL NOT EXISTS. */
   private def joinAnti(s: SparkSession, dir: String): DataFrame = {
     val c = Tables.load(s, dir, "customer")
-    val o = Tables.load(s, dir, "orders")
+    // anti against the big-order subset (every customer has SOME order, so
+    // the unrestricted anti join would be vacuously empty at every sf)
+    val o = Tables.load(s, dir, "orders").filter(col("o_totalprice") > 300000)
     c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
       .select(col("c_custkey"), col("c_name"))
       .orderBy(col("c_custkey"))
@@ -168,7 +170,8 @@ object Joins {
          ORDER BY c_custkey""",
     "join_anti" ->
       """SELECT c_custkey, c_name FROM customer
-         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+         WHERE NOT EXISTS (SELECT 1 FROM orders
+                           WHERE o_custkey = c_custkey AND o_totalprice > 300000)
          ORDER BY c_custkey""",
     "join_cross" ->
       """SELECT r_name, n_name, r_regionkey = n_regionkey AS same_region

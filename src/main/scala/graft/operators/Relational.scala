@@ -97,7 +97,7 @@ object Relational {
     val brandAvg = p.groupBy(col("p_brand").as("b_brand"))
       .agg((d(sum(dec(col("p_retailprice")))) / count(lit(1))).as("avg_price"))
     p.join(brandAvg, col("p_brand") === col("b_brand"))
-      .filter(col("p_retailprice") > col("avg_price") * 1.2)
+      .filter(col("p_retailprice") > col("avg_price") * 1.05)
       .select(col("p_partkey"), col("p_brand"), col("p_retailprice"))
       .orderBy(col("p_partkey"))
   }
@@ -183,7 +183,7 @@ object Relational {
     "rel_scalar_subquery" ->
       """SELECT p_partkey, p_brand, p_retailprice
          FROM part p
-         WHERE p_retailprice > 1.2 * (
+         WHERE p_retailprice > 1.05 * (
            SELECT CAST(sum(CAST(p2.p_retailprice AS DECIMAL(18,2))) AS DOUBLE) / count(*)
            FROM part p2 WHERE p2.p_brand = p.p_brand)
          ORDER BY p_partkey""",

@@ -39,8 +39,14 @@ object SetOps {
     custNations(s, dir).intersectAll(suppNations(s, dir))
       .groupBy(col("nk")).agg(count(lit(1)).as("n")).orderBy(col("nk"))
 
+  /** Rich suppliers only — the full supplier set covers every nation, which
+    * would make the difference vacuously empty at every sf. */
+  private def richSuppNations(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "supplier").filter(col("s_acctbal") > 7000)
+      .select(col("s_nationkey").as("nk"))
+
   private def except(s: SparkSession, dir: String): DataFrame =
-    custNations(s, dir).except(suppNations(s, dir)).orderBy(col("nk"))
+    custNations(s, dir).except(richSuppNations(s, dir)).orderBy(col("nk"))
 
   private def exceptAll(s: SparkSession, dir: String): DataFrame =
     custNations(s, dir).exceptAll(suppNations(s, dir))
@@ -68,7 +74,8 @@ object SetOps {
     "setop_intersect_all" ->
       s"SELECT nk, count(*) AS n FROM (($cust) INTERSECT ALL ($supp)) GROUP BY nk ORDER BY nk",
     "setop_except" ->
-      s"SELECT nk FROM (($cust) EXCEPT ($supp)) ORDER BY nk",
+      s"""SELECT nk FROM (($cust) EXCEPT
+           (SELECT s_nationkey AS nk FROM supplier WHERE s_acctbal > 7000)) ORDER BY nk""",
     "setop_except_all" ->
       s"SELECT nk, count(*) AS n FROM (($cust) EXCEPT ALL ($supp)) GROUP BY nk ORDER BY nk"
   )

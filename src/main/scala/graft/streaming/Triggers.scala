@@ -198,11 +198,12 @@ object Triggers {
     }
   }
 
-  // ---- oracle surface: CountTrigger(5) + CountEvictor(3) on 1h windows ----
+  // ---- oracle surface: CountTrigger(5) + CountEvictor(3) on 1-day windows
+  // (hour panes hold < 5 rows at the driver's sf, which made the row
+  // vacuously empty — day panes actually fire) ----
 
-  /** Every 5th row of each (user, hour) pane emits max/sum of the last 3
-    * rows, plus the pane's terminal fire — deterministic and
-    * SQL-reproducible via window frames. */
+  /** Every 5th row of each (user, day) pane emits max/sum of the last 3
+    * rows — deterministic and SQL-reproducible via window frames. */
   def qTriggerCountEvict(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val rows = graft.Tables.load(s, dir, "events")
@@ -210,7 +211,7 @@ object Triggers {
         expr("unix_micros(cast(ts as timestamp))").as("ts"),
         col("event_id").as("id"), col("event_type").as("kind"), col("value"))
       .as[KeyedRow]
-    triggeredTumbleWindowsBatch(rows, 3600L * 1000000L, CountTrigger(5), CountEvictor(3))
+    triggeredTumbleWindowsBatch(rows, 86400L * 1000000L, CountTrigger(5), CountEvictor(3))
       .select($"key".as("user_id"), $"win_start", $"fire_seq", $"n_buf",
         $"max_value", $"last_id")
       .orderBy($"user_id", $"win_start", $"fire_seq")
@@ -230,12 +231,12 @@ object Triggers {
                 CAST(n3 AS BIGINT) AS n_buf, mx3 AS max_value, event_id AS last_id
          FROM (
            SELECT user_id, event_id,
-                  epoch_us(date_trunc('hour', ts)) AS win_start,
+                  epoch_us(date_trunc('day', ts)) AS win_start,
                   row_number() OVER w AS rn,
                   max(value) OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS mx3,
                   count(*) OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS n3
            FROM events
-           WINDOW w AS (PARTITION BY user_id, date_trunc('hour', ts) ORDER BY ts, event_id))
+           WINDOW w AS (PARTITION BY user_id, date_trunc('day', ts) ORDER BY ts, event_id))
          WHERE rn % 5 = 0 ORDER BY user_id, win_start, fire_seq"""
   )
 }
