@@ -50,6 +50,30 @@ object KafkaAvro {
       true
     } catch { case _: Throwable => false }
 
+  /** The FlinkKafkaConsumer property → Spark option translation, as data —
+    * the facade's actual content, testable without the DataSource jar.
+    * Mirrors: setStartFromEarliest/Latest → startingOffsets,
+    * setStartFromSpecificOffsets(json) → startingOffsets json,
+    * properties("bootstrap.servers") → kafka.bootstrap.servers,
+    * topic subscribe list → subscribe. */
+  def kafkaSourceOptions(servers: String, topic: String,
+                         startingOffsets: String = "earliest"): Map[String, String] = Map(
+    "kafka.bootstrap.servers" -> servers,
+    "subscribe" -> topic,
+    "startingOffsets" -> startingOffsets)
+
+  /** FlinkKafkaProducer property translation (sink side). */
+  def kafkaSinkOptions(servers: String, topic: String,
+                       checkpointDir: String): Map[String, String] = Map(
+    "kafka.bootstrap.servers" -> servers,
+    "topic" -> topic,
+    "checkpointLocation" -> checkpointDir)
+
+  /** The metadata columns the source projects — KafkaDeserializationSchema's
+    * ConsumerRecord surface. */
+  val SourceColumns: Seq[String] =
+    Seq("key", "value", "topic", "partition", "offset", "timestamp")
+
   /** Streaming Kafka source: value bytes + standard metadata columns
     * (topic/partition/offset/timestamp — what the reference exposes through
     * KafkaDeserializationSchema's ConsumerRecord). */
@@ -57,19 +81,15 @@ object KafkaAvro {
                   startingOffsets: String = "earliest"): DataFrame =
     spark.readStream
       .format("kafka")
-      .option("kafka.bootstrap.servers", servers)
-      .option("subscribe", topic)
-      .option("startingOffsets", startingOffsets)
+      .options(kafkaSourceOptions(servers, topic, startingOffsets))
       .load()
-      .select(col("key"), col("value"), col("topic"),
-        col("partition"), col("offset"), col("timestamp"))
+      .select(SourceColumns.map(col): _*)
 
   /** Batch Kafka scan (the reference's bounded Kafka source mode). */
   def kafkaBatch(spark: SparkSession, servers: String, topic: String): DataFrame =
     spark.read
       .format("kafka")
-      .option("kafka.bootstrap.servers", servers)
-      .option("subscribe", topic)
+      .options(kafkaSourceOptions(servers, topic) - "startingOffsets")
       .load()
 
   /** Kafka sink writer: expects `key`/`value` binary (or string) columns —
@@ -79,9 +99,7 @@ object KafkaAvro {
                 checkpointDir: String): DataStreamWriter[Row] =
     df.writeStream
       .format("kafka")
-      .option("kafka.bootstrap.servers", servers)
-      .option("topic", topic)
-      .option("checkpointLocation", checkpointDir)
+      .options(kafkaSinkOptions(servers, topic, checkpointDir))
 
   /** Avro file read — AvroInputFormat / avro FileSystemFormatFactory. */
   def readAvro(spark: SparkSession, path: String): DataFrame =

@@ -34,4 +34,40 @@ class KafkaAvroSpec extends SparkSpec {
     KafkaAvro.avroAvailable
     succeed
   }
+
+  // the facade's real content — the FlinkKafkaConsumer/Producer property →
+  // Spark option translation — is pure data, provable without the jars
+
+  test("consumer property translation matches the Spark option spellings") {
+    val opts = KafkaAvro.kafkaSourceOptions("h1:9092,h2:9092", "events", "latest")
+    assert(opts == Map(
+      "kafka.bootstrap.servers" -> "h1:9092,h2:9092",
+      "subscribe" -> "events",
+      "startingOffsets" -> "latest"))
+    assert(KafkaAvro.kafkaSourceOptions("h:9092", "t")("startingOffsets") == "earliest")
+    assert(KafkaAvro.SourceColumns ==
+      Seq("key", "value", "topic", "partition", "offset", "timestamp"))
+  }
+
+  test("producer property translation carries topic + checkpoint dir") {
+    val opts = KafkaAvro.kafkaSinkOptions("h:9092", "out", "/tmp/ckpt")
+    assert(opts == Map(
+      "kafka.bootstrap.servers" -> "h:9092",
+      "topic" -> "out",
+      "checkpointLocation" -> "/tmp/ckpt"))
+  }
+
+  test("avro format layer is executable offline through the native codec") {
+    // the spark-avro DataSource jar is genuinely absent (coursier cache and
+    // /opt/spark/jars were searched), but the FORMAT itself is proven by
+    // AvroCodec + the fmt_avro_roundtrip oracle row; this pins the facade's
+    // declared fallback
+    assert(!KafkaAvro.avroAvailable)
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "name")
+    val back = AvroCodec.decodeRows(AvroCodec.encodeRows(df), df.schema)
+    assert(back.collect().map(r => (r.getLong(0), r.getString(1))).toSet ==
+      Set((1L, "a"), (2L, "b")))
+  }
 }
