@@ -12,13 +12,23 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   *
   * Supported surface (what MatchRecognizeITCase exercises): a sequence of
   * named steps, each with a predicate; strict (`next`) or relaxed
-  * (`followedBy`) contiguity per step; `within` time bound; after-match
-  * skip strategies PAST LAST ROW / TO NEXT ROW.
+  * (`followedBy`/`followedByAny`) contiguity per step; quantifiers
+  * (oneOrMore/optional, greedy or reluctant, with `until` loop closure);
+  * absence constraints (`notNext`/`notFollowedBy`, interior via step guards
+  * and trailing via held completions with a time bound); `within`;
+  * after-match skip strategies PAST LAST ROW / TO NEXT ROW /
+  * TO FIRST|LAST variable.
   *
   * Scale: state per key is the set of active partial runs — bounded by
   * pattern length × concurrent starts inside the `within` horizon, never by
   * stream length. The NFA advances row-at-a-time, so the streaming variant
-  * processes each watermark-released row exactly once.
+  * processes each watermark-released row exactly once. Known worst case:
+  * each run carries its own matched-row list, so a pattern whose anchor
+  * matches every row of a very long partial match (e.g. an always-true
+  * anchor over a monotone million-row run) holds O(runs × match length)
+  * list cells — the reference bounds the same blowup by deduplicating
+  * storage in SharedBuffer.java's versioned DAG; patterns with selective
+  * anchors or a `within` bound (the practical cases) stay linear.
   */
 object Cep {
 
