@@ -50,6 +50,21 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), "decorrelation must avoid a cartesian product")
   }
 
+  test("graph_triangles: oriented equi-joins only — no cartesian blowup") {
+    val plan = executed(graph.Graphs.triangles(spark, sf)).toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      "triangle enumeration must join oriented edges on keys, never cross")
+  }
+
+  test("ngram-Jaccard: the singleton prefilter rides the self-join's own shuffle") {
+    val df = pipeline.Dedup.queries("dedup_ngram_jaccard")(spark, sf)
+    val plan = executed(df).toString
+    // the window-count formulation must not add a separate aggregate+join of
+    // the exploded shingles: no more than the candidate-pair aggregation
+    assert(plan.contains("Window"), "prefilter must be the window count")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("dedup_embedding: LSH-bucketed — no all-pairs join anywhere in the plan") {
     val plan = executed(pipeline.Dedup.queries("dedup_embedding")(spark, sf)).toString
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
