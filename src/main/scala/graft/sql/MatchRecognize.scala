@@ -276,8 +276,11 @@ object MatchRecognize {
           Seq.fill(m - n)(base.copy(optional = true)) // {n} / {n,m} / ?
       }
     }
+    // the DEFINE-mask window above already hash-partitioned every partition
+    // key's rows into one partition — the NFA scan reuses that clustering
+    // instead of shuffling the rows a second time on the same key
     val matchesDs = Cep.matchBatch(rows,
-      Cep.Pattern(steps, spec.withinMs, spec.afterMatch))
+      Cep.Pattern(steps, spec.withinMs, spec.afterMatch), prePartitionedByKey = true)
     val m = matchesDs.toDF().withColumn("__mid", monotonically_increasing_id())
     val base = m.select(col("key").as("__pkey"), col("start_ts"), col("end_ts"),
       size(col("ids")).cast("long").as("n_rows"), col("__mid"), col("ids"), col("labels"))

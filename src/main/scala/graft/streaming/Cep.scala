@@ -244,9 +244,10 @@ object Cep {
     * spillable partition sort + boundary scan), so executor memory holds only
     * the active run set per key — never the key group, never the match list:
     * matches stream out row-by-row as the NFA completes them. */
-  def matchBatch(rows: Dataset[KeyedRow], pattern: Pattern): Dataset[Match] = {
+  def matchBatch(rows: Dataset[KeyedRow], pattern: Pattern,
+                 prePartitionedByKey: Boolean = false): Dataset[Match] = {
     import rows.sparkSession.implicits._
-    SortedScan.perKeyOrdered(rows) { (key, it) =>
+    SortedScan.perKeyOrdered(rows, prePartitionedByKey) { (key, it) =>
       var active: List[Run] = Nil
       var holds: List[Run] = Nil // completed, awaiting trailing-absence expiry
       var prevId = Long.MinValue

@@ -27,13 +27,20 @@ object SortedScan {
   /** Scan each key's rows in (ts, id) order. `f` receives the key and a
     * LAZY iterator over that key's rows (valid only until `f`'s result
     * iterator is exhausted — do not retain it); its output is emitted as
-    * produced, so neither input nor output of a key group is materialized. */
-  def perKeyOrdered[T: Encoder](rows: Dataset[KeyedRow])(
-      f: (Long, Iterator[KeyedRow]) => Iterator[T]): Dataset[T] =
-    rows
-      .repartition(col("key"))
+    * produced, so neither input nor output of a key group is materialized.
+    *
+    * `prePartitionedByKey = true` skips the hash exchange: the caller
+    * guarantees all rows of one key already share a partition (e.g. the
+    * output of a window over the same key) — reusing the upstream
+    * partitioning instead of shuffling the data a second time. */
+  def perKeyOrdered[T: Encoder](rows: Dataset[KeyedRow],
+                                prePartitionedByKey: Boolean = false)(
+      f: (Long, Iterator[KeyedRow]) => Iterator[T]): Dataset[T] = {
+    val clustered = if (prePartitionedByKey) rows else rows.repartition(col("key"))
+    clustered
       .sortWithinPartitions(col("key"), col("ts"), col("id"))
       .mapPartitions { it => new KeyGroupScan(it.buffered, f) }
+  }
 
   /** Iterator over a (key-clustered, in-key-sorted) partition that hands
     * each key group to `f` as a bounded sub-iterator and flattens the
