@@ -166,6 +166,16 @@ object FlinkSql {
       else if (WatermarkDdl.matches(probe))
         Some(org.apache.spark.sql.GraftSqlBridge.logicalPlan(
           WatermarkDdl.run(session, sqlText)))
+      // filesystem connector sink tables (CREATE TABLE ... WITH, no
+      // watermark) + INSERT INTO them; unregistered INSERT targets fall
+      // through so Spark-native inserts keep working
+      else if (ConnectorTables.matchesCreate(probe))
+        Some(org.apache.spark.sql.GraftSqlBridge.logicalPlan(
+          ConnectorTables.runCreate(session, sqlText)))
+      else if (ConnectorTables.matchesInsert(probe))
+        ConnectorTables.tryInsert(session, sqlText)
+          .map(org.apache.spark.sql.GraftSqlBridge.logicalPlan)
+          .orElse(Some(delegate.parsePlan(rewrite(sqlText))))
       else if (MatchRecognize.matches(probe))
         Some(org.apache.spark.sql.GraftSqlBridge.logicalPlan(
           MatchRecognize.run(session, sqlText)))

@@ -66,6 +66,26 @@ object FlinkSqlQueries {
                FROM wm_purchases JOIN wm_clicks FOR SYSTEM_TIME AS OF p_ts ON u2 = cu
                ORDER BY u, p_id""")
     }),
+    // filesystem connector SINK table + INSERT INTO (the write half of the
+    // connector DDL): aggregate lineitem into the sink, read the written
+    // files back, prove the round trip against the direct aggregation
+    "fsql_insert_sink" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      val path = s"target/sink_cache/${dir.replaceAll("[^a-zA-Z0-9]", "_")}/flag_agg"
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
+        f.delete(): Unit
+      }
+      rm(new java.io.File(path)) // fresh sink per run (append-mode connector)
+      s.sql(s"""CREATE TABLE flag_agg (
+                  l_returnflag STRING, n BIGINT, sum_qty DOUBLE
+                ) WITH ('connector' = 'filesystem', 'path' = '$path',
+                        'format' = 'parquet')""")
+      s.sql("""INSERT INTO flag_agg
+               SELECT l_returnflag, count(*) AS n, sum(l_quantity) AS sum_qty
+               FROM lineitem GROUP BY l_returnflag""")
+      s.sql("SELECT l_returnflag, n, sum_qty FROM flag_agg ORDER BY l_returnflag")
+    }),
     // CREATE FUNCTION DDL: class resolved reflectively, UDF registered
     // under the DDL name, then used from plain SQL
     "fsql_function_ddl" -> ((s, dir) => {
@@ -318,6 +338,9 @@ object FlinkSqlQueries {
          FROM o WHERE event_type = 'purchase'
            AND (t1 = 'signup' OR (t1 = 'view' AND t2 = 'signup'))
          ORDER BY user_id, start_ts""",
+    "fsql_insert_sink" ->
+      """SELECT l_returnflag, count(*) AS n, sum(l_quantity) AS sum_qty
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "fsql_function_ddl" ->
       """SELECT n_name,
                 CAST(length(lower(n_name)) -
