@@ -36,13 +36,16 @@ object EmitStrategy {
     try session.conf.getOption(DelayConf) catch { case _: Throwable => None }
 
   def matches(probe: String): Boolean =
-    """(?i)\bTUMBLE\s*\(""".r.findFirstIn(probe).isDefined &&
+    """(?i)\b(TUMBLE|HOP)\s*\(""".r.findFirstIn(probe).isDefined &&
       """(?i)\bGROUP\s+BY""".r.findFirstIn(probe).isDefined
 
   private val shapeRe =
     """(?is)\s*SELECT\s+(.*?)\s+FROM\s+(\w+)\s+GROUP\s+BY\s+TUMBLE\s*\(\s*(\w+)\s*,\s*INTERVAL\s+'(\d+)'\s+(\w+)\s*\)\s*(?:,\s*([\w\s,]+?))?\s*(ORDER\s+BY\s+.*)?""".r
+  // Flink argument order: HOP(time, slide, size)
+  private val hopShapeRe =
+    """(?is)\s*SELECT\s+(.*?)\s+FROM\s+(\w+)\s+GROUP\s+BY\s+HOP\s*\(\s*(\w+)\s*,\s*INTERVAL\s+'(\d+)'\s+(\w+)\s*,\s*INTERVAL\s+'(\d+)'\s+(\w+)\s*\)\s*(?:,\s*([\w\s,]+?))?\s*(ORDER\s+BY\s+.*)?""".r
   private val tumbleStartRe =
-    """(?is)^TUMBLE_START\s*\(.*?\)\s+AS\s+(\w+)$""".r
+    """(?is)^(?:TUMBLE_START|HOP_START)\s*\(.*?\)\s+AS\s+(\w+)$""".r
   private val aggRe = """(?is)^(COUNT|SUM|MIN|MAX|AVG)\s*\(\s*(\*|\w+)\s*\)\s+AS\s+(\w+)$""".r
 
   private def unitMicros(u: String): Long = u.toUpperCase.stripSuffix("S") match {
@@ -59,11 +62,26 @@ object EmitStrategy {
     m.group(1).toLong * unitMicros(m.group(2))
   }
 
-  /** Rewrite + execute. The produced SQL contains no TUMBLE, so it parses
-    * through the stock path (no re-entry into this front-end). */
+  /** Rewrite + execute. The produced SQL contains no TUMBLE/HOP, so it
+    * parses through the stock path (no re-entry into this front-end). */
   def run(session: SparkSession, sql: String): DataFrame = sql match {
     case shapeRe(select, table, tsCol, n, unit, extraGroups, tail) =>
-      val widthUs = n.toLong * unitMicros(unit)
+      build(session, select, table, tsCol, n.toLong * unitMicros(unit), None,
+        extraGroups, tail)
+    case hopShapeRe(select, table, tsCol, slideN, slideU, sizeN, sizeU, extraGroups, tail) =>
+      build(session, select, table, tsCol, sizeN.toLong * unitMicros(sizeU),
+        Some(slideN.toLong * unitMicros(slideU)), extraGroups, tail)
+    case _ => throw new IllegalArgumentException(
+      "early-fire emit supports: SELECT TUMBLE_START/HOP_START(..) AS a, <group cols>, <aggs> " +
+        "FROM t GROUP BY TUMBLE(ts, size) | HOP(ts, slide, size) [, group cols] [ORDER BY ...]")
+  }
+
+  /** Shared construction: a hopping window explodes each row into its
+    * size/slide covering windows (the reference's per-pane assignment in
+    * SliceAssigners); a tumbling window is the one-window special case. */
+  private def build(session: SparkSession, select: String, table: String, tsCol: String,
+                    widthUs: Long, slideUs: Option[Long], extraGroups: String,
+                    tail: String): DataFrame = {
       val delayUs = delayMicros(enabled(session).get)
       val groupCols = Option(extraGroups).map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
         .getOrElse(Nil)
@@ -88,6 +106,15 @@ object EmitStrategy {
         s"${fn.toLowerCase}($a) OVER ($ord ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS $alias"
       }.mkString(", ")
       val aliases = aggs.map(_._3).mkString(", ")
+      val uts = s"unix_micros(cast($tsCol as timestamp))"
+      // window assignment: tumble = the one covering window; hop = explode
+      // the size/slide covering set (window starts aligned to the slide)
+      val wsExpr = slideUs match {
+        case None => s"($uts div ${widthUs}L) * ${widthUs}L AS __ws"
+        case Some(l) =>
+          s"explode(sequence(($uts div ${l}L) * ${l}L - ${widthUs}L + ${l}L, " +
+            s"($uts div ${l}L) * ${l}L, ${l}L)) AS __ws"
+      }
       session.sql(
         s"""SELECT $wsAlias, $gComma$aliases,
                    CASE WHEN __last THEN __wend ELSE __fire0 END AS fire_time,
@@ -100,15 +127,12 @@ object EmitStrategy {
                      row_number() OVER ($ord)
                        = count(1) OVER (PARTITION BY $part) AS __last,
                      timestamp_micros(__ws + ${widthUs}L) AS __wend
-              FROM (SELECT *, unix_micros(cast($tsCol as timestamp)) AS __uts,
-                           (unix_micros(cast($tsCol as timestamp)) div ${widthUs}L) * ${widthUs}L AS __ws,
-                           unix_micros(cast($tsCol as timestamp)) div ${delayUs}L AS __bidx
+              FROM (SELECT *, $uts AS __uts,
+                           $wsExpr,
+                           $uts div ${delayUs}L AS __bidx
                     FROM $table)
             )
             WHERE __early OR __last ${Option(tail).getOrElse("")}""")
-    case _ => throw new IllegalArgumentException(
-      "early-fire emit supports: SELECT TUMBLE_START(..) AS a, <group cols>, <aggs> " +
-        "FROM t GROUP BY TUMBLE(ts, INTERVAL 'n' UNIT)[, group cols] [ORDER BY ...]")
   }
 }
 

@@ -229,6 +229,23 @@ object FlinkSqlQueries {
         s.conf.unset(EmitStrategy.TiebreakConf)
       }
     }),
+    // early-fire over HOPPING windows: each row lands in its size/slide
+    // covering windows; fires per (window, user) at 30-minute boundaries
+    "fsql_early_fire_hop" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.conf.set(EmitStrategy.DelayConf, "30 minutes")
+      s.conf.set(EmitStrategy.TiebreakConf, "event_id")
+      try s.sql(
+        """SELECT HOP_START(ts, INTERVAL '1' HOUR, INTERVAL '2' HOUR) AS w_start, user_id,
+                  count(*) AS n, max(value) AS mx
+           FROM events
+           GROUP BY HOP(ts, INTERVAL '1' HOUR, INTERVAL '2' HOUR), user_id
+           ORDER BY user_id, w_start, fire_time, is_final""")
+      finally {
+        s.conf.unset(EmitStrategy.DelayConf)
+        s.conf.unset(EmitStrategy.TiebreakConf)
+      }
+    }),
     // the canonical V-shape with AFTER MATCH SKIP TO FIRST DOWN: overlapping
     // matches cascade — each resumes at the previous match's first DOWN row;
     // STRT has no DEFINE (matches any row, the standard default)
@@ -349,6 +366,34 @@ object FlinkSqlQueries {
     "fsql_computed_column" ->
       """SELECT CAST(floor(value) AS BIGINT) AS value_bucket, count(*) AS n
          FROM events GROUP BY 1 ORDER BY value_bucket""",
+    // hopping emission log: unnest the covering-window starts, then the
+    // same window-frame construction per (window, user)
+    "fsql_early_fire_hop" ->
+      """WITH o AS (
+           SELECT user_id, event_id, value, epoch_us(ts) AS uts,
+                  unnest(generate_series(
+                    (epoch_us(ts) // 3600000000) * 3600000000 - 3600000000,
+                    (epoch_us(ts) // 3600000000) * 3600000000, 3600000000)) AS ws,
+                  epoch_us(ts) // 1800000000 AS bidx
+           FROM events),
+         w AS (
+           SELECT user_id, ws, bidx, uts, event_id,
+                  count(*) OVER win AS n,
+                  max(value) OVER win AS mx,
+                  lag(bidx) OVER win2 AS pb,
+                  row_number() OVER win2 AS rn,
+                  count(*) OVER (PARTITION BY ws, user_id) AS cnt
+           FROM o
+           WINDOW win AS (PARTITION BY ws, user_id ORDER BY uts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                  win2 AS (PARTITION BY ws, user_id ORDER BY uts, event_id))
+         SELECT make_timestamp(ws) AS w_start, user_id, n, mx,
+                CASE WHEN rn = cnt THEN make_timestamp(ws + 7200000000)
+                     ELSE make_timestamp((bidx + 1) * 1800000000) END AS fire_time,
+                rn = cnt AS is_final
+         FROM w
+         WHERE (pb IS NOT NULL AND bidx > pb) OR rn = cnt
+         ORDER BY user_id, w_start, fire_time, is_final""",
     // E+ V islands exploded to one row per matched position: err_so_far
     // counts errors up to the row, err_total the island, last_err_val the
     // value at position min(row, island end)
