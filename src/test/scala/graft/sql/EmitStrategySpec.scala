@@ -35,6 +35,27 @@ class EmitStrategySpec extends SparkSpec {
     assert(rows.length == 1 && rows(0).getLong(2) == 4L && rows(0).getDouble(3) == 5.0)
   }
 
+  test("conf set: hopping windows explode into covering panes, each firing independently") {
+    fixture()
+    spark.conf.set(EmitStrategy.DelayConf, "10 minutes")
+    spark.conf.set(EmitStrategy.TiebreakConf, "event_id")
+    try {
+      // 2h windows sliding 1h: rows at 00:01..00:55 land in the [23:00,01:00)
+      // and [00:00,02:00) panes → two terminal fires with the same 4 rows
+      val rows = spark.sql(
+        """SELECT HOP_START(ts, INTERVAL '1' HOUR, INTERVAL '2' HOUR) AS w_start, user_id,
+                  count(*) AS n, max(value) AS mx
+           FROM ef_events
+           GROUP BY HOP(ts, INTERVAL '1' HOUR, INTERVAL '2' HOUR), user_id
+           ORDER BY w_start, fire_time""").collect()
+      val finals = rows.filter(_.getBoolean(5))
+      assert(finals.length == 2 && finals.forall(r => r.getLong(2) == 4L && r.getDouble(3) == 5.0))
+    } finally {
+      spark.conf.unset(EmitStrategy.DelayConf)
+      spark.conf.unset(EmitStrategy.TiebreakConf)
+    }
+  }
+
   test("conf set: emission log with accumulating early fires and a terminal fire") {
     fixture()
     spark.conf.set(EmitStrategy.DelayConf, "10 minutes")
