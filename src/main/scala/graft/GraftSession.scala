@@ -36,6 +36,13 @@ object GraftSession {
       // events.ts is parquet TIMESTAMP(NANOS) — read as long, see Tables.load
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // the UI is off but the app-status listeners still retain per-execution
+      // state; over a 140+-query session the defaults (1000 executions /
+      // jobs / stages) accumulate into real GC pressure — keep a short tail
+      .config("spark.sql.ui.retainedExecutions", "20")
+      .config("spark.ui.retainedJobs", "100")
+      .config("spark.ui.retainedStages", "100")
+      .config("spark.ui.retainedTasks", "1000")
 
   def create(): SparkSession = {
     val spark = builder().getOrCreate()

@@ -53,7 +53,7 @@ object Graphs {
     * label side shuffles); the lineage cut (localCheckpoint) is LAZY and the
     * convergence aggregate doubles as its materializing action, so each
     * superstep is a single Spark job. */
-  def connectedComponents(s: SparkSession, dir: String, maxIter: Int = 50): DataFrame = {
+  def connectedComponents(s: SparkSession, dir: String, maxIter: Int = 50): DataFrame = withoutAqe(s) {
     val e = edges(s, dir).repartition(col("dst")).persist(StorageLevel.MEMORY_AND_DISK)
     var labels = e.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
@@ -68,7 +68,7 @@ object Graphs {
     var i = 0
     while (!converged && i < maxIter) {
       // candidate label per node = min(own, min over neighbors' labels)
-      val msgs = e.join(labels, e("dst") === labels("node"))
+      val msgs = e.join(broadcast(labels), e("dst") === labels("node"))
         .select(e("src").as("node"), col("label"))
       val next = labels.select(col("node"), col("label"))
         .union(msgs)
@@ -84,9 +84,25 @@ object Graphs {
     labels.select(col("node"), col("label").as("component")).orderBy(col("node"))
   }
 
+  /** Superstep loops re-plan a near-identical tiny query 10–50 times; AQE's
+    * per-stage re-optimization is pure driver overhead there (partitioning
+    * is pinned by the cached edge list). Toggled off around the loop only —
+    * the one-shot queries keep AQE's skew/coalesce benefits. */
+  private def withoutAqe[T](s: SparkSession)(body: => T): T = {
+    val key = "spark.sql.adaptive.enabled"
+    val prev = s.conf.get(key, "true")
+    s.conf.set(key, "false")
+    try body finally s.conf.set(key, prev)
+  }
+
   /** PageRank, fixed iterations with damping 0.85 (Gelly
-    * library/linkanalysis/PageRank.java). Out-degree-normalized push. */
-  def pageRank(s: SparkSession, dir: String, iters: Int = 10): DataFrame = {
+    * library/linkanalysis/PageRank.java). Out-degree-normalized push.
+    * The rank vector is one row per vertex — orders of magnitude smaller
+    * than the edge list at any scale — so it broadcasts; each superstep is
+    * then map-side join + one partial-aggregated shuffle of contributions.
+    * (At 10^9+ vertices the broadcast would swap back to a shuffled join on
+    * the cached edge partitioning — the loop shape is unchanged.) */
+  def pageRank(s: SparkSession, dir: String, iters: Int = 10): DataFrame = withoutAqe(s) {
     val e = edges(s, dir)
     val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     // cached partitioned on the per-superstep join key — only ranks reshuffle
@@ -100,7 +116,7 @@ object Graphs {
     // DOUBLED the runtime — planning/AQE cost over the 10-deep nested join
     // dwarfs the per-job scheduling the cut costs
     for (_ <- 1 to iters) {
-      val contribs = linked.join(ranks, linked("src") === ranks("node"))
+      val contribs = linked.join(broadcast(ranks), linked("src") === ranks("node"))
         .select(col("dst").as("node"), (col("rank") / col("deg")).as("c"))
       ranks = contribs.groupBy("node")
         .agg(((lit(0.15) / n) + lit(0.85) * sum(col("c"))).as("rank"))
@@ -120,7 +136,7 @@ object Graphs {
     * shuffle the frontier, not the whole vertex set. Convergence: the
     * (reached-count, dist-sum) pair is monotone (count up, sum down) —
     * fixpoint when both stall, same one-agg-per-superstep discipline as CC. */
-  def sssp(s: SparkSession, dir: String, maxIter: Int = 30): DataFrame = {
+  def sssp(s: SparkSession, dir: String, maxIter: Int = 30): DataFrame = withoutAqe(s) {
     val e = edges(s, dir).repartition(col("src")).persist(StorageLevel.MEMORY_AND_DISK)
     val source = e.agg(min(col("src"))).head.getLong(0)
     var dist = e.sparkSession.range(1)
@@ -134,7 +150,7 @@ object Graphs {
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
-      val msgs = e.join(dist, e("src") === dist("node"))
+      val msgs = e.join(broadcast(dist), e("src") === dist("node"))
         .select(e("dst").as("node"), (col("dist") + 1L).as("dist"))
       val next = dist.union(msgs)
         .groupBy(col("node")).agg(min(col("dist")).as("dist"))
@@ -155,13 +171,13 @@ object Graphs {
     * result is deterministic and oracle-reproducible. The per-superstep
     * argmax is a two-stage aggregation — `max(struct(count, -label))` picks
     * (max count, min label) without a window shuffle. */
-  def labelPropagation(s: SparkSession, dir: String, iters: Int = 5): DataFrame = {
+  def labelPropagation(s: SparkSession, dir: String, iters: Int = 5): DataFrame = withoutAqe(s) {
     val e = edges(s, dir).repartition(col("dst")).persist(StorageLevel.MEMORY_AND_DISK)
     var labels = e.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
       .localCheckpoint(eager = true)
     for (_ <- 1 to iters) {
-      val freq = e.join(labels, e("dst") === labels("node"))
+      val freq = e.join(broadcast(labels), e("dst") === labels("node"))
         .groupBy(e("src").as("n2"), col("label")).agg(count(lit(1)).as("c"))
       labels = freq.groupBy(col("n2").as("node"))
         .agg(max(struct(col("c"), (-col("label")).as("nl"))).as("m"))
@@ -182,13 +198,7 @@ object Graphs {
     * (Schank's trick bounds the join fan-out by arboricity), id order is the
     * deterministic stand-in. */
   def triangles(s: SparkSession, dir: String): DataFrame = {
-    val li = Tables.load(s, dir, "lineitem")
-      .filter(col("l_quantity") >= 48)
-      .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk")).distinct()
-    val e = li.as("a").join(li.as("b"),
-        col("a.ok") === col("b.ok") && col("a.sk") < col("b.sk"))
-      .select(col("a.sk").as("src"), col("b.sk").as("dst")).distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val e = coEdges(s, dir)
     val out = e.as("e1")
       .join(e.as("e2"), col("e1.dst") === col("e2.src"))
       .join(e.as("e3"),
@@ -196,6 +206,144 @@ object Graphs {
       .select(col("e1.src").as("a"), col("e1.dst").as("b"), col("e2.dst").as("c"))
       .orderBy(col("a"), col("b"), col("c"))
     out
+  }
+
+  /** Oriented (low-id → high-id) supplier co-occurrence edge list — the
+    * sparse test graph shared by triangles / similarity / clustering
+    * queries. Suppliers co-occur when they share an order's high-quantity
+    * lines (l_quantity >= 48 keeps it sparse — the similarity algorithms
+    * are inherently Σ deg² in pair generation, so they belong on sparse
+    * graphs at any scale). */
+  private def coEdges(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(s, dir, "lineitem")
+      .filter(col("l_quantity") >= 48)
+      .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk")).distinct()
+    li.as("a").join(li.as("b"),
+        col("a.ok") === col("b.ok") && col("a.sk") < col("b.sk"))
+      .select(col("a.sk").as("src"), col("b.sk").as("dst")).distinct()
+  }
+
+  /** Both-direction neighbor relation over the co-occurrence graph, plus
+    * per-vertex degree — the generate-pairs-per-neighbor input both
+    * similarity scores consume (Gelly generates the same pair stream from
+    * grouped neighbor lists, JaccardIndex.java GenerateGroupPairs). */
+  private def coNeighbors(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val e = coEdges(s, dir)
+    val und = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val deg = und.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    (und, deg)
+  }
+
+  /** Jaccard similarity (Gelly library/similarity/JaccardIndex.java:50-65 —
+    * "number of shared neighbors divided by the number of distinct
+    * neighbors", one row per vertex pair with ≥1 shared neighbor).
+    * Pair generation is the z-centric two-path join — each shared neighbor
+    * z contributes one (a,b) candidate, counted per pair; |union| then comes
+    * from the degree table, never from re-scanning neighbor lists. One
+    * shuffle per side of the pair join, aggregation partial map-side. */
+  def jaccardIndex(s: SparkSession, dir: String): DataFrame = {
+    val (und, deg) = coNeighbors(s, dir)
+    val x = und.select(col("src").as("z"), col("dst").as("a"))
+    val y = und.select(col("src").as("z"), col("dst").as("b"))
+    val shared = x.join(y, x("z") === y("z") && col("a") < col("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("shared"))
+    val out = shared
+      .join(broadcast(deg.select(col("src").as("a"), col("deg").as("deg_a"))), "a")
+      .join(broadcast(deg.select(col("src").as("b"), col("deg").as("deg_b"))), "b")
+      .select(col("a"), col("b"), col("shared"),
+        (col("deg_a") + col("deg_b") - col("shared")).as("distinct_n"),
+        round(col("shared") / (col("deg_a") + col("deg_b") - col("shared")), 6)
+          .as("jaccard"))
+      .orderBy(col("a"), col("b"))
+    out
+  }
+
+  /** Adamic-Adar similarity (Gelly library/similarity/AdamicAdar.java:59-74 —
+    * "sum of the inverse logarithm of degree over shared neighbors"). Same
+    * two-path pair stream as Jaccard, but each z contributes 1/ln(deg(z))
+    * (deg(z) >= 2 whenever z produces a pair, so the log never vanishes);
+    * the per-pair sum is a partial-aggregated shuffle. */
+  def adamicAdar(s: SparkSession, dir: String): DataFrame = {
+    val (und, deg) = coNeighbors(s, dir)
+    val x = und.select(col("src").as("z"), col("dst").as("a"))
+    val y = und.select(col("src").as("z"), col("dst").as("b"))
+    val out = x.join(y, x("z") === y("z") && col("a") < col("b"))
+      .join(broadcast(deg.select(col("src").as("z2"), col("deg"))), x("z") === col("z2"))
+      .groupBy(col("a"), col("b"))
+      .agg(round(sum(lit(1.0) / log(col("deg").cast("double"))), 6).as("aa_score"))
+      .orderBy(col("a"), col("b"))
+    out
+  }
+
+  /** Local clustering coefficient (Gelly library/clustering/undirected/
+    * LocalClusteringCoefficient.java — per vertex: degree, triangle count,
+    * score = fraction of neighbor pairs that are connected). Triangle counts
+    * come from the oriented enumeration (each triangle credits all three
+    * corners); vertices in no triangle surface with count 0, matching the
+    * reference's zero-degree-inclusive default. */
+  def localClustering(s: SparkSession, dir: String): DataFrame = {
+    val (_, deg) = coNeighbors(s, dir)
+    val tri = triangles(s, dir)
+      .select(explode(array(col("a"), col("b"), col("c"))).as("src"))
+      .groupBy(col("src")).agg(count(lit(1)).as("tri"))
+    val out = deg.join(tri, Seq("src"), "left")
+      .select(col("src").as("node"), col("deg").as("degree"),
+        coalesce(col("tri"), lit(0L)).as("tri_count"),
+        when(col("deg") >= 2,
+          round(lit(2.0) * coalesce(col("tri"), lit(0L)) /
+            (col("deg") * (col("deg") - 1)), 6)).otherwise(lit(0.0)).as("lcc"))
+      .orderBy(col("node"))
+    out
+  }
+
+  /** HITS hubs-and-authorities (Gelly library/linkanalysis/HITS.java:198 —
+    * "ID, normalized hubbiness, normalized authority"; fixed iteration
+    * count, scores L2-normalized every half-step). Directed edges =
+    * customer → supplier-of-their-order (the directed restriction of the
+    * shared edge list, so the cache is reused); the bipartite split means
+    * customers carry hub mass and suppliers authority mass. The score
+    * vector is per-vertex (broadcastable at any realistic vertex count);
+    * each half-step is a map-side join + one partial-aggregated shuffle +
+    * a scalar L2 norm. */
+  def hits(s: SparkSession, dir: String, iters: Int = 5): DataFrame = withoutAqe(s) {
+    val d = edges(s, dir).filter(col("src") < SuppOffset)
+    var hub = d.select(col("src").as("node")).distinct()
+      .withColumn("h", lit(1.0)).localCheckpoint(eager = true)
+    var auth: DataFrame = null
+    for (_ <- 1 to iters) {
+      val araw = d.join(broadcast(hub), d("src") === hub("node"))
+        .groupBy(d("dst").as("anode")).agg(sum(col("h")).as("a"))
+        .localCheckpoint(eager = true)
+      val an = math.sqrt(araw.agg(sum(col("a") * col("a"))).head.getDouble(0))
+      auth = araw.select(col("anode").as("node"), (col("a") / an).as("a"))
+        .localCheckpoint(eager = true)
+      val hraw = d.join(broadcast(auth), d("dst") === auth("node"))
+        .groupBy(d("src").as("hnode")).agg(sum(col("a")).as("h"))
+        .localCheckpoint(eager = true)
+      val hn = math.sqrt(hraw.agg(sum(col("h") * col("h"))).head.getDouble(0))
+      hub = hraw.select(col("hnode").as("node"), (col("h") / hn).as("h"))
+        .localCheckpoint(eager = true)
+    }
+    hub.select(col("node"), round(col("h"), 6).as("hub_score"),
+        lit(0.0).as("auth_score"))
+      .union(auth.select(col("node"), lit(0.0), round(col("a"), 6)))
+      .orderBy(col("node"))
+  }
+
+  /** Vertex metrics (Gelly library/metric/undirected/VertexMetrics.java —
+    * vertex count, edge count, average degree, triplet count Σ C(deg,2),
+    * maximum degree). One aggregate over the degree table — the whole
+    * summary is a two-stage agg regardless of graph size. */
+  def vertexMetrics(s: SparkSession, dir: String): DataFrame = {
+    val und = edges(s, dir)
+    val deg = und.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    deg.agg(
+      count(lit(1)).as("n_vertices"),
+      (sum(col("deg")) / 2).cast("long").as("n_edges"),
+      round(avg(col("deg")), 6).as("avg_degree"),
+      sum(col("deg") * (col("deg") - 1) / 2).cast("long").as("n_triplets"),
+      max(col("deg")).as("max_degree"))
   }
 
   /** Community detection (Gelly library/CommunityDetection.java — Leung et
@@ -208,13 +356,13 @@ object Graphs {
     * attenuation stays dyadic wherever it feeds a later sum, so the double
     * arithmetic is order-independent and the oracle exact. */
   def communityDetection(s: SparkSession, dir: String, iters: Int = 3,
-                         delta: Double = 0.5): DataFrame = {
+                         delta: Double = 0.5): DataFrame = withoutAqe(s) {
     val e = edges(s, dir).repartition(col("dst")).persist(StorageLevel.MEMORY_AND_DISK)
     var st = e.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("label"), lit(1.0).as("score"))
       .localCheckpoint(eager = true)
     for (k <- 1 to iters) {
-      val msgs = e.join(st, e("dst") === st("node"))
+      val msgs = e.join(broadcast(st), e("dst") === st("node"))
         .select(e("src").as("node"), col("label"), col("score"))
       val perLabel = msgs.groupBy(col("node"), col("label"))
         .agg(sum(col("score")).as("ssum"), max(col("score")).as("smax"))
@@ -269,7 +417,12 @@ object Graphs {
     "graph_label_propagation" -> ((s, d) => labelPropagation(s, d)),
     "graph_triangles" -> ((s, d) => triangles(s, d)),
     "graph_community" -> ((s, d) => communityDetection(s, d)),
-    "graph_summarize" -> ((s, d) => summarize(s, d))
+    "graph_summarize" -> ((s, d) => summarize(s, d)),
+    "graph_jaccard" -> ((s, d) => jaccardIndex(s, d)),
+    "graph_adamic_adar" -> ((s, d) => adamicAdar(s, d)),
+    "graph_local_clustering" -> ((s, d) => localClustering(s, d)),
+    "graph_hits" -> ((s, d) => hits(s, d)),
+    "graph_vertex_metrics" -> ((s, d) => vertexMetrics(s, d))
   )
 
   /** CC is exactly reproducible in DuckDB with a recursive CTE. PageRank's
@@ -320,8 +473,88 @@ object Graphs {
        SELECT node, label FROM c3 ORDER BY node"""
   }
 
+  /** Shared oracle CTE prefix for the supplier co-occurrence graph (same
+    * construction as [[coEdges]]/[[coNeighbors]]). */
+  private val coGraphCtes =
+    """li AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk
+              FROM lineitem WHERE l_quantity >= 48),
+       ce AS (SELECT DISTINCT a.sk AS src, b.sk AS dst
+              FROM li a JOIN li b ON a.ok = b.ok AND a.sk < b.sk),
+       cund AS (SELECT src, dst FROM ce UNION ALL SELECT dst, src FROM ce),
+       cdeg AS (SELECT src, count(*) AS deg FROM cund GROUP BY src)"""
+
+  /** Five chained half-step pairs of the HITS update with per-half-step L2
+    * normalization — the same scalar-norm-divide the Spark loop performs. */
+  private def hitsOracle: String = {
+    // norm via a window sum keeps each CTE referenced exactly once — a
+    // scalar-subquery spelling doubles references per half-step and DuckDB
+    // re-inlines the chain exponentially (measured: hangs at 5 iterations)
+    val steps = (1 to 5).map { k =>
+      s"""ar$k AS (SELECT d.dst AS node, sum(h.h) AS a
+              FROM d JOIN h${k - 1} h ON d.src = h.node GROUP BY d.dst),
+         a$k AS (SELECT node, a / sqrt(sum(a * a) OVER ()) AS a FROM ar$k),
+         hr$k AS (SELECT d.src AS node, sum(a.a) AS h
+              FROM d JOIN a$k a ON d.dst = a.node GROUP BY d.src),
+         h$k AS (SELECT node, h / sqrt(sum(h * h) OVER ()) AS h FROM hr$k)"""
+    }.mkString(",\n")
+    s"""WITH d AS MATERIALIZED (
+              SELECT DISTINCT o_custkey AS src, l_suppkey + 1000000 AS dst
+              FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       h0 AS (SELECT DISTINCT src AS node, 1.0::DOUBLE AS h FROM d),
+       $steps
+       SELECT node, round(h, 6) AS hub_score, 0.0::DOUBLE AS auth_score FROM h5
+       UNION ALL
+       SELECT node, 0.0::DOUBLE, round(a, 6) FROM a5
+       ORDER BY node"""
+  }
+
   def oracles: Map[String, String] = Map(
     "graph_community" -> communityOracle,
+    "graph_jaccard" ->
+      s"""WITH $coGraphCtes,
+         pairs AS (SELECT x.dst AS a, y.dst AS b, count(*) AS shared
+               FROM cund x JOIN cund y ON x.src = y.src AND x.dst < y.dst
+               GROUP BY x.dst, y.dst)
+         SELECT p.a, p.b, p.shared,
+                da.deg + db.deg - p.shared AS distinct_n,
+                round(p.shared / (da.deg + db.deg - p.shared), 6) AS jaccard
+         FROM pairs p JOIN cdeg da ON p.a = da.src JOIN cdeg db ON p.b = db.src
+         ORDER BY a, b""",
+    "graph_adamic_adar" ->
+      s"""WITH $coGraphCtes
+         SELECT x.dst AS a, y.dst AS b,
+                round(sum(1.0 / ln(d.deg)), 6) AS aa_score
+         FROM cund x JOIN cund y ON x.src = y.src AND x.dst < y.dst
+         JOIN cdeg d ON x.src = d.src
+         GROUP BY x.dst, y.dst
+         ORDER BY a, b""",
+    "graph_local_clustering" ->
+      s"""WITH $coGraphCtes,
+         tri AS (SELECT v, count(*) AS tri FROM (
+               SELECT unnest([e1.src, e1.dst, e2.dst]) AS v
+               FROM ce e1
+               JOIN ce e2 ON e1.dst = e2.src
+               JOIN ce e3 ON e3.src = e1.src AND e3.dst = e2.dst)
+             GROUP BY v)
+         SELECT d.src AS node, d.deg AS degree,
+                coalesce(t.tri, 0) AS tri_count,
+                CASE WHEN d.deg >= 2
+                     THEN round(2.0 * coalesce(t.tri, 0) / (d.deg * (d.deg - 1)), 6)
+                     ELSE 0.0::DOUBLE END AS lcc
+         FROM cdeg d LEFT JOIN tri t ON d.src = t.v
+         ORDER BY node""",
+    "graph_hits" -> hitsOracle,
+    "graph_vertex_metrics" ->
+      """WITH e0 AS (SELECT DISTINCT o_custkey AS src, l_suppkey + 1000000 AS dst
+              FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         und AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+         deg AS (SELECT src, count(*) AS deg FROM und GROUP BY src)
+         SELECT count(*) AS n_vertices,
+                CAST(sum(deg) / 2 AS BIGINT) AS n_edges,
+                round(avg(deg), 6) AS avg_degree,
+                CAST(sum(deg * (deg - 1) / 2) AS BIGINT) AS n_triplets,
+                max(deg) AS max_degree
+         FROM deg""",
     "graph_summarize" ->
       """WITH e0 AS (SELECT DISTINCT o_custkey AS src, l_suppkey + 1000000 AS dst
               FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
