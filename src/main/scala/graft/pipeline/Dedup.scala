@@ -255,13 +255,57 @@ object Dedup {
     }
   }
 
+  /** Duplicate-cluster resolution: near-dup similarity is not transitive,
+    * so the standard pipeline (Broder-style web dedup; the reference's
+    * batch dedup keeps first-per-key the same way,
+    * flink-table-planner-blink/.../stream/StreamExecDeduplicate.java is the
+    * keyed analogue) unions verified pairs into connected clusters and
+    * keeps one representative per cluster. Edges = the MinHash-LSH verified
+    * pairs (already sub-quadratic); closure = min-label propagation with
+    * the same bounded-superstep discipline as graph/Graphs — the pair list
+    * is orders of magnitude smaller than the corpus at any scale, and each
+    * superstep is one broadcast join + one partial-aggregated shuffle. */
+  private def clusters(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val pairs = minhashLsh(s, dir).select(col("i"), col("j"))
+    val und = pairs.union(pairs.select(col("j"), col("i")))
+      .toDF("node", "nbr")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = und.select(col("node")).distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint(eager = true)
+    // label sum is monotone non-increasing; fixpoint = converged
+    var last = Long.MinValue
+    var converged = false
+    while (!converged) {
+      val msgs = und.as("u").join(broadcast(labels.as("l")), col("u.nbr") === col("l.node"))
+        .select(col("u.node").as("node"), col("l.label").as("label"))
+      val next = labels.union(msgs)
+        .groupBy(col("node")).agg(min(col("label")).as("label"))
+        .localCheckpoint(eager = true)
+      val sum2 = Option(next.agg(sum(col("label"))).head.get(0))
+        .map(_.asInstanceOf[Long]).getOrElse(0L)
+      converged = sum2 == last
+      last = sum2
+      labels = next
+    }
+    und.unpersist(blocking = false)
+    val sizes = labels.groupBy(col("label").as("keep_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+    labels.select(col("node").as("doc_id"), col("label").as("keep_id"))
+      .join(broadcast(sizes), "keep_id")
+      .select(col("doc_id"), col("keep_id"), col("cluster_size"))
+      .orderBy(col("doc_id"))
+  }
+
   def queries: Map[String, QFn] = Map(
     "dedup_exact" -> (exact _),
     "dedup_exact_norm" -> (exactNormalized _),
     "dedup_ngram_jaccard" -> (ngramJaccard _),
     "dedup_minhash_lsh" -> (minhashLsh _),
     "dedup_simhash" -> (simhash _),
-    "dedup_embedding" -> (embeddingCosine _)
+    "dedup_embedding" -> (embeddingCosine _),
+    "dedup_clusters" -> (clusters _)
   )
 
   // ---- DuckDB oracles: same math, same hashes -------------------------
@@ -276,6 +320,30 @@ object Dedup {
   private val docShinglesSql =
     s"""SELECT doc_id, ${shinglesSql(tokensSql)} AS sh
         FROM documents WHERE len($tokensSql) >= 3"""
+
+  /** Shared MinHash-LSH oracle chain: shingle → hash → k=16 signature →
+    * 4×4 bands → candidate pairs → exact-Jaccard verification columns.
+    * Consumed by dedup_minhash_lsh (threshold filter) and dedup_clusters
+    * (transitive closure over the thresholded pairs). */
+  private lazy val minhashCtes =
+    s"""d AS ($docShinglesSql),
+          hs AS (SELECT doc_id, sh,
+                   list_transform(sh, s -> ${polyHashSqlOf("s")}) AS h
+                 FROM d),
+          sig AS (SELECT doc_id, sh,
+                   list_transform(range(0, 16),
+                     k -> list_min(list_transform(h, x -> (x * (2*k + 1) + (7919*k + 1)) % 1000000007))) AS sg
+                  FROM hs),
+          bands AS (SELECT doc_id, b.b AS band,
+                      array_to_string(sg[b.b*4 + 1 : b.b*4 + 4], '_') AS key
+                    FROM sig, range(0, 4) b(b)),
+          cand AS (SELECT DISTINCT x.doc_id AS i, y.doc_id AS j
+                   FROM bands x JOIN bands y
+                     ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id),
+          ver AS (SELECT i, j,
+                    len(list_intersect(di.sh, dj.sh)) AS shared,
+                    len(di.sh) AS szi, len(dj.sh) AS szj
+                  FROM cand JOIN d di ON i = di.doc_id JOIN d dj ON j = dj.doc_id)"""
 
   def oracles: Map[String, String] = Map(
     "dedup_exact" ->
@@ -302,28 +370,26 @@ object Dedup {
           WHERE CAST(shared AS DOUBLE) / (sa.sz + sb.sz - shared) >= 0.5
           ORDER BY i, j""",
     "dedup_minhash_lsh" ->
-      s"""WITH d AS ($docShinglesSql),
-          hs AS (SELECT doc_id, sh,
-                   list_transform(sh, s -> ${polyHashSqlOf("s")}) AS h
-                 FROM d),
-          sig AS (SELECT doc_id, sh,
-                   list_transform(range(0, 16),
-                     k -> list_min(list_transform(h, x -> (x * (2*k + 1) + (7919*k + 1)) % 1000000007))) AS sg
-                  FROM hs),
-          bands AS (SELECT doc_id, b.b AS band,
-                      array_to_string(sg[b.b*4 + 1 : b.b*4 + 4], '_') AS key
-                    FROM sig, range(0, 4) b(b)),
-          cand AS (SELECT DISTINCT x.doc_id AS i, y.doc_id AS j
-                   FROM bands x JOIN bands y
-                     ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id),
-          ver AS (SELECT i, j,
-                    len(list_intersect(di.sh, dj.sh)) AS shared,
-                    len(di.sh) AS szi, len(dj.sh) AS szj
-                  FROM cand JOIN d di ON i = di.doc_id JOIN d dj ON j = dj.doc_id)
+      s"""WITH $minhashCtes
           SELECT i, j, round(CAST(shared AS DOUBLE) / (szi + szj - shared), 6) AS jaccard
           FROM ver
           WHERE CAST(shared AS DOUBLE) / (szi + szj - shared) >= 0.5
           ORDER BY i, j""",
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE $minhashCtes,
+          pairs AS (SELECT i, j FROM ver
+                    WHERE CAST(shared AS DOUBLE) / (szi + szj - shared) >= 0.5),
+          und AS (SELECT i AS node, j AS nbr FROM pairs
+                  UNION SELECT j, i FROM pairs),
+          reach AS (
+            SELECT node, node AS r FROM und
+            UNION
+            SELECT u.node, reach.r FROM und u JOIN reach ON u.nbr = reach.node),
+          comp AS (SELECT node, min(r) AS keep_id FROM reach GROUP BY node),
+          sz AS (SELECT keep_id, count(*) AS cluster_size FROM comp GROUP BY keep_id)
+          SELECT c.node AS doc_id, c.keep_id, s.cluster_size
+          FROM comp c JOIN sz s USING (keep_id)
+          ORDER BY doc_id""",
     // banding is lossless for Hamming ≤ 6 (pigeonhole over 7 bands), so the
     // oracle is the straightforward all-pairs check — same result set. The
     // per-bit rehash mirrors SimHash63 exactly (no 64-bit overflow anywhere)

@@ -82,11 +82,54 @@ object TextAnalysis {
       .select(col("doc_id"), polyHash(normalize(col("text"))).as("fingerprint"))
       .orderBy(col("doc_id"))
 
+  /** TF-IDF top-3 terms per document. Classic inverted-index weighting:
+    * tf = term count in doc, idf = ln(N / df). Shuffle budget: one shuffle
+    * to (doc, term), one tiny term→df aggregate (broadcast back), one
+    * window shuffle for the per-doc top-k — df and N are per-*vocabulary*
+    * aggregates, millions of rows where the corpus is billions, so both
+    * broadcast at any realistic scale. */
+  private def tfidf(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+    val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = toks.select(countDistinct(col("doc_id")).as("n_docs"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("term"))
+    tf.join(broadcast(df), "term")
+      .crossJoin(broadcast(n))
+      .withColumn("score", col("tf") * log(col("n_docs").cast("double") / col("df")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("doc_id"), col("term"), round(col("score"), 6).as("tfidf"))
+      .orderBy(col("doc_id"), col("term"))
+  }
+
+  /** Benchmark decontamination: flag training documents sharing any word
+    * 8-gram with the benchmark split (here: source = 'src0' stands in for
+    * the eval set). The benchmark's distinct-gram set is small at any
+    * corpus scale (benchmarks are fixed-size), so it broadcasts and the
+    * training side streams through a map-side semi join — the scan never
+    * reshuffles. Output: contaminated doc ids with their overlap count. */
+  private def decontaminate(s: SparkSession, dir: String): DataFrame = {
+    val grams = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        explode(array_distinct(shinglesOf(col("text"), 8))).as("g"))
+    val bench = grams.filter(col("source") === "src0").select(col("g")).distinct()
+    grams.filter(col("source") =!= "src0")
+      .join(broadcast(bench), "g")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_contaminated_grams"))
+      .orderBy(col("doc_id"))
+  }
+
   def queries: Map[String, QFn] = Map(
     "text_token_count" -> (tokenCount _),
     "text_quality" -> (quality _),
     "text_langid" -> (langId _),
-    "text_fingerprint" -> (fingerprint _)
+    "text_fingerprint" -> (fingerprint _),
+    "text_tfidf" -> (tfidf _),
+    "text_decontaminate" -> (decontaminate _)
   )
 
   private val tokensSql = "string_split(trim(text), ' ')"
@@ -129,6 +172,32 @@ object TextAnalysis {
          list_reduce(list_prepend(0, list_transform(string_split(
            trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')),
            '' ), c -> CAST(ascii(c) AS BIGINT))), (a, x) -> (a * 31 + x) % 1000000007) AS fingerprint
-         FROM documents ORDER BY doc_id"""
+         FROM documents ORDER BY doc_id""",
+    "text_tfidf" ->
+      s"""WITH toks AS (SELECT doc_id, unnest($tokensSql) AS term FROM documents),
+          tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+          df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+          n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM toks),
+          scored AS (SELECT doc_id, term,
+                       tf * ln(CAST((SELECT n_docs FROM n) AS DOUBLE) / df) AS score
+                     FROM tf JOIN df USING (term))
+          SELECT doc_id, term, round(score, 6) AS tfidf FROM (
+            SELECT *, row_number() OVER (PARTITION BY doc_id
+                        ORDER BY score DESC, term) AS rn FROM scored)
+          WHERE rn <= 3
+          ORDER BY doc_id, term""",
+    "text_decontaminate" ->
+      s"""WITH t AS (SELECT doc_id, source, $tokensSql AS tk FROM documents),
+          g AS (SELECT doc_id, source,
+                  unnest(list_distinct(list_transform(
+                    range(1, greatest(len(tk) - 6, 1)),
+                    i -> array_to_string(tk[i:i+7], ' ')))) AS g
+                FROM t),
+          bench AS (SELECT DISTINCT g FROM g WHERE source = 'src0')
+          SELECT doc_id, count(*) AS n_contaminated_grams
+          FROM g JOIN bench USING (g)
+          WHERE source <> 'src0'
+          GROUP BY doc_id
+          ORDER BY doc_id"""
   )
 }
