@@ -177,8 +177,13 @@ object Graphs {
       .withColumn("label", col("node"))
       .localCheckpoint(eager = true)
     for (_ <- 1 to iters) {
+      // single shuffle on the vertex id — HashPartitioning(n2) satisfies
+      // the (n2,label) clustering of the first agg and the n2 clustering
+      // of the argmax, so the two aggregates share one exchange
       val freq = e.join(broadcast(labels), e("dst") === labels("node"))
-        .groupBy(e("src").as("n2"), col("label")).agg(count(lit(1)).as("c"))
+        .select(e("src").as("n2"), col("label"))
+        .repartition(col("n2"))
+        .groupBy(col("n2"), col("label")).agg(count(lit(1)).as("c"))
       labels = freq.groupBy(col("n2").as("node"))
         .agg(max(struct(col("c"), (-col("label")).as("nl"))).as("m"))
         .select(col("node"), (-col("m.nl")).as("label"))
@@ -362,15 +367,20 @@ object Graphs {
       .select(col("node"), col("node").as("label"), lit(1.0).as("score"))
       .localCheckpoint(eager = true)
     for (k <- 1 to iters) {
+      // one explicit shuffle on node: HashPartitioning(node) satisfies the
+      // clustering of BOTH downstream aggregates (node,label ⊇ node) and
+      // the final per-node join's other side broadcasts — so the whole
+      // superstep is broadcast-join → 1 shuffle → agg → agg → bcast join
       val msgs = e.join(broadcast(st), e("dst") === st("node"))
         .select(e("src").as("node"), col("label"), col("score"))
+        .repartition(col("node"))
       val perLabel = msgs.groupBy(col("node"), col("label"))
         .agg(sum(col("score")).as("ssum"), max(col("score")).as("smax"))
       // argmax by (sum, min label), carrying that label's max single score
       val winner = perLabel.groupBy(col("node"))
         .agg(max(struct(col("ssum"), (-col("label")).as("nl"), col("smax"))).as("m"))
         .select(col("node"), (-col("m.nl")).as("new_label"), col("m.smax").as("wmax"))
-      st = winner.join(st.select(col("node"), col("label").as("old_label")), "node")
+      st = winner.join(broadcast(st.select(col("node"), col("label").as("old_label"))), "node")
         .select(col("node"), col("new_label").as("label"),
           when(col("new_label") === col("old_label"), col("wmax"))
             .otherwise(col("wmax") - lit(delta / k)).as("score"))

@@ -280,9 +280,12 @@ object Dedup {
     while (!converged) {
       val msgs = und.as("u").join(broadcast(labels.as("l")), col("u.nbr") === col("l.node"))
         .select(col("u.node").as("node"), col("l.label").as("label"))
+      // lineage cut is LAZY; the convergence aggregate doubles as the
+      // materializing action — one Spark job per superstep (same
+      // discipline as graph/Graphs.connectedComponents)
       val next = labels.union(msgs)
         .groupBy(col("node")).agg(min(col("label")).as("label"))
-        .localCheckpoint(eager = true)
+        .localCheckpoint(eager = false)
       val sum2 = Option(next.agg(sum(col("label"))).head.get(0))
         .map(_.asInstanceOf[Long]).getOrElse(0L)
       converged = sum2 == last
