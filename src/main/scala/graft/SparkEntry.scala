@@ -32,6 +32,7 @@ object SparkEntry {
     (pipeline.Dedup.queries, pipeline.Dedup.oracles),
     (pipeline.TextAnalysis.queries, pipeline.TextAnalysis.oracles),
     (pipeline.Similarity.queries, pipeline.Similarity.oracles),
+    (pipeline.CorpusOps.queries, pipeline.CorpusOps.oracles),
     (pipeline.Multimodal.queries, pipeline.Multimodal.oracles)
   )
 

@@ -284,6 +284,49 @@ object NativeExpressions {
       copy(child = newChild)
   }
 
+  /** Single-pass text normalization: lowercase, keep only [a-z0-9 ],
+    * collapse space runs, trim — exactly
+    * `trim(regexp_replace(regexp_replace(lower(s), "[^a-z0-9 ]", ""), " +", " "))`
+    * without java.util.regex. The regex formulation is interpreter-bound at
+    * realistic per-task row counts (a 5 000-row scan split 32 ways never
+    * reaches C2's compile threshold, measured 6+ s for one groupBy on the
+    * normalized key); this is a branchy char loop that JITs immediately and
+    * fuses into whole-stage codegen. Normalization fronts every dedup
+    * pipeline, so it is hot at any corpus scale. */
+  def normText(str: UTF8String): UTF8String = {
+    val s = str.toString
+    val sb = new java.lang.StringBuilder(s.length)
+    var pendingSpace = false
+    var i = 0
+    while (i < s.length) {
+      val c = Character.toLowerCase(s.charAt(i))
+      if (c == ' ') {
+        if (sb.length > 0) pendingSpace = true
+      } else if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')) {
+        if (pendingSpace) { sb.append(' '); pendingSpace = false }
+        sb.append(c)
+      }
+      i += 1
+    }
+    UTF8String.fromString(sb.toString)
+  }
+
+  /** norm_text(str): normalized text (see [[normText]]). */
+  case class NormText(child: Expression) extends UnaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (child.dataType.isInstanceOf[StringType]) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(s"norm_text needs STRING, got ${child.dataType}")
+    override def dataType: DataType = StringType
+    override def prettyName: String = "norm_text"
+    override protected def nullSafeEval(input: Any): Any =
+      normText(input.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.NativeExpressions.normText($c);")
+    override protected def withNewChildInternal(newChild: Expression): NormText =
+      copy(child = newChild)
+  }
+
   /** Register into the session's FunctionRegistry; use via
     * `call_function("poly_hash", c)` / `call_function("dot_f64", a, b)`. */
   val extensions: SparkSessionExtensions => Unit = { ext =>
@@ -311,5 +354,9 @@ object NativeExpressions {
       FunctionIdentifier("simhash63"),
       new ExpressionInfo(classOf[SimHash63].getName, "simhash63"),
       (args: Seq[Expression]) => SimHash63(args.head)))
+    ext.injectFunction((
+      FunctionIdentifier("norm_text"),
+      new ExpressionInfo(classOf[NormText].getName, "norm_text"),
+      (args: Seq[Expression]) => NormText(args.head)))
   }
 }

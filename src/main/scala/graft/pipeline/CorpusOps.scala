@@ -1,0 +1,336 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import TextFunctions._
+
+/** Corpus-level training-data pipeline operators: repetition-based quality
+  * filtering, sequence chunking, deterministic stratified sampling,
+  * per-language corpus statistics, paragraph-level corpus dedup, and
+  * LSH-bucketed similarity top-k.
+  *
+  * Scale discipline (the 100 TB test):
+  *  - per-document metrics are single-pass projections or one (doc, term)
+  *    shuffle with map-side partial aggregation — never more state per key
+  *    than a counter;
+  *  - corpus-wide structures that must be shared (paragraph frequency,
+  *    sampling config) either shuffle on their natural key once or
+  *    broadcast because they are bounded (config) — no driver collect of
+  *    data-sized results anywhere;
+  *  - sampling is deterministic hash-bucket Bernoulli, so re-runs and
+  *    retries pick identical rows with zero coordination (the property a
+  *    distributed sampler actually needs — seeded RNG per task is not
+  *    stable under re-partitioning).
+  */
+object CorpusOps {
+  type QFn = (SparkSession, String) => DataFrame
+
+  // ---------------------------------------------------------------- chunking
+
+  private val ChunkTokens = 32
+
+  /** Fixed-size token chunking: split each document into consecutive
+    * 32-token windows (stride = size, no overlap) — the standard prep step
+    * that turns variable-length documents into bounded training sequences.
+    * One generator expression per row (explode of a computed index range);
+    * no shuffle except the presentation sort. Each chunk carries its
+    * rolling-hash fingerprint so downstream exact-dedup can run per-chunk. */
+  private def chunk(s: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"), toks.as("tk"))
+      .withColumn("n_chunks",
+        ceil(size(col("tk")) / ChunkTokens.toDouble).cast("long"))
+      .withColumn("chunk_id", explode(sequence(lit(0L), col("n_chunks") - 1)))
+      .withColumn("ctk",
+        slice(col("tk"), (col("chunk_id") * ChunkTokens + 1).cast("int"), lit(ChunkTokens)))
+      .select(
+        col("doc_id"), col("chunk_id"),
+        size(col("ctk")).as("n_tokens"),
+        concat_ws(" ", col("ctk")).as("chunk_text"),
+        polyHash(concat_ws(" ", col("ctk"))).as("chunk_hash"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
+
+  // -------------------------------------------------------------- repetition
+
+  /** Within-document repetition metrics (the Gopher/ccnet-style quality
+    * signals): duplicate 2-gram and 3-gram fractions from the shingle
+    * arrays (per-row, codegen'd) and the most-frequent-token fraction via
+    * one (doc, term) count shuffle with partial aggregation. A document is
+    * flagged repetitive when any signal crosses its standard threshold. */
+  private def repetition(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.load(s, dir, "documents")
+    val g2 = shinglesOf(col("text"), 2)
+    val g3 = shinglesOf(col("text"), 3)
+    def dupFrac(g: org.apache.spark.sql.Column) =
+      when(size(g) > 0,
+        lit(1.0) - size(array_distinct(g)).cast("double") / size(g))
+        .otherwise(0.0)
+    val perRow = d.select(
+      col("doc_id"),
+      round(dupFrac(g2), 6).as("dup_2gram"),
+      round(dupFrac(g3), 6).as("dup_3gram"))
+    val topTok = d
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col("doc_id"))
+      .agg(round(max(col("cnt")).cast("double") / sum(col("cnt")), 6).as("top_token"))
+    perRow.join(topTok, "doc_id")
+      .withColumn("repetitive",
+        col("dup_2gram") > 0.2 || col("dup_3gram") > 0.18 || col("top_token") > 0.2)
+      .select(col("doc_id"), col("dup_2gram"), col("dup_3gram"),
+              col("top_token"), col("repetitive"))
+      .orderBy(col("doc_id"))
+  }
+
+  // ---------------------------------------------------------------- sampling
+
+  /** Per-language sampling percentage (a data-mixture config: downsample
+    * over-represented languages, keep the rare ones whole). Bounded
+    * config, broadcast by construction. */
+  private val SampleRates: Seq[(String, Int)] =
+    Seq("en" -> 20, "es" -> 40, "fr" -> 60, "de" -> 80, "zh" -> 100)
+
+  /** Deterministic stratified sampling: keep a document iff its normalized
+    * content hash lands in the language's keep-bucket range. Pure per-row
+    * predicate over the scan — reproducible under retries, repartitioning
+    * and incremental re-runs, unlike per-task RNG sampling. */
+  private def sampleStratified(s: SparkSession, dir: String): DataFrame = {
+    val rate = SampleRates.foldLeft(lit(0)) { case (acc, (l, r)) =>
+      when(col("lang") === l, lit(r)).otherwise(acc)
+    }
+    Tables.load(s, dir, "documents")
+      .withColumn("bucket", polyHash(normalize(col("text"))) % 100)
+      .withColumn("rate", rate)
+      .filter(col("bucket") < col("rate"))
+      .select(col("doc_id"), col("lang"), col("bucket"))
+      .orderBy(col("doc_id"))
+  }
+
+  // ------------------------------------------------------------ corpus stats
+
+  /** Per-language corpus statistics: document count, token totals, exact
+    * median/p90 token lengths, distinct sources. One partial-aggregated
+    * shuffle on the language key (five groups — the classic low-cardinality
+    * rollup; the exact percentiles are the only reason state per group
+    * exceeds a counter, and a 100 TB deployment would swap them for
+    * approx_percentile in the same plan). */
+  private def corpusStats(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+      .select(col("lang"), col("source"), size(tokens(col("text"))).as("n_tok"))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("total_tokens"),
+        round(percentile(col("n_tok"), lit(0.5)), 6).as("median_tokens"),
+        round(percentile(col("n_tok"), lit(0.9)), 6).as("p90_tokens"),
+        countDistinct(col("source")).as("n_sources"))
+      .orderBy(col("lang"))
+
+  // --------------------------------------------------------- paragraph dedup
+
+  private val ParaTokens = 16
+
+  /** Paragraph-level corpus dedup (ccnet's pipeline shape): split documents
+    * into 16-token paragraphs, rolling-hash each, count paragraph
+    * occurrences corpus-wide, and report each document's duplicated-
+    * paragraph fraction. Two shuffles at any scale: one count on the
+    * paragraph hash (map-side combined), one re-aggregation on doc_id; the
+    * frequency table is joined back on its own hash partitioning. */
+  private def paragraphDedup(s: SparkSession, dir: String): DataFrame = {
+    val paras = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), tokens(col("text")).as("tk"))
+      .withColumn("n_paras",
+        ceil(size(col("tk")) / ParaTokens.toDouble).cast("long"))
+      .withColumn("p", explode(sequence(lit(0L), col("n_paras") - 1)))
+      .select(col("doc_id"),
+        polyHash(concat_ws(" ",
+          slice(col("tk"), (col("p") * ParaTokens + 1).cast("int"), lit(ParaTokens))))
+          .as("h"))
+    val freq = paras.groupBy(col("h")).agg(count(lit(1)).as("n_occ"))
+    paras.join(freq, "h")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_paras"),
+        sum(when(col("n_occ") > 1, 1L).otherwise(0L)).as("n_dup_paras"))
+      .withColumn("dup_ratio",
+        round(col("n_dup_paras").cast("double") / col("n_paras"), 6))
+      .orderBy(col("doc_id"))
+  }
+
+  // ----------------------------------------------------------- LSH top-k ANN
+
+  /** LSH-bucketed similarity top-k — the scale path for batch k-NN: probe
+    * only vectors sharing at least one random-hyperplane band with the
+    * query (same 16-plane/4-band signature as Dedup.embeddingCosine, same
+    * plane literals in the oracle). Candidate generation is a band-key
+    * equi-join; cosine is evaluated on candidates only; per-query top-3 by
+    * window. Complements `sim_ann_ivf` (cluster-probed) with the
+    * partition-free variant that needs no precomputed centroids. */
+  private def lshTopK(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("norm", sqrt(call_function("dot_f64", col("v"), col("v"))))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bits = (0 until Dedup.NumPlanes).map { p =>
+      (call_function("dot_f64", col("v"), typedLit(Dedup.planes(p))) > 0)
+        .cast("int").as(s"b$p")
+    }
+    val bands = e.select(col("vec_id") +: bits: _*)
+      .select(col("vec_id"),
+        explode(array((0 until Dedup.NumPlanes / Dedup.PlaneBand).map { b =>
+          struct(lit(b).as("band"),
+            (0 until Dedup.PlaneBand)
+              .map(r => col(s"b${b * Dedup.PlaneBand + r}") * lit(1 << r))
+              .reduce(_ + _).as("bits"))
+        }: _*)).as("bk"))
+      .select(col("vec_id"), col("bk.band"), col("bk.bits"))
+    val qBands = bands.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("q_id"), col("band"), col("bits"))
+    val cand = qBands.join(bands,
+        Seq("band", "bits"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id")).distinct()
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+    val out = cand
+      .join(e.select(col("vec_id").as("q_id"), col("v").as("qv"), col("norm").as("qn")), "q_id")
+      .join(e, "vec_id")
+      .withColumn("cos",
+        call_function("dot_f64", col("qv"), col("v")) / (col("qn") * col("norm")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("q_id"), col("rn").as("rank"), col("vec_id").as("neighbor"),
+              round(col("cos"), 6).as("cosine"))
+      .orderBy(col("q_id"), col("rank"))
+    e.unpersist(blocking = false)
+    out
+  }
+
+  def queries: Map[String, QFn] = Map(
+    "text_chunk" -> (chunk _),
+    "text_repetition" -> (repetition _),
+    "text_sample_stratified" -> (sampleStratified _),
+    "text_corpus_stats" -> (corpusStats _),
+    "dedup_paragraph" -> (paragraphDedup _),
+    "sim_lsh_topk" -> (lshTopK _)
+  )
+
+  // ------------------------------------------------------------------ oracles
+
+  private val tokensSql = "string_split(trim(text), ' ')"
+
+  private def polyHashSqlOf(v: String): String =
+    s"list_reduce(list_prepend(0, list_transform(string_split($v, ''), c -> CAST(ascii(c) AS BIGINT))), (a, x) -> (a * 31 + x) % 1000000007)"
+
+  /** n-gram shingles over a token list column (same construction as the
+    * decontamination oracle): windows of n tokens joined by spaces. */
+  private def shingleSqlOf(tk: String, n: Int): String =
+    s"list_transform(range(1, greatest(len($tk) - ${n - 2}, 1)), i -> array_to_string($tk[i:i+${n - 1}], ' '))"
+
+  private val normalizeSql =
+    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))"
+
+  def oracles: Map[String, String] = Map(
+    "text_chunk" ->
+      s"""WITH t AS (SELECT doc_id, $tokensSql AS tk FROM documents),
+          c AS (SELECT doc_id, tk,
+                  unnest(range(0, CAST(ceil(len(tk) / $ChunkTokens.0) AS BIGINT))) AS chunk_id
+                FROM t),
+          s AS (SELECT doc_id, chunk_id,
+                  tk[chunk_id*$ChunkTokens + 1 : chunk_id*$ChunkTokens + $ChunkTokens] AS ctk
+                FROM c)
+          SELECT doc_id, chunk_id,
+                 CAST(len(ctk) AS INT) AS n_tokens,
+                 array_to_string(ctk, ' ') AS chunk_text,
+                 ${polyHashSqlOf("array_to_string(ctk, ' ')")} AS chunk_hash
+          FROM s ORDER BY doc_id, chunk_id""",
+    "text_repetition" ->
+      s"""WITH t AS (SELECT doc_id, text, $tokensSql AS tk FROM documents),
+          pr AS (SELECT doc_id,
+                   ${shingleSqlOf("tk", 2)} AS g2,
+                   ${shingleSqlOf("tk", 3)} AS g3
+                 FROM t),
+          row_m AS (SELECT doc_id,
+                   round(CASE WHEN len(g2) > 0
+                     THEN 1.0 - CAST(len(list_distinct(g2)) AS DOUBLE) / len(g2)
+                     ELSE 0.0 END, 6) AS dup_2gram,
+                   round(CASE WHEN len(g3) > 0
+                     THEN 1.0 - CAST(len(list_distinct(g3)) AS DOUBLE) / len(g3)
+                     ELSE 0.0 END, 6) AS dup_3gram
+                 FROM pr),
+          ex AS (SELECT doc_id, unnest(tk) AS term FROM t),
+          cnt AS (SELECT doc_id, term, count(*) AS c FROM ex GROUP BY 1, 2),
+          tt AS (SELECT doc_id,
+                   round(CAST(max(c) AS DOUBLE) / sum(c), 6) AS top_token
+                 FROM cnt GROUP BY doc_id)
+          SELECT r.doc_id, dup_2gram, dup_3gram, top_token,
+                 (dup_2gram > 0.2 OR dup_3gram > 0.18 OR top_token > 0.2) AS repetitive
+          FROM row_m r JOIN tt USING (doc_id) ORDER BY doc_id""",
+    "text_sample_stratified" ->
+      s"""WITH t AS (SELECT doc_id, lang,
+                   ${polyHashSqlOf(normalizeSql)} % 100 AS bucket
+                 FROM documents)
+          SELECT doc_id, lang, bucket FROM t
+          WHERE bucket < CASE lang
+            WHEN 'en' THEN 20 WHEN 'es' THEN 40 WHEN 'fr' THEN 60
+            WHEN 'de' THEN 80 WHEN 'zh' THEN 100 ELSE 0 END
+          ORDER BY doc_id""",
+    "text_corpus_stats" ->
+      s"""SELECT lang,
+                 count(*) AS n_docs,
+                 CAST(sum(len($tokensSql)) AS BIGINT) AS total_tokens,
+                 round(quantile_cont(len($tokensSql), 0.5), 6) AS median_tokens,
+                 round(quantile_cont(len($tokensSql), 0.9), 6) AS p90_tokens,
+                 count(DISTINCT source) AS n_sources
+          FROM documents GROUP BY lang ORDER BY lang""",
+    "dedup_paragraph" ->
+      s"""WITH t AS (SELECT doc_id, $tokensSql AS tk FROM documents),
+          c AS (SELECT doc_id, tk,
+                  unnest(range(0, CAST(ceil(len(tk) / $ParaTokens.0) AS BIGINT))) AS p
+                FROM t),
+          paras AS (SELECT doc_id,
+                  ${polyHashSqlOf(s"array_to_string(tk[p*$ParaTokens + 1 : p*$ParaTokens + $ParaTokens], ' ')")} AS h
+                FROM c),
+          freq AS (SELECT h, count(*) AS n_occ FROM paras GROUP BY h)
+          SELECT doc_id,
+                 count(*) AS n_paras,
+                 CAST(sum(CASE WHEN n_occ > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_paras,
+                 round(CAST(sum(CASE WHEN n_occ > 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS dup_ratio
+          FROM paras JOIN freq USING (h)
+          GROUP BY doc_id ORDER BY doc_id""",
+    "sim_lsh_topk" -> {
+      val planesLit = Dedup.planes
+        .map(_.map(x => if (x > 0) "1.0" else "-1.0").mkString("[", ",", "]"))
+        .mkString("[", ",", "]")
+      val dot = (a: String, b: String) =>
+        s"list_reduce(list_prepend(0.0, list_transform(range(1, 65), k -> $a[k] * $b[k])), (acc,x) -> acc + x)"
+      s"""WITH e AS (
+           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         n AS (SELECT vec_id, v,
+                 sqrt(list_reduce(list_prepend(0.0, list_transform(v, x -> x*x)), (a,x) -> a + x)) AS nrm
+               FROM e),
+         sig AS (SELECT vec_id, v, nrm,
+                   list_transform($planesLit, pl ->
+                     CASE WHEN ${dot("v", "pl")} > 0 THEN 1 ELSE 0 END) AS bs
+                 FROM n),
+         bands AS (SELECT vec_id, b.b AS band,
+                     bs[b.b*4 + 1] + 2*bs[b.b*4 + 2] + 4*bs[b.b*4 + 3] + 8*bs[b.b*4 + 4] AS bits
+                   FROM sig, range(0, 4) b(b)),
+         cand AS (SELECT DISTINCT q.vec_id AS q_id, x.vec_id AS neighbor
+                  FROM bands q JOIN bands x
+                    ON q.band = x.band AND q.bits = x.bits AND q.vec_id <> x.vec_id
+                  WHERE q.vec_id % 50 = 0),
+         scored AS (SELECT q_id, neighbor,
+                      ${dot("a.v", "b.v")} / (a.nrm * b.nrm) AS cos
+                    FROM cand JOIN n a ON q_id = a.vec_id JOIN n b ON neighbor = b.vec_id),
+         ranked AS (SELECT q_id, neighbor, cos,
+                      row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor) AS rn
+                    FROM scored)
+         SELECT q_id, rn AS rank, neighbor, round(cos, 6) AS cosine
+         FROM ranked WHERE rn <= 3 ORDER BY q_id, rank"""
+    }
+  )
+}

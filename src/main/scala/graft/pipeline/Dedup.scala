@@ -198,8 +198,8 @@ object Dedup {
       .orderBy(col("i"), col("j"))
   }
 
-  private val NumPlanes = 16
-  private val PlaneBand = 4 // → 4 bands of 4 sign-bits
+  private[pipeline] val NumPlanes = 16
+  private[pipeline] val PlaneBand = 4 // → 4 bands of 4 sign-bits
 
   /** Deterministic ±1 random-hyperplane entries (LCG-mixed parity). The
     * exact same literals are embedded in the DuckDB oracle, so the
@@ -209,7 +209,7 @@ object Dedup {
     val y = ((p * 64L + k) * 2654435761L + 1013904223L) % 4294967296L
     if (((y >> 13) & 1L) == 1L) 1.0 else -1.0
   }
-  private lazy val planes: IndexedSeq[IndexedSeq[Double]] =
+  private[pipeline] lazy val planes: IndexedSeq[IndexedSeq[Double]] =
     (0 until NumPlanes).map(p => (0 until 64).map(k => planeEntry(p, k)))
 
   /** Embedding near-dup: cosine ≥ 0.45 pairs via random-hyperplane LSH

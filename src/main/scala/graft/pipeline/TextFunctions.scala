@@ -45,7 +45,10 @@ object TextFunctions {
   def minhash(shingleHashes: Column, k: Int): Column =
     array_min(transform(shingleHashes, h => rehash(h, k)))
 
-  /** Normalized text: lowercase, collapse whitespace, strip punctuation. */
-  def normalize(text: Column): Column =
-    trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9 ]", ""), " +", " "))
+  /** Normalized text: lowercase, collapse whitespace, strip punctuation.
+    * Native single-pass expression (NativeExpressions.NormText) — the
+    * regexp_replace chain ran interpreted-regex per row and dominated the
+    * normalized-dedup bench (java.util.regex never reaches the JIT compile
+    * threshold when a scan fans out over 32 tasks). */
+  def normalize(text: Column): Column = call_function("norm_text", text)
 }
