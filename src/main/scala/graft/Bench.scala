@@ -41,11 +41,23 @@ object Bench {
     val only: Option[Set[String]] = args.lift(0).map(_.split(",").toSet)
     val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // untimed warmup (classloading, codegen, parquet footer caches) so the
-    // first timed query isn't charged for JVM start; sorted order keeps
-    // per-query numbers comparable across rounds (Map order moves with the
-    // key set)
-    try { SparkEntry.entry(spark).count() } catch { case _: Throwable => }
+    // untimed warmup (classloading, whole-stage-codegen compiles, parquet
+    // footer caches, and — measured dominant — C1/C2 JIT of the hot operator
+    // loops: a 5 000-row scan fanned over 32 tasks never reaches the compile
+    // threshold inside one query, so whichever query runs a family first
+    // pays seconds of interpreter time). One tiny sf0.001 query per
+    // execution family; sorted order keeps per-query numbers comparable
+    // across rounds (Map order moves with the key set).
+    val warmSf = "/root/testdata/sf0.001"
+    Seq[(SparkSession, String) => org.apache.spark.sql.DataFrame](
+      (sp, _) => SparkEntry.entry(sp),                  // lineitem agg path
+      pipeline.Dedup.queries("dedup_minhash_lsh"),      // shingle/minhash/LSH joins
+      pipeline.TextAnalysis.queries("text_fingerprint"),// norm_text + poly_hash
+      pipeline.Similarity.queries("sim_cosine_topk"),   // dot_f64 + window rank
+      streaming.Cep.queries("cep_error_burst"),         // NFA + sorted-partition scan
+      operators.Windows.queries("win_rank"),            // window exec
+      graph.Graphs.queries("graph_connected_components") // Pregel loop machinery
+    ).foreach { fn => try { fn(spark, warmSf).count() } catch { case _: Throwable => } }
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }

@@ -32,7 +32,16 @@ object Graphs {
     * stale DataFrame from a stopped test session can never leak across. */
   private val edgeCache = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
-  /** Undirected bipartite edge list: customer ↔ supplier-of-their-order. */
+  /** Undirected bipartite edge list: customer ↔ supplier-of-their-order.
+    *
+    * Cached hash-partitioned on `src`: every superstep loop in this module
+    * broadcasts its per-vertex state and aggregates messages keyed by one
+    * edge endpoint — and because the list is symmetric, each loop can phrase
+    * its join so that endpoint is `src`. A broadcast join preserves the
+    * streamed side's partitioning, so the per-superstep aggregate then needs
+    * NO exchange at all: the only data movement left in a superstep is the
+    * state-vector broadcast. (The alternative — keying the cache on the
+    * *join* key — is worthless, since the join is a broadcast.) */
   def edges(s: SparkSession, dir: String): DataFrame =
     edgeCache.computeIfAbsent(s"${System.identityHashCode(s)}:$dir", _ => {
       val e = Tables.load(s, dir, "orders")
@@ -40,6 +49,7 @@ object Graphs {
         .select(col("o_custkey").as("src"), (col("l_suppkey") + SuppOffset).as("dst"))
         .distinct()
       e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+        .repartition(col("src"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     })
 
@@ -54,7 +64,7 @@ object Graphs {
     * convergence aggregate doubles as its materializing action, so each
     * superstep is a single Spark job. */
   def connectedComponents(s: SparkSession, dir: String, maxIter: Int = 50): DataFrame = withoutAqe(s) {
-    val e = edges(s, dir).repartition(col("dst")).persist(StorageLevel.MEMORY_AND_DISK)
+    val e = edges(s, dir)
     var labels = e.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
       .localCheckpoint(eager = true)
@@ -67,9 +77,14 @@ object Graphs {
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
-      // candidate label per node = min(own, min over neighbors' labels)
+      // candidate label per node = min(own, min over neighbors' labels).
+      // The neighbor-min pre-aggregates on the edge cache's own hash(src)
+      // layout (broadcast join preserves it → no exchange); only the
+      // per-vertex pre-aggregated result — not the message stream — meets
+      // `labels` in the final tiny union-agg.
       val msgs = e.join(broadcast(labels), e("dst") === labels("node"))
         .select(e("src").as("node"), col("label"))
+        .groupBy(col("node")).agg(min(col("label")).as("label"))
       val next = labels.select(col("node"), col("label"))
         .union(msgs)
         .groupBy(col("node")).agg(min(col("label")).as("label"))
@@ -80,7 +95,6 @@ object Graphs {
       prevSum = curSum
       i += 1
     }
-    e.unpersist()
     labels.select(col("node"), col("label").as("component")).orderBy(col("node"))
   }
 
@@ -105,8 +119,10 @@ object Graphs {
   def pageRank(s: SparkSession, dir: String, iters: Int = 10): DataFrame = withoutAqe(s) {
     val e = edges(s, dir)
     val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-    // cached partitioned on the per-superstep join key — only ranks reshuffle
-    val linked = e.join(outDeg, "src").repartition(col("src"))
+    // cached partitioned on the AGGREGATION key (dst): the superstep join
+    // broadcasts ranks, so the contribution aggregate below is the only
+    // consumer of this layout — with hash(dst) it runs without any exchange
+    val linked = e.join(outDeg, "src").repartition(col("dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val n = e.select(col("src")).distinct().count()
     var ranks = e.select(col("src").as("node")).distinct()
@@ -137,7 +153,7 @@ object Graphs {
     * (reached-count, dist-sum) pair is monotone (count up, sum down) —
     * fixpoint when both stall, same one-agg-per-superstep discipline as CC. */
   def sssp(s: SparkSession, dir: String, maxIter: Int = 30): DataFrame = withoutAqe(s) {
-    val e = edges(s, dir).repartition(col("src")).persist(StorageLevel.MEMORY_AND_DISK)
+    val e = edges(s, dir)
     val source = e.agg(min(col("src"))).head.getLong(0)
     var dist = e.sparkSession.range(1)
       .select(lit(source).as("node"), lit(0L).as("dist"))
@@ -150,8 +166,13 @@ object Graphs {
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
-      val msgs = e.join(broadcast(dist), e("src") === dist("node"))
-        .select(e("dst").as("node"), (col("dist") + 1L).as("dist"))
+      // the edge list is symmetric, so relax over the dst→src direction:
+      // the candidate-distance pre-aggregate then lands on the cache's own
+      // hash(src) layout (broadcast join preserves it → no exchange), and
+      // only the per-vertex minimum meets `dist` in the tiny union-agg
+      val msgs = e.join(broadcast(dist), e("dst") === dist("node"))
+        .select(e("src").as("node"), (col("dist") + 1L).as("dist"))
+        .groupBy(col("node")).agg(min(col("dist")).as("dist"))
       val next = dist.union(msgs)
         .groupBy(col("node")).agg(min(col("dist")).as("dist"))
         .localCheckpoint(eager = false)
@@ -161,7 +182,6 @@ object Graphs {
       prev = cur
       i += 1
     }
-    e.unpersist()
     dist.orderBy(col("node"))
   }
 
@@ -172,24 +192,22 @@ object Graphs {
     * argmax is a two-stage aggregation — `max(struct(count, -label))` picks
     * (max count, min label) without a window shuffle. */
   def labelPropagation(s: SparkSession, dir: String, iters: Int = 5): DataFrame = withoutAqe(s) {
-    val e = edges(s, dir).repartition(col("dst")).persist(StorageLevel.MEMORY_AND_DISK)
+    val e = edges(s, dir)
     var labels = e.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
       .localCheckpoint(eager = true)
     for (_ <- 1 to iters) {
-      // single shuffle on the vertex id — HashPartitioning(n2) satisfies
-      // the (n2,label) clustering of the first agg and the n2 clustering
-      // of the argmax, so the two aggregates share one exchange
+      // zero exchanges per superstep: the broadcast join preserves the edge
+      // cache's hash(src) layout, which satisfies BOTH the (n2,label)
+      // clustering of the count and the n2 clustering of the argmax
       val freq = e.join(broadcast(labels), e("dst") === labels("node"))
         .select(e("src").as("n2"), col("label"))
-        .repartition(col("n2"))
         .groupBy(col("n2"), col("label")).agg(count(lit(1)).as("c"))
       labels = freq.groupBy(col("n2").as("node"))
         .agg(max(struct(col("c"), (-col("label")).as("nl"))).as("m"))
         .select(col("node"), (-col("m.nl")).as("label"))
         .localCheckpoint(eager = true)
     }
-    e.unpersist()
     labels.orderBy(col("node"))
   }
 
@@ -312,28 +330,36 @@ object Graphs {
     * each half-step is a map-side join + one partial-aggregated shuffle +
     * a scalar L2 norm. */
   def hits(s: SparkSession, dir: String, iters: Int = 5): DataFrame = withoutAqe(s) {
+    // hub half-step aggregates on src (the shared cache's own layout);
+    // the authority half-step needs a dst-keyed copy of the directed list —
+    // one extra build shuffle traded against one per-half-step forever
     val d = edges(s, dir).filter(col("src") < SuppOffset)
+    val dDst = d.repartition(col("dst")).persist(StorageLevel.MEMORY_AND_DISK)
     var hub = d.select(col("src").as("node")).distinct()
       .withColumn("h", lit(1.0)).localCheckpoint(eager = true)
     var auth: DataFrame = null
     for (_ <- 1 to iters) {
-      val araw = d.join(broadcast(hub), d("src") === hub("node"))
-        .groupBy(d("dst").as("anode")).agg(sum(col("h")).as("a"))
-        .localCheckpoint(eager = true)
+      // two jobs per iteration: each half-step's checkpoint is LAZY and the
+      // L2-norm aggregate doubles as its materializing action; the
+      // normalized vector is a projection over the checkpointed raw sums
+      val araw = dDst.join(broadcast(hub), dDst("src") === hub("node"))
+        .groupBy(dDst("dst").as("anode")).agg(sum(col("h")).as("a"))
+        .localCheckpoint(eager = false)
       val an = math.sqrt(araw.agg(sum(col("a") * col("a"))).head.getDouble(0))
       auth = araw.select(col("anode").as("node"), (col("a") / an).as("a"))
-        .localCheckpoint(eager = true)
       val hraw = d.join(broadcast(auth), d("dst") === auth("node"))
         .groupBy(d("src").as("hnode")).agg(sum(col("a")).as("h"))
-        .localCheckpoint(eager = true)
+        .localCheckpoint(eager = false)
       val hn = math.sqrt(hraw.agg(sum(col("h") * col("h"))).head.getDouble(0))
       hub = hraw.select(col("hnode").as("node"), (col("h") / hn).as("h"))
-        .localCheckpoint(eager = true)
     }
-    hub.select(col("node"), round(col("h"), 6).as("hub_score"),
+    val out = hub.select(col("node"), round(col("h"), 6).as("hub_score"),
         lit(0.0).as("auth_score"))
       .union(auth.select(col("node"), lit(0.0), round(col("a"), 6)))
       .orderBy(col("node"))
+      .localCheckpoint(eager = true)
+    dDst.unpersist(blocking = false)
+    out
   }
 
   /** Vertex metrics (Gelly library/metric/undirected/VertexMetrics.java —
@@ -362,18 +388,17 @@ object Graphs {
     * arithmetic is order-independent and the oracle exact. */
   def communityDetection(s: SparkSession, dir: String, iters: Int = 3,
                          delta: Double = 0.5): DataFrame = withoutAqe(s) {
-    val e = edges(s, dir).repartition(col("dst")).persist(StorageLevel.MEMORY_AND_DISK)
+    val e = edges(s, dir)
     var st = e.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("label"), lit(1.0).as("score"))
       .localCheckpoint(eager = true)
     for (k <- 1 to iters) {
-      // one explicit shuffle on node: HashPartitioning(node) satisfies the
-      // clustering of BOTH downstream aggregates (node,label ⊇ node) and
-      // the final per-node join's other side broadcasts — so the whole
-      // superstep is broadcast-join → 1 shuffle → agg → agg → bcast join
+      // zero exchanges per superstep: the broadcast join preserves the edge
+      // cache's hash(src) layout, which satisfies the clustering of BOTH
+      // downstream aggregates (node,label ⊇ node) and the final per-node
+      // join's other side broadcasts
       val msgs = e.join(broadcast(st), e("dst") === st("node"))
         .select(e("src").as("node"), col("label"), col("score"))
-        .repartition(col("node"))
       val perLabel = msgs.groupBy(col("node"), col("label"))
         .agg(sum(col("score")).as("ssum"), max(col("score")).as("smax"))
       // argmax by (sum, min label), carrying that label's max single score
@@ -386,7 +411,6 @@ object Graphs {
             .otherwise(col("wmax") - lit(delta / k)).as("score"))
         .localCheckpoint(eager = true)
     }
-    e.unpersist()
     st.select(col("node"), col("label")).orderBy(col("node"))
   }
 

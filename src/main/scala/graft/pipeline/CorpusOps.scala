@@ -161,6 +161,31 @@ object CorpusOps {
       .orderBy(col("doc_id"))
   }
 
+  // --------------------------------------------------------- sequence packing
+
+  private val PackCapacity = 2048
+
+  /** Sequence packing (concat-and-slice): documents are concatenated in
+    * deterministic order (doc_id) per language stream and sliced into
+    * fixed 2048-token training sequences; each document reports the bin it
+    * starts in and its token offset inside that bin. One running prefix sum
+    * per language partition — O(n) over a sorted run. At 100 TB the
+    * per-language window becomes the classic distributed prefix sum:
+    * range-partition by (lang, doc_id), per-partition totals, broadcast the
+    * partition-offset table — same plan shape, no single-partition
+    * bottleneck. */
+  private def pack(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), size(tokens(col("text"))).as("n_tok"))
+      .withColumn("cum", sum(col("n_tok")).over(w))
+      .select(col("doc_id"), col("lang"), col("n_tok"),
+        floor((col("cum") - col("n_tok")) / PackCapacity.toDouble).cast("long").as("bin_id"),
+        ((col("cum") - col("n_tok")) % PackCapacity).as("bin_offset"))
+      .orderBy(col("doc_id"))
+  }
+
   // ----------------------------------------------------------- LSH top-k ANN
 
   /** LSH-bucketed similarity top-k — the scale path for batch k-NN: probe
@@ -195,7 +220,7 @@ object CorpusOps {
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id")).distinct()
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
-    val out = cand
+    val ranked = cand
       .join(e.select(col("vec_id").as("q_id"), col("v").as("qv"), col("norm").as("qn")), "q_id")
       .join(e, "vec_id")
       .withColumn("cos",
@@ -205,6 +230,11 @@ object CorpusOps {
       .select(col("q_id"), col("rn").as("rank"), col("vec_id").as("neighbor"),
               round(col("cos"), 6).as("cosine"))
       .orderBy(col("q_id"), col("rank"))
+    // materialize the (small) result BEFORE dropping the vector cache —
+    // unpersisting at plan-build time would recompute the scan+norm once
+    // per plan branch (Dedup.releasing discipline)
+    val out = ranked.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
     e.unpersist(blocking = false)
     out
   }
@@ -214,6 +244,7 @@ object CorpusOps {
     "text_repetition" -> (repetition _),
     "text_sample_stratified" -> (sampleStratified _),
     "text_corpus_stats" -> (corpusStats _),
+    "text_pack" -> (pack _),
     "dedup_paragraph" -> (paragraphDedup _),
     "sim_lsh_topk" -> (lshTopK _)
   )
@@ -286,6 +317,16 @@ object CorpusOps {
                  round(quantile_cont(len($tokensSql), 0.9), 6) AS p90_tokens,
                  count(DISTINCT source) AS n_sources
           FROM documents GROUP BY lang ORDER BY lang""",
+    "text_pack" ->
+      s"""WITH t AS (SELECT doc_id, lang, CAST(len($tokensSql) AS INT) AS n_tok FROM documents),
+          c AS (SELECT doc_id, lang, n_tok,
+                  sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+                FROM t)
+          SELECT doc_id, lang, n_tok,
+                 CAST(floor((cum - n_tok) / $PackCapacity.0) AS BIGINT) AS bin_id,
+                 CAST((cum - n_tok) % $PackCapacity AS BIGINT) AS bin_offset
+          FROM c ORDER BY doc_id""",
     "dedup_paragraph" ->
       s"""WITH t AS (SELECT doc_id, $tokensSql AS tk FROM documents),
           c AS (SELECT doc_id, tk,
