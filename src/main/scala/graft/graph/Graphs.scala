@@ -252,7 +252,11 @@ object Graphs {
     * grouped neighbor lists, JaccardIndex.java GenerateGroupPairs). */
   private def coNeighbors(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val e = coEdges(s, dir)
+    // cached hash-partitioned on src: the z-centric pair join reads BOTH of
+    // its sides from this one layout (z = src on each), so neither side
+    // re-shuffles — and the degree aggregate reuses it too
     val und = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+      .repartition(col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val deg = und.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     (und, deg)
@@ -428,9 +432,12 @@ object Graphs {
         .select((col("s_suppkey") + SuppOffset).as("node"),
           concat(lit("S"), col("s_nationkey")).as("label")))
     val e = edges(s, dir)
+    // vertex labels are per-vertex metadata — broadcast both probes so the
+    // edge list never re-shuffles; the only exchange left is the tiny
+    // (src_group, dst_group) aggregate
     val grouped = e
-      .join(labels.as("ls"), e("src") === col("ls.node"))
-      .join(labels.as("ld"), e("dst") === col("ld.node"))
+      .join(broadcast(labels.as("ls")), e("src") === col("ls.node"))
+      .join(broadcast(labels.as("ld")), e("dst") === col("ld.node"))
       .groupBy(col("ls.label").as("src_group"), col("ld.label").as("dst_group"))
       .agg(count(lit(1)).as("n_edges"))
     val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("n_vertices"))

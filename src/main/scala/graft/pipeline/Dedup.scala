@@ -268,8 +268,20 @@ object Dedup {
   private def clusters(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     val pairs = minhashLsh(s, dir).select(col("i"), col("j"))
+    // the pair graph is orders of magnitude smaller than the corpus (it is
+    // the *verified near-duplicate* edge set), so the closure loop sizes its
+    // partitioning to the edge count rather than inheriting the session
+    // default — 32 reduce tasks over a few hundred rows is pure scheduling
+    // overhead, and at 10^9 pairs the same formula scales the loop back up.
+    // pairs is already materialized (minhashLsh counts it), so this count
+    // reads the cache.
+    val p = math.max(1, math.min(32, (pairs.count() * 2 / 100000L).toInt))
+    // hash(node) layout cached once: the superstep join broadcasts labels,
+    // so the neighbor-min pre-aggregate below runs with NO exchange (same
+    // discipline as graph/Graphs after round 4)
     val und = pairs.union(pairs.select(col("j"), col("i")))
       .toDF("node", "nbr")
+      .repartition(p, col("node"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     var labels = und.select(col("node")).distinct()
       .withColumn("label", col("node"))
@@ -277,13 +289,18 @@ object Dedup {
     // label sum is monotone non-increasing; fixpoint = converged
     var last = Long.MinValue
     var converged = false
-    while (!converged) {
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val aqePrev = s.conf.get(aqeKey, "true")
+    s.conf.set(aqeKey, "false") // no per-superstep re-planning in the loop
+    try while (!converged) {
       val msgs = und.as("u").join(broadcast(labels.as("l")), col("u.nbr") === col("l.node"))
         .select(col("u.node").as("node"), col("l.label").as("label"))
+        .groupBy(col("node")).agg(min(col("label")).as("label")) // exchange-free
       // lineage cut is LAZY; the convergence aggregate doubles as the
       // materializing action — one Spark job per superstep (same
       // discipline as graph/Graphs.connectedComponents)
       val next = labels.union(msgs)
+        .repartition(p, col("node"))
         .groupBy(col("node")).agg(min(col("label")).as("label"))
         .localCheckpoint(eager = false)
       val sum2 = Option(next.agg(sum(col("label"))).head.get(0))
@@ -291,7 +308,7 @@ object Dedup {
       converged = sum2 == last
       last = sum2
       labels = next
-    }
+    } finally s.conf.set(aqeKey, aqePrev)
     und.unpersist(blocking = false)
     val sizes = labels.groupBy(col("label").as("keep_id"))
       .agg(count(lit(1)).as("cluster_size"))
