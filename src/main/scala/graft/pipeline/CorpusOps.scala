@@ -239,7 +239,69 @@ object CorpusOps {
     out
   }
 
+  // ------------------------------------------------------- end-to-end filter
+
+  /** End-to-end corpus curation — the composition a real training-data
+    * pipeline runs as ONE job over the corpus: keep a document iff it
+    *  (1) scores quality ≥ 0.5 (TextAnalysis.quality),
+    *  (2) is not repetition-flagged (repetition metrics above),
+    *  (3) survives the deterministic per-language downsample,
+    *  (4) shares no 8-gram with the benchmark split (decontamination), and
+    *  (5) is its normalized-exact-dup group's representative (min doc_id).
+    * Everything per-row fuses into the scan; the corpus-wide signals are
+    * one (doc,term) count shuffle (top-token), one broadcast semi join
+    * (benchmark grams), and one normalized-text group (dedup) — each of
+    * which the standalone ops already prove scale-shaped. */
+  private def corpusFilter(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.load(s, dir, "documents")
+    val toks = tokens(col("text"))
+    val nTok = size(toks).cast("double")
+    val stopRatio = size(filter(toks,
+      t => t.isin("the", "a", "of", "and", "to", "in", "is")))
+      .cast("double") / nTok
+    val diversity = size(array_distinct(toks)).cast("double") / nTok
+    val lenScore = least(nTok / 50.0, lit(1.0))
+    val quality = round(lenScore * 0.4 + stopRatio * 0.2 + diversity * 0.4, 6)
+    val g2 = shinglesOf(col("text"), 2)
+    val dup2 = when(size(g2) > 0,
+      lit(1.0) - size(array_distinct(g2)).cast("double") / size(g2)).otherwise(0.0)
+    val rate = SampleRates.foldLeft(lit(0)) { case (acc, (l, r)) =>
+      when(col("lang") === l, lit(r)).otherwise(acc)
+    }
+    val base = d.select(col("doc_id"), col("lang"), col("source"), col("text"),
+      quality.as("quality"), round(dup2, 6).as("dup_2gram"),
+      (polyHash(normalize(col("text"))) % 100).as("bucket"), rate.as("rate"))
+    // top-token fraction: the one corpus signal needing a (doc,term) shuffle
+    val topTok = d.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col("doc_id"))
+      .agg(round(max(col("cnt")).cast("double") / sum(col("cnt")), 6).as("top_token"))
+    // benchmark 8-gram contamination: broadcast the (bounded) benchmark set
+    val grams = d.select(col("doc_id"), col("source"),
+      explode(array_distinct(shinglesOf(col("text"), 8))).as("g"))
+    val benchGrams = grams.filter(col("source") === "src0").select(col("g")).distinct()
+    val contaminated = grams.filter(col("source") =!= "src0")
+      .join(broadcast(benchGrams), "g").select(col("doc_id")).distinct()
+    // normalized-dup representative
+    val rep = d.groupBy(normalize(col("text")).as("norm"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"), lit(true).as("is_rep"))
+    base
+      .join(topTok, "doc_id")
+      .join(contaminated.withColumn("is_contaminated", lit(true)), Seq("doc_id"), "left")
+      .join(rep, Seq("doc_id"), "left")
+      .filter(col("quality") >= 0.5 &&
+        !(col("dup_2gram") > 0.2 || col("top_token") > 0.2) &&
+        col("bucket") < col("rate") &&
+        col("is_contaminated").isNull &&
+        col("is_rep").isNotNull &&
+        col("source") =!= "src0")
+      .select(col("doc_id"), col("lang"), col("quality"))
+      .orderBy(col("doc_id"))
+  }
+
   def queries: Map[String, QFn] = Map(
+    "pipeline_corpus_filter" -> (corpusFilter _),
     "text_chunk" -> (chunk _),
     "text_repetition" -> (repetition _),
     "text_sample_stratified" -> (sampleStratified _),
@@ -265,6 +327,44 @@ object CorpusOps {
     "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))"
 
   def oracles: Map[String, String] = Map(
+    "pipeline_corpus_filter" ->
+      s"""WITH t AS (SELECT doc_id, lang, source, text, $tokensSql AS tk FROM documents),
+          q AS (SELECT doc_id,
+                  round(least(len(tk) / 50.0, 1.0) * 0.4
+                    + (CAST(len(list_filter(tk, x -> x IN ('the','a','of','and','to','in','is'))) AS DOUBLE) / len(tk)) * 0.2
+                    + (CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk)) * 0.4, 6) AS quality
+                FROM t),
+          g2 AS (SELECT doc_id, ${shingleSqlOf("tk", 2)} AS sh FROM t),
+          d2 AS (SELECT doc_id,
+                   round(CASE WHEN len(sh) > 0
+                     THEN 1.0 - CAST(len(list_distinct(sh)) AS DOUBLE) / len(sh)
+                     ELSE 0.0 END, 6) AS dup_2gram
+                 FROM g2),
+          ex AS (SELECT doc_id, unnest(tk) AS term FROM t),
+          cnt AS (SELECT doc_id, term, count(*) AS c FROM ex GROUP BY 1, 2),
+          tt AS (SELECT doc_id, round(CAST(max(c) AS DOUBLE) / sum(c), 6) AS top_token
+                 FROM cnt GROUP BY doc_id),
+          gr AS (SELECT doc_id, source,
+                   unnest(list_distinct(list_transform(
+                     range(1, greatest(len(tk) - 6, 1)),
+                     i -> array_to_string(tk[i:i+7], ' ')))) AS g
+                 FROM t),
+          bench AS (SELECT DISTINCT g FROM gr WHERE source = 'src0'),
+          cont AS (SELECT DISTINCT gr.doc_id FROM gr JOIN bench USING (g) WHERE source <> 'src0'),
+          rep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY $normalizeSql),
+          buck AS (SELECT doc_id, ${polyHashSqlOf(normalizeSql)} % 100 AS bucket FROM documents)
+          SELECT t.doc_id, t.lang, q.quality
+          FROM t JOIN q USING (doc_id) JOIN d2 USING (doc_id)
+               JOIN tt USING (doc_id) JOIN buck USING (doc_id)
+          WHERE q.quality >= 0.5
+            AND NOT (d2.dup_2gram > 0.2 OR tt.top_token > 0.2)
+            AND buck.bucket < CASE t.lang
+              WHEN 'en' THEN 20 WHEN 'es' THEN 40 WHEN 'fr' THEN 60
+              WHEN 'de' THEN 80 WHEN 'zh' THEN 100 ELSE 0 END
+            AND t.doc_id NOT IN (SELECT doc_id FROM cont)
+            AND t.doc_id IN (SELECT doc_id FROM rep)
+            AND t.source <> 'src0'
+          ORDER BY t.doc_id""",
     "text_chunk" ->
       s"""WITH t AS (SELECT doc_id, $tokensSql AS tk FROM documents),
           c AS (SELECT doc_id, tk,

@@ -66,9 +66,36 @@ object Similarity {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** One distributed Lloyd (k-means) assignment+update step — the batch ML
+    * primitive an embedding pipeline runs to BUILD the IVF clustering that
+    * `annIvf` probes. Seeds = the first 8 vectors (deterministic, the
+    * k-means|| stand-in); each vector joins the broadcast centroid table,
+    * takes the L2-argmin (ties to the smaller centroid id via min(struct)),
+    * and the update is one partial-aggregated shuffle per centroid: count +
+    * within-cluster inertia. Scale shape: broadcast(k rows) × scan, no
+    * all-pairs, no driver loop. */
+  private def kmeansStep(s: SparkSession, dir: String): DataFrame = {
+    val e = withNorm(Tables.load(s, dir, "embeddings"))
+      .select(col("vec_id"), col("v"), col("norm"))
+    val cent = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("v").as("cv"), col("norm").as("cn"))
+    val d2 = col("norm") * col("norm") + col("cn") * col("cn") -
+      lit(2.0) * call_function("dot_f64", col("v"), col("cv"))
+    val assigned = e.crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("cid"), d2.as("d2"))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("d2"), col("cid"))).as("m"))
+      .select(col("vec_id"), col("m.cid").as("cid"), col("m.d2").as("d2"))
+    assigned.groupBy(col("cid"))
+      .agg(count(lit(1)).as("n_assigned"),
+        round(sum(col("d2")), 6).as("inertia"))
+      .orderBy(col("cid"))
+  }
+
   def queries: Map[String, QFn] = Map(
     "sim_cosine_topk" -> (cosineTopK _),
-    "sim_ann_ivf" -> (annIvf _)
+    "sim_ann_ivf" -> (annIvf _),
+    "sim_kmeans_step" -> (kmeansStep _)
   )
 
   private val normSql =
@@ -79,6 +106,20 @@ object Similarity {
     "list_reduce(list_prepend(0.0, list_transform(range(1, 65), k -> q.v[k] * e.v[k])), (a,x) -> a + x)"
 
   def oracles: Map[String, String] = Map(
+    "sim_kmeans_step" ->
+      s"""WITH n AS ($normSql),
+          cent AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM n WHERE vec_id < 8),
+          d AS (SELECT e.vec_id, c.cid,
+                  e.nrm * e.nrm + c.cn * c.cn
+                    - 2.0 * list_reduce(list_prepend(0.0, list_transform(range(1, 65), k -> e.v[k] * c.cv[k])), (a,x) -> a + x)
+                    AS d2
+                FROM n e CROSS JOIN cent c),
+          a AS (SELECT vec_id, cid, d2 FROM (
+                  SELECT vec_id, cid, d2,
+                         row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+                  FROM d) WHERE rn = 1)
+          SELECT cid, count(*) AS n_assigned, round(sum(d2), 6) AS inertia
+          FROM a GROUP BY cid ORDER BY cid""",
     "sim_cosine_topk" ->
       s"""WITH n AS ($normSql),
           scored AS (

@@ -36,7 +36,7 @@ object EmitStrategy {
     try session.conf.getOption(DelayConf) catch { case _: Throwable => None }
 
   def matches(probe: String): Boolean =
-    """(?i)\b(TUMBLE|HOP)\s*\(""".r.findFirstIn(probe).isDefined &&
+    """(?i)\b(TUMBLE|HOP|SESSION)\s*\(""".r.findFirstIn(probe).isDefined &&
       """(?i)\bGROUP\s+BY""".r.findFirstIn(probe).isDefined
 
   private val shapeRe =
@@ -44,8 +44,10 @@ object EmitStrategy {
   // Flink argument order: HOP(time, slide, size)
   private val hopShapeRe =
     """(?is)\s*SELECT\s+(.*?)\s+FROM\s+(\w+)\s+GROUP\s+BY\s+HOP\s*\(\s*(\w+)\s*,\s*INTERVAL\s+'(\d+)'\s+(\w+)\s*,\s*INTERVAL\s+'(\d+)'\s+(\w+)\s*\)\s*(?:,\s*([\w\s,]+?))?\s*(ORDER\s+BY\s+.*)?""".r
+  private val sessionShapeRe =
+    """(?is)\s*SELECT\s+(.*?)\s+FROM\s+(\w+)\s+GROUP\s+BY\s+SESSION\s*\(\s*(\w+)\s*,\s*INTERVAL\s+'(\d+)'\s+(\w+)\s*\)\s*(?:,\s*([\w\s,]+?))?\s*(ORDER\s+BY\s+.*)?""".r
   private val tumbleStartRe =
-    """(?is)^(?:TUMBLE_START|HOP_START)\s*\(.*?\)\s+AS\s+(\w+)$""".r
+    """(?is)^(?:TUMBLE_START|HOP_START|SESSION_START)\s*\(.*?\)\s+AS\s+(\w+)$""".r
   private val aggRe = """(?is)^(COUNT|SUM|MIN|MAX|AVG)\s*\(\s*(\*|\w+)\s*\)\s+AS\s+(\w+)$""".r
 
   private def unitMicros(u: String): Long = u.toUpperCase.stripSuffix("S") match {
@@ -71,9 +73,87 @@ object EmitStrategy {
     case hopShapeRe(select, table, tsCol, slideN, slideU, sizeN, sizeU, extraGroups, tail) =>
       build(session, select, table, tsCol, sizeN.toLong * unitMicros(sizeU),
         Some(slideN.toLong * unitMicros(slideU)), extraGroups, tail)
+    case sessionShapeRe(select, table, tsCol, n, unit, extraGroups, tail) =>
+      buildSession(session, select, table, tsCol, n.toLong * unitMicros(unit),
+        extraGroups, tail)
     case _ => throw new IllegalArgumentException(
-      "early-fire emit supports: SELECT TUMBLE_START/HOP_START(..) AS a, <group cols>, <aggs> " +
-        "FROM t GROUP BY TUMBLE(ts, size) | HOP(ts, slide, size) [, group cols] [ORDER BY ...]")
+      "early-fire emit supports: SELECT TUMBLE_START/HOP_START/SESSION_START(..) AS a, <group cols>, <aggs> " +
+        "FROM t GROUP BY TUMBLE(ts, size) | HOP(ts, slide, size) | SESSION(ts, gap) [, group cols] [ORDER BY ...]")
+  }
+
+  /** Select-list parse shared by all window shapes: the window-start alias,
+    * pass-through group columns, and the aggregate triples. */
+  private def parseSelect(select: String, groupCols: Seq[String])
+    : (String, Seq[(String, String, String)]) = {
+    var wsAlias = "w_start"
+    val aggBuilder = Seq.newBuilder[(String, String, String)]
+    FlinkSqlSupport.splitTop(select).foreach {
+      case tumbleStartRe(a) => wsAlias = a
+      case item if groupCols.contains(item.trim) => // group col, passes through
+      case aggRe(fn, arg, alias) => aggBuilder += ((fn.toUpperCase, arg, alias))
+      case other => throw new IllegalArgumentException(
+        s"early-fire supports the window-start alias, group columns and COUNT/SUM/MIN/MAX/AVG: $other")
+    }
+    (wsAlias, aggBuilder.result())
+  }
+
+  /** Early-fire over SESSION windows (data-driven merging windows —
+    * SessionWindowAssigner + the same WindowEmitStrategy config). Sessions
+    * are the classic gaps-and-islands construction: a row opens a new
+    * session when its gap to the previous row (per group) exceeds the gap
+    * parameter; session id = running count of openers. The emission log is
+    * then identical to the tumbling case over the (group, session)
+    * partition, with SESSION_START = the session's first event time and the
+    * terminal fire at session end = last event + gap (the reference's
+    * merged-window end). One shuffle on the group columns; the session-id
+    * window and the running aggregates share its hash partitioning. */
+  private def buildSession(session: SparkSession, select: String, table: String,
+                           tsCol: String, gapUs: Long, extraGroups: String,
+                           tail: String): DataFrame = {
+    val delayUs = delayMicros(enabled(session).get)
+    val groupCols = Option(extraGroups).map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Nil)
+    val (wsAlias, aggs) = parseSelect(select, groupCols)
+    require(aggs.nonEmpty, "early-fire SESSION needs at least one aggregate")
+    val tiebreak = (try session.conf.getOption(TiebreakConf) catch { case _: Throwable => None })
+      .map(c => s", $c").getOrElse("")
+    val gComma = if (groupCols.isEmpty) "" else groupCols.mkString(", ") + ", "
+    val partG = if (groupCols.isEmpty) "" else s"PARTITION BY ${groupCols.mkString(", ")} "
+    val ordG = s"${partG}ORDER BY __uts$tiebreak"
+    val partS = (groupCols :+ "__sid").mkString(", ")
+    val ordS = s"PARTITION BY $partS ORDER BY __uts$tiebreak"
+    val runningAggs = aggs.map { case (fn, arg, alias) =>
+      val a = if (arg == "*") "1" else arg
+      s"${fn.toLowerCase}($a) OVER ($ordS ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS $alias"
+    }.mkString(", ")
+    val aliases = aggs.map(_._3).mkString(", ")
+    val uts = s"unix_micros(cast($tsCol as timestamp))"
+    session.sql(
+      s"""SELECT $wsAlias, $gComma$aliases,
+                 CASE WHEN __last THEN __send ELSE __fire0 END AS fire_time,
+                 __last AS is_final
+          FROM (
+            SELECT timestamp_micros(min(__uts) OVER (PARTITION BY $partS)) AS $wsAlias,
+                   $gComma$runningAggs,
+                   timestamp_micros((__bidx + 1) * ${delayUs}L) AS __fire0,
+                   lag(__bidx) OVER ($ordS) IS NOT NULL
+                     AND __bidx > lag(__bidx) OVER ($ordS) AS __early,
+                   row_number() OVER ($ordS)
+                     = count(1) OVER (PARTITION BY $partS) AS __last,
+                   timestamp_micros(max(__uts) OVER (PARTITION BY $partS) + ${gapUs}L) AS __send
+            FROM (
+              SELECT *, sum(__new) OVER ($ordG ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS __sid
+              FROM (
+                SELECT *, CASE WHEN lag(__uts) OVER ($ordG) IS NULL
+                                OR __uts - lag(__uts) OVER ($ordG) > ${gapUs}L
+                               THEN 1 ELSE 0 END AS __new
+                FROM (SELECT *, $uts AS __uts,
+                             $uts div ${delayUs}L AS __bidx
+                      FROM $table)
+              )
+            )
+          )
+          WHERE __early OR __last ${Option(tail).getOrElse("")}""")
   }
 
   /** Shared construction: a hopping window explodes each row into its
@@ -85,16 +165,7 @@ object EmitStrategy {
       val delayUs = delayMicros(enabled(session).get)
       val groupCols = Option(extraGroups).map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
         .getOrElse(Nil)
-      var wsAlias = "w_start"
-      val aggBuilder = Seq.newBuilder[(String, String, String)] // (fn, arg, alias)
-      FlinkSqlSupport.splitTop(select).foreach {
-        case tumbleStartRe(a) => wsAlias = a
-        case item if groupCols.contains(item.trim) => // group col, passes through
-        case aggRe(fn, arg, alias) => aggBuilder += ((fn.toUpperCase, arg, alias))
-        case other => throw new IllegalArgumentException(
-          s"early-fire TUMBLE supports TUMBLE_START, group columns and COUNT/SUM/MIN/MAX/AVG: $other")
-      }
-      val aggs = aggBuilder.result()
+      val (wsAlias, aggs) = parseSelect(select, groupCols)
       require(aggs.nonEmpty, "early-fire TUMBLE needs at least one aggregate")
       val tiebreak = (try session.conf.getOption(TiebreakConf) catch { case _: Throwable => None })
         .map(c => s", $c").getOrElse("")

@@ -246,6 +246,24 @@ object FlinkSqlQueries {
         s.conf.unset(EmitStrategy.TiebreakConf)
       }
     }),
+    // early-fire over SESSION windows: gap-driven merging windows, fires at
+    // 10-minute boundaries inside an open session, terminal fire at session
+    // end = last event + gap
+    "fsql_early_fire_session" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.conf.set(EmitStrategy.DelayConf, "10 minutes")
+      s.conf.set(EmitStrategy.TiebreakConf, "event_id")
+      try s.sql(
+        """SELECT SESSION_START(ts, INTERVAL '30' MINUTE) AS w_start, user_id,
+                  count(*) AS n, max(value) AS mx
+           FROM events
+           GROUP BY SESSION(ts, INTERVAL '30' MINUTE), user_id
+           ORDER BY user_id, w_start, fire_time, is_final""")
+      finally {
+        s.conf.unset(EmitStrategy.DelayConf)
+        s.conf.unset(EmitStrategy.TiebreakConf)
+      }
+    }),
     // the canonical V-shape with AFTER MATCH SKIP TO FIRST DOWN: overlapping
     // matches cascade — each resumes at the previous match's first DOWN row;
     // STRT has no DEFINE (matches any row, the standard default)
@@ -442,6 +460,40 @@ object FlinkSqlQueries {
                   win2 AS (PARTITION BY ws, user_id ORDER BY uts, event_id))
          SELECT make_timestamp(ws) AS w_start, user_id, n, mx,
                 CASE WHEN rn = cnt THEN make_timestamp(ws + 3600000000)
+                     ELSE make_timestamp((bidx + 1) * 600000000) END AS fire_time,
+                rn = cnt AS is_final
+         FROM w
+         WHERE (pb IS NOT NULL AND bidx > pb) OR rn = cnt
+         ORDER BY user_id, w_start, fire_time, is_final""",
+    "fsql_early_fire_session" ->
+      """WITH o AS (
+           SELECT user_id, event_id, value, epoch_us(ts) AS uts,
+                  epoch_us(ts) // 600000000 AS bidx
+           FROM events),
+         s AS (
+           SELECT *, CASE WHEN lag(uts) OVER wg IS NULL
+                           OR uts - lag(uts) OVER wg > 1800000000
+                          THEN 1 ELSE 0 END AS new_s
+           FROM o WINDOW wg AS (PARTITION BY user_id ORDER BY uts, event_id)),
+         g AS (
+           SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY uts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+           FROM s),
+         w AS (
+           SELECT user_id, sid, bidx, uts, event_id,
+                  count(*) OVER win AS n,
+                  max(value) OVER win AS mx,
+                  lag(bidx) OVER win2 AS pb,
+                  row_number() OVER win2 AS rn,
+                  count(*) OVER (PARTITION BY user_id, sid) AS cnt,
+                  min(uts) OVER (PARTITION BY user_id, sid) AS ss,
+                  max(uts) OVER (PARTITION BY user_id, sid) AS se
+           FROM g
+           WINDOW win AS (PARTITION BY user_id, sid ORDER BY uts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                  win2 AS (PARTITION BY user_id, sid ORDER BY uts, event_id))
+         SELECT make_timestamp(ss) AS w_start, user_id, n, mx,
+                CASE WHEN rn = cnt THEN make_timestamp(se + 1800000000)
                      ELSE make_timestamp((bidx + 1) * 600000000) END AS fire_time,
                 rn = cnt AS is_final
          FROM w

@@ -56,6 +56,43 @@ class EmitStrategySpec extends SparkSpec {
     }
   }
 
+  test("conf set: session windows split on the gap, fire early inside a session") {
+    val s = spark
+    import s.implicits._
+    // 30-min gap, 10-min delay: rows 00:01/00:12/00:25 form session 1 — the
+    // 00:12 row crosses the 00:10 boundary (early fire); the 00:25 row also
+    // crosses a boundary but is the session's last row, so it emits once,
+    // as the terminal fire (end 00:55 = last + gap). The 01:30 row is
+    // > 30 min later → its own session (single terminal fire, end 02:00)
+    Seq(
+      (1L, Timestamp.valueOf("2021-01-01 00:01:00"), 10L, 1.0),
+      (1L, Timestamp.valueOf("2021-01-01 00:12:00"), 11L, 5.0),
+      (1L, Timestamp.valueOf("2021-01-01 00:25:00"), 12L, 3.0),
+      (1L, Timestamp.valueOf("2021-01-01 01:30:00"), 13L, 2.0)
+    ).toDF("user_id", "ts", "event_id", "value").createOrReplaceTempView("efs_events")
+    spark.conf.set(EmitStrategy.DelayConf, "10 minutes")
+    spark.conf.set(EmitStrategy.TiebreakConf, "event_id")
+    try {
+      val rows = spark.sql(
+        """SELECT SESSION_START(ts, INTERVAL '30' MINUTE) AS w_start, user_id,
+                  count(*) AS n, max(value) AS mx
+           FROM efs_events
+           GROUP BY SESSION(ts, INTERVAL '30' MINUTE), user_id
+           ORDER BY w_start, fire_time""").collect()
+        .map(r => (r.getTimestamp(0), r.getLong(2), r.getDouble(3),
+                   r.getTimestamp(4), r.getBoolean(5))).toList
+      val s1 = Timestamp.valueOf("2021-01-01 00:01:00")
+      val s2 = Timestamp.valueOf("2021-01-01 01:30:00")
+      assert(rows == List(
+        (s1, 2L, 5.0, Timestamp.valueOf("2021-01-01 00:20:00"), false),
+        (s1, 3L, 5.0, Timestamp.valueOf("2021-01-01 00:55:00"), true),
+        (s2, 1L, 2.0, Timestamp.valueOf("2021-01-01 02:00:00"), true)))
+    } finally {
+      spark.conf.unset(EmitStrategy.DelayConf)
+      spark.conf.unset(EmitStrategy.TiebreakConf)
+    }
+  }
+
   test("conf set: emission log with accumulating early fires and a terminal fire") {
     fixture()
     spark.conf.set(EmitStrategy.DelayConf, "10 minutes")
