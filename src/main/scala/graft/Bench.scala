@@ -56,7 +56,9 @@ object Bench {
       pipeline.Similarity.queries("sim_cosine_topk"),   // dot_f64 + window rank
       streaming.Cep.queries("cep_error_burst"),         // NFA + sorted-partition scan
       operators.Windows.queries("win_rank"),            // window exec
-      graph.Graphs.queries("graph_connected_components") // Pregel loop machinery
+      graph.Graphs.queries("graph_connected_components"), // Pregel loop machinery
+      operators.DatasetOps.queries("ds_cogroup"),       // typed Dataset + encoders
+      operators.UdfSurface.queries("udaf_single_value") // Aggregator (udaf) path
     ).foreach { fn => try { fn(spark, warmSf).count() } catch { case _: Throwable => } }
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1)

@@ -92,10 +92,38 @@ object Similarity {
       .orderBy(col("cid"))
   }
 
+  /** Int8 scalar quantization — the embedding-storage compression step
+    * (4× smaller vectors for ANN recall at scale). Per-dimension max-abs
+    * over the corpus (one posexplode + 64-group aggregate, broadcast back),
+    * then each vector quantizes per-row: q_d = round(127·x_d / absmax_d).
+    * Output per vector: L2 reconstruction error — the quality metric a
+    * pipeline monitors when deciding the quantization level. The per-dim
+    * stats table is 64 rows at ANY corpus size (broadcast by construction);
+    * the quantize pass is a pure projection over the scan. */
+  private def quantizeInt8(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val dimStats = e.select(posexplode(col("v")).as(Seq("d", "x")))
+      .groupBy(col("d")).agg(max(abs(col("x"))).as("absmax"))
+      .groupBy().agg(map_from_arrays(
+        collect_list(col("d")), collect_list(col("absmax"))).as("mx"))
+    val errSq = aggregate(
+      transform(col("v"), (x, i) => {
+        val m = element_at(col("mx"), i)
+        val r = x - round(x * 127.0 / m) * m / 127.0
+        r * r
+      }),
+      lit(0.0), (acc, y) => acc + y)
+    e.crossJoin(broadcast(dimStats))
+      .select(col("vec_id"), round(sqrt(errSq), 6).as("l2_err"))
+      .orderBy(col("vec_id"))
+  }
+
   def queries: Map[String, QFn] = Map(
     "sim_cosine_topk" -> (cosineTopK _),
     "sim_ann_ivf" -> (annIvf _),
-    "sim_kmeans_step" -> (kmeansStep _)
+    "sim_kmeans_step" -> (kmeansStep _),
+    "sim_quantize_int8" -> (quantizeInt8 _)
   )
 
   private val normSql =
@@ -106,6 +134,16 @@ object Similarity {
     "list_reduce(list_prepend(0.0, list_transform(range(1, 65), k -> q.v[k] * e.v[k])), (a,x) -> a + x)"
 
   def oracles: Map[String, String] = Map(
+    "sim_quantize_int8" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         dims AS (SELECT k FROM range(1, 65) t(k)),
+         stats AS (SELECT k, max(abs(v[k])) AS mx FROM e CROSS JOIN dims GROUP BY k),
+         arr AS (SELECT list(mx ORDER BY k) AS mxa FROM stats)
+         SELECT vec_id,
+                round(sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, 65),
+                  k -> pow(v[k] - round(127 * v[k] / mxa[k]) * mxa[k] / 127, 2))),
+                  (a, x) -> a + x)), 6) AS l2_err
+         FROM e CROSS JOIN arr ORDER BY vec_id""",
     "sim_kmeans_step" ->
       s"""WITH n AS ($normSql),
           cent AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM n WHERE vec_id < 8),

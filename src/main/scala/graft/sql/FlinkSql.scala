@@ -100,6 +100,12 @@ object FlinkSql {
     s = rewriteCalls(s, "HOP_END", _ => "window.end")
     s = rewriteCalls(s, "SESSION_START", _ => "session_window.start")
     s = rewriteCalls(s, "SESSION_END", _ => "session_window.end")
+    // rowtime accessors: the reference returns end − 1 ms as the window's
+    // event-time attribute (TimeWindow.maxTimestamp) so windows can cascade
+    // — a 10-minute window's rowtime falls inside the covering hour
+    s = rewriteCalls(s, "TUMBLE_ROWTIME", _ => "(window.end - interval 1 millisecond)")
+    s = rewriteCalls(s, "HOP_ROWTIME", _ => "(window.end - interval 1 millisecond)")
+    s = rewriteCalls(s, "SESSION_ROWTIME", _ => "(session_window.end - interval 1 millisecond)")
     s = rewriteCalls(s, "TUMBLE", {
       case Seq(ts, size) => s"window($ts, ${intervalToDuration(size)})"
       case args => s"TUMBLE(${args.mkString(", ")})"

@@ -246,6 +246,19 @@ object FlinkSqlQueries {
         s.conf.unset(EmitStrategy.TiebreakConf)
       }
     }),
+    // cascading windows: 10-minute pre-aggregation rolled up into hours via
+    // TUMBLE_ROWTIME (the window's event-time attribute, end − 1 ms) — the
+    // reference's standard two-level window pattern; the pre-aggregation
+    // shrinks the second shuffle by the inner window's compression factor
+    "fsql_cascade" -> ((s, dir) => run(s, dir,
+      """SELECT TUMBLE_START(rt, INTERVAL '1' HOUR) AS w_start, sum(n) AS n
+         FROM (
+           SELECT TUMBLE_ROWTIME(ts, INTERVAL '10' MINUTE) AS rt, count(*) AS n
+           FROM events
+           GROUP BY TUMBLE(ts, INTERVAL '10' MINUTE)
+         )
+         GROUP BY TUMBLE(rt, INTERVAL '1' HOUR)
+         ORDER BY w_start""")),
     // early-fire over SESSION windows: gap-driven merging windows, fires at
     // 10-minute boundaries inside an open session, terminal fire at session
     // end = last event + gap
@@ -465,6 +478,16 @@ object FlinkSqlQueries {
          FROM w
          WHERE (pb IS NOT NULL AND bidx > pb) OR rn = cnt
          ORDER BY user_id, w_start, fire_time, is_final""",
+    "fsql_cascade" ->
+      """WITH i AS (
+           SELECT epoch_us(ts) // 600000000 AS b10, count(*) AS n
+           FROM events GROUP BY 1),
+         o AS (
+           SELECT ((b10 + 1) * 600000000 - 1000) // 3600000000 AS bh,
+                  CAST(sum(n) AS BIGINT) AS n
+           FROM i GROUP BY 1)
+         SELECT make_timestamp(bh * 3600000000) AS w_start, n
+         FROM o ORDER BY w_start""",
     "fsql_early_fire_session" ->
       """WITH o AS (
            SELECT user_id, event_id, value, epoch_us(ts) AS uts,
