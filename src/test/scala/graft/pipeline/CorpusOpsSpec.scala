@@ -67,6 +67,14 @@ class CorpusOpsSpec extends SparkSpec {
       "LSH top-k must probe band buckets, never compare all pairs")
   }
 
+  test("pipeline_corpus_filter: all corpus signals join broadcast/hash — no cartesian, no sort-merge") {
+    val plan = executed(CorpusOps.queries("pipeline_corpus_filter")(spark, sf))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      "the composite filter must never go all-pairs")
+    assert(!plan.contains("SortMergeJoin"),
+      "per-doc signal joins must stay hash/broadcast (doc_id equi-joins on small per-doc tables)")
+  }
+
   test("text_chunk covers every token exactly once") {
     val chunks = CorpusOps.queries("text_chunk")(spark, sf)
       .groupBy(col("doc_id")).agg(sum(col("n_tokens")).as("tok_sum"))
