@@ -118,6 +118,17 @@ object Relational {
       .limit(25)
       .select(col("o_orderkey"), col("o_totalprice"))
 
+  /** Table.orderBy(...).offset(n).fetch(m) (Table.java:1028-1076) — the
+    * paginated top-k. Spark's OFFSET ... LIMIT plans a single
+    * TakeOrderedAndProject(limit = offset+fetch) — the driver-bounded
+    * global top-k, no full sort. */
+  def relOffsetFetch(s: SparkSession, dir: String): DataFrame = {
+    Tables.load(s, dir, "orders").createOrReplaceTempView("rel_orders_of")
+    s.sql("""SELECT o_orderkey, o_totalprice FROM rel_orders_of
+             ORDER BY o_totalprice DESC, o_orderkey
+             LIMIT 25 OFFSET 10""")
+  }
+
   /** SELECT DISTINCT (DataSet.distinct, DataSet.java:596). */
   def relDistinct(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "orders")
@@ -154,6 +165,7 @@ object Relational {
     "rel_scalar_subquery" -> (relScalarSubquery _),
     "rel_in_subquery" -> (relInSubquery _),
     "rel_sort_limit" -> (relSortLimit _),
+    "rel_offset_fetch" -> (relOffsetFetch _),
     "rel_distinct" -> (relDistinct _),
     "rel_values" -> (relValues _),
     "rel_pivot" -> (relPivot _)
@@ -194,6 +206,9 @@ object Relational {
     "rel_sort_limit" ->
       """SELECT o_orderkey, o_totalprice FROM orders
          ORDER BY o_totalprice DESC, o_orderkey LIMIT 25""",
+    "rel_offset_fetch" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 25 OFFSET 10""",
     "rel_distinct" ->
       """SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
          ORDER BY o_orderstatus, o_orderpriority""",
