@@ -86,6 +86,36 @@ object FlinkSqlQueries {
                FROM lineitem GROUP BY l_returnflag""")
       s.sql("SELECT l_returnflag, n, sum_qty FROM flag_agg ORDER BY l_returnflag")
     }),
+    // StatementSet: two INSERTs into two connector sinks from ONE source
+    // scan (shared-subgraph reuse); the read-back joins both sinks to prove
+    // both writes landed consistently
+    "fsql_statement_set" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      def freshSink(name: String, ddlCols: String): String = {
+        val path = s"target/sink_cache/${dir.replaceAll("[^a-zA-Z0-9]", "_")}/$name"
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
+          f.delete(): Unit
+        }
+        rm(new java.io.File(path))
+        s.sql(s"""CREATE TABLE $name ($ddlCols)
+                  WITH ('connector' = 'filesystem', 'path' = '$path',
+                        'format' = 'parquet')""")
+        path
+      }
+      freshSink("ss_type", "event_type STRING, n BIGINT")
+      freshSink("ss_user", "bucket BIGINT, n BIGINT")
+      StatementSet.create(s)
+        .addInsertSql("""INSERT INTO ss_type
+                         SELECT event_type, count(*) AS n FROM events GROUP BY event_type""")
+        .addInsertSql("""INSERT INTO ss_user
+                         SELECT user_id % 10 AS bucket, count(*) AS n
+                         FROM events GROUP BY user_id % 10""")
+        .execute()
+      s.sql("""SELECT t.event_type, t.n, u.total
+               FROM ss_type t CROSS JOIN (SELECT sum(n) AS total FROM ss_user) u
+               ORDER BY t.event_type""")
+    }),
     // CREATE FUNCTION DDL: class resolved reflectively, UDF registered
     // under the DDL name, then used from plain SQL
     "fsql_function_ddl" -> ((s, dir) => {
@@ -389,6 +419,10 @@ object FlinkSqlQueries {
     "fsql_insert_sink" ->
       """SELECT l_returnflag, count(*) AS n, sum(l_quantity) AS sum_qty
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "fsql_statement_set" ->
+      """SELECT event_type, count(*) AS n,
+                (SELECT count(*) FROM events) AS total
+         FROM events GROUP BY event_type ORDER BY event_type""",
     "fsql_function_ddl" ->
       """SELECT n_name,
                 CAST(length(lower(n_name)) -

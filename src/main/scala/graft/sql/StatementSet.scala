@@ -1,0 +1,57 @@
+package graft.sql
+
+import scala.collection.mutable.ListBuffer
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.storage.StorageLevel
+
+/** Multi-statement INSERT execution with shared-scan reuse — the reference's
+  * StatementSet (`TableEnvironment.createStatementSet()`,
+  * flink-table-api-java internal/StatementSetImpl.java: buffers modify
+  * operations and submits them as ONE job so the planner deduplicates
+  * common subgraphs). Spark-first analogue: a source table referenced by
+  * more than one buffered INSERT is persisted for the duration of
+  * `execute()`, so every statement's scan of it hits the block store —
+  * Spark's CacheManager substitutes the InMemoryRelation into any plan
+  * fragment that matches the cached one. At 100 TB the shared scan is the
+  * entire point of a statement set: N sinks over one source must read it
+  * once, not N times.
+  */
+final class StatementSet private (spark: SparkSession) {
+  private val stmts = ListBuffer.empty[String]
+
+  def addInsertSql(sql: String): this.type = {
+    require("""(?is)^\s*INSERT\s+INTO\b""".r.findFirstIn(sql).isDefined,
+      s"StatementSet accepts INSERT INTO statements, got: ${sql.take(60)}")
+    stmts += sql
+    this
+  }
+
+  /** Tables referenced (FROM/JOIN) by two or more buffered statements. */
+  private def sharedTables: Seq[String] = {
+    val re = """(?i)\b(?:FROM|JOIN)\s+([A-Za-z_][A-Za-z0-9_]*)""".r
+    val perStmt = stmts.toList.map(s =>
+      re.findAllMatchIn(s).map(_.group(1).toLowerCase).toSet)
+    perStmt.flatten.groupBy(identity)
+      .collect { case (t, occ) if occ.size >= 2 => t }
+      .toSeq.sorted
+      .filter(t => spark.catalog.tableExists(t))
+  }
+
+  /** Runs every buffered INSERT (through the session's SQL front-end, so
+    * connector sink targets route via [[ConnectorTables]]); source tables
+    * shared by 2+ statements are cached around the batch. Returns the
+    * shared-table set for inspection. */
+  def execute(): Seq[String] = {
+    require(stmts.nonEmpty, "StatementSet.execute: no statements added")
+    val shared = sharedTables
+    val cached = shared.map(spark.table)
+    cached.foreach(_.persist(StorageLevel.MEMORY_AND_DISK))
+    try stmts.foreach(spark.sql(_))
+    finally cached.foreach(_.unpersist(blocking = false))
+    shared
+  }
+}
+
+object StatementSet {
+  def create(spark: SparkSession): StatementSet = new StatementSet(spark)
+}
