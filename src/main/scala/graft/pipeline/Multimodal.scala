@@ -59,6 +59,39 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
+  final case class ResizedBlob(doc_id: Long, src_w: Int, src_h: Int,
+                               dst_w: Int, dst_h: Int, scale: Double,
+                               out_bytes: Long)
+
+  /** Aspect-preserving fit into a 224×224 box — the resize stage of an
+    * image pipeline. The GEOMETRY (fit scale, clamped integer dims, output
+    * byte estimate at 3 B/px) is real; only the pixel source is the fake
+    * decode. Runs in the same partition-parallel pass as the decode — a
+    * real pipeline fuses decode→resize exactly like this to avoid
+    * materializing full-resolution frames. */
+  private def fakeResize(f: BlobFeatures, box: Int = 224): ResizedBlob = {
+    val w = math.max(f.width, 1)
+    val h = math.max(f.height, 1)
+    val sc = math.min(box.toDouble / w, box.toDouble / h)
+    val dw = math.max(1, math.floor(w * sc).toInt)
+    val dh = math.max(1, math.floor(h * sc).toInt)
+    ResizedBlob(f.doc_id, w, h, dw, dh, sc, dw.toLong * dh * 3L)
+  }
+
+  /** decode → resize fused per partition; emits the resize plan per blob. */
+  private def resize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .as[Blob]
+      .mapPartitions(_.map(b => fakeResize(fakeDecode(b))))
+      .toDF()
+      .select(col("doc_id"), col("src_w"), col("src_h"),
+              col("dst_w"), col("dst_h"),
+              round(col("scale"), 6).as("scale"), col("out_bytes"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Frame/sample selection pattern: deterministic 1-in-N sampling by key
     * (the "frame-sample" stage of a video pipeline: cheap pushed-down
     * predicate, no data movement). */
@@ -70,6 +103,7 @@ object Multimodal {
 
   def queries: Map[String, QFn] = Map(
     "mm_blob_features" -> (features _),
+    "mm_resize" -> (resize _),
     "mm_frame_sample" -> (sample _)
   )
 
@@ -89,6 +123,25 @@ object Multimodal {
                 CAST(bsum % 480 AS INT) AS height,
                 round(CAST(bsum AS DOUBLE) / byte_len, 6) AS mean_byte
          FROM b ORDER BY doc_id""",
+    "mm_resize" ->
+      """WITH b AS (
+           SELECT doc_id,
+                  list_sum(list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))) AS bsum
+           FROM documents),
+         d AS (SELECT doc_id,
+                 CAST(greatest(bsum % 640, 1) AS INT) AS src_w,
+                 CAST(greatest(bsum % 480, 1) AS INT) AS src_h
+               FROM b),
+         r AS (SELECT doc_id, src_w, src_h,
+                 least(224.0 / src_w, 224.0 / src_h) AS sc
+               FROM d)
+         SELECT doc_id, src_w, src_h,
+                CAST(greatest(floor(src_w * sc), 1) AS INT) AS dst_w,
+                CAST(greatest(floor(src_h * sc), 1) AS INT) AS dst_h,
+                round(sc, 6) AS scale,
+                CAST(CAST(greatest(floor(src_w * sc), 1) AS BIGINT)
+                     * CAST(greatest(floor(src_h * sc), 1) AS BIGINT) * 3 AS BIGINT) AS out_bytes
+         FROM r ORDER BY doc_id""",
     "mm_frame_sample" ->
       """SELECT doc_id, CAST(length(text) AS INT) AS byte_len
          FROM documents WHERE doc_id % 10 = 0 ORDER BY doc_id"""
