@@ -31,7 +31,13 @@ object Partitioning {
 
   def rebalance(df: DataFrame, parallelism: Int): DataFrame = df.repartition(parallelism)
 
-  def rescale(df: DataFrame, parallelism: Int): DataFrame = df.coalesce(parallelism)
+  /** Flink's rescale redistributes both down AND up; coalesce only merges.
+    * Downscale keeps the shuffle-free local merge; upscale must exchange
+    * (Spark has no shuffle-free partition split), so it falls back to a
+    * round-robin repartition rather than silently doing nothing. */
+  def rescale(df: DataFrame, parallelism: Int): DataFrame =
+    if (parallelism <= df.rdd.getNumPartitions) df.coalesce(parallelism)
+    else df.repartition(parallelism)
 
   def global(df: DataFrame): DataFrame = df.coalesce(1)
 

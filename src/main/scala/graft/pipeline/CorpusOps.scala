@@ -236,8 +236,17 @@ object CorpusOps {
     val out = ranked.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     out.count()
     e.unpersist(blocking = false)
+    // drop the previous invocation's result cache: repeated calls in one
+    // session must not accumulate block-store entries
+    lshTopKLast.getAndSet(out) match {
+      case prev if prev != null && (prev ne out) => prev.unpersist(blocking = false)
+      case _ =>
+    }
     out
   }
+
+  private val lshTopKLast =
+    new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
 
   // ------------------------------------------------------- end-to-end filter
 

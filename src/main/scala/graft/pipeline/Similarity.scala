@@ -109,7 +109,10 @@ object Similarity {
         collect_list(col("d")), collect_list(col("absmax"))).as("mx"))
     val errSq = aggregate(
       transform(col("v"), (x, i) => {
-        val m = element_at(col("mx"), i)
+        // clamp the divisor: an all-zero dimension has absmax 0, and x/0 is
+        // NULL under non-ANSI division — with the epsilon both engines
+        // quantize a degenerate dimension to exactly 0 error
+        val m = greatest(element_at(col("mx"), i), lit(1e-12))
         val r = x - round(x * 127.0 / m) * m / 127.0
         r * r
       }),
@@ -137,7 +140,7 @@ object Similarity {
     "sim_quantize_int8" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          dims AS (SELECT k FROM range(1, 65) t(k)),
-         stats AS (SELECT k, max(abs(v[k])) AS mx FROM e CROSS JOIN dims GROUP BY k),
+         stats AS (SELECT k, greatest(max(abs(v[k])), 1e-12) AS mx FROM e CROSS JOIN dims GROUP BY k),
          arr AS (SELECT list(mx ORDER BY k) AS mxa FROM stats)
          SELECT vec_id,
                 round(sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, 65),

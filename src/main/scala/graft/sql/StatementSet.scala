@@ -26,11 +26,36 @@ final class StatementSet private (spark: SparkSession) {
     this
   }
 
-  /** Tables referenced (FROM/JOIN) by two or more buffered statements. */
+  /** Source tables referenced by two or more buffered statements, resolved
+    * from the PARSED logical plan (UnresolvedRelation leaves), not regex —
+    * qualified/quoted identifiers, subquery aliases, and `EXTRACT(x FROM c)`
+    * all resolve correctly. The INSERT target itself is excluded: caching a
+    * sink would be wrong, and two INSERTs into one table share no scan.
+    *
+    * Parsing uses the stock Catalyst parser, NOT the session's injected
+    * parser: the graft front-end plans connector-sink INSERTs by RUNNING
+    * them (ConnectorTables.tryInsert), so probing it here would execute
+    * every statement during detection. A statement the stock parser can't
+    * parse (pure graft dialect) contributes no tables — detection degrades
+    * to "no shared scan", never to a wrong result. */
   private def sharedTables: Seq[String] = {
-    val re = """(?i)\b(?:FROM|JOIN)\s+([A-Za-z_][A-Za-z0-9_]*)""".r
-    val perStmt = stmts.toList.map(s =>
-      re.findAllMatchIn(s).map(_.group(1).toLowerCase).toSet)
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
+    import org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+    import org.apache.spark.sql.catalyst.plans.logical.InsertIntoStatement
+    val perStmt = stmts.toList.map { s =>
+      scala.util.Try {
+        val plan = CatalystSqlParser.parsePlan(s)
+        val sink: Set[String] = plan match {
+          case ins: InsertIntoStatement => ins.table.collect {
+            case r: UnresolvedRelation => r.multipartIdentifier.last.toLowerCase
+          }.toSet
+          case _ => Set.empty
+        }
+        plan.collectWithSubqueries {
+          case r: UnresolvedRelation => r.multipartIdentifier.last.toLowerCase
+        }.toSet -- sink
+      }.getOrElse(Set.empty[String])
+    }
     perStmt.flatten.groupBy(identity)
       .collect { case (t, occ) if occ.size >= 2 => t }
       .toSeq.sorted

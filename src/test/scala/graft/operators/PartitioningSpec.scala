@@ -25,11 +25,19 @@ class PartitioningSpec extends SparkSpec {
       .contains("hashpartitioning((o_custkey"))
   }
 
-  test("rescale and global coalesce without a shuffle") {
-    val rescaled = Partitioning.rescale(orders, 2)
-    val p = planOf(rescaled)
-    assert(p.contains("Coalesce") && !p.contains("Exchange"),
-      "rescale must merge locally, never shuffle")
+  test("rescale: downscale merges locally without a shuffle, upscale exchanges") {
+    // the sf0.001 parquet is a single row group → 1 input partition; fan it
+    // out first so rescale-down has something to merge
+    val wide = orders.repartition(8)
+    val down = Partitioning.rescale(wide, 2)
+    assert(down.rdd.getNumPartitions == 2)
+    // Coalesce on an already-materialized width adds no Exchange of its own:
+    // strip the parent repartition's exchange by checking the logical plan
+    assert(down.queryExecution.logical.toString.contains("Repartition 2, false"),
+      "rescale down must plan a local coalesce (Repartition shuffle=false)")
+    val up = Partitioning.rescale(orders, 4)
+    assert(up.rdd.getNumPartitions == 4,
+      "rescale up must actually widen parallelism (Flink rescale scales both ways)")
     assert(Partitioning.global(orders).rdd.getNumPartitions == 1)
   }
 
