@@ -115,6 +115,8 @@ object EmitStrategy {
       .getOrElse(Nil)
     val (wsAlias, aggs) = parseSelect(select, groupCols)
     require(aggs.nonEmpty, "early-fire SESSION needs at least one aggregate")
+    require(!session.table(table).isStreaming,
+      "streaming early-fire supports TUMBLE; SESSION early-fire is batch-path only")
     val tiebreak = (try session.conf.getOption(TiebreakConf) catch { case _: Throwable => None })
       .map(c => s", $c").getOrElse("")
     val gComma = if (groupCols.isEmpty) "" else groupCols.mkString(", ") + ", "
@@ -167,8 +169,19 @@ object EmitStrategy {
         .getOrElse(Nil)
       val (wsAlias, aggs) = parseSelect(select, groupCols)
       require(aggs.nonEmpty, "early-fire TUMBLE needs at least one aggregate")
-      val tiebreak = (try session.conf.getOption(TiebreakConf) catch { case _: Throwable => None })
-        .map(c => s", $c").getOrElse("")
+      val tbOpt = try session.conf.getOption(TiebreakConf) catch { case _: Throwable => None }
+      // a streaming source takes the stateful micro-batch operator — the SQL
+      // dialect drives Structured Streaming; watermark close = terminal fire
+      val srcDf = session.table(table)
+      if (srcDf.isStreaming) {
+        require(slideUs.isEmpty,
+          "streaming early-fire supports TUMBLE; HOP/SESSION early-fire is batch-path only")
+        require(Option(tail).forall(_.trim.isEmpty),
+          "streaming early-fire: ORDER BY is not supported on an unbounded result")
+        return StreamingEmit.tumble(session, srcDf, tsCol, widthUs, delayUs,
+          groupCols, aggs, wsAlias, tbOpt)
+      }
+      val tiebreak = tbOpt.map(c => s", $c").getOrElse("")
       val gComma = if (groupCols.isEmpty) "" else groupCols.mkString(", ") + ", "
       val part = (Seq("__ws") ++ groupCols).mkString(", ")
       val ord = s"PARTITION BY $part ORDER BY __uts$tiebreak"

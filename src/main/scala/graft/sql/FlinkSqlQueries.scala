@@ -307,6 +307,42 @@ object FlinkSqlQueries {
         s.conf.unset(EmitStrategy.TiebreakConf)
       }
     }),
+    // the dialect driving a REAL StreamingQuery end-to-end: file-stream the
+    // events table, TUMBLE through the injected parser (same rewrite as
+    // fsql_tumble), append-mode memory sink. Emitted rows = exactly the
+    // windows the final watermark (max event time, 0s delay) closed — the
+    // reference's streaming group-window contract, so the oracle filters
+    // the batch aggregate to windows with end <= max(ts).
+    "fsql_stream_tumble" -> ((s, dir) => {
+      val path = s"$dir/events.parquet"
+      val schema = s.read.parquet(path).schema
+      // same NANOS-timestamp handling as Tables.load: the raw nanos long →
+      // a real event-time attribute the watermark can ride
+      // watermarks require TimestampType (not NTZ); the session runs UTC so
+      // the final cast back to NTZ is value-preserving vs the oracle
+      // the file stream source wants a directory; glob-filter to the table
+      s.readStream.schema(schema).format("parquet")
+        .option("pathGlobFilter", "events.parquet").load(dir)
+        .withColumn("ts",
+          org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)")
+            .cast("timestamp"))
+        .withWatermark("ts", "0 seconds")
+        .createOrReplaceTempView("events_stream")
+      val out = s.sql(
+        """SELECT TUMBLE_START(ts, INTERVAL '1' HOUR) AS w_start, event_type,
+                  count(*) AS n,
+                  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+           FROM events_stream
+           GROUP BY TUMBLE(ts, INTERVAL '1' HOUR), event_type""")
+      s.catalog.dropTempView("fsql_stream_sink"): Unit
+      val q = out.writeStream.format("memory").queryName("fsql_stream_sink")
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      s.table("fsql_stream_sink")
+        .selectExpr("CAST(w_start AS TIMESTAMP_NTZ) AS w_start",
+          "event_type", "n", "total")
+        .orderBy("w_start", "event_type")
+    }),
     // the canonical V-shape with AFTER MATCH SKIP TO FIRST DOWN: overlapping
     // matches cascade — each resumes at the previous match's first DOWN row;
     // STRT has no DEFINE (matches any row, the standard default)
@@ -328,6 +364,13 @@ object FlinkSqlQueries {
     * the gaps-and-islands formulation below. */
   def oracles: Map[String, String] = Map(
     "fsql_tumble" -> TimeOps.oracles("time_tumble"),
+    "fsql_stream_tumble" ->
+      """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS w_start, event_type,
+         count(*) AS n,
+         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+         FROM events GROUP BY 1, 2
+         HAVING w_start + INTERVAL 1 HOUR <= (SELECT max(CAST(ts AS TIMESTAMP)) FROM events)
+         ORDER BY w_start, event_type""",
     "fsql_hop" -> TimeOps.oracles("time_hop"),
     "fsql_session" -> TimeOps.oracles("time_session"),
     "fsql_system_time" ->

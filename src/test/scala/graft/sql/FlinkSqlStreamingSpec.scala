@@ -1,0 +1,140 @@
+package graft.sql
+
+import java.sql.Timestamp
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** The Flink-SQL dialect driven by a REAL stream: the injected parser's
+  * rewrites must produce streaming plans when the FROM table is a streaming
+  * temp view, and the micro-batch output must equal the batch execution of
+  * the same SQL text over the same rows (the reference's
+  * StreamExecGroupWindowAggregate + WindowEmitStrategy contract). */
+/** Top-level so its product encoder needs no outer-instance scope. */
+case class FssEv(ts: Timestamp, user_id: Long, event_id: Long, value: Double)
+
+class FlinkSqlStreamingSpec extends SparkSpec {
+
+  private type Ev = FssEv
+  private val Ev = FssEv
+  private def t(sec: Long) = new Timestamp(sec * 1000L)
+
+  private def rowsOf(sql: String): Seq[String] =
+    spark.sql(sql).collect()
+      .map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+
+  test("plain TUMBLE SQL over a streaming view is a StreamingQuery matching the batch run") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val in = MemoryStream[Ev]
+    in.toDF().withWatermark("ts", "0 seconds").createOrReplaceTempView("fss_events")
+    val sql =
+      """SELECT TUMBLE_START(ts, INTERVAL '10' SECOND) AS w_start, user_id, count(*) AS n,
+                sum(value) AS total
+         FROM fss_events
+         GROUP BY TUMBLE(ts, INTERVAL '10' SECOND), user_id"""
+    val out = s.sql(sql)
+    assert(out.isStreaming, "the dialect rewrite must preserve streaming-ness")
+    val q = out.writeStream.format("memory").queryName("fss_tumble")
+      .outputMode("append").start()
+    val data = Seq(
+      Ev(t(1), 1, 1, 2.0), Ev(t(4), 1, 2, 3.0), Ev(t(11), 1, 3, 5.0),
+      Ev(t(12), 2, 4, 7.0), Ev(t(23), 1, 5, 11.0))
+    try {
+      in.addData(data.take(3): _*)
+      q.processAllAvailable()
+      in.addData(data.drop(3): _*)
+      q.processAllAvailable()
+      in.addData(Ev(t(100), 9, 99, 0.0)) // advance watermark: close all real windows
+      q.processAllAvailable()
+
+      // batch run of the SAME SQL text over the same rows
+      data.toDF().createOrReplaceTempView("fss_events_batch")
+      s.sql(sql.replace("fss_events", "fss_events_batch"))
+        .createOrReplaceTempView("fss_tumble_batch")
+      val cols = "w_start, user_id, n, total"
+      assert(rowsOf(s"SELECT $cols FROM fss_tumble")
+        == rowsOf(s"SELECT $cols FROM fss_tumble_batch"))
+    } finally q.stop()
+  }
+
+  test("early-fire TUMBLE over a streaming view emits the batch emission log across micro-batches") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val in = MemoryStream[Ev]
+    in.toDF().withWatermark("ts", "0 seconds").createOrReplaceTempView("fse_events")
+    s.conf.set(EmitStrategy.DelayConf, "10 seconds")
+    s.conf.set(EmitStrategy.TiebreakConf, "event_id")
+    try {
+      val sql =
+        """SELECT TUMBLE_START(ts, INTERVAL '30' SECOND) AS w_start, user_id,
+                  count(*) AS n, max(value) AS mx
+           FROM fse_events
+           GROUP BY TUMBLE(ts, INTERVAL '30' SECOND), user_id"""
+      val out = s.sql(sql)
+      assert(out.isStreaming, "early-fire must plan the stateful streaming operator")
+      val q = out.writeStream.format("memory").queryName("fse_emit")
+        .outputMode("append").start()
+      // user 1, window [0,30): buckets 0,0,1,2 — the bucket-1 row early-fires
+      // (n=3), the bucket-2 row at t=25 is the window's LAST row: its early
+      // fire must be absorbed by the terminal fire (batch CASE WHEN __last).
+      // user 2, window [0,30): buckets 0,1,2 — one early fire survives
+      // (t=14), the t=29 crossing is again last-row-absorbed.
+      // user 1, window [30,60): single row → terminal fire only.
+      val data = Seq(
+        Ev(t(1), 1, 1, 2.0), Ev(t(2), 2, 3, 1.0), Ev(t(4), 1, 2, 3.0),
+        Ev(t(12), 1, 4, 5.0), Ev(t(14), 2, 8, 6.0), Ev(t(25), 1, 5, 7.0),
+        Ev(t(29), 2, 6, 4.0), Ev(t(31), 1, 7, 9.0))
+      // split mid-window so state genuinely spans micro-batches
+      in.addData(data.take(3): _*)
+      q.processAllAvailable()
+      in.addData(data.slice(3, 6): _*)
+      q.processAllAvailable()
+      in.addData(data.drop(6): _*)
+      q.processAllAvailable()
+      in.addData(Ev(t(1000), 9, 999, 0.0)) // watermark → close every real window
+      q.processAllAvailable()
+
+      // batch emission log of the same SQL text (same conf) over the same
+      // rows; the stream side excludes the sentinel's still-open window
+      data.toDF().createOrReplaceTempView("fse_events_batch")
+      s.sql(sql.replace("fse_events", "fse_events_batch"))
+        .createOrReplaceTempView("fse_emit_batch")
+      val cols = "w_start, user_id, n, CAST(mx AS DOUBLE) AS mx, fire_time, is_final"
+      val streamed = rowsOf(s"SELECT $cols FROM fse_emit WHERE user_id <> 9")
+      assert(streamed.nonEmpty
+        && streamed == rowsOf(s"SELECT $cols FROM fse_emit_batch"))
+      // sanity: the log contains early fires AND finals
+      assert(s.table("fse_emit").filter(!col("is_final")).count() >= 2)
+      assert(s.table("fse_emit").filter(col("is_final")).count() >= 3)
+    } finally {
+      s.conf.unset(EmitStrategy.DelayConf)
+      s.conf.unset(EmitStrategy.TiebreakConf)
+      s.streams.active.filter(_.name == "fse_emit").foreach(_.stop())
+    }
+  }
+
+  test("streaming early-fire rejects SESSION/HOP with clear errors") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val in = MemoryStream[Ev]
+    in.toDF().withWatermark("ts", "0 seconds").createOrReplaceTempView("fsx_events")
+    s.conf.set(EmitStrategy.DelayConf, "10 seconds")
+    try {
+      val e1 = intercept[IllegalArgumentException] {
+        s.sql("""SELECT count(*) AS n FROM fsx_events
+                 GROUP BY SESSION(ts, INTERVAL '10' SECOND)""")
+      }
+      assert(e1.getMessage.contains("batch-path only"))
+      val e2 = intercept[IllegalArgumentException] {
+        s.sql("""SELECT count(*) AS n FROM fsx_events
+                 GROUP BY HOP(ts, INTERVAL '10' SECOND, INTERVAL '20' SECOND)""")
+      }
+      assert(e2.getMessage.contains("batch-path only"))
+    } finally s.conf.unset(EmitStrategy.DelayConf)
+  }
+}
