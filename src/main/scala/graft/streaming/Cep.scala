@@ -51,18 +51,36 @@ object Cep {
     * un-advanced run ALSO survives, so later rows matching this step open
     * alternative branches;
     * `untilPred` = Pattern.until (Pattern.java:259): closes a oneOrMore
-    * loop — once a row satisfies it, absorb branches at this step die. */
+    * loop — once a row satisfies it, absorb branches at this step die;
+    * `consecutive` = Pattern.consecutive (Pattern.java:279): STRICT inner
+    * contiguity for the oneOrMore loop — once the step has started
+    * absorbing, any row that doesn't extend the absorption immediately
+    * kills the absorb branch (entry contiguity stays governed by `strict`);
+    * `combinations` = Pattern.allowCombinations (Pattern.java:305):
+    * non-deterministic relaxed inner contiguity — on an absorption the
+    * un-absorbed branch ALSO survives, so matching rows may be skipped and
+    * every subset combination of loop rows is explored (exponential in the
+    * loop's matching-row count, exactly like the reference — bound it with
+    * `within`/`until`). */
   case class Step(name: String, pred: KeyedRow => Boolean, strict: Boolean = false,
                   oneOrMore: Boolean = false, optional: Boolean = false,
                   reluctant: Boolean = false,
                   guardNot: Option[KeyedRow => Boolean] = None,
                   guardOnNext: Boolean = false,
                   anyMatch: Boolean = false,
-                  untilPred: Option[KeyedRow => Boolean] = None)
+                  untilPred: Option[KeyedRow => Boolean] = None,
+                  consecutive: Boolean = false,
+                  combinations: Boolean = false)
 
   /** Pattern.times(n) (Pattern.java:times): n consecutive occurrences —
     * pure expansion into n copies of the step. */
   def times(step: Step, n: Int): Seq[Step] = Seq.fill(n)(step)
+
+  /** Pattern.times(n).consecutive(): the repetitions themselves demand
+    * strict contiguity; the first copy keeps the step's own entry
+    * contiguity. */
+  def timesConsecutive(step: Step, n: Int): Seq[Step] =
+    step +: Seq.fill(n - 1)(step.copy(strict = true))
 
   sealed trait AfterMatch
   /** drop all partial runs overlapping the match (MATCH_RECOGNIZE default) */
@@ -160,13 +178,19 @@ object Cep {
     val alive = active.filter(run => r.ts - run.startTs <= pattern.withinMs)
     val stepped = alive.flatMap { run =>
       val step = pattern.steps(run.nextStep)
+      // a run that already holds rows under this oneOrMore step is mid-loop:
+      // consecutive() turns its contiguity strict (step names are unique per
+      // pattern, so labels.head identifies the absorbing step)
+      val absorbing = step.oneOrMore &&
+        run.labels.nonEmpty && run.labels.head == step.name
+      val effStrict = step.strict || (step.consecutive && absorbing)
       // absence guard (notFollowedBy / notNext): the constraint outranks the
       // step predicate — a row that violates the absence kills the run even
       // if it could also have advanced it
       val guarded = step.guardNot.exists(g =>
         (!step.guardOnNext || run.lastRowId == prevRowId) && g(r))
       if (guarded) Nil
-      else if (step.pred(r) && (!step.strict || run.lastRowId == prevRowId)) {
+      else if (step.pred(r) && (!effStrict || run.lastRowId == prevRowId)) {
         val advanced = Run(run.nextStep + 1, run.startTs, r.id :: run.ids, r.id,
           step.name :: run.labels, run.firstId, r.ts)
         // a oneOrMore step also branches into "absorb and stay" — the
@@ -178,11 +202,16 @@ object Cep {
               step.name :: run.labels, run.firstId, r.ts) :: Nil
           else Nil
         // followedByAny: the un-advanced run survives too, so a later row
-        // matching this step opens an alternative branch
-        val keep = if (step.anyMatch && !step.strict) run :: Nil else Nil
+        // matching this step opens an alternative branch; allowCombinations
+        // does the same mid-loop — matching rows may be skipped, yielding
+        // every absorption subset
+        val keep =
+          if ((step.anyMatch || (step.combinations && absorbing)) && !step.strict)
+            run :: Nil
+          else Nil
         closure(pattern, advanced) ++ stay ++ keep
       }
-      else if (step.strict) Nil // strict miss kills the run
+      else if (effStrict) Nil // strict miss kills the run (incl. mid-loop consecutive)
       else if (step.oneOrMore && step.untilPred.exists(_(r))) Nil // loop closed
       else List(run) // relaxed: keep waiting
     }
@@ -372,6 +401,16 @@ object Cep {
     withinMs = 3600L * 1000000L,
     afterMatch = SkipPastLastRow)
 
+  /** a maximal run of STRICTLY consecutive errors whose very next row is a
+    * purchase — Pattern.oneOrMore().consecutive() (Pattern.java:279) closed
+    * by a `next` step. Under the default relaxed loop the same pattern
+    * would bridge errors across intervening rows; consecutive() changes the
+    * match set (see CepSpec). */
+  def consecutiveErrorRun: Pattern = Pattern(
+    Seq(Step("E", _.kind == "error", oneOrMore = true, consecutive = true),
+        Step("P", _.kind == "purchase", strict = true)),
+    afterMatch = SkipPastLastRow)
+
   private def eventRows(s: SparkSession, dir: String): Dataset[KeyedRow] = {
     import s.implicits._
     graft.Tables.load(s, dir, "events")
@@ -409,12 +448,21 @@ object Cep {
       .orderBy($"user_id", $"start_ts")
   }
 
+  def qConsecutiveErrors(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    matchBatch(eventRows(s, dir), consecutiveErrorRun)
+      .select($"key".as("user_id"), $"start_ts", $"end_ts",
+        size($"ids").cast("long").as("n_rows"))
+      .orderBy($"user_id", $"start_ts")
+  }
+
   type QFn = (SparkSession, String) => DataFrame
   def queries: Map[String, QFn] = Map(
     "cep_error_burst" -> (qErrorBurst _),
     "cep_signup_funnel" -> (qSignupFunnel _),
     "cep_abandoned_signup" -> (qAbandonedSignup _),
-    "cep_clean_funnel" -> (qCleanFunnel _)
+    "cep_clean_funnel" -> (qCleanFunnel _),
+    "cep_consecutive_errors" -> (qConsecutiveErrors _)
   )
 
   /** error-burst is a sliding 3-row check via lag; signup-funnel's
@@ -475,6 +523,26 @@ object Cep {
          )
          SELECT user_id, start_ts, end_ts FROM m WHERE start_ts IS NOT NULL
          ORDER BY user_id, start_ts""",
+    // consecutive() loop: gaps-and-islands — maximal runs of adjacent error
+    // rows (per user, (ts, id) order) whose immediately-next row is a
+    // purchase; greedy + SKIP PAST LAST ROW emits exactly one match per
+    // qualifying island, anchored at the island start
+    "cep_consecutive_errors" ->
+      """WITH ev AS (
+           SELECT user_id, epoch_us(ts) AS ets, event_id, event_type,
+                  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+           FROM events),
+         err AS (
+           SELECT *, rn - row_number() OVER (PARTITION BY user_id ORDER BY rn) AS grp
+           FROM ev WHERE event_type = 'error'),
+         island AS (
+           SELECT user_id, grp, min(ets) AS start_ts, max(rn) AS end_rn,
+                  count(*) AS n_err
+           FROM err GROUP BY user_id, grp)
+         SELECT i.user_id, i.start_ts, p.ets AS end_ts, i.n_err + 1 AS n_rows
+         FROM island i JOIN ev p ON p.user_id = i.user_id AND p.rn = i.end_rn + 1
+         WHERE p.event_type = 'purchase'
+         ORDER BY i.user_id, i.start_ts""",
     "cep_signup_funnel" ->
       """WITH RECURSIVE
          ev AS (

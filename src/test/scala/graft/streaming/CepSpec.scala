@@ -253,4 +253,57 @@ class CepSpec extends SparkSpec {
     // resuming at the last B (row 3) lets the run anchored there finish later
     assert(toLastB == Set(Seq(1L, 2L, 3L, 4L), Seq(3L, 5L, 6L)))
   }
+
+  test("consecutive() demands strict inner contiguity for the oneOrMore loop") {
+    val s = spark
+    import s.implicits._
+    def p(consecutive: Boolean) = Cep.Pattern(Seq(
+      Cep.Step("B", _.kind == "b", oneOrMore = true, consecutive = consecutive),
+      Cep.Step("C", _.kind == "c", strict = true)), afterMatch = Cep.SkipToNextRow)
+    // b1 x b2 c: the relaxed loop bridges the x; consecutive() kills the
+    // absorb branch at x, so only the run anchored at b2 completes
+    val rows = Seq(
+      ev(1, 1, 1, "b"), ev(1, 2, 2, "x"), ev(1, 3, 3, "b"),
+      ev(1, 4, 4, "c")).toDS()
+    val relaxed = Cep.matchBatch(rows, p(consecutive = false)).collect().map(_.ids).toSet
+    val strict = Cep.matchBatch(rows, p(consecutive = true)).collect().map(_.ids).toSet
+    assert(relaxed == Set(Seq(1L, 3L, 4L), Seq(3L, 4L)))
+    assert(strict == Set(Seq(3L, 4L)))
+  }
+
+  test("allowCombinations() explores absorption subsets the relaxed loop skips") {
+    val s = spark
+    import s.implicits._
+    def p(combinations: Boolean) = Cep.Pattern(Seq(
+      Cep.Step("B", _.kind == "b", oneOrMore = true, combinations = combinations),
+      Cep.Step("C", _.kind == "c")), afterMatch = Cep.SkipToNextRow)
+    val rows = Seq(
+      ev(1, 1, 1, "b"), ev(1, 2, 2, "b"), ev(1, 3, 3, "b"),
+      ev(1, 4, 4, "c")).toDS()
+    val relaxed = Cep.matchBatch(rows, p(combinations = false)).collect().map(_.ids).toSet
+    val combos = Cep.matchBatch(rows, p(combinations = true)).collect().map(_.ids).toSet
+    // relaxed: absorptions are contiguous in the loop's matching rows —
+    // every prefix-from-anchor, nothing skipped
+    assert(relaxed == Set(
+      Seq(1L, 4L), Seq(1L, 2L, 4L), Seq(1L, 2L, 3L, 4L),
+      Seq(2L, 4L), Seq(2L, 3L, 4L), Seq(3L, 4L)))
+    // combinations adds the subset that skips the matching middle row
+    assert(combos == relaxed + Seq(1L, 3L, 4L))
+  }
+
+  test("timesConsecutive(n) requires adjacent repetitions") {
+    val s = spark
+    import s.implicits._
+    val rows = Seq(
+      ev(1, 1, 1, "b"), ev(1, 2, 2, "x"), ev(1, 3, 3, "b"),
+      ev(1, 4, 4, "b")).toDS()
+    val loose = Cep.Pattern(Cep.times(Cep.Step("B", _.kind == "b"), 2),
+      afterMatch = Cep.SkipToNextRow)
+    val tight = Cep.Pattern(Cep.timesConsecutive(Cep.Step("B", _.kind == "b"), 2),
+      afterMatch = Cep.SkipToNextRow)
+    assert(Cep.matchBatch(rows, loose).collect().map(_.ids).toSet
+      == Set(Seq(1L, 3L), Seq(3L, 4L)))
+    assert(Cep.matchBatch(rows, tight).collect().map(_.ids).toSet
+      == Set(Seq(3L, 4L)))
+  }
 }
