@@ -34,10 +34,23 @@ object Partitioning {
   /** Flink's rescale redistributes both down AND up; coalesce only merges.
     * Downscale keeps the shuffle-free local merge; upscale must exchange
     * (Spark has no shuffle-free partition split), so it falls back to a
-    * round-robin repartition rather than silently doing nothing. */
+    * round-robin repartition rather than silently doing nothing.
+    *
+    * Streaming DataFrames (Flink's rescale is primarily a streaming edge)
+    * have no inspectable partition count pre-execution, so they always take
+    * the exchange. Batch width is read from the pre-AQE physical plan's
+    * outputPartitioning (`sparkPlan`, planning only — NOT `.rdd`, which
+    * would materialize the RDD lineage and finalize the plan early under
+    * AQE, and the AQE root itself reports UnknownPartitioning(0) until it
+    * runs); when the plan doesn't declare a width (e.g. an unbucketed scan)
+    * the safe fallback is the exchange. */
   def rescale(df: DataFrame, parallelism: Int): DataFrame =
-    if (parallelism <= df.rdd.getNumPartitions) df.coalesce(parallelism)
-    else df.repartition(parallelism)
+    if (df.isStreaming) df.repartition(parallelism)
+    else {
+      val current = df.queryExecution.sparkPlan.outputPartitioning.numPartitions
+      if (current > 0 && parallelism <= current) df.coalesce(parallelism)
+      else df.repartition(parallelism)
+    }
 
   def global(df: DataFrame): DataFrame = df.coalesce(1)
 

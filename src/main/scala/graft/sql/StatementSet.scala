@@ -38,22 +38,23 @@ final class StatementSet private (spark: SparkSession) {
     * every statement during detection. A statement the stock parser can't
     * parse (pure graft dialect) contributes no tables — detection degrades
     * to "no shared scan", never to a wrong result. */
-  private def sharedTables: Seq[String] = {
+  private[sql] def sharedTables: Seq[String] = {
     import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
     import org.apache.spark.sql.catalyst.parser.CatalystSqlParser
     import org.apache.spark.sql.catalyst.plans.logical.InsertIntoStatement
     val perStmt = stmts.toList.map { s =>
       scala.util.Try {
-        val plan = CatalystSqlParser.parsePlan(s)
-        val sink: Set[String] = plan match {
-          case ins: InsertIntoStatement => ins.table.collect {
-            case r: UnresolvedRelation => r.multipartIdentifier.last.toLowerCase
-          }.toSet
-          case _ => Set.empty
+        // sources come from the INSERT's child query only — subtracting the
+        // sink name from a whole-plan collect would also erase a genuine
+        // source reference when a statement reads from the table it inserts
+        // into, hiding a scan shared with another buffered statement
+        val source = CatalystSqlParser.parsePlan(s) match {
+          case ins: InsertIntoStatement => ins.query
+          case other => other
         }
-        plan.collectWithSubqueries {
+        source.collectWithSubqueries {
           case r: UnresolvedRelation => r.multipartIdentifier.last.toLowerCase
-        }.toSet -- sink
+        }.toSet
       }.getOrElse(Set.empty[String])
     }
     perStmt.flatten.groupBy(identity)

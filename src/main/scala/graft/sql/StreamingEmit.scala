@@ -73,6 +73,13 @@ object StreamingEmit {
     val vals = array(aggs.map { case (_, arg, _) =>
       if (arg == "*") lit(1.0) else col(arg).cast("double")
     }: _*)
+    // per-agg null mask: SQL aggregates skip NULL inputs, and getSeq[Double]
+    // on the values array would silently unbox a NULL element to 0.0 —
+    // without the mask COUNT(x) would count nulls and SUM/MIN/MAX/AVG would
+    // fold in 0.0, diverging from the batch EmitStrategy's real aggregates
+    val nulls = array(aggs.map { case (_, arg, _) =>
+      if (arg == "*") lit(false) else col(arg).isNull
+    }: _*)
     // the original event-time attribute rides along unrenamed: its metadata
     // carries the watermark tag the stateful operator's event-time timeout
     // requires (projecting it away would strip the watermark)
@@ -83,7 +90,8 @@ object StreamingEmit {
       expr(uts).as("__uts"),
       expr(s"$uts div ${delayUs}L").as("__bidx"),
       tiebreak.map(c => col(c).cast("double")).getOrElse(lit(0.0)).as("__tb"),
-      vals.as("__vals"))
+      vals.as("__vals"),
+      nulls.as("__nulls"))
 
     val gStruct = prepared.schema("__g").dataType.asInstanceOf[StructType]
     val keySchema = StructType(Seq(
@@ -124,6 +132,20 @@ object StreamingEmit {
           outputs(a, a.cnt, a.sum, a.mn, a.mx, a.n))
         state.remove()
         Iterator.single(out)
+      } else if (wEndUs / 1000 <= state.getCurrentWatermarkMs) {
+        // late rows for a window the watermark already closed are dropped —
+        // rebuilding state from zero would emit a SECOND is_final row with
+        // partial aggregates; the reference drops late events instead. If
+        // the open-window state survived to here (late data arrived in the
+        // very batch the watermark crossed window end, and a data invocation
+        // suppresses the timeout invocation for the key), the terminal fire
+        // happens now, exactly once.
+        if (state.exists) {
+          val a = state.get
+          state.remove()
+          Iterator.single(row(wEndUs, isFinal = true,
+            outputs(a, a.cnt, a.sum, a.mn, a.mx, a.n)))
+        } else Iterator.empty
       } else {
         var a = state.getOption.getOrElse(zero(k))
         val fired = Seq.newBuilder[Row]
@@ -136,14 +158,17 @@ object StreamingEmit {
           }
           val bidx = r.getLong(4)
           val vs = r.getSeq[Double](6)
+          val nulls = r.getSeq[Boolean](7)
           val cnt = a.cnt.clone(); val sum = a.sum.clone()
           val mn = a.mn.clone(); val mx = a.mx.clone()
           var i = 0
           while (i < k) {
-            val v = vs(i)
-            cnt(i) += 1; sum(i) += v
-            if (v < mn(i)) mn(i) = v
-            if (v > mx(i)) mx(i) = v
+            if (!nulls(i)) { // SQL aggregates skip NULL inputs
+              val v = vs(i)
+              cnt(i) += 1; sum(i) += v
+              if (v < mn(i)) mn(i) = v
+              if (v > mx(i)) mx(i) = v
+            }
             i += 1
           }
           val crossed = a.hasPrev && bidx > a.prevBidx

@@ -106,6 +106,14 @@ object Cep {
   case class Pattern(steps: Seq[Step], withinMs: Long = Long.MaxValue,
                      afterMatch: AfterMatch = SkipPastLastRow,
                      tailNot: Option[KeyedRow => Boolean] = None) {
+    // the reference's Quantifier rejects the pair outright
+    // (Quantifier.java:86-97 "You can apply either combinations or
+    // consecutive, not both!"); here the flags would interact incoherently
+    // (strict kills the very miss-branches combinations revives)
+    steps.find(s => s.consecutive && s.combinations).foreach { s =>
+      throw new IllegalArgumentException(
+        s"step '${s.name}': apply either allowCombinations or consecutive, not both")
+    }
     /** any optional step → ε-closure can duplicate configurations */
     lazy val hasOptional: Boolean = steps.exists(_.optional)
     /** reluctant quantifier anywhere → same-row completions rank shortest-first */

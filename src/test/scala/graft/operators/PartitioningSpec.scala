@@ -41,6 +41,18 @@ class PartitioningSpec extends SparkSpec {
     assert(Partitioning.global(orders).rdd.getNumPartitions == 1)
   }
 
+  test("rescale on a streaming DataFrame plans the exchange instead of throwing") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Long]
+    // .rdd on a streaming frame throws; rescale must route around it and
+    // stay lazy — Flink's rescale is primarily a streaming edge
+    val out = Partitioning.rescale(in.toDF(), 4)
+    assert(out.isStreaming)
+    assert(out.queryExecution.logical.toString.contains("Repartition 4, true"))
+  }
+
   test("broadcastDim plans a broadcast-hash join") {
     val dim = graft.Tables.load(spark, sf, "customer")
       .select(col("c_custkey").as("o_custkey"), col("c_name"))

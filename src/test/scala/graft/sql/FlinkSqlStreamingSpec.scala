@@ -117,6 +117,103 @@ class FlinkSqlStreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming early-fire skips NULL agg inputs exactly like the batch SQL aggregates") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val in = MemoryStream[Ev]
+    // value < 0 is the NULL sentinel: MemoryStream needs a concrete product,
+    // the view exposes a genuinely nullable column
+    val nullify = expr("CASE WHEN value < 0 THEN CAST(NULL AS DOUBLE) ELSE value END")
+    in.toDF().withColumn("value", nullify)
+      .withWatermark("ts", "0 seconds").createOrReplaceTempView("fsn_events")
+    s.conf.set(EmitStrategy.DelayConf, "10 seconds")
+    s.conf.set(EmitStrategy.TiebreakConf, "event_id")
+    try {
+      val sql =
+        """SELECT TUMBLE_START(ts, INTERVAL '30' SECOND) AS w_start, user_id,
+                  count(*) AS n, count(value) AS nv, sum(value) AS sv,
+                  min(value) AS mnv, avg(value) AS av
+           FROM fsn_events
+           GROUP BY TUMBLE(ts, INTERVAL '30' SECOND), user_id"""
+      val q = s.sql(sql).writeStream.format("memory").queryName("fsn_emit")
+        .outputMode("append").start()
+      // user 1, window [0,30): null at t=1 then real values crossing delay
+      // buckets — every early fire and the final must exclude the null from
+      // nv/sv/mnv/av while counting it in n
+      val data = Seq(
+        Ev(t(1), 1, 1, -1.0), Ev(t(4), 1, 2, 3.0), Ev(t(12), 1, 3, -1.0),
+        Ev(t(14), 1, 4, 5.0), Ev(t(25), 1, 5, 2.0))
+      in.addData(data.take(3): _*)
+      q.processAllAvailable()
+      in.addData(data.drop(3): _*)
+      q.processAllAvailable()
+      in.addData(Ev(t(1000), 9, 999, 1.0))
+      q.processAllAvailable()
+
+      data.toDF().withColumn("value", nullify)
+        .createOrReplaceTempView("fsn_events_batch")
+      s.sql(sql.replace("fsn_events", "fsn_events_batch"))
+        .createOrReplaceTempView("fsn_emit_batch")
+      val cols = "w_start, user_id, n, nv, CAST(sv AS DOUBLE) AS sv, " +
+        "CAST(mnv AS DOUBLE) AS mnv, av, fire_time, is_final"
+      val streamed = rowsOf(s"SELECT $cols FROM fsn_emit WHERE user_id <> 9")
+      assert(streamed.nonEmpty
+        && streamed == rowsOf(s"SELECT $cols FROM fsn_emit_batch"))
+      // sanity: the final must show n=5 but nv=3 (two nulls skipped)
+      val fin = s.table("fsn_emit")
+        .filter(col("is_final") && col("user_id") === 1).collect()
+      assert(fin.length == 1)
+      assert(fin.head.getAs[Long]("n") == 5 && fin.head.getAs[Long]("nv") == 3)
+      assert(fin.head.getAs[Double]("sv") == 10.0 && fin.head.getAs[Double]("mnv") == 2.0)
+    } finally {
+      s.conf.unset(EmitStrategy.DelayConf)
+      s.conf.unset(EmitStrategy.TiebreakConf)
+      s.streams.active.filter(_.name == "fsn_emit").foreach(_.stop())
+    }
+  }
+
+  test("late rows for a watermark-closed window are dropped, never a second is_final") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val in = MemoryStream[Ev]
+    in.toDF().withWatermark("ts", "0 seconds").createOrReplaceTempView("fsl_events")
+    s.conf.set(EmitStrategy.DelayConf, "10 seconds")
+    s.conf.set(EmitStrategy.TiebreakConf, "event_id")
+    try {
+      val sql =
+        """SELECT TUMBLE_START(ts, INTERVAL '30' SECOND) AS w_start, user_id,
+                  count(*) AS n, sum(value) AS total
+           FROM fsl_events
+           GROUP BY TUMBLE(ts, INTERVAL '30' SECOND), user_id"""
+      val q = s.sql(sql).writeStream.format("memory").queryName("fsl_emit")
+        .outputMode("append").start()
+      in.addData(Ev(t(1), 1, 1, 2.0), Ev(t(14), 1, 2, 3.0))
+      q.processAllAvailable()
+      in.addData(Ev(t(100), 9, 99, 0.0)) // watermark 100s: window [0,30) closes
+      q.processAllAvailable()
+      // a straggler for the closed window — state was removed by the
+      // terminal fire; before the guard this re-opened the window and later
+      // emitted a second is_final with partial aggregates
+      in.addData(Ev(t(5), 1, 3, 100.0))
+      q.processAllAvailable()
+      in.addData(Ev(t(2000), 9, 98, 0.0)) // another watermark advance
+      q.processAllAvailable()
+
+      val finals = s.table("fsl_emit")
+        .filter(col("is_final") && col("user_id") === 1).collect()
+      assert(finals.length == 1, s"window must fire is_final exactly once, got ${finals.length}")
+      assert(finals.head.getAs[Long]("n") == 2
+        && finals.head.getAs[Double]("total") == 5.0,
+        "the late row must not leak into the closed window's aggregates")
+    } finally {
+      s.conf.unset(EmitStrategy.DelayConf)
+      s.conf.unset(EmitStrategy.TiebreakConf)
+      s.streams.active.filter(_.name == "fsl_emit").foreach(_.stop())
+    }
+  }
+
   test("streaming early-fire rejects SESSION/HOP with clear errors") {
     val s = spark
     import s.implicits._

@@ -38,6 +38,20 @@ class StatementSetSpec extends SparkSpec {
     assert(spark.table("ss_src").storageLevel == org.apache.spark.storage.StorageLevel.NONE)
   }
 
+  test("a statement reading from its own sink still exposes that table as a shared source") {
+    val s = spark
+    import s.implicits._
+    // stmt 2 both reads from and inserts into ss_acc; ss_acc is also read by
+    // stmt 1 — subtracting the sink name from a whole-plan collect used to
+    // erase the genuine source reference and skip the shared-scan cache
+    Seq((1L, "x")).toDF("id", "tag").createOrReplaceTempView("ss_acc")
+    freshSink("ss_out4", "tag STRING")
+    val set = StatementSet.create(spark)
+      .addInsertSql("INSERT INTO ss_out4 SELECT tag FROM ss_acc")
+      .addInsertSql("INSERT INTO ss_acc SELECT id + 1, tag FROM ss_acc")
+    assert(set.sharedTables == Seq("ss_acc"))
+  }
+
   test("single-source statements share nothing; non-INSERT statements are rejected") {
     val s = spark
     import s.implicits._

@@ -306,4 +306,15 @@ class CepSpec extends SparkSpec {
     assert(Cep.matchBatch(rows, tight).collect().map(_.ids).toSet
       == Set(Seq(3L, 4L)))
   }
+
+  test("consecutive() and allowCombinations() on one step are rejected like the reference") {
+    // Quantifier.java:86-97 throws on the pair; the flags are contradictory
+    val e = intercept[IllegalArgumentException] {
+      Cep.Pattern(Seq(
+        Cep.Step("B", _.kind == "b", oneOrMore = true,
+          consecutive = true, combinations = true),
+        Cep.Step("C", _.kind == "c")))
+    }
+    assert(e.getMessage.contains("not both"))
+  }
 }
