@@ -207,34 +207,93 @@ object StatefulOps {
       }
   }
 
-  /** Dynamic-gap session windows (DynamicEventTimeSessionWindows): the
-    * merge gap is a per-row function of the data — impossible with
+  /** Open-session state for [[dynamicGapSessions]]: the aggregate plus the
+    * last row's timestamp and ITS gap (the merge criterion is a function of
+    * the previous row). `cnt == 0` is the tombstone after a session closed —
+    * it pins the next session id so numbering stays monotonic per key across
+    * timeout-closed sessions (O(1) per key, the same residue a per-key
+    * counter ValueState leaves in the reference). */
+  private[streaming] case class DynSessionState(
+    sid: Long, cnt: Long, mx: Double, lastId: Long, lastTs: Long, lastGapUs: Long)
+
+  /** Dynamic-gap session windows (DynamicEventTimeSessionWindows — the
+    * reference's SessionWindowTimeGapExtractor surface): the merge gap is a
+    * per-row function of the data — impossible with
     * session_window(col, constant), hence the custom op. A new session
-    * starts when the gap SINCE THE PREVIOUS ROW exceeds gapOf(previous). */
-  def dynamicGapSessions(rows: Dataset[KeyedRow], gapOfMicros: KeyedRow => Long): Dataset[CountWindowEmit] = {
+    * starts when the gap SINCE THE PREVIOUS ROW exceeds gapOf(previous).
+    *
+    * Genuinely streaming: the open session rides `GroupState` with an
+    * event-time timeout at (last row's ts + its gap), so a session spanning
+    * micro-batches emits exactly once — when the watermark proves no row can
+    * extend it. The watermark is attached internally (on a derived
+    * timestamp column, `watermarkDelay` behind max event time); rows at or
+    * behind the watermark are dropped like the reference drops late events —
+    * a closed session can never re-open. On a bounded Dataset the whole key
+    * group arrives in one invocation and the final open session closes at
+    * end of group (timeouts never fire in batch). */
+  def dynamicGapSessions(rows: Dataset[KeyedRow], gapOfMicros: KeyedRow => Long,
+                         watermarkDelay: String = "0 seconds"): Dataset[CountWindowEmit] = {
     import rows.sparkSession.implicits._
-    rows.groupByKey(_.key)
-      .flatMapGroupsWithState[Int, CountWindowEmit](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
-        case (key, it, _) =>
-          // batch semantics: whole key group in one invocation
-          val sorted = it.toArray.sortBy(r => (r.ts, r.id))
-          val out = scala.collection.mutable.ListBuffer.empty[CountWindowEmit]
-          var sid = 0L
-          var cur = List.empty[KeyedRow]
-          def close(): Unit = if (cur.nonEmpty) {
-            out += CountWindowEmit(key, sid, cur.size.toLong, cur.map(_.value).max, cur.last.id)
-            sid += 1; cur = Nil
-          }
-          sorted.foreach { r =>
-            cur.lastOption match {
-              case Some(prev) if r.ts - prev.ts > gapOfMicros(prev) => close()
-              case _ =>
+    val streaming = rows.isStreaming
+    val withTs = rows.withColumn("ets", timestamp_micros($"ts")).as[SortRowW]
+    val marked = if (streaming) withTs.withWatermark("ets", watermarkDelay) else withTs
+    marked.groupByKey(_.key)
+      .flatMapGroupsWithState[DynSessionState, CountWindowEmit](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (key, it, state) =>
+          def emitOf(s: DynSessionState) = CountWindowEmit(key, s.sid, s.cnt, s.mx, s.lastId)
+          def tombstone(nextSid: Long) =
+            DynSessionState(nextSid, 0L, Double.NegativeInfinity, 0L, 0L, 0L)
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.update(tombstone(s.sid + 1))
+            Iterator.single(emitOf(s))
+          } else {
+            val wmMs = if (streaming) state.getCurrentWatermarkMs else Long.MinValue
+            val out = scala.collection.mutable.ListBuffer.empty[CountWindowEmit]
+            var open = state.getOption.filter(_.cnt > 0)
+            var nextSid = state.getOption.map(s => if (s.cnt > 0) s.sid + 1 else s.sid)
+              .getOrElse(0L)
+            // an open session the watermark already closed (late data for the
+            // key arrived in the very batch the watermark crossed it,
+            // suppressing the timeout invocation) fires before the new rows
+            open.foreach { s =>
+              if (streaming && wmMs > s.lastTs / 1000 + s.lastGapUs / 1000) {
+                out += emitOf(s); open = None
+              }
             }
-            cur = cur :+ r
+            val sorted = it.toArray.sortBy(r => (r.ts, r.id))
+              .filter(r => !streaming || r.ts / 1000 > wmMs) // drop late rows
+            sorted.foreach { r =>
+              val kr = KeyedRow(r.key, r.ts, r.id, r.kind, r.value)
+              open match {
+                case Some(s) if r.ts - s.lastTs > s.lastGapUs =>
+                  out += emitOf(s)
+                  open = Some(DynSessionState(s.sid + 1, 1L, r.value, r.id, r.ts,
+                    gapOfMicros(kr)))
+                case Some(s) =>
+                  open = Some(s.copy(cnt = s.cnt + 1, mx = math.max(s.mx, r.value),
+                    lastId = r.id, lastTs = r.ts, lastGapUs = gapOfMicros(kr)))
+                case None =>
+                  open = Some(DynSessionState(nextSid, 1L, r.value, r.id, r.ts,
+                    gapOfMicros(kr)))
+              }
+            }
+            open match {
+              case Some(s) if streaming =>
+                state.update(s)
+                state.setTimeoutTimestamp(
+                  math.max(s.lastTs / 1000 + s.lastGapUs / 1000, wmMs + 1))
+              case Some(s) => // bounded input: whole key group seen, close now
+                out += emitOf(s)
+              case None =>
+                // the pre-data close above consumed the open session (and no
+                // new one started): pin the id counter
+                if (streaming && state.getOption.exists(_.cnt > 0))
+                  state.update(tombstone(nextSid))
+            }
+            out.iterator
           }
-          close()
-          out.iterator
       }
   }
 

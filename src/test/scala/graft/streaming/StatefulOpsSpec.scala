@@ -83,4 +83,57 @@ class StatefulOpsSpec extends SparkSpec {
       assert(sums.map(_.run_sum).toSeq == Seq(0.1, 0.3, 0.6)) // 0.1+0.2+0.3 exact, not 0.6000000000000001
     } finally q.stop()
   }
+
+  test("dynamicGapSessions: a session spanning micro-batches emits exactly once") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val sec = 1000000L
+    val in = MemoryStream[KeyedRow]
+    // fixed 10 s gap through the dynamic extractor — the contiguity logic is
+    // what's under test, not the gap function
+    val q = StatefulOps.dynamicGapSessions(in.toDS(), _ => 10 * sec)
+      .writeStream.format("memory").queryName("dyn").outputMode("append").start()
+    try {
+      in.addData(row(1, 1 * sec, 1, value = 5.0), row(1, 3 * sec, 2, value = 7.0))
+      q.processAllAvailable()
+      assert(s.sql("select * from dyn").count() == 0, "session still open")
+      // batch 2 EXTENDS the open session (8 s is within 10 s of 3 s) — the
+      // old batch-semantics operator emitted a fragment per micro-batch here
+      in.addData(row(1, 8 * sec, 3, value = 2.0))
+      q.processAllAvailable()
+      assert(s.sql("select * from dyn").count() == 0, "extended session still open")
+      // 60 s is > 10 s after 8 s: closes session 0, opens session 1
+      in.addData(row(1, 60 * sec, 4, value = 1.0))
+      q.processAllAvailable()
+      // advance the watermark past 60 s + 10 s so the timeout closes session 1
+      in.addData(row(2, 200 * sec, 9, value = 0.0))
+      q.processAllAvailable()
+      val k1 = s.sql("select * from dyn where key = 1 order by win_id")
+        .as[CountWindowEmit].collect().toSeq
+      assert(k1 == Seq(
+        CountWindowEmit(1, 0, 3, 7.0, 3), // ids 1,2,3 — once, not per-batch fragments
+        CountWindowEmit(1, 1, 1, 1.0, 4)))
+      // a late row behind the watermark must not re-open session 0
+      in.addData(row(1, 5 * sec, 99, value = 100.0))
+      q.processAllAvailable()
+      in.addData(row(2, 300 * sec, 98, value = 0.0))
+      q.processAllAvailable()
+      val after = s.sql("select * from dyn where key = 1").count()
+      assert(after == 2, s"late row re-opened a closed session ($after rows)")
+    } finally q.stop()
+  }
+
+  test("dynamicGapSessions on a bounded Dataset equals the batch variant") {
+    val s = spark
+    import s.implicits._
+    val sec = 1000000L
+    val data = Seq(
+      row(1, 1 * sec, 1, value = 5.0), row(1, 3 * sec, 2, value = 7.0),
+      row(1, 30 * sec, 3, value = 2.0), row(2, 4 * sec, 4, value = 9.0)).toDS()
+    val gap: KeyedRow => Long = r => if (r.value < 6) 5 * sec else 20 * sec
+    val a = StatefulOps.dynamicGapSessions(data, gap).collect().sortBy(e => (e.key, e.win_id)).toSeq
+    val b = StatefulOps.dynamicGapSessionsBatch(data, gap).collect().sortBy(e => (e.key, e.win_id)).toSeq
+    assert(a == b && a.nonEmpty)
+  }
 }
