@@ -115,10 +115,16 @@ object EmitStrategy {
       .getOrElse(Nil)
     val (wsAlias, aggs) = parseSelect(select, groupCols)
     require(aggs.nonEmpty, "early-fire SESSION needs at least one aggregate")
-    require(!session.table(table).isStreaming,
-      "streaming early-fire supports TUMBLE; SESSION early-fire is batch-path only")
-    val tiebreak = (try session.conf.getOption(TiebreakConf) catch { case _: Throwable => None })
-      .map(c => s", $c").getOrElse("")
+    val tbOpt = try session.conf.getOption(TiebreakConf) catch { case _: Throwable => None }
+    // a streaming source takes the gap-merging stateful operator
+    val srcDf = session.table(table)
+    if (srcDf.isStreaming) {
+      require(Option(tail).forall(_.trim.isEmpty),
+        "streaming early-fire: ORDER BY is not supported on an unbounded result")
+      return StreamingEmit.session(session, srcDf, tsCol, gapUs, delayUs,
+        groupCols, aggs, wsAlias, tbOpt)
+    }
+    val tiebreak = tbOpt.map(c => s", $c").getOrElse("")
     val gComma = if (groupCols.isEmpty) "" else groupCols.mkString(", ") + ", "
     val partG = if (groupCols.isEmpty) "" else s"PARTITION BY ${groupCols.mkString(", ")} "
     val ordG = s"${partG}ORDER BY __uts$tiebreak"
@@ -174,12 +180,14 @@ object EmitStrategy {
       // dialect drives Structured Streaming; watermark close = terminal fire
       val srcDf = session.table(table)
       if (srcDf.isStreaming) {
-        require(slideUs.isEmpty,
-          "streaming early-fire supports TUMBLE; HOP/SESSION early-fire is batch-path only")
         require(Option(tail).forall(_.trim.isEmpty),
           "streaming early-fire: ORDER BY is not supported on an unbounded result")
-        return StreamingEmit.tumble(session, srcDf, tsCol, widthUs, delayUs,
-          groupCols, aggs, wsAlias, tbOpt)
+        return slideUs match {
+          case None => StreamingEmit.tumble(session, srcDf, tsCol, widthUs,
+            delayUs, groupCols, aggs, wsAlias, tbOpt)
+          case Some(l) => StreamingEmit.hop(session, srcDf, tsCol, widthUs, l,
+            delayUs, groupCols, aggs, wsAlias, tbOpt)
+        }
       }
       val tiebreak = tbOpt.map(c => s", $c").getOrElse("")
       val gComma = if (groupCols.isEmpty) "" else groupCols.mkString(", ") + ", "

@@ -343,6 +343,77 @@ object FlinkSqlQueries {
           "event_type", "n", "total")
         .orderBy("w_start", "event_type")
     }),
+    // streaming early-fire HOP end-to-end: file-stream source → pane-explode
+    // → keyed stateful early-fire operator → memory sink. Emitted rows =
+    // every early fire plus terminal fires for panes the final watermark
+    // (max event time, 0 s delay) closed; an unclosed pane's last-row
+    // pending fire stays buffered — the oracle filter mirrors both.
+    "fsql_stream_hop" -> ((s, dir) => {
+      val path = s"$dir/events.parquet"
+      val schema = s.read.parquet(path).schema
+      s.readStream.schema(schema).format("parquet")
+        .option("pathGlobFilter", "events.parquet").load(dir)
+        .withColumn("ts",
+          org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)")
+            .cast("timestamp"))
+        .withWatermark("ts", "0 seconds")
+        .createOrReplaceTempView("events_stream_hop")
+      s.conf.set(EmitStrategy.DelayConf, "30 minutes")
+      s.conf.set(EmitStrategy.TiebreakConf, "event_id")
+      try {
+        val out = s.sql(
+          """SELECT HOP_START(ts, INTERVAL '1' HOUR, INTERVAL '2' HOUR) AS w_start,
+                    user_id, count(*) AS n, max(value) AS mx
+             FROM events_stream_hop
+             GROUP BY HOP(ts, INTERVAL '1' HOUR, INTERVAL '2' HOUR), user_id""")
+        s.catalog.dropTempView("fsql_stream_hop_sink"): Unit
+        val q = out.writeStream.format("memory").queryName("fsql_stream_hop_sink")
+          .outputMode("append").start()
+        try q.processAllAvailable() finally q.stop()
+        s.table("fsql_stream_hop_sink")
+          .selectExpr("CAST(w_start AS TIMESTAMP_NTZ) AS w_start", "user_id", "n",
+            "mx", "CAST(fire_time AS TIMESTAMP_NTZ) AS fire_time", "is_final")
+          .orderBy("user_id", "w_start", "fire_time", "is_final")
+      } finally {
+        s.conf.unset(EmitStrategy.DelayConf)
+        s.conf.unset(EmitStrategy.TiebreakConf)
+      }
+    }),
+    // streaming early-fire SESSION end-to-end: gap-merged windows in state;
+    // non-last sessions terminal-fire data-driven (the row that breaks the
+    // gap), each group's last session only if the final watermark passes
+    // last event + gap
+    "fsql_stream_session" -> ((s, dir) => {
+      val path = s"$dir/events.parquet"
+      val schema = s.read.parquet(path).schema
+      s.readStream.schema(schema).format("parquet")
+        .option("pathGlobFilter", "events.parquet").load(dir)
+        .withColumn("ts",
+          org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)")
+            .cast("timestamp"))
+        .withWatermark("ts", "0 seconds")
+        .createOrReplaceTempView("events_stream_sess")
+      s.conf.set(EmitStrategy.DelayConf, "10 minutes")
+      s.conf.set(EmitStrategy.TiebreakConf, "event_id")
+      try {
+        val out = s.sql(
+          """SELECT SESSION_START(ts, INTERVAL '30' MINUTE) AS w_start, user_id,
+                    count(*) AS n, max(value) AS mx
+             FROM events_stream_sess
+             GROUP BY SESSION(ts, INTERVAL '30' MINUTE), user_id""")
+        s.catalog.dropTempView("fsql_stream_sess_sink"): Unit
+        val q = out.writeStream.format("memory").queryName("fsql_stream_sess_sink")
+          .outputMode("append").start()
+        try q.processAllAvailable() finally q.stop()
+        s.table("fsql_stream_sess_sink")
+          .selectExpr("CAST(w_start AS TIMESTAMP_NTZ) AS w_start", "user_id", "n",
+            "mx", "CAST(fire_time AS TIMESTAMP_NTZ) AS fire_time", "is_final")
+          .orderBy("user_id", "w_start", "fire_time", "is_final")
+      } finally {
+        s.conf.unset(EmitStrategy.DelayConf)
+        s.conf.unset(EmitStrategy.TiebreakConf)
+      }
+    }),
     // the canonical V-shape with AFTER MATCH SKIP TO FIRST DOWN: overlapping
     // matches cascade — each resumes at the previous match's first DOWN row;
     // STRT has no DEFINE (matches any row, the standard default)
@@ -501,6 +572,76 @@ object FlinkSqlQueries {
                 rn = cnt AS is_final
          FROM w
          WHERE (pb IS NOT NULL AND bidx > pb) OR rn = cnt
+         ORDER BY user_id, w_start, fire_time, is_final""",
+    // the hop emission log restricted to what the STREAM emits: early fires
+    // from non-last pane rows, terminals only for panes the final watermark
+    // (= max event time) closed — an unclosed pane's last-row pending fire
+    // is never flushed
+    "fsql_stream_hop" ->
+      """WITH o AS (
+           SELECT user_id, event_id, value, epoch_us(ts) AS uts,
+                  unnest(generate_series(
+                    (epoch_us(ts) // 3600000000) * 3600000000 - 3600000000,
+                    (epoch_us(ts) // 3600000000) * 3600000000, 3600000000)) AS ws,
+                  epoch_us(ts) // 1800000000 AS bidx
+           FROM events),
+         w AS (
+           SELECT user_id, ws, bidx, uts, event_id,
+                  count(*) OVER win AS n,
+                  max(value) OVER win AS mx,
+                  lag(bidx) OVER win2 AS pb,
+                  row_number() OVER win2 AS rn,
+                  count(*) OVER (PARTITION BY ws, user_id) AS cnt
+           FROM o
+           WINDOW win AS (PARTITION BY ws, user_id ORDER BY uts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                  win2 AS (PARTITION BY ws, user_id ORDER BY uts, event_id))
+         SELECT make_timestamp(ws) AS w_start, user_id, n, mx,
+                CASE WHEN rn = cnt THEN make_timestamp(ws + 7200000000)
+                     ELSE make_timestamp((bidx + 1) * 1800000000) END AS fire_time,
+                rn = cnt AS is_final
+         FROM w
+         WHERE (pb IS NOT NULL AND bidx > pb AND rn <> cnt)
+            OR (rn = cnt AND ws + 7200000000 <= (SELECT max(epoch_us(ts)) FROM events))
+         ORDER BY user_id, w_start, fire_time, is_final""",
+    // the session emission log restricted to what the STREAM emits: every
+    // terminal whose session end (last event + gap) the final watermark
+    // covers — non-last sessions always qualify (the gap-breaking row's
+    // timestamp exceeds their end and bounds the watermark from below)
+    "fsql_stream_session" ->
+      """WITH o AS (
+           SELECT user_id, event_id, value, epoch_us(ts) AS uts,
+                  epoch_us(ts) // 600000000 AS bidx
+           FROM events),
+         s AS (
+           SELECT *, CASE WHEN lag(uts) OVER wg IS NULL
+                           OR uts - lag(uts) OVER wg > 1800000000
+                          THEN 1 ELSE 0 END AS new_s
+           FROM o WINDOW wg AS (PARTITION BY user_id ORDER BY uts, event_id)),
+         g AS (
+           SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY uts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+           FROM s),
+         w AS (
+           SELECT user_id, sid, bidx, uts, event_id,
+                  count(*) OVER win AS n,
+                  max(value) OVER win AS mx,
+                  lag(bidx) OVER win2 AS pb,
+                  row_number() OVER win2 AS rn,
+                  count(*) OVER (PARTITION BY user_id, sid) AS cnt,
+                  min(uts) OVER (PARTITION BY user_id, sid) AS ss,
+                  max(uts) OVER (PARTITION BY user_id, sid) AS se
+           FROM g
+           WINDOW win AS (PARTITION BY user_id, sid ORDER BY uts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                  win2 AS (PARTITION BY user_id, sid ORDER BY uts, event_id))
+         SELECT make_timestamp(ss) AS w_start, user_id, n, mx,
+                CASE WHEN rn = cnt THEN make_timestamp(se + 1800000000)
+                     ELSE make_timestamp((bidx + 1) * 600000000) END AS fire_time,
+                rn = cnt AS is_final
+         FROM w
+         WHERE (pb IS NOT NULL AND bidx > pb AND rn <> cnt)
+            OR (rn = cnt AND se + 1800000000 <= (SELECT max(epoch_us(ts)) FROM events))
          ORDER BY user_id, w_start, fire_time, is_final""",
     // E+ V islands exploded to one row per matched position: err_so_far
     // counts errors up to the row, err_total the island, last_err_val the

@@ -53,6 +53,15 @@ object StreamingEmit {
       pendCnt: Array[Long], pendSum: Array[Double],
       pendMn: Array[Double], pendMx: Array[Double])
 
+  /** Timestamp from epoch micros WITHOUT millisecond truncation — session
+    * starts/ends are raw event times with sub-ms precision (the batch log's
+    * make_timestamp/timestamp_micros keep it; Timestamp(ms) would not). */
+  private def tsOf(us: Long): Timestamp = {
+    val t = new Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+    t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+    t
+  }
+
   private def zero(k: Int) = Accum(
     hasPrev = false, prevBidx = 0L, n = 0L,
     Array.fill(k)(0L), Array.fill(k)(0.0),
@@ -64,8 +73,30 @@ object StreamingEmit {
   def tumble(session: SparkSession, src: DataFrame, tsCol: String,
              widthUs: Long, delayUs: Long, groupCols: Seq[String],
              aggs: Seq[(String, String, String)], wsAlias: String,
-             tiebreak: Option[String]): DataFrame = {
-    require(src.isStreaming, "StreamingEmit.tumble expects a streaming source")
+             tiebreak: Option[String]): DataFrame =
+    windowed(session, src, tsCol, widthUs, None, delayUs, groupCols, aggs,
+      wsAlias, tiebreak)
+
+  /** Early-fire HOP on a stream: each row explodes into its size/slide
+    * covering panes BEFORE the keyed stateful operator — exactly the shape
+    * the batch log uses (the reference's per-pane assignment in
+    * SliceAssigners) — and each (pane, group) then runs the identical
+    * tumbling state machine with its own terminal timeout at pane end. The
+    * explode is a narrow projection: the fan-out (size/slide panes per row)
+    * happens before the one shuffle, and per-pane state stays O(#aggs). */
+  def hop(session: SparkSession, src: DataFrame, tsCol: String,
+          widthUs: Long, slideUs: Long, delayUs: Long, groupCols: Seq[String],
+          aggs: Seq[(String, String, String)], wsAlias: String,
+          tiebreak: Option[String]): DataFrame =
+    windowed(session, src, tsCol, widthUs, Some(slideUs), delayUs, groupCols,
+      aggs, wsAlias, tiebreak)
+
+  private def windowed(session: SparkSession, src: DataFrame, tsCol: String,
+                       widthUs: Long, slideUs: Option[Long], delayUs: Long,
+                       groupCols: Seq[String],
+                       aggs: Seq[(String, String, String)], wsAlias: String,
+                       tiebreak: Option[String]): DataFrame = {
+    require(src.isStreaming, "StreamingEmit.windowed expects a streaming source")
     val k = aggs.size
     val fns = aggs.map(_._1).toArray
 
@@ -80,13 +111,22 @@ object StreamingEmit {
     val nulls = array(aggs.map { case (_, arg, _) =>
       if (arg == "*") lit(false) else col(arg).isNull
     }: _*)
+    // window assignment mirrors the batch build: tumble = the one covering
+    // window, hop = explode into the size/slide covering set (starts
+    // aligned to the slide) — __bidx is per-row, identical across panes
+    val wsExpr = slideUs match {
+      case None => expr(s"($uts div ${widthUs}L) * ${widthUs}L")
+      case Some(l) => expr(
+        s"explode(sequence(($uts div ${l}L) * ${l}L - ${widthUs}L + ${l}L, " +
+          s"($uts div ${l}L) * ${l}L, ${l}L))")
+    }
     // the original event-time attribute rides along unrenamed: its metadata
     // carries the watermark tag the stateful operator's event-time timeout
     // requires (projecting it away would strip the watermark)
     val prepared = src.select(
       col(tsCol),
       struct(groupCols.map(col): _*).as("__g"),
-      expr(s"($uts div ${widthUs}L) * ${widthUs}L").as("__ws"),
+      wsExpr.as("__ws"),
       expr(uts).as("__uts"),
       expr(s"$uts div ${delayUs}L").as("__bidx"),
       tiebreak.map(c => col(c).cast("double")).getOrElse(lit(0.0)).as("__tb"),
@@ -121,8 +161,7 @@ object StreamingEmit {
       val wEndUs = ws + widthUs
       def row(fireUs: Long, isFinal: Boolean, vs: Seq[Any]): Row =
         Row.fromSeq(
-          (new Timestamp(ws / 1000) +: gRow.toSeq) ++ vs ++
-            Seq(new Timestamp(fireUs / 1000), isFinal))
+          (tsOf(ws) +: gRow.toSeq) ++ vs ++ Seq(tsOf(fireUs), isFinal))
 
       if (state.hasTimedOut) {
         // terminal fire: watermark passed window end — the pending early
@@ -195,6 +234,176 @@ object StreamingEmit {
       .groupByKey(r => Row(r.getLong(2), r.getStruct(1)))(Encoders.row(keySchema))
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
         func)(Encoders.product[Accum], Encoders.row(fullOut))
+      .toDF()
+  }
+
+  /** Open-session accumulator for [[session]]: the tumbling Accum plus the
+    * session's own extent (start + last event time — the window is
+    * data-defined, not key-defined). Always holds ≥1 row, so no hasPrev. */
+  case class SessAccum(
+      startUs: Long, lastUs: Long, prevBidx: Long,
+      n: Long, cnt: Array[Long], sum: Array[Double],
+      mn: Array[Double], mx: Array[Double],
+      hasPending: Boolean, pendFireUs: Long, pendN: Long,
+      pendCnt: Array[Long], pendSum: Array[Double],
+      pendMn: Array[Double], pendMx: Array[Double])
+
+  /** Early-fire SESSION on a stream — gap-merged windows in state
+    * (the reference's SessionWindowAssigner under the same
+    * WindowEmitStrategy). Keyed by the group columns alone (a session's
+    * window is data-defined); state is the ONE open session per group:
+    * a row within `gap` of the session's last event extends it (flushing /
+    * buffering early fires exactly like the tumbling machine), a row beyond
+    * the gap terminal-fires the old session and opens a new one, and the
+    * event-time timeout at (last event + gap) terminal-fires the session
+    * the data never closes. SESSION_START = the session's first event time;
+    * terminal fire_time = last event + gap (the reference's merged-window
+    * end), matching the batch gaps-and-islands log row for row.
+    *
+    * Ordering discipline: within a micro-batch rows sort by (ts, tiebreak);
+    * ACROSS batches rows must arrive in event-time order per group — the
+    * 0-delay max-event-time watermark enforces exactly that (anything
+    * behind it is dropped as late, so a closed session can never re-open or
+    * merge). That is the same total-order requirement the batch log's
+    * deterministic formulation documents. */
+  def session(spark: SparkSession, src: DataFrame, tsCol: String,
+              gapUs: Long, delayUs: Long, groupCols: Seq[String],
+              aggs: Seq[(String, String, String)], wsAlias: String,
+              tiebreak: Option[String]): DataFrame = {
+    require(src.isStreaming, "StreamingEmit.session expects a streaming source")
+    val k = aggs.size
+    val fns = aggs.map(_._1).toArray
+
+    val uts = s"unix_micros(cast($tsCol as timestamp))"
+    val vals = array(aggs.map { case (_, arg, _) =>
+      if (arg == "*") lit(1.0) else col(arg).cast("double")
+    }: _*)
+    val nulls = array(aggs.map { case (_, arg, _) =>
+      if (arg == "*") lit(false) else col(arg).isNull
+    }: _*)
+    val prepared = src.select(
+      col(tsCol),
+      struct(groupCols.map(col): _*).as("__g"),
+      expr(uts).as("__uts"),
+      expr(s"$uts div ${delayUs}L").as("__bidx"),
+      tiebreak.map(c => col(c).cast("double")).getOrElse(lit(0.0)).as("__tb"),
+      vals.as("__vals"),
+      nulls.as("__nulls"))
+
+    val gStruct = prepared.schema("__g").dataType.asInstanceOf[StructType]
+    val aggFields = aggs.map { case (fn, _, alias) =>
+      StructField(alias, if (fn == "COUNT") LongType else DoubleType)
+    }
+    val fullOut = StructType(
+      (StructField(wsAlias, TimestampType) +: gStruct.fields.toSeq) ++ aggFields ++ Seq(
+        StructField("fire_time", TimestampType), StructField("is_final", BooleanType)))
+
+    def outputs(useCnt: Array[Long], useSum: Array[Double], useMn: Array[Double],
+                useMx: Array[Double], useN: Long): Seq[Any] =
+      fns.zipWithIndex.map {
+        case ("COUNT", i) => if (aggs(i)._2 == "*") useN else useCnt(i)
+        case ("SUM", i) => if (useCnt(i) == 0) null else useSum(i)
+        case ("AVG", i) => if (useCnt(i) == 0) null else useSum(i) / useCnt(i)
+        case ("MIN", i) => if (useCnt(i) == 0) null else useMn(i)
+        case ("MAX", i) => if (useCnt(i) == 0) null else useMx(i)
+        case (other, _) => throw new IllegalArgumentException(s"agg $other")
+      }.toSeq
+
+    def fresh(utsV: Long, bidx: Long, vs: Seq[Double], nl: Seq[Boolean]): SessAccum = {
+      val cnt = Array.fill(k)(0L); val sum = Array.fill(k)(0.0)
+      val mn = Array.fill(k)(Double.PositiveInfinity)
+      val mx = Array.fill(k)(Double.NegativeInfinity)
+      var i = 0
+      while (i < k) {
+        if (!nl(i)) { cnt(i) = 1L; sum(i) = vs(i); mn(i) = vs(i); mx(i) = vs(i) }
+        i += 1
+      }
+      SessAccum(utsV, utsV, bidx, 1L, cnt, sum, mn, mx,
+        hasPending = false, 0L, 0L,
+        Array.fill(k)(0L), Array.fill(k)(0.0), Array.fill(k)(0.0), Array.fill(k)(0.0))
+    }
+
+    val func = (key: Row, it: Iterator[Row], state: GroupState[SessAccum]) => {
+      def row(startUs: Long, fireUs: Long, isFinal: Boolean, vs: Seq[Any]): Row =
+        Row.fromSeq(
+          (tsOf(startUs) +: key.toSeq) ++ vs ++ Seq(tsOf(fireUs), isFinal))
+      def terminal(a: SessAccum): Row =
+        row(a.startUs, a.lastUs + gapUs, isFinal = true,
+          outputs(a.cnt, a.sum, a.mn, a.mx, a.n))
+
+      if (state.hasTimedOut) {
+        val a = state.get
+        state.remove()
+        Iterator.single(terminal(a))
+      } else {
+        val wmMs = state.getCurrentWatermarkMs
+        val fired = Seq.newBuilder[Row]
+        var open: Option[SessAccum] = state.getOption
+        // a session the watermark already closed (late data for the group
+        // arrived in the closing batch, suppressing the timeout invocation)
+        // terminal-fires before the new rows — exactly once
+        open.foreach { a =>
+          if ((a.lastUs + gapUs) / 1000 <= wmMs) { fired += terminal(a); open = None }
+        }
+        val sorted = it.toArray.sortBy(r => (r.getLong(2), r.getDouble(4)))
+          .filter(r => r.getLong(2) / 1000 > wmMs) // drop late rows
+        sorted.foreach { r =>
+          val utsV = r.getLong(2); val bidx = r.getLong(3)
+          val vs = r.getSeq[Double](5); val nl = r.getSeq[Boolean](6)
+          open match {
+            case Some(a) if utsV - a.lastUs > gapUs =>
+              // gap exceeded: only late rows could still extend the old
+              // session and they're dropped — terminal now, new one opens
+              fired += terminal(a)
+              open = Some(fresh(utsV, bidx, vs, nl))
+            case Some(a0) =>
+              var a = a0
+              if (a.hasPending) { // next session row proves the fire wasn't last
+                fired += row(a.startUs, a.pendFireUs, isFinal = false,
+                  outputs(a.pendCnt, a.pendSum, a.pendMn, a.pendMx, a.pendN))
+                a = a.copy(hasPending = false)
+              }
+              val cnt = a.cnt.clone(); val sum = a.sum.clone()
+              val mn = a.mn.clone(); val mx = a.mx.clone()
+              var i = 0
+              while (i < k) {
+                if (!nl(i)) { // SQL aggregates skip NULL inputs
+                  val v = vs(i)
+                  cnt(i) += 1; sum(i) += v
+                  if (v < mn(i)) mn(i) = v
+                  if (v > mx(i)) mx(i) = v
+                }
+                i += 1
+              }
+              val crossed = bidx > a.prevBidx
+              open = Some(a.copy(lastUs = utsV, prevBidx = bidx, n = a.n + 1,
+                cnt = cnt, sum = sum, mn = mn, mx = mx,
+                hasPending = crossed,
+                pendFireUs = if (crossed) (bidx + 1) * delayUs else a.pendFireUs,
+                pendN = if (crossed) a.n + 1 else a.pendN,
+                pendCnt = if (crossed) cnt.clone() else a.pendCnt,
+                pendSum = if (crossed) sum.clone() else a.pendSum,
+                pendMn = if (crossed) mn.clone() else a.pendMn,
+                pendMx = if (crossed) mx.clone() else a.pendMx))
+            case None =>
+              open = Some(fresh(utsV, bidx, vs, nl))
+          }
+        }
+        open match {
+          case Some(a) =>
+            state.update(a)
+            state.setTimeoutTimestamp(
+              math.max((a.lastUs + gapUs) / 1000 - 1, wmMs + 1))
+          case None => if (state.exists) state.remove()
+        }
+        fired.result().iterator
+      }
+    }
+
+    prepared
+      .groupByKey(r => r.getStruct(1))(Encoders.row(gStruct))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        func)(Encoders.product[SessAccum], Encoders.row(fullOut))
       .toDF()
   }
 }

@@ -214,24 +214,105 @@ class FlinkSqlStreamingSpec extends SparkSpec {
     }
   }
 
-  test("streaming early-fire rejects SESSION/HOP with clear errors") {
+  test("early-fire HOP over a streaming view emits the batch emission log across micro-batches") {
     val s = spark
     import s.implicits._
     implicit val ctx = s.sqlContext
     val in = MemoryStream[Ev]
-    in.toDF().withWatermark("ts", "0 seconds").createOrReplaceTempView("fsx_events")
+    in.toDF().withWatermark("ts", "0 seconds").createOrReplaceTempView("fsh_events")
     s.conf.set(EmitStrategy.DelayConf, "10 seconds")
+    s.conf.set(EmitStrategy.TiebreakConf, "event_id")
     try {
-      val e1 = intercept[IllegalArgumentException] {
-        s.sql("""SELECT count(*) AS n FROM fsx_events
-                 GROUP BY SESSION(ts, INTERVAL '10' SECOND)""")
-      }
-      assert(e1.getMessage.contains("batch-path only"))
-      val e2 = intercept[IllegalArgumentException] {
-        s.sql("""SELECT count(*) AS n FROM fsx_events
-                 GROUP BY HOP(ts, INTERVAL '10' SECOND, INTERVAL '20' SECOND)""")
-      }
-      assert(e2.getMessage.contains("batch-path only"))
-    } finally s.conf.unset(EmitStrategy.DelayConf)
+      // slide 15 s, size 30 s: every row covers two panes
+      val sql =
+        """SELECT HOP_START(ts, INTERVAL '15' SECOND, INTERVAL '30' SECOND) AS w_start,
+                  user_id, count(*) AS n, sum(value) AS sv
+           FROM fsh_events
+           GROUP BY HOP(ts, INTERVAL '15' SECOND, INTERVAL '30' SECOND), user_id"""
+      val out = s.sql(sql)
+      assert(out.isStreaming, "HOP early-fire must plan the stateful streaming operator")
+      val q = out.writeStream.format("memory").queryName("fsh_emit")
+        .outputMode("append").start()
+      val data = Seq(
+        Ev(t(1), 1, 1, 2.0), Ev(t(4), 1, 2, 3.0), Ev(t(12), 1, 3, 5.0),
+        Ev(t(17), 1, 4, 7.0), Ev(t(25), 1, 5, 11.0), Ev(t(41), 1, 6, 13.0))
+      // split mid-pane so pane state genuinely spans micro-batches
+      in.addData(data.take(2): _*)
+      q.processAllAvailable()
+      in.addData(data.slice(2, 5): _*)
+      q.processAllAvailable()
+      in.addData(data.drop(5): _*)
+      q.processAllAvailable()
+      in.addData(Ev(t(1000), 9, 999, 0.0)) // watermark → close every real pane
+      q.processAllAvailable()
+
+      data.toDF().createOrReplaceTempView("fsh_events_batch")
+      s.sql(sql.replace("fsh_events", "fsh_events_batch"))
+        .createOrReplaceTempView("fsh_emit_batch")
+      val cols = "w_start, user_id, n, CAST(sv AS DOUBLE) AS sv, fire_time, is_final"
+      val streamed = rowsOf(s"SELECT $cols FROM fsh_emit WHERE user_id <> 9")
+      assert(streamed.nonEmpty
+        && streamed == rowsOf(s"SELECT $cols FROM fsh_emit_batch"))
+      // sanity: panes overlap (≥2 finals per covered instant) and early fires exist
+      assert(s.table("fsh_emit").filter(col("is_final")).count() >= 4)
+      assert(s.table("fsh_emit").filter(!col("is_final")).count() >= 1)
+    } finally {
+      s.conf.unset(EmitStrategy.DelayConf)
+      s.conf.unset(EmitStrategy.TiebreakConf)
+      s.streams.active.filter(_.name == "fsh_emit").foreach(_.stop())
+    }
+  }
+
+  test("early-fire SESSION over a streaming view emits the batch emission log across micro-batches") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val in = MemoryStream[Ev]
+    in.toDF().withWatermark("ts", "0 seconds").createOrReplaceTempView("fss2_events")
+    s.conf.set(EmitStrategy.DelayConf, "10 seconds")
+    s.conf.set(EmitStrategy.TiebreakConf, "event_id")
+    try {
+      val sql =
+        """SELECT SESSION_START(ts, INTERVAL '20' SECOND) AS w_start, user_id,
+                  count(*) AS n, max(value) AS mx
+           FROM fss2_events
+           GROUP BY SESSION(ts, INTERVAL '20' SECOND), user_id"""
+      val out = s.sql(sql)
+      assert(out.isStreaming, "SESSION early-fire must plan the stateful streaming operator")
+      val q = out.writeStream.format("memory").queryName("fss2_emit")
+        .outputMode("append").start()
+      // user 1: session A = t 1..35 (each row within 20 s of the last, delay
+      // buckets 0,1,2,3 → early fires at crossings, last crossing absorbed);
+      // then t=90 starts session B (gap 55 s > 20 s). user 2: one session,
+      // closed by the data-driven gap in the SAME key.
+      val data = Seq(
+        Ev(t(1), 1, 1, 2.0), Ev(t(12), 1, 2, 3.0), Ev(t(22), 1, 3, 5.0),
+        Ev(t(35), 1, 4, 7.0), Ev(t(90), 1, 5, 11.0),
+        Ev(t(8), 2, 6, 4.0), Ev(t(95), 2, 7, 6.0))
+      // session A spans three micro-batches
+      in.addData(data.take(2) ++ data.slice(5, 6): _*)
+      q.processAllAvailable()
+      in.addData(data.slice(2, 4): _*)
+      q.processAllAvailable()
+      in.addData(data.slice(4, 5) ++ data.drop(6): _*)
+      q.processAllAvailable()
+      in.addData(Ev(t(1000), 9, 999, 0.0)) // watermark → close the open sessions
+      q.processAllAvailable()
+
+      data.toDF().createOrReplaceTempView("fss2_events_batch")
+      s.sql(sql.replace("fss2_events", "fss2_events_batch"))
+        .createOrReplaceTempView("fss2_emit_batch")
+      val cols = "w_start, user_id, n, CAST(mx AS DOUBLE) AS mx, fire_time, is_final"
+      val streamed = rowsOf(s"SELECT $cols FROM fss2_emit WHERE user_id <> 9")
+      assert(streamed.nonEmpty
+        && streamed == rowsOf(s"SELECT $cols FROM fss2_emit_batch"))
+      // sanity: 4 sessions close (2 per user), with early fires inside session A
+      assert(s.table("fss2_emit").filter(col("is_final") && col("user_id") =!= 9).count() == 4)
+      assert(s.table("fss2_emit").filter(!col("is_final")).count() >= 2)
+    } finally {
+      s.conf.unset(EmitStrategy.DelayConf)
+      s.conf.unset(EmitStrategy.TiebreakConf)
+      s.streams.active.filter(_.name == "fss2_emit").foreach(_.stop())
+    }
   }
 }
