@@ -32,8 +32,32 @@ object EmitStrategy {
   val DelayConf = "graft.exec.emit.early-fire.delay"
   val TiebreakConf = "graft.exec.emit.tiebreak-column"
 
+  /** Late-fire emit (the reference's TABLE_EXEC_EMIT_LATE_FIRE_ENABLED,
+    * WindowEmitStrategy.scala:152-162): with the window already closed by
+    * the watermark, each late row still inside the allowed lateness fires
+    * the UPDATED accumulate immediately — the deterministic delay-0
+    * ElementTriggers.every() subset (a >0 late-fire delay is a wall-clock
+    * trigger, not reproducible). Allowed lateness mirrors the reference's
+    * minIdleStateRetentionTime-as-lateness and must be > 0 — the same
+    * validation WindowEmitStrategy.checkValidation enforces. */
+  val LateConf = "graft.exec.emit.late-fire.enabled"
+  val LatenessConf = "graft.exec.emit.allow-lateness"
+
+  /** The batch emission-log formulation of lateness needs an explicit
+    * ARRIVAL order distinct from event time (in event-time scan order no
+    * row is ever late): a SQL expression over the source columns that
+    * totally orders rows by arrival — an ingestion sequence column in a
+    * real deployment. The watermark is then the running max event time in
+    * arrival order (0-delay), exactly the discipline the streaming side
+    * derives from micro-batch arrival. */
+  val ArrivalConf = "graft.exec.emit.arrival-order"
+
   def enabled(session: SparkSession): Option[String] =
     try session.conf.getOption(DelayConf) catch { case _: Throwable => None }
+
+  def lateEnabled(session: SparkSession): Boolean =
+    (try session.conf.getOption(LateConf) catch { case _: Throwable => None })
+      .exists(_.equalsIgnoreCase("true"))
 
   def matches(probe: String): Boolean =
     """(?i)\b(TUMBLE|HOP|SESSION)\s*\(""".r.findFirstIn(probe).isDefined &&
@@ -110,6 +134,9 @@ object EmitStrategy {
   private def buildSession(session: SparkSession, select: String, table: String,
                            tsCol: String, gapUs: Long, extraGroups: String,
                            tail: String): DataFrame = {
+    require(!lateEnabled(session),
+      "Session window doesn't support the late-fire EMIT strategy " +
+        "(the reference's WindowEmitStrategy rejects EMIT on session windows)")
     val delayUs = delayMicros(enabled(session).get)
     val groupCols = Option(extraGroups).map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       .getOrElse(Nil)
@@ -170,6 +197,12 @@ object EmitStrategy {
   private def build(session: SparkSession, select: String, table: String, tsCol: String,
                     widthUs: Long, slideUs: Option[Long], extraGroups: String,
                     tail: String): DataFrame = {
+      if (lateEnabled(session)) {
+        require(enabled(session).isEmpty,
+          s"combined early-fire + late-fire emission is not supported: unset $DelayConf or $LateConf")
+        return buildLate(session, select, table, tsCol, widthUs, slideUs,
+          extraGroups, tail)
+      }
       val delayUs = delayMicros(enabled(session).get)
       val groupCols = Option(extraGroups).map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
         .getOrElse(Nil)
@@ -225,6 +258,91 @@ object EmitStrategy {
                     FROM $table)
             )
             WHERE __early OR __last ${Option(tail).getOrElse("")}""")
+  }
+  /** The late-fire emission log, batch-deterministic (TUMBLE + HOP).
+    *
+    * Rows scan in ARRIVAL order (the [[ArrivalConf]] expression); the
+    * watermark before row i is the running max event time of rows arrived
+    * before i. Classification per (row, covering window):
+    *  - on-time: watermark < window end → accumulates silently; the window
+    *    fires once at close (`is_final`, fire_time = window end) over its
+    *    on-time rows — a window whose rows ALL arrive late never had a
+    *    trigger registered at close, so it has no final fire (reference:
+    *    the first late element fires immediately instead);
+    *  - late: window end ≤ watermark < window end + allowed lateness → the
+    *    row joins the accumulate and fires it immediately
+    *    (ElementTriggers.every(), the delay-0 late trigger): one log row
+    *    with the running aggregate over all kept rows up to this arrival,
+    *    fire_time = the watermark that fired it, is_final = false;
+    *  - dropped: watermark ≥ window end + allowed lateness → excluded.
+    * Monotone watermark ⇒ each window's kept rows are an on-time prefix
+    * then a late suffix in arrival order, so the late fires are plain
+    * running window aggregates — declarative, one shuffle on
+    * (window, group), codegen throughout, same scale shape as the
+    * early-fire log. */
+  private def buildLate(session: SparkSession, select: String, table: String,
+                        tsCol: String, widthUs: Long, slideUs: Option[Long],
+                        extraGroups: String, tail: String): DataFrame = {
+    val latenessUs = (try session.conf.getOption(LatenessConf) catch { case _: Throwable => None })
+      .map(delayMicros).filter(_ > 0).getOrElse(throw new IllegalArgumentException(
+        s"the late-fire emit strategy requires a positive $LatenessConf " +
+          "(the reference requires minIdleStateRetentionTime as allowed lateness)"))
+    val arr = (try session.conf.getOption(ArrivalConf) catch { case _: Throwable => None })
+      .getOrElse(throw new IllegalArgumentException(
+        s"late-fire needs $ArrivalConf: a SQL expression totally ordering rows by arrival"))
+    val groupCols = Option(extraGroups).map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Nil)
+    val (wsAlias, aggs) = parseSelect(select, groupCols)
+    require(aggs.nonEmpty, "late-fire needs at least one aggregate")
+    require(!session.table(table).isStreaming,
+      "late-fire emit is the batch emission-log formulation; the streaming " +
+        "late path is StatefulOps.allowedLateness (API level)")
+    val gComma = if (groupCols.isEmpty) "" else groupCols.mkString(", ") + ", "
+    val partW = (Seq("__ws") ++ groupCols).mkString(", ")
+    val runningAggs = aggs.map { case (fn, arg, alias) =>
+      val a = if (arg == "*") "1" else arg
+      s"${fn.toLowerCase}($a) OVER (PARTITION BY $partW ORDER BY __arr " +
+        s"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS $alias"
+    }.mkString(", ")
+    val finalAggs = aggs.map { case (fn, arg, alias) =>
+      s"${fn.toLowerCase}(${if (arg == "*") "1" else arg}) AS $alias"
+    }.mkString(", ")
+    val aliases = aggs.map(_._3).mkString(", ")
+    val uts = s"unix_micros(cast($tsCol as timestamp))"
+    val wsExpr = slideUs match {
+      case None => s"(__uts div ${widthUs}L) * ${widthUs}L AS __ws"
+      case Some(l) =>
+        s"explode(sequence((__uts div ${l}L) * ${l}L - ${widthUs}L + ${l}L, " +
+          s"(__uts div ${l}L) * ${l}L, ${l}L)) AS __ws"
+    }
+    val gList = if (groupCols.isEmpty) "" else ", " + groupCols.mkString(", ")
+    session.sql(
+      s"""WITH kept AS (
+            SELECT * FROM (
+              SELECT *, CASE WHEN __wmb IS NULL OR __wmb < __ws + ${widthUs}L THEN 0
+                             WHEN __wmb >= __ws + ${widthUs}L + ${latenessUs}L THEN 2
+                             ELSE 1 END AS __cls
+              FROM (
+                SELECT *, $wsExpr FROM (
+                  SELECT *, max(__uts) OVER (ORDER BY __arr
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS __wmb
+                  FROM (SELECT *, $uts AS __uts, ($arr) AS __arr FROM $table)
+                )
+              )
+            ) WHERE __cls <> 2),
+          late AS (
+            SELECT timestamp_micros(__ws) AS $wsAlias, $gComma$runningAggs,
+                   timestamp_micros(__wmb) AS fire_time, false AS is_final, __cls
+            FROM kept),
+          fin AS (
+            SELECT timestamp_micros(__ws) AS $wsAlias, $gComma$finalAggs,
+                   timestamp_micros(__ws + ${widthUs}L) AS fire_time, true AS is_final
+            FROM kept WHERE __cls = 0 GROUP BY __ws$gList)
+          SELECT $wsAlias, $gComma$aliases, fire_time, is_final
+          FROM (SELECT $wsAlias, $gComma$aliases, fire_time, is_final
+                FROM late WHERE __cls = 1
+                UNION ALL SELECT * FROM fin)
+          ${Option(tail).getOrElse("")}""")
   }
 }
 

@@ -188,10 +188,12 @@ object FlinkSql {
       else if (SystemTimeJoin.matches(probe))
         Some(org.apache.spark.sql.GraftSqlBridge.logicalPlan(
           SystemTimeJoin.run(session, sqlText)))
-      // early-fire emit strategy: config-gated, exactly like the reference's
-      // TABLE_EXEC_EMIT_EARLY_FIRE_ENABLED — with the conf unset, TUMBLE
-      // queries take the plain window() rewrite below
-      else if (EmitStrategy.enabled(session).isDefined && EmitStrategy.matches(probe))
+      // early-fire / late-fire emit strategies: config-gated, exactly like
+      // the reference's TABLE_EXEC_EMIT_EARLY_FIRE_ENABLED / _LATE_FIRE_
+      // ENABLED — with both confs unset, TUMBLE queries take the plain
+      // window() rewrite below
+      else if ((EmitStrategy.enabled(session).isDefined
+          || EmitStrategy.lateEnabled(session)) && EmitStrategy.matches(probe))
         Some(org.apache.spark.sql.GraftSqlBridge.logicalPlan(
           EmitStrategy.run(session, sqlText)))
       else None

@@ -343,6 +343,29 @@ object FlinkSqlQueries {
           "event_type", "n", "total")
         .orderBy("w_start", "event_type")
     }),
+    // late-fire emit (AFTER WATERMARK strategy): arrival order is a
+    // bijective scramble of event_id (odd multiplier mod 2^32 — a stand-in
+    // for an ingestion sequence), so most rows arrive after their window
+    // closed; each late row inside the 20-day lateness fires the updated
+    // accumulate, rows beyond it are dropped, and windows whose on-time
+    // prefix is non-empty also final-fire at window end
+    "fsql_late_fire" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.conf.set(EmitStrategy.LateConf, "true")
+      s.conf.set(EmitStrategy.LatenessConf, "480 hours")
+      s.conf.set(EmitStrategy.ArrivalConf, "(event_id * 2654435761) % 4294967296")
+      try s.sql(
+        """SELECT TUMBLE_START(ts, INTERVAL '1' HOUR) AS w_start, user_id,
+                  count(*) AS n, max(value) AS mx
+           FROM events
+           GROUP BY TUMBLE(ts, INTERVAL '1' HOUR), user_id
+           ORDER BY user_id, w_start, fire_time, is_final, n""")
+      finally {
+        s.conf.unset(EmitStrategy.LateConf)
+        s.conf.unset(EmitStrategy.LatenessConf)
+        s.conf.unset(EmitStrategy.ArrivalConf)
+      }
+    }),
     // streaming early-fire HOP end-to-end: file-stream source → pane-explode
     // → keyed stateful early-fire operator → memory sink. Emitted rows =
     // every early fire plus terminal fires for panes the final watermark
@@ -573,6 +596,42 @@ object FlinkSqlQueries {
          FROM w
          WHERE (pb IS NOT NULL AND bidx > pb) OR rn = cnt
          ORDER BY user_id, w_start, fire_time, is_final""",
+    // the late-fire log: watermark = running max event time in scrambled
+    // arrival order; late rows (window closed, inside lateness) fire the
+    // running accumulate, on-time prefixes final-fire at window end,
+    // beyond-lateness rows drop
+    "fsql_late_fire" ->
+      """WITH base AS (
+           SELECT user_id, value, epoch_us(ts) AS uts,
+                  (event_id * 2654435761) % 4294967296 AS arr
+           FROM events),
+         m AS (
+           SELECT *, max(uts) OVER (ORDER BY arr
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS wmb
+           FROM base),
+         e AS (SELECT *, (uts // 3600000000) * 3600000000 AS ws FROM m),
+         k AS (
+           SELECT * FROM (
+             SELECT *, CASE WHEN wmb IS NULL OR wmb < ws + 3600000000 THEN 0
+                            WHEN wmb >= ws + 3600000000 + 1728000000000 THEN 2
+                            ELSE 1 END AS cls
+             FROM e) WHERE cls <> 2),
+         late AS (
+           SELECT make_timestamp(ws) AS w_start, user_id,
+                  count(*) OVER win AS n, max(value) OVER win AS mx,
+                  make_timestamp(wmb) AS fire_time, false AS is_final, cls
+           FROM k
+           WINDOW win AS (PARTITION BY ws, user_id ORDER BY arr
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         fin AS (
+           SELECT make_timestamp(ws) AS w_start, user_id, count(*) AS n,
+                  max(value) AS mx,
+                  make_timestamp(ws + 3600000000) AS fire_time, true AS is_final
+           FROM k WHERE cls = 0 GROUP BY ws, user_id)
+         SELECT w_start, user_id, n, mx, fire_time, is_final
+         FROM late WHERE cls = 1
+         UNION ALL SELECT * FROM fin
+         ORDER BY user_id, w_start, fire_time, is_final, n""",
     // the hop emission log restricted to what the STREAM emits: early fires
     // from non-last pane rows, terminals only for panes the final watermark
     // (= max event time) closed — an unclosed pane's last-row pending fire

@@ -109,4 +109,83 @@ class EmitStrategySpec extends SparkSpec {
       spark.conf.unset(EmitStrategy.TiebreakConf)
     }
   }
+
+  test("late-fire: late rows re-fire the accumulate, beyond-lateness rows drop") {
+    val s = spark
+    import s.implicits._
+    // arrival order `arr` is deliberately out of event-time order; 1 h
+    // tumble, 2 h allowed lateness. Walked by hand:
+    //  arr 1  ts 00:10 → on-time W[00:00) ; arr 2  ts 02:30 → on-time
+    //  W[02:00), watermark → 02:30 closes W[00:00) ; arr 3  ts 00:20 →
+    //  LATE fire of W[00:00) (n=2 @ 02:30) ; arr 4  ts 04:30 → on-time
+    //  W[04:00), watermark → 04:30 ; arr 5  ts 00:30 → 04:30 ≥ 01:00+2h →
+    //  DROPPED ; arr 6  ts 02:45 → LATE fire of W[02:00) (n=2 @ 04:30)
+    Seq(
+      (1L, Timestamp.valueOf("2021-01-01 00:10:00"), 10L, 1.0, 1L),
+      (1L, Timestamp.valueOf("2021-01-01 02:30:00"), 11L, 5.0, 2L),
+      (1L, Timestamp.valueOf("2021-01-01 00:20:00"), 12L, 3.0, 3L),
+      (1L, Timestamp.valueOf("2021-01-01 04:30:00"), 13L, 2.0, 4L),
+      (1L, Timestamp.valueOf("2021-01-01 00:30:00"), 14L, 9.0, 5L),
+      (1L, Timestamp.valueOf("2021-01-01 02:45:00"), 15L, 7.0, 6L)
+    ).toDF("user_id", "ts", "event_id", "value", "arr")
+      .createOrReplaceTempView("lf_events")
+    s.conf.set(EmitStrategy.LateConf, "true")
+    s.conf.set(EmitStrategy.LatenessConf, "2 hours")
+    s.conf.set(EmitStrategy.ArrivalConf, "arr")
+    try {
+      val rows = s.sql(
+        """SELECT TUMBLE_START(ts, INTERVAL '1' HOUR) AS w_start, user_id,
+                  count(*) AS n, max(value) AS mx
+           FROM lf_events
+           GROUP BY TUMBLE(ts, INTERVAL '1' HOUR), user_id
+           ORDER BY w_start, fire_time, is_final""").collect()
+        .map(r => (r.getTimestamp(0).toString, r.getLong(2), r.getDouble(3),
+          r.getTimestamp(4).toString, r.getBoolean(5))).toList
+      assert(rows == List(
+        ("2021-01-01 00:00:00.0", 1L, 1.0, "2021-01-01 01:00:00.0", true), // on-time prefix final
+        ("2021-01-01 00:00:00.0", 2L, 3.0, "2021-01-01 02:30:00.0", false), // late fire (dropped 00:30 absent)
+        ("2021-01-01 02:00:00.0", 1L, 5.0, "2021-01-01 03:00:00.0", true),
+        ("2021-01-01 02:00:00.0", 2L, 7.0, "2021-01-01 04:30:00.0", false),
+        ("2021-01-01 04:00:00.0", 1L, 2.0, "2021-01-01 05:00:00.0", true)))
+    } finally {
+      s.conf.unset(EmitStrategy.LateConf)
+      s.conf.unset(EmitStrategy.LatenessConf)
+      s.conf.unset(EmitStrategy.ArrivalConf)
+    }
+  }
+
+  test("late-fire validations mirror the reference's WindowEmitStrategy checks") {
+    val s = spark
+    import s.implicits._
+    Seq((1L, Timestamp.valueOf("2021-01-01 00:10:00"), 10L, 1.0))
+      .toDF("user_id", "ts", "event_id", "value").createOrReplaceTempView("lv_events")
+    val tumble = """SELECT count(*) AS n FROM lv_events
+                    GROUP BY TUMBLE(ts, INTERVAL '1' HOUR)"""
+    s.conf.set(EmitStrategy.LateConf, "true")
+    try {
+      // lateness unset (reference: requires minIdleStateRetentionTime)
+      val e1 = intercept[IllegalArgumentException] { s.sql(tumble) }
+      assert(e1.getMessage.contains("allow-lateness"))
+      s.conf.set(EmitStrategy.LatenessConf, "2 hours")
+      // arrival order unset: the batch log has no notion of lateness without it
+      val e2 = intercept[IllegalArgumentException] { s.sql(tumble) }
+      assert(e2.getMessage.contains("arrival"))
+      // session windows reject EMIT late-fire (reference parity)
+      s.conf.set(EmitStrategy.ArrivalConf, "event_id")
+      val e3 = intercept[IllegalArgumentException] {
+        s.sql("""SELECT count(*) AS n FROM lv_events
+                 GROUP BY SESSION(ts, INTERVAL '10' MINUTE)""")
+      }
+      assert(e3.getMessage.contains("Session window"))
+      // early + late combined is out of the deterministic subset
+      s.conf.set(EmitStrategy.DelayConf, "10 minutes")
+      val e4 = intercept[IllegalArgumentException] { s.sql(tumble) }
+      assert(e4.getMessage.contains("combined"))
+    } finally {
+      s.conf.unset(EmitStrategy.LateConf)
+      s.conf.unset(EmitStrategy.LatenessConf)
+      s.conf.unset(EmitStrategy.ArrivalConf)
+      s.conf.unset(EmitStrategy.DelayConf)
+    }
+  }
 }
