@@ -1,0 +1,274 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+/** Differential fuzzing against DuckDB: N seeded random queries over the
+  * test tables, executed by Spark through the graft session and replayed
+  * verbatim by DuckDB via the driver's own comparison gate
+  * (`tools/check.py` — schema + rowcount + exact values). One seed, one
+  * query corpus, forever — a diff is a reproducible bug, not flake.
+  *
+  * The grammar is restricted to constructs whose results are deterministic
+  * AND bit-identical across engines:
+  *  - aggregates: count, min, max, integer sums (CAST ... AS BIGINT pins
+  *    DuckDB's hugeint), and sum over the integral-valued l_quantity —
+  *    no floating sums/avg, whose value depends on reduction order;
+  *  - ORDER BY ... LIMIT and row_number only over unique keys;
+  *  - rank/dense_rank and default-RANGE-frame windowed sums elsewhere
+  *    (peers aggregate together, so ties cannot reorder results);
+  *  - every computed column aliased (auto-generated names differ).
+  *
+  * DuckDB runs via the driver-side python tooling; when that is absent the
+  * suite cancels with the reason rather than silently passing.
+  */
+class DifferentialFuzzSpec extends SparkSpec {
+
+  private val N = 230
+
+  private def duckAvailable: Boolean =
+    try {
+      import scala.sys.process._
+      Seq("python3", "-c", "import duckdb, pyarrow, pandas").! == 0
+    } catch { case _: Throwable => false }
+
+  // ---- table metadata (domains read off the sf0.001 data once) -----------
+
+  private case class Tbl(
+      name: String,
+      intCols: Map[String, (Long, Long)], // col -> value range
+      uniqueKey: Option[String],
+      strCols: Map[String, Seq[String]],
+      dblCols: Map[String, Seq[String]], // col -> literal pool (as SQL text)
+      dateCol: Option[(String, Seq[String])]) // col -> timestamp literal pool
+
+  private val tables = Seq(
+    Tbl("lineitem",
+      Map("l_orderkey" -> (0L, 1499L), "l_partkey" -> (0L, 199L),
+        "l_suppkey" -> (0L, 9L), "l_linenumber" -> (1L, 7L)),
+      uniqueKey = None,
+      Map("l_returnflag" -> Seq("N", "A", "R"), "l_linestatus" -> Seq("O", "F")),
+      Map("l_quantity" -> Seq("10.0", "25.0", "40.0"),
+        "l_extendedprice" -> Seq("10000.0", "50000.0", "150000.0"),
+        "l_discount" -> Seq("0.02", "0.05", "0.08"),
+        "l_tax" -> Seq("0.03", "0.06")),
+      Some(("l_shipdate", Seq("1995-06-17", "1996-03-15", "1997-01-01",
+        "1998-09-02", "2000-05-20")))),
+    Tbl("orders",
+      Map("o_orderkey" -> (0L, 1499L), "o_custkey" -> (0L, 149L)),
+      uniqueKey = Some("o_orderkey"),
+      Map("o_orderstatus" -> Seq("O", "F", "P"),
+        "o_orderpriority" -> Seq("1-URGENT", "2-HIGH", "3-MEDIUM",
+          "4-NOT SPECIFIED", "5-LOW")),
+      Map("o_totalprice" -> Seq("50000.0", "150000.0", "300000.0")),
+      Some(("o_orderdate", Seq("1995-01-01", "1996-06-30", "1997-12-31")))),
+    Tbl("customer",
+      Map("c_custkey" -> (0L, 149L), "c_nationkey" -> (0L, 24L)),
+      uniqueKey = Some("c_custkey"),
+      Map("c_mktsegment" -> Seq("BUILDING", "AUTOMOBILE", "MACHINERY",
+        "HOUSEHOLD", "FURNITURE")),
+      Map("c_acctbal" -> Seq("0.0", "2500.0", "7500.0")),
+      None),
+    Tbl("events",
+      Map("event_id" -> (0L, 999L), "user_id" -> (0L, 14L)),
+      uniqueKey = Some("event_id"),
+      Map("event_type" -> Seq("click", "view", "purchase", "error", "signup")),
+      Map("value" -> Seq("10.0", "50.0", "90.0")),
+      Some(("ts", Seq("2024-01-05", "2024-01-15", "2024-01-25")))))
+
+  // ---- grammar ------------------------------------------------------------
+
+  private def pick[A](r: scala.util.Random, xs: Seq[A]): A = xs(r.nextInt(xs.size))
+
+  private def intLit(r: scala.util.Random, range: (Long, Long)): Long = {
+    val (lo, hi) = range
+    lo + (r.nextDouble() * (hi - lo + 1)).toLong
+  }
+
+  private def atom(r: scala.util.Random, t: Tbl): String = r.nextInt(6) match {
+    case 0 =>
+      val (c, rg) = pick(r, t.intCols.toSeq)
+      s"$c ${pick(r, Seq("<", "<=", ">", ">=", "=", "<>"))} ${intLit(r, rg)}"
+    case 1 =>
+      val (c, rg) = pick(r, t.intCols.toSeq)
+      val a = intLit(r, rg); val b = intLit(r, rg)
+      s"$c BETWEEN ${math.min(a, b)} AND ${math.max(a, b)}"
+    case 2 =>
+      val (c, rg) = pick(r, t.intCols.toSeq)
+      val vs = Seq.fill(2 + r.nextInt(3))(intLit(r, rg)).distinct
+      s"$c IN (${vs.mkString(", ")})"
+    case 3 =>
+      val (c, pool) = pick(r, t.strCols.toSeq)
+      if (r.nextBoolean()) s"$c = '${pick(r, pool)}'"
+      else s"$c IN (${r.shuffle(pool).take(1 + r.nextInt(2)).map(v => s"'$v'").mkString(", ")})"
+    case 4 =>
+      val (c, pool) = pick(r, t.dblCols.toSeq)
+      s"$c ${pick(r, Seq("<", ">", "<=", ">="))} ${pick(r, pool)}"
+    case 5 => t.dateCol match {
+      case Some((c, pool)) =>
+        s"$c ${pick(r, Seq("<", ">="))} TIMESTAMP '${pick(r, pool)} 00:00:00'"
+      case None => atom(r, t)
+    }
+  }
+
+  private def pred(r: scala.util.Random, t: Tbl): String = {
+    val n = 1 + r.nextInt(3)
+    Seq.fill(n)(atom(r, t)).mkString(if (r.nextBoolean()) " AND " else " OR ")
+  }
+
+  /** projected plain column set (always non-empty) */
+  private def cols(r: scala.util.Random, t: Tbl, max: Int = 4): Seq[String] = {
+    val all = (t.intCols.keys ++ t.strCols.keys ++ t.dblCols.keys ++
+      t.dateCol.map(_._1)).toSeq.sorted
+    r.shuffle(all).take(1 + r.nextInt(max)).sorted
+  }
+
+  private def aggList(r: scala.util.Random, t: Tbl): Seq[String] = {
+    val picks = Seq.newBuilder[String]
+    picks += "count(*) AS cnt"
+    if (r.nextBoolean()) {
+      val (c, _) = pick(r, t.intCols.toSeq)
+      picks += s"CAST(sum($c) AS BIGINT) AS s_$c"
+    }
+    if (r.nextBoolean()) {
+      val all = (t.intCols.keys ++ t.strCols.keys ++ t.dblCols.keys).toSeq.sorted
+      val c = pick(r, all)
+      picks += (if (r.nextBoolean()) s"min($c) AS mn_$c" else s"max($c) AS mx_$c")
+    }
+    if (t.name == "lineitem" && r.nextBoolean())
+      picks += "sum(l_quantity) AS sq" // integral-valued: order-independent
+    picks.result().distinct
+  }
+
+  private def qFilter(r: scala.util.Random, t: Tbl): String = {
+    val proj = cols(r, t)
+    val base = s"SELECT ${proj.mkString(", ")} FROM ${t.name} WHERE ${pred(r, t)}"
+    t.uniqueKey match {
+      case Some(k) if r.nextBoolean() =>
+        val p = if (proj.contains(k)) proj else proj :+ k
+        s"SELECT ${p.mkString(", ")} FROM ${t.name} WHERE ${pred(r, t)} " +
+          s"ORDER BY $k LIMIT ${5 + r.nextInt(40)}"
+      case _ => base
+    }
+  }
+
+  private def qAgg(r: scala.util.Random, t: Tbl): String = {
+    val gPool = (t.strCols.keys ++ t.intCols.keys).toSeq.sorted
+    val gs = r.shuffle(gPool).take(1 + r.nextInt(2)).sorted
+    val having = if (r.nextInt(3) == 0) s" HAVING count(*) > ${1 + r.nextInt(3)}" else ""
+    s"SELECT ${gs.mkString(", ")}, ${aggList(r, t).mkString(", ")} " +
+      s"FROM ${t.name} WHERE ${pred(r, t)} GROUP BY ${gs.mkString(", ")}$having"
+  }
+
+  private def qWindow(r: scala.util.Random, t: Tbl): String = {
+    val g = pick(r, (t.strCols.keys ++ t.intCols.keys).toSeq.sorted)
+    t.uniqueKey match {
+      case Some(k) if r.nextBoolean() =>
+        val p = Seq(k, g).distinct.mkString(", ")
+        if (r.nextBoolean())
+          s"SELECT $p, row_number() OVER (PARTITION BY $g ORDER BY $k) AS rn " +
+            s"FROM ${t.name} WHERE ${pred(r, t)}"
+        else {
+          val (ic, _) = pick(r, t.intCols.toSeq)
+          s"SELECT $p, lag($ic) OVER (PARTITION BY $g ORDER BY $k) AS lg " +
+            s"FROM ${t.name} WHERE ${pred(r, t)}"
+        }
+      case _ =>
+        val (oc, _) = pick(r, t.intCols.toSeq)
+        val (sc, _) = pick(r, t.intCols.toSeq)
+        val p = Seq(g, oc).distinct.mkString(", ")
+        pick(r, Seq(
+          // rank over ties is deterministic; default RANGE frame aggregates
+          // peers together so the running sum is tie-safe too
+          s"SELECT $p, ${pick(r, Seq("rank()", "dense_rank()"))} " +
+            s"OVER (PARTITION BY $g ORDER BY $oc) AS rk FROM ${t.name} WHERE ${pred(r, t)}",
+          s"SELECT $p, CAST(sum($sc) OVER (PARTITION BY $g ORDER BY $oc) AS BIGINT) AS ws " +
+            s"FROM ${t.name} WHERE ${pred(r, t)}"))
+    }
+  }
+
+  private def qJoin(r: scala.util.Random): String = r.nextInt(5) match {
+    case 0 =>
+      s"SELECT c_mktsegment, count(*) AS cnt, CAST(sum(o_orderkey) AS BIGINT) AS s " +
+        s"FROM orders JOIN customer ON o_custkey = c_custkey " +
+        s"WHERE ${pred(r, tables(1))} GROUP BY c_mktsegment"
+    case 1 =>
+      s"SELECT o_orderstatus, l_returnflag, count(*) AS cnt, max(l_quantity) AS mq " +
+        s"FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        s"WHERE ${pred(r, tables(0))} GROUP BY o_orderstatus, l_returnflag"
+    case 2 =>
+      s"SELECT c_custkey, count(o_orderkey) AS cnt " +
+        s"FROM customer LEFT JOIN orders ON o_custkey = c_custkey " +
+        s"WHERE ${pred(r, tables(2))} GROUP BY c_custkey"
+    case 3 =>
+      s"SELECT o_orderkey, o_custkey FROM orders " +
+        s"WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE ${pred(r, tables(2))})"
+    case 4 =>
+      s"SELECT o_orderkey FROM orders o WHERE NOT EXISTS " +
+        s"(SELECT 1 FROM lineitem WHERE l_orderkey = o.o_orderkey AND ${pred(r, tables(0))})"
+  }
+
+  private def qSetOp(r: scala.util.Random, t: Tbl): String = {
+    val proj = cols(r, t, max = 2)
+    val op = pick(r, Seq("UNION ALL", "UNION", "INTERSECT", "EXCEPT"))
+    s"SELECT ${proj.mkString(", ")} FROM ${t.name} WHERE ${pred(r, t)} " +
+      s"$op SELECT ${proj.mkString(", ")} FROM ${t.name} WHERE ${pred(r, t)}"
+  }
+
+  private def gen(r: scala.util.Random, i: Int): String = {
+    val t = pick(r, tables)
+    i % 10 match {
+      case 0 | 1 | 2 => qFilter(r, t)
+      case 3 | 4 | 5 => qAgg(r, t)
+      case 6 | 7 => qWindow(r, t)
+      case 8 => qJoin(r)
+      case 9 => qSetOp(r, t)
+    }
+  }
+
+  // ---- the gate -----------------------------------------------------------
+
+  test(s"$N seeded random queries produce identical results in Spark and DuckDB") {
+    assume(duckAvailable,
+      "python3 + duckdb (driver-side tooling) not on this machine")
+    val s = spark
+    Tables.registerAll(s, sf)
+    val r = new scala.util.Random(20260813L)
+    val queries = (0 until N).map(i => (f"fuzz_$i%03d", gen(r, i)))
+
+    val outDir = new java.io.File("target/fuzz_out")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
+      f.delete(): Unit
+    }
+    rm(outDir); outDir.mkdirs()
+
+    val sparkErrs = queries.flatMap { case (name, q) =>
+      try {
+        s.sql(q).coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        None
+      } catch { case e: Throwable => Some(s"$name: ${e.getMessage.take(200)}\n  $q") }
+    }
+    assert(sparkErrs.isEmpty,
+      s"${sparkErrs.size} queries failed on the Spark side:\n${sparkErrs.take(5).mkString("\n")}")
+
+    def esc(x: String): String = "\"" + x.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"),
+      queries.map { case (k, v) => s"${esc(k)}: ${esc(v)}" }.mkString("{", ",", "}"))
+
+    import scala.sys.process._
+    val buf = new StringBuilder
+    val code = Seq("python3", "tools/check.py", sf, outDir.getPath)
+      .!(ProcessLogger(l => buf.append(l).append('\n'), l => buf.append(l).append('\n')))
+    val fails = buf.toString.linesIterator.filter(_.startsWith("FAIL")).toList
+    assert(code == 0 && fails.isEmpty,
+      s"differential diffs vs DuckDB:\n${fails.take(10).mkString("\n")}\n" +
+        fails.take(3).map(f => queries.toMap.get(f.split(" ")(1).stripSuffix(":")).getOrElse(""))
+          .mkString("\n"))
+  }
+}
