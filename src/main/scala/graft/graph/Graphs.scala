@@ -29,8 +29,59 @@ object Graphs {
     * superstep; every algorithm in this module reads the SAME list, so it is
     * materialized once per (session, dir) — the library equivalent of a
     * session-scoped materialized view. Keyed on the session identity so a
-    * stale DataFrame from a stopped test session can never leak across. */
+    * stale DataFrame from a stopped test session can never leak across.
+    *
+    * Lifecycle: the first cache fill for a session registers a
+    * SparkListener whose onApplicationEnd evicts every entry of that
+    * session — in a long-lived JVM cycling sessions (test harnesses,
+    * notebook kernels) the persisted DataFrames would otherwise accumulate
+    * per session identity forever. */
   private val edgeCache = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  /** (undirected co-occurrence neighbors, per-vertex degree) per
+    * (session, dir) — shared by Jaccard / AdamicAdar / LocalClustering,
+    * which previously re-built and re-persisted it on every call. */
+  private val coCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (DataFrame, DataFrame)]()
+
+  private val hooked = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Drop every cached DataFrame belonging to `s` (unpersist is best-effort:
+    * during a stop the block store may already be gone — removing the map
+    * entries is what frees the references). Called by the stop listener;
+    * package-visible so the spec can exercise the eviction path directly. */
+  private[graph] def evictSession(s: SparkSession): Unit = {
+    val prefix = s"${System.identityHashCode(s)}:"
+    import scala.jdk.CollectionConverters._
+    edgeCache.keySet.asScala.filter(_.startsWith(prefix)).toList.foreach { k =>
+      Option(edgeCache.remove(k))
+        .foreach(df => scala.util.Try(df.unpersist(blocking = false)))
+    }
+    coCache.keySet.asScala.filter(_.startsWith(prefix)).toList.foreach { k =>
+      Option(coCache.remove(k)).foreach { case (und, _) =>
+        scala.util.Try(und.unpersist(blocking = false))
+      }
+    }
+    hooked.remove(prefix)
+  }
+
+  private[graph] def cachedEntryCount(s: SparkSession): Int = {
+    val prefix = s"${System.identityHashCode(s)}:"
+    import scala.jdk.CollectionConverters._
+    edgeCache.keySet.asScala.count(_.startsWith(prefix)) +
+      coCache.keySet.asScala.count(_.startsWith(prefix))
+  }
+
+  private def hookEviction(s: SparkSession): Unit = {
+    val prefix = s"${System.identityHashCode(s)}:"
+    if (hooked.add(prefix)) {
+      s.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onApplicationEnd(
+            e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
+          evictSession(s)
+      })
+    }
+  }
 
   /** Undirected bipartite edge list: customer ↔ supplier-of-their-order.
     *
@@ -42,7 +93,8 @@ object Graphs {
     * NO exchange at all: the only data movement left in a superstep is the
     * state-vector broadcast. (The alternative — keying the cache on the
     * *join* key — is worthless, since the join is a broadcast.) */
-  def edges(s: SparkSession, dir: String): DataFrame =
+  def edges(s: SparkSession, dir: String): DataFrame = {
+    hookEviction(s)
     edgeCache.computeIfAbsent(s"${System.identityHashCode(s)}:$dir", _ => {
       val e = Tables.load(s, dir, "orders")
         .join(Tables.load(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
@@ -52,6 +104,7 @@ object Graphs {
         .repartition(col("src"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     })
+  }
 
   /** Connected components by min-label propagation (Gelly
     * library/ConnectedComponents.java semantics: component id = min vertex
@@ -251,15 +304,20 @@ object Graphs {
     * similarity scores consume (Gelly generates the same pair stream from
     * grouped neighbor lists, JaccardIndex.java GenerateGroupPairs). */
   private def coNeighbors(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
-    val e = coEdges(s, dir)
-    // cached hash-partitioned on src: the z-centric pair join reads BOTH of
-    // its sides from this one layout (z = src on each), so neither side
-    // re-shuffles — and the degree aggregate reuses it too
-    val und = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
-      .repartition(col("src"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val deg = und.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-    (und, deg)
+    hookEviction(s)
+    coCache.computeIfAbsent(s"${System.identityHashCode(s)}:$dir", _ => {
+      val e = coEdges(s, dir)
+      // cached hash-partitioned on src: the z-centric pair join reads BOTH
+      // of its sides from this one layout (z = src on each), so neither side
+      // re-shuffles — and the degree aggregate reuses it too. Cached per
+      // (session, dir): Jaccard / AdamicAdar / LocalClustering all consume
+      // it, and rebuilding re-persisted a fresh copy on every call.
+      val und = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+        .repartition(col("src"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val deg = und.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      (und, deg)
+    })
   }
 
   /** Jaccard similarity (Gelly library/similarity/JaccardIndex.java:50-65 —

@@ -52,4 +52,24 @@ class GraphsSpec extends SparkSpec {
     val mean = rows.map(_.getDouble(1)).sum / rows.length
     assert(mean > 0.5 && mean < 1.5, s"mean scaled rank $mean out of range")
   }
+
+  test("session caches evict on session end and never survive eviction") {
+    val s = spark
+    // populate both caches (edges + coNeighbors via jaccard)
+    val e = Graphs.edges(s, sf)
+    e.count()
+    Graphs.jaccardIndex(s, sf).limit(1).collect()
+    assert(Graphs.cachedEntryCount(s) >= 2, "both caches should be populated")
+    assert(e.storageLevel != org.apache.spark.storage.StorageLevel.NONE)
+    // same path the registered onApplicationEnd listener runs at stop —
+    // exercised directly because stopping the suite-shared SparkContext
+    // would take down every later suite in this JVM
+    Graphs.evictSession(s)
+    assert(Graphs.cachedEntryCount(s) == 0, "eviction must clear the session's entries")
+    assert(e.storageLevel == org.apache.spark.storage.StorageLevel.NONE,
+      "evicted edge lists must be unpersisted")
+    // the cache refills (and re-hooks) cleanly after eviction
+    assert(Graphs.edges(s, sf).count() == e.count())
+    Graphs.evictSession(s)
+  }
 }
