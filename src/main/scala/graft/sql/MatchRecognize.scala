@@ -38,7 +38,8 @@ import graft.streaming.{Cep, KeyedRow}
   * reference, an unbounded/optional/ranged quantifier on the LAST pattern
   * variable is rejected (the NFA would have to hold a completed match open
   * forever waiting for one more row); {n} is fine anywhere.
-  * Still not supported: running measures over ALL ROWS PER MATCH.
+  * RUNNING/FINAL measures over ALL ROWS PER MATCH are supported
+  * (mr_running_measures + the per-position explode below).
   *
   * Implementation: each DEFINE predicate is compiled by Spark itself into a
   * boolean column (so the full scalar expression surface works), the row is
