@@ -197,13 +197,21 @@ object EmitStrategy {
   private def build(session: SparkSession, select: String, table: String, tsCol: String,
                     widthUs: Long, slideUs: Option[Long], extraGroups: String,
                     tail: String): DataFrame = {
-      if (lateEnabled(session)) {
+      val srcDf = session.table(table)
+      val late = lateEnabled(session)
+      if (late && !srcDf.isStreaming) {
+        // the BATCH late-fire log needs an explicit arrival order and can't
+        // also carry the early-fire construction — the streaming operator
+        // below supports both at once (arrival there is real arrival)
         require(enabled(session).isEmpty,
           s"combined early-fire + late-fire emission is not supported: unset $DelayConf or $LateConf")
         return buildLate(session, select, table, tsCol, widthUs, slideUs,
           extraGroups, tail)
       }
-      val delayUs = delayMicros(enabled(session).get)
+      // late-only streaming mode: a delay bucket that never advances means
+      // no early fires — the log is terminal + late fires, the reference's
+      // plain AFTER WATERMARK trigger
+      val delayUs = enabled(session).map(delayMicros).getOrElse(Long.MaxValue / 4)
       val groupCols = Option(extraGroups).map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
         .getOrElse(Nil)
       val (wsAlias, aggs) = parseSelect(select, groupCols)
@@ -211,15 +219,15 @@ object EmitStrategy {
       val tbOpt = try session.conf.getOption(TiebreakConf) catch { case _: Throwable => None }
       // a streaming source takes the stateful micro-batch operator — the SQL
       // dialect drives Structured Streaming; watermark close = terminal fire
-      val srcDf = session.table(table)
       if (srcDf.isStreaming) {
+        val latenessUs = if (late) latenessMicros(session) else 0L
         require(Option(tail).forall(_.trim.isEmpty),
           "streaming early-fire: ORDER BY is not supported on an unbounded result")
         return slideUs match {
           case None => StreamingEmit.tumble(session, srcDf, tsCol, widthUs,
-            delayUs, groupCols, aggs, wsAlias, tbOpt)
+            delayUs, groupCols, aggs, wsAlias, tbOpt, latenessUs)
           case Some(l) => StreamingEmit.hop(session, srcDf, tsCol, widthUs, l,
-            delayUs, groupCols, aggs, wsAlias, tbOpt)
+            delayUs, groupCols, aggs, wsAlias, tbOpt, latenessUs)
         }
       }
       val tiebreak = tbOpt.map(c => s", $c").getOrElse("")
@@ -280,13 +288,16 @@ object EmitStrategy {
     * running window aggregates — declarative, one shuffle on
     * (window, group), codegen throughout, same scale shape as the
     * early-fire log. */
-  private def buildLate(session: SparkSession, select: String, table: String,
-                        tsCol: String, widthUs: Long, slideUs: Option[Long],
-                        extraGroups: String, tail: String): DataFrame = {
-    val latenessUs = (try session.conf.getOption(LatenessConf) catch { case _: Throwable => None })
+  private def latenessMicros(session: SparkSession): Long =
+    (try session.conf.getOption(LatenessConf) catch { case _: Throwable => None })
       .map(delayMicros).filter(_ > 0).getOrElse(throw new IllegalArgumentException(
         s"the late-fire emit strategy requires a positive $LatenessConf " +
           "(the reference requires minIdleStateRetentionTime as allowed lateness)"))
+
+  private def buildLate(session: SparkSession, select: String, table: String,
+                        tsCol: String, widthUs: Long, slideUs: Option[Long],
+                        extraGroups: String, tail: String): DataFrame = {
+    val latenessUs = latenessMicros(session)
     val arr = (try session.conf.getOption(ArrivalConf) catch { case _: Throwable => None })
       .getOrElse(throw new IllegalArgumentException(
         s"late-fire needs $ArrivalConf: a SQL expression totally ordering rows by arrival"))

@@ -44,14 +44,17 @@ import org.apache.spark.sql.types._
 object StreamingEmit {
 
   /** Per-(group, window) accumulator. `pend*` buffer the one not-yet-proven
-    * early fire (flushed by the next row, absorbed by the terminal fire). */
+    * early fire (flushed by the next row, absorbed by the terminal fire);
+    * `terminalFired` marks a window past its is_final emission kept alive
+    * only for allowed-lateness late fires. */
   case class Accum(
       hasPrev: Boolean, prevBidx: Long,
       n: Long, cnt: Array[Long], sum: Array[Double],
       mn: Array[Double], mx: Array[Double],
       hasPending: Boolean, pendFireUs: Long, pendN: Long,
       pendCnt: Array[Long], pendSum: Array[Double],
-      pendMn: Array[Double], pendMx: Array[Double])
+      pendMn: Array[Double], pendMx: Array[Double],
+      terminalFired: Boolean = false)
 
   /** Timestamp from epoch micros WITHOUT millisecond truncation — session
     * starts/ends are raw event times with sub-ms precision (the batch log's
@@ -69,13 +72,19 @@ object StreamingEmit {
     hasPending = false, 0L, 0L,
     Array.fill(k)(0L), Array.fill(k)(0.0), Array.fill(k)(0.0), Array.fill(k)(0.0))
 
-  /** @param aggs (FN, arg, alias) triples from EmitStrategy.parseSelect */
+  /** @param aggs (FN, arg, alias) triples from EmitStrategy.parseSelect
+    * @param latenessUs allowed lateness (the reference's late-fire emit,
+    *   `withLateFirings(ElementTriggers.every())`): after the terminal fire
+    *   the window's state survives for this long past window end, and each
+    *   late row inside it joins the accumulate and re-fires immediately
+    *   (is_final = false, fire_time = the watermark that admitted it);
+    *   0 = terminal fire drops state at once (plain early-fire mode). */
   def tumble(session: SparkSession, src: DataFrame, tsCol: String,
              widthUs: Long, delayUs: Long, groupCols: Seq[String],
              aggs: Seq[(String, String, String)], wsAlias: String,
-             tiebreak: Option[String]): DataFrame =
+             tiebreak: Option[String], latenessUs: Long = 0L): DataFrame =
     windowed(session, src, tsCol, widthUs, None, delayUs, groupCols, aggs,
-      wsAlias, tiebreak)
+      wsAlias, tiebreak, latenessUs)
 
   /** Early-fire HOP on a stream: each row explodes into its size/slide
     * covering panes BEFORE the keyed stateful operator — exactly the shape
@@ -87,15 +96,15 @@ object StreamingEmit {
   def hop(session: SparkSession, src: DataFrame, tsCol: String,
           widthUs: Long, slideUs: Long, delayUs: Long, groupCols: Seq[String],
           aggs: Seq[(String, String, String)], wsAlias: String,
-          tiebreak: Option[String]): DataFrame =
+          tiebreak: Option[String], latenessUs: Long = 0L): DataFrame =
     windowed(session, src, tsCol, widthUs, Some(slideUs), delayUs, groupCols,
-      aggs, wsAlias, tiebreak)
+      aggs, wsAlias, tiebreak, latenessUs)
 
   private def windowed(session: SparkSession, src: DataFrame, tsCol: String,
                        widthUs: Long, slideUs: Option[Long], delayUs: Long,
                        groupCols: Seq[String],
                        aggs: Seq[(String, String, String)], wsAlias: String,
-                       tiebreak: Option[String]): DataFrame = {
+                       tiebreak: Option[String], latenessUs: Long): DataFrame = {
     require(src.isStreaming, "StreamingEmit.windowed expects a streaming source")
     val k = aggs.size
     val fns = aggs.map(_._1).toArray
@@ -120,11 +129,36 @@ object StreamingEmit {
         s"explode(sequence(($uts div ${l}L) * ${l}L - ${widthUs}L + ${l}L, " +
           s"($uts div ${l}L) * ${l}L, ${l}L))")
     }
-    // the original event-time attribute rides along unrenamed: its metadata
-    // carries the watermark tag the stateful operator's event-time timeout
-    // requires (projecting it away would strip the watermark)
-    val prepared = src.select(
-      col(tsCol),
+    // Without lateness the original event-time attribute rides along
+    // unrenamed: its watermark tag lets the engine's own late-row filter
+    // drop behind-watermark input (cheap, correct — a late row could only
+    // ever re-open a closed window). WITH lateness that filter would drop
+    // every late row before the function saw it, and Spark rejects both a
+    // second watermark downstream and an event-time timeout with no tagged
+    // input column. So the source's watermark node is REMOVED from the plan
+    // and replaced by one on a column shifted forward by lateness + width
+    // with an equal delay: the global watermark still equals the true max
+    // event time (shift and delay cancel), so getCurrentWatermarkMs and the
+    // event-time timeouts keep true-watermark semantics, while the engine
+    // filter now admits every row whose ts + lateness + width clears the
+    // watermark — a superset of the reference's window-end rule
+    // (wend ≤ ts + width), with the remainder dropped window-end-exactly by
+    // the operator's beyond-lateness branch (WindowOperator.isWindowLate).
+    val (srcForPrep, wmCol, wmDelay) =
+      if (latenessUs <= 0) (src, col(tsCol), None)
+      else {
+        import org.apache.spark.sql.catalyst.plans.logical.EventTimeWatermark
+        val shiftUs = latenessUs + widthUs
+        val stripped = org.apache.spark.sql.GraftSqlBridge.ofRows(session,
+          org.apache.spark.sql.GraftSqlBridge.logicalPlan(src).transformUp {
+            case e: EventTimeWatermark => e.child
+          })
+        (stripped,
+          expr(s"timestamp_micros($uts + ${shiftUs}L)").as("__wmguard"),
+          Some(s"${shiftUs / 1000} milliseconds"))
+      }
+    val preparedBase = srcForPrep.select(
+      wmCol,
       struct(groupCols.map(col): _*).as("__g"),
       wsExpr.as("__ws"),
       expr(uts).as("__uts"),
@@ -132,6 +166,10 @@ object StreamingEmit {
       tiebreak.map(c => col(c).cast("double")).getOrElse(lit(0.0)).as("__tb"),
       vals.as("__vals"),
       nulls.as("__nulls"))
+    val prepared = wmDelay match {
+      case None => preparedBase
+      case Some(d) => preparedBase.withWatermark("__wmguard", d)
+    }
 
     val gStruct = prepared.schema("__g").dataType.asInstanceOf[StructType]
     val keySchema = StructType(Seq(
@@ -164,27 +202,76 @@ object StreamingEmit {
           (tsOf(ws) +: gRow.toSeq) ++ vs ++ Seq(tsOf(fireUs), isFinal))
 
       if (state.hasTimedOut) {
-        // terminal fire: watermark passed window end — the pending early
-        // fire (if any) came from the window's last row and is absorbed
         val a = state.get
-        val out = row(wEndUs, isFinal = true,
-          outputs(a, a.cnt, a.sum, a.mn, a.mx, a.n))
-        state.remove()
-        Iterator.single(out)
-      } else if (wEndUs / 1000 <= state.getCurrentWatermarkMs) {
-        // late rows for a window the watermark already closed are dropped —
-        // rebuilding state from zero would emit a SECOND is_final row with
-        // partial aggregates; the reference drops late events instead. If
-        // the open-window state survived to here (late data arrived in the
-        // very batch the watermark crossed window end, and a data invocation
-        // suppresses the timeout invocation for the key), the terminal fire
-        // happens now, exactly once.
-        if (state.exists) {
-          val a = state.get
+        if (a.terminalFired) {
+          // allowed lateness expired: silent state cleanup
           state.remove()
-          Iterator.single(row(wEndUs, isFinal = true,
-            outputs(a, a.cnt, a.sum, a.mn, a.mx, a.n)))
-        } else Iterator.empty
+          Iterator.empty
+        } else {
+          // terminal fire: watermark passed window end — the pending early
+          // fire (if any) came from the window's last row and is absorbed.
+          // With allowed lateness the state survives for late fires and a
+          // second timeout reclaims it; without, it drops now.
+          val out = row(wEndUs, isFinal = true,
+            outputs(a, a.cnt, a.sum, a.mn, a.mx, a.n))
+          if (latenessUs > 0) {
+            state.update(a.copy(terminalFired = true, hasPending = false))
+            state.setTimeoutTimestamp(math.max((wEndUs + latenessUs) / 1000 - 1,
+              state.getCurrentWatermarkMs + 1))
+          } else state.remove()
+          Iterator.single(out)
+        }
+      } else if (wEndUs / 1000 <= state.getCurrentWatermarkMs) {
+        // the watermark already closed this window. The terminal fires here
+        // exactly once if its state survived (late data arrived in the very
+        // batch the watermark crossed window end — a data invocation
+        // suppresses the timeout invocation for the key). Then: rows inside
+        // the allowed lateness each join the accumulate and re-fire
+        // (the reference's delay-0 late trigger); rows beyond it drop — a
+        // closed window never re-opens from zero, so no second is_final
+        // with partial aggregates can ever appear.
+        val wm = state.getCurrentWatermarkMs
+        val fired = Seq.newBuilder[Row]
+        var a = state.getOption.getOrElse(zero(k))
+        if (state.exists && !a.terminalFired) {
+          fired += row(wEndUs, isFinal = true,
+            outputs(a, a.cnt, a.sum, a.mn, a.mx, a.n))
+          a = a.copy(terminalFired = true, hasPending = false)
+        }
+        if (latenessUs > 0 && (wEndUs + latenessUs) / 1000 > wm) {
+          // a window whose rows ALL arrive late never had a trigger at
+          // close: no is_final, the first late element fires immediately
+          // (zero-state path, terminalFired set without emission)
+          a = a.copy(terminalFired = true)
+          val sorted = it.toArray.sortBy(r => (r.getLong(3), r.getDouble(5)))
+          sorted.foreach { r =>
+            val vs = r.getSeq[Double](6)
+            val nl = r.getSeq[Boolean](7)
+            val cnt = a.cnt.clone(); val sum = a.sum.clone()
+            val mn = a.mn.clone(); val mx = a.mx.clone()
+            var i = 0
+            while (i < k) {
+              if (!nl(i)) {
+                val v = vs(i)
+                cnt(i) += 1; sum(i) += v
+                if (v < mn(i)) mn(i) = v
+                if (v > mx(i)) mx(i) = v
+              }
+              i += 1
+            }
+            a = a.copy(n = a.n + 1, cnt = cnt, sum = sum, mn = mn, mx = mx)
+            fired += row(wm * 1000, isFinal = false,
+              outputs(a, a.cnt, a.sum, a.mn, a.mx, a.n))
+          }
+          state.update(a)
+          state.setTimeoutTimestamp(
+            math.max((wEndUs + latenessUs) / 1000 - 1, wm + 1))
+        } else {
+          // beyond the allowed lateness (or none): drop the rows and any
+          // surviving state
+          if (state.exists) state.remove()
+        }
+        fired.result().iterator
       } else {
         var a = state.getOption.getOrElse(zero(k))
         val fired = Seq.newBuilder[Row]

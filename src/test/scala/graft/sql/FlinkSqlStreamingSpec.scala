@@ -214,6 +214,108 @@ class FlinkSqlStreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming late-fire: late rows re-fire the closed window inside the allowed lateness") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val in = MemoryStream[Ev]
+    in.toDF().withWatermark("ts", "0 seconds").createOrReplaceTempView("flf_events")
+    s.conf.set(EmitStrategy.LateConf, "true")
+    s.conf.set(EmitStrategy.LatenessConf, "60 seconds")
+    try {
+      val out = s.sql(
+        """SELECT TUMBLE_START(ts, INTERVAL '30' SECOND) AS w_start, user_id,
+                  count(*) AS n, max(value) AS mx
+           FROM flf_events
+           GROUP BY TUMBLE(ts, INTERVAL '30' SECOND), user_id""")
+      assert(out.isStreaming)
+      val q = out.writeStream.format("memory").queryName("flf_emit")
+        .outputMode("append").start()
+      in.addData(Ev(t(5), 1, 1, 2.0), Ev(t(25), 1, 2, 3.0))
+      q.processAllAvailable()
+      in.addData(Ev(t(40), 1, 3, 5.0)) // watermark → 40 s: closes [0,30)
+      q.processAllAvailable()
+      // two late rows inside the 60 s lateness, separate batches: each must
+      // join the accumulate and fire immediately (admitting watermark 40 s)
+      in.addData(Ev(t(10), 1, 4, 100.0))
+      q.processAllAvailable()
+      in.addData(Ev(t(12), 1, 5, 7.0))
+      q.processAllAvailable()
+      in.addData(Ev(t(200), 9, 99, 0.0)) // watermark 200 s: lateness [0,90) expired
+      q.processAllAvailable()
+      in.addData(Ev(t(20), 1, 6, 999.0)) // beyond lateness: dropped silently
+      q.processAllAvailable()
+      in.addData(Ev(t(300), 9, 98, 0.0))
+      q.processAllAvailable()
+
+      val w0 = s.sql(
+        """SELECT n, mx, CAST(fire_time AS STRING) AS ft, is_final FROM flf_emit
+           WHERE user_id = 1 AND w_start = TIMESTAMP '1970-01-01 00:00:00'
+           ORDER BY n""").collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getString(2), r.getBoolean(3))).toList
+      assert(w0 == List(
+        (2L, 3.0, "1970-01-01 00:00:30", true), // terminal over on-time rows
+        (3L, 100.0, "1970-01-01 00:00:40", false), // late fire @ admitting watermark
+        (4L, 100.0, "1970-01-01 00:00:40", false)), // second late fire; 999.0 dropped
+        s"got $w0")
+      // window [30,60) is untouched by the late traffic
+      val w30 = s.table("flf_emit")
+        .filter(col("user_id") === 1 && col("w_start") === expr("TIMESTAMP '1970-01-01 00:00:30'"))
+        .collect()
+      assert(w30.length == 1 && w30.head.getAs[Long]("n") == 1
+        && w30.head.getAs[Boolean]("is_final"))
+    } finally {
+      s.conf.unset(EmitStrategy.LateConf)
+      s.conf.unset(EmitStrategy.LatenessConf)
+      s.streams.active.filter(_.name == "flf_emit").foreach(_.stop())
+    }
+  }
+
+  test("streaming combined early-fire + late-fire: the full reference trigger") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val in = MemoryStream[Ev]
+    in.toDF().withWatermark("ts", "0 seconds").createOrReplaceTempView("fcl_events")
+    s.conf.set(EmitStrategy.DelayConf, "10 seconds")
+    s.conf.set(EmitStrategy.TiebreakConf, "event_id")
+    s.conf.set(EmitStrategy.LateConf, "true")
+    s.conf.set(EmitStrategy.LatenessConf, "120 seconds")
+    try {
+      val q = s.sql(
+        """SELECT TUMBLE_START(ts, INTERVAL '30' SECOND) AS w_start, user_id,
+                  count(*) AS n, max(value) AS mx
+           FROM fcl_events
+           GROUP BY TUMBLE(ts, INTERVAL '30' SECOND), user_id""")
+        .writeStream.format("memory").queryName("fcl_emit")
+        .outputMode("append").start()
+      // t=12 crosses the 10 s bucket (early fire n=2 buffered, flushed by
+      // t=25); terminal at close absorbs t=25's own crossing
+      in.addData(Ev(t(1), 1, 1, 2.0), Ev(t(12), 1, 2, 3.0), Ev(t(25), 1, 3, 5.0))
+      q.processAllAvailable()
+      in.addData(Ev(t(100), 9, 99, 0.0)) // close [0,30); lateness runs to 150 s
+      q.processAllAvailable()
+      in.addData(Ev(t(7), 1, 4, 50.0)) // late fire at watermark 100 s
+      q.processAllAvailable()
+
+      val rows = s.sql(
+        """SELECT n, CAST(mx AS DOUBLE) AS mx, CAST(fire_time AS STRING) AS ft, is_final
+           FROM fcl_emit WHERE user_id = 1 ORDER BY n""").collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getString(2), r.getBoolean(3))).toList
+      assert(rows == List(
+        (2L, 3.0, "1970-01-01 00:00:20", false), // early fire
+        (3L, 5.0, "1970-01-01 00:00:30", true), // terminal
+        (4L, 50.0, "1970-01-01 00:01:40", false)), // late fire
+        s"got $rows")
+    } finally {
+      s.conf.unset(EmitStrategy.DelayConf)
+      s.conf.unset(EmitStrategy.TiebreakConf)
+      s.conf.unset(EmitStrategy.LateConf)
+      s.conf.unset(EmitStrategy.LatenessConf)
+      s.streams.active.filter(_.name == "fcl_emit").foreach(_.stop())
+    }
+  }
+
   test("early-fire HOP over a streaming view emits the batch emission log across micro-batches") {
     val s = spark
     import s.implicits._
