@@ -123,13 +123,57 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  // PII patterns kept to the Java∩RE2 common regex subset (character
+  // classes, bounded repeats, \b, \d — no lookaround) so the DuckDB oracle
+  // runs the IDENTICAL patterns. Redaction order matters: URLs first (their
+  // paths contain digits), then emails, IPs, phone numbers.
+  private val UrlRe = "https?://[^ ]+"
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  private val PhoneRe = "\\+\\d{1,3} \\d{3}-\\d{4}"
+
+  /** PII redaction + URL stripping — the scrub pass every training-data
+    * pipeline runs before tokenization. The synthetic corpus carries no
+    * PII, so the query deterministically INJECTS one URL/email/IP/phone
+    * per document (a pure function of doc_id, reproduced verbatim by the
+    * oracle) and then redacts: counts per category from the pre-redaction
+    * text, plus the fully scrubbed string. Pure per-row projection —
+    * regexp_replace/regexp_count are codegen'd, one WholeStageCodegen span
+    * over the scan, no shuffle but the presentation sort. */
+  private def piiRedact(s: SparkSession, dir: String): DataFrame = {
+    val injected = concat(
+      col("text"),
+      lit(" see https://ex.example/p/"), col("doc_id").cast("string"),
+      lit(" mail user"), col("doc_id").cast("string"), lit("@mail.example.com"),
+      lit(" host 192.168."), (col("doc_id") % 256).cast("string"),
+      lit("."), ((col("doc_id") * 7) % 256).cast("string"),
+      lit(" call +1 555-"), (col("doc_id") % 9000 + 1000).cast("string"))
+    Tables.load(s, dir, "documents")
+      .withColumn("t2", injected)
+      .select(
+        col("doc_id"),
+        regexp_count(col("t2"), lit(UrlRe)).as("n_urls"),
+        regexp_count(col("t2"), lit(EmailRe)).as("n_emails"),
+        regexp_count(col("t2"), lit(Ipv4Re)).as("n_ips"),
+        regexp_count(col("t2"), lit(PhoneRe)).as("n_phones"),
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(col("t2"), UrlRe, "<URL>"),
+              EmailRe, "<EMAIL>"),
+            Ipv4Re, "<IP>"),
+          PhoneRe, "<PHONE>").as("redacted"))
+      .orderBy(col("doc_id"))
+  }
+
   def queries: Map[String, QFn] = Map(
     "text_token_count" -> (tokenCount _),
     "text_quality" -> (quality _),
     "text_langid" -> (langId _),
     "text_fingerprint" -> (fingerprint _),
     "text_tfidf" -> (tfidf _),
-    "text_decontaminate" -> (decontaminate _)
+    "text_decontaminate" -> (decontaminate _),
+    "text_pii_redact" -> (piiRedact _)
   )
 
   private val tokensSql = "string_split(trim(text), ' ')"
@@ -198,6 +242,25 @@ object TextAnalysis {
           FROM g JOIN bench USING (g)
           WHERE source <> 'src0'
           GROUP BY doc_id
-          ORDER BY doc_id"""
+          ORDER BY doc_id""",
+    "text_pii_redact" ->
+      s"""WITH t AS (SELECT doc_id,
+            concat(text, ' see https://ex.example/p/', CAST(doc_id AS VARCHAR),
+                   ' mail user', CAST(doc_id AS VARCHAR), '@mail.example.com',
+                   ' host 192.168.', CAST(doc_id % 256 AS VARCHAR),
+                   '.', CAST((doc_id * 7) % 256 AS VARCHAR),
+                   ' call +1 555-', CAST(doc_id % 9000 + 1000 AS VARCHAR)) AS t2
+          FROM documents)
+          SELECT doc_id,
+            CAST(len(regexp_extract_all(t2, '$UrlRe')) AS INT) AS n_urls,
+            CAST(len(regexp_extract_all(t2, '$EmailRe')) AS INT) AS n_emails,
+            CAST(len(regexp_extract_all(t2, '$Ipv4Re')) AS INT) AS n_ips,
+            CAST(len(regexp_extract_all(t2, '$PhoneRe')) AS INT) AS n_phones,
+            regexp_replace(regexp_replace(regexp_replace(regexp_replace(t2,
+              '$UrlRe', '<URL>', 'g'),
+              '$EmailRe', '<EMAIL>', 'g'),
+              '$Ipv4Re', '<IP>', 'g'),
+              '$PhoneRe', '<PHONE>', 'g') AS redacted
+          FROM t ORDER BY doc_id"""
   )
 }
