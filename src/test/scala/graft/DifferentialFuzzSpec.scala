@@ -23,7 +23,7 @@ import java.nio.file.{Files, Paths}
   */
 class DifferentialFuzzSpec extends SparkSpec {
 
-  private val N = 230
+  private val N = 300
 
   private def duckAvailable: Boolean =
     try {
@@ -207,6 +207,47 @@ class DifferentialFuzzSpec extends SparkSpec {
         s"(SELECT 1 FROM lineitem WHERE l_orderkey = o.o_orderkey AND ${pred(r, tables(0))})"
   }
 
+  /** expression-heavy projections: CASE WHEN buckets, string functions,
+    * date parts, integer arithmetic — every computed column aliased */
+  private def qExpr(r: scala.util.Random, t: Tbl): String = {
+    val (ic, rg) = pick(r, t.intCols.toSeq)
+    val (sc, _) = pick(r, t.strCols.toSeq)
+    val items = Seq.newBuilder[String]
+    items += ic
+    items += s"CASE WHEN $ic < ${intLit(r, rg)} THEN 'lo' ELSE 'hi' END AS bucket"
+    items += pick(r, Seq(
+      s"upper($sc) AS u_$sc", s"lower($sc) AS l_$sc",
+      s"length($sc) AS len_$sc", s"substr($sc, 1, 3) AS pre_$sc"))
+    t.dateCol.foreach { case (dc, _) =>
+      if (r.nextBoolean())
+        items += pick(r, Seq(s"year($dc) AS y", s"month($dc) AS m"))
+    }
+    items += s"$ic % ${2 + r.nextInt(9)} AS m_$ic"
+    s"SELECT ${items.result().mkString(", ")} FROM ${t.name} WHERE ${pred(r, t)}"
+  }
+
+  /** grouped by derived keys with distinct counting */
+  private def qGroupExpr(r: scala.util.Random, t: Tbl): String = {
+    val (ic, _) = pick(r, t.intCols.toSeq)
+    val (sc, _) = pick(r, t.strCols.toSeq)
+    val g = t.dateCol match {
+      case Some((dc, _)) if r.nextBoolean() => s"year($dc)"
+      case _ => s"$ic % ${2 + r.nextInt(5)}"
+    }
+    s"SELECT $g AS gk, $sc, count(*) AS cnt, count(DISTINCT $ic) AS cd " +
+      s"FROM ${t.name} WHERE ${pred(r, t)} GROUP BY $g, $sc"
+  }
+
+  /** scalar subquery in the predicate (exact min/max only — never a
+    * floating aggregate, whose value is reduction-order dependent) */
+  private def qScalarSub(r: scala.util.Random, t: Tbl): String = {
+    val (c, _) = pick(r, t.intCols.toSeq)
+    val agg = pick(r, Seq("min", "max"))
+    val proj = cols(r, t, max = 2)
+    s"SELECT ${proj.mkString(", ")} FROM ${t.name} " +
+      s"WHERE $c >= (SELECT $agg($c) FROM ${t.name} WHERE ${pred(r, t)})"
+  }
+
   private def qSetOp(r: scala.util.Random, t: Tbl): String = {
     val proj = cols(r, t, max = 2)
     val op = pick(r, Seq("UNION ALL", "UNION", "INTERSECT", "EXCEPT"))
@@ -216,12 +257,15 @@ class DifferentialFuzzSpec extends SparkSpec {
 
   private def gen(r: scala.util.Random, i: Int): String = {
     val t = pick(r, tables)
-    i % 10 match {
+    i % 13 match {
       case 0 | 1 | 2 => qFilter(r, t)
       case 3 | 4 | 5 => qAgg(r, t)
       case 6 | 7 => qWindow(r, t)
       case 8 => qJoin(r)
       case 9 => qSetOp(r, t)
+      case 10 => qExpr(r, t)
+      case 11 => qGroupExpr(r, t)
+      case 12 => qScalarSub(r, t)
     }
   }
 
