@@ -327,17 +327,43 @@ object EmitStrategy {
           s"(__uts div ${l}L) * ${l}L, ${l}L)) AS __ws"
     }
     val gList = if (groupCols.isEmpty) "" else ", " + groupCols.mkString(", ")
+    // The running-max watermark over GLOBAL arrival order would naively be
+    // a single-partition window — a scale-killer. Instead: bucket the
+    // arrival domain with an order-preserving affine map (any monotone
+    // bucketing is correct — boundaries never affect the result), compute
+    // the running max WITHIN each bucket in parallel, and carry the
+    // cross-bucket prefix max through a window over the ~256-row distinct
+    // bucket summary (trivially small at any scale, broadcast back). The
+    // big windows all hash-partition on __bk.
     session.sql(
-      s"""WITH kept AS (
+      s"""WITH base AS (SELECT *, $uts AS __uts, ($arr) AS __arr FROM $table),
+          ext AS (SELECT CAST(min(__arr) AS DOUBLE) AS __lo,
+                         CAST(max(__arr) AS DOUBLE) AS __hi FROM base),
+          bkt AS (SELECT base.*,
+                    CAST(floor((CAST(__arr AS DOUBLE) - __lo) * 256.0
+                         / (__hi - __lo + 1.0)) AS BIGINT) AS __bk
+                  FROM base CROSS JOIN ext),
+          runm AS (SELECT *,
+                     max(__uts) OVER (PARTITION BY __bk ORDER BY __arr
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS __wmb_in,
+                     max(__uts) OVER (PARTITION BY __bk) AS __bmax
+                   FROM bkt),
+          pref AS (SELECT __bk,
+                     max(__bmax) OVER (ORDER BY __bk
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS __wmb_prev
+                   FROM (SELECT DISTINCT __bk, __bmax FROM runm)),
+          kept AS (
             SELECT * FROM (
               SELECT *, CASE WHEN __wmb IS NULL OR __wmb < __ws + ${widthUs}L THEN 0
                              WHEN __wmb >= __ws + ${widthUs}L + ${latenessUs}L THEN 2
                              ELSE 1 END AS __cls
               FROM (
                 SELECT *, $wsExpr FROM (
-                  SELECT *, max(__uts) OVER (ORDER BY __arr
-                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS __wmb
-                  FROM (SELECT *, $uts AS __uts, ($arr) AS __arr FROM $table)
+                  SELECT runm.*, CASE WHEN __wmb_in IS NULL THEN __wmb_prev
+                                      WHEN __wmb_prev IS NULL THEN __wmb_in
+                                      ELSE greatest(__wmb_in, __wmb_prev)
+                                 END AS __wmb
+                  FROM runm JOIN pref USING (__bk)
                 )
               )
             ) WHERE __cls <> 2),

@@ -154,6 +154,36 @@ class EmitStrategySpec extends SparkSpec {
     }
   }
 
+  test("late-fire plan: the running-max watermark is bucket-parallel, never one global window") {
+    val s = spark
+    import s.implicits._
+    Seq((1L, Timestamp.valueOf("2021-01-01 00:10:00"), 10L, 1.0, 1L))
+      .toDF("user_id", "ts", "event_id", "value", "arr")
+      .createOrReplaceTempView("lp_events")
+    s.conf.set(EmitStrategy.LateConf, "true")
+    s.conf.set(EmitStrategy.LatenessConf, "2 hours")
+    s.conf.set(EmitStrategy.ArrivalConf, "arr")
+    try {
+      val plan = s.sql(
+        """SELECT TUMBLE_START(ts, INTERVAL '1' HOUR) AS w_start, user_id,
+                  count(*) AS n FROM lp_events
+           GROUP BY TUMBLE(ts, INTERVAL '1' HOUR), user_id""")
+        .queryExecution.executedPlan.toString
+      // the per-row running max must hash-partition on the arrival bucket
+      // (a global ORDER BY window would collapse 100 TB onto one task);
+      // only the ~256-row bucket-summary prefix pass may be unpartitioned
+      assert("hashpartitioning\\(__bk".r.findAllIn(plan).length >= 2,
+        s"watermark windows must partition on the arrival bucket:\n${plan.take(1500)}")
+      assert(!plan.linesIterator.exists(l =>
+        l.contains("windowspecdefinition(__arr") && !l.contains("__bk")),
+        "no window over global arrival order without the bucket partition")
+    } finally {
+      s.conf.unset(EmitStrategy.LateConf)
+      s.conf.unset(EmitStrategy.LatenessConf)
+      s.conf.unset(EmitStrategy.ArrivalConf)
+    }
+  }
+
   test("late-fire validations mirror the reference's WindowEmitStrategy checks") {
     val s = spark
     import s.implicits._
