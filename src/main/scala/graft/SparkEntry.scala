@@ -22,6 +22,7 @@ object SparkEntry {
     (operators.TimeOps.queries, operators.TimeOps.oracles),
     (operators.UdfSurface.queries, operators.UdfSurface.oracles),
     (operators.LookupJoin.queries, operators.LookupJoin.oracles),
+    (operators.Partitioning.queries, operators.Partitioning.oracles),
     (sources.Formats.queries, sources.Formats.oracles),
     (plans.AsOf.queries, plans.AsOf.oracles),
     (sql.FlinkSqlQueries.queries, sql.FlinkSqlQueries.oracles),

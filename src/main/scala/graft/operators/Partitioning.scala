@@ -1,7 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.functions.broadcast
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
 
 /** The DataStream physical-partitioning verbs (DataStream.java:377-460:
   * keyBy, broadcast, shuffle/rebalance, rescale, global, forward,
@@ -61,4 +62,72 @@ object Partitioning {
     df.repartition(parallelism, expr)
 
   def forward(df: DataFrame): DataFrame = df
+
+  // ---- manual skew mitigation (salting) -----------------------------------
+  //
+  // AQE's skew-join handles the shuffle-join case at runtime; salting is
+  // the manual scale path for what AQE can't reach — a skewed AGGREGATION
+  // key, or a join where neither side broadcasts. The salt is a
+  // DETERMINISTIC function of a unique column (pmod(xxhash64(id), S)), so
+  // runs are reproducible and the oracle is simply the unsalted query.
+
+  /** Two-stage salted aggregation: partial aggregate on (key, salt) — the
+    * hot key fans out over S reducers — then the tiny (key, salt) partials
+    * re-aggregate on key alone. Decimal sums keep the result independent
+    * of how the partials split. */
+  def saltedAggregate(df: DataFrame, keyCol: String, uniqueCol: String,
+                      valueCol: String, salts: Int): DataFrame =
+    df.withColumn("__salt", pmod(xxhash64(col(uniqueCol)), lit(salts)))
+      .groupBy(col(keyCol), col("__salt"))
+      .agg(count(lit(1)).as("__n"),
+        sum(col(valueCol).cast("decimal(18,2)")).as("__s"))
+      .groupBy(col(keyCol))
+      .agg(sum(col("__n")).as("n_rows"),
+        sum(col("__s")).cast("decimal(18,2)").as("total"))
+
+  /** Salted shuffle join: the fact side salts on a unique column; the
+    * (small, but not broadcastable-by-assumption) dim side replicates S
+    * ways via one explode. Equal join keys meet because the dim carries
+    * every salt; the hot key's rows spread over S partitions. */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, factKey: String,
+                 dimKey: String, factUnique: String, salts: Int): DataFrame = {
+    val saltedFact = fact.withColumn("__salt",
+      pmod(xxhash64(col(factUnique)), lit(salts)))
+    val repDim = dim.withColumn("__salt",
+      explode(sequence(lit(0L), lit(salts - 1L))))
+    saltedFact.join(repDim,
+      saltedFact(factKey) === repDim(dimKey) && saltedFact("__salt") === repDim("__salt"))
+  }
+
+  type QFn = (SparkSession, String) => DataFrame
+
+  def queries: Map[String, QFn] = Map(
+    "skew_salted_agg" -> ((s, dir) => {
+      saltedAggregate(Tables.load(s, dir, "events"), "user_id", "event_id",
+        "value", salts = 8)
+        .select(col("user_id"), col("n_rows"),
+          col("total").cast("double").as("total"))
+        .orderBy(col("user_id"))
+    }),
+    "skew_salted_join" -> ((s, dir) => {
+      saltedJoin(Tables.load(s, dir, "orders"), Tables.load(s, dir, "customer"),
+        "o_custkey", "c_custkey", "o_orderkey", salts = 8)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_orderkey")).cast("long").as("s"))
+        .orderBy(col("c_mktsegment"))
+    }))
+
+  /** Oracles are the UNSALTED queries — salting must be invisible in the
+    * result. */
+  def oracles: Map[String, String] = Map(
+    "skew_salted_agg" ->
+      """SELECT user_id, count(*) AS n_rows,
+                CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+         FROM events GROUP BY user_id ORDER BY user_id""",
+    "skew_salted_join" ->
+      """SELECT c_mktsegment, count(*) AS n,
+                CAST(sum(o_orderkey) AS BIGINT) AS s
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY c_mktsegment ORDER BY c_mktsegment""")
 }

@@ -60,6 +60,28 @@ class PartitioningSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"))
   }
 
+  test("salting: hot keys fan out over the salt, results equal the unsalted query") {
+    val s = spark
+    import s.implicits._
+    val events = graft.Tables.load(s, sf, "events")
+    val salted = Partitioning.saltedAggregate(events, "user_id", "event_id", "value", 8)
+    // stage 1 must shuffle on (key, salt) — that IS the skew fix
+    assert(planOf(salted).contains("hashpartitioning(user_id") &&
+      planOf(salted).contains("__salt"),
+      "partial aggregate must hash on (key, salt)")
+    val plain = events.groupBy($"user_id")
+      .agg(count(lit(1)).as("n_rows"),
+        sum($"value".cast("decimal(18,2)")).cast("decimal(18,2)").as("total"))
+    assert(salted.select("user_id", "n_rows", "total").collect().toSet
+      == plain.collect().toSet)
+
+    val o = orders
+    val c = graft.Tables.load(s, sf, "customer")
+    val j = Partitioning.saltedJoin(o, c, "o_custkey", "c_custkey", "o_orderkey", 8)
+    assert(j.count() == o.join(c, o("o_custkey") === c("c_custkey")).count(),
+      "salting must not change the join cardinality")
+  }
+
   test("all verbs preserve the row multiset") {
     val n = orders.count()
     assert(Partitioning.keyBy(orders, col("o_custkey")).count() == n)
