@@ -214,6 +214,43 @@ class FlinkSqlStreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming emission plans: one exchange into the keyed stateful operator, nothing more") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val in = MemoryStream[Ev]
+    in.toDF().withWatermark("ts", "0 seconds").createOrReplaceTempView("fsp_events")
+    s.conf.set(EmitStrategy.DelayConf, "10 seconds")
+    try {
+      for ((win, name) <- Seq(
+        ("TUMBLE(ts, INTERVAL '30' SECOND)", "tumble"),
+        ("HOP(ts, INTERVAL '15' SECOND, INTERVAL '30' SECOND)", "hop"),
+        ("SESSION(ts, INTERVAL '20' SECOND)", "session"))) {
+        val q = s.sql(
+          s"""SELECT user_id, count(*) AS n FROM fsp_events
+              GROUP BY $win, user_id""")
+        // count exchanges in the analyzed streaming plan: the groupByKey
+        // hash repartition must be the ONLY data movement — per-key state
+        // is O(#aggs), emission is watermark-driven, no second shuffle,
+        // no driver loop (the 100 TB shape)
+        val q2 = q.writeStream.format("memory")
+          .queryName(s"fsp_$name").outputMode("append").start()
+        try {
+          in.addData(Ev(t(1), 1, 1, 1.0))
+          q2.processAllAvailable()
+          val plan = q2
+            .asInstanceOf[org.apache.spark.sql.execution.streaming.runtime.StreamingQueryWrapper]
+            .streamingQuery.lastExecution.executedPlan.toString
+          val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+          assert(exchanges == 1,
+            s"$name: expected exactly 1 exchange, got $exchanges:\n${plan.take(1200)}")
+          assert(plan.contains("FlatMapGroupsWithState"),
+            s"$name must run the keyed stateful operator")
+        } finally q2.stop()
+      }
+    } finally s.conf.unset(EmitStrategy.DelayConf)
+  }
+
   test("streaming late-fire: late rows re-fire the closed window inside the allowed lateness") {
     val s = spark
     import s.implicits._
