@@ -24,6 +24,7 @@ object SparkEntry {
     (operators.LookupJoin.queries, operators.LookupJoin.oracles),
     (operators.Partitioning.queries, operators.Partitioning.oracles),
     (sources.Formats.queries, sources.Formats.oracles),
+    (sources.Bucketing.queries, sources.Bucketing.oracles),
     (plans.AsOf.queries, plans.AsOf.oracles),
     (sql.FlinkSqlQueries.queries, sql.FlinkSqlQueries.oracles),
     (graph.Graphs.queries, graph.Graphs.oracles),
