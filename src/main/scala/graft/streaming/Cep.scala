@@ -456,6 +456,34 @@ object Cep {
       .orderBy($"user_id", $"start_ts")
   }
 
+  /** The errorBurst pattern driven through a REAL StreamingQuery: file-
+    * stream the events table, run the NFA as the keyed stateful operator
+    * ([[matchStream]] — watermark-ordered replay, event-time-timeout flush),
+    * append-sink to memory. The final watermark reaches max(ts), so every
+    * row becomes ready and the emitted match set equals the batch NFA's —
+    * which is exactly what the shared DuckDB oracle asserts. This is the
+    * reference's deployment shape: CEP as a streaming operator
+    * (flink-cep CEPOperatorUtils.java:46), with matchBatch as the
+    * bounded-input special case. */
+  def qStreamErrorBurst(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val schema = s.read.parquet(s"$dir/events.parquet").schema
+    // raw parquet NANOS timestamp arrives as long (legacy nanosAsLong conf)
+    val rows = s.readStream.schema(schema).format("parquet")
+      .option("pathGlobFilter", "events.parquet").load(dir)
+      .select(col("user_id").as("key"), expr("ts div 1000").as("ts"),
+        col("event_id").as("id"), col("event_type").as("kind"), col("value"))
+      .as[KeyedRow]
+    s.catalog.dropTempView("cep_stream_sink"): Unit
+    val q = matchStream(rows, errorBurst)
+      .writeStream.format("memory").queryName("cep_stream_sink")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    s.table("cep_stream_sink")
+      .groupBy($"key".as("user_id")).agg(count(lit(1)).as("n_matches"))
+      .orderBy($"user_id")
+  }
+
   def qConsecutiveErrors(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     matchBatch(eventRows(s, dir), consecutiveErrorRun)
@@ -470,7 +498,8 @@ object Cep {
     "cep_signup_funnel" -> (qSignupFunnel _),
     "cep_abandoned_signup" -> (qAbandonedSignup _),
     "cep_clean_funnel" -> (qCleanFunnel _),
-    "cep_consecutive_errors" -> (qConsecutiveErrors _)
+    "cep_consecutive_errors" -> (qConsecutiveErrors _),
+    "cep_stream_error_burst" -> (qStreamErrorBurst _)
   )
 
   /** error-burst is a sliding 3-row check via lag; signup-funnel's
@@ -481,6 +510,16 @@ object Cep {
     * match's purchase row — exactly the NFA's emit-then-drop-overlap rule. */
   def oracles: Map[String, String] = Map(
     "cep_error_burst" ->
+      """SELECT user_id, count(*) AS n_matches FROM (
+           SELECT user_id, event_type,
+                  lag(event_type, 1) OVER w AS p1,
+                  lag(event_type, 2) OVER w AS p2
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+         WHERE event_type = 'error' AND p1 = 'error' AND p2 = 'error'
+         GROUP BY user_id ORDER BY user_id""",
+    // streaming run must equal the batch NFA once the watermark passes max(ts)
+    "cep_stream_error_burst" ->
       """SELECT user_id, count(*) AS n_matches FROM (
            SELECT user_id, event_type,
                   lag(event_type, 1) OVER w AS p1,

@@ -317,4 +317,13 @@ class CepSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("not both"))
   }
+
+  test("file-stream NFA run equals the batch NFA on the events table") {
+    // the oracle-gated deployment shape: once the final watermark passes
+    // max(ts), the streaming match set must be exactly the batch one
+    val streamed = Cep.qStreamErrorBurst(spark, sf).collect().toSeq
+    val batch = Cep.qErrorBurst(spark, sf).collect().toSeq
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
 }
