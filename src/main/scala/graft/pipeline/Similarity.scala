@@ -122,7 +122,75 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
+  /** Product-quantization ANN (Jégou et al., "Product Quantization for
+    * Nearest Neighbor Search"): split the 64-dim embedding into m=4
+    * 16-dim subspaces, quantize each subvector to its nearest of k=8
+    * codebook centroids, and answer queries by Asymmetric Distance
+    * Computation — per DB vector the distance is m map lookups into the
+    * query's precomputed (subspace × centroid) table instead of a d-dim
+    * dot product.
+    *
+    * Why this is THE 100 TB similarity path: codes are m bytes per vector
+    * (16× compression here, 64× at production m/k), the scan over codes is
+    * a pure projection + 4 map probes (no raw vectors read — column
+    * pruning drops `v`), and the query table is Q×m×k doubles broadcast to
+    * every executor. Codebooks come from the same deterministic seeding as
+    * [[kmeansStep]] (first k vectors; a real pipeline runs Lloyd rounds on
+    * a sample first — that training is exactly kmeansStep per subspace).
+    * Exact re-ranking of the ADC top-N (compose with [[cosineTopK]] over
+    * the candidate set) is the standard recall patch; the oracle row
+    * checks the pure-PQ ranking. */
+  private def pqTopK(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val cent = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    // subspace sp ⊂ dims [sp*16+1, sp*16+16]; same fold order as the oracle
+    def sdot(a: Column, b: Column, sp: Int): Column =
+      call_function("dot_f64", slice(a, sp * 16 + 1, 16), slice(b, sp * 16 + 1, 16))
+    def subD2(x: Column, sp: Int): Column =
+      sdot(x, x, sp) + sdot(col("cv"), col("cv"), sp) -
+        lit(2.0) * sdot(x, col("cv"), sp)
+
+    // encode: per (vector, centroid) subspace distances — broadcast(k) ×
+    // scan — then per-subspace argmin (ties → smaller cid) = the PQ code
+    val pd = e.crossJoin(broadcast(cent))
+      .select(Seq(col("vec_id"), col("cid")) ++
+        (0 until 4).map(sp => subD2(col("v"), sp).as(s"d$sp")): _*)
+    val codes = pd.groupBy(col("vec_id")).agg(
+        min(struct(col("d0"), col("cid"))).as("m0"),
+        min(struct(col("d1"), col("cid"))).as("m1"),
+        min(struct(col("d2"), col("cid"))).as("m2"),
+        min(struct(col("d3"), col("cid"))).as("m3"))
+      .select(col("vec_id"), col("m0.cid").as("c0"), col("m1.cid").as("c1"),
+        col("m2.cid").as("c2"), col("m3.cid").as("c3"))
+
+    // per-query ADC lookup table: cid → (qd0..qd3), one 8-entry map per query
+    val q = e.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val qd = q.crossJoin(broadcast(cent))
+      .select(Seq(col("q_id"), col("cid")) ++
+        (0 until 4).map(sp => subD2(col("qv"), sp).as(s"qd$sp")): _*)
+    val qmap = qd.groupBy(col("q_id")).agg(
+      map_from_arrays(collect_list(col("cid")),
+        collect_list(struct(col("qd0"), col("qd1"), col("qd2"), col("qd3")))).as("qm"))
+
+    // ADC scan: O(m) probes per (vector, query) pair, codes only — no `v`
+    val w = Window.partitionBy(col("q_id")).orderBy(col("adc"), col("vec_id"))
+    codes.crossJoin(broadcast(qmap))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("adc",
+        col("qm")(col("c0"))("qd0") + col("qm")(col("c1"))("qd1") +
+          col("qm")(col("c2"))("qd2") + col("qm")(col("c3"))("qd3"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("q_id"), col("rn").as("rank"), col("vec_id").as("neighbor"),
+        round(col("adc"), 6).as("adc"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   def queries: Map[String, QFn] = Map(
+    "sim_pq_adc_topk" -> (pqTopK _),
     "sim_cosine_topk" -> (cosineTopK _),
     "sim_ann_ivf" -> (annIvf _),
     "sim_kmeans_step" -> (kmeansStep _),
@@ -136,7 +204,37 @@ object Similarity {
   private val dotSql =
     "list_reduce(list_prepend(0.0, list_transform(range(1, 65), k -> q.v[k] * e.v[k])), (a,x) -> a + x)"
 
+  /** subspace dot over dims [sp*16+1, sp*16+16], same fold order as Spark */
+  private def sdotSql(a: String, b: String, sp: Int): String =
+    s"list_reduce(list_prepend(0.0, list_transform(range(${sp * 16 + 1}, ${sp * 16 + 17}), k -> $a[k] * $b[k])), (a,x) -> a + x)"
+  private def subD2Sql(x: String, c: String, sp: Int): String =
+    s"${sdotSql(x, x, sp)} + ${sdotSql(c, c, sp)} - 2.0 * ${sdotSql(x, c, sp)}"
+
   def oracles: Map[String, String] = Map(
+    "sim_pq_adc_topk" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+          cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+          pd AS (SELECT e.vec_id, c.cid,
+                   ${(0 until 4).map(sp => subD2Sql("e.v", "c.cv", sp) + s" AS d$sp").mkString(", ")}
+                 FROM e CROSS JOIN cent c),
+          codes AS (SELECT vec_id,
+                   ${(0 until 4).map(sp => s"(list(cid ORDER BY d$sp, cid))[1] AS c$sp").mkString(", ")}
+                 FROM pd GROUP BY vec_id),
+          qd AS (SELECT vec_id AS q_id, cid, d0, d1, d2, d3
+                 FROM pd WHERE vec_id % 50 = 0),
+          adc AS (SELECT qd0.q_id, x.vec_id AS neighbor,
+                    qd0.d0 + qd1.d1 + qd2.d2 + qd3.d3 AS adc
+                  FROM codes x
+                  JOIN qd qd0 ON qd0.cid = x.c0
+                  JOIN qd qd1 ON qd1.cid = x.c1 AND qd1.q_id = qd0.q_id
+                  JOIN qd qd2 ON qd2.cid = x.c2 AND qd2.q_id = qd0.q_id
+                  JOIN qd qd3 ON qd3.cid = x.c3 AND qd3.q_id = qd0.q_id
+                  WHERE x.vec_id <> qd0.q_id),
+          ranked AS (SELECT q_id, neighbor, adc,
+                       row_number() OVER (PARTITION BY q_id ORDER BY adc, neighbor) AS rn
+                     FROM adc)
+          SELECT q_id, rn AS rank, neighbor, round(adc, 6) AS adc
+          FROM ranked WHERE rn <= 3 ORDER BY q_id, rank""",
     "sim_quantize_int8" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          dims AS (SELECT k FROM range(1, 65) t(k)),
