@@ -13,6 +13,7 @@ object SparkEntry {
   private def modules: Seq[(Map[String, QFn], Map[String, String])] = Seq(
     (operators.Relational.queries, operators.Relational.oracles),
     (operators.Tpch.queries, operators.Tpch.oracles),
+    (operators.TpcdsShapes.queries, operators.TpcdsShapes.oracles),
     (operators.Joins.queries, operators.Joins.oracles),
     (operators.Aggregations.queries, operators.Aggregations.oracles),
     (operators.Windows.queries, operators.Windows.oracles),

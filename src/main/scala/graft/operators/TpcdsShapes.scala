@@ -1,0 +1,215 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.Tables
+
+/** TPC-DS composite query shapes, adapted to the resident TPC-H-style
+  * tables.
+  *
+  * The reference proves its batch SQL surface on 103 TPC-DS variants
+  * (flink-end-to-end-tests/.../tpcds/TpcdsTestProgram.java:59-70). The DS
+  * schema itself isn't in this harness's testdata, but the queries' VALUE
+  * is their composite plan shapes — multi-channel UNION ALL feeding ROLLUP,
+  * period-over-period windows over aggregates, INTERSECT-chained distinct
+  * sets, mixed EXISTS/NOT-EXISTS profiling, ranking over grouping sets —
+  * each exercising optimizer paths (Expand + partial agg, window-after-agg,
+  * set-op planning, semi/anti conversion) that the plain TPC-H set does
+  * not. Each query cites the DS number whose shape it reproduces.
+  *
+  * Scale notes: every query aggregates early (partial agg before the
+  * union/window), joins dims via broadcast, and carries no correlated
+  * per-row subquery — the shapes survive a 1000-executor fact scan.
+  */
+object TpcdsShapes {
+  type QFn = (SparkSession, String) => DataFrame
+
+  private val one = lit(1).cast(DecimalType(18, 2))
+  private def dec(c: Column): Column = c.cast(DecimalType(18, 2))
+  private def rev: Column = dec(col("l_extendedprice")) * (one - dec(col("l_discount")))
+  private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables.load(s, dir, n)
+
+  /** q5/q77 shape: per-channel revenue (sales vs returns as the two
+    * "channels") joined to a time dim, totalled with ROLLUP(channel, yr) —
+    * UNION-of-channels feeding a grouping-sets aggregate. */
+  private def channelRollup(s: SparkSession, dir: String): DataFrame = {
+    val l = t(s, dir, "lineitem")
+    val o = t(s, dir, "orders").select(col("o_orderkey"), year(col("o_orderdate")).as("yr"))
+    val sales = l.filter(col("l_returnflag") =!= "R")
+      .withColumn("channel", lit("sales"))
+    val returns = l.filter(col("l_returnflag") === "R")
+      .withColumn("channel", lit("returns"))
+    sales.unionByName(returns)
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("channel"), col("yr"))
+      .agg(sum(rev).as("r"), count(lit(1)).as("cnt"))
+      // partial agg per (channel, yr) first, then the tiny rollup — the
+      // Expand runs over |channels|×|years| rows, not the fact table
+      .rollup(col("channel"), col("yr"))
+      .agg(sum(col("r")).cast("double").as("revenue"), sum(col("cnt")).as("n"))
+      .select(coalesce(col("channel"), lit("ALL")).as("channel"),
+        coalesce(col("yr"), lit(-1)).as("yr"), col("revenue"), col("n"))
+      .orderBy(col("channel"), col("yr"))
+  }
+
+  /** q47/q57 shape: monthly revenue per nation, then a period-over-period
+    * window — report months deviating >20% from the prev/next-month mean.
+    * The window runs over the AGGREGATE (nations × months), not the fact. */
+  private def periodDeviation(s: SparkSession, dir: String): DataFrame = {
+    val monthly = t(s, dir, "lineitem")
+      .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), year(col("o_orderdate")).as("yr"),
+        month(col("o_orderdate")).as("mo"))
+      .agg(sum(rev).cast("double").as("revenue"))
+    val w = Window.partitionBy(col("n_name")).orderBy(col("yr"), col("mo"))
+    monthly
+      .withColumn("prev_rev", lag(col("revenue"), 1).over(w))
+      .withColumn("next_rev", lead(col("revenue"), 1).over(w))
+      .filter(col("prev_rev").isNotNull && col("next_rev").isNotNull)
+      .withColumn("mean_adj", (col("prev_rev") + col("next_rev")) / 2.0)
+      .filter(col("revenue") > col("mean_adj") * 1.2 ||
+        col("revenue") < col("mean_adj") * 0.8)
+      // no round(): Spark rounds the double's decimal string (HALF_UP),
+      // DuckDB the binary value — a .xx5 edge diverges. The raw doubles are
+      // bit-identical (exact decimal sum → cast; +, /2.0 are exact IEEE).
+      .select(col("n_name"), col("yr"), col("mo"), col("revenue"), col("mean_adj"))
+      .orderBy(col("n_name"), col("yr"), col("mo"))
+  }
+
+  /** q38/q87 shape: customers active in ALL of three consecutive years —
+    * INTERSECT-chained distinct sets, then a scalar count. */
+  private def crossPeriodCustomers(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    def active(yr: Int): DataFrame =
+      o.filter(year(col("o_orderdate")) === yr).select(col("o_custkey")).distinct()
+    active(1995).intersect(active(1996)).intersect(active(1997))
+      .agg(count(lit(1)).as("n_loyal"))
+  }
+
+  /** q10/q35 shape: per-nation profile of customers that (a) ordered in
+    * 1995 (EXISTS → semi join), (b) never placed an URGENT order
+    * (NOT EXISTS → anti join), (c) hold positive balance. */
+  private def customerProfile(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val o = t(s, dir, "orders")
+    val active = o.filter(year(col("o_orderdate")) === 1995)
+      .select(col("o_custkey"))
+    val urgent = o.filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey").as("u_custkey"))
+    c.filter(col("c_acctbal") > 0)
+      .join(active, col("c_custkey") === col("o_custkey"), "left_semi")
+      .join(urgent, col("c_custkey") === col("u_custkey"), "left_anti")
+      .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_customers"),
+        round(avg(col("c_acctbal")), 2).as("avg_bal"))
+      .orderBy(col("n_name"))
+  }
+
+  /** q67 shape: revenue ROLLUP over (nation, yr), then rank WITHIN each
+    * grouping level, keeping the top 3 — window over grouping-sets output. */
+  private def rollupTopN(s: SparkSession, dir: String): DataFrame = {
+    val g = t(s, dir, "lineitem")
+      .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), year(col("o_orderdate")).as("yr"))
+      .agg(sum(rev).as("r"))
+      .rollup(col("n_name"), col("yr"))
+      .agg(sum(col("r")).cast("double").as("revenue"))
+      .select(coalesce(col("n_name"), lit("ALL")).as("n_name"),
+        coalesce(col("yr"), lit(-1)).as("yr"), col("revenue"),
+        (col("n_name").isNull.cast("int") * 2 + col("yr").isNull.cast("int")).as("lvl"))
+    val w = Window.partitionBy(col("lvl"))
+      .orderBy(col("revenue").desc, col("n_name"), col("yr"))
+    g.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("lvl"), col("rk"), col("n_name"), col("yr"), col("revenue"))
+      .orderBy(col("lvl"), col("rk"))
+  }
+
+  def queries: Map[String, QFn] = Map(
+    "dsq_channel_rollup" -> (channelRollup _),
+    "dsq_period_deviation" -> (periodDeviation _),
+    "dsq_cross_period_customers" -> (crossPeriodCustomers _),
+    "dsq_customer_profile" -> (customerProfile _),
+    "dsq_rollup_topn" -> (rollupTopN _)
+  )
+
+  private val revSql =
+    "CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))"
+
+  def oracles: Map[String, String] = Map(
+    "dsq_channel_rollup" ->
+      s"""WITH ch AS (
+            SELECT CASE WHEN l_returnflag = 'R' THEN 'returns' ELSE 'sales' END AS channel,
+                   year(o_orderdate) AS yr, sum($revSql) AS r, count(*) AS cnt
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY 1, 2)
+          SELECT coalesce(channel, 'ALL') AS channel, coalesce(yr, -1) AS yr,
+                 CAST(sum(r) AS DOUBLE) AS revenue, CAST(sum(cnt) AS BIGINT) AS n
+          FROM ch GROUP BY ROLLUP(channel, yr)
+          ORDER BY channel, yr""",
+    "dsq_period_deviation" ->
+      s"""WITH monthly AS (
+            SELECT n_name, year(o_orderdate) AS yr, month(o_orderdate) AS mo,
+                   CAST(sum($revSql) AS DOUBLE) AS revenue
+            FROM lineitem
+              JOIN orders ON l_orderkey = o_orderkey
+              JOIN customer ON o_custkey = c_custkey
+              JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY 1, 2, 3),
+          win AS (
+            SELECT n_name, yr, mo, revenue,
+                   lag(revenue) OVER w AS prev_rev,
+                   lead(revenue) OVER w AS next_rev
+            FROM monthly WINDOW w AS (PARTITION BY n_name ORDER BY yr, mo))
+          SELECT n_name, yr, mo, revenue,
+                 (prev_rev + next_rev) / 2.0 AS mean_adj
+          FROM win
+          WHERE prev_rev IS NOT NULL AND next_rev IS NOT NULL
+            AND (revenue > (prev_rev + next_rev) / 2.0 * 1.2
+              OR revenue < (prev_rev + next_rev) / 2.0 * 0.8)
+          ORDER BY n_name, yr, mo""",
+    "dsq_cross_period_customers" ->
+      """SELECT count(*) AS n_loyal FROM (
+           SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+           INTERSECT
+           SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+           INTERSECT
+           SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1997)""",
+    "dsq_customer_profile" ->
+      """SELECT n_name, count(*) AS n_customers, round(avg(c_acctbal), 2) AS avg_bal
+         FROM customer JOIN nation ON c_nationkey = n_nationkey
+         WHERE c_acctbal > 0
+           AND EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                       AND year(o_orderdate) = 1995)
+           AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                           AND o_orderpriority = '1-URGENT')
+         GROUP BY n_name ORDER BY n_name""",
+    "dsq_rollup_topn" ->
+      s"""WITH g AS (
+            SELECT n_name, year(o_orderdate) AS yr, sum($revSql) AS r
+            FROM lineitem
+              JOIN orders ON l_orderkey = o_orderkey
+              JOIN customer ON o_custkey = c_custkey
+              JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY 1, 2),
+          ru AS (
+            SELECT coalesce(n_name, 'ALL') AS n_name, coalesce(yr, -1) AS yr,
+                   CAST(sum(r) AS DOUBLE) AS revenue,
+                   CASE WHEN n_name IS NULL THEN 2 ELSE 0 END
+                     + CASE WHEN yr IS NULL THEN 1 ELSE 0 END AS lvl
+            FROM g GROUP BY ROLLUP(n_name, yr)),
+          rk AS (
+            SELECT lvl, n_name, yr, revenue,
+                   row_number() OVER (PARTITION BY lvl ORDER BY revenue DESC, n_name, yr) AS rk
+            FROM ru)
+          SELECT lvl, rk, n_name, yr, revenue FROM rk
+          WHERE rk <= 3 ORDER BY lvl, rk"""
+  )
+}

@@ -15,4 +15,18 @@ class TpchPlanHealthSpec extends SparkSpec {
     }
     assert(offenders.isEmpty, s"cartesian products in: $offenders")
   }
+
+  test("no TPC-DS-shape query plans a CartesianProduct, dims broadcast") {
+    val plans = operators.TpcdsShapes.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val df = fn(spark, sf)
+      df.collect()
+      name -> df.queryExecution.executedPlan.toString
+    }
+    val cartesian = plans.collect { case (n, p) if p.contains("CartesianProduct") => n }
+    assert(cartesian.isEmpty, s"cartesian products in: $cartesian")
+    // the nation/customer dims must ride broadcast joins in the join-heavy shapes
+    Seq("dsq_period_deviation", "dsq_rollup_topn", "dsq_customer_profile").foreach { n =>
+      assert(plans.toMap.apply(n).contains("BroadcastHashJoin"), s"$n must broadcast dims")
+    }
+  }
 }
