@@ -26,6 +26,7 @@ object SparkEntry {
     (operators.Partitioning.queries, operators.Partitioning.oracles),
     (sources.Formats.queries, sources.Formats.oracles),
     (sources.Bucketing.queries, sources.Bucketing.oracles),
+    (sources.StreamingFileSink.queries, sources.StreamingFileSink.oracles),
     (plans.AsOf.queries, plans.AsOf.oracles),
     (sql.FlinkSqlQueries.queries, sql.FlinkSqlQueries.oracles),
     (graph.Graphs.queries, graph.Graphs.oracles),
