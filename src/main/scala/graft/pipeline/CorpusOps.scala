@@ -110,6 +110,39 @@ object CorpusOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Temperature-flattened mixture resampling (the data-mixture op behind
+    * multilingual/multi-source training sets — sampling probability ∝
+    * p_source^α with α<1 upweights rare sources relative to dominant ones;
+    * cf. the mixture-sampling scheme popularized by multilingual LM
+    * training). α = 0.5 so the flattening is sqrt — bit-exact in IEEE on
+    * both engines, unlike libm pow().
+    *
+    * keep rate per source: r_s = min(1, 1/2 · sqrt(n_s / N)); a doc
+    * survives iff polyHash(norm_text) % 1e6 < round-down(r_s · 1e6) — the
+    * same deterministic hash-bucket Bernoulli as [[sampleStratified]], so
+    * the sample is stable under retries and re-runs. The per-source stats
+    * are one partial-aggregated count shuffle broadcast back onto the
+    * scan; rates never cross sources, so no order-dependent float
+    * summation anywhere. */
+  private def sampleTemperature(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+    val total = docs.agg(count(lit(1)).as("n_total"))
+    val perSource = docs.groupBy(col("source")).agg(count(lit(1)).as("n_source"))
+    val rate = least(lit(1.0),
+      lit(0.5) * sqrt(col("n_source").cast("double") / col("n_total").cast("double")))
+    val ppm = floor(rate * 1000000.0).cast("long")
+    docs
+      .join(broadcast(perSource), "source")
+      .crossJoin(broadcast(total))
+      .withColumn("bucket", polyHash(normalize(col("text"))) % 1000000)
+      .withColumn("rate_ppm", ppm)
+      .filter(col("bucket") < col("rate_ppm"))
+      .groupBy(col("source"))
+      .agg(max(col("n_source")).as("n_docs"), count(lit(1)).as("n_kept"),
+        max(col("rate_ppm")).as("rate_ppm"))
+      .orderBy(col("source"))
+  }
+
   // ------------------------------------------------------------ corpus stats
 
   /** Per-language corpus statistics: document count, token totals, exact
@@ -314,6 +347,7 @@ object CorpusOps {
     "text_chunk" -> (chunk _),
     "text_repetition" -> (repetition _),
     "text_sample_stratified" -> (sampleStratified _),
+    "text_sample_temperature" -> (sampleTemperature _),
     "text_corpus_stats" -> (corpusStats _),
     "text_pack" -> (pack _),
     "dedup_paragraph" -> (paragraphDedup _),
@@ -409,6 +443,18 @@ object CorpusOps {
           SELECT r.doc_id, dup_2gram, dup_3gram, top_token,
                  (dup_2gram > 0.2 OR dup_3gram > 0.18 OR top_token > 0.2) AS repetitive
           FROM row_m r JOIN tt USING (doc_id) ORDER BY doc_id""",
+    "text_sample_temperature" ->
+      s"""WITH ps AS (SELECT source, count(*) AS n_source FROM documents GROUP BY source),
+          tot AS (SELECT count(*) AS n_total FROM documents),
+          rated AS (SELECT source, n_source,
+                      CAST(floor(least(1.0, 0.5 * sqrt(CAST(n_source AS DOUBLE) / CAST(n_total AS DOUBLE))) * 1000000.0) AS BIGINT) AS rate_ppm
+                    FROM ps CROSS JOIN tot),
+          kept AS (SELECT d.source, r.n_source, r.rate_ppm
+                   FROM documents d JOIN rated r ON d.source = r.source
+                   WHERE ${polyHashSqlOf(normalizeSql)} % 1000000 < r.rate_ppm)
+          SELECT source, max(n_source) AS n_docs, count(*) AS n_kept,
+                 max(rate_ppm) AS rate_ppm
+          FROM kept GROUP BY source ORDER BY source""",
     "text_sample_stratified" ->
       s"""WITH t AS (SELECT doc_id, lang,
                    ${polyHashSqlOf(normalizeSql)} % 100 AS bucket
