@@ -342,6 +342,85 @@ object CorpusOps {
       .orderBy(col("doc_id"))
   }
 
+  // ------------------------------------------------------- boilerplate strip
+
+  private val LineTokens = 12
+  private val BoilerMinDocs = 10
+
+  /** Line-level boilerplate removal (the CCNet/RefinedWeb pass that strips
+    * headers, footers, nav bars and cookie banners repeated across a site).
+    * The synthetic corpus has no newlines, so the query deterministically
+    * wraps each document in a per-source header/footer line (a pure function
+    * of `source`, reproduced verbatim by the oracle — same injection trick
+    * as text_pii_redact) and segments the body into 12-token lines. A line
+    * is boilerplate when it appears in ≥ 10 distinct documents; cleaned text
+    * is the surviving lines re-joined in order.
+    *
+    * Shuffle budget: one line→distinct-doc-count aggregate (partial agg on
+    * the line hash), the frequent-line set broadcast back (it is the
+    * heavy-hitter set — bounded by corpus_lines/threshold; at 100 TB cap it
+    * with an approximate heavy-hitter prefilter before broadcasting), and
+    * one (doc_id) regroup for reassembly. The regroup state per doc is the
+    * doc's own lines — bounded by document length, never corpus-sized. */
+  private def boilerplate(s: SparkSession, dir: String): DataFrame = {
+    val lines = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("source"), tokens(col("text")).as("tk"))
+      .withColumn("body",
+        transform(
+          sequence(lit(0L), ceil(size(col("tk")) / LineTokens.toDouble).cast("long") - 1),
+          i => concat_ws(" ", slice(col("tk"), (i * LineTokens + 1).cast("int"), lit(LineTokens)))))
+      .withColumn("lines", concat(
+        array(concat(lit("begin "), col("source"), lit(" promo banner"))),
+        col("body"),
+        array(concat(lit("footer "), col("source"), lit(" legal notice")))))
+      .select(col("doc_id"), posexplode(col("lines")).as(Seq("pos", "line")))
+    val boiler = lines.groupBy(col("line"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+      .filter(col("n_docs") >= BoilerMinDocs)
+      .select(col("line"), lit(true).as("is_boiler"))
+    lines
+      .join(broadcast(boiler), Seq("line"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(when(col("is_boiler"), 1L).otherwise(0L)).as("n_boiler"),
+        array_join(
+          transform(
+            array_sort(collect_list(
+              when(col("is_boiler").isNull, struct(col("pos"), col("line"))))),
+            x => x.getField("line")),
+          " | ").as("clean_text"))
+      .orderBy(col("doc_id"))
+  }
+
+  // ------------------------------------------------------- training order
+
+  private val TrainShards = 16
+  private val OrderSeed = 42L
+
+  /** Deterministic seeded epoch shuffle + shard assignment — the "global
+    * shuffle" every training run needs so examples arrive in a reproducible
+    * pseudo-random order, independent of source file layout. Order key is a
+    * Knuth multiplicative hash of doc_id folded with the epoch seed; shard
+    * is the key mod the shard count; position is the rank within the shard.
+    *
+    * Scale: the hash is a pure projection; the per-shard rank is a window
+    * partitioned by shard — each window task streams its externally-sorted
+    * shard partition with O(1) state (row_number never buffers), so the
+    * cost is one shuffle + external sort. Production runs size TrainShards
+    * to ≥ the writer parallelism (e.g. 1024) so no task sorts more than
+    * corpus/shards; 16 keeps the graded output readable. */
+  private def trainOrder(s: SparkSession, dir: String): DataFrame = {
+    val h = (col("doc_id") % HashMod * 2654435761L + OrderSeed) % HashMod
+    val w = Window.partitionBy(col("shard")).orderBy(col("h"), col("doc_id"))
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"), h.as("h"))
+      .withColumn("shard", (col("h") % TrainShards).cast("int"))
+      .withColumn("pos", row_number().over(w))
+      .select(col("doc_id"), col("shard"), col("pos"))
+      .orderBy(col("shard"), col("pos"))
+  }
+
   def queries: Map[String, QFn] = Map(
     "pipeline_corpus_filter" -> (corpusFilter _),
     "text_chunk" -> (chunk _),
@@ -351,7 +430,9 @@ object CorpusOps {
     "text_corpus_stats" -> (corpusStats _),
     "text_pack" -> (pack _),
     "dedup_paragraph" -> (paragraphDedup _),
-    "sim_lsh_topk" -> (lshTopK _)
+    "sim_lsh_topk" -> (lshTopK _),
+    "text_boilerplate" -> (boilerplate _),
+    "text_train_order" -> (trainOrder _)
   )
 
   // ------------------------------------------------------------------ oracles
@@ -527,6 +608,38 @@ object CorpusOps {
                     FROM scored)
          SELECT q_id, rn AS rank, neighbor, round(cos, 6) AS cosine
          FROM ranked WHERE rn <= 3 ORDER BY q_id, rank"""
-    }
+    },
+    "text_boilerplate" ->
+      s"""WITH t AS (SELECT doc_id, source, $tokensSql AS tk FROM documents),
+          l0 AS (SELECT doc_id,
+                   list_concat(list_concat(
+                     ['begin ' || source || ' promo banner'],
+                     list_transform(
+                       range(0, CAST(ceil(len(tk) / $LineTokens.0) AS BIGINT)),
+                       i -> array_to_string(tk[i*$LineTokens + 1 : i*$LineTokens + $LineTokens], ' '))),
+                     ['footer ' || source || ' legal notice']) AS lines
+                 FROM t),
+          l AS (SELECT doc_id, unnest(lines) AS line,
+                  unnest(range(0, len(lines))) AS pos
+                FROM l0),
+          b AS (SELECT line, true AS is_boiler FROM l
+                GROUP BY line HAVING count(DISTINCT doc_id) >= $BoilerMinDocs),
+          m AS (SELECT l.doc_id, l.pos, l.line, b.is_boiler
+                FROM l LEFT JOIN b USING (line))
+          SELECT doc_id,
+                 count(*) AS n_lines,
+                 CAST(sum(CASE WHEN is_boiler THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+                 coalesce(array_to_string(
+                   list(line ORDER BY pos) FILTER (WHERE is_boiler IS NULL),
+                   ' | '), '') AS clean_text
+          FROM m GROUP BY doc_id ORDER BY doc_id""",
+    "text_train_order" ->
+      s"""WITH t AS (SELECT doc_id,
+                   ((doc_id % 1000000007) * 2654435761 + $OrderSeed) % 1000000007 AS h
+                 FROM documents),
+          s AS (SELECT doc_id, h, CAST(h % $TrainShards AS INT) AS shard FROM t)
+          SELECT doc_id, shard,
+                 CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) AS INT) AS pos
+          FROM s ORDER BY shard, pos"""
   )
 }

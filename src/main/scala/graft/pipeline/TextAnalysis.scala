@@ -166,6 +166,34 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Self-trained unigram-LM scoring — the CCNet-style "perplexity filter"
+    * with the LM estimated from the corpus itself (no external model in the
+    * sandbox; the real pipeline swaps in a held-out KenLM the same way).
+    * Laplace-smoothed: p(w) = (c(w)+1)/(T+V); per-doc score = mean −ln p.
+    * Shuffle budget: one (doc,term) tf shuffle + one tiny term→count
+    * aggregate. The unigram table is vocabulary-sized (millions of rows
+    * where the corpus is billions), so it broadcasts at any realistic
+    * scale and the scoring join never reshuffles the corpus. */
+  private def unigramPpl(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+    val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val lm = toks.groupBy(col("term")).agg(count(lit(1)).as("c"))
+    val tot = toks.agg(count(lit(1)).as("t"), countDistinct(col("term")).as("v"))
+    val nll = -col("tf") * log((col("c") + 1).cast("double") / (col("t") + col("v")))
+    tf.join(broadcast(lm), "term")
+      .crossJoin(broadcast(tot))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("tf")).cast("long").as("n_tokens"),
+        (sum(nll) / sum(col("tf"))).as("avg_nll"))
+      .select(
+        col("doc_id"), col("n_tokens"),
+        round(col("avg_nll"), 6).as("unigram_nll"),
+        round(exp(col("avg_nll")), 4).as("unigram_ppl"))
+      .orderBy(col("doc_id"))
+  }
+
   def queries: Map[String, QFn] = Map(
     "text_token_count" -> (tokenCount _),
     "text_quality" -> (quality _),
@@ -173,7 +201,8 @@ object TextAnalysis {
     "text_fingerprint" -> (fingerprint _),
     "text_tfidf" -> (tfidf _),
     "text_decontaminate" -> (decontaminate _),
-    "text_pii_redact" -> (piiRedact _)
+    "text_pii_redact" -> (piiRedact _),
+    "text_unigram_ppl" -> (unigramPpl _)
   )
 
   private val tokensSql = "string_split(trim(text), ' ')"
@@ -261,6 +290,20 @@ object TextAnalysis {
               '$EmailRe', '<EMAIL>', 'g'),
               '$Ipv4Re', '<IP>', 'g'),
               '$PhoneRe', '<PHONE>', 'g') AS redacted
-          FROM t ORDER BY doc_id"""
+          FROM t ORDER BY doc_id""",
+    "text_unigram_ppl" ->
+      s"""WITH toks AS (SELECT doc_id, unnest($tokensSql) AS term FROM documents),
+          tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+          lm AS (SELECT term, count(*) AS c FROM toks GROUP BY 1),
+          tot AS (SELECT count(*) AS t, count(DISTINCT term) AS v FROM toks),
+          d AS (SELECT doc_id,
+                  CAST(sum(tf) AS BIGINT) AS n_tokens,
+                  sum(-tf * ln(CAST(c + 1 AS DOUBLE) / (t + v))) / sum(tf) AS avg_nll
+                FROM tf JOIN lm USING (term) CROSS JOIN tot
+                GROUP BY doc_id)
+          SELECT doc_id, n_tokens,
+                 round(avg_nll, 6) AS unigram_nll,
+                 round(exp(avg_nll), 4) AS unigram_ppl
+          FROM d ORDER BY doc_id"""
   )
 }

@@ -109,4 +109,47 @@ class CorpusOpsSpec extends SparkSpec {
     assert(shuffles.isEmpty,
       "superstep aggregate must reuse hash(src) from the cached edge list")
   }
+
+  test("text_boilerplate: injected per-source header/footer stripped, body survives") {
+    val rows = CorpusOps.queries("text_boilerplate")(spark, sf).collect()
+    assert(rows.length == 500)
+    rows.foreach { r =>
+      assert(r.getLong(1) >= 3, "header + >=1 body line + footer")
+      assert(r.getLong(2) == 2L,
+        "exactly the injected header+footer is boilerplate at 25 docs/source")
+      val clean = r.getString(3)
+      assert(!clean.contains("promo banner") && !clean.contains("legal notice"))
+      assert(clean.nonEmpty, "body lines are unique and must survive")
+    }
+  }
+
+  test("text_train_order: reproducible permutation with contiguous per-shard ranks") {
+    val a = CorpusOps.queries("text_train_order")(spark, sf).collect()
+    val b = CorpusOps.queries("text_train_order")(spark, sf).collect()
+    assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq,
+      "epoch order must be reproducible across runs")
+    val ids = a.map(_.getLong(0))
+    assert(ids.distinct.length == ids.length && ids.length == 500,
+      "output must be a permutation of the corpus")
+    a.groupBy(_.getInt(1)).foreach { case (_, rs) =>
+      assert(rs.map(_.getInt(2)).sorted.toSeq == (1 to rs.length).toSeq,
+        "ranks within a shard are contiguous from 1")
+    }
+    val permuted = a.groupBy(_.getInt(1)).values.exists { rs =>
+      val byPos = rs.sortBy(_.getInt(2)).map(_.getLong(0))
+      byPos.zip(byPos.drop(1)).exists { case (x, y) => x > y }
+    }
+    assert(permuted, "hash order must differ from insertion order")
+  }
+
+  test("text_unigram_ppl: smoothed scores positive, ppl consistent with nll") {
+    val rows = TextAnalysis.queries("text_unigram_ppl")(spark, sf).collect()
+    assert(rows.length == 500)
+    rows.foreach { r =>
+      val (nll, ppl) = (r.getDouble(2), r.getDouble(3))
+      assert(nll > 0.0, "Laplace smoothing keeps every -ln p positive")
+      assert(math.abs(ppl - math.exp(nll)) < 1e-2,
+        "perplexity is exp of the mean nll (up to output rounding)")
+    }
+  }
 }
