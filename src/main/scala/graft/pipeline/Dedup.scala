@@ -368,6 +368,55 @@ object Dedup {
     incrementalNew(hist, incoming)
   }
 
+  // ------------------------------------------------ duplicated substrings
+
+  private val SubGram = 8
+  private[pipeline] val SharedPassage =
+    "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu " +
+      "nu xi omicron pi rho sigma tau upsilon phi chi psi omega"
+
+  /** Exact duplicated-substring span detection — the Lee et al.
+    * ("Deduplicating Training Data Makes Language Models Better") pass,
+    * re-expressed distributed: instead of one monolithic suffix array,
+    * index every overlapping 8-token gram with its start position, keep
+    * grams occurring in ≥ 2 distinct documents, and merge each document's
+    * duplicated positions into maximal spans with one lag/running-sum
+    * window. The synthetic corpus has no natural cross-doc 8-gram repeats,
+    * so every doc_id % 7 == 0 document gets a deterministic 24-token
+    * passage appended (the oracle reproduces it verbatim — same injection
+    * trick as text_pii_redact); that is exactly the template-contamination
+    * shape the real pass exists to catch.
+    *
+    * Scale: one gram-keyed shuffle with map-side partial aggregation for
+    * the frequency pass (hash the gram at 100 TB, never shuffle raw
+    * strings); the position join-back reuses the same gram key; the span
+    * merge windows over each doc's own duplicated grams only — state is
+    * bounded by document length. */
+  private def duplicatedSpans(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val grams = Tables.load(s, dir, "documents")
+      .withColumn("t2",
+        when(col("doc_id") % 7 === 0, concat(col("text"), lit(" " + SharedPassage)))
+          .otherwise(col("text")))
+      .select(col("doc_id"),
+        posexplode(shinglesOf(col("t2"), SubGram)).as(Seq("pos", "g")))
+    val dup = grams.groupBy(col("g"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2)
+      .select(col("g"))
+    grams.join(dup, "g")
+      .select(col("doc_id"), col("pos").cast("long").as("pos"))
+      .withColumn("brk",
+        when(col("pos") - lag(col("pos"), 1).over(w) <= SubGram, 0L).otherwise(1L))
+      .withColumn("span_id", sum(col("brk")).over(w))
+      .groupBy(col("doc_id"), col("span_id"))
+      .agg(min(col("pos")).as("start_pos"),
+           (max(col("pos")) + SubGram - 1).as("end_pos"))
+      .select(col("doc_id"), col("span_id"), col("start_pos"), col("end_pos"),
+        (col("end_pos") - col("start_pos") + 1).as("span_tokens"))
+      .orderBy(col("doc_id"), col("span_id"))
+  }
+
   def queries: Map[String, QFn] = Map(
     "dedup_bloom_incremental" -> (bloomIncremental _),
     "dedup_exact" -> (exact _),
@@ -376,7 +425,8 @@ object Dedup {
     "dedup_minhash_lsh" -> (minhashLsh _),
     "dedup_simhash" -> (simhash _),
     "dedup_embedding" -> (embeddingCosine _),
-    "dedup_clusters" -> (clusters _)
+    "dedup_clusters" -> (clusters _),
+    "dedup_substring" -> (duplicatedSpans _)
   )
 
   // ---- DuckDB oracles: same math, same hashes -------------------------
@@ -517,6 +567,32 @@ object Dedup {
          FROM cand JOIN n a ON i = a.vec_id JOIN n b ON j = b.vec_id
          WHERE ${dot("a.v", "b.v")} / (a.nrm * b.nrm) >= 0.45
          ORDER BY i, j"""
-    }
+    },
+    "dedup_substring" ->
+      s"""WITH t AS (SELECT doc_id,
+                   CASE WHEN doc_id % 7 = 0 THEN text || ' $SharedPassage'
+                        ELSE text END AS t2
+                 FROM documents),
+          tk AS (SELECT doc_id, string_split(trim(t2), ' ') AS tk FROM t),
+          g AS (SELECT doc_id,
+                  unnest(range(0, greatest(len(tk) - ${SubGram - 1}, 0))) AS pos,
+                  unnest(list_transform(
+                    range(0, greatest(len(tk) - ${SubGram - 1}, 0)),
+                    i -> array_to_string(tk[i+1 : i+$SubGram], ' '))) AS g
+                FROM tk),
+          d AS (SELECT g FROM g GROUP BY g HAVING count(DISTINCT doc_id) >= 2),
+          m AS (SELECT doc_id, pos FROM g JOIN d USING (g)),
+          s AS (SELECT doc_id, pos,
+                  CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= $SubGram
+                       THEN 0 ELSE 1 END AS brk
+                FROM m),
+          sp AS (SELECT doc_id, pos,
+                   sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS span_id
+                 FROM s)
+          SELECT doc_id, CAST(span_id AS BIGINT) AS span_id,
+                 min(pos) AS start_pos,
+                 max(pos) + ${SubGram - 1} AS end_pos,
+                 max(pos) + ${SubGram - 1} - min(pos) + 1 AS span_tokens
+          FROM sp GROUP BY doc_id, span_id ORDER BY doc_id, span_id"""
   )
 }
