@@ -132,7 +132,74 @@ object TpcdsShapes {
       .orderBy(col("lvl"), col("rk"))
   }
 
+  /** q74/q11 shape: year-over-year per-customer revenue growth — the
+    * aggregate self-joined to itself one period later, ratio-filtered, top
+    * movers. The self-join runs over the per-(customer, year) AGGREGATE
+    * (one row per customer-year), never fact×fact. */
+  private def yoyGrowth(s: SparkSession, dir: String): DataFrame = {
+    val yearly = t(s, dir, "lineitem")
+      .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey"), year(col("o_orderdate")).as("yr"))
+      .agg(sum(rev).as("r"))
+    val base = yearly.filter(col("yr") === 1995)
+      .select(col("o_custkey").as("custkey"), col("r").as("r_base"))
+    val next = yearly.filter(col("yr") === 1996)
+      .select(col("o_custkey").as("n_custkey"), col("r").as("r_next"))
+    base.join(next, col("custkey") === col("n_custkey"))
+      .filter(col("r_base") > 0)
+      .withColumn("growth",
+        col("r_next").cast("double") / col("r_base").cast("double"))
+      .select(col("custkey"), col("r_base").cast("double").as("rev_1995"),
+        col("r_next").cast("double").as("rev_1996"), col("growth"))
+      .orderBy(col("growth").desc, col("custkey"))
+      .limit(20)
+  }
+
+  /** q34/q73 shape: order-size demographics — count items per order, bucket
+    * by size, then a conditional-aggregation pivot of bucket counts per
+    * order priority (CASE-pivot over the aggregate, one fact pass). */
+  private def orderSizePivot(s: SparkSession, dir: String): DataFrame = {
+    val sizes = t(s, dir, "lineitem")
+      .groupBy(col("l_orderkey")).agg(count(lit(1)).as("n_items"))
+    val bucket = when(col("n_items") <= 2, "small")
+      .when(col("n_items") <= 5, "mid").otherwise("large")
+    t(s, dir, "orders")
+      .join(sizes, col("o_orderkey") === col("l_orderkey"))
+      .withColumn("bucket", bucket)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        sum(when(col("bucket") === "small", 1L).otherwise(0L)).as("n_small"),
+        sum(when(col("bucket") === "mid", 1L).otherwise(0L)).as("n_mid"),
+        sum(when(col("bucket") === "large", 1L).otherwise(0L)).as("n_large"),
+        count(lit(1)).as("n_orders"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** q93 shape: effective sales net of returns — the returned quantity per
+    * (order, part) subtracted from the sold quantity, rolled up per
+    * customer, top 10. A fact-to-fact join, kept safe by pre-aggregating
+    * the returns side to one row per join key before joining. */
+  private def netAfterReturns(s: SparkSession, dir: String): DataFrame = {
+    val l = t(s, dir, "lineitem")
+    val qty = dec(col("l_quantity"))
+    val ret = l.filter(col("l_returnflag") === "R")
+      .groupBy(col("l_orderkey").as("r_ok"), col("l_partkey").as("r_pk"))
+      .agg(sum(qty).as("r_qty"))
+    val net = l.filter(col("l_returnflag") =!= "R")
+      .join(ret, col("l_orderkey") === col("r_ok") && col("l_partkey") === col("r_pk"), "left")
+      .withColumn("net_qty", qty - coalesce(col("r_qty"), lit(0).cast(DecimalType(18, 2))))
+    net.join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("net_qty")).cast("double").as("net_quantity"),
+        count(lit(1)).as("n_lines"))
+      .orderBy(col("net_quantity").desc, col("o_custkey"))
+      .limit(10)
+  }
+
   def queries: Map[String, QFn] = Map(
+    "dsq_yoy_growth" -> (yoyGrowth _),
+    "dsq_order_size_pivot" -> (orderSizePivot _),
+    "dsq_net_after_returns" -> (netAfterReturns _),
     "dsq_channel_rollup" -> (channelRollup _),
     "dsq_period_deviation" -> (periodDeviation _),
     "dsq_cross_period_customers" -> (crossPeriodCustomers _),
@@ -144,6 +211,50 @@ object TpcdsShapes {
     "CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))"
 
   def oracles: Map[String, String] = Map(
+    "dsq_yoy_growth" ->
+      s"""WITH yearly AS (
+            SELECT o_custkey, year(o_orderdate) AS yr, sum($revSql) AS r
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY 1, 2)
+          SELECT b.o_custkey AS custkey,
+                 CAST(b.r AS DOUBLE) AS rev_1995,
+                 CAST(n.r AS DOUBLE) AS rev_1996,
+                 CAST(n.r AS DOUBLE) / CAST(b.r AS DOUBLE) AS growth
+          FROM yearly b JOIN yearly n ON b.o_custkey = n.o_custkey
+          WHERE b.yr = 1995 AND n.yr = 1996 AND b.r > 0
+          ORDER BY growth DESC, custkey LIMIT 20""",
+    "dsq_order_size_pivot" ->
+      """WITH sizes AS (
+           SELECT l_orderkey, count(*) AS n_items FROM lineitem GROUP BY 1),
+         b AS (
+           SELECT o_orderpriority,
+                  CASE WHEN n_items <= 2 THEN 'small'
+                       WHEN n_items <= 5 THEN 'mid' ELSE 'large' END AS bucket
+           FROM orders JOIN sizes ON o_orderkey = l_orderkey)
+         SELECT o_orderpriority,
+                CAST(sum(CASE WHEN bucket = 'small' THEN 1 ELSE 0 END) AS BIGINT) AS n_small,
+                CAST(sum(CASE WHEN bucket = 'mid' THEN 1 ELSE 0 END) AS BIGINT) AS n_mid,
+                CAST(sum(CASE WHEN bucket = 'large' THEN 1 ELSE 0 END) AS BIGINT) AS n_large,
+                count(*) AS n_orders
+         FROM b GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "dsq_net_after_returns" ->
+      """WITH ret AS (
+           SELECT l_orderkey AS r_ok, l_partkey AS r_pk,
+                  sum(CAST(l_quantity AS DECIMAL(18,2))) AS r_qty
+           FROM lineitem WHERE l_returnflag = 'R' GROUP BY 1, 2),
+         net AS (
+           SELECT l.l_orderkey,
+                  CAST(l.l_quantity AS DECIMAL(18,2))
+                    - coalesce(r.r_qty, CAST(0 AS DECIMAL(18,2))) AS net_qty
+           FROM lineitem l LEFT JOIN ret r
+             ON l.l_orderkey = r.r_ok AND l.l_partkey = r.r_pk
+           WHERE l.l_returnflag <> 'R')
+         SELECT o_custkey,
+                CAST(sum(net_qty) AS DOUBLE) AS net_quantity,
+                count(*) AS n_lines
+         FROM net JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY o_custkey
+         ORDER BY net_quantity DESC, o_custkey LIMIT 10""",
     "dsq_channel_rollup" ->
       s"""WITH ch AS (
             SELECT CASE WHEN l_returnflag = 'R' THEN 'returns' ELSE 'sales' END AS channel,

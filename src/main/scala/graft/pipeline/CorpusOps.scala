@@ -421,6 +421,39 @@ object CorpusOps {
       .orderBy(col("shard"), col("pos"))
   }
 
+  // ------------------------------------------------- source-level filtering
+
+  private val SrcQualityMin = 0.5445
+  private val DocQualityMin = 0.45
+
+  /** Domain-level quality filtering (the C4/RefinedWeb pass that drops whole
+    * domains whose aggregate quality is poor, on top of per-document
+    * filtering): score every document, roll scores up to its source, keep
+    * documents from sources whose mean quality clears the bar AND whose own
+    * score does. Two-level gate = per-doc projection + one source-keyed
+    * aggregate whose result is domain-count-sized (always broadcastable —
+    * the web has ~10^8 domains, not 10^12), joined back map-side. */
+  private def sourceFilter(s: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    val nTok = size(toks).cast("double")
+    val stopRatio = size(filter(toks,
+      t => t.isin("the", "a", "of", "and", "to", "in", "is"))).cast("double") / nTok
+    val diversity = size(array_distinct(toks)).cast("double") / nTok
+    val lenScore = least(nTok / 50.0, lit(1.0))
+    val scored = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        (lenScore * 0.4 + stopRatio * 0.2 + diversity * 0.4).as("quality"))
+    val srcStats = scored.groupBy(col("source"))
+      .agg(avg(col("quality")).as("src_quality"), count(lit(1)).as("src_docs"))
+    scored.join(broadcast(srcStats), "source")
+      .filter(col("src_quality") >= SrcQualityMin && col("quality") >= DocQualityMin)
+      .select(col("doc_id"), col("source"),
+        round(col("quality"), 6).as("quality"),
+        round(col("src_quality"), 6).as("src_quality"),
+        col("src_docs"))
+      .orderBy(col("doc_id"))
+  }
+
   def queries: Map[String, QFn] = Map(
     "pipeline_corpus_filter" -> (corpusFilter _),
     "text_chunk" -> (chunk _),
@@ -432,7 +465,8 @@ object CorpusOps {
     "dedup_paragraph" -> (paragraphDedup _),
     "sim_lsh_topk" -> (lshTopK _),
     "text_boilerplate" -> (boilerplate _),
-    "text_train_order" -> (trainOrder _)
+    "text_train_order" -> (trainOrder _),
+    "pipeline_source_filter" -> (sourceFilter _)
   )
 
   // ------------------------------------------------------------------ oracles
@@ -633,6 +667,24 @@ object CorpusOps {
                    list(line ORDER BY pos) FILTER (WHERE is_boiler IS NULL),
                    ' | '), '') AS clean_text
           FROM m GROUP BY doc_id ORDER BY doc_id""",
+    "pipeline_source_filter" ->
+      s"""WITH t AS (SELECT doc_id, source, $tokensSql AS toks FROM documents),
+          r AS (SELECT doc_id, source,
+                  CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is'))) AS DOUBLE) / len(toks) AS stop_r,
+                  CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS div_r,
+                  least(len(toks) / 50.0, 1.0) AS len_s
+                FROM t),
+          q AS (SELECT doc_id, source,
+                  len_s * 0.4 + stop_r * 0.2 + div_r * 0.4 AS quality
+                FROM r),
+          src AS (SELECT source, avg(quality) AS src_quality,
+                    count(*) AS src_docs
+                  FROM q GROUP BY source)
+          SELECT doc_id, q.source, round(quality, 6) AS quality,
+                 round(src_quality, 6) AS src_quality, src_docs
+          FROM q JOIN src ON q.source = src.source
+          WHERE src_quality >= $SrcQualityMin AND quality >= $DocQualityMin
+          ORDER BY doc_id""",
     "text_train_order" ->
       s"""WITH t AS (SELECT doc_id,
                    ((doc_id % 1000000007) * 2654435761 + $OrderSeed) % 1000000007 AS h

@@ -194,6 +194,37 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Bigram-LM scoring — one rung up from [[unigramPpl]] toward the KenLM
+    * the real CCNet pass uses: p(w2|w1) = (c(w1 w2)+1)/(c(w1)+V), per-doc
+    * mean −ln p over the document's bigrams. The bigram table is bounded by
+    * observed-vocabulary², and in practice by corpus size with a count
+    * cutoff, so it stays broadcastable; the corpus-sized side only ever
+    * shuffles once on (doc, bigram). Documents shorter than 2 tokens have
+    * no bigrams and drop out (same in the oracle). */
+  private def bigramPpl(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+    val bi = docs.select(col("doc_id"), explode(shinglesOf(col("text"), 2)).as("bg"))
+    val uni = docs.select(explode(tokens(col("text"))).as("term"))
+    val c1 = uni.groupBy(col("term")).agg(count(lit(1)).as("c1"))
+    val v = uni.agg(countDistinct(col("term")).as("v"))
+    val c2 = bi.groupBy(col("bg")).agg(count(lit(1)).as("c2"))
+    val tf = bi.groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("tf"))
+    val nll = -col("tf") * log((col("c2") + 1).cast("double") / (col("c1") + col("v")))
+    tf.join(broadcast(c2), "bg")
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+      .join(broadcast(c1), col("w1") === col("term"))
+      .crossJoin(broadcast(v))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("tf")).cast("long").as("n_bigrams"),
+        (sum(nll) / sum(col("tf"))).as("avg_nll"))
+      .select(
+        col("doc_id"), col("n_bigrams"),
+        round(col("avg_nll"), 6).as("bigram_nll"),
+        round(exp(col("avg_nll")), 4).as("bigram_ppl"))
+      .orderBy(col("doc_id"))
+  }
+
   def queries: Map[String, QFn] = Map(
     "text_token_count" -> (tokenCount _),
     "text_quality" -> (quality _),
@@ -202,7 +233,8 @@ object TextAnalysis {
     "text_tfidf" -> (tfidf _),
     "text_decontaminate" -> (decontaminate _),
     "text_pii_redact" -> (piiRedact _),
-    "text_unigram_ppl" -> (unigramPpl _)
+    "text_unigram_ppl" -> (unigramPpl _),
+    "text_bigram_ppl" -> (bigramPpl _)
   )
 
   private val tokensSql = "string_split(trim(text), ' ')"
@@ -304,6 +336,28 @@ object TextAnalysis {
           SELECT doc_id, n_tokens,
                  round(avg_nll, 6) AS unigram_nll,
                  round(exp(avg_nll), 4) AS unigram_ppl
+          FROM d ORDER BY doc_id""",
+    "text_bigram_ppl" ->
+      s"""WITH tk AS (SELECT doc_id, $tokensSql AS tk FROM documents),
+          bi AS (SELECT doc_id,
+                   unnest(list_transform(range(1, greatest(len(tk), 1)),
+                     i -> array_to_string(tk[i:i+1], ' '))) AS bg
+                 FROM tk),
+          uni AS (SELECT unnest(tk) AS term FROM tk),
+          c1 AS (SELECT term, count(*) AS c1 FROM uni GROUP BY 1),
+          v AS (SELECT count(DISTINCT term) AS v FROM uni),
+          c2 AS (SELECT bg, count(*) AS c2 FROM bi GROUP BY 1),
+          tf AS (SELECT doc_id, bg, count(*) AS tf FROM bi GROUP BY 1, 2),
+          d AS (SELECT doc_id,
+                  CAST(sum(tf) AS BIGINT) AS n_bigrams,
+                  sum(-tf * ln(CAST(c2 + 1 AS DOUBLE) / (c1 + v))) / sum(tf) AS avg_nll
+                FROM tf JOIN c2 USING (bg)
+                     JOIN c1 ON split_part(bg, ' ', 1) = c1.term
+                     CROSS JOIN v
+                GROUP BY doc_id)
+          SELECT doc_id, n_bigrams,
+                 round(avg_nll, 6) AS bigram_nll,
+                 round(exp(avg_nll), 4) AS bigram_ppl
           FROM d ORDER BY doc_id"""
   )
 }
