@@ -27,6 +27,8 @@ object SparkEntry {
     (sources.Formats.queries, sources.Formats.oracles),
     (sources.Bucketing.queries, sources.Bucketing.oracles),
     (sources.StreamingFileSink.queries, sources.StreamingFileSink.oracles),
+    (sources.ZOrder.queries, sources.ZOrder.oracles),
+    (functions.Sketches.queries, functions.Sketches.oracles),
     (plans.AsOf.queries, plans.AsOf.oracles),
     (sql.FlinkSqlQueries.queries, sql.FlinkSqlQueries.oracles),
     (graph.Graphs.queries, graph.Graphs.oracles),
