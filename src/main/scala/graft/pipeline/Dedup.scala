@@ -266,6 +266,20 @@ object Dedup {
     * is orders of magnitude smaller than the corpus at any scale, and each
     * superstep is one broadcast join + one partial-aggregated shuffle. */
   private def clusters(s: SparkSession, dir: String): DataFrame = {
+    val labels = closureLabels(s, dir)
+    val sizes = labels.groupBy(col("label").as("keep_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+    labels.select(col("node").as("doc_id"), col("label").as("keep_id"))
+      .join(broadcast(sizes), "keep_id")
+      .select(col("doc_id"), col("keep_id"), col("cluster_size"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Min-label transitive closure over the MinHash-LSH verified pair graph:
+    * (node, label) with label = the cluster's minimum doc_id. Shared by
+    * [[clusters]] (adds sizes) and [[splitAssign]] (leakage-safe split
+    * keys). */
+  private def closureLabels(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     val pairs = minhashLsh(s, dir).select(col("i"), col("j"))
     // the pair graph is orders of magnitude smaller than the corpus (it is
@@ -310,11 +324,34 @@ object Dedup {
       labels = next
     } finally s.conf.set(aqeKey, aqePrev)
     und.unpersist(blocking = false)
-    val sizes = labels.groupBy(col("label").as("keep_id"))
-      .agg(count(lit(1)).as("cluster_size"))
-    labels.select(col("node").as("doc_id"), col("label").as("keep_id"))
-      .join(broadcast(sizes), "keep_id")
-      .select(col("doc_id"), col("keep_id"), col("cluster_size"))
+    labels
+  }
+
+  /** Leakage-safe train/val/test split assignment: hashing raw doc_ids
+    * into splits leaks near-duplicates across the train/test boundary (the
+    * classic contamination failure in LM training sets), so the split key
+    * is the near-dup CLUSTER representative — every member of a verified
+    * cluster lands in the same split by construction. Non-clustered docs
+    * key on their own doc_id.
+    *
+    * Scale shape: the label map is only the clustered docs (orders of
+    * magnitude smaller than the corpus — it is the verified near-dup set),
+    * so it broadcasts; the corpus side is one scan + projection, no
+    * shuffle. The split itself is the deterministic-hash-bucket discipline
+    * of [[CorpusOps]] sampling (polyHash % 100 on the split key's decimal
+    * string): reproducible under retries, re-partitioning and incremental
+    * re-runs, and bit-identical in the DuckDB oracle. 80/10/10. */
+  private def splitAssign(s: SparkSession, dir: String): DataFrame = {
+    val labels = closureLabels(s, dir).toDF("doc_id", "keep_id")
+    Tables.load(s, dir, "documents").select(col("doc_id"))
+      .join(broadcast(labels), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("keep_id"), col("doc_id")).as("split_key"))
+      .withColumn("bucket", polyHash(col("split_key").cast("string")) % 100)
+      .withColumn("split",
+        when(col("bucket") < 80, "train")
+          .when(col("bucket") < 90, "val")
+          .otherwise("test"))
       .orderBy(col("doc_id"))
   }
 
@@ -426,7 +463,8 @@ object Dedup {
     "dedup_simhash" -> (simhash _),
     "dedup_embedding" -> (embeddingCosine _),
     "dedup_clusters" -> (clusters _),
-    "dedup_substring" -> (duplicatedSpans _)
+    "dedup_substring" -> (duplicatedSpans _),
+    "dedup_split_leakage" -> (splitAssign _)
   )
 
   // ---- DuckDB oracles: same math, same hashes -------------------------
@@ -519,6 +557,28 @@ object Dedup {
           SELECT c.node AS doc_id, c.keep_id, s.cluster_size
           FROM comp c JOIN sz s USING (keep_id)
           ORDER BY doc_id""",
+    "dedup_split_leakage" ->
+      s"""WITH RECURSIVE $minhashCtes,
+          pairs AS (SELECT i, j FROM ver
+                    WHERE CAST(shared AS DOUBLE) / (szi + szj - shared) >= 0.5),
+          und AS (SELECT i AS node, j AS nbr FROM pairs
+                  UNION SELECT j, i FROM pairs),
+          reach AS (
+            SELECT node, node AS r FROM und
+            UNION
+            SELECT u.node, reach.r FROM und u JOIN reach ON u.nbr = reach.node),
+          comp AS (SELECT node, min(r) AS keep_id FROM reach GROUP BY node),
+          keyed AS (SELECT dd.doc_id,
+                      coalesce(c.keep_id, dd.doc_id) AS split_key
+                    FROM documents dd LEFT JOIN comp c ON dd.doc_id = c.node),
+          b AS (SELECT doc_id, split_key,
+                  ${polyHashSqlOf("CAST(split_key AS VARCHAR)")} % 100 AS bucket
+                FROM keyed)
+          SELECT doc_id, split_key, bucket,
+                 CASE WHEN bucket < 80 THEN 'train'
+                      WHEN bucket < 90 THEN 'val'
+                      ELSE 'test' END AS split
+          FROM b ORDER BY doc_id""",
     // banding is lossless for Hamming ≤ 6 (pigeonhole over 7 bands), so the
     // oracle is the straightforward all-pairs check — same result set. The
     // per-bit rehash mirrors SimHash63 exactly (no 64-bit overflow anywhere)

@@ -60,7 +60,7 @@ object EmitStrategy {
       .exists(_.equalsIgnoreCase("true"))
 
   def matches(probe: String): Boolean =
-    """(?i)\b(TUMBLE|HOP|SESSION)\s*\(""".r.findFirstIn(probe).isDefined &&
+    """(?i)\b(TUMBLE|HOP|SESSION|CUMULATE)\s*\(""".r.findFirstIn(probe).isDefined &&
       """(?i)\bGROUP\s+BY""".r.findFirstIn(probe).isDefined
 
   private val shapeRe =
@@ -70,8 +70,13 @@ object EmitStrategy {
     """(?is)\s*SELECT\s+(.*?)\s+FROM\s+(\w+)\s+GROUP\s+BY\s+HOP\s*\(\s*(\w+)\s*,\s*INTERVAL\s+'(\d+)'\s+(\w+)\s*,\s*INTERVAL\s+'(\d+)'\s+(\w+)\s*\)\s*(?:,\s*([\w\s,]+?))?\s*(ORDER\s+BY\s+.*)?""".r
   private val sessionShapeRe =
     """(?is)\s*SELECT\s+(.*?)\s+FROM\s+(\w+)\s+GROUP\s+BY\s+SESSION\s*\(\s*(\w+)\s*,\s*INTERVAL\s+'(\d+)'\s+(\w+)\s*\)\s*(?:,\s*([\w\s,]+?))?\s*(ORDER\s+BY\s+.*)?""".r
+  // CUMULATE(time, step, max) — the cumulative-window TVF argument order
+  private val cumShapeRe =
+    """(?is)\s*SELECT\s+(.*?)\s+FROM\s+(\w+)\s+GROUP\s+BY\s+CUMULATE\s*\(\s*(\w+)\s*,\s*INTERVAL\s+'(\d+)'\s+(\w+)\s*,\s*INTERVAL\s+'(\d+)'\s+(\w+)\s*\)\s*(?:,\s*([\w\s,]+?))?\s*(ORDER\s+BY\s+.*)?""".r
   private val tumbleStartRe =
-    """(?is)^(?:TUMBLE_START|HOP_START|SESSION_START)\s*\(.*?\)\s+AS\s+(\w+)$""".r
+    """(?is)^(?:TUMBLE_START|HOP_START|SESSION_START|CUMULATE_START)\s*\(.*?\)\s+AS\s+(\w+)$""".r
+  private val cumEndRe =
+    """(?is)^CUMULATE_END\s*\(.*?\)\s+AS\s+(\w+)$""".r
   private val aggRe = """(?is)^(COUNT|SUM|MIN|MAX|AVG)\s*\(\s*(\*|\w+)\s*\)\s+AS\s+(\w+)$""".r
 
   private def unitMicros(u: String): Long = u.toUpperCase.stripSuffix("S") match {
@@ -100,25 +105,32 @@ object EmitStrategy {
     case sessionShapeRe(select, table, tsCol, n, unit, extraGroups, tail) =>
       buildSession(session, select, table, tsCol, n.toLong * unitMicros(unit),
         extraGroups, tail)
+    case cumShapeRe(select, table, tsCol, stepN, stepU, maxN, maxU, extraGroups, tail) =>
+      buildCumulate(session, select, table, tsCol,
+        stepN.toLong * unitMicros(stepU), maxN.toLong * unitMicros(maxU),
+        extraGroups, tail)
     case _ => throw new IllegalArgumentException(
       "early-fire emit supports: SELECT TUMBLE_START/HOP_START/SESSION_START(..) AS a, <group cols>, <aggs> " +
         "FROM t GROUP BY TUMBLE(ts, size) | HOP(ts, slide, size) | SESSION(ts, gap) [, group cols] [ORDER BY ...]")
   }
 
   /** Select-list parse shared by all window shapes: the window-start alias,
-    * pass-through group columns, and the aggregate triples. */
+    * the CUMULATE pane-end alias, pass-through group columns, and the
+    * aggregate triples. */
   private def parseSelect(select: String, groupCols: Seq[String])
-    : (String, Seq[(String, String, String)]) = {
+    : (String, String, Seq[(String, String, String)]) = {
     var wsAlias = "w_start"
+    var weAlias = "w_end"
     val aggBuilder = Seq.newBuilder[(String, String, String)]
     FlinkSqlSupport.splitTop(select).foreach {
+      case cumEndRe(a) => weAlias = a
       case tumbleStartRe(a) => wsAlias = a
       case item if groupCols.contains(item.trim) => // group col, passes through
       case aggRe(fn, arg, alias) => aggBuilder += ((fn.toUpperCase, arg, alias))
       case other => throw new IllegalArgumentException(
         s"early-fire supports the window-start alias, group columns and COUNT/SUM/MIN/MAX/AVG: $other")
     }
-    (wsAlias, aggBuilder.result())
+    (wsAlias, weAlias, aggBuilder.result())
   }
 
   /** Early-fire over SESSION windows (data-driven merging windows —
@@ -140,7 +152,7 @@ object EmitStrategy {
     val delayUs = delayMicros(enabled(session).get)
     val groupCols = Option(extraGroups).map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       .getOrElse(Nil)
-    val (wsAlias, aggs) = parseSelect(select, groupCols)
+    val (wsAlias, _, aggs) = parseSelect(select, groupCols)
     require(aggs.nonEmpty, "early-fire SESSION needs at least one aggregate")
     val tbOpt = try session.conf.getOption(TiebreakConf) catch { case _: Throwable => None }
     // a streaming source takes the gap-merging stateful operator
@@ -191,6 +203,69 @@ object EmitStrategy {
           WHERE __early OR __last ${Option(tail).getOrElse("")}""")
   }
 
+  /** Early-fire over CUMULATE windows (expanding panes: the start aligned
+    * to the max size is shared, the ends land on successive step
+    * boundaries — the cumulative-window slicing the reference's slice
+    * assigners generalize to). The emission log is the hopping construction
+    * with the pane END in the partition key and surfaced as CUMULATE_END in
+    * the output — a window's panes are NOT distinguished by their start, so
+    * without the end column the log would be ambiguous. One shuffle on
+    * (start, end, group); fan-out before it is (max/step − covered) panes
+    * per row, the same pre-shuffle narrow explode as HOP. */
+  private def buildCumulate(session: SparkSession, select: String, table: String,
+                            tsCol: String, stepUs: Long, maxUs: Long,
+                            extraGroups: String, tail: String): DataFrame = {
+    require(maxUs % stepUs == 0, "CUMULATE max size must be a multiple of step")
+    require(!lateEnabled(session),
+      "CUMULATE doesn't support the late-fire EMIT strategy")
+    val delayUs = delayMicros(enabled(session).get)
+    val groupCols = Option(extraGroups).map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Nil)
+    val (wsAlias, weAlias, aggs) = parseSelect(select, groupCols)
+    require(aggs.nonEmpty, "early-fire CUMULATE needs at least one aggregate")
+    val tbOpt = try session.conf.getOption(TiebreakConf) catch { case _: Throwable => None }
+    val srcDf = session.table(table)
+    if (srcDf.isStreaming) {
+      require(Option(tail).forall(_.trim.isEmpty),
+        "streaming early-fire: ORDER BY is not supported on an unbounded result")
+      return StreamingEmit.cumulate(session, srcDf, tsCol, stepUs, maxUs,
+        delayUs, groupCols, aggs, wsAlias, weAlias, tbOpt)
+    }
+    val tiebreak = tbOpt.map(c => s", $c").getOrElse("")
+    val gComma = if (groupCols.isEmpty) "" else groupCols.mkString(", ") + ", "
+    val part = (Seq("__ws", "__we") ++ groupCols).mkString(", ")
+    val ord = s"PARTITION BY $part ORDER BY __uts$tiebreak"
+    val runningAggs = aggs.map { case (fn, arg, alias) =>
+      val a = if (arg == "*") "1" else arg
+      s"${fn.toLowerCase}($a) OVER ($ord ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS $alias"
+    }.mkString(", ")
+    val aliases = aggs.map(_._3).mkString(", ")
+    val uts = s"unix_micros(cast($tsCol as timestamp))"
+    session.sql(
+      s"""SELECT $wsAlias, $weAlias, $gComma$aliases,
+                 CASE WHEN __last THEN $weAlias ELSE __fire0 END AS fire_time,
+                 __last AS is_final
+          FROM (
+            SELECT timestamp_micros(__ws) AS $wsAlias,
+                   timestamp_micros(__we) AS $weAlias, $gComma$runningAggs,
+                   timestamp_micros((__bidx + 1) * ${delayUs}L) AS __fire0,
+                   lag(__bidx) OVER ($ord) IS NOT NULL
+                     AND __bidx > lag(__bidx) OVER ($ord) AS __early,
+                   row_number() OVER ($ord)
+                     = count(1) OVER (PARTITION BY $part) AS __last
+            FROM (
+              SELECT *, explode(sequence(
+                          __ws + ((__uts - __ws) div ${stepUs}L + 1L) * ${stepUs}L,
+                          __ws + ${maxUs}L, ${stepUs}L)) AS __we
+              FROM (SELECT *, $uts AS __uts,
+                           ($uts div ${maxUs}L) * ${maxUs}L AS __ws,
+                           $uts div ${delayUs}L AS __bidx
+                    FROM $table)
+            )
+          )
+          WHERE __early OR __last ${Option(tail).getOrElse("")}""")
+  }
+
   /** Shared construction: a hopping window explodes each row into its
     * size/slide covering windows (the reference's per-pane assignment in
     * SliceAssigners); a tumbling window is the one-window special case. */
@@ -214,7 +289,7 @@ object EmitStrategy {
       val delayUs = enabled(session).map(delayMicros).getOrElse(Long.MaxValue / 4)
       val groupCols = Option(extraGroups).map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
         .getOrElse(Nil)
-      val (wsAlias, aggs) = parseSelect(select, groupCols)
+      val (wsAlias, _, aggs) = parseSelect(select, groupCols)
       require(aggs.nonEmpty, "early-fire TUMBLE needs at least one aggregate")
       val tbOpt = try session.conf.getOption(TiebreakConf) catch { case _: Throwable => None }
       // a streaming source takes the stateful micro-batch operator — the SQL
@@ -303,7 +378,7 @@ object EmitStrategy {
         s"late-fire needs $ArrivalConf: a SQL expression totally ordering rows by arrival"))
     val groupCols = Option(extraGroups).map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       .getOrElse(Nil)
-    val (wsAlias, aggs) = parseSelect(select, groupCols)
+    val (wsAlias, _, aggs) = parseSelect(select, groupCols)
     require(aggs.nonEmpty, "late-fire needs at least one aggregate")
     require(!session.table(table).isStreaming,
       "late-fire emit is the batch emission-log formulation; the streaming " +

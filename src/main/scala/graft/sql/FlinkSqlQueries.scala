@@ -276,6 +276,25 @@ object FlinkSqlQueries {
         s.conf.unset(EmitStrategy.TiebreakConf)
       }
     }),
+    // early-fire over CUMULATE windows (expanding panes: 4-hour window
+    // reported cumulatively at every hour boundary): the pane end joins the
+    // key and the output — panes of one window share their start
+    "fsql_early_fire_cumulate" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.conf.set(EmitStrategy.DelayConf, "30 minutes")
+      s.conf.set(EmitStrategy.TiebreakConf, "event_id")
+      try s.sql(
+        """SELECT CUMULATE_START(ts, INTERVAL '1' HOUR, INTERVAL '4' HOUR) AS w_start,
+                  CUMULATE_END(ts, INTERVAL '1' HOUR, INTERVAL '4' HOUR) AS w_end,
+                  user_id, count(*) AS n, max(value) AS mx
+           FROM events
+           GROUP BY CUMULATE(ts, INTERVAL '1' HOUR, INTERVAL '4' HOUR), user_id
+           ORDER BY user_id, w_start, w_end, fire_time, is_final""")
+      finally {
+        s.conf.unset(EmitStrategy.DelayConf)
+        s.conf.unset(EmitStrategy.TiebreakConf)
+      }
+    }),
     // cascading windows: 10-minute pre-aggregation rolled up into hours via
     // TUMBLE_ROWTIME (the window's event-time attribute, end − 1 ms) — the
     // reference's standard two-level window pattern; the pre-aggregation
@@ -397,6 +416,42 @@ object FlinkSqlQueries {
           .selectExpr("CAST(w_start AS TIMESTAMP_NTZ) AS w_start", "user_id", "n",
             "mx", "CAST(fire_time AS TIMESTAMP_NTZ) AS fire_time", "is_final")
           .orderBy("user_id", "w_start", "fire_time", "is_final")
+      } finally {
+        s.conf.unset(EmitStrategy.DelayConf)
+        s.conf.unset(EmitStrategy.TiebreakConf)
+      }
+    }),
+    // streaming CUMULATE: the same real-StreamingQuery discipline as
+    // fsql_stream_hop — expanding panes keyed on (start, end, group), each
+    // pane's terminal at its own end when the watermark passes it
+    "fsql_stream_cumulate" -> ((s, dir) => {
+      val path = s"$dir/events.parquet"
+      val schema = s.read.parquet(path).schema
+      s.readStream.schema(schema).format("parquet")
+        .option("pathGlobFilter", "events.parquet").load(dir)
+        .withColumn("ts",
+          org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)")
+            .cast("timestamp"))
+        .withWatermark("ts", "0 seconds")
+        .createOrReplaceTempView("events_stream_cum")
+      s.conf.set(EmitStrategy.DelayConf, "30 minutes")
+      s.conf.set(EmitStrategy.TiebreakConf, "event_id")
+      try {
+        val out = s.sql(
+          """SELECT CUMULATE_START(ts, INTERVAL '1' HOUR, INTERVAL '4' HOUR) AS w_start,
+                    CUMULATE_END(ts, INTERVAL '1' HOUR, INTERVAL '4' HOUR) AS w_end,
+                    user_id, count(*) AS n, max(value) AS mx
+             FROM events_stream_cum
+             GROUP BY CUMULATE(ts, INTERVAL '1' HOUR, INTERVAL '4' HOUR), user_id""")
+        s.catalog.dropTempView("fsql_stream_cum_sink"): Unit
+        val q = out.writeStream.format("memory").queryName("fsql_stream_cum_sink")
+          .outputMode("append").start()
+        try q.processAllAvailable() finally q.stop()
+        s.table("fsql_stream_cum_sink")
+          .selectExpr("CAST(w_start AS TIMESTAMP_NTZ) AS w_start",
+            "CAST(w_end AS TIMESTAMP_NTZ) AS w_end", "user_id", "n",
+            "mx", "CAST(fire_time AS TIMESTAMP_NTZ) AS fire_time", "is_final")
+          .orderBy("user_id", "w_start", "w_end", "fire_time", "is_final")
       } finally {
         s.conf.unset(EmitStrategy.DelayConf)
         s.conf.unset(EmitStrategy.TiebreakConf)
@@ -596,6 +651,39 @@ object FlinkSqlQueries {
          FROM w
          WHERE (pb IS NOT NULL AND bidx > pb) OR rn = cnt
          ORDER BY user_id, w_start, fire_time, is_final""",
+    // cumulate emission log: the hopping construction with the pane END
+    // (unnested from the first step boundary past the row up to the max
+    // size) in the partition key and the output
+    "fsql_early_fire_cumulate" ->
+      """WITH o AS (
+           SELECT user_id, event_id, value, epoch_us(ts) AS uts,
+                  (epoch_us(ts) // 14400000000) * 14400000000 AS ws,
+                  epoch_us(ts) // 1800000000 AS bidx
+           FROM events),
+         x AS (
+           SELECT *, unnest(generate_series(
+                    ws + ((uts - ws) // 3600000000 + 1) * 3600000000,
+                    ws + 14400000000, 3600000000)) AS we
+           FROM o),
+         w AS (
+           SELECT user_id, ws, we, bidx, uts, event_id,
+                  count(*) OVER win AS n,
+                  max(value) OVER win AS mx,
+                  lag(bidx) OVER win2 AS pb,
+                  row_number() OVER win2 AS rn,
+                  count(*) OVER (PARTITION BY ws, we, user_id) AS cnt
+           FROM x
+           WINDOW win AS (PARTITION BY ws, we, user_id ORDER BY uts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                  win2 AS (PARTITION BY ws, we, user_id ORDER BY uts, event_id))
+         SELECT make_timestamp(ws) AS w_start, make_timestamp(we) AS w_end,
+                user_id, n, mx,
+                CASE WHEN rn = cnt THEN make_timestamp(we)
+                     ELSE make_timestamp((bidx + 1) * 1800000000) END AS fire_time,
+                rn = cnt AS is_final
+         FROM w
+         WHERE (pb IS NOT NULL AND bidx > pb) OR rn = cnt
+         ORDER BY user_id, w_start, w_end, fire_time, is_final""",
     // the late-fire log: watermark = running max event time in scrambled
     // arrival order; late rows (window closed, inside lateness) fire the
     // running accumulate, on-time prefixes final-fire at window end,
@@ -663,6 +751,40 @@ object FlinkSqlQueries {
          WHERE (pb IS NOT NULL AND bidx > pb AND rn <> cnt)
             OR (rn = cnt AND ws + 7200000000 <= (SELECT max(epoch_us(ts)) FROM events))
          ORDER BY user_id, w_start, fire_time, is_final""",
+    // the cumulate emission log restricted to what the STREAM emits: early
+    // fires from non-last pane rows, terminals only for panes whose end the
+    // final watermark (= max event time) reached
+    "fsql_stream_cumulate" ->
+      """WITH o AS (
+           SELECT user_id, event_id, value, epoch_us(ts) AS uts,
+                  (epoch_us(ts) // 14400000000) * 14400000000 AS ws,
+                  epoch_us(ts) // 1800000000 AS bidx
+           FROM events),
+         x AS (
+           SELECT *, unnest(generate_series(
+                    ws + ((uts - ws) // 3600000000 + 1) * 3600000000,
+                    ws + 14400000000, 3600000000)) AS we
+           FROM o),
+         w AS (
+           SELECT user_id, ws, we, bidx, uts, event_id,
+                  count(*) OVER win AS n,
+                  max(value) OVER win AS mx,
+                  lag(bidx) OVER win2 AS pb,
+                  row_number() OVER win2 AS rn,
+                  count(*) OVER (PARTITION BY ws, we, user_id) AS cnt
+           FROM x
+           WINDOW win AS (PARTITION BY ws, we, user_id ORDER BY uts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                  win2 AS (PARTITION BY ws, we, user_id ORDER BY uts, event_id))
+         SELECT make_timestamp(ws) AS w_start, make_timestamp(we) AS w_end,
+                user_id, n, mx,
+                CASE WHEN rn = cnt THEN make_timestamp(we)
+                     ELSE make_timestamp((bidx + 1) * 1800000000) END AS fire_time,
+                rn = cnt AS is_final
+         FROM w
+         WHERE (pb IS NOT NULL AND bidx > pb AND rn <> cnt)
+            OR (rn = cnt AND we <= (SELECT max(epoch_us(ts)) FROM events))
+         ORDER BY user_id, w_start, w_end, fire_time, is_final""",
     // the session emission log restricted to what the STREAM emits: every
     // terminal whose session end (last event + gap) the final watermark
     // covers — non-last sessions always qualify (the gap-breaking row's

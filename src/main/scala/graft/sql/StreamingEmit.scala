@@ -100,11 +100,30 @@ object StreamingEmit {
     windowed(session, src, tsCol, widthUs, Some(slideUs), delayUs, groupCols,
       aggs, wsAlias, tiebreak, latenessUs)
 
+  /** Early-fire CUMULATE on a stream (expanding windows: panes share the
+    * max-size-aligned start but end at successive step boundaries — the
+    * per-slice shape of the reference's cumulative windows). Same machinery
+    * as HOP — the pane end just joins the state key, because cumulate panes
+    * are NOT distinguished by their start — and the pane end is surfaced as
+    * an output column (`weAlias`) since the emission log would otherwise be
+    * ambiguous across a window's panes. A row explodes into the panes whose
+    * end exceeds its event time: (max/step − covered) panes per row. */
+  def cumulate(session: SparkSession, src: DataFrame, tsCol: String,
+               stepUs: Long, maxUs: Long, delayUs: Long, groupCols: Seq[String],
+               aggs: Seq[(String, String, String)], wsAlias: String,
+               weAlias: String, tiebreak: Option[String],
+               latenessUs: Long = 0L): DataFrame =
+    windowed(session, src, tsCol, maxUs, None, delayUs, groupCols,
+      aggs, wsAlias, tiebreak, latenessUs, cumStepUs = Some(stepUs),
+      weAliasOpt = Some(weAlias))
+
   private def windowed(session: SparkSession, src: DataFrame, tsCol: String,
                        widthUs: Long, slideUs: Option[Long], delayUs: Long,
                        groupCols: Seq[String],
                        aggs: Seq[(String, String, String)], wsAlias: String,
-                       tiebreak: Option[String], latenessUs: Long): DataFrame = {
+                       tiebreak: Option[String], latenessUs: Long,
+                       cumStepUs: Option[Long] = None,
+                       weAliasOpt: Option[String] = None): DataFrame = {
     require(src.isStreaming, "StreamingEmit.windowed expects a streaming source")
     val k = aggs.size
     val fns = aggs.map(_._1).toArray
@@ -122,13 +141,15 @@ object StreamingEmit {
     }: _*)
     // window assignment mirrors the batch build: tumble = the one covering
     // window, hop = explode into the size/slide covering set (starts
-    // aligned to the slide) — __bidx is per-row, identical across panes
+    // aligned to the slide), cumulate = one max-size-aligned start with the
+    // pane ends exploded below — __bidx is per-row, identical across panes
     val wsExpr = slideUs match {
       case None => expr(s"($uts div ${widthUs}L) * ${widthUs}L")
       case Some(l) => expr(
         s"explode(sequence(($uts div ${l}L) * ${l}L - ${widthUs}L + ${l}L, " +
           s"($uts div ${l}L) * ${l}L, ${l}L))")
     }
+    require(slideUs.isEmpty || cumStepUs.isEmpty, "hop and cumulate are exclusive")
     // Without lateness the original event-time attribute rides along
     // unrenamed: its watermark tag lets the engine's own late-row filter
     // drop behind-watermark input (cheap, correct — a late row could only
@@ -166,20 +187,31 @@ object StreamingEmit {
       tiebreak.map(c => col(c).cast("double")).getOrElse(lit(0.0)).as("__tb"),
       vals.as("__vals"),
       nulls.as("__nulls"))
+    // the pane end joins the row (and the state key): tumble/hop panes are
+    // start-determined, cumulate panes share a start and differ only in end
+    val preparedWe = cumStepUs match {
+      case None => preparedBase.withColumn("__we", col("__ws") + lit(widthUs))
+      case Some(st) => preparedBase.withColumn("__we", explode(expr(
+        s"sequence(__ws + ((__uts - __ws) div ${st}L + 1L) * ${st}L, " +
+          s"__ws + ${widthUs}L, ${st}L)")))
+    }
     val prepared = wmDelay match {
-      case None => preparedBase
-      case Some(d) => preparedBase.withWatermark("__wmguard", d)
+      case None => preparedWe
+      case Some(d) => preparedWe.withWatermark("__wmguard", d)
     }
 
     val gStruct = prepared.schema("__g").dataType.asInstanceOf[StructType]
     val keySchema = StructType(Seq(
       StructField("ws", LongType, nullable = false),
+      StructField("we", LongType, nullable = false),
       StructField("g", gStruct, nullable = false)))
     val aggFields = aggs.map { case (fn, _, alias) =>
       StructField(alias, if (fn == "COUNT") LongType else DoubleType)
     }
     val fullOut = StructType(
-      (StructField(wsAlias, TimestampType) +: gStruct.fields.toSeq) ++ aggFields ++ Seq(
+      (StructField(wsAlias, TimestampType) +:
+        (weAliasOpt.map(a => StructField(a, TimestampType)).toSeq ++
+          gStruct.fields.toSeq)) ++ aggFields ++ Seq(
         StructField("fire_time", TimestampType), StructField("is_final", BooleanType)))
 
     def outputs(a: Accum, useCnt: Array[Long], useSum: Array[Double],
@@ -195,11 +227,12 @@ object StreamingEmit {
 
     val func = (key: Row, it: Iterator[Row], state: GroupState[Accum]) => {
       val ws = key.getLong(0)
-      val gRow = key.getStruct(1)
-      val wEndUs = ws + widthUs
+      val wEndUs = key.getLong(1)
+      val gRow = key.getStruct(2)
       def row(fireUs: Long, isFinal: Boolean, vs: Seq[Any]): Row =
         Row.fromSeq(
-          (tsOf(ws) +: gRow.toSeq) ++ vs ++ Seq(tsOf(fireUs), isFinal))
+          (tsOf(ws) +: (weAliasOpt.map(_ => tsOf(wEndUs)).toSeq ++ gRow.toSeq)) ++
+            vs ++ Seq(tsOf(fireUs), isFinal))
 
       if (state.hasTimedOut) {
         val a = state.get
@@ -318,7 +351,8 @@ object StreamingEmit {
     }
 
     prepared
-      .groupByKey(r => Row(r.getLong(2), r.getStruct(1)))(Encoders.row(keySchema))
+      .groupByKey(r => Row(r.getLong(2), r.getLong(8), r.getStruct(1)))(
+        Encoders.row(keySchema))
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
         func)(Encoders.product[Accum], Encoders.row(fullOut))
       .toDF()

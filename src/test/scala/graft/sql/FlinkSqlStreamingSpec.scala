@@ -402,6 +402,59 @@ class FlinkSqlStreamingSpec extends SparkSpec {
     }
   }
 
+  test("early-fire CUMULATE over a streaming view emits the batch emission log across micro-batches") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val in = MemoryStream[Ev]
+    in.toDF().withWatermark("ts", "0 seconds").createOrReplaceTempView("fsc_events")
+    s.conf.set(EmitStrategy.DelayConf, "10 seconds")
+    s.conf.set(EmitStrategy.TiebreakConf, "event_id")
+    try {
+      // step 15 s, max 30 s: a row in the first half covers both panes
+      val sql =
+        """SELECT CUMULATE_START(ts, INTERVAL '15' SECOND, INTERVAL '30' SECOND) AS w_start,
+                  CUMULATE_END(ts, INTERVAL '15' SECOND, INTERVAL '30' SECOND) AS w_end,
+                  user_id, count(*) AS n, sum(value) AS sv
+           FROM fsc_events
+           GROUP BY CUMULATE(ts, INTERVAL '15' SECOND, INTERVAL '30' SECOND), user_id"""
+      val out = s.sql(sql)
+      assert(out.isStreaming, "CUMULATE early-fire must plan the stateful streaming operator")
+      val q = out.writeStream.format("memory").queryName("fsc_emit")
+        .outputMode("append").start()
+      val data = Seq(
+        Ev(t(1), 1, 1, 2.0), Ev(t(4), 1, 2, 3.0), Ev(t(12), 1, 3, 5.0),
+        Ev(t(17), 1, 4, 7.0), Ev(t(25), 1, 5, 11.0), Ev(t(41), 1, 6, 13.0))
+      // split mid-pane so pane state genuinely spans micro-batches
+      in.addData(data.take(2): _*)
+      q.processAllAvailable()
+      in.addData(data.slice(2, 5): _*)
+      q.processAllAvailable()
+      in.addData(data.drop(5): _*)
+      q.processAllAvailable()
+      in.addData(Ev(t(1000), 9, 999, 0.0)) // watermark → close every real pane
+      q.processAllAvailable()
+
+      data.toDF().createOrReplaceTempView("fsc_events_batch")
+      s.sql(sql.replace("fsc_events", "fsc_events_batch"))
+        .createOrReplaceTempView("fsc_emit_batch")
+      val cols = "w_start, w_end, user_id, n, CAST(sv AS DOUBLE) AS sv, fire_time, is_final"
+      val streamed = rowsOf(s"SELECT $cols FROM fsc_emit WHERE user_id <> 9")
+      assert(streamed.nonEmpty
+        && streamed == rowsOf(s"SELECT $cols FROM fsc_emit_batch"))
+      // sanity: one window yields expanding panes — finals at both the
+      // 15 s and 30 s boundaries of the first window
+      val finals = s.table("fsc_emit").filter(col("is_final"))
+        .select(col("w_start").cast("long"), col("w_end").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(finals.contains((0L, 15L)) && finals.contains((0L, 30L)))
+    } finally {
+      s.conf.unset(EmitStrategy.DelayConf)
+      s.conf.unset(EmitStrategy.TiebreakConf)
+      s.streams.active.filter(_.name == "fsc_emit").foreach(_.stop())
+    }
+  }
+
   test("early-fire SESSION over a streaming view emits the batch emission log across micro-batches") {
     val s = spark
     import s.implicits._
