@@ -143,6 +143,80 @@ object CorpusOps {
       .orderBy(col("source"))
   }
 
+  /** Token-budget mixture selection: fill each source's token budget
+    * deterministically — the budgeted variant of [[sampleTemperature]]
+    * (a real mixture is specified as "X tokens of web, Y of code, …", not
+    * as keep-rates). Docs rank per source by (content hash, doc_id) — a
+    * stable pseudo-random order — and survive while the running token
+    * total stays within budget. The budget here derives from the source
+    * name's hash (500–999 tokens) as a stand-in for a configured map.
+    *
+    * Scale shape: the naive formulation is ONE window per source ordered
+    * by hash = a full per-source sort. Instead the hash domain splits into
+    * 64 order-preserving buckets: per-(source, bucket) token sums are a
+    * partial-aggregated shuffle over a tiny summary, the cross-bucket
+    * prefix offsets come from a window over that summary (broadcast back),
+    * and the running sum runs WITHIN each bucket — the same
+    * bucketed-prefix discipline as the late-fire watermark
+    * (EmitStrategy.buildLate). No global or per-source single-partition
+    * sort anywhere; the DuckDB oracle is the plain window formulation,
+    * proving the bucketed plan equals it. */
+  private def budgetMixture(s: SparkSession, dir: String): DataFrame = {
+    val BucketW = 16000000L // polyHash range [0, 1e9+7) → 63 buckets
+    val docs = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        size(tokens(col("text"))).as("n_tokens"),
+        polyHash(normalize(col("text"))).as("h"))
+      .withColumn("hb", col("h") / lit(BucketW) cast "long")
+    val bucketSums = docs.groupBy(col("source"), col("hb"))
+      .agg(sum(col("n_tokens")).as("b_tok"))
+    val offsets = bucketSums.withColumn("offset",
+      coalesce(sum(col("b_tok")).over(
+        Window.partitionBy(col("source")).orderBy(col("hb"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("source"), col("hb"), col("offset"))
+    val inBucket = Window.partitionBy(col("source"), col("hb"))
+      .orderBy(col("h"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .join(broadcast(offsets), Seq("source", "hb"))
+      .withColumn("cum_tokens",
+        col("offset") + sum(col("n_tokens")).over(inBucket))
+      .withColumn("budget", lit(500L) + pmod(polyHash(col("source")), lit(500L)))
+      .filter(col("cum_tokens") <= col("budget"))
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("cum_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Cross-source contamination audit: the pairwise 8-gram overlap matrix
+    * between sources — the corpus-level "is my web slice leaking into my
+    * benchmark slice" report that precedes any per-doc decontamination
+    * ([[TextAnalysis]] `text_decontaminate` is the per-doc follow-up).
+    *
+    * Scale shape: distinct (source, gram) pairs shuffle once on the gram
+    * (the same gram-sharded discipline as n-gram Jaccard dedup — sources
+    * sharing no grams never meet), pair counts partial-aggregate on
+    * (src_a, src_b), and the per-source totals broadcast back onto the
+    * 190-row matrix. Never an all-pairs corpus join. */
+  private def sourceOverlap(s: SparkSession, dir: String): DataFrame = {
+    val grams = Tables.load(s, dir, "documents")
+      .select(col("source"), explode(shinglesOf(col("text"), 8)).as("g"))
+      .distinct()
+    val totals = grams.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val shared = grams.toDF("src_a", "g")
+      .join(grams.toDF("src_b", "g2"),
+        col("g") === col("g2") && col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("shared_grams"))
+    shared
+      .join(broadcast(totals.toDF("src_a", "na")), "src_a")
+      .join(broadcast(totals.toDF("src_b", "nb")), "src_b")
+      .select(col("src_a"), col("src_b"), col("shared_grams"),
+        round(col("shared_grams").cast("double")
+          / (col("na") + col("nb") - col("shared_grams")), 6).as("jaccard"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
   // ------------------------------------------------------------ corpus stats
 
   /** Per-language corpus statistics: document count, token totals, exact
@@ -460,6 +534,8 @@ object CorpusOps {
     "text_repetition" -> (repetition _),
     "text_sample_stratified" -> (sampleStratified _),
     "text_sample_temperature" -> (sampleTemperature _),
+    "text_budget_mixture" -> (budgetMixture _),
+    "text_source_overlap" -> (sourceOverlap _),
     "text_corpus_stats" -> (corpusStats _),
     "text_pack" -> (pack _),
     "dedup_paragraph" -> (paragraphDedup _),
@@ -570,6 +646,34 @@ object CorpusOps {
           SELECT source, max(n_source) AS n_docs, count(*) AS n_kept,
                  max(rate_ppm) AS rate_ppm
           FROM kept GROUP BY source ORDER BY source""",
+    // the oracle is the PLAIN per-source window cumsum — proving the
+    // bucketed-prefix Spark plan computes the same selection
+    "text_budget_mixture" ->
+      s"""WITH t AS (SELECT doc_id, source,
+                   CAST(len($tokensSql) AS INT) AS n_tokens,
+                   ${polyHashSqlOf(normalizeSql)} AS h
+                 FROM documents),
+          c AS (SELECT doc_id, source, n_tokens,
+                  CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens,
+                  500 + ${polyHashSqlOf("source")} % 500 AS budget
+                FROM t)
+          SELECT doc_id, source, n_tokens, cum_tokens FROM c
+          WHERE cum_tokens <= budget ORDER BY doc_id""",
+    "text_source_overlap" ->
+      s"""WITH t AS (SELECT doc_id, source, $tokensSql AS tk FROM documents),
+          g AS (SELECT DISTINCT source, unnest(list_distinct(list_transform(
+                   range(1, greatest(len(tk) - 6, 1)),
+                   i -> array_to_string(tk[i:i+7], ' ')))) AS g
+                FROM t),
+          tot AS (SELECT source, count(*) AS n FROM g GROUP BY source),
+          sh AS (SELECT a.source AS src_a, b.source AS src_b, count(*) AS shared_grams
+                 FROM g a JOIN g b ON a.g = b.g AND a.source < b.source
+                 GROUP BY 1, 2)
+          SELECT src_a, src_b, shared_grams,
+                 round(CAST(shared_grams AS DOUBLE) / (ta.n + tb.n - shared_grams), 6) AS jaccard
+          FROM sh JOIN tot ta ON src_a = ta.source JOIN tot tb ON src_b = tb.source
+          ORDER BY src_a, src_b""",
     "text_sample_stratified" ->
       s"""WITH t AS (SELECT doc_id, lang,
                    ${polyHashSqlOf(normalizeSql)} % 100 AS bucket

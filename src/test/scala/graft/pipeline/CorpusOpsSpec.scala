@@ -142,6 +142,37 @@ class CorpusOpsSpec extends SparkSpec {
     assert(permuted, "hash order must differ from insertion order")
   }
 
+  test("text_budget_mixture: per-source totals within budget, prefix-closed, no per-source global sort") {
+    val out = graft.SparkEntry.queries("text_budget_mixture")(spark, sf).cache()
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    // the kept set per source is a prefix in cum order and never overshoots
+    rows.groupBy(_.getString(1)).foreach { case (_, rs) =>
+      val cums = rs.map(_.getLong(3)).sorted
+      val toks = rs.map(r => r.getInt(2).toLong).sum
+      assert(cums.last == toks, "cum of the last kept row = sum of kept tokens (prefix)")
+      assert(cums.last < 1000L, "budget is at most 999 tokens")
+    }
+    // scale shape: the window partitions on (source, hb) — never source
+    // alone (that would be a per-source single-reducer sort at 100 TB)
+    val plan = graft.SparkEntry.queries("text_budget_mixture")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("hb"), "bucketed prefix-sum must survive into the physical plan")
+    out.unpersist(): Unit
+  }
+
+  test("text_source_overlap: strict upper triangle, jaccard bounded, gram-sharded join") {
+    val out = graft.SparkEntry.queries("text_source_overlap")(spark, sf)
+    val rows = out.collect()
+    rows.foreach { r =>
+      assert(r.getString(0) < r.getString(1), "matrix is the strict upper triangle")
+      val j = r.getDouble(3)
+      assert(j > 0.0 && j <= 1.0)
+    }
+    val plan = out.queryExecution.executedPlan.toString.toLowerCase
+    assert(!plan.contains("cartesian"), "pair counts must come from the gram join")
+  }
+
   test("text_unigram_ppl: smoothed scores positive, ppl consistent with nll") {
     val rows = TextAnalysis.queries("text_unigram_ppl")(spark, sf).collect()
     assert(rows.length == 500)
