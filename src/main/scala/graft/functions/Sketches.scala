@@ -53,8 +53,59 @@ object Sketches {
       .orderBy(col("lang"))
   }
 
+  private val CmsW = 512 // buckets per row; ε ≈ e/512 of total mass
+  private val CmsD = 4 // hash rows; failure prob ≈ e^-4
+  /** Fixed probe mix over the synthetic corpus vocabulary: frequent terms,
+    * the rare tail ('dup'), and a token absent from the corpus (its
+    * estimate is pure collision mass — CMS never underestimates, so
+    * exact ≤ est always holds). */
+  private val CmsProbes: Seq[String] =
+    Seq("join", "hash", "scan", "table", "stream", "the", "dup", "zzz_absent_zzz")
+
+  /** Count-min sketch term-frequency estimation next to the exact counts —
+    * the frequency companion to [[hllNdv]]'s NDV sketch, on the same
+    * engine-agnostic poly_hash so the DuckDB oracle recomputes it exactly.
+    *
+    * Why it matters at 100 TB: the d×w counter grid is MERGEABLE state —
+    * the groupBy(row, bucket) count partial-aggregates map-side, so the
+    * corpus-wide sketch costs one shuffle of ≤ d·w = 2048 rows regardless
+    * of corpus size, versus the full term-frequency table's shuffle of
+    * every distinct term. Estimates then come from a broadcast of the tiny
+    * grid onto the probe list. Overestimate-only by construction
+    * (Cormode–Muthukrishnan); the spec asserts est ≥ exact and the ε·N
+    * error bound. */
+  private def cmsFreq(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.load(s, dir, "documents")
+      .select(explode(tokens(col("text"))).as("term"))
+    val hashed = toks.withColumn("h", polyHash(col("term")))
+    def buckets(h: org.apache.spark.sql.Column) = array((0 until CmsD).map(j =>
+      struct(lit(j).as("j"), (rehash(h, j) % CmsW).as("bucket"))): _*)
+    val sketch = hashed
+      .select(explode(buckets(col("h"))).as("jb"))
+      .groupBy(col("jb.j").as("j"), col("jb.bucket").as("bucket"))
+      .agg(count(lit(1)).as("c"))
+    val probes = s.createDataFrame(
+      CmsProbes.map(Tuple1.apply)).toDF("term")
+      .withColumn("h", polyHash(col("term")))
+      .select(col("term"), explode(buckets(col("h"))).as("jb"))
+      .select(col("term"), col("jb.j").as("j"), col("jb.bucket").as("bucket"))
+    val est = probes
+      .join(broadcast(sketch), Seq("j", "bucket"), "left")
+      .groupBy(col("term"))
+      .agg(min(coalesce(col("c"), lit(0L))).as("freq_est"))
+    // exact counts only for the probe list (a pushed-down IN filter — the
+    // full term-frequency table never materializes, let alone broadcasts)
+    val exact = toks.filter(col("term").isin(CmsProbes: _*))
+      .groupBy(col("term")).agg(count(lit(1)).as("freq_exact"))
+    est.join(broadcast(exact), Seq("term"), "left")
+      .select(col("term"), coalesce(col("freq_exact"), lit(0L)).as("freq_exact"),
+        col("freq_est"))
+      .orderBy(col("term"))
+  }
+
   def queries: Map[String, QFn] = Map(
-    "agg_hll_ndv" -> (hllNdv _)
+    "agg_hll_ndv" -> (hllNdv _),
+    "agg_cms_freq" -> (cmsFreq _)
   )
 
   private def polyHashSqlOf(v: String): String =
@@ -81,6 +132,27 @@ object Sketches {
           SELECT est.lang, ndv_exact, n_hit AS registers_hit,
                  round(CASE WHEN raw <= 2.5 * $M AND zeros > 0
                        THEN $M.0 * ln($M.0 / zeros) ELSE raw END, 4) AS ndv_est
-          FROM est JOIN ex ON est.lang = ex.lang ORDER BY est.lang"""
+          FROM est JOIN ex ON est.lang = ex.lang ORDER BY est.lang""",
+    "agg_cms_freq" -> {
+      val probeList = CmsProbes.map(t => s"'$t'").mkString("[", ", ", "]")
+      s"""WITH toks AS (SELECT unnest(string_split(trim(text), ' ')) AS term FROM documents),
+          hs AS (SELECT ${polyHashSqlOf("term")} AS h FROM toks),
+          jb AS (SELECT j.j AS j,
+                   ((h * (2*j.j + 1) + (7919*j.j + 1)) % 1000000007) % $CmsW AS bucket
+                 FROM hs, range(0, $CmsD) j(j)),
+          sk AS (SELECT j, bucket, count(*) AS c FROM jb GROUP BY 1, 2),
+          probes AS (SELECT unnest($probeList) AS term),
+          ph AS (SELECT term, ${polyHashSqlOf("term")} AS h FROM probes),
+          pb AS (SELECT term, j.j AS j,
+                   ((h * (2*j.j + 1) + (7919*j.j + 1)) % 1000000007) % $CmsW AS bucket
+                 FROM ph, range(0, $CmsD) j(j)),
+          est AS (SELECT term, min(coalesce(c, 0)) AS freq_est
+                  FROM pb LEFT JOIN sk USING (j, bucket) GROUP BY term),
+          ex AS (SELECT term, count(*) AS freq_exact FROM toks
+                 WHERE term IN (SELECT term FROM probes) GROUP BY term)
+          SELECT est.term, coalesce(freq_exact, 0) AS freq_exact,
+                 CAST(freq_est AS BIGINT) AS freq_est
+          FROM est LEFT JOIN ex ON est.term = ex.term ORDER BY est.term"""
+    }
   )
 }

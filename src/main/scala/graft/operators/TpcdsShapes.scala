@@ -196,7 +196,52 @@ object TpcdsShapes {
       .limit(10)
   }
 
+  /** q88 shape: eight COUNT bands over the fact in ONE scan — each band a
+    * conditional count, never eight scans (the reference plans q88 as a
+    * single multi-aggregate). The whole query is a scan + one partial-
+    * aggregated reduce to a single row: the cheapest possible plan at any
+    * scale, and the shape AQE can never mis-plan. */
+  private def multiBandCounts(s: SparkSession, dir: String): DataFrame = {
+    val l = t(s, dir, "lineitem")
+    val q = col("l_quantity").cast("double")
+    val d = col("l_discount").cast("double")
+    def band(name: String, cond: Column) =
+      sum(when(cond, 1L).otherwise(0L)).as(name)
+    l.agg(
+      band("b_q1_lowdisc", q <= 10 && d < 0.05),
+      band("b_q1_highdisc", q <= 10 && d >= 0.05),
+      band("b_q2_lowdisc", q > 10 && q <= 25 && d < 0.05),
+      band("b_q2_highdisc", q > 10 && q <= 25 && d >= 0.05),
+      band("b_q3_lowdisc", q > 25 && q <= 40 && d < 0.05),
+      band("b_q3_highdisc", q > 25 && q <= 40 && d >= 0.05),
+      band("b_q4_lowdisc", q > 40 && d < 0.05),
+      band("b_q4_highdisc", q > 40 && d >= 0.05))
+  }
+
+  /** q23 shape: frequent-item revenue — parts ordered in ≥ 4 distinct
+    * orders within a year form the frequent set (HAVING over an agg), and
+    * the fact then SEMI-joins that set before the revenue rollup. The
+    * frequent set is orders of magnitude smaller than the fact, so the
+    * semi join broadcasts; the having-filter runs on the (part, yr)
+    * aggregate, never the raw scan. */
+  private def frequentParts(s: SparkSession, dir: String): DataFrame = {
+    val l = t(s, dir, "lineitem")
+    val o = t(s, dir, "orders").select(col("o_orderkey"), year(col("o_orderdate")).as("yr"))
+    val lo = l.join(o, col("l_orderkey") === col("o_orderkey"))
+    val freq = lo.groupBy(col("l_partkey").as("f_pk"), col("yr").as("f_yr"))
+      .agg(countDistinct(col("l_orderkey")).as("n_orders"))
+      .filter(col("n_orders") >= 4)
+      .select(col("f_pk"), col("f_yr"))
+    lo.join(broadcast(freq),
+        col("l_partkey") === col("f_pk") && col("yr") === col("f_yr"), "left_semi")
+      .groupBy(col("yr"))
+      .agg(sum(rev).cast("double").as("freq_revenue"), count(lit(1)).as("n_lines"))
+      .orderBy(col("yr"))
+  }
+
   def queries: Map[String, QFn] = Map(
+    "dsq_multi_band_counts" -> (multiBandCounts _),
+    "dsq_frequent_parts" -> (frequentParts _),
     "dsq_yoy_growth" -> (yoyGrowth _),
     "dsq_order_size_pivot" -> (orderSizePivot _),
     "dsq_net_after_returns" -> (netAfterReturns _),
@@ -211,6 +256,30 @@ object TpcdsShapes {
     "CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))"
 
   def oracles: Map[String, String] = Map(
+    "dsq_multi_band_counts" ->
+      """SELECT
+           sum(CASE WHEN CAST(l_quantity AS DOUBLE) <= 10 AND CAST(l_discount AS DOUBLE) < 0.05 THEN 1 ELSE 0 END)::BIGINT AS b_q1_lowdisc,
+           sum(CASE WHEN CAST(l_quantity AS DOUBLE) <= 10 AND CAST(l_discount AS DOUBLE) >= 0.05 THEN 1 ELSE 0 END)::BIGINT AS b_q1_highdisc,
+           sum(CASE WHEN CAST(l_quantity AS DOUBLE) > 10 AND CAST(l_quantity AS DOUBLE) <= 25 AND CAST(l_discount AS DOUBLE) < 0.05 THEN 1 ELSE 0 END)::BIGINT AS b_q2_lowdisc,
+           sum(CASE WHEN CAST(l_quantity AS DOUBLE) > 10 AND CAST(l_quantity AS DOUBLE) <= 25 AND CAST(l_discount AS DOUBLE) >= 0.05 THEN 1 ELSE 0 END)::BIGINT AS b_q2_highdisc,
+           sum(CASE WHEN CAST(l_quantity AS DOUBLE) > 25 AND CAST(l_quantity AS DOUBLE) <= 40 AND CAST(l_discount AS DOUBLE) < 0.05 THEN 1 ELSE 0 END)::BIGINT AS b_q3_lowdisc,
+           sum(CASE WHEN CAST(l_quantity AS DOUBLE) > 25 AND CAST(l_quantity AS DOUBLE) <= 40 AND CAST(l_discount AS DOUBLE) >= 0.05 THEN 1 ELSE 0 END)::BIGINT AS b_q3_highdisc,
+           sum(CASE WHEN CAST(l_quantity AS DOUBLE) > 40 AND CAST(l_discount AS DOUBLE) < 0.05 THEN 1 ELSE 0 END)::BIGINT AS b_q4_lowdisc,
+           sum(CASE WHEN CAST(l_quantity AS DOUBLE) > 40 AND CAST(l_discount AS DOUBLE) >= 0.05 THEN 1 ELSE 0 END)::BIGINT AS b_q4_highdisc
+         FROM lineitem""",
+    "dsq_frequent_parts" ->
+      s"""WITH lo AS (
+            SELECT l.*, year(CAST(o_orderdate AS DATE)) AS yr, o_orderkey AS ook
+            FROM lineitem l JOIN orders o ON l_orderkey = o_orderkey),
+          freq AS (
+            SELECT l_partkey AS f_pk, yr AS f_yr
+            FROM lo GROUP BY 1, 2 HAVING count(DISTINCT l_orderkey) >= 4)
+          SELECT yr, CAST(sum($revSql) AS DOUBLE) AS freq_revenue,
+                 count(*) AS n_lines
+          FROM lo
+          WHERE EXISTS (SELECT 1 FROM freq
+                        WHERE f_pk = lo.l_partkey AND f_yr = lo.yr)
+          GROUP BY yr ORDER BY yr""",
     "dsq_yoy_growth" ->
       s"""WITH yearly AS (
             SELECT o_custkey, year(o_orderdate) AS yr, sum($revSql) AS r
