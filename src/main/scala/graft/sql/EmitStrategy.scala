@@ -71,7 +71,7 @@ object EmitStrategy {
   private val sessionShapeRe =
     """(?is)\s*SELECT\s+(.*?)\s+FROM\s+(\w+)\s+GROUP\s+BY\s+SESSION\s*\(\s*(\w+)\s*,\s*INTERVAL\s+'(\d+)'\s+(\w+)\s*\)\s*(?:,\s*([\w\s,]+?))?\s*(ORDER\s+BY\s+.*)?""".r
   // CUMULATE(time, step, max) — the cumulative-window TVF argument order
-  private val cumShapeRe =
+  private[sql] val cumShapeRe =
     """(?is)\s*SELECT\s+(.*?)\s+FROM\s+(\w+)\s+GROUP\s+BY\s+CUMULATE\s*\(\s*(\w+)\s*,\s*INTERVAL\s+'(\d+)'\s+(\w+)\s*,\s*INTERVAL\s+'(\d+)'\s+(\w+)\s*\)\s*(?:,\s*([\w\s,]+?))?\s*(ORDER\s+BY\s+.*)?""".r
   private val tumbleStartRe =
     """(?is)^(?:TUMBLE_START|HOP_START|SESSION_START|CUMULATE_START)\s*\(.*?\)\s+AS\s+(\w+)$""".r
@@ -79,7 +79,7 @@ object EmitStrategy {
     """(?is)^CUMULATE_END\s*\(.*?\)\s+AS\s+(\w+)$""".r
   private val aggRe = """(?is)^(COUNT|SUM|MIN|MAX|AVG)\s*\(\s*(\*|\w+)\s*\)\s+AS\s+(\w+)$""".r
 
-  private def unitMicros(u: String): Long = u.toUpperCase.stripSuffix("S") match {
+  private[sql] def unitMicros(u: String): Long = u.toUpperCase.stripSuffix("S") match {
     case "SECOND" => 1000000L
     case "MINUTE" => 60L * 1000000L
     case "HOUR" => 3600L * 1000000L
@@ -117,7 +117,7 @@ object EmitStrategy {
   /** Select-list parse shared by all window shapes: the window-start alias,
     * the CUMULATE pane-end alias, pass-through group columns, and the
     * aggregate triples. */
-  private def parseSelect(select: String, groupCols: Seq[String])
+  private[sql] def parseSelect(select: String, groupCols: Seq[String])
     : (String, String, Seq[(String, String, String)]) = {
     var wsAlias = "w_start"
     var weAlias = "w_end"
@@ -455,6 +455,66 @@ object EmitStrategy {
                 FROM late WHERE __cls = 1
                 UNION ALL SELECT * FROM fin)
           ${Option(tail).getOrElse("")}""")
+  }
+}
+
+/** Plain (non-emit) `GROUP BY CUMULATE(ts, step, max)` — one row per
+  * closed pane, the cumulative-window TVF semantics without the emission
+  * log. Batch: the select list passes through VERBATIM (arbitrary
+  * aggregates), only `CUMULATE_START/END(..)` rewrite onto the exploded
+  * pane columns — so the rewrite composes with everything the stock parser
+  * supports. Streaming: the restricted-dialect stateful operator runs with
+  * an infinite early-fire delay (terminal fires only) and the emission
+  * columns dropped. */
+object CumulateSql {
+
+  def matches(probe: String): Boolean =
+    """(?i)\bCUMULATE\s*\(""".r.findFirstIn(probe).isDefined &&
+      """(?i)\bGROUP\s+BY\s+CUMULATE\s*\(""".r.findFirstIn(probe).isDefined
+
+  private val startRe = """(?is)\bCUMULATE_START\s*\([^)]*\)""".r
+  private val endRe = """(?is)\bCUMULATE_END\s*\([^)]*\)""".r
+
+  def run(session: SparkSession, sql: String): DataFrame = sql match {
+    case EmitStrategy.cumShapeRe(select, table, tsCol, stepN, stepU, maxN, maxU,
+        extraGroups, tail) =>
+      val stepUs = stepN.toLong * EmitStrategy.unitMicros(stepU)
+      val maxUs = maxN.toLong * EmitStrategy.unitMicros(maxU)
+      require(maxUs % stepUs == 0, "CUMULATE max size must be a multiple of step")
+      val groupCols = Option(extraGroups)
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+      val srcDf = session.table(table)
+      if (srcDf.isStreaming) {
+        // restricted dialect on a stream; watermark close = pane emission
+        val (wsAlias, weAlias, aggs) = EmitStrategy.parseSelect(select, groupCols)
+        require(aggs.nonEmpty, "streaming CUMULATE needs at least one aggregate")
+        require(Option(tail).forall(_.trim.isEmpty),
+          "streaming CUMULATE: ORDER BY is not supported on an unbounded result")
+        return StreamingEmit.cumulate(session, srcDf, tsCol, stepUs, maxUs,
+          delayUs = Long.MaxValue / 4, groupCols, aggs, wsAlias, weAlias,
+          tiebreak = None)
+          .where(org.apache.spark.sql.functions.col("is_final"))
+          .drop("fire_time", "is_final")
+      }
+      val uts = s"unix_micros(cast($tsCol as timestamp))"
+      val items = startRe.replaceAllIn(
+        endRe.replaceAllIn(select, "timestamp_micros(__we)"),
+        "timestamp_micros(__ws)")
+      val gTail = if (groupCols.isEmpty) "" else ", " + groupCols.mkString(", ")
+      session.sql(
+        s"""SELECT $items
+            FROM (
+              SELECT *, explode(sequence(
+                          __ws + ((__uts - __ws) div ${stepUs}L + 1L) * ${stepUs}L,
+                          __ws + ${maxUs}L, ${stepUs}L)) AS __we
+              FROM (SELECT *, $uts AS __uts,
+                           ($uts div ${maxUs}L) * ${maxUs}L AS __ws
+                    FROM $table)
+            )
+            GROUP BY __ws, __we$gTail ${Option(tail).getOrElse("")}""")
+    case _ => throw new IllegalArgumentException(
+      "CUMULATE supports: SELECT CUMULATE_START/END(..) AS a, <group cols>, <aggs> " +
+        "FROM t GROUP BY CUMULATE(ts, step, max) [, group cols] [ORDER BY ...]")
   }
 }
 

@@ -196,6 +196,12 @@ object FlinkSql {
           || EmitStrategy.lateEnabled(session)) && EmitStrategy.matches(probe))
         Some(org.apache.spark.sql.GraftSqlBridge.logicalPlan(
           EmitStrategy.run(session, sqlText)))
+      // plain cumulative windows (no emit confs): one row per closed pane —
+      // CUMULATE has no native window() counterpart, so it cannot take the
+      // TUMBLE/HOP string rewrite below
+      else if (CumulateSql.matches(probe))
+        Some(org.apache.spark.sql.GraftSqlBridge.logicalPlan(
+          CumulateSql.run(session, sqlText)))
       else None
     }
 

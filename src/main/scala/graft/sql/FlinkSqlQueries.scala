@@ -295,6 +295,15 @@ object FlinkSqlQueries {
         s.conf.unset(EmitStrategy.TiebreakConf)
       }
     }),
+    // plain cumulative windows (no emit confs): one row per closed pane,
+    // arbitrary aggregates pass through the rewrite verbatim
+    "fsql_cumulate" -> ((s, dir) => run(s, dir,
+      """SELECT CUMULATE_START(ts, INTERVAL '1' HOUR, INTERVAL '4' HOUR) AS w_start,
+                CUMULATE_END(ts, INTERVAL '1' HOUR, INTERVAL '4' HOUR) AS w_end,
+                event_type, count(*) AS n, max(value) AS mx
+         FROM events
+         GROUP BY CUMULATE(ts, INTERVAL '1' HOUR, INTERVAL '4' HOUR), event_type
+         ORDER BY w_start, w_end, event_type""")),
     // cascading windows: 10-minute pre-aggregation rolled up into hours via
     // TUMBLE_ROWTIME (the window's event-time attribute, end − 1 ms) — the
     // reference's standard two-level window pattern; the pre-aggregation
@@ -521,6 +530,17 @@ object FlinkSqlQueries {
          HAVING w_start + INTERVAL 1 HOUR <= (SELECT max(CAST(ts AS TIMESTAMP)) FROM events)
          ORDER BY w_start, event_type""",
     "fsql_hop" -> TimeOps.oracles("time_hop"),
+    "fsql_cumulate" ->
+      """WITH e AS (SELECT event_type, value, epoch_us(ts) AS uts,
+                      (epoch_us(ts) // 14400000000) * 14400000000 AS ws
+                    FROM events),
+          x AS (SELECT *, unnest(generate_series(
+                   ws + ((uts - ws) // 3600000000 + 1) * 3600000000,
+                   ws + 14400000000, 3600000000)) AS we
+                FROM e)
+          SELECT make_timestamp(ws) AS w_start, make_timestamp(we) AS w_end,
+                 event_type, count(*) AS n, max(value) AS mx
+          FROM x GROUP BY 1, 2, 3 ORDER BY w_start, w_end, event_type""",
     "fsql_session" -> TimeOps.oracles("time_session"),
     "fsql_system_time" ->
       """SELECT u, p_id, c_id AS asof_click_id, c_ts AS asof_click_ts FROM (

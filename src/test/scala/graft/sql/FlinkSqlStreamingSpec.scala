@@ -402,6 +402,42 @@ class FlinkSqlStreamingSpec extends SparkSpec {
     }
   }
 
+  test("plain CUMULATE SQL over a streaming view emits one row per closed pane, matching batch") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val in = MemoryStream[Ev]
+    in.toDF().withWatermark("ts", "0 seconds").createOrReplaceTempView("fpc_events")
+    val sql =
+      """SELECT CUMULATE_START(ts, INTERVAL '15' SECOND, INTERVAL '30' SECOND) AS w_start,
+                CUMULATE_END(ts, INTERVAL '15' SECOND, INTERVAL '30' SECOND) AS w_end,
+                user_id, count(*) AS n, sum(value) AS sv
+         FROM fpc_events
+         GROUP BY CUMULATE(ts, INTERVAL '15' SECOND, INTERVAL '30' SECOND), user_id"""
+    val out = s.sql(sql)
+    assert(out.isStreaming, "plain CUMULATE must preserve streaming-ness")
+    assert(!out.columns.contains("fire_time"), "no emission columns without emit confs")
+    val q = out.writeStream.format("memory").queryName("fpc_sink")
+      .outputMode("append").start()
+    val data = Seq(
+      Ev(t(1), 1, 1, 2.0), Ev(t(4), 1, 2, 3.0), Ev(t(12), 1, 3, 5.0),
+      Ev(t(17), 2, 4, 7.0), Ev(t(25), 1, 5, 11.0))
+    try {
+      in.addData(data.take(2): _*)
+      q.processAllAvailable()
+      in.addData(data.drop(2): _*)
+      q.processAllAvailable()
+      in.addData(Ev(t(1000), 9, 99, 0.0)) // close every real pane
+      q.processAllAvailable()
+      data.toDF().createOrReplaceTempView("fpc_events_batch")
+      s.sql(sql.replace("fpc_events", "fpc_events_batch"))
+        .createOrReplaceTempView("fpc_batch")
+      val cols = "w_start, w_end, user_id, n, CAST(sv AS DOUBLE) AS sv"
+      val streamed = rowsOf(s"SELECT $cols FROM fpc_sink WHERE user_id <> 9")
+      assert(streamed.nonEmpty && streamed == rowsOf(s"SELECT $cols FROM fpc_batch"))
+    } finally q.stop()
+  }
+
   test("early-fire CUMULATE over a streaming view emits the batch emission log across micro-batches") {
     val s = spark
     import s.implicits._
