@@ -1,0 +1,126 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Checkpoint/restore across a QUERY RESTART — the reference's
+  * checkpoint-and-resume contract (a stopped job restarted from its
+  * checkpoint continues exactly where it left off, with operator state
+  * intact). Two properties:
+  *  1. exactly-once input: files consumed before the stop are not
+  *     reprocessed by the restarted query;
+  *  2. state continuity: a window OPEN at the stop accumulates rows from
+  *     both sides of the restart and emits ONE combined row.
+  */
+class CheckpointRestartSpec extends SparkSpec {
+
+  test("stateful window aggregation resumes from checkpoint with open-window state intact") {
+    val s = spark
+    import s.implicits._
+    val root = java.nio.file.Files.createTempDirectory("ckpt_restart").toString
+    val in = s"$root/in"; val out = s"$root/out"; val ckpt = s"$root/ckpt"
+    new java.io.File(in).mkdirs()
+    val schema = "ts TIMESTAMP, k STRING, v LONG"
+
+    def startQuery() = s.readStream.schema(schema).json(s"$in/*")
+      .withWatermark("ts", "0 seconds")
+      .groupBy(window(col("ts"), "10 seconds").as("w"), col("k"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
+      .select(col("w.start").as("w_start"), col("k"), col("n"), col("sv"))
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+
+    def addFile(name: String, rows: String*): Unit =
+      rows.toSeq.toDF("value").coalesce(1)
+        .write.mode("append").text(s"$in/$name")
+
+    // phase 1: window [0,10) closes (watermark from t=15); [10,20) stays
+    // OPEN with one row of state when the query stops
+    val q1 = startQuery()
+    try {
+      addFile("f1",
+        """{"ts":"1970-01-01T00:00:01Z","k":"a","v":1}""",
+        """{"ts":"1970-01-01T00:00:04Z","k":"a","v":2}""",
+        """{"ts":"1970-01-01T00:00:15Z","k":"a","v":10}""")
+      q1.processAllAvailable()
+    } finally q1.stop()
+    val afterPhase1 = s.read.parquet(out)
+      .collect().map(r => (r.getTimestamp(0).getTime / 1000, r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    assert(afterPhase1 == Set((0L, "a", 2L, 3L)),
+      s"phase 1 must emit only the closed [0,10) window, got $afterPhase1")
+
+    // phase 2: a NEW query from the same checkpoint — t=16 joins the
+    // restored [10,20) state, t=100 closes it
+    val q2 = startQuery()
+    try {
+      addFile("f2",
+        """{"ts":"1970-01-01T00:00:16Z","k":"a","v":20}""",
+        """{"ts":"1970-01-01T00:01:40Z","k":"z","v":0}""")
+      q2.processAllAvailable()
+    } finally q2.stop()
+
+    val finalRows = s.read.parquet(out)
+      .collect().map(r => (r.getTimestamp(0).getTime / 1000, r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    // [0,10) exactly once (no reprocessing of f1), and [10,20) as ONE row
+    // combining the pre-stop t=15 and post-restart t=16 contributions
+    assert(finalRows == Set((0L, "a", 2L, 3L), (10L, "a", 2L, 30L)),
+      s"restart must continue, not recompute: $finalRows")
+  }
+
+  test("custom emission-log accumulator (flatMapGroupsWithState) survives the restart") {
+    val s = spark
+    val root = java.nio.file.Files.createTempDirectory("ckpt_emit").toString
+    val in = s"$root/in"; val out = s"$root/out"; val ckpt = s"$root/ckpt"
+    new java.io.File(in).mkdirs()
+    val schema = "ts TIMESTAMP, k STRING, v DOUBLE"
+
+    def startQuery() = {
+      val src = s.readStream.schema(schema).json(s"$in/*")
+        .withWatermark("ts", "0 seconds")
+      graft.sql.StreamingEmit.tumble(s, src, "ts",
+        widthUs = 30000000L, delayUs = 10000000L, groupCols = Seq("k"),
+        aggs = Seq(("COUNT", "*", "n"), ("SUM", "v", "sv")),
+        wsAlias = "w_start", tiebreak = None)
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+    }
+    def addFile(name: String, rows: String*): Unit = {
+      import s.implicits._
+      rows.toSeq.toDF("value").coalesce(1).write.mode("append").text(s"$in/$name")
+    }
+
+    // phase 1: two rows in delay-bucket 0 of window [0,30) — the Accum
+    // (n=2, prevBidx=0) is checkpointed state, nothing emitted yet
+    val q1 = startQuery()
+    try {
+      addFile("f1",
+        """{"ts":"1970-01-01T00:00:01Z","k":"a","v":1.0}""",
+        """{"ts":"1970-01-01T00:00:04Z","k":"a","v":2.0}""")
+      q1.processAllAvailable()
+    } finally q1.stop()
+    assert(!new java.io.File(out).exists() ||
+      s.read.parquet(out).count() == 0L, "no fire can precede a bucket crossing")
+
+    // phase 2 (restarted): t=12 crosses into bucket 1 — the early fire
+    // counts the RESTORED rows (n=3); t=25 flushes it and buffers the
+    // terminal, closed by the watermark row
+    val q2 = startQuery()
+    try {
+      addFile("f2",
+        """{"ts":"1970-01-01T00:00:12Z","k":"a","v":10.0}""",
+        """{"ts":"1970-01-01T00:00:25Z","k":"a","v":20.0}""",
+        """{"ts":"1970-01-01T00:01:40Z","k":"z","v":0.0}""")
+      q2.processAllAvailable()
+    } finally q2.stop()
+
+    val rows = s.read.parquet(out).filter(col("k") === "a")
+      .collect()
+      .map(r => (r.getAs[java.sql.Timestamp]("fire_time").getTime / 1000,
+        r.getAs[Long]("n"), r.getAs[Double]("sv"), r.getAs[Boolean]("is_final")))
+      .toSet
+    assert(rows == Set((20L, 3L, 13.0, false), (30L, 4L, 33.0, true)),
+      s"early fire must include pre-restart state, terminal the full window: $rows")
+  }
+}
