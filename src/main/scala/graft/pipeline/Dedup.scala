@@ -454,8 +454,27 @@ object Dedup {
       .orderBy(col("doc_id"), col("span_id"))
   }
 
+  /** Dedup audit report: per-source near-duplication rates off the
+    * verified cluster closure — the health dashboard a corpus team reads
+    * BEFORE deciding dedup thresholds (which sources are internally
+    * duplicated, how big the worst cluster is). Same broadcast-label shape
+    * as [[splitAssign]]: the corpus side is one scan + one partial-
+    * aggregated shuffle on the source key. */
+  private def audit(s: SparkSession, dir: String): DataFrame = {
+    val labels = closureLabels(s, dir).toDF("doc_id", "keep_id")
+    Tables.load(s, dir, "documents").select(col("doc_id"), col("source"))
+      .join(broadcast(labels), Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        count(col("keep_id")).as("n_clustered"),
+        round(count(col("keep_id")).cast("double") / count(lit(1)), 6)
+          .as("dup_rate"))
+      .orderBy(col("source"))
+  }
+
   def queries: Map[String, QFn] = Map(
     "dedup_bloom_incremental" -> (bloomIncremental _),
+    "dedup_audit" -> (audit _),
     "dedup_exact" -> (exact _),
     "dedup_exact_norm" -> (exactNormalized _),
     "dedup_ngram_jaccard" -> (ngramJaccard _),
@@ -557,6 +576,23 @@ object Dedup {
           SELECT c.node AS doc_id, c.keep_id, s.cluster_size
           FROM comp c JOIN sz s USING (keep_id)
           ORDER BY doc_id""",
+    "dedup_audit" ->
+      s"""WITH RECURSIVE $minhashCtes,
+          pairs AS (SELECT i, j FROM ver
+                    WHERE CAST(shared AS DOUBLE) / (szi + szj - shared) >= 0.5),
+          und AS (SELECT i AS node, j AS nbr FROM pairs
+                  UNION SELECT j, i FROM pairs),
+          reach AS (
+            SELECT node, node AS r FROM und
+            UNION
+            SELECT u.node, reach.r FROM und u JOIN reach ON u.nbr = reach.node),
+          comp AS (SELECT node, min(r) AS keep_id FROM reach GROUP BY node)
+          SELECT dd.source,
+                 count(*) AS n_docs,
+                 count(c.keep_id) AS n_clustered,
+                 round(CAST(count(c.keep_id) AS DOUBLE) / count(*), 6) AS dup_rate
+          FROM documents dd LEFT JOIN comp c ON dd.doc_id = c.node
+          GROUP BY dd.source ORDER BY dd.source""",
     "dedup_split_leakage" ->
       s"""WITH RECURSIVE $minhashCtes,
           pairs AS (SELECT i, j FROM ver

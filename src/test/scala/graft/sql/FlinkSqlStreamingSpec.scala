@@ -225,7 +225,8 @@ class FlinkSqlStreamingSpec extends SparkSpec {
       for ((win, name) <- Seq(
         ("TUMBLE(ts, INTERVAL '30' SECOND)", "tumble"),
         ("HOP(ts, INTERVAL '15' SECOND, INTERVAL '30' SECOND)", "hop"),
-        ("SESSION(ts, INTERVAL '20' SECOND)", "session"))) {
+        ("SESSION(ts, INTERVAL '20' SECOND)", "session"),
+        ("CUMULATE(ts, INTERVAL '15' SECOND, INTERVAL '30' SECOND)", "cumulate"))) {
         val q = s.sql(
           s"""SELECT user_id, count(*) AS n FROM fsp_events
               GROUP BY $win, user_id""")
