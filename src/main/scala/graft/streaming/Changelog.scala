@@ -58,6 +58,82 @@ object Changelog {
     changes.filter(col("kind") =!= "-U").as[Change](
       changes.sparkSession.implicits.newProductEncoder)
 
+  /** `seq` is a per-key monotone emission sequence (survives micro-batch
+    * boundaries via state) — the changelog's total order, so a consumer can
+    * fold the log without trusting physical row order. */
+  case class RankChange(kind: String, key: Long, rnk: Int, id: Long,
+                        value: Double, seq: Long)
+  case class RankState(rows: Map[Long, Double], nextSeq: Long)
+
+  /** Retractable Top-N — Top-N over a RETRACTING changelog input (the
+    * reference's RetractableTopNFunction,
+    * flink-table-runtime-blink/.../operators/rank/RetractableTopNFunction.java:
+    * 455 LoC; chosen by the planner when the rank input produces updates).
+    * [[topNPerKey]]'s append-only variant can ignore everything below the
+    * N-th value; here a -U/-D can promote previously-hidden rows, so state
+    * is the key's full (id → value) map — exactly the reference's
+    * sorted-map state, and its documented cost.
+    *
+    * Per input change (processed in (ts, retract-before-accumulate, id)
+    * order): apply it to the map, recompute the top-N (value DESC, id ASC),
+    * and emit the RANK CHANGELOG — per rank position: +I when a rank first
+    * fills, -U old/+U new when its occupant changes, -D when the rank
+    * empties. Downstream [[applyRankChanges]] folds the log back into the
+    * rank table (the upsert-sink contract). */
+  def retractableTopN(changes: Dataset[Change], n: Int): Dataset[RankChange] = {
+    import changes.sparkSession.implicits._
+    def topOf(rows: Map[Long, Double]): Seq[(Long, Double)] =
+      rows.toSeq.sortBy { case (id, v) => (-v, id) }.take(n)
+    changes.groupByKey(_.key)
+      .flatMapGroupsWithState[RankState, RankChange](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (key, it, state) =>
+          var rows = state.getOption.map(_.rows).getOrElse(Map.empty[Long, Double])
+          var seq = state.getOption.map(_.nextSeq).getOrElse(0L)
+          def next(): Long = { seq += 1; seq }
+          val out = scala.collection.mutable.ListBuffer.empty[RankChange]
+          val ordered = it.toArray.sortBy(c =>
+            (c.ts, if (c.kind == "-U" || c.kind == "-D") 0 else 1, c.id))
+          ordered.foreach { c =>
+            val before = topOf(rows)
+            rows = c.kind match {
+              case "+I" | "+U" => rows + (c.id -> c.value)
+              case "-U" | "-D" => rows - c.id
+              case other => throw new IllegalArgumentException(s"RowKind $other")
+            }
+            val after = topOf(rows)
+            (0 until n).foreach { r =>
+              (before.lift(r), after.lift(r)) match {
+                case (None, Some((id, v))) =>
+                  out += RankChange("+I", key, r + 1, id, v, next())
+                case (Some((oid, ov)), Some((nid, nv))) if oid != nid || ov != nv =>
+                  out += RankChange("-U", key, r + 1, oid, ov, next())
+                  out += RankChange("+U", key, r + 1, nid, nv, next())
+                case (Some((oid, ov)), None) =>
+                  out += RankChange("-D", key, r + 1, oid, ov, next())
+                case _ => // rank occupant unchanged
+              }
+            }
+          }
+          state.update(RankState(rows, seq))
+          out.iterator
+      }
+  }
+
+  /** Fold a rank changelog into the final rank table (the upsert merge on
+    * (key, rnk) — what a sink keyed by rank position holds at the end). */
+  def applyRankChanges(log: Seq[RankChange]): Map[(Long, Int), (Long, Double)] = {
+    val tbl = scala.collection.mutable.Map.empty[(Long, Int), (Long, Double)]
+    log.foreach { c =>
+      c.kind match {
+        case "+I" | "+U" => tbl((c.key, c.rnk)) = (c.id, c.value)
+        case "-D" => tbl.remove((c.key, c.rnk))
+        case "-U" => // always followed by the +U that overwrites
+      }
+    }
+    tbl.toMap
+  }
+
   /** Apply a changelog batch to a keyed store (the foreachBatch upsert
     * merge): +I/+U put, -D remove, -U ignored (always followed by +U). */
   def applyToStore(store: scala.collection.mutable.Map[Long, Change],

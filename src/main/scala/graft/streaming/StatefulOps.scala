@@ -545,6 +545,31 @@ object StatefulOps {
       .orderBy($"user_id", $"rnk")
   }
 
+  /** Retractable Top-N over a real changelog: each event UPDATES its
+    * (user, slot) cell — [[Changelog.keyedChangelog]] turns that into
+    * -U/+U retractions — and [[Changelog.retractableTopN]] maintains the
+    * user's top-3 slots under those retractions. The graded result is the
+    * emission log FOLDED back into the final rank table (highest-seq
+    * +I/+U per (user, rank)), which must equal a plain rank over the
+    * last value per slot. */
+  def qRetractTopN(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val slotRows = graft.Tables.load(s, dir, "events")
+      .select((col("user_id") * 16 + pmod(col("event_id"), lit(4))).as("key"),
+        expr("unix_micros(cast(ts as timestamp))").as("ts"),
+        col("event_id").as("id"), col("event_type").as("kind"), col("value"))
+      .as[KeyedRow]
+    val changes = Changelog.keyedChangelog(slotRows)
+      .map(c => Changelog.Change(c.kind, c.key / 16, c.key % 16, c.ts, c.value))
+    Changelog.retractableTopN(changes, 3).toDF()
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("key"), col("rnk")).orderBy(col("seq").desc)))
+      .filter(col("rn") === 1 && (col("kind") === "+I" || col("kind") === "+U"))
+      .select(col("key").as("user_id"), col("rnk"), col("id").as("slot"), col("value"))
+      .orderBy(col("user_id"), col("rnk"))
+  }
+
   def qDedupLast(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     dedupKeepLast(eventRows(s, dir))
@@ -586,6 +611,7 @@ object StatefulOps {
   type QFn = (SparkSession, String) => DataFrame
   def queries: Map[String, QFn] = Map(
     "stream_topn" -> (qTopN _),
+    "stream_retract_topn" -> (qRetractTopN _),
     "stream_dedup_last" -> (qDedupLast _),
     "stream_over_running" -> (qRunningSum _),
     "stream_count_windows" -> (qCountWindows _),
@@ -594,6 +620,23 @@ object StatefulOps {
   )
 
   def oracles: Map[String, String] = Map(
+    // the rank changelog folded = plain rank over each slot's LAST value
+    "stream_retract_topn" ->
+      """WITH e AS (SELECT user_id, event_id % 4 AS slot, value,
+                      epoch_us(ts) AS uts, event_id
+                    FROM events),
+          l AS (SELECT user_id, slot, value,
+                  row_number() OVER (PARTITION BY user_id, slot
+                    ORDER BY uts DESC, event_id DESC) AS rn
+                FROM e),
+          cur AS (SELECT user_id, slot, value FROM l WHERE rn = 1),
+          r AS (SELECT user_id, slot, value,
+                  row_number() OVER (PARTITION BY user_id
+                    ORDER BY value DESC, slot) AS rnk
+                FROM cur)
+          SELECT user_id, CAST(rnk AS INT) AS rnk, slot, value
+          FROM r WHERE rnk <= 3
+          ORDER BY user_id, rnk""",
     "stream_topn" ->
       """SELECT user_id, event_id, value, CAST(rnk AS INT) AS rnk FROM (
            SELECT user_id, event_id, value,

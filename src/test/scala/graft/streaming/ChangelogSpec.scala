@@ -27,6 +27,70 @@ class ChangelogSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("retractableTopN: a retraction promotes the hidden fourth row into the top-N") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val in = MemoryStream[Changelog.Change]
+    val q = Changelog.retractableTopN(in.toDS(), 2)
+      .writeStream.format("memory").queryName("rtn").outputMode("append").start()
+    try {
+      // ids 1..3 with values 30,20,10: top-2 = {1,2}; id 3 is hidden
+      in.addData(
+        Changelog.Change("+I", 7, 1, 1, 30.0),
+        Changelog.Change("+I", 7, 2, 2, 20.0),
+        Changelog.Change("+I", 7, 3, 3, 10.0))
+      q.processAllAvailable()
+      // retract the leader ACROSS a micro-batch boundary: id 2 takes rank
+      // 1, hidden id 3 surfaces at rank 2 — exactly what the append-only
+      // variant cannot do (it discarded everything below rank N)
+      in.addData(Changelog.Change("-D", 7, 1, 4, 30.0))
+      q.processAllAvailable()
+      val log = s.sql("select * from rtn").as[Changelog.RankChange]
+        .collect().toList.sortBy(_.seq)
+      // first batch emits 2 changes (the 10.0 insert never enters top-2)
+      val afterDelete = log.filter(_.seq > 2)
+      assert(afterDelete.map(c => (c.kind, c.rnk, c.id)) ==
+        List(("-U", 1, 1L), ("+U", 1, 2L), ("-U", 2, 2L), ("+U", 2, 3L)),
+        s"promotion log wrong: $afterDelete")
+      val folded = Changelog.applyRankChanges(log)
+      assert(folded == Map((7L, 1) -> (2L, 20.0), (7L, 2) -> (3L, 10.0)))
+    } finally q.stop()
+  }
+
+  test("retractableTopN: incremental multi-batch log equals the single-batch log") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val changes = Seq(
+      Changelog.Change("+I", 1, 10, 1, 5.0),
+      Changelog.Change("+I", 1, 11, 2, 7.0),
+      Changelog.Change("-U", 1, 10, 3, 5.0),
+      Changelog.Change("+U", 1, 10, 3, 9.0),
+      Changelog.Change("+I", 1, 12, 4, 8.0),
+      Changelog.Change("-D", 1, 11, 5, 7.0),
+      Changelog.Change("+I", 1, 13, 6, 1.0))
+    def runSplit(splitAt: Int): List[(String, Int, Long, Double, Long)] = {
+      val in = MemoryStream[Changelog.Change]
+      val name = s"rtn_split_$splitAt"
+      val q = Changelog.retractableTopN(in.toDS(), 2)
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      try {
+        in.addData(changes.take(splitAt): _*)
+        q.processAllAvailable()
+        in.addData(changes.drop(splitAt): _*)
+        q.processAllAvailable()
+        s.sql(s"select * from $name").as[Changelog.RankChange].collect().toList
+          .sortBy(_.seq).map(c => (c.kind, c.rnk, c.id, c.value, c.seq))
+      } finally q.stop()
+    }
+    val whole = runSplit(changes.size)
+    assert(whole.nonEmpty)
+    for (split <- Seq(1, 3, 5))
+      assert(runSplit(split) == whole,
+        s"state must make the emission log split-invariant (split=$split)")
+  }
+
   test("dropUpdateBefore keeps only +I/+U; store merge converges to last rows") {
     val s = spark
     import s.implicits._
