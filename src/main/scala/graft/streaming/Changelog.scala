@@ -63,7 +63,14 @@ object Changelog {
     * fold the log without trusting physical row order. */
   case class RankChange(kind: String, key: Long, rnk: Int, id: Long,
                         value: Double, seq: Long)
-  case class RankState(rows: Map[Long, Double], nextSeq: Long)
+  /** `topIds`/`topVals` cache the current top-N (parallel lists — the
+    * reference's TopNBuffer): a change that provably cannot alter the
+    * top-N skips both recompute and emission, so the per-change cost on a
+    * hot key is O(1) for the common below-threshold update and O(m·n)
+    * (single scan, bounded insertion buffer) only when the top actually
+    * changes — never an O(m log m) full sort per change. */
+  case class RankState(rows: Map[Long, Double], topIds: List[Long],
+                       topVals: List[Double], nextSeq: Long)
 
   /** Retractable Top-N — Top-N over a RETRACTING changelog input (the
     * reference's RetractableTopNFunction,
@@ -82,40 +89,72 @@ object Changelog {
     * rank table (the upsert-sink contract). */
   def retractableTopN(changes: Dataset[Change], n: Int): Dataset[RankChange] = {
     import changes.sparkSession.implicits._
-    def topOf(rows: Map[Long, Double]): Seq[(Long, Double)] =
-      rows.toSeq.sortBy { case (id, v) => (-v, id) }.take(n)
+    // ordering: value DESC, id ASC — (a) strictly before (b)?
+    def beats(aId: Long, aV: Double, bId: Long, bV: Double): Boolean =
+      aV > bV || (aV == bV && aId < bId)
+    // O(m·n) partial selection: one scan over the map with a bounded
+    // insertion buffer — n is small, m can be the whole hot key
+    def topOf(rows: Map[Long, Double]): Seq[(Long, Double)] = {
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
+      rows.foreach { case (id, v) =>
+        if (buf.length < n || beats(id, v, buf.last._1, buf.last._2)) {
+          var i = buf.length
+          while (i > 0 && beats(id, v, buf(i - 1)._1, buf(i - 1)._2)) i -= 1
+          buf.insert(i, (id, v))
+          if (buf.length > n) buf.remove(n): Unit
+        }
+      }
+      buf.toSeq
+    }
     changes.groupByKey(_.key)
       .flatMapGroupsWithState[RankState, RankChange](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         case (key, it, state) =>
           var rows = state.getOption.map(_.rows).getOrElse(Map.empty[Long, Double])
+          var top: Seq[(Long, Double)] =
+            state.getOption.map(st => st.topIds.zip(st.topVals)).getOrElse(Nil)
           var seq = state.getOption.map(_.nextSeq).getOrElse(0L)
           def next(): Long = { seq += 1; seq }
           val out = scala.collection.mutable.ListBuffer.empty[RankChange]
           val ordered = it.toArray.sortBy(c =>
             (c.ts, if (c.kind == "-U" || c.kind == "-D") 0 else 1, c.id))
           ordered.foreach { c =>
-            val before = topOf(rows)
+            val inTop = top.exists(_._1 == c.id)
+            val isAccumulate = c.kind == "+I" || c.kind == "+U"
+            // can this change alter the top-N at all? removals only if the
+            // id ranks; accumulates only if the id already ranks (in-place
+            // update), the buffer has room, or the value beats the floor
+            val affected =
+              if (isAccumulate)
+                inTop || top.length < n || {
+                  val (fid, fv) = top.last
+                  beats(c.id, c.value, fid, fv)
+                }
+              else inTop
             rows = c.kind match {
               case "+I" | "+U" => rows + (c.id -> c.value)
               case "-U" | "-D" => rows - c.id
               case other => throw new IllegalArgumentException(s"RowKind $other")
             }
-            val after = topOf(rows)
-            (0 until n).foreach { r =>
-              (before.lift(r), after.lift(r)) match {
-                case (None, Some((id, v))) =>
-                  out += RankChange("+I", key, r + 1, id, v, next())
-                case (Some((oid, ov)), Some((nid, nv))) if oid != nid || ov != nv =>
-                  out += RankChange("-U", key, r + 1, oid, ov, next())
-                  out += RankChange("+U", key, r + 1, nid, nv, next())
-                case (Some((oid, ov)), None) =>
-                  out += RankChange("-D", key, r + 1, oid, ov, next())
-                case _ => // rank occupant unchanged
+            if (affected) {
+              val before = top
+              val after = topOf(rows)
+              (0 until n).foreach { r =>
+                (before.lift(r), after.lift(r)) match {
+                  case (None, Some((id, v))) =>
+                    out += RankChange("+I", key, r + 1, id, v, next())
+                  case (Some((oid, ov)), Some((nid, nv))) if oid != nid || ov != nv =>
+                    out += RankChange("-U", key, r + 1, oid, ov, next())
+                    out += RankChange("+U", key, r + 1, nid, nv, next())
+                  case (Some((oid, ov)), None) =>
+                    out += RankChange("-D", key, r + 1, oid, ov, next())
+                  case _ => // rank occupant unchanged
+                }
               }
+              top = after
             }
           }
-          state.update(RankState(rows, seq))
+          state.update(RankState(rows, top.map(_._1).toList, top.map(_._2).toList, seq))
           out.iterator
       }
   }

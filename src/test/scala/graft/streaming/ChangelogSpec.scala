@@ -91,6 +91,34 @@ class ChangelogSpec extends SparkSpec {
         s"state must make the emission log split-invariant (split=$split)")
   }
 
+  test("retractableTopN: 50k-change hot key stays sub-quadratic (below-floor churn is O(1))") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val in = MemoryStream[Changelog.Change]
+    val q = Changelog.retractableTopN(in.toDS(), 3)
+      .writeStream.format("memory").queryName("rtn_soak").outputMode("append").start()
+    try {
+      // 3 leaders, then 50k distinct below-floor rows on the SAME key —
+      // the state map grows to 50k entries; a full re-sort per change
+      // would be ~10^9 comparisons and time out here
+      val leaders = (1L to 3L).map(i => Changelog.Change("+I", 1, i, i, 1e9 + i))
+      val churn = (10L until 50010L).map(i => Changelog.Change("+I", 1, i, i, i.toDouble))
+      val t0 = System.nanoTime()
+      in.addData(leaders ++ churn: _*)
+      q.processAllAvailable()
+      in.addData(Changelog.Change("-D", 1, 1, 60000, 0.0)) // promote from the 50k pool
+      q.processAllAvailable()
+      val secs = (System.nanoTime() - t0) / 1e9
+      val log = s.sql("select * from rtn_soak").as[Changelog.RankChange]
+        .collect().toList.sortBy(_.seq)
+      // the delete promotes the best churn row (id 50009) into rank 3
+      assert(log.last.kind == "+U" && log.last.rnk == 3 && log.last.id == 50009L)
+      assert(log.size <= 11, s"below-floor churn must not emit: ${log.size}")
+      assert(secs < 60.0, f"hot-key fold took $secs%.1f s — not sub-quadratic")
+    } finally q.stop()
+  }
+
   test("dropUpdateBefore keeps only +I/+U; store merge converges to last rows") {
     val s = spark
     import s.implicits._
