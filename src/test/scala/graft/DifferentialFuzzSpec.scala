@@ -255,13 +255,48 @@ class DifferentialFuzzSpec extends SparkSpec {
       s"$op SELECT ${proj.mkString(", ")} FROM ${t.name} WHERE ${pred(r, t)}"
   }
 
+  /** ROLLUP over two keys — the Expand/grouping-sets path; NULL group keys
+    * flow through the compare on both engines.
+    *
+    * Documented engine DIVERGENCE this family skirts: over an EMPTY input,
+    * the SQL standard (DuckDB, Postgres) still emits the grand-total
+    * grouping set `()` as one row with count 0, while Spark emits no rows
+    * at all. `HAVING count(*) > 0` is identity on non-empty inputs and
+    * collapses both engines to zero rows on empty ones. */
+  private def qRollup(r: scala.util.Random, t: Tbl): String = {
+    val gPool = (t.strCols.keys ++ t.intCols.keys).toSeq.sorted
+    val gs = r.shuffle(gPool).take(2).sorted
+    s"SELECT ${gs.mkString(", ")}, count(*) AS cnt " +
+      s"FROM ${t.name} WHERE ${pred(r, t)} GROUP BY ROLLUP (${gs.mkString(", ")}) " +
+      s"HAVING count(*) > 0"
+  }
+
+  /** FULL OUTER join with null-side counting (the join type qJoin lacks) */
+  private def qFullJoin(r: scala.util.Random): String =
+    s"SELECT c_mktsegment, count(o_orderkey) AS cnt_o, count(*) AS cnt " +
+      s"FROM customer FULL JOIN (SELECT * FROM orders WHERE ${pred(r, tables(1))}) o " +
+      s"ON o_custkey = c_custkey GROUP BY c_mktsegment"
+
+  /** CTE defined once, consumed twice — plan-level reuse of a common
+    * subexpression on both engines */
+  private def qCte(r: scala.util.Random, t: Tbl): String = {
+    val (ic, _) = pick(r, t.intCols.toSeq)
+    val (sc, _) = pick(r, t.strCols.toSeq)
+    s"WITH b AS (SELECT $sc AS g, count(*) AS cnt, CAST(sum($ic) AS BIGINT) AS s " +
+      s"FROM ${t.name} WHERE ${pred(r, t)} GROUP BY $sc) " +
+      s"SELECT x.g, x.cnt, y.s FROM b x JOIN b y ON x.g = y.g"
+  }
+
   private def gen(r: scala.util.Random, i: Int): String = {
     val t = pick(r, tables)
-    i % 13 match {
+    i % 16 match {
       case 0 | 1 | 2 => qFilter(r, t)
       case 3 | 4 | 5 => qAgg(r, t)
       case 6 | 7 => qWindow(r, t)
       case 8 => qJoin(r)
+      case 13 => qRollup(r, t)
+      case 14 => qFullJoin(r)
+      case 15 => qCte(r, t)
       case 9 => qSetOp(r, t)
       case 10 => qExpr(r, t)
       case 11 => qGroupExpr(r, t)
