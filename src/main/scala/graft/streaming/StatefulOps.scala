@@ -570,6 +570,32 @@ object StatefulOps {
       .orderBy(col("user_id"), col("rnk"))
   }
 
+  /** Streaming retractable SORT-LIMIT (the reference's StreamExecSortLimit:
+    * a GLOBAL ORDER BY ... LIMIT n maintained under updates). Global =
+    * [[Changelog.retractableTopN]] keyed by a constant — mirroring the
+    * reference's parallelism-1 constraint on this operator (the state is
+    * one ordered buffer for the whole stream; the per-key variant is the
+    * scale path). Identity = the (user, slot) cell of [[qRetractTopN]];
+    * the graded result folds the changelog into the final global top-5. */
+  def qSortLimitStream(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cellRows = graft.Tables.load(s, dir, "events")
+      .select((col("user_id") * 16 + pmod(col("event_id"), lit(4))).as("key"),
+        expr("unix_micros(cast(ts as timestamp))").as("ts"),
+        col("event_id").as("id"), col("event_type").as("kind"), col("value"))
+      .as[KeyedRow]
+    val global = Changelog.keyedChangelog(cellRows)
+      .map(c => Changelog.Change(c.kind, 0L, c.key, c.ts, c.value))
+    Changelog.retractableTopN(global, 5).toDF()
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("rnk")).orderBy(col("seq").desc)))
+      .filter(col("rn") === 1 && (col("kind") === "+I" || col("kind") === "+U"))
+      .select(col("rnk"), expr("id div 16").as("user_id"),
+        pmod(col("id"), lit(16)).as("slot"), col("value"))
+      .orderBy(col("rnk"))
+  }
+
   def qDedupLast(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     dedupKeepLast(eventRows(s, dir))
@@ -612,6 +638,7 @@ object StatefulOps {
   def queries: Map[String, QFn] = Map(
     "stream_topn" -> (qTopN _),
     "stream_retract_topn" -> (qRetractTopN _),
+    "stream_sort_limit" -> (qSortLimitStream _),
     "stream_dedup_last" -> (qDedupLast _),
     "stream_over_running" -> (qRunningSum _),
     "stream_count_windows" -> (qCountWindows _),
@@ -637,6 +664,22 @@ object StatefulOps {
           SELECT user_id, CAST(rnk AS INT) AS rnk, slot, value
           FROM r WHERE rnk <= 3
           ORDER BY user_id, rnk""",
+    "stream_sort_limit" ->
+      """WITH e AS (SELECT user_id, event_id % 4 AS slot, value,
+                      epoch_us(ts) AS uts, event_id
+                    FROM events),
+          l AS (SELECT user_id, slot, value,
+                  row_number() OVER (PARTITION BY user_id, slot
+                    ORDER BY uts DESC, event_id DESC) AS rn
+                FROM e),
+          cur AS (SELECT user_id, slot, value,
+                    user_id * 16 + slot AS cell
+                  FROM l WHERE rn = 1),
+          r AS (SELECT user_id, slot, value,
+                  row_number() OVER (ORDER BY value DESC, cell) AS rnk
+                FROM cur)
+          SELECT CAST(rnk AS INT) AS rnk, user_id, slot, value
+          FROM r WHERE rnk <= 5 ORDER BY rnk""",
     "stream_topn" ->
       """SELECT user_id, event_id, value, CAST(rnk AS INT) AS rnk FROM (
            SELECT user_id, event_id, value,
