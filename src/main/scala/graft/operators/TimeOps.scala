@@ -110,12 +110,45 @@ object TimeOps {
       .orderBy(col("u"), col("p_id"))
   }
 
+  /** The interval join as a REAL stream-stream join: two watermarked
+    * streaming sources through Spark's StreamingSymmetricHashJoinExec —
+    * equi-key on user plus the event-time range condition that bounds both
+    * sides' state (the reference's TimeIntervalJoin keeps exactly this
+    * +1 h/-0 window of rows per side). INNER join, so every matched pair
+    * emits when found and the result equals the batch join row-for-row —
+    * the oracle is the plain pair list. */
+  private def streamIntervalJoin(s: SparkSession, dir: String): DataFrame = {
+    val path = s"$dir/events.parquet"
+    val schema = s.read.parquet(path).schema
+    def src() = s.readStream.schema(schema).format("parquet")
+      .option("pathGlobFilter", "events.parquet").load(dir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)").cast("timestamp"))
+    val p = src().filter(col("event_type") === "purchase")
+      .withWatermark("ts", "0 seconds")
+      .select(col("user_id").as("u"), col("event_id").as("p_id"),
+        col("ts").as("p_ts"))
+    val c = src().filter(col("event_type") === "click")
+      .withWatermark("ts", "0 seconds")
+      .select(col("user_id").as("cu"), col("event_id").as("c_id"),
+        col("ts").as("c_ts"))
+    val joined = p.join(c, col("u") === col("cu")
+      && col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR")
+      && col("c_ts") <= col("p_ts"))
+      .select(col("u"), col("p_id"), col("c_id"))
+    s.catalog.dropTempView("stream_ij_sink"): Unit
+    val q = joined.writeStream.format("memory").queryName("stream_ij_sink")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    s.table("stream_ij_sink").orderBy(col("u"), col("p_id"), col("c_id"))
+  }
+
   def queries: Map[String, QFn] = Map(
     "time_tumble" -> (tumble _),
     "time_hop" -> (hop _),
     "time_session" -> (session _),
     "time_cumulate" -> (cumulate _),
     "time_interval_join" -> (intervalJoin _),
+    "stream_interval_join" -> (streamIntervalJoin _),
     "time_asof_join" -> (asofJoin _)
   )
 
@@ -161,6 +194,13 @@ object TimeOps {
         AND c.event_type = 'click'
         AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
        GROUP BY 1, 2 ORDER BY u, p_id""",
+    "stream_interval_join" ->
+      """SELECT p.user_id AS u, p.event_id AS p_id, c.event_id AS c_id
+       FROM events p JOIN events c
+         ON p.user_id = c.user_id AND p.event_type = 'purchase'
+        AND c.event_type = 'click'
+        AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
+       ORDER BY u, p_id, c_id""",
     "time_asof_join" ->
       """SELECT u, p_id, asof_click_id, asof_click_ts FROM (
          SELECT p.user_id AS u, p.event_id AS p_id, c.event_id AS asof_click_id,

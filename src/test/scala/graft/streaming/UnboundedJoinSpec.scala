@@ -122,4 +122,42 @@ class UnboundedJoinSpec extends SparkSpec {
       assert(late.count(e => e.tag == "window" && e.win_start == 0L) == 1)
     } finally q.stop()
   }
+
+  test("stream-stream interval join plans the symmetric hash join, result = batch join") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val ctx = s.sqlContext
+    val pIn = MemoryStream[KeyedRow]
+    val cIn = MemoryStream[KeyedRow]
+    def side(in: MemoryStream[KeyedRow], a: String) = in.toDS()
+      .withColumn("ets", expr("timestamp_micros(ts)"))
+      .withWatermark("ets", "0 seconds")
+      .select(col("key").as(s"${a}_key"), col("id").as(s"${a}_id"),
+        col("ets").as(s"${a}_ts"))
+    val joined = side(pIn, "p").join(side(cIn, "c"),
+      col("p_key") === col("c_key")
+        && col("c_ts") >= col("p_ts") - expr("INTERVAL 10 SECONDS")
+        && col("c_ts") <= col("p_ts"))
+      .select(col("p_key"), col("p_id"), col("c_id"))
+    val q = joined.writeStream.format("memory").queryName("ssij")
+      .outputMode("append").start()
+    try {
+      pIn.addData(KeyedRow(1, 15000000L, 1, "p", 0), KeyedRow(1, 40000000L, 2, "p", 0))
+      cIn.addData(KeyedRow(1, 8000000L, 10, "c", 0), KeyedRow(1, 14000000L, 11, "c", 0))
+      q.processAllAvailable()
+      cIn.addData(KeyedRow(1, 33000000L, 12, "c", 0)) // second batch: joins p_id=2
+      q.processAllAvailable()
+      val plan = q
+        .asInstanceOf[org.apache.spark.sql.execution.streaming.runtime.StreamingQueryWrapper]
+        .streamingQuery.lastExecution.executedPlan.toString
+      assert(plan.contains("StreamingSymmetricHashJoin"),
+        s"must plan the stateful stream-stream join:\n${plan.take(800)}")
+      val got = s.sql("select * from ssij").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      // p1@15s matches c10@8s? 8 >= 5 yes, <= 15 yes; c11@14s yes.
+      // p2@40s matches c12@33s (>=30, <=40); c10/c11 are outside.
+      assert(got == Set((1L, 1L, 10L), (1L, 1L, 11L), (1L, 2L, 12L)))
+    } finally q.stop()
+  }
 }
