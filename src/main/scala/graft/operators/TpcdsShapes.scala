@@ -239,7 +239,39 @@ object TpcdsShapes {
       .orderBy(col("yr"))
   }
 
+  /** q51 shape: two per-channel CUMULATIVE series (window over the monthly
+    * aggregate, per part) FULL OUTER joined on (part, month), reporting
+    * months where the returns cumulative overtakes the sales cumulative.
+    * The windows run over the pre-aggregated (part, month) grid, never the
+    * fact; the full join aligns two sparse series — the optimizer shape
+    * TPC-DS q51 exists to exercise. */
+  private def cumulativeCompare(s: SparkSession, dir: String): DataFrame = {
+    val l = t(s, dir, "lineitem")
+    def channel(flag: String, a: String): DataFrame = {
+      val w = Window.partitionBy(col(s"${a}_pk")).orderBy(col(s"${a}_mo"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      l.filter(col("l_returnflag") === flag)
+        .groupBy(col("l_partkey").as(s"${a}_pk"),
+          (year(col("l_shipdate")) * 100 + month(col("l_shipdate"))).as(s"${a}_mo"))
+        .agg(sum(rev).as(s"${a}_rev"))
+        .withColumn(s"${a}_cum", sum(col(s"${a}_rev")).over(w))
+    }
+    val r = channel("R", "r")
+    val n = channel("N", "n")
+    r.join(n, col("r_pk") === col("n_pk") && col("r_mo") === col("n_mo"), "full")
+      .select(coalesce(col("r_pk"), col("n_pk")).as("pk"),
+        coalesce(col("r_mo"), col("n_mo")).as("mo"),
+        coalesce(col("r_cum"), lit(0).cast(DecimalType(18, 2))).as("rc"),
+        coalesce(col("n_cum"), lit(0).cast(DecimalType(18, 2))).as("nc"))
+      .filter(col("rc") > col("nc"))
+      .groupBy(col("mo"))
+      .agg(count(lit(1)).as("n_overtaken"),
+        sum(col("rc") - col("nc")).cast("double").as("gap"))
+      .orderBy(col("mo"))
+  }
+
   def queries: Map[String, QFn] = Map(
+    "dsq_cumulative_compare" -> (cumulativeCompare _),
     "dsq_multi_band_counts" -> (multiBandCounts _),
     "dsq_frequent_parts" -> (frequentParts _),
     "dsq_yoy_growth" -> (yoyGrowth _),
@@ -256,6 +288,31 @@ object TpcdsShapes {
     "CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))"
 
   def oracles: Map[String, String] = Map(
+    "dsq_cumulative_compare" ->
+      s"""WITH r0 AS (
+            SELECT l_partkey AS pk,
+                   CAST(year(CAST(l_shipdate AS DATE)) * 100
+                        + month(CAST(l_shipdate AS DATE)) AS INT) AS mo,
+                   sum($revSql) AS rev
+            FROM lineitem WHERE l_returnflag = 'R' GROUP BY 1, 2),
+          rc AS (SELECT pk, mo, sum(rev) OVER (PARTITION BY pk ORDER BY mo
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+                 FROM r0),
+          n0 AS (
+            SELECT l_partkey AS pk,
+                   CAST(year(CAST(l_shipdate AS DATE)) * 100
+                        + month(CAST(l_shipdate AS DATE)) AS INT) AS mo,
+                   sum($revSql) AS rev
+            FROM lineitem WHERE l_returnflag = 'N' GROUP BY 1, 2),
+          nc AS (SELECT pk, mo, sum(rev) OVER (PARTITION BY pk ORDER BY mo
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+                 FROM n0),
+          j AS (SELECT coalesce(rc.pk, nc.pk) AS pk, coalesce(rc.mo, nc.mo) AS mo,
+                  coalesce(rc.cum, 0) AS rcum, coalesce(nc.cum, 0) AS ncum
+                FROM rc FULL JOIN nc ON rc.pk = nc.pk AND rc.mo = nc.mo)
+          SELECT mo, count(*) AS n_overtaken,
+                 CAST(sum(rcum - ncum) AS DOUBLE) AS gap
+          FROM j WHERE rcum > ncum GROUP BY mo ORDER BY mo""",
     "dsq_multi_band_counts" ->
       """SELECT
            sum(CASE WHEN CAST(l_quantity AS DOUBLE) <= 10 AND CAST(l_discount AS DOUBLE) < 0.05 THEN 1 ELSE 0 END)::BIGINT AS b_q1_lowdisc,
