@@ -160,4 +160,46 @@ class UnboundedJoinSpec extends SparkSpec {
       assert(got == Set((1L, 1L, 10L), (1L, 1L, 11L), (1L, 2L, 12L)))
     } finally q.stop()
   }
+
+  test("native LEFT OUTER interval join null-pads once the watermark closes the match window") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val ctx = s.sqlContext
+    val pIn = MemoryStream[KeyedRow]
+    val cIn = MemoryStream[KeyedRow]
+    def side(in: MemoryStream[KeyedRow], a: String) = in.toDS()
+      .withColumn("ets", expr("timestamp_micros(ts)"))
+      .withWatermark("ets", "0 seconds")
+      .select(col("key").as(s"${a}_key"), col("id").as(s"${a}_id"),
+        col("ets").as(s"${a}_ts"))
+    val joined = side(pIn, "p").join(side(cIn, "c"),
+      col("p_key") === col("c_key")
+        && col("c_ts") >= col("p_ts") - expr("INTERVAL 10 SECONDS")
+        && col("c_ts") <= col("p_ts"), "left_outer")
+      .select(col("p_key"), col("p_id"), col("c_id"))
+    val q = joined.writeStream.format("memory").queryName("ssij_left")
+      .outputMode("append").start()
+    try {
+      // p1@15s unmatched (c@2s is outside its [5s,15s] window); the click
+      // watermark sits at 2s, so p1's window is still OPEN
+      pIn.addData(KeyedRow(1, 15000000L, 1, "p", 0))
+      cIn.addData(KeyedRow(1, 2000000L, 10, "c", 0))
+      q.processAllAvailable()
+      val early = s.sql("select * from ssij_left").collect()
+        .map(r => (r.getLong(1), Option(r.get(2)))).toSet
+      assert(early == Set.empty[(Long, Option[Any])],
+        s"no premature null-pad while a matching click could still arrive: $early")
+      // batch 2 pushes both watermarks past 15s: the match emits AND the
+      // engine releases exactly one null-padded row for p1
+      pIn.addData(KeyedRow(1, 40000000L, 2, "p", 0))
+      cIn.addData(KeyedRow(1, 33000000L, 12, "c", 0))
+      q.processAllAvailable()
+      q.processAllAvailable()
+      val after = s.sql("select * from ssij_left").collect()
+        .map(r => (r.getLong(1), Option(r.get(2)))).toSet
+      assert(after == Set((1L, None), (2L, Some(12L))),
+        s"watermark passage must release exactly one null-padded row: $after")
+    } finally q.stop()
+  }
 }
