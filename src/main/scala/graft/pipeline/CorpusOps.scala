@@ -117,8 +117,13 @@ object CorpusOps {
     * training). α = 0.5 so the flattening is sqrt — bit-exact in IEEE on
     * both engines, unlike libm pow().
     *
-    * keep rate per source: r_s = min(1, 1/2 · sqrt(n_s / N)); a doc
-    * survives iff polyHash(norm_text) % 1e6 < round-down(r_s · 1e6) — the
+    * keep rate per source: r_s = min(1, c · sqrt(N / n_s)) with c = 0.05 —
+    * i.e. r_s ∝ p_s^(α−1) = p_s^(−1/2), so the expected kept count
+    * n_s · r_s ∝ sqrt(n_s) ∝ p_s^α: dominant sources are DOWN-sampled
+    * harder and the kept mixture is the flattened p^0.5 (sources rarer
+    * than c²·N saturate at r_s = 1 and are kept whole, the standard
+    * temperature-sampling boundary). A doc survives iff
+    * polyHash(norm_text) % 1e6 < round-down(r_s · 1e6) — the
     * same deterministic hash-bucket Bernoulli as [[sampleStratified]], so
     * the sample is stable under retries and re-runs. The per-source stats
     * are one partial-aggregated count shuffle broadcast back onto the
@@ -129,7 +134,7 @@ object CorpusOps {
     val total = docs.agg(count(lit(1)).as("n_total"))
     val perSource = docs.groupBy(col("source")).agg(count(lit(1)).as("n_source"))
     val rate = least(lit(1.0),
-      lit(0.5) * sqrt(col("n_source").cast("double") / col("n_total").cast("double")))
+      lit(0.05) * sqrt(col("n_total").cast("double") / col("n_source").cast("double")))
     val ppm = floor(rate * 1000000.0).cast("long")
     docs
       .join(broadcast(perSource), "source")
@@ -506,7 +511,16 @@ object CorpusOps {
     * documents from sources whose mean quality clears the bar AND whose own
     * score does. Two-level gate = per-doc projection + one source-keyed
     * aggregate whose result is domain-count-sized (always broadcastable —
-    * the web has ~10^8 domains, not 10^12), joined back map-side. */
+    * the web has ~10^8 domains, not 10^12), joined back map-side.
+    *
+    * Gate arithmetic is EXACT: each doc's quality (a deterministic
+    * per-row double) is quantized to integer ppm once, and both gates
+    * compare integers — `sum(q_ppm) >= min_ppm * count` for the source
+    * mean, `q_ppm >= min_ppm` for the doc. A double `avg()` here would be
+    * an order-dependent partial sum, so a source whose mean sits at the
+    * threshold could flip membership between engines (or between runs
+    * with different partitioning); integer sums are associative and
+    * partition-order-proof. */
   private def sourceFilter(s: SparkSession, dir: String): DataFrame = {
     val toks = tokens(col("text"))
     val nTok = size(toks).cast("double")
@@ -514,16 +528,21 @@ object CorpusOps {
       t => t.isin("the", "a", "of", "and", "to", "in", "is"))).cast("double") / nTok
     val diversity = size(array_distinct(toks)).cast("double") / nTok
     val lenScore = least(nTok / 50.0, lit(1.0))
+    val srcMinPpm = math.round(SrcQualityMin * 1e6) // 544500
+    val docMinPpm = math.round(DocQualityMin * 1e6) // 450000
     val scored = Tables.load(s, dir, "documents")
       .select(col("doc_id"), col("source"),
         (lenScore * 0.4 + stopRatio * 0.2 + diversity * 0.4).as("quality"))
+      .withColumn("q_ppm", round(col("quality") * 1e6, 0).cast("long"))
     val srcStats = scored.groupBy(col("source"))
-      .agg(avg(col("quality")).as("src_quality"), count(lit(1)).as("src_docs"))
+      .agg(sum(col("q_ppm")).as("q_ppm_sum"), count(lit(1)).as("src_docs"))
     scored.join(broadcast(srcStats), "source")
-      .filter(col("src_quality") >= SrcQualityMin && col("quality") >= DocQualityMin)
+      .filter(col("q_ppm_sum") >= lit(srcMinPpm) * col("src_docs") &&
+        col("q_ppm") >= lit(docMinPpm))
       .select(col("doc_id"), col("source"),
         round(col("quality"), 6).as("quality"),
-        round(col("src_quality"), 6).as("src_quality"),
+        round(col("q_ppm_sum").cast("double") / col("src_docs") / 1e6, 6)
+          .as("src_quality"),
         col("src_docs"))
       .orderBy(col("doc_id"))
   }
@@ -638,7 +657,7 @@ object CorpusOps {
       s"""WITH ps AS (SELECT source, count(*) AS n_source FROM documents GROUP BY source),
           tot AS (SELECT count(*) AS n_total FROM documents),
           rated AS (SELECT source, n_source,
-                      CAST(floor(least(1.0, 0.5 * sqrt(CAST(n_source AS DOUBLE) / CAST(n_total AS DOUBLE))) * 1000000.0) AS BIGINT) AS rate_ppm
+                      CAST(floor(least(1.0, 0.05 * sqrt(CAST(n_total AS DOUBLE) / CAST(n_source AS DOUBLE))) * 1000000.0) AS BIGINT) AS rate_ppm
                     FROM ps CROSS JOIN tot),
           kept AS (SELECT d.source, r.n_source, r.rate_ppm
                    FROM documents d JOIN rated r ON d.source = r.source
@@ -779,15 +798,16 @@ object CorpusOps {
                   least(len(toks) / 50.0, 1.0) AS len_s
                 FROM t),
           q AS (SELECT doc_id, source,
-                  len_s * 0.4 + stop_r * 0.2 + div_r * 0.4 AS quality
+                  len_s * 0.4 + stop_r * 0.2 + div_r * 0.4 AS quality,
+                  CAST(round((len_s * 0.4 + stop_r * 0.2 + div_r * 0.4) * 1e6, 0) AS BIGINT) AS q_ppm
                 FROM r),
-          src AS (SELECT source, avg(quality) AS src_quality,
+          src AS (SELECT source, sum(q_ppm) AS q_ppm_sum,
                     count(*) AS src_docs
                   FROM q GROUP BY source)
           SELECT doc_id, q.source, round(quality, 6) AS quality,
-                 round(src_quality, 6) AS src_quality, src_docs
+                 round(CAST(q_ppm_sum AS DOUBLE) / src_docs / 1e6, 6) AS src_quality, src_docs
           FROM q JOIN src ON q.source = src.source
-          WHERE src_quality >= $SrcQualityMin AND quality >= $DocQualityMin
+          WHERE q_ppm_sum >= 544500 * src_docs AND q_ppm >= 450000
           ORDER BY doc_id""",
     "text_train_order" ->
       s"""WITH t AS (SELECT doc_id,

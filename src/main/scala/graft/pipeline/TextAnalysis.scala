@@ -180,13 +180,19 @@ object TextAnalysis {
     val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
     val lm = toks.groupBy(col("term")).agg(count(lit(1)).as("c"))
     val tot = toks.agg(count(lit(1)).as("t"), countDistinct(col("term")).as("v"))
+    // Per-(doc,term) nll quantized to integer nano-nats BEFORE the per-doc
+    // sum: a double sum over terms is partial-aggregation-order-dependent
+    // (Spark's partition order ≠ DuckDB's), while an integer sum is
+    // associative — the comparison gate never rides on last-ulp luck.
     val nll = -col("tf") * log((col("c") + 1).cast("double") / (col("t") + col("v")))
+    val nllQ = round(nll * 1e9, 0).cast("long")
     tf.join(broadcast(lm), "term")
       .crossJoin(broadcast(tot))
       .groupBy(col("doc_id"))
       .agg(
         sum(col("tf")).cast("long").as("n_tokens"),
-        (sum(nll) / sum(col("tf"))).as("avg_nll"))
+        sum(nllQ).as("nll_q"))
+      .withColumn("avg_nll", col("nll_q").cast("double") / 1e9 / col("n_tokens"))
       .select(
         col("doc_id"), col("n_tokens"),
         round(col("avg_nll"), 6).as("unigram_nll"),
@@ -209,7 +215,9 @@ object TextAnalysis {
     val v = uni.agg(countDistinct(col("term")).as("v"))
     val c2 = bi.groupBy(col("bg")).agg(count(lit(1)).as("c2"))
     val tf = bi.groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("tf"))
+    // Same integer nano-nat quantization as [[unigramPpl]] — see there.
     val nll = -col("tf") * log((col("c2") + 1).cast("double") / (col("c1") + col("v")))
+    val nllQ = round(nll * 1e9, 0).cast("long")
     tf.join(broadcast(c2), "bg")
       .withColumn("w1", substring_index(col("bg"), " ", 1))
       .join(broadcast(c1), col("w1") === col("term"))
@@ -217,7 +225,8 @@ object TextAnalysis {
       .groupBy(col("doc_id"))
       .agg(
         sum(col("tf")).cast("long").as("n_bigrams"),
-        (sum(nll) / sum(col("tf"))).as("avg_nll"))
+        sum(nllQ).as("nll_q"))
+      .withColumn("avg_nll", col("nll_q").cast("double") / 1e9 / col("n_bigrams"))
       .select(
         col("doc_id"), col("n_bigrams"),
         round(col("avg_nll"), 6).as("bigram_nll"),
@@ -328,11 +337,14 @@ object TextAnalysis {
           tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
           lm AS (SELECT term, count(*) AS c FROM toks GROUP BY 1),
           tot AS (SELECT count(*) AS t, count(DISTINCT term) AS v FROM toks),
-          d AS (SELECT doc_id,
+          d0 AS (SELECT doc_id,
                   CAST(sum(tf) AS BIGINT) AS n_tokens,
-                  sum(-tf * ln(CAST(c + 1 AS DOUBLE) / (t + v))) / sum(tf) AS avg_nll
+                  sum(CAST(round(-tf * ln(CAST(c + 1 AS DOUBLE) / (t + v)) * 1e9, 0) AS BIGINT)) AS nll_q
                 FROM tf JOIN lm USING (term) CROSS JOIN tot
-                GROUP BY doc_id)
+                GROUP BY doc_id),
+          d AS (SELECT doc_id, n_tokens,
+                  CAST(nll_q AS DOUBLE) / 1e9 / n_tokens AS avg_nll
+                FROM d0)
           SELECT doc_id, n_tokens,
                  round(avg_nll, 6) AS unigram_nll,
                  round(exp(avg_nll), 4) AS unigram_ppl
@@ -348,13 +360,16 @@ object TextAnalysis {
           v AS (SELECT count(DISTINCT term) AS v FROM uni),
           c2 AS (SELECT bg, count(*) AS c2 FROM bi GROUP BY 1),
           tf AS (SELECT doc_id, bg, count(*) AS tf FROM bi GROUP BY 1, 2),
-          d AS (SELECT doc_id,
+          d0 AS (SELECT doc_id,
                   CAST(sum(tf) AS BIGINT) AS n_bigrams,
-                  sum(-tf * ln(CAST(c2 + 1 AS DOUBLE) / (c1 + v))) / sum(tf) AS avg_nll
+                  sum(CAST(round(-tf * ln(CAST(c2 + 1 AS DOUBLE) / (c1 + v)) * 1e9, 0) AS BIGINT)) AS nll_q
                 FROM tf JOIN c2 USING (bg)
                      JOIN c1 ON split_part(bg, ' ', 1) = c1.term
                      CROSS JOIN v
-                GROUP BY doc_id)
+                GROUP BY doc_id),
+          d AS (SELECT doc_id, n_bigrams,
+                  CAST(nll_q AS DOUBLE) / 1e9 / n_bigrams AS avg_nll
+                FROM d0)
           SELECT doc_id, n_bigrams,
                  round(avg_nll, 6) AS bigram_nll,
                  round(exp(avg_nll), 4) AS bigram_ppl

@@ -38,8 +38,12 @@ object Bucketing {
   private def token(dir: String): String = dir.replaceAll("[^a-zA-Z0-9]", "_")
 
   /** Session+dir registry so each bench/verify run writes the bucketed
-    * tables once, not once per query invocation. */
-  private val built = scala.collection.concurrent.TrieMap.empty[(Int, String), Boolean]
+    * tables once, not once per query invocation. Keyed on the session's
+    * stable UUID — an identity hash can be reused after GC, which would
+    * let a fresh session skip `saveAsTable` and find no catalog entry —
+    * and backed by a `tableExists` probe so even a same-UUID restart with
+    * a wiped catalog rebuilds. */
+  private val built = scala.collection.concurrent.TrieMap.empty[(String, String), Boolean]
 
   def ordersTable(dir: String): String = s"graft_bkt_orders_${token(dir)}"
   def lineitemTable(dir: String): String = s"graft_bkt_lineitem_${token(dir)}"
@@ -47,8 +51,17 @@ object Bucketing {
   /** Write orders + lineitem slices bucketed by order key. `sortBy` on the
     * bucket key additionally makes each bucket file sort-merge-ready, so the
     * co-located join needs neither exchange nor (per-file) sort work. */
-  def ensureBucketed(s: SparkSession, dir: String): Unit =
-    built.getOrElseUpdate((System.identityHashCode(s), dir), {
+  def ensureBucketed(s: SparkSession, dir: String): Unit = {
+    // sessionUUID is private[sql] at the Scala level but public in
+    // bytecode; reflection reads the stable per-session identifier the
+    // API hides (an identity hash could be reused after GC).
+    val uuid =
+      try s.getClass.getMethod("sessionUUID").invoke(s).toString
+      catch { case _: ReflectiveOperationException =>
+        String.valueOf(System.identityHashCode(s)) }
+    val key = (uuid, dir)
+    if (!s.catalog.tableExists(ordersTable(dir))) built.remove(key)
+    built.getOrElseUpdate(key, {
       val orders = Tables.load(s, dir, "orders")
         .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
       val lineitem = Tables.load(s, dir, "lineitem")
@@ -64,6 +77,7 @@ object Bucketing {
         .format("parquet").saveAsTable(lineitemTable(dir))
       true
     })
+  }
 
   private val one = lit(1).cast(DecimalType(18, 2))
   private def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(18, 2))
