@@ -14,6 +14,7 @@ object SparkEntry {
     (operators.Relational.queries, operators.Relational.oracles),
     (operators.Tpch.queries, operators.Tpch.oracles),
     (operators.TpcdsShapes.queries, operators.TpcdsShapes.oracles),
+    (operators.Tpcds.queries, operators.Tpcds.oracles),
     (operators.Joins.queries, operators.Joins.oracles),
     (operators.Aggregations.queries, operators.Aggregations.oracles),
     (operators.Windows.queries, operators.Windows.oracles),

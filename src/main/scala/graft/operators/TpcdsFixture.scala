@@ -1,0 +1,802 @@
+package graft.operators
+
+/** Generated-data fixture for the real-TPC-DS query family ([[Tpcds]]).
+  *
+  * Each entry in [[tableSql]] is ONE SQL text that parses and evaluates
+  * identically in Spark SQL and DuckDB (probed constructs only: range(n)
+  * with column alias, integer modular arithmetic, CAST AS STRING, date +
+  * int days, lpad/substr/CASE, and DECIMAL built as integer-cents/100.0).
+  * The Spark side materializes these as parquet ([[Tpcds.ensureTables]]);
+  * the DuckDB oracle replays the SAME text as WITH-clauses — so both
+  * engines query provably identical data with no file-path coupling, the
+  * same fixture discipline as TESTDATA.md's seeded generators.
+  *
+  * Emitted from a dev harness that diffed every table and query across
+  * both engines before this file was written; the shared texts are data,
+  * not logic — [[Tpcds]] holds the executable surface.
+  */
+object TpcdsFixture {
+
+  val tableSql: Map[String, String] = Map(
+    "date_dim" ->
+      """SELECT
+  2450815 + i AS d_date_sk,
+  'D' || lpad(CAST(i AS STRING), 8, '0') AS d_date_id,
+  d_date,
+  CAST(year(d_date) AS INT) AS d_year,
+  CAST(month(d_date) AS INT) AS d_moy,
+  CAST(day(d_date) AS INT) AS d_dom,
+  CAST(quarter(d_date) AS INT) AS d_qoy,
+  CAST((i + 4) % 7 AS INT) AS d_dow,
+  CASE CAST(((i + 4) % 7) AS INT) WHEN 0 THEN 'Sunday' WHEN 1 THEN 'Monday' WHEN 2 THEN 'Tuesday' WHEN 3 THEN 'Wednesday' WHEN 4 THEN 'Thursday' WHEN 5 THEN 'Friday' ELSE 'Saturday' END AS d_day_name,
+  CAST((year(d_date) - 1970) * 12 + month(d_date) - 1 AS INT) AS d_month_seq,
+  CAST(floor((i + 4) / 7.0) AS INT) AS d_week_seq,
+  CAST(year(d_date) * 10 + quarter(d_date) AS INT) AS d_quarter_seq,
+  CASE WHEN (i + 4) % 7 IN (0, 6) THEN 'Y' ELSE 'N' END AS d_weekend
+FROM (SELECT i, DATE '1998-01-01' + CAST(i AS INT) AS d_date FROM range(1826) t(i)) b""",
+    "time_dim" ->
+      """SELECT
+  i AS t_time_sk,
+  'T' || lpad(CAST(i AS STRING), 8, '0') AS t_time_id,
+  CAST(i AS INT) AS t_time,
+  CAST(floor(i / 3600.0) AS INT) AS t_hour,
+  CAST(floor((i % 3600) / 60.0) AS INT) AS t_minute,
+  CAST(i % 60 AS INT) AS t_second,
+  CASE WHEN i < 43200 THEN 'AM' ELSE 'PM' END AS t_am_pm,
+  CASE WHEN floor(i / 3600.0) < 8 THEN 'third' WHEN floor(i / 3600.0) < 16 THEN 'first' ELSE 'second' END AS t_shift
+FROM range(86400) t(i)""",
+    "item" ->
+      """SELECT
+  i + 1 AS i_item_sk,
+  'AAAAAAAA' || lpad(CAST(i AS STRING), 8, '0') AS i_item_id,
+  'item description nr ' || CAST(i AS STRING) AS i_item_desc,
+  CAST(((i * 73) % 9900 + 100) / 100.0 AS DECIMAL(7,2)) AS i_current_price,
+  CAST(((i * 41) % 5000 + 50) / 100.0 AS DECIMAL(7,2)) AS i_wholesale_cost,
+  CAST(1000000 + (i * 7919) % 1000 AS INT) AS i_brand_id,
+  'Brand#' || CAST((i * 7919) % 1000 AS STRING) AS i_brand,
+  CAST(1 + (i * 13) % 16 AS INT) AS i_class_id,
+  'class' || CAST((i * 13) % 16 AS STRING) AS i_class,
+  CAST(1 + (i * 11) % 10 AS INT) AS i_category_id,
+  CASE CAST(((i * 11) % 10) AS INT) WHEN 0 THEN 'Books' WHEN 1 THEN 'Children' WHEN 2 THEN 'Electronics' WHEN 3 THEN 'Home' WHEN 4 THEN 'Jewelry' WHEN 5 THEN 'Men' WHEN 6 THEN 'Music' WHEN 7 THEN 'Shoes' WHEN 8 THEN 'Sports' ELSE 'Women' END AS i_category,
+  CAST(1 + (i * 17) % 100 AS INT) AS i_manufact_id,
+  'manu' || CAST((i * 17) % 100 AS STRING) AS i_manufact,
+  CAST(1 + (i * 19) % 100 AS INT) AS i_manager_id,
+  'product name ' || lpad(CAST(i AS STRING), 6, '0') AS i_product_name,
+  'size' || CAST(i % 7 AS STRING) AS i_size,
+  'color' || CAST(i % 13 AS STRING) AS i_color,
+  'unit' || CAST(i % 5 AS STRING) AS i_units
+FROM range(2000) t(i)""",
+    "store" ->
+      """SELECT
+  i + 1 AS s_store_sk,
+  'S' || lpad(CAST(i AS STRING), 8, '0') AS s_store_id,
+  'store' || CAST(i AS STRING) AS s_store_name,
+  CAST(100 + (i * 37) % 200 AS INT) AS s_number_employees,
+  CAST(5000000 + (i * 911) % 5000000 AS INT) AS s_floor_space,
+  '8AM-8PM' AS s_hours,
+  'manager ' || CAST(i AS STRING) AS s_manager,
+  CAST(1 + i % 10 AS INT) AS s_market_id,
+  'city' || CAST(i % 6 AS STRING) AS s_city,
+  'county' || CAST(i % 4 AS STRING) AS s_county,
+  CASE CAST(i % 5 AS INT) WHEN 0 THEN 'TN' WHEN 1 THEN 'SC' WHEN 2 THEN 'CA' WHEN 3 THEN 'TX' ELSE 'OH' END AS s_state,
+  lpad(CAST(10000 + (i * 3717) % 89999 AS STRING), 5, '0') AS s_zip,
+  'United States' AS s_country,
+  CAST((-500) / 100.0 AS DECIMAL(5,2)) AS s_gmt_offset,
+  CAST(((i * 7) % 11) / 100.0 AS DECIMAL(5,2)) AS s_tax_precentage
+FROM range(12) t(i)""",
+    "customer" ->
+      """SELECT
+  i + 1 AS c_customer_sk,
+  'CUSTOMER' || lpad(CAST(i AS STRING), 8, '0') AS c_customer_id,
+  CAST(1 + (i * 101) % 7200 AS BIGINT) AS c_current_cdemo_sk,
+  CAST(1 + (i * 103) % 720 AS BIGINT) AS c_current_hdemo_sk,
+  CAST(1 + (i * 107) % 2500 AS BIGINT) AS c_current_addr_sk,
+  'first' || CAST(i % 500 AS STRING) AS c_first_name,
+  'last' || CAST(i % 700 AS STRING) AS c_last_name,
+  CASE CAST(i % 3 AS INT) WHEN 0 THEN 'Y' ELSE 'N' END AS c_preferred_cust_flag,
+  CAST(1 + (i * 3) % 28 AS INT) AS c_birth_day,
+  CAST(1 + (i * 5) % 12 AS INT) AS c_birth_month,
+  CAST(1924 + (i * 7) % 70 AS INT) AS c_birth_year,
+  'country' || CAST(i % 40 AS STRING) AS c_birth_country,
+  'login' || CAST(i AS STRING) AS c_login,
+  'c' || CAST(i AS STRING) || '@example.com' AS c_email_address,
+  2450815 + (i * 11) % 1826 AS c_first_sales_date_sk,
+  2450815 + (i * 13) % 1826 AS c_first_shipto_date_sk
+FROM range(5000) t(i)""",
+    "customer_address" ->
+      """SELECT
+  i + 1 AS ca_address_sk,
+  'ADDR' || lpad(CAST(i AS STRING), 8, '0') AS ca_address_id,
+  CAST(1 + (i * 7) % 999 AS STRING) AS ca_street_number,
+  'street' || CAST(i % 300 AS STRING) AS ca_street_name,
+  'Suite ' || CAST(i % 100 AS STRING) AS ca_suite_number,
+  'city' || CAST((i * 3) % 200 AS STRING) AS ca_city,
+  'county' || CAST(i % 50 AS STRING) AS ca_county,
+  CASE CAST(i % 10 AS INT) WHEN 0 THEN 'CA' WHEN 1 THEN 'WA' WHEN 2 THEN 'GA' WHEN 3 THEN 'TX' WHEN 4 THEN 'OH' WHEN 5 THEN 'TN' WHEN 6 THEN 'NY' WHEN 7 THEN 'FL' WHEN 8 THEN 'IL' ELSE 'MI' END AS ca_state,
+  lpad(CAST(10000 + (i * 6101) % 89999 AS STRING), 5, '0') AS ca_zip,
+  'United States' AS ca_country,
+  CAST((-500) / 100.0 AS DECIMAL(5,2)) AS ca_gmt_offset,
+  CASE CAST(i % 3 AS INT) WHEN 0 THEN 'apartment' WHEN 1 THEN 'condo' ELSE 'single family' END AS ca_location_type
+FROM range(2500) t(i)""",
+    "customer_demographics" ->
+      """SELECT
+  i + 1 AS cd_demo_sk,
+  CASE CAST(i % 2 AS INT) WHEN 0 THEN 'M' ELSE 'F' END AS cd_gender,
+  CASE CAST(floor(i / 2.0) AS BIGINT) % 5 WHEN 0 THEN 'M' WHEN 1 THEN 'S' WHEN 2 THEN 'D' WHEN 3 THEN 'W' ELSE 'U' END AS cd_marital_status,
+  CASE CAST(floor(i / 10.0) AS BIGINT) % 7 WHEN 0 THEN 'Primary' WHEN 1 THEN 'Secondary' WHEN 2 THEN 'College' WHEN 3 THEN '2 yr Degree' WHEN 4 THEN '4 yr Degree' WHEN 5 THEN 'Advanced Degree' ELSE 'Unknown' END AS cd_education_status,
+  CAST(500 * (1 + CAST(floor(i / 70.0) AS BIGINT) % 20) AS INT) AS cd_purchase_estimate,
+  CASE CAST(floor(i / 1400.0) AS BIGINT) % 4 WHEN 0 THEN 'Low Risk' WHEN 1 THEN 'Good' WHEN 2 THEN 'High Risk' ELSE 'Unknown' END AS cd_credit_rating,
+  CAST(CAST(floor(i / 5600.0) AS BIGINT) % 7 AS INT) AS cd_dep_count,
+  CAST(i % 7 AS INT) AS cd_dep_employed_count,
+  CAST((i * 3) % 7 AS INT) AS cd_dep_college_count
+FROM range(7200) t(i)""",
+    "household_demographics" ->
+      """SELECT
+  i + 1 AS hd_demo_sk,
+  CAST(1 + i % 20 AS BIGINT) AS hd_income_band_sk,
+  CASE CAST(i % 6 AS INT) WHEN 0 THEN '>10000' WHEN 1 THEN '5001-10000' WHEN 2 THEN '1001-5000' WHEN 3 THEN '501-1000' WHEN 4 THEN '0-500' ELSE 'Unknown' END AS hd_buy_potential,
+  CAST(i % 10 AS INT) AS hd_dep_count,
+  CAST((i * 3) % 5 AS INT) AS hd_vehicle_count
+FROM range(720) t(i)""",
+    "promotion" ->
+      """SELECT
+  i + 1 AS p_promo_sk,
+  'PROMO' || lpad(CAST(i AS STRING), 6, '0') AS p_promo_id,
+  2450815 + (i * 53) % 1826 AS p_start_date_sk,
+  2450815 + (i * 53) % 1826 + 30 AS p_end_date_sk,
+  CAST(1 + (i * 61) % 2000 AS BIGINT) AS p_item_sk,
+  CAST(((i * 977) % 100000 + 1000) / 100.0 AS DECIMAL(15,2)) AS p_cost,
+  CAST(100 + i AS INT) AS p_response_target,
+  'promo name ' || CAST(i AS STRING) AS p_promo_name,
+  CASE CAST(i % 2 AS INT) WHEN 0 THEN 'Y' ELSE 'N' END AS p_channel_dmail,
+  CASE CAST(i % 3 AS INT) WHEN 0 THEN 'Y' ELSE 'N' END AS p_channel_email,
+  CASE CAST(i % 5 AS INT) WHEN 0 THEN 'Y' ELSE 'N' END AS p_channel_tv,
+  CASE CAST(i % 7 AS INT) WHEN 0 THEN 'Y' ELSE 'N' END AS p_channel_radio,
+  CASE CAST(i % 4 AS INT) WHEN 0 THEN 'Y' ELSE 'N' END AS p_channel_press,
+  CASE CAST(i % 6 AS INT) WHEN 0 THEN 'Y' ELSE 'N' END AS p_channel_event,
+  CASE CAST(i % 8 AS INT) WHEN 0 THEN 'Y' ELSE 'N' END AS p_channel_demo,
+  'N' AS p_discount_active
+FROM range(30) t(i)""",
+    "warehouse" ->
+      """SELECT
+  i + 1 AS w_warehouse_sk,
+  'W' || lpad(CAST(i AS STRING), 4, '0') AS w_warehouse_id,
+  'warehouse ' || CAST(i AS STRING) AS w_warehouse_name,
+  CAST(50000 + i * 9377 AS INT) AS w_warehouse_sq_ft,
+  'city' || CAST(i AS STRING) AS w_city,
+  CASE CAST(i % 5 AS INT) WHEN 0 THEN 'TN' WHEN 1 THEN 'SC' WHEN 2 THEN 'CA' WHEN 3 THEN 'TX' ELSE 'OH' END AS w_state,
+  'United States' AS w_country
+FROM range(5) t(i)""",
+    "reason" ->
+      """SELECT
+  i + 1 AS r_reason_sk,
+  'R' || lpad(CAST(i AS STRING), 4, '0') AS r_reason_id,
+  'reason ' || CAST(i AS STRING) AS r_reason_desc
+FROM range(9) t(i)""",
+    "ship_mode" ->
+      """SELECT
+  i + 1 AS sm_ship_mode_sk,
+  'SM' || lpad(CAST(i AS STRING), 4, '0') AS sm_ship_mode_id,
+  CASE CAST(i % 6 AS INT) WHEN 0 THEN 'EXPRESS' WHEN 1 THEN 'NEXT DAY' WHEN 2 THEN 'OVERNIGHT' WHEN 3 THEN 'TWO DAY' WHEN 4 THEN 'LIBRARY' ELSE 'REGULAR' END AS sm_type,
+  CASE CAST(i % 2 AS INT) WHEN 0 THEN 'AIR' ELSE 'SURFACE' END AS sm_code,
+  'carrier' || CAST(i AS STRING) AS sm_carrier,
+  'contract' || CAST(i AS STRING) AS sm_contract
+FROM range(12) t(i)""",
+    "income_band" ->
+      """SELECT
+  i + 1 AS ib_income_band_sk,
+  CAST(i * 10000 AS INT) AS ib_lower_bound,
+  CAST((i + 1) * 10000 - 1 AS INT) AS ib_upper_bound
+FROM range(20) t(i)""",
+    "call_center" ->
+      """SELECT
+  i + 1 AS cc_call_center_sk,
+  'CC' || lpad(CAST(i AS STRING), 4, '0') AS cc_call_center_id,
+  'call center ' || CAST(i AS STRING) AS cc_name,
+  'class' || CAST(i % 3 AS STRING) AS cc_class,
+  CAST(50 + i * 7 AS INT) AS cc_employees,
+  'manager ' || CAST(i AS STRING) AS cc_manager,
+  'county' || CAST(i % 4 AS STRING) AS cc_county,
+  CASE CAST(i % 5 AS INT) WHEN 0 THEN 'TN' WHEN 1 THEN 'SC' WHEN 2 THEN 'CA' WHEN 3 THEN 'TX' ELSE 'OH' END AS cc_state
+FROM range(4) t(i)""",
+    "catalog_page" ->
+      """SELECT
+  i + 1 AS cp_catalog_page_sk,
+  'CP' || lpad(CAST(i AS STRING), 6, '0') AS cp_catalog_page_id,
+  2450815 + (i * 29) % 1826 AS cp_start_date_sk,
+  2450815 + (i * 29) % 1826 + 90 AS cp_end_date_sk,
+  'dept' || CAST(i % 10 AS STRING) AS cp_department,
+  CAST(1 + i % 12 AS INT) AS cp_catalog_number,
+  CAST(1 + i % 120 AS INT) AS cp_catalog_page_number,
+  'desc ' || CAST(i AS STRING) AS cp_description,
+  'catalog' AS cp_type
+FROM range(60) t(i)""",
+    "web_site" ->
+      """SELECT
+  i + 1 AS web_site_sk,
+  'WEB' || lpad(CAST(i AS STRING), 4, '0') AS web_site_id,
+  'site ' || CAST(i AS STRING) AS web_name,
+  2450815 + i * 100 AS web_open_date_sk,
+  'manager ' || CAST(i AS STRING) AS web_manager,
+  'United States' AS web_country
+FROM range(6) t(i)""",
+    "web_page" ->
+      """SELECT
+  i + 1 AS wp_web_page_sk,
+  'WP' || lpad(CAST(i AS STRING), 6, '0') AS wp_web_page_id,
+  2450815 + (i * 31) % 1826 AS wp_creation_date_sk,
+  CAST(1 + (i * 11) % 5000 AS BIGINT) AS wp_customer_sk,
+  'http://www.example.com/page' || CAST(i AS STRING) AS wp_url,
+  CASE CAST(i % 4 AS INT) WHEN 0 THEN 'order' WHEN 1 THEN 'general' WHEN 2 THEN 'welcome' ELSE 'protected' END AS wp_type,
+  CAST((i * 7) % 100 AS INT) AS wp_char_count,
+  CAST(i % 10 AS INT) AS wp_link_count,
+  CAST(i % 5 AS INT) AS wp_image_count
+FROM range(20) t(i)""",
+    "inventory" ->
+      """SELECT
+  2450815 + (i % 261) * 7 AS inv_date_sk,
+  CAST(1 + (i * 7) % 2000 AS BIGINT) AS inv_item_sk,
+  CAST(1 + i % 5 AS BIGINT) AS inv_warehouse_sk,
+  CASE WHEN i % 71 = 0 THEN NULL ELSE CAST((i * 13) % 1000 AS INT) END AS inv_quantity_on_hand
+FROM range(5000) t(i)""",
+    "store_sales" ->
+      """SELECT
+  CASE WHEN i % 97 = 0 THEN NULL ELSE 2450815 + (i * 131) % 1826 END AS ss_sold_date_sk,
+  CASE WHEN i % 89 = 0 THEN NULL ELSE (i * 7919) % 86400 END AS ss_sold_time_sk,
+  1 + (i * 61) % 2000 AS ss_item_sk,
+  CASE WHEN i % 61 = 0 THEN NULL ELSE 1 + (i * 149) % 5000 END AS ss_customer_sk,
+  1 + (i * 179) % 7200 AS ss_cdemo_sk,
+  1 + (i * 181) % 720 AS ss_hdemo_sk,
+  1 + (i * 191) % 2500 AS ss_addr_sk,
+  CASE WHEN i % 101 = 0 THEN NULL ELSE 1 + (i * 7) % 12 END AS ss_store_sk,
+  1 + (i * 193) % 30 AS ss_promo_sk,
+  CAST(floor(i / 4.0) AS BIGINT) + 1 AS ss_ticket_number,
+  CAST(qty AS INT) AS ss_quantity,
+  CAST((wc) / 100.0 AS DECIMAL(7,2)) AS ss_wholesale_cost,
+  CAST((lc) / 100.0 AS DECIMAL(7,2)) AS ss_list_price,
+  CAST((pc) / 100.0 AS DECIMAL(7,2)) AS ss_sales_price,
+  CAST((dct * qty) / 100.0 AS DECIMAL(12,2)) AS ss_ext_discount_amt,
+  CAST((pc * qty) / 100.0 AS DECIMAL(12,2)) AS ss_ext_sales_price,
+  CAST((wc * qty) / 100.0 AS DECIMAL(12,2)) AS ss_ext_wholesale_cost,
+  CAST((lc * qty) / 100.0 AS DECIMAL(12,2)) AS ss_ext_list_price,
+  CAST((CAST(floor(pc * qty * 8 / 100.0) AS BIGINT)) / 100.0 AS DECIMAL(12,2)) AS ss_ext_tax,
+  CAST((cpn) / 100.0 AS DECIMAL(12,2)) AS ss_coupon_amt,
+  CAST((greatest(pc * qty - cpn, 0)) / 100.0 AS DECIMAL(12,2)) AS ss_net_paid,
+  CAST((greatest(pc * qty - cpn, 0) + CAST(floor(pc * qty * 8 / 100.0) AS BIGINT)) / 100.0 AS DECIMAL(12,2)) AS ss_net_paid_inc_tax,
+  CAST((pc * qty - wc * qty) / 100.0 AS DECIMAL(12,2)) AS ss_net_profit
+FROM (SELECT i,
+        1 + (i * 17) % 100 AS qty,
+        (i * 37) % 9900 + 100 AS pc,
+        (i * 29) % 5000 + 50 AS wc,
+        (i * 37) % 9900 + 100 + (i * 11) % 2000 AS lc,
+        (i * 13) % 500 AS dct,
+        (i * 23) % 3000 AS cpn
+      FROM range(80000) t(i)) b""",
+    "store_returns" ->
+      """SELECT
+  CASE WHEN k % 97 = 0 THEN NULL ELSE 2450815 + ((k * 131) % 1826 + 1 + i % 45) % 1826 END AS sr_returned_date_sk,
+  (k * 7919) % 86400 AS sr_return_time_sk,
+  1 + (k * 61) % 2000 AS sr_item_sk,
+  CASE WHEN k % 61 = 0 THEN NULL ELSE 1 + (k * 149) % 5000 END AS sr_customer_sk,
+  1 + (k * 179) % 7200 AS sr_cdemo_sk,
+  1 + (k * 181) % 720 AS sr_hdemo_sk,
+  1 + (k * 191) % 2500 AS sr_addr_sk,
+  CASE WHEN k % 101 = 0 THEN NULL ELSE 1 + (k * 7) % 12 END AS sr_store_sk,
+  1 + i % 9 AS sr_reason_sk,
+  CAST(floor(k / 4.0) AS BIGINT) + 1 AS sr_ticket_number,
+  CAST(1 + (i * 5) % 100 AS INT) AS sr_return_quantity,
+  CAST(((i * 71) % 8000 + 100) / 100.0 AS DECIMAL(12,2)) AS sr_return_amt,
+  CAST((CAST(floor(((i * 71) % 8000 + 100) * 8 / 100.0) AS BIGINT)) / 100.0 AS DECIMAL(12,2)) AS sr_return_tax,
+  CAST(((i * 71) % 8000 + 100 + CAST(floor(((i * 71) % 8000 + 100) * 8 / 100.0) AS BIGINT)) / 100.0 AS DECIMAL(12,2)) AS sr_return_amt_inc_tax,
+  CAST(((i * 3) % 500) / 100.0 AS DECIMAL(12,2)) AS sr_fee,
+  CAST(((i * 51) % 4000) / 100.0 AS DECIMAL(12,2)) AS sr_return_ship_cost,
+  CAST(((i * 31) % 2000) / 100.0 AS DECIMAL(12,2)) AS sr_refunded_cash,
+  CAST(((i * 83) % 9000 + 100) / 100.0 AS DECIMAL(12,2)) AS sr_net_loss
+FROM (SELECT i, i * 10 AS k FROM range(8000) t(i)) b""",
+    "catalog_sales" ->
+      """SELECT
+  CASE WHEN i % 97 = 0 THEN NULL
+       WHEN i % 5 = 0 THEN 2450815 + ((k * 131) % 1826 + 60 + i % 30) % 1826
+       ELSE 2450815 + (i * 127) % 1826 END AS cs_sold_date_sk,
+  (i * 6101) % 86400 AS cs_sold_time_sk,
+  CASE WHEN i % 93 = 0 THEN NULL ELSE 2450815 + ((i * 127) % 1826 + 2 + i % 30) % 1826 END AS cs_ship_date_sk,
+  CASE WHEN i % 67 = 0 THEN NULL
+       WHEN i % 5 = 0 AND k % 61 > 0 THEN 1 + (k * 149) % 5000
+       ELSE 1 + (i * 151) % 5000 END AS cs_bill_customer_sk,
+  1 + (i * 157) % 7200 AS cs_bill_cdemo_sk,
+  1 + (i * 159) % 720 AS cs_bill_hdemo_sk,
+  1 + (i * 163) % 2500 AS cs_bill_addr_sk,
+  1 + (i * 167) % 5000 AS cs_ship_customer_sk,
+  1 + (i * 169) % 7200 AS cs_ship_cdemo_sk,
+  1 + (i * 171) % 720 AS cs_ship_hdemo_sk,
+  1 + (i * 173) % 2500 AS cs_ship_addr_sk,
+  1 + i % 4 AS cs_call_center_sk,
+  1 + (i * 11) % 60 AS cs_catalog_page_sk,
+  1 + i % 12 AS cs_ship_mode_sk,
+  1 + i % 5 AS cs_warehouse_sk,
+  CASE WHEN i % 5 = 0 THEN 1 + (k * 61) % 2000 ELSE 1 + (i * 59) % 2000 END AS cs_item_sk,
+  1 + (i * 197) % 30 AS cs_promo_sk,
+  CAST(floor(i / 3.0) AS BIGINT) + 1 AS cs_order_number,
+  CAST(qty AS INT) AS cs_quantity,
+  CAST((wc) / 100.0 AS DECIMAL(7,2)) AS cs_wholesale_cost,
+  CAST((lc) / 100.0 AS DECIMAL(7,2)) AS cs_list_price,
+  CAST((pc) / 100.0 AS DECIMAL(7,2)) AS cs_sales_price,
+  CAST((dct * qty) / 100.0 AS DECIMAL(12,2)) AS cs_ext_discount_amt,
+  CAST((pc * qty) / 100.0 AS DECIMAL(12,2)) AS cs_ext_sales_price,
+  CAST((wc * qty) / 100.0 AS DECIMAL(12,2)) AS cs_ext_wholesale_cost,
+  CAST((lc * qty) / 100.0 AS DECIMAL(12,2)) AS cs_ext_list_price,
+  CAST((CAST(floor(pc * qty * 8 / 100.0) AS BIGINT)) / 100.0 AS DECIMAL(12,2)) AS cs_ext_tax,
+  CAST((cpn) / 100.0 AS DECIMAL(12,2)) AS cs_coupon_amt,
+  CAST(((i * 43) % 2000) / 100.0 AS DECIMAL(12,2)) AS cs_ext_ship_cost,
+  CAST((greatest(pc * qty - cpn, 0)) / 100.0 AS DECIMAL(12,2)) AS cs_net_paid,
+  CAST((greatest(pc * qty - cpn, 0) + CAST(floor(pc * qty * 8 / 100.0) AS BIGINT)) / 100.0 AS DECIMAL(12,2)) AS cs_net_paid_inc_tax,
+  CAST((pc * qty - wc * qty) / 100.0 AS DECIMAL(12,2)) AS cs_net_profit
+FROM (SELECT i, (CAST(floor(i / 5.0) AS BIGINT) % 8000) * 10 AS k,
+        1 + (i * 23) % 100 AS qty,
+        (i * 43) % 9900 + 100 AS pc,
+        (i * 31) % 5000 + 50 AS wc,
+        (i * 43) % 9900 + 100 + (i * 17) % 2000 AS lc,
+        (i * 19) % 500 AS dct,
+        (i * 29) % 3000 AS cpn
+      FROM range(40000) t(i)) b""",
+    "catalog_returns" ->
+      """SELECT
+  CASE WHEN k % 97 = 0 THEN NULL ELSE 2450815 + ((k * 127) % 1826 + 1 + i % 45) % 1826 END AS cr_returned_date_sk,
+  (k * 6101) % 86400 AS cr_returned_time_sk,
+  CASE WHEN k % 5 = 0 THEN 1 + ((CAST(floor(k / 5.0) AS BIGINT) % 8000) * 10 * 61) % 2000 ELSE 1 + (k * 59) % 2000 END AS cr_item_sk,
+  CASE WHEN k % 67 = 0 THEN NULL ELSE 1 + (k * 151) % 5000 END AS cr_refunded_customer_sk,
+  CASE WHEN k % 67 = 0 THEN NULL ELSE 1 + (k * 151) % 5000 END AS cr_returning_customer_sk,
+  1 + k % 4 AS cr_call_center_sk,
+  1 + (k * 11) % 60 AS cr_catalog_page_sk,
+  1 + k % 12 AS cr_ship_mode_sk,
+  1 + k % 5 AS cr_warehouse_sk,
+  1 + i % 9 AS cr_reason_sk,
+  CAST(floor(k / 3.0) AS BIGINT) + 1 AS cr_order_number,
+  CAST(1 + (i * 7) % 100 AS INT) AS cr_return_quantity,
+  CAST(((i * 73) % 8000 + 100) / 100.0 AS DECIMAL(12,2)) AS cr_return_amount,
+  CAST((CAST(floor(((i * 73) % 8000 + 100) * 8 / 100.0) AS BIGINT)) / 100.0 AS DECIMAL(12,2)) AS cr_return_tax,
+  CAST(((i * 73) % 8000 + 100 + CAST(floor(((i * 73) % 8000 + 100) * 8 / 100.0) AS BIGINT)) / 100.0 AS DECIMAL(12,2)) AS cr_return_amt_inc_tax,
+  CAST(((i * 5) % 500) / 100.0 AS DECIMAL(12,2)) AS cr_fee,
+  CAST(((i * 53) % 4000) / 100.0 AS DECIMAL(12,2)) AS cr_return_ship_cost,
+  CAST(((i * 37) % 2000) / 100.0 AS DECIMAL(12,2)) AS cr_refunded_cash,
+  CAST(((i * 89) % 9000 + 100) / 100.0 AS DECIMAL(12,2)) AS cr_net_loss
+FROM (SELECT i, i * 10 AS k FROM range(4000) t(i)) b""",
+    "web_sales" ->
+      """SELECT
+  CASE WHEN i % 97 = 0 THEN NULL ELSE 2450815 + (i * 113) % 1826 END AS ws_sold_date_sk,
+  (i * 4409) % 86400 AS ws_sold_time_sk,
+  CASE WHEN i % 93 = 0 THEN NULL ELSE 2450815 + ((i * 113) % 1826 + 2 + i % 30) % 1826 END AS ws_ship_date_sk,
+  1 + (i * 67) % 2000 AS ws_item_sk,
+  CASE WHEN i % 71 = 0 THEN NULL ELSE 1 + (i * 139) % 5000 END AS ws_bill_customer_sk,
+  1 + (i * 141) % 7200 AS ws_bill_cdemo_sk,
+  1 + (i * 143) % 720 AS ws_bill_hdemo_sk,
+  1 + (i * 147) % 2500 AS ws_bill_addr_sk,
+  1 + (i * 151) % 5000 AS ws_ship_customer_sk,
+  1 + (i * 153) % 7200 AS ws_ship_cdemo_sk,
+  1 + (i * 155) % 720 AS ws_ship_hdemo_sk,
+  1 + (i * 157) % 2500 AS ws_ship_addr_sk,
+  1 + i % 20 AS ws_web_page_sk,
+  1 + i % 6 AS ws_web_site_sk,
+  1 + i % 12 AS ws_ship_mode_sk,
+  1 + i % 5 AS ws_warehouse_sk,
+  1 + (i * 199) % 30 AS ws_promo_sk,
+  CAST(floor(i / 3.0) AS BIGINT) + 1 AS ws_order_number,
+  CAST(qty AS INT) AS ws_quantity,
+  CAST((wc) / 100.0 AS DECIMAL(7,2)) AS ws_wholesale_cost,
+  CAST((lc) / 100.0 AS DECIMAL(7,2)) AS ws_list_price,
+  CAST((pc) / 100.0 AS DECIMAL(7,2)) AS ws_sales_price,
+  CAST((dct * qty) / 100.0 AS DECIMAL(12,2)) AS ws_ext_discount_amt,
+  CAST((pc * qty) / 100.0 AS DECIMAL(12,2)) AS ws_ext_sales_price,
+  CAST((wc * qty) / 100.0 AS DECIMAL(12,2)) AS ws_ext_wholesale_cost,
+  CAST((lc * qty) / 100.0 AS DECIMAL(12,2)) AS ws_ext_list_price,
+  CAST((CAST(floor(pc * qty * 8 / 100.0) AS BIGINT)) / 100.0 AS DECIMAL(12,2)) AS ws_ext_tax,
+  CAST((cpn) / 100.0 AS DECIMAL(12,2)) AS ws_coupon_amt,
+  CAST(((i * 47) % 2000) / 100.0 AS DECIMAL(12,2)) AS ws_ext_ship_cost,
+  CAST((greatest(pc * qty - cpn, 0)) / 100.0 AS DECIMAL(12,2)) AS ws_net_paid,
+  CAST((greatest(pc * qty - cpn, 0) + CAST(floor(pc * qty * 8 / 100.0) AS BIGINT)) / 100.0 AS DECIMAL(12,2)) AS ws_net_paid_inc_tax,
+  CAST((pc * qty - wc * qty) / 100.0 AS DECIMAL(12,2)) AS ws_net_profit
+FROM (SELECT i,
+        1 + (i * 27) % 100 AS qty,
+        (i * 53) % 9900 + 100 AS pc,
+        (i * 33) % 5000 + 50 AS wc,
+        (i * 53) % 9900 + 100 + (i * 13) % 2000 AS lc,
+        (i * 21) % 500 AS dct,
+        (i * 39) % 3000 AS cpn
+      FROM range(30000) t(i)) b""",
+    "web_returns" ->
+      """SELECT
+  CASE WHEN k % 97 = 0 THEN NULL ELSE 2450815 + ((k * 113) % 1826 + 1 + i % 45) % 1826 END AS wr_returned_date_sk,
+  (k * 4409) % 86400 AS wr_returned_time_sk,
+  1 + (k * 67) % 2000 AS wr_item_sk,
+  CASE WHEN k % 71 = 0 THEN NULL ELSE 1 + (k * 139) % 5000 END AS wr_refunded_customer_sk,
+  CASE WHEN k % 71 = 0 THEN NULL ELSE 1 + (k * 139) % 5000 END AS wr_returning_customer_sk,
+  1 + k % 20 AS wr_web_page_sk,
+  1 + i % 9 AS wr_reason_sk,
+  CAST(floor(k / 3.0) AS BIGINT) + 1 AS wr_order_number,
+  CAST(1 + (i * 9) % 100 AS INT) AS wr_return_quantity,
+  CAST(((i * 79) % 8000 + 100) / 100.0 AS DECIMAL(12,2)) AS wr_return_amt,
+  CAST((CAST(floor(((i * 79) % 8000 + 100) * 8 / 100.0) AS BIGINT)) / 100.0 AS DECIMAL(12,2)) AS wr_return_tax,
+  CAST(((i * 79) % 8000 + 100 + CAST(floor(((i * 79) % 8000 + 100) * 8 / 100.0) AS BIGINT)) / 100.0 AS DECIMAL(12,2)) AS wr_return_amt_inc_tax,
+  CAST(((i * 7) % 500) / 100.0 AS DECIMAL(12,2)) AS wr_fee,
+  CAST(((i * 57) % 4000) / 100.0 AS DECIMAL(12,2)) AS wr_return_ship_cost,
+  CAST(((i * 41) % 2000) / 100.0 AS DECIMAL(12,2)) AS wr_refunded_cash,
+  CAST(((i * 97) % 9000 + 100) / 100.0 AS DECIMAL(12,2)) AS wr_net_loss
+FROM (SELECT i, i * 10 AS k FROM range(3000) t(i)) b"""
+  )
+
+  /** Query text + the generated tables its oracle must inline. */
+  val querySql: Map[String, (Seq[String], String)] = Map(
+    "q3" -> (Seq("date_dim", "store_sales", "item") ->
+      """
+SELECT d_year, i_brand_id AS brand_id, i_brand AS brand,
+       CAST(sum(ss_ext_sales_price) AS DOUBLE) AS sum_agg
+FROM date_dim dt, store_sales, item
+WHERE dt.d_date_sk = ss_sold_date_sk AND ss_item_sk = i_item_sk
+  AND i_manufact_id = 43 AND dt.d_moy = 11
+GROUP BY d_year, i_brand_id, i_brand
+ORDER BY d_year, sum_agg DESC, brand_id
+LIMIT 100"""),
+    "q6" -> (Seq("customer_address", "customer", "store_sales", "date_dim", "item") ->
+      """
+SELECT a.ca_state AS state, count(*) AS cnt
+FROM customer_address a, customer c, store_sales s, date_dim d, item i
+WHERE a.ca_address_sk = c.c_current_addr_sk
+  AND c.c_customer_sk = s.ss_customer_sk
+  AND s.ss_sold_date_sk = d.d_date_sk
+  AND s.ss_item_sk = i.i_item_sk
+  AND d.d_month_seq = (SELECT DISTINCT d_month_seq FROM date_dim
+                       WHERE d_year = 2000 AND d_moy = 1)
+  AND i.i_current_price * 10 * (SELECT count(*) FROM item j
+                                WHERE j.i_category = i.i_category)
+      > 12 * (SELECT sum(j.i_current_price) FROM item j
+              WHERE j.i_category = i.i_category)
+GROUP BY a.ca_state
+HAVING count(*) >= 10
+ORDER BY cnt, state
+LIMIT 100"""),
+    "q7" -> (Seq("store_sales", "customer_demographics", "date_dim", "item", "promotion") ->
+      """
+SELECT i_item_id,
+       CAST(sum(ss_quantity) AS DOUBLE) / count(*) AS agg1,
+       CAST(sum(ss_list_price) AS DOUBLE) / count(*) AS agg2,
+       CAST(sum(ss_coupon_amt) AS DOUBLE) / count(*) AS agg3,
+       CAST(sum(ss_sales_price) AS DOUBLE) / count(*) AS agg4
+FROM store_sales, customer_demographics, date_dim, item, promotion
+WHERE ss_sold_date_sk = d_date_sk AND ss_item_sk = i_item_sk
+  AND ss_cdemo_sk = cd_demo_sk AND ss_promo_sk = p_promo_sk
+  AND cd_gender = 'M' AND cd_marital_status = 'S'
+  AND cd_education_status = 'College'
+  AND (p_channel_email = 'N' OR p_channel_event = 'N')
+  AND d_year = 2000
+GROUP BY i_item_id
+ORDER BY i_item_id
+LIMIT 100"""),
+    "q11" -> (Seq("customer", "store_sales", "web_sales", "date_dim") ->
+      """
+WITH year_total AS (
+  SELECT c_customer_id customer_id, c_first_name customer_first_name,
+         c_last_name customer_last_name,
+         c_preferred_cust_flag customer_preferred_cust_flag,
+         c_birth_country customer_birth_country, c_login customer_login,
+         c_email_address customer_email_address, d_year dyear,
+         sum(ss_ext_list_price - ss_ext_discount_amt) year_total,
+         's' sale_type
+  FROM customer, store_sales, date_dim
+  WHERE c_customer_sk = ss_customer_sk AND ss_sold_date_sk = d_date_sk
+  GROUP BY c_customer_id, c_first_name, c_last_name, c_preferred_cust_flag,
+           c_birth_country, c_login, c_email_address, d_year
+  UNION ALL
+  SELECT c_customer_id customer_id, c_first_name customer_first_name,
+         c_last_name customer_last_name,
+         c_preferred_cust_flag customer_preferred_cust_flag,
+         c_birth_country customer_birth_country, c_login customer_login,
+         c_email_address customer_email_address, d_year dyear,
+         sum(ws_ext_list_price - ws_ext_discount_amt) year_total,
+         'w' sale_type
+  FROM customer, web_sales, date_dim
+  WHERE c_customer_sk = ws_bill_customer_sk AND ws_sold_date_sk = d_date_sk
+  GROUP BY c_customer_id, c_first_name, c_last_name, c_preferred_cust_flag,
+           c_birth_country, c_login, c_email_address, d_year)
+SELECT t_s_secyear.customer_id, t_s_secyear.customer_first_name,
+       t_s_secyear.customer_last_name,
+       t_s_secyear.customer_preferred_cust_flag
+FROM year_total t_s_firstyear, year_total t_s_secyear,
+     year_total t_w_firstyear, year_total t_w_secyear
+WHERE t_s_secyear.customer_id = t_s_firstyear.customer_id
+  AND t_s_firstyear.customer_id = t_w_secyear.customer_id
+  AND t_s_firstyear.customer_id = t_w_firstyear.customer_id
+  AND t_s_firstyear.sale_type = 's' AND t_w_firstyear.sale_type = 'w'
+  AND t_s_secyear.sale_type = 's' AND t_w_secyear.sale_type = 'w'
+  AND t_s_firstyear.dyear = 2000 AND t_s_secyear.dyear = 2001
+  AND t_w_firstyear.dyear = 2000 AND t_w_secyear.dyear = 2001
+  AND t_s_firstyear.year_total > 0 AND t_w_firstyear.year_total > 0
+  AND t_w_secyear.year_total * t_s_firstyear.year_total
+      > t_s_secyear.year_total * t_w_firstyear.year_total
+ORDER BY t_s_secyear.customer_id, t_s_secyear.customer_first_name,
+         t_s_secyear.customer_last_name,
+         t_s_secyear.customer_preferred_cust_flag
+LIMIT 100"""),
+    "q12" -> (Seq("web_sales", "item", "date_dim") ->
+      """
+SELECT i_item_id, i_item_desc, i_category, i_class,
+       CAST(i_current_price AS DOUBLE) AS i_current_price,
+       CAST(sum(ws_ext_sales_price) AS DOUBLE) AS itemrevenue,
+       CAST(sum(ws_ext_sales_price) * 100 AS DOUBLE) /
+         CAST(sum(sum(ws_ext_sales_price)) OVER (PARTITION BY i_class) AS DOUBLE)
+         AS revenueratio
+FROM web_sales, item, date_dim
+WHERE ws_item_sk = i_item_sk
+  AND i_category IN ('Sports', 'Books', 'Home')
+  AND ws_sold_date_sk = d_date_sk
+  AND d_date BETWEEN DATE '1999-02-22' AND DATE '1999-03-24'
+GROUP BY i_item_id, i_item_desc, i_category, i_class, i_current_price
+ORDER BY i_category, i_class, i_item_id, i_item_desc, revenueratio
+LIMIT 100"""),
+    "q15" -> (Seq("catalog_sales", "customer", "customer_address", "date_dim") ->
+      """
+SELECT ca_zip, CAST(sum(cs_sales_price) AS DOUBLE) AS sum_sales
+FROM catalog_sales, customer, customer_address, date_dim
+WHERE cs_bill_customer_sk = c_customer_sk
+  AND c_current_addr_sk = ca_address_sk
+  AND (substr(ca_zip, 1, 5) IN ('85669', '86197', '88274', '83405', '86475',
+                                '85392', '85460', '80348', '81792')
+       OR ca_state IN ('CA', 'WA', 'GA')
+       OR cs_sales_price > 500)
+  AND cs_sold_date_sk = d_date_sk
+  AND d_qoy = 2 AND d_year = 2001
+GROUP BY ca_zip
+ORDER BY ca_zip
+LIMIT 100"""),
+    "q19" -> (Seq("date_dim", "store_sales", "item", "customer", "customer_address", "store") ->
+      """
+SELECT i_brand_id AS brand_id, i_brand AS brand, i_manufact_id, i_manufact,
+       CAST(sum(ss_ext_sales_price) AS DOUBLE) AS ext_price
+FROM date_dim, store_sales, item, customer, customer_address, store
+WHERE d_date_sk = ss_sold_date_sk AND ss_item_sk = i_item_sk
+  AND i_manager_id = 8 AND d_moy = 11 AND d_year = 1998
+  AND ss_customer_sk = c_customer_sk
+  AND c_current_addr_sk = ca_address_sk
+  AND substr(ca_zip, 1, 5) <> substr(s_zip, 1, 5)
+  AND ss_store_sk = s_store_sk
+GROUP BY i_brand_id, i_brand, i_manufact_id, i_manufact
+ORDER BY ext_price DESC, brand_id, i_manufact_id
+LIMIT 100"""),
+    "q20" -> (Seq("catalog_sales", "item", "date_dim") ->
+      """
+SELECT i_item_id, i_item_desc, i_category, i_class,
+       CAST(i_current_price AS DOUBLE) AS i_current_price,
+       CAST(sum(cs_ext_sales_price) AS DOUBLE) AS itemrevenue,
+       CAST(sum(cs_ext_sales_price) * 100 AS DOUBLE) /
+         CAST(sum(sum(cs_ext_sales_price)) OVER (PARTITION BY i_class) AS DOUBLE)
+         AS revenueratio
+FROM catalog_sales, item, date_dim
+WHERE cs_item_sk = i_item_sk
+  AND i_category IN ('Sports', 'Books', 'Home')
+  AND cs_sold_date_sk = d_date_sk
+  AND d_date BETWEEN DATE '1999-02-22' AND DATE '1999-03-24'
+GROUP BY i_item_id, i_item_desc, i_category, i_class, i_current_price
+ORDER BY i_category, i_class, i_item_id, i_item_desc, revenueratio
+LIMIT 100"""),
+    "q25" -> (Seq("store_sales", "store_returns", "catalog_sales", "date_dim", "store", "item") ->
+      """
+SELECT i_item_id, i_item_desc, s_store_id, s_store_name,
+       CAST(sum(ss_net_profit) AS DOUBLE) AS store_sales_profit,
+       CAST(sum(sr_net_loss) AS DOUBLE) AS store_returns_loss,
+       CAST(sum(cs_net_profit) AS DOUBLE) AS catalog_sales_profit
+FROM store_sales, store_returns, catalog_sales, date_dim d1, date_dim d2,
+     date_dim d3, store, item
+WHERE d1.d_moy = 4 AND d1.d_year = 2001 AND d1.d_date_sk = ss_sold_date_sk
+  AND i_item_sk = ss_item_sk AND s_store_sk = ss_store_sk
+  AND ss_customer_sk = sr_customer_sk AND ss_item_sk = sr_item_sk
+  AND ss_ticket_number = sr_ticket_number
+  AND sr_returned_date_sk = d2.d_date_sk
+  AND d2.d_moy BETWEEN 4 AND 10 AND d2.d_year = 2001
+  AND sr_customer_sk = cs_bill_customer_sk AND sr_item_sk = cs_item_sk
+  AND cs_sold_date_sk = d3.d_date_sk
+  AND d3.d_moy BETWEEN 4 AND 10 AND d3.d_year = 2001
+GROUP BY i_item_id, i_item_desc, s_store_id, s_store_name
+ORDER BY i_item_id, i_item_desc, s_store_id, s_store_name
+LIMIT 100"""),
+    "q26" -> (Seq("catalog_sales", "customer_demographics", "date_dim", "item", "promotion") ->
+      """
+SELECT i_item_id,
+       CAST(sum(cs_quantity) AS DOUBLE) / count(*) AS agg1,
+       CAST(sum(cs_list_price) AS DOUBLE) / count(*) AS agg2,
+       CAST(sum(cs_coupon_amt) AS DOUBLE) / count(*) AS agg3,
+       CAST(sum(cs_sales_price) AS DOUBLE) / count(*) AS agg4
+FROM catalog_sales, customer_demographics, date_dim, item, promotion
+WHERE cs_sold_date_sk = d_date_sk AND cs_item_sk = i_item_sk
+  AND cs_bill_cdemo_sk = cd_demo_sk AND cs_promo_sk = p_promo_sk
+  AND cd_gender = 'M' AND cd_marital_status = 'D'
+  AND cd_education_status = 'College'
+  AND (p_channel_email = 'N' OR p_channel_event = 'N')
+  AND d_year = 2000
+GROUP BY i_item_id
+ORDER BY i_item_id
+LIMIT 100"""),
+    "q42" -> (Seq("date_dim", "store_sales", "item") ->
+      """
+SELECT d_year, i_category_id, i_category,
+       CAST(sum(ss_ext_sales_price) AS DOUBLE) AS total_sales
+FROM date_dim dt, store_sales, item
+WHERE dt.d_date_sk = ss_sold_date_sk AND ss_item_sk = i_item_sk
+  AND i_manager_id = 1 AND dt.d_moy = 11 AND dt.d_year = 2000
+GROUP BY d_year, i_category_id, i_category
+ORDER BY total_sales DESC, d_year, i_category_id, i_category
+LIMIT 100"""),
+    "q43" -> (Seq("date_dim", "store_sales", "store") ->
+      """
+SELECT s_store_name, s_store_id,
+       CAST(sum(CASE WHEN d_day_name = 'Sunday' THEN ss_sales_price ELSE NULL END) AS DOUBLE) AS sun_sales,
+       CAST(sum(CASE WHEN d_day_name = 'Monday' THEN ss_sales_price ELSE NULL END) AS DOUBLE) AS mon_sales,
+       CAST(sum(CASE WHEN d_day_name = 'Tuesday' THEN ss_sales_price ELSE NULL END) AS DOUBLE) AS tue_sales,
+       CAST(sum(CASE WHEN d_day_name = 'Wednesday' THEN ss_sales_price ELSE NULL END) AS DOUBLE) AS wed_sales,
+       CAST(sum(CASE WHEN d_day_name = 'Thursday' THEN ss_sales_price ELSE NULL END) AS DOUBLE) AS thu_sales,
+       CAST(sum(CASE WHEN d_day_name = 'Friday' THEN ss_sales_price ELSE NULL END) AS DOUBLE) AS fri_sales,
+       CAST(sum(CASE WHEN d_day_name = 'Saturday' THEN ss_sales_price ELSE NULL END) AS DOUBLE) AS sat_sales
+FROM date_dim, store_sales, store
+WHERE d_date_sk = ss_sold_date_sk AND s_store_sk = ss_store_sk
+  AND s_gmt_offset = -5 AND d_year = 2000
+GROUP BY s_store_name, s_store_id
+ORDER BY s_store_name, s_store_id
+LIMIT 100"""),
+    "q51" -> (Seq("web_sales", "store_sales", "date_dim") ->
+      """
+WITH web_v1 AS (
+  SELECT ws_item_sk item_sk, d_date,
+         sum(sum(ws_sales_price)) OVER (PARTITION BY ws_item_sk ORDER BY d_date
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) cume_sales
+  FROM web_sales, date_dim
+  WHERE ws_sold_date_sk = d_date_sk AND d_month_seq BETWEEN 360 AND 371
+    AND ws_item_sk IS NOT NULL
+  GROUP BY ws_item_sk, d_date),
+store_v1 AS (
+  SELECT ss_item_sk item_sk, d_date,
+         sum(sum(ss_sales_price)) OVER (PARTITION BY ss_item_sk ORDER BY d_date
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) cume_sales
+  FROM store_sales, date_dim
+  WHERE ss_sold_date_sk = d_date_sk AND d_month_seq BETWEEN 360 AND 371
+    AND ss_item_sk IS NOT NULL
+  GROUP BY ss_item_sk, d_date)
+SELECT * FROM (
+  SELECT CASE WHEN web.item_sk IS NOT NULL THEN web.item_sk ELSE store.item_sk END item_sk,
+         CASE WHEN web.d_date IS NOT NULL THEN web.d_date ELSE store.d_date END d_date,
+         CAST(web.cume_sales AS DOUBLE) web_sales,
+         CAST(store.cume_sales AS DOUBLE) store_sales,
+         max(CAST(web.cume_sales AS DOUBLE)) OVER (
+           PARTITION BY CASE WHEN web.item_sk IS NOT NULL THEN web.item_sk ELSE store.item_sk END
+           ORDER BY CASE WHEN web.d_date IS NOT NULL THEN web.d_date ELSE store.d_date END
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) web_cumulative,
+         max(CAST(store.cume_sales AS DOUBLE)) OVER (
+           PARTITION BY CASE WHEN web.item_sk IS NOT NULL THEN web.item_sk ELSE store.item_sk END
+           ORDER BY CASE WHEN web.d_date IS NOT NULL THEN web.d_date ELSE store.d_date END
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) store_cumulative
+  FROM web_v1 web FULL OUTER JOIN store_v1 store
+       ON (web.item_sk = store.item_sk AND web.d_date = store.d_date)) y
+WHERE web_cumulative > store_cumulative
+ORDER BY item_sk, d_date
+LIMIT 100"""),
+    "q52" -> (Seq("date_dim", "store_sales", "item") ->
+      """
+SELECT d_year, i_brand_id AS brand_id, i_brand AS brand,
+       CAST(sum(ss_ext_sales_price) AS DOUBLE) AS ext_price
+FROM date_dim dt, store_sales, item
+WHERE dt.d_date_sk = ss_sold_date_sk AND ss_item_sk = i_item_sk
+  AND i_manager_id = 1 AND dt.d_moy = 11 AND dt.d_year = 2000
+GROUP BY d_year, i_brand_id, i_brand
+ORDER BY d_year, ext_price DESC, brand_id
+LIMIT 100"""),
+    "q55" -> (Seq("date_dim", "store_sales", "item") ->
+      """
+SELECT i_brand_id AS brand_id, i_brand AS brand,
+       CAST(sum(ss_ext_sales_price) AS DOUBLE) AS ext_price
+FROM date_dim, store_sales, item
+WHERE d_date_sk = ss_sold_date_sk AND ss_item_sk = i_item_sk
+  AND i_manager_id = 28 AND d_moy = 11 AND d_year = 1999
+GROUP BY i_brand_id, i_brand
+ORDER BY ext_price DESC, brand_id
+LIMIT 100"""),
+    "q65" -> (Seq("store", "item", "store_sales", "date_dim") ->
+      """
+SELECT s_store_name, i_item_desc, CAST(sc.revenue AS DOUBLE) AS revenue,
+       CAST(i_current_price AS DOUBLE) AS i_current_price,
+       CAST(i_wholesale_cost AS DOUBLE) AS i_wholesale_cost, i_brand
+FROM store, item,
+     (SELECT ss_store_sk, sum(revenue) AS sum_rev, count(*) AS cnt
+      FROM (SELECT ss_store_sk, ss_item_sk, sum(ss_sales_price) AS revenue
+            FROM store_sales, date_dim
+            WHERE ss_sold_date_sk = d_date_sk AND d_month_seq BETWEEN 360 AND 371
+            GROUP BY ss_store_sk, ss_item_sk) sa
+      GROUP BY ss_store_sk) sb,
+     (SELECT ss_store_sk, ss_item_sk, sum(ss_sales_price) AS revenue
+      FROM store_sales, date_dim
+      WHERE ss_sold_date_sk = d_date_sk AND d_month_seq BETWEEN 360 AND 371
+      GROUP BY ss_store_sk, ss_item_sk) sc
+WHERE sb.ss_store_sk = sc.ss_store_sk
+  AND sc.revenue * 10 * sb.cnt <= sb.sum_rev
+  AND s_store_sk = sc.ss_store_sk
+  AND i_item_sk = sc.ss_item_sk
+ORDER BY s_store_name, i_item_desc
+LIMIT 100"""),
+    "q67" -> (Seq("store_sales", "date_dim", "store", "item") ->
+      """
+SELECT * FROM (
+  SELECT i_category, i_class, i_brand, i_product_name, d_year, d_qoy, d_moy,
+         s_store_id, sumsales,
+         rank() OVER (PARTITION BY i_category ORDER BY sumsales DESC) rk
+  FROM (SELECT i_category, i_class, i_brand, i_product_name, d_year, d_qoy,
+               d_moy, s_store_id,
+               CAST(sum(coalesce(ss_sales_price * ss_quantity, 0)) AS DOUBLE) sumsales
+        FROM store_sales, date_dim, store, item
+        WHERE ss_sold_date_sk = d_date_sk AND ss_item_sk = i_item_sk
+          AND ss_store_sk = s_store_sk AND d_month_seq BETWEEN 360 AND 371
+        GROUP BY ROLLUP(i_category, i_class, i_brand, i_product_name, d_year,
+                        d_qoy, d_moy, s_store_id)) dw1) dw2
+WHERE rk <= 10
+ORDER BY i_category NULLS FIRST, i_class NULLS FIRST, i_brand NULLS FIRST,
+         i_product_name NULLS FIRST, d_year NULLS FIRST, d_qoy NULLS FIRST,
+         d_moy NULLS FIRST, s_store_id NULLS FIRST, sumsales, rk
+LIMIT 100"""),
+    "q74" -> (Seq("customer", "store_sales", "web_sales", "date_dim") ->
+      """
+WITH year_total AS (
+  SELECT c_customer_id customer_id, c_first_name customer_first_name,
+         c_last_name customer_last_name, d_year year_,
+         sum(ss_net_paid) year_total, 's' sale_type
+  FROM customer, store_sales, date_dim
+  WHERE c_customer_sk = ss_customer_sk AND ss_sold_date_sk = d_date_sk
+    AND d_year IN (2000, 2001)
+  GROUP BY c_customer_id, c_first_name, c_last_name, d_year
+  UNION ALL
+  SELECT c_customer_id customer_id, c_first_name customer_first_name,
+         c_last_name customer_last_name, d_year year_,
+         sum(ws_net_paid) year_total, 'w' sale_type
+  FROM customer, web_sales, date_dim
+  WHERE c_customer_sk = ws_bill_customer_sk AND ws_sold_date_sk = d_date_sk
+    AND d_year IN (2000, 2001)
+  GROUP BY c_customer_id, c_first_name, c_last_name, d_year)
+SELECT t_s_secyear.customer_id, t_s_secyear.customer_first_name,
+       t_s_secyear.customer_last_name
+FROM year_total t_s_firstyear, year_total t_s_secyear,
+     year_total t_w_firstyear, year_total t_w_secyear
+WHERE t_s_secyear.customer_id = t_s_firstyear.customer_id
+  AND t_s_firstyear.customer_id = t_w_secyear.customer_id
+  AND t_s_firstyear.customer_id = t_w_firstyear.customer_id
+  AND t_s_firstyear.sale_type = 's' AND t_w_firstyear.sale_type = 'w'
+  AND t_s_secyear.sale_type = 's' AND t_w_secyear.sale_type = 'w'
+  AND t_s_firstyear.year_ = 2000 AND t_s_secyear.year_ = 2001
+  AND t_w_firstyear.year_ = 2000 AND t_w_secyear.year_ = 2001
+  AND t_s_firstyear.year_total > 0 AND t_w_firstyear.year_total > 0
+  AND t_w_secyear.year_total * t_s_firstyear.year_total
+      > t_s_secyear.year_total * t_w_firstyear.year_total
+ORDER BY t_s_secyear.customer_id, t_s_secyear.customer_first_name,
+         t_s_secyear.customer_last_name
+LIMIT 100"""),
+    "q96" -> (Seq("store_sales", "household_demographics", "time_dim", "store") ->
+      """
+SELECT count(*) AS cnt
+FROM store_sales, household_demographics, time_dim, store
+WHERE ss_sold_time_sk = t_time_sk AND ss_hdemo_sk = hd_demo_sk
+  AND ss_store_sk = s_store_sk
+  AND t_hour = 20 AND t_minute >= 30
+  AND hd_dep_count = 7 AND s_store_name = 'store3'
+ORDER BY cnt
+LIMIT 100"""),
+    "q98" -> (Seq("store_sales", "item", "date_dim") ->
+      """
+SELECT i_item_id, i_item_desc, i_category, i_class,
+       CAST(i_current_price AS DOUBLE) AS i_current_price,
+       CAST(sum(ss_ext_sales_price) AS DOUBLE) AS itemrevenue,
+       CAST(sum(ss_ext_sales_price) * 100 AS DOUBLE) /
+         CAST(sum(sum(ss_ext_sales_price)) OVER (PARTITION BY i_class) AS DOUBLE)
+         AS revenueratio
+FROM store_sales, item, date_dim
+WHERE ss_item_sk = i_item_sk
+  AND i_category IN ('Sports', 'Books', 'Home')
+  AND ss_sold_date_sk = d_date_sk
+  AND d_date BETWEEN DATE '1999-02-22' AND DATE '1999-03-24'
+GROUP BY i_item_id, i_item_desc, i_category, i_class, i_current_price
+ORDER BY i_category, i_class, i_item_id, i_item_desc, revenueratio
+LIMIT 100""")
+  )
+}
