@@ -146,6 +146,18 @@ object FlinkSqlQueries {
            PATTERN (E1 E2)
            DEFINE E1 AS event_type = 'error', E2 AS event_type = 'error'
          ) ORDER BY user_id, start_ts""")),
+    // the SAME statement as a real StreamingQuery through the watermark-
+    // buffered CEP operator — must emit the identical match set
+    "mr_stream_error_pairs" -> ((s, dir) => MatchRecognize.runStream(s, dir,
+      """SELECT user_id, start_ts, end_ts FROM events
+         MATCH_RECOGNIZE (
+           PARTITION BY user_id
+           ORDER BY ts
+           ONE ROW PER MATCH
+           AFTER MATCH SKIP PAST LAST ROW
+           PATTERN (E1 E2)
+           DEFINE E1 AS event_type = 'error', E2 AS event_type = 'error'
+         ) ORDER BY user_id, start_ts""")),
     // ALL ROWS PER MATCH + PREV navigation: click followed by a pricier
     // purchase; every matched row comes back with CLASSIFIER/MATCH_NUMBER
     "mr_all_rows_nav" -> ((s, dir) => run(s, dir,
@@ -1010,6 +1022,24 @@ object FlinkSqlQueries {
          FROM v JOIN o a ON a.user_id = v.user_id AND a.rn BETWEEN v.s - 1 AND v.e - 1
          ORDER BY v.user_id, start_ts, end_ts""",
     "mr_error_pairs" ->
+      """WITH o AS (
+           SELECT user_id, event_id, ts, event_type,
+                  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+           FROM events),
+         runs AS (
+           SELECT *, rn - row_number() OVER (PARTITION BY user_id ORDER BY rn) AS grp
+           FROM o WHERE event_type = 'error'),
+         err AS (
+           SELECT *, row_number() OVER (PARTITION BY user_id, grp ORDER BY rn) AS idx,
+                  count(*) OVER (PARTITION BY user_id, grp) AS len,
+                  lead(ts) OVER (PARTITION BY user_id, grp ORDER BY rn) AS next_ts
+           FROM runs)
+         SELECT user_id, epoch_us(ts) AS start_ts, epoch_us(next_ts) AS end_ts
+         FROM err WHERE idx % 2 = 1 AND idx < len
+         ORDER BY user_id, start_ts""",
+    // streaming MATCH_RECOGNIZE must equal the batch row once the final
+    // watermark passes max(ts) — same oracle as mr_error_pairs
+    "mr_stream_error_pairs" ->
       """WITH o AS (
            SELECT user_id, event_id, ts, event_type,
                   row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn

@@ -243,6 +243,76 @@ object MatchRecognize {
   }
 
   /** Execute against the registered table; returns the outer SELECT. */
+  /** Expand quantifiers onto NFA steps; MR contiguity is strict everywhere
+    * (fresh starts are unaffected by the flag, but a quantifier's
+    * absorb-branch must die — not wait — when contiguity breaks). Shared
+    * by the batch scan and the streaming operator. */
+  private def compileSteps(spec: Spec, varBit: Map[String, Int]): Seq[Cep.Step] =
+    spec.pattern.flatMap { case (v, q) =>
+      def base = Cep.Step(v, r => r.kind.charAt(varBit(v)) == '1', strict = true,
+        reluctant = q.reluctant)
+      (q.min, q.max) match {
+        case (0, None) => Seq(base.copy(oneOrMore = true, optional = true)) // *
+        case (n, None) => Seq.fill(n - 1)(base) :+ base.copy(oneOrMore = true) // + / {n,}
+        case (n, Some(m)) => Seq.fill(n)(base) ++
+          Seq.fill(m - n)(base.copy(optional = true)) // {n} / {n,m} / ?
+      }
+    }
+
+  /** The same MATCH_RECOGNIZE statement executed as a REAL StreamingQuery —
+    * the reference's deployment shape (stream/StreamExecMatch.scala:68
+    * plans MATCH_RECOGNIZE onto the CEP operator; the batch node is the
+    * bounded special case). The pattern compiles to the identical NFA
+    * steps as [[run]] and executes on [[Cep.matchStream]]'s
+    * watermark-ordered keyed state (buffer until the watermark confirms
+    * order, advance the NFA, event-time-timeout flush), file-streamed from
+    * the same table and append-sunk to memory. Once the final watermark
+    * passes max(ts) the emitted match set equals the batch scan's — the
+    * driver gate asserts that against the SAME DuckDB oracle row.
+    *
+    * Streaming surface restriction (matches the reference's own incremental
+    * subset): ONE ROW PER MATCH without measures, and per-row DEFINE
+    * predicates — PREV/NEXT navigation in DEFINE needs the batch-side
+    * window compiler. Measures-on-stream would bolt on exactly like the
+    * batch path (join matched ids back), left to the SQL batch node here.
+    *
+    * At scale this is one hash-partition by key with O(open-runs) state per
+    * key and watermark-bounded buffers — no per-batch sort of history, no
+    * unbounded state. */
+  def runStream(spark: SparkSession, dir: String, sql: String): DataFrame = {
+    val spec = parse(sql)
+    require(!spec.allRows && spec.measures.isEmpty,
+      "streaming MATCH_RECOGNIZE: ONE ROW PER MATCH without measures")
+    // parse() already compiled PREV/NEXT navigation onto lag/lead windows —
+    // those need the batch window compiler, not a stateless stream mask
+    require(!spec.defines.values.exists(d =>
+        """(?i)\b(lag|lead)\s*\(""".r.findFirstIn(d).isDefined),
+      "streaming MATCH_RECOGNIZE: DEFINE must be per-row (no PREV/NEXT)")
+    val vars = spec.pattern.map(_._1).distinct
+    val varBit = vars.zipWithIndex.toMap
+    val flags = vars.map(v => expr(spec.defines.getOrElse(v, "true")))
+    val mask = concat(flags.map(f => when(f, lit("1")).otherwise(lit("0"))): _*)
+    import spark.implicits._
+    val schema = spark.read.parquet(s"$dir/${spec.table}.parquet").schema
+    // raw parquet NANOS timestamp arrives as long (nanosAsLong conf)
+    val rows = spark.readStream.schema(schema).format("parquet")
+      .option("pathGlobFilter", s"${spec.table}.parquet").load(dir)
+      .withColumn("__mask", mask)
+      .select(col(spec.partitionBy).cast("long").as("key"),
+        expr(s"${spec.orderBy} div 1000").as("ts"),
+        col("event_id").as("id"), col("__mask").as("kind"), lit(0.0).as("value"))
+      .as[KeyedRow]
+    val pattern = Cep.Pattern(compileSteps(spec, varBit), spec.withinMs, spec.afterMatch)
+    spark.catalog.dropTempView("mr_stream_sink"): Unit
+    val q = Cep.matchStream(rows, pattern)
+      .writeStream.format("memory").queryName("mr_stream_sink")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table("mr_stream_sink")
+      .select(col("key").as(spec.partitionBy), col("start_ts"), col("end_ts"))
+      .orderBy(col(spec.partitionBy), col("start_ts"))
+  }
+
   def run(spark: SparkSession, sql: String): DataFrame = {
     val spec = parse(sql)
     val src = spark.table(spec.table)
@@ -264,19 +334,7 @@ object MatchRecognize {
         expr(s"unix_micros(cast(${spec.orderBy} as timestamp))").as("ts"),
         col("__seq").as("id"), col("__mask").as("kind"), lit(0.0).as("value"))
       .as[KeyedRow]
-    // expand quantifiers onto NFA steps; MR contiguity is strict everywhere
-    // (fresh starts are unaffected by the flag, but a quantifier's
-    // absorb-branch must die — not wait — when contiguity breaks)
-    val steps = spec.pattern.flatMap { case (v, q) =>
-      def base = Cep.Step(v, r => r.kind.charAt(varBit(v)) == '1', strict = true,
-        reluctant = q.reluctant)
-      (q.min, q.max) match {
-        case (0, None) => Seq(base.copy(oneOrMore = true, optional = true)) // *
-        case (n, None) => Seq.fill(n - 1)(base) :+ base.copy(oneOrMore = true) // + / {n,}
-        case (n, Some(m)) => Seq.fill(n)(base) ++
-          Seq.fill(m - n)(base.copy(optional = true)) // {n} / {n,m} / ?
-      }
-    }
+    val steps = compileSteps(spec, varBit)
     // the DEFINE-mask window above already hash-partitioned every partition
     // key's rows into one partition — the NFA scan reuses that clustering
     // instead of shuffling the rows a second time on the same key

@@ -544,4 +544,52 @@ class FlinkSqlStreamingSpec extends SparkSpec {
       s.streams.active.filter(_.name == "fss2_emit").foreach(_.stop())
     }
   }
+
+  test("streaming MATCH_RECOGNIZE equals the batch scan of the same statement") {
+    val mrSql =
+      """SELECT user_id, start_ts, end_ts FROM events
+         MATCH_RECOGNIZE (
+           PARTITION BY user_id
+           ORDER BY ts
+           ONE ROW PER MATCH
+           AFTER MATCH SKIP PAST LAST ROW
+           PATTERN (E1 E2)
+           DEFINE E1 AS event_type = 'error', E2 AS event_type = 'error'
+         ) ORDER BY user_id, start_ts"""
+    graft.Tables.registerAll(spark, sf)
+    val batch = MatchRecognize.run(spark, mrSql).collect()
+      .map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+    val streamed = MatchRecognize.runStream(spark, sf, mrSql).collect()
+      .map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+    assert(streamed.nonEmpty, "stream emitted no matches")
+    assert(streamed == batch)
+  }
+
+  test("streaming MATCH_RECOGNIZE rejects shapes that need the batch compiler") {
+    val allRows = intercept[IllegalArgumentException] {
+      MatchRecognize.runStream(spark, sf,
+        """SELECT user_id, row_seq, event_id, classifier, match_no FROM events
+           MATCH_RECOGNIZE (
+             PARTITION BY user_id ORDER BY ts
+             ALL ROWS PER MATCH
+             AFTER MATCH SKIP PAST LAST ROW
+             PATTERN (A B)
+             DEFINE A AS event_type = 'click', B AS event_type = 'purchase'
+           )""")
+    }
+    assert(allRows.getMessage.contains("ONE ROW PER MATCH"))
+    val nav = intercept[IllegalArgumentException] {
+      MatchRecognize.runStream(spark, sf,
+        """SELECT user_id, start_ts, end_ts FROM events
+           MATCH_RECOGNIZE (
+             PARTITION BY user_id ORDER BY ts
+             ONE ROW PER MATCH
+             AFTER MATCH SKIP PAST LAST ROW
+             PATTERN (A B)
+             DEFINE A AS event_type = 'click',
+                    B AS event_type = 'purchase' AND value > PREV(value)
+           )""")
+    }
+    assert(nav.getMessage.contains("no PREV/NEXT"))
+  }
 }
