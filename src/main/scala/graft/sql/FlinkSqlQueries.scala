@@ -49,6 +49,20 @@ object FlinkSqlQueries {
                FROM purchases JOIN clicks FOR SYSTEM_TIME AS OF p_ts ON u = cu
                ORDER BY u, p_id""")
     }),
+    // processing-time temporal join: probe against the build side's LATEST
+    // version (TemporalProcessTimeJoinOperator.java:48); the bounded shape
+    // degenerates to keep-last-per-key + equi-join
+    "fsql_proctime_join" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("""SELECT user_id AS u, event_id AS p_id, ts AS p_ts FROM events
+               WHERE event_type = 'purchase'""").createOrReplaceTempView("purchases")
+      s.sql("""SELECT user_id AS cu, event_id AS c_id, ts AS c_ts FROM events
+               WHERE event_type = 'click'""").createOrReplaceTempView("clicks")
+      SystemTimeJoin.declareWatermark("clicks", "c_ts")
+      s.sql("""SELECT u, p_id, c_id AS latest_click_id, c_ts AS latest_click_ts
+               FROM purchases JOIN clicks FOR SYSTEM_TIME AS OF PROCTIME() ON u = cu
+               ORDER BY u, p_id""")
+    }),
     // watermark declared via DDL (WATERMARK FOR in CREATE VIEW) instead of
     // a programmatic declareWatermark call; the as-of join resolves the
     // versioned side's time attribute from the registry the DDL fed
@@ -563,6 +577,18 @@ object FlinkSqlQueries {
            LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
              ON c.user_id = p.user_id AND c.ts <= p.ts)
          WHERE rn = 1 ORDER BY u, p_id""",
+    // inner join against the single latest click version per user; the
+    // Spark side's keep-last tiebreak is (c_ts, cu, c_id) DESC — cu is
+    // constant within a partition, so the oracle replays (ts, event_id) DESC
+    "fsql_proctime_join" ->
+      """SELECT u, p_id, c_id AS latest_click_id, c_ts AS latest_click_ts FROM (
+           SELECT p.user_id AS u, p.event_id AS p_id, c.event_id AS c_id, c.ts AS c_ts
+           FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+           JOIN (SELECT *, row_number() OVER (PARTITION BY user_id
+                             ORDER BY ts DESC, event_id DESC) AS rn
+                 FROM events WHERE event_type = 'click') c
+             ON c.user_id = p.user_id AND c.rn = 1)
+         ORDER BY u, p_id""",
     // same semantics as fsql_system_time — the DDL only changes how the
     // time attribute is declared, not the join result
     "fsql_watermark_ddl" ->

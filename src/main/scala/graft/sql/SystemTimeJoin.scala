@@ -42,7 +42,7 @@ object SystemTimeJoin {
     """(?i)FOR\s+SYSTEM_TIME\s+AS\s+OF""".r.findFirstIn(sql).isDefined
 
   private val stRe =
-    """(?is)SELECT\s+(.*?)\s+FROM\s+(\w+)\s+JOIN\s+(\w+)\s+FOR\s+SYSTEM_TIME\s+AS\s+OF\s+([\w.]+)\s+ON\s+([\w.]+)\s*=\s*([\w.]+)\s*(.*)""".r
+    """(?is)SELECT\s+(.*?)\s+FROM\s+(\w+)\s+JOIN\s+(\w+)\s+FOR\s+SYSTEM_TIME\s+AS\s+OF\s+([\w.]+(?:\(\s*\))?)\s+ON\s+([\w.]+)\s*=\s*([\w.]+)\s*(.*)""".r
 
   private def bare(c: String): String = c.split("\\.").last
 
@@ -58,8 +58,28 @@ object SystemTimeJoin {
       val (lk, rk) =
         if (left.columns.contains(bare(k1))) (bare(k1), bare(k2))
         else (bare(k2), bare(k1))
-      val joined = AsOf.join(left, right,
-        left(lk), right(rk), left(bare(timeExpr)), right(rTimeCol))
+      val joined =
+        if (timeExpr.toUpperCase.replaceAll("\\s", "") == "PROCTIME()") {
+          // Processing-time temporal join (TemporalProcessTimeJoinOperator
+          // .java:48 — probe against the build side's LATEST version, no
+          // event-time correlation). The bounded shape degenerates to
+          // keep-last-per-key + equi-join: by query time every version has
+          // "arrived", so the latest is the max over the declared version
+          // order. Tiebreak on the remaining columns keeps keep-last
+          // deterministic when version times collide — the batch analogue
+          // of "last writer wins" needs a total order to be reproducible.
+          import org.apache.spark.sql.expressions.Window
+          import org.apache.spark.sql.functions.{col, row_number}
+          val ord = (rTimeCol +: right.columns.filterNot(_ == rTimeCol).toSeq)
+            .map(c => col(c).desc)
+          val latest = right
+            .withColumn("__v", row_number().over(
+              Window.partitionBy(col(rk)).orderBy(ord: _*)))
+            .filter(col("__v") === 1).drop("__v")
+          left.join(latest, left(lk) === latest(rk))
+        } else
+          AsOf.join(left, right,
+            left(lk), right(rk), left(bare(timeExpr)), right(rTimeCol))
       joined.createOrReplaceTempView("__st_out")
       spark.sql(s"SELECT $select FROM __st_out ${Option(tail).getOrElse("")}")
     case _ =>

@@ -27,6 +27,11 @@ private[streaming] case class JoinSideState(
   left: List[(Long, Double, Boolean)], // (id, value, emitted-null-padded)
   right: List[(Long, Double)])
 
+/** Tagged union row for the processing-time temporal join: `build` rows
+  * update the versioned side's keep-last state, probe rows read it. */
+case class TemporalTagged(key: Long, build: Boolean, ts: Long, id: Long,
+                          kind: String, value: Double)
+
 /** Windowed-agg emission with a late-data side channel: tag "window" rows
   * carry the closed window's aggregate; tag "late" rows carry the dropped
   * row's id (win_start = the window it would have belonged to). */
@@ -635,6 +640,47 @@ object StatefulOps {
   }
 
   type QFn = (SparkSession, String) => DataFrame
+  /** Processing-time temporal join, streaming form
+    * (TemporalProcessTimeJoinOperator.java:48): the build side keeps ONLY
+    * its latest version per key in state (no version history — that's the
+    * event-time variant's job), and each probe row joins whatever version
+    * the state holds when the row is processed. Inner semantics: probes
+    * with no version yet are dropped, never retro-filled — exactly the
+    * reference's proctime contract ("the join result is not deterministic
+    * in event time, only in arrival order").
+    *
+    * Micro-batch determinism policy: within one batch, build updates apply
+    * BEFORE probes (latest build row by (ts, id) as the arrival proxy).
+    * Flink leaves same-instant ordering to operator scheduling; a batch
+    * engine must pick a reproducible order, and build-first is the one the
+    * keep-last + join batch degeneration agrees with.
+    *
+    * Scale: state is one row per build key — the minimum any temporal join
+    * can hold — and the union shuffles each side once on the join key. */
+  def proctimeTemporalJoin(left: Dataset[KeyedRow], right: Dataset[KeyedRow])
+      : Dataset[(Long, Long, String)] = {
+    import left.sparkSession.implicits._
+    val tagged = right.map(r => TemporalTagged(r.key, build = true, r.ts, r.id, r.kind, r.value))
+      .union(left.map(l => TemporalTagged(l.key, build = false, l.ts, l.id, l.kind, l.value)))
+    tagged.groupByKey(_.key)
+      .flatMapGroupsWithState[KeyedRow, (Long, Long, String)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (key, it, state: GroupState[KeyedRow]) =>
+          val rows = it.toSeq
+          val builds = rows.filter(_.build)
+          if (builds.nonEmpty) {
+            val latest = builds.maxBy(b => (b.ts, b.id))
+            val cur = state.getOption
+            if (cur.forall(c => Ordering[(Long, Long)].lteq((c.ts, c.id), (latest.ts, latest.id))))
+              state.update(KeyedRow(key, latest.ts, latest.id, latest.kind, latest.value))
+          }
+          val version = state.getOption
+          rows.filterNot(_.build).sortBy(p => (p.ts, p.id)).iterator.flatMap { p =>
+            version.map(v => (key, p.id, v.kind))
+          }
+      }
+  }
+
   def queries: Map[String, QFn] = Map(
     "stream_topn" -> (qTopN _),
     "stream_retract_topn" -> (qRetractTopN _),
