@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
 
@@ -159,6 +159,57 @@ object Changelog {
       }
   }
 
+  private[streaming] case class AggState(count: Long, sumMicros: Long, nextSeq: Long)
+
+  /** Retracting group aggregate — the consumer half of GroupAggFunction
+    * (flink-table-runtime-blink/.../aggregate/GroupAggFunction.java:141-169):
+    * ingest a -U/+U changelog, REGROUP by a derived dimension (here the
+    * value's decile bucket), and maintain per-group accumulators that an
+    * update can both leave (-U routes to the OLD value's bucket) and enter
+    * (+U to the new one). Emits the aggregate's own changelog: +I when a
+    * group first fills, -U/+U around every accumulator update, -D when it
+    * empties — exactly the RowKind protocol the reference threads between
+    * chained operators.
+    *
+    * Sums accumulate in integer micro-units: a retractable aggregate adds
+    * and subtracts intermediate values, and float cancellation would make
+    * the final accumulator depend on arrival history; integer arithmetic
+    * makes it equal the plain sum over final rows, which is what the
+    * composed-pipeline oracle asserts. `value` in and out is micros. */
+  def retractingAgg(changes: Dataset[Change]): Dataset[Change] = {
+    import changes.sparkSession.implicits._
+    def bucketOf(c: Change): Long = ((math.floor(c.value / 1e6).toLong % 10) + 10) % 10
+    changes.groupByKey(bucketOf)
+      .flatMapGroupsWithState[AggState, Change](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (bucket, it, state) =>
+          var st = state.getOption.getOrElse(AggState(0L, 0L, 0L))
+          val out = scala.collection.mutable.ListBuffer.empty[Change]
+          def emit(kind: String, sumMicros: Long): Unit = {
+            st = st.copy(nextSeq = st.nextSeq + 1)
+            out += Change(kind, 0L, bucket, st.nextSeq, sumMicros.toDouble)
+          }
+          it.toArray
+            .sortBy(c => (c.ts, if (c.kind == "-U" || c.kind == "-D") 0 else 1, c.key, c.id))
+            .foreach { c =>
+              val before = st
+              val d = c.value.toLong
+              c.kind match {
+                case "+I" | "+U" =>
+                  st = st.copy(count = st.count + 1, sumMicros = st.sumMicros + d)
+                case "-U" | "-D" =>
+                  st = st.copy(count = st.count - 1, sumMicros = st.sumMicros - d)
+                case other => throw new IllegalArgumentException(s"RowKind $other")
+              }
+              if (before.count == 0L) emit("+I", st.sumMicros)
+              else if (st.count == 0L) emit("-D", before.sumMicros)
+              else { emit("-U", before.sumMicros); emit("+U", st.sumMicros) }
+            }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   /** Fold a rank changelog into the final rank table (the upsert merge on
     * (key, rnk) — what a sink keyed by rank position holds at the end). */
   def applyRankChanges(log: Seq[RankChange]): Map[(Long, Int), (Long, Double)] = {
@@ -184,4 +235,65 @@ object Changelog {
         case "-U" => // retraction of a value that +U will replace
       }
     }
+
+  /** CDC END-TO-END: upsert source → ChangelogNormalize → retracting
+    * aggregate → retractable Top-N → upsert sink, composed as one dataflow
+    * and gated on the final materialized state (the reference chain
+    * StreamExecChangelogNormalize.scala:46 → GroupAggFunction.java:141 →
+    * RetractableTopNFunction.java — every stage individually green in this
+    * repo, here composed).
+    *
+    * The events table file-streams in as an upsert stream keyed by user
+    * (each row = the user's new current value, quantized to micro-units at
+    * the edge). Stage boundaries are parquet changelog channels: Flink
+    * fuses the chain into one job, while Spark disallows chained
+    * flatMapGroupsWithState operators inside a single query — so each
+    * stage is its own StreamingQuery consuming the previous stage's
+    * materialized changelog, the Kafka-topic-between-jobs deployment shape
+    * with a directory standing in for the topic. The RowKind contract
+    * crossing each boundary is identical to the fused form.
+    *
+    * The upsert sink is [[applyRankChanges]] over the rank changelog — a
+    * driver-side fold of at most O(n · updates) tiny rows, the documented
+    * sink mock. Output: the final top-3 value-decile buckets by total of
+    * every user's LAST value — which the DuckDB oracle recomputes from
+    * first principles (keep-last → bucket sums → top 3). */
+  def qCdcPipeline(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val token = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val relay = s"target/cdc_relay/$token/${java.util.UUID.randomUUID}"
+    val schema = s.read.parquet(s"$dir/events.parquet").schema
+    val rows = s.readStream.schema(schema).format("parquet")
+      .option("pathGlobFilter", "events.parquet").load(dir)
+      .select(col("user_id").as("key"), expr("ts div 1000").as("ts"),
+        col("event_id").as("id"), col("event_type").as("kind"),
+        round(col("value") * 1e6, 0).as("value"))
+      .as[KeyedRow]
+
+    def runStage[T](ds: Dataset[T], name: String): Dataset[T] = {
+      s.catalog.dropTempView(name): Unit
+      val q = ds.writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(name).as[T](ds.encoder)
+    }
+    def relayStream(data: Dataset[Change], stage: String): Dataset[Change] = {
+      val path = s"$relay/$stage"
+      data.write.mode("overwrite").parquet(path)
+      s.readStream.schema(data.schema).parquet(path).as[Change]
+    }
+
+    // stage 1: upsert-source normalize (per-user keep-last changelog)
+    val changes = runStage(keyedChangelog(rows), "cdc_changes")
+    // stage 2: retracting per-bucket aggregate over the relayed changelog
+    val aggLog = runStage(retractingAgg(relayStream(changes, "changes")), "cdc_agg")
+    // stage 3: retractable top-3 buckets over the aggregate's changelog
+    val rankLog = runStage(
+      retractableTopN(relayStream(aggLog, "agg"), 3), "cdc_rank")
+    // upsert sink: fold the rank changelog into the final rank table
+    val tbl = applyRankChanges(rankLog.collect().toIndexedSeq.sortBy(_.seq))
+    s.createDataset(tbl.toSeq.map { case ((_, rnk), (bucket, micros)) =>
+      (rnk, bucket, micros / 1e6)
+    }).toDF("rnk", "bucket", "total").orderBy("rnk")
+  }
 }

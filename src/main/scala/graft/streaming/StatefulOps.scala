@@ -684,6 +684,7 @@ object StatefulOps {
   def queries: Map[String, QFn] = Map(
     "stream_topn" -> (qTopN _),
     "stream_retract_topn" -> (qRetractTopN _),
+    "cdc_pipeline" -> (Changelog.qCdcPipeline _),
     "stream_sort_limit" -> (qSortLimitStream _),
     "stream_dedup_last" -> (qDedupLast _),
     "stream_over_running" -> (qRunningSum _),
@@ -693,6 +694,26 @@ object StatefulOps {
   )
 
   def oracles: Map[String, String] = Map(
+    // the composed CDC chain's final state = keep-last per user → integer
+    // micro-unit sums per value-decile bucket → top 3 (sum DESC, bucket ASC)
+    "cdc_pipeline" ->
+      """WITH lastr AS (
+            SELECT user_id, value,
+                   row_number() OVER (PARTITION BY user_id
+                     ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+            FROM events),
+          m AS (SELECT CAST(round(value * 1e6, 0) AS BIGINT) AS micros
+                FROM lastr WHERE rn = 1),
+          b AS (SELECT ((CAST(floor(micros / 1e6) AS BIGINT) % 10) + 10) % 10 AS bucket,
+                       sum(micros) AS sum_micros
+                FROM m GROUP BY 1),
+          r AS (SELECT bucket, sum_micros,
+                       row_number() OVER (ORDER BY CAST(sum_micros AS DOUBLE) DESC,
+                                          bucket ASC) AS rnk
+                FROM b)
+          SELECT CAST(rnk AS INT) AS rnk, bucket,
+                 CAST(sum_micros AS DOUBLE) / 1e6 AS total
+          FROM r WHERE rnk <= 3 ORDER BY rnk""",
     // the rank changelog folded = plain rank over each slot's LAST value
     "stream_retract_topn" ->
       """WITH e AS (SELECT user_id, event_id % 4 AS slot, value,
