@@ -18,6 +18,14 @@ import java.nio.file.{Files, Paths}
   *    (peers aggregate together, so ties cannot reorder results);
   *  - every computed column aliased (auto-generated names differ).
   *
+  * 13 families: filters, aggregates, single-table windows, joins (incl.
+  * semi/anti via IN/NOT EXISTS), set ops, expression projections, derived
+  * group keys, uncorrelated scalar subqueries, ROLLUP, FULL OUTER joins,
+  * shared CTEs, CORRELATED subqueries (select-list scalar / predicate
+  * scalar / EXISTS / counted), and windows OVER JOIN results — the last
+  * two cover Catalyst's decorrelation and exchange→join→window-sort paths
+  * that the single-construct families miss.
+  *
   * DuckDB runs via the driver-side python tooling; when that is absent the
   * suite cancels with the reason rather than silently passing.
   */
@@ -287,9 +295,54 @@ class DifferentialFuzzSpec extends SparkSpec {
       s"SELECT x.g, x.cnt, y.s FROM b x JOIN b y ON x.g = y.g"
   }
 
+  /** CORRELATED subqueries — the decorrelation path (RewriteCorrelatedScalarSubquery
+    * / rewrite-to-join) that the uncorrelated qScalarSub family never touches.
+    * Exact integer aggregates only; equality correlation (the shape both
+    * engines and the SQL standard guarantee); NULL scalar results flow
+    * through comparisons as three-valued logic on both engines. */
+  private def qCorrSub(r: scala.util.Random): String = r.nextInt(4) match {
+    case 0 => // correlated scalar in the SELECT list (NULL when no match)
+      s"SELECT c_custkey, (SELECT CAST(min(o_orderkey) AS BIGINT) FROM orders " +
+        s"WHERE o_custkey = c.c_custkey AND ${pred(r, tables(1))}) AS mo " +
+        s"FROM customer c WHERE ${pred(r, tables(2))}"
+    case 1 => // correlated scalar in the predicate
+      s"SELECT l_orderkey, l_linenumber FROM lineitem l " +
+        s"WHERE l_partkey = (SELECT max(l2.l_partkey) FROM lineitem l2 " +
+        s"WHERE l2.l_orderkey = l.l_orderkey AND ${pred(r, tables(0))})"
+    case 2 => // correlated EXISTS with an extra uncorrelated conjunct
+      s"SELECT o_orderkey, o_orderstatus FROM orders o WHERE EXISTS " +
+        s"(SELECT 1 FROM lineitem WHERE l_orderkey = o.o_orderkey AND ${pred(r, tables(0))}) " +
+        s"AND ${pred(r, tables(1))}"
+    case 3 => // correlated count compared against a column
+      s"SELECT c_custkey FROM customer c WHERE " +
+        s"(SELECT count(*) FROM orders WHERE o_custkey = c.c_custkey " +
+        s"AND ${pred(r, tables(1))}) >= ${1 + r.nextInt(3)}"
+  }
+
+  /** WINDOW over a JOIN result — window functions above a shuffled join,
+    * the physical plan (exchange → join → window sort) the single-table
+    * qWindow family never produces. Tie discipline: the 1:1 key side keeps
+    * rank order keys unique; running sums use the default RANGE frame, so
+    * peers aggregate together and ties stay engine-independent. */
+  private def qWinJoin(r: scala.util.Random): String = r.nextInt(3) match {
+    case 0 => // rank over orders⋈customer (1:1 on the unique customer key)
+      s"SELECT o_orderstatus, o_orderkey, c_mktsegment, " +
+        s"${pick(r, Seq("rank()", "dense_rank()", "row_number()"))} " +
+        s"OVER (PARTITION BY o_orderstatus ORDER BY o_orderkey) AS rk " +
+        s"FROM orders JOIN customer ON o_custkey = c_custkey WHERE ${pred(r, tables(1))}"
+    case 1 => // running sum over lineitem⋈orders, RANGE frame (tie-safe)
+      s"SELECT l_orderkey, l_linenumber, CAST(sum(l_linenumber) " +
+        s"OVER (PARTITION BY l_orderkey ORDER BY l_linenumber) AS BIGINT) AS ws " +
+        s"FROM lineitem JOIN orders ON l_orderkey = o_orderkey WHERE ${pred(r, tables(0))}"
+    case 2 => // window partitioned by the OTHER side's column after the join
+      s"SELECT c_mktsegment, o_orderkey, " +
+        s"CAST(sum(o_orderkey) OVER (PARTITION BY c_mktsegment ORDER BY o_orderkey) AS BIGINT) AS ws " +
+        s"FROM orders JOIN customer ON o_custkey = c_custkey WHERE ${pred(r, tables(1))}"
+  }
+
   private def gen(r: scala.util.Random, i: Int): String = {
     val t = pick(r, tables)
-    i % 16 match {
+    i % 18 match {
       case 0 | 1 | 2 => qFilter(r, t)
       case 3 | 4 | 5 => qAgg(r, t)
       case 6 | 7 => qWindow(r, t)
@@ -297,6 +350,8 @@ class DifferentialFuzzSpec extends SparkSpec {
       case 13 => qRollup(r, t)
       case 14 => qFullJoin(r)
       case 15 => qCte(r, t)
+      case 16 => qCorrSub(r)
+      case 17 => qWinJoin(r)
       case 9 => qSetOp(r, t)
       case 10 => qExpr(r, t)
       case 11 => qGroupExpr(r, t)
