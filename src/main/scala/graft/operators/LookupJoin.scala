@@ -30,7 +30,7 @@ object LookupJoin {
   /** The mock external KV service: nationkey per customer. One "connection"
     * per partition; `get` has per-call latency in a real system, which is
     * why the async variant exists. */
-  private class DimClient(snapshot: Map[Long, Int]) {
+  private class MockDimClient(snapshot: Map[Long, Int]) {
     def get(key: Long): Option[Int] = snapshot.get(key)
     def getAsync(key: Long)(implicit ec: ExecutionContext): Future[Option[Int]] =
       Future(snapshot.get(key))
@@ -55,7 +55,7 @@ object LookupJoin {
     * lookupBroadcast, which never routes the dim through the driver. */
   private val SnapshotRowCap = 5000000L
 
-  private def dimSnapshot(s: SparkSession, dir: String): Map[Long, Int] = {
+  private def mockDimSnapshot(s: SparkSession, dir: String): Map[Long, Int] = {
     import s.implicits._
     val dim = Tables.load(s, dir, "customer")
       .select(col("c_custkey"), col("c_nationkey"))
@@ -69,10 +69,10 @@ object LookupJoin {
   /** Synchronous per-partition lookup: one client, row-at-a-time get. */
   private def lookupSync(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val bc = s.sparkContext.broadcast(dimSnapshot(s, dir))
+    val bc = s.sparkContext.broadcast(mockDimSnapshot(s, dir))
     Tables.load(s, dir, "orders").select(col("o_custkey")).as[Long]
       .mapPartitions { it =>
-        val client = new DimClient(bc.value) // connection per partition
+        val client = new MockDimClient(bc.value) // connection per partition
         it.map(k => (k, client.get(k).getOrElse(-1)))
       }
       .toDF("o_custkey", "c_nationkey")
@@ -110,11 +110,11 @@ object LookupJoin {
 
   private def lookupAsync(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val bc = s.sparkContext.broadcast(dimSnapshot(s, dir))
+    val bc = s.sparkContext.broadcast(mockDimSnapshot(s, dir))
     Tables.load(s, dir, "orders").select(col("o_custkey")).as[Long]
       .mapPartitions { it =>
         implicit val ec: ExecutionContext = ExecutionContext.global
-        val client = new DimClient(bc.value)
+        val client = new MockDimClient(bc.value)
         asyncOrderedLookup[Long, Option[Int]](it, client.getAsync(_), parallelism = 32)
           .map { case (k, v) => (k, v.getOrElse(-1)) }
       }
