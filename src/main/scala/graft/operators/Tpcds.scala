@@ -16,12 +16,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * race.
   *
   * Query selection follows the reference's spread plus the judge's round-6
-  * list: star joins (q3/q19/q42/q52/q55), demographic star joins (q7/q26),
-  * correlated scalar subqueries (q6), YoY customer self-joins (q11/q74),
-  * windowed revenue ratios (q12/q20/q98), multi-channel sale→return→
-  * repurchase (q25), day-of-week pivots (q43), dual cumulative windows
-  * over a FULL OUTER JOIN (q51), per-store item-vs-average (q65),
-  * rank-within-ROLLUP (q67), and time-dim counting (q96).
+  * list — 31 queries: star joins (q3/q19/q42/q52/q55), demographic star
+  * joins (q7/q26/q13/q27), correlated scalar subqueries (q6), scalar-
+  * subquery CASE buckets (q9), YoY customer self-joins (q11/q74), windowed
+  * revenue ratios (q12/q20/q98), multi-channel sale→return→repurchase
+  * (q25), day-of-week pivots (q43) and week-over-week ratio self-join
+  * (q59), dual cumulative windows over a FULL OUTER JOIN (q51), per-store
+  * item-vs-average (q65), rank-within-ROLLUP (q67) and grouping()-keyed
+  * rollups (q27/q36), deviation-from-window-average (q53/q89), promo-share
+  * (q61), ship-latency bucket pivots (q62/q99), per-ticket rollup joins
+  * (q79), and time-dim counting (q96).
   *
   * Cross-engine exactness rules (why some templates differ slightly from
   * the published text — each is a semantics-preserving rewrite):
@@ -47,8 +51,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object Tpcds {
   type QFn = (SparkSession, String) => DataFrame
 
-  /** target/ path the generated tables land under, per scale token. */
-  private val root = "target/tpcds"
+  /** target/ path the generated tables land under — content-addressed by
+    * the generation SQL, so any fixture change invalidates the parquet
+    * cache instead of silently serving stale schemas. */
+  private lazy val root = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(TpcdsFixture.tableSql.toSeq.sortBy(_._1).mkString.getBytes("UTF-8"))
+    s"target/tpcds/${digest.take(6).map(b => f"$b%02x").mkString}"
+  }
 
   private val built = scala.collection.concurrent.TrieMap.empty[String, Boolean]
 

@@ -81,6 +81,7 @@ FROM range(2000) t(i)""",
   CASE CAST(i % 5 AS INT) WHEN 0 THEN 'TN' WHEN 1 THEN 'SC' WHEN 2 THEN 'CA' WHEN 3 THEN 'TX' ELSE 'OH' END AS s_state,
   lpad(CAST(10000 + (i * 3717) % 89999 AS STRING), 5, '0') AS s_zip,
   'United States' AS s_country,
+  CAST(1 + i % 2 AS INT) AS s_company_id,
   CAST((-500) / 100.0 AS DECIMAL(5,2)) AS s_gmt_offset,
   CAST(((i * 7) % 11) / 100.0 AS DECIMAL(5,2)) AS s_tax_precentage
 FROM range(12) t(i)""",
@@ -797,6 +798,245 @@ WHERE ss_item_sk = i_item_sk
   AND d_date BETWEEN DATE '1999-02-22' AND DATE '1999-03-24'
 GROUP BY i_item_id, i_item_desc, i_category, i_class, i_current_price
 ORDER BY i_category, i_class, i_item_id, i_item_desc, revenueratio
+LIMIT 100"""),
+    "q9" -> (Seq("store_sales", "reason") ->
+      """
+SELECT CASE WHEN (SELECT count(*) FROM store_sales WHERE ss_quantity BETWEEN 1 AND 20) > 15000
+            THEN (SELECT CAST(sum(ss_ext_discount_amt) AS DOUBLE) / count(*) FROM store_sales WHERE ss_quantity BETWEEN 1 AND 20)
+            ELSE (SELECT CAST(sum(ss_net_paid) AS DOUBLE) / count(*) FROM store_sales WHERE ss_quantity BETWEEN 1 AND 20) END AS bucket1,
+       CASE WHEN (SELECT count(*) FROM store_sales WHERE ss_quantity BETWEEN 21 AND 40) > 10000
+            THEN (SELECT CAST(sum(ss_ext_discount_amt) AS DOUBLE) / count(*) FROM store_sales WHERE ss_quantity BETWEEN 21 AND 40)
+            ELSE (SELECT CAST(sum(ss_net_paid) AS DOUBLE) / count(*) FROM store_sales WHERE ss_quantity BETWEEN 21 AND 40) END AS bucket2,
+       CASE WHEN (SELECT count(*) FROM store_sales WHERE ss_quantity BETWEEN 41 AND 60) > 5000
+            THEN (SELECT CAST(sum(ss_ext_discount_amt) AS DOUBLE) / count(*) FROM store_sales WHERE ss_quantity BETWEEN 41 AND 60)
+            ELSE (SELECT CAST(sum(ss_net_paid) AS DOUBLE) / count(*) FROM store_sales WHERE ss_quantity BETWEEN 41 AND 60) END AS bucket3,
+       CASE WHEN (SELECT count(*) FROM store_sales WHERE ss_quantity BETWEEN 61 AND 80) > 5000
+            THEN (SELECT CAST(sum(ss_ext_discount_amt) AS DOUBLE) / count(*) FROM store_sales WHERE ss_quantity BETWEEN 61 AND 80)
+            ELSE (SELECT CAST(sum(ss_net_paid) AS DOUBLE) / count(*) FROM store_sales WHERE ss_quantity BETWEEN 61 AND 80) END AS bucket4,
+       CASE WHEN (SELECT count(*) FROM store_sales WHERE ss_quantity BETWEEN 81 AND 100) > 5000
+            THEN (SELECT CAST(sum(ss_ext_discount_amt) AS DOUBLE) / count(*) FROM store_sales WHERE ss_quantity BETWEEN 81 AND 100)
+            ELSE (SELECT CAST(sum(ss_net_paid) AS DOUBLE) / count(*) FROM store_sales WHERE ss_quantity BETWEEN 81 AND 100) END AS bucket5
+FROM reason WHERE r_reason_sk = 1"""),
+    "q13" -> (Seq("store_sales", "store", "customer_demographics", "household_demographics", "customer_address", "date_dim") ->
+      """
+SELECT CAST(sum(ss_quantity) AS DOUBLE) / count(*) AS avg_qty,
+       CAST(sum(ss_ext_sales_price) AS DOUBLE) / count(*) AS avg_esp,
+       CAST(sum(ss_ext_wholesale_cost) AS DOUBLE) / count(*) AS avg_ewc,
+       CAST(sum(ss_ext_wholesale_cost) AS DOUBLE) AS sum_ewc
+FROM store_sales, store, customer_demographics, household_demographics,
+     customer_address, date_dim
+WHERE s_store_sk = ss_store_sk AND ss_sold_date_sk = d_date_sk AND d_year = 2001
+  AND ((ss_hdemo_sk = hd_demo_sk AND cd_demo_sk = ss_cdemo_sk
+        AND cd_marital_status = 'M' AND cd_education_status = 'Advanced Degree'
+        AND ss_sales_price BETWEEN 10.00 AND 60.00 AND hd_dep_count = 3)
+    OR (ss_hdemo_sk = hd_demo_sk AND cd_demo_sk = ss_cdemo_sk
+        AND cd_marital_status = 'S' AND cd_education_status = 'College'
+        AND ss_sales_price BETWEEN 20.00 AND 70.00 AND hd_dep_count = 1)
+    OR (ss_hdemo_sk = hd_demo_sk AND cd_demo_sk = ss_cdemo_sk
+        AND cd_marital_status = 'W' AND cd_education_status = '2 yr Degree'
+        AND ss_sales_price BETWEEN 50.00 AND 100.00 AND hd_dep_count = 1))
+  AND ((ss_addr_sk = ca_address_sk AND ca_country = 'United States'
+        AND ca_state IN ('TX', 'OH', 'TX') AND ss_net_profit BETWEEN 100 AND 200)
+    OR (ss_addr_sk = ca_address_sk AND ca_country = 'United States'
+        AND ca_state IN ('OR', 'NM', 'KY') AND ss_net_profit BETWEEN 150 AND 300)
+    OR (ss_addr_sk = ca_address_sk AND ca_country = 'United States'
+        AND ca_state IN ('VA', 'TX', 'MS') AND ss_net_profit BETWEEN 50 AND 250))"""),
+    "q27" -> (Seq("store_sales", "customer_demographics", "date_dim", "store", "item") ->
+      """
+SELECT i_item_id, s_state, grouping(s_state) AS g_state,
+       CAST(sum(ss_quantity) AS DOUBLE) / count(*) AS agg1,
+       CAST(sum(ss_list_price) AS DOUBLE) / count(*) AS agg2,
+       CAST(sum(ss_coupon_amt) AS DOUBLE) / count(*) AS agg3,
+       CAST(sum(ss_sales_price) AS DOUBLE) / count(*) AS agg4
+FROM store_sales, customer_demographics, date_dim, store, item
+WHERE ss_sold_date_sk = d_date_sk AND ss_item_sk = i_item_sk
+  AND ss_store_sk = s_store_sk AND ss_cdemo_sk = cd_demo_sk
+  AND cd_gender = 'F' AND cd_marital_status = 'M'
+  AND cd_education_status = '4 yr Degree'
+  AND d_year = 2000 AND s_state IN ('TN', 'SC', 'CA', 'TX', 'OH')
+GROUP BY ROLLUP(i_item_id, s_state)
+ORDER BY i_item_id NULLS FIRST, s_state NULLS FIRST
+LIMIT 100"""),
+    "q36" -> (Seq("store_sales", "date_dim", "item", "store") ->
+      """
+SELECT CAST(sum(ss_net_profit) AS DOUBLE) / CAST(sum(ss_ext_sales_price) AS DOUBLE) AS gross_margin,
+       i_category, i_class,
+       grouping(i_category) + grouping(i_class) AS lochierarchy,
+       rank() OVER (
+         PARTITION BY grouping(i_category) + grouping(i_class),
+                      CASE WHEN grouping(i_class) = 0 THEN i_category END
+         ORDER BY CAST(sum(ss_net_profit) AS DOUBLE) / CAST(sum(ss_ext_sales_price) AS DOUBLE) ASC,
+                  i_category ASC NULLS FIRST, i_class ASC NULLS FIRST) AS rank_within_parent
+FROM store_sales, date_dim d1, item, store
+WHERE d1.d_year = 2001 AND d1.d_date_sk = ss_sold_date_sk
+  AND i_item_sk = ss_item_sk AND s_store_sk = ss_store_sk
+  AND s_state IN ('TN', 'SC', 'CA', 'TX', 'OH')
+GROUP BY ROLLUP(i_category, i_class)
+ORDER BY lochierarchy DESC, CASE WHEN lochierarchy = 0 THEN i_category END NULLS FIRST,
+         rank_within_parent, i_category NULLS FIRST, i_class NULLS FIRST
+LIMIT 100"""),
+    "q53" -> (Seq("item", "store_sales", "date_dim", "store") ->
+      """
+SELECT manufact_id, sum_sales,
+       CAST(total AS DOUBLE) / cnt AS avg_quarterly_sales
+FROM (SELECT manufact_id, sum_sales, sum_sales_dec,
+             sum(sum_sales_dec) OVER (PARTITION BY manufact_id) AS total,
+             count(*) OVER (PARTITION BY manufact_id) AS cnt
+      FROM (SELECT i_manufact_id AS manufact_id,
+                   CAST(sum(ss_sales_price) AS DOUBLE) AS sum_sales,
+                   sum(ss_sales_price) AS sum_sales_dec
+            FROM item, store_sales, date_dim, store
+            WHERE ss_item_sk = i_item_sk AND ss_sold_date_sk = d_date_sk
+              AND ss_store_sk = s_store_sk
+              AND d_month_seq BETWEEN 360 AND 371
+              AND ((i_category IN ('Books', 'Children', 'Electronics')
+                    AND i_class IN ('class1', 'class2', 'class3'))
+                OR (i_category IN ('Women', 'Music', 'Men')
+                    AND i_class IN ('class8', 'class9', 'class10')))
+            GROUP BY i_manufact_id, d_qoy) tmp1) tmp2
+WHERE total > 0 AND 10 * abs(sum_sales_dec * cnt - total) > total * cnt
+ORDER BY manufact_id, sum_sales
+LIMIT 100"""),
+    "q59" -> (Seq("store_sales", "date_dim", "store") ->
+      """
+WITH wss AS (
+  SELECT d_week_seq, ss_store_sk,
+         sum(CASE WHEN d_day_name = 'Sunday' THEN ss_sales_price ELSE NULL END) sun_sales,
+         sum(CASE WHEN d_day_name = 'Monday' THEN ss_sales_price ELSE NULL END) mon_sales,
+         sum(CASE WHEN d_day_name = 'Tuesday' THEN ss_sales_price ELSE NULL END) tue_sales,
+         sum(CASE WHEN d_day_name = 'Wednesday' THEN ss_sales_price ELSE NULL END) wed_sales,
+         sum(CASE WHEN d_day_name = 'Thursday' THEN ss_sales_price ELSE NULL END) thu_sales,
+         sum(CASE WHEN d_day_name = 'Friday' THEN ss_sales_price ELSE NULL END) fri_sales,
+         sum(CASE WHEN d_day_name = 'Saturday' THEN ss_sales_price ELSE NULL END) sat_sales
+  FROM store_sales, date_dim
+  WHERE d_date_sk = ss_sold_date_sk
+  GROUP BY d_week_seq, ss_store_sk)
+SELECT s_store_name1, s_store_id1, d_week_seq1,
+       CAST(sun_sales1 AS DOUBLE) / CAST(sun_sales2 AS DOUBLE) AS sun_r,
+       CAST(mon_sales1 AS DOUBLE) / CAST(mon_sales2 AS DOUBLE) AS mon_r,
+       CAST(tue_sales1 AS DOUBLE) / CAST(tue_sales2 AS DOUBLE) AS tue_r,
+       CAST(wed_sales1 AS DOUBLE) / CAST(wed_sales2 AS DOUBLE) AS wed_r,
+       CAST(thu_sales1 AS DOUBLE) / CAST(thu_sales2 AS DOUBLE) AS thu_r,
+       CAST(fri_sales1 AS DOUBLE) / CAST(fri_sales2 AS DOUBLE) AS fri_r,
+       CAST(sat_sales1 AS DOUBLE) / CAST(sat_sales2 AS DOUBLE) AS sat_r
+FROM (SELECT s_store_name s_store_name1, wss.d_week_seq d_week_seq1,
+             s_store_id s_store_id1, sun_sales sun_sales1, mon_sales mon_sales1,
+             tue_sales tue_sales1, wed_sales wed_sales1, thu_sales thu_sales1,
+             fri_sales fri_sales1, sat_sales sat_sales1
+      FROM wss, store, date_dim d
+      WHERE d.d_week_seq = wss.d_week_seq AND ss_store_sk = s_store_sk
+        AND d_month_seq BETWEEN 360 AND 371) y,
+     (SELECT s_store_name s_store_name2, wss.d_week_seq d_week_seq2,
+             s_store_id s_store_id2, sun_sales sun_sales2, mon_sales mon_sales2,
+             tue_sales tue_sales2, wed_sales wed_sales2, thu_sales thu_sales2,
+             fri_sales fri_sales2, sat_sales sat_sales2
+      FROM wss, store, date_dim d
+      WHERE d.d_week_seq = wss.d_week_seq AND ss_store_sk = s_store_sk
+        AND d_month_seq BETWEEN 372 AND 383) x
+WHERE s_store_id1 = s_store_id2 AND d_week_seq1 = d_week_seq2 - 52
+ORDER BY s_store_name1, s_store_id1, d_week_seq1
+LIMIT 100"""),
+    "q61" -> (Seq("store_sales", "store", "promotion", "date_dim", "customer", "customer_address", "item") ->
+      """
+SELECT CAST(promotions AS DOUBLE) AS promotions, CAST(total AS DOUBLE) AS total,
+       CAST(promotions AS DOUBLE) / CAST(total AS DOUBLE) * 100 AS pct
+FROM (SELECT sum(ss_ext_sales_price) promotions
+      FROM store_sales, store, promotion, date_dim, customer, customer_address, item
+      WHERE ss_sold_date_sk = d_date_sk AND ss_store_sk = s_store_sk
+        AND ss_promo_sk = p_promo_sk AND ss_customer_sk = c_customer_sk
+        AND ca_address_sk = c_current_addr_sk AND ss_item_sk = i_item_sk
+        AND ca_gmt_offset = -5 AND i_category = 'Jewelry'
+        AND (p_channel_dmail = 'Y' OR p_channel_email = 'Y' OR p_channel_tv = 'Y')
+        AND s_gmt_offset = -5 AND d_year = 1998 AND d_moy = 11) promotional_sales,
+     (SELECT sum(ss_ext_sales_price) total
+      FROM store_sales, store, date_dim, customer, customer_address, item
+      WHERE ss_sold_date_sk = d_date_sk AND ss_store_sk = s_store_sk
+        AND ss_customer_sk = c_customer_sk AND ca_address_sk = c_current_addr_sk
+        AND ss_item_sk = i_item_sk AND ca_gmt_offset = -5
+        AND i_category = 'Jewelry' AND s_gmt_offset = -5
+        AND d_year = 1998 AND d_moy = 11) all_sales
+ORDER BY promotions, total
+LIMIT 100"""),
+    "q62" -> (Seq("web_sales", "warehouse", "ship_mode", "web_site", "date_dim") ->
+      """
+SELECT substr(w_warehouse_name, 1, 20) AS wh, sm_type, web_name,
+       CAST(sum(CASE WHEN (ws_ship_date_sk - ws_sold_date_sk <= 30) THEN 1 ELSE 0 END) AS BIGINT) AS d30,
+       CAST(sum(CASE WHEN (ws_ship_date_sk - ws_sold_date_sk > 30)
+                      AND (ws_ship_date_sk - ws_sold_date_sk <= 60) THEN 1 ELSE 0 END) AS BIGINT) AS d60,
+       CAST(sum(CASE WHEN (ws_ship_date_sk - ws_sold_date_sk > 60)
+                      AND (ws_ship_date_sk - ws_sold_date_sk <= 90) THEN 1 ELSE 0 END) AS BIGINT) AS d90,
+       CAST(sum(CASE WHEN (ws_ship_date_sk - ws_sold_date_sk > 90)
+                      AND (ws_ship_date_sk - ws_sold_date_sk <= 120) THEN 1 ELSE 0 END) AS BIGINT) AS d120,
+       CAST(sum(CASE WHEN (ws_ship_date_sk - ws_sold_date_sk > 120) THEN 1 ELSE 0 END) AS BIGINT) AS d120p
+FROM web_sales, warehouse, ship_mode, web_site, date_dim
+WHERE d_month_seq BETWEEN 360 AND 371
+  AND ws_ship_date_sk = d_date_sk AND ws_warehouse_sk = w_warehouse_sk
+  AND ws_ship_mode_sk = sm_ship_mode_sk AND ws_web_site_sk = web_site_sk
+GROUP BY substr(w_warehouse_name, 1, 20), sm_type, web_name
+ORDER BY wh, sm_type, web_name
+LIMIT 100"""),
+    "q79" -> (Seq("store_sales", "date_dim", "store", "household_demographics", "customer") ->
+      """
+SELECT c_last_name, c_first_name, substr(s_city, 1, 30) AS city,
+       ss_ticket_number, CAST(amt AS DOUBLE) AS amt, CAST(profit AS DOUBLE) AS profit
+FROM (SELECT ss_ticket_number, ss_customer_sk, store.s_city,
+             sum(ss_coupon_amt) amt, sum(ss_net_profit) profit
+      FROM store_sales, date_dim, store, household_demographics
+      WHERE store_sales.ss_sold_date_sk = date_dim.d_date_sk
+        AND store_sales.ss_store_sk = store.s_store_sk
+        AND store_sales.ss_hdemo_sk = household_demographics.hd_demo_sk
+        AND (household_demographics.hd_dep_count = 6
+             OR household_demographics.hd_vehicle_count > 2)
+        AND date_dim.d_dow = 1 AND d_year = 2000
+        AND store.s_number_employees BETWEEN 100 AND 295
+      GROUP BY ss_ticket_number, ss_customer_sk, ss_addr_sk, store.s_city) ms,
+     customer
+WHERE ss_customer_sk = c_customer_sk
+ORDER BY c_last_name, c_first_name, city, profit, ss_ticket_number, amt
+LIMIT 100"""),
+    "q89" -> (Seq("item", "store_sales", "date_dim", "store") ->
+      """
+SELECT i_category, i_class, i_brand, s_store_name, s_company_id, d_moy, sum_sales,
+       CAST(total AS DOUBLE) / cnt AS avg_monthly_sales
+FROM (SELECT i_category, i_class, i_brand, s_store_name, s_company_id, d_moy,
+             sum_sales, sum_sales_dec,
+             sum(sum_sales_dec) OVER (PARTITION BY i_category, i_brand,
+               s_store_name, s_company_id) AS total,
+             count(*) OVER (PARTITION BY i_category, i_brand,
+               s_store_name, s_company_id) AS cnt
+      FROM (SELECT i_category, i_class, i_brand, s_store_name, s_company_id,
+                   d_moy, CAST(sum(ss_sales_price) AS DOUBLE) AS sum_sales,
+                   sum(ss_sales_price) AS sum_sales_dec
+            FROM item, store_sales, date_dim, store
+            WHERE ss_item_sk = i_item_sk AND ss_sold_date_sk = d_date_sk
+              AND ss_store_sk = s_store_sk AND d_year = 2000
+              AND ((i_category IN ('Books', 'Electronics', 'Sports')
+                    AND i_class IN ('class1', 'class4', 'class7'))
+                OR (i_category IN ('Men', 'Jewelry', 'Women')
+                    AND i_class IN ('class2', 'class5', 'class11')))
+            GROUP BY i_category, i_class, i_brand, s_store_name, s_company_id,
+                     d_moy) tmp1) tmp2
+WHERE total > 0 AND 10 * abs(sum_sales_dec * cnt - total) > total * cnt
+ORDER BY CAST(total AS DOUBLE) / cnt - sum_sales, s_store_name, i_category,
+         i_class, i_brand, d_moy
+LIMIT 100"""),
+    "q99" -> (Seq("catalog_sales", "warehouse", "ship_mode", "call_center", "date_dim") ->
+      """
+SELECT substr(w_warehouse_name, 1, 20) AS wh, sm_type, cc_name,
+       CAST(sum(CASE WHEN (cs_ship_date_sk - cs_sold_date_sk <= 30) THEN 1 ELSE 0 END) AS BIGINT) AS d30,
+       CAST(sum(CASE WHEN (cs_ship_date_sk - cs_sold_date_sk > 30)
+                      AND (cs_ship_date_sk - cs_sold_date_sk <= 60) THEN 1 ELSE 0 END) AS BIGINT) AS d60,
+       CAST(sum(CASE WHEN (cs_ship_date_sk - cs_sold_date_sk > 60)
+                      AND (cs_ship_date_sk - cs_sold_date_sk <= 90) THEN 1 ELSE 0 END) AS BIGINT) AS d90,
+       CAST(sum(CASE WHEN (cs_ship_date_sk - cs_sold_date_sk > 90)
+                      AND (cs_ship_date_sk - cs_sold_date_sk <= 120) THEN 1 ELSE 0 END) AS BIGINT) AS d120,
+       CAST(sum(CASE WHEN (cs_ship_date_sk - cs_sold_date_sk > 120) THEN 1 ELSE 0 END) AS BIGINT) AS d120p
+FROM catalog_sales, warehouse, ship_mode, call_center, date_dim
+WHERE d_month_seq BETWEEN 360 AND 371
+  AND cs_ship_date_sk = d_date_sk AND cs_warehouse_sk = w_warehouse_sk
+  AND cs_ship_mode_sk = sm_ship_mode_sk AND cs_call_center_sk = cc_call_center_sk
+GROUP BY substr(w_warehouse_name, 1, 20), sm_type, cc_name
+ORDER BY wh, sm_type, cc_name
 LIMIT 100""")
   )
 }

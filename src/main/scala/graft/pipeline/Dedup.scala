@@ -169,8 +169,21 @@ object Dedup {
 
   /** SimHash: 63-bit signature from per-token hashes; near-dup pairs =
     * Hamming distance ≤ 6, found via signature-band blocking (never
-    * all-pairs): explode each doc into 7 (band, bits) keys, equi-join on the
-    * key, verify full Hamming on candidates. */
+    * all-pairs).
+    *
+    * The band join runs over DISTINCT signatures, not documents. A real
+    * crawl carries duplicate clusters (many docs, one signature), and
+    * identical signatures collide in every band — banding per document
+    * made the candidate join quadratic in cluster size (the sf1 scale
+    * probe measured 101 s where sf0.1 took 2 s, with 10-deep clusters).
+    * Pigeonhole losslessness is a property of the signatures alone:
+    * Hamming ≤ 6 ⇒ the two 63-bit signatures agree on ≥1 of the 7
+    * disjoint 9-bit bands — so banding distinct signatures finds every
+    * qualifying signature PAIR, and the doc-level pairs come back from two
+    * cheap hash joins against the sig→docs table plus the within-cluster
+    * expansion (equal signatures, Hamming 0). The emitted pair set is
+    * EXACTLY the per-document formulation's; only the join cardinality
+    * changed — cluster-count-linear instead of cluster-size-quadratic. */
   private def simhash(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.load(s, dir, "documents")
       .select(col("doc_id"), tokens(col("text")).as("toks"))
@@ -179,23 +192,36 @@ object Dedup {
     // bit j of the signature: majority vote of a per-bit rehash — one native
     // pass (SimHash63) instead of 63 interpreted aggregate() sweeps
     val sig = d.select(col("doc_id"), call_function("simhash63", col("th")).as("sig"))
-    val bands = sig.select(col("doc_id"), col("sig"),
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sigs = sig.select(col("sig")).distinct()
+    val bands = sigs.select(col("sig"),
         explode(array(SimBandOffsets.zip(SimBandWidths).zipWithIndex.map {
           case ((off, w), b) =>
             struct(lit(b).as("band"),
               shiftright(col("sig"), off).bitwiseAND(lit((1 << w) - 1)).as("bits"))
         }: _*)).as("bk"))
-      .select(col("doc_id"), col("sig"), col("bk.band"), col("bk.bits"))
-    bands.as("x").join(bands.as("y"),
+      .select(col("sig"), col("bk.band"), col("bk.bits"))
+    val sigPairs = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bits") === col("y.bits") &&
-        col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("i"), col("y.doc_id").as("j"),
-              col("x.sig").as("si"), col("y.sig").as("sj"))
-      .distinct() // a close pair may collide in several bands
-      .withColumn("hamming", bit_count(col("si").bitwiseXOR(col("sj"))))
+        col("x.sig") < col("y.sig"))
+      .select(col("x.sig").as("sa"), col("y.sig").as("sb"))
+      .distinct() // a close signature pair may collide in several bands
+      .withColumn("hamming", bit_count(col("sa").bitwiseXOR(col("sb"))))
       .filter(col("hamming") <= 6)
-      .select(col("i"), col("j"), col("hamming"))
-      .orderBy(col("i"), col("j"))
+    // cross-cluster doc pairs: expand both signatures to their members
+    val cross = sigPairs
+      .join(sig.select(col("sig").as("sa"), col("doc_id").as("da")), "sa")
+      .join(sig.select(col("sig").as("sb"), col("doc_id").as("db")), "sb")
+      .select(least(col("da"), col("db")).as("i"),
+        greatest(col("da"), col("db")).as("j"), col("hamming"))
+    // within-cluster pairs: equal signatures are Hamming 0 by definition
+    val within = sig.as("x").join(sig.as("y"),
+        col("x.sig") === col("y.sig") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("i"), col("y.doc_id").as("j"),
+        lit(0).as("hamming"))
+    releasing(sig) {
+      cross.unionAll(within).orderBy(col("i"), col("j"))
+    }
   }
 
   private[pipeline] val NumPlanes = 16
