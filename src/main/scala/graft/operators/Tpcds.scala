@@ -62,18 +62,17 @@ object Tpcds {
 
   private val built = scala.collection.concurrent.TrieMap.empty[String, Boolean]
 
-  private def sessionKey(s: SparkSession): String =
-    try s.getClass.getMethod("sessionUUID").invoke(s).toString
-    catch { case _: ReflectiveOperationException =>
-      String.valueOf(System.identityHashCode(s)) }
-
   /** Materialize all 24 tables as parquet once per JVM (the data is
-    * dir-independent), then register them as this session's temp views —
-    * once per session. Parquet rather than in-memory views so the query
-    * plans exercise the real scan path: column pruning + pushed filters,
-    * the same shape a 100 TB warehouse scan has. */
+    * dir-independent), then register them as temp views — on EVERY call,
+    * exactly like [[graft.Tables.registerAll]]: `customer` collides
+    * between the TPC-H and TPC-DS schemas, so each query family must
+    * (re)bind its own views before running rather than trust a
+    * once-per-session registration to survive the other family's. Parquet
+    * rather than in-memory views so the query plans exercise the real scan
+    * path: column pruning + pushed filters, the same shape a 100 TB
+    * warehouse scan has. */
   def ensureTables(s: SparkSession): Unit = {
-    built.getOrElseUpdate("files", {
+    built.getOrElseUpdate(s"files:$root", {
       TpcdsFixture.tableSql.foreach { case (name, sql) =>
         val dir = new java.io.File(s"$root/$name")
         if (!dir.isDirectory || !new java.io.File(dir, "_SUCCESS").isFile)
@@ -81,12 +80,9 @@ object Tpcds {
       }
       true
     })
-    built.getOrElseUpdate(sessionKey(s), {
-      TpcdsFixture.tableSql.keys.foreach { name =>
-        s.read.parquet(s"$root/$name").createOrReplaceTempView(name)
-      }
-      true
-    })
+    TpcdsFixture.tableSql.keys.foreach { name =>
+      s.read.parquet(s"$root/$name").createOrReplaceTempView(name)
+    }
   }
 
   private def run(q: String)(s: SparkSession, dir: String): DataFrame = {

@@ -92,6 +92,7 @@ FROM range(12) t(i)""",
   CAST(1 + (i * 101) % 7200 AS BIGINT) AS c_current_cdemo_sk,
   CAST(1 + (i * 103) % 720 AS BIGINT) AS c_current_hdemo_sk,
   CAST(1 + (i * 107) % 2500 AS BIGINT) AS c_current_addr_sk,
+  CASE CAST(i % 6 AS INT) WHEN 0 THEN 'Mr.' WHEN 1 THEN 'Mrs.' WHEN 2 THEN 'Ms.' WHEN 3 THEN 'Dr.' WHEN 4 THEN 'Miss' ELSE 'Sir' END AS c_salutation,
   'first' || CAST(i % 500 AS STRING) AS c_first_name,
   'last' || CAST(i % 700 AS STRING) AS c_last_name,
   CASE CAST(i % 3 AS INT) WHEN 0 THEN 'Y' ELSE 'N' END AS c_preferred_cust_flag,
@@ -1037,6 +1038,225 @@ WHERE d_month_seq BETWEEN 360 AND 371
   AND cs_ship_mode_sk = sm_ship_mode_sk AND cs_call_center_sk = cc_call_center_sk
 GROUP BY substr(w_warehouse_name, 1, 20), sm_type, cc_name
 ORDER BY wh, sm_type, cc_name
-LIMIT 100""")
+LIMIT 100"""),
+    "q32" -> (Seq("catalog_sales", "item", "date_dim") ->
+      """
+SELECT CAST(sum(cs_ext_discount_amt) AS DOUBLE) AS excess_discount_amount
+FROM catalog_sales, item, date_dim
+WHERE i_manufact_id = 77 AND i_item_sk = cs_item_sk
+  AND d_date BETWEEN DATE '2000-01-27' AND DATE '2000-04-26'
+  AND d_date_sk = cs_sold_date_sk
+  AND cs_ext_discount_amt * 10 * (
+        SELECT count(*) FROM catalog_sales, date_dim
+        WHERE cs_item_sk = i_item_sk
+          AND d_date BETWEEN DATE '2000-01-27' AND DATE '2000-04-26'
+          AND d_date_sk = cs_sold_date_sk)
+      > 13 * (
+        SELECT sum(cs_ext_discount_amt) FROM catalog_sales, date_dim
+        WHERE cs_item_sk = i_item_sk
+          AND d_date BETWEEN DATE '2000-01-27' AND DATE '2000-04-26'
+          AND d_date_sk = cs_sold_date_sk)"""),
+    "q34" -> (Seq("store_sales", "date_dim", "store", "household_demographics", "customer") ->
+      """
+SELECT c_last_name, c_first_name, c_salutation, c_preferred_cust_flag,
+       ss_ticket_number, cnt
+FROM (SELECT ss_ticket_number, ss_customer_sk, count(*) cnt
+      FROM store_sales, date_dim, store, household_demographics
+      WHERE store_sales.ss_sold_date_sk = date_dim.d_date_sk
+        AND store_sales.ss_store_sk = store.s_store_sk
+        AND store_sales.ss_hdemo_sk = household_demographics.hd_demo_sk
+        AND (date_dim.d_dom BETWEEN 1 AND 3 OR date_dim.d_dom BETWEEN 25 AND 28)
+        AND household_demographics.hd_buy_potential IN ('>10000', 'Unknown')
+        AND household_demographics.hd_vehicle_count > 0
+        AND household_demographics.hd_dep_count > 2
+        AND date_dim.d_year IN (2000, 2001, 2002)
+        AND store.s_county IN ('county0', 'county1', 'county2', 'county3')
+      GROUP BY ss_ticket_number, ss_customer_sk) dn, customer
+WHERE ss_customer_sk = c_customer_sk AND cnt BETWEEN 1 AND 20
+ORDER BY c_last_name, c_first_name, c_salutation, c_preferred_cust_flag DESC,
+         ss_ticket_number
+LIMIT 100"""),
+    "q45" -> (Seq("web_sales", "customer", "customer_address", "date_dim", "item") ->
+      """
+SELECT ca_zip, ca_city, CAST(sum(ws_sales_price) AS DOUBLE) AS sum_sales
+FROM web_sales, customer, customer_address, date_dim, item
+WHERE ws_bill_customer_sk = c_customer_sk
+  AND c_current_addr_sk = ca_address_sk
+  AND ws_item_sk = i_item_sk
+  AND (substr(ca_zip, 1, 5) IN ('85669', '86197', '88274', '83405', '86475',
+                                '85392', '85460', '80348', '81792')
+       OR i_item_id IN (SELECT i_item_id FROM item
+                        WHERE i_item_sk IN (2, 3, 5, 7, 11, 13, 17, 19, 23)))
+  AND ws_sold_date_sk = d_date_sk AND d_qoy = 2 AND d_year = 2001
+GROUP BY ca_zip, ca_city
+ORDER BY ca_zip, ca_city
+LIMIT 100"""),
+    "q48" -> (Seq("store_sales", "store", "customer_demographics", "customer_address", "date_dim") ->
+      """
+SELECT CAST(sum(ss_quantity) AS BIGINT) AS total_qty
+FROM store_sales, store, customer_demographics, customer_address, date_dim
+WHERE s_store_sk = ss_store_sk AND ss_sold_date_sk = d_date_sk AND d_year = 2000
+  AND ((cd_demo_sk = ss_cdemo_sk AND cd_marital_status = 'M'
+        AND cd_education_status = '4 yr Degree'
+        AND ss_sales_price BETWEEN 50.00 AND 100.00)
+    OR (cd_demo_sk = ss_cdemo_sk AND cd_marital_status = 'D'
+        AND cd_education_status = '2 yr Degree'
+        AND ss_sales_price BETWEEN 10.00 AND 60.00)
+    OR (cd_demo_sk = ss_cdemo_sk AND cd_marital_status = 'S'
+        AND cd_education_status = 'College'
+        AND ss_sales_price BETWEEN 70.00 AND 120.00))
+  AND ((ss_addr_sk = ca_address_sk AND ca_country = 'United States'
+        AND ca_state IN ('CA', 'OH', 'TX') AND ss_net_profit BETWEEN 0 AND 2000)
+    OR (ss_addr_sk = ca_address_sk AND ca_country = 'United States'
+        AND ca_state IN ('OR', 'NM', 'KY') AND ss_net_profit BETWEEN 150 AND 3000)
+    OR (ss_addr_sk = ca_address_sk AND ca_country = 'United States'
+        AND ca_state IN ('TX', 'VA', 'MS') AND ss_net_profit BETWEEN 50 AND 25000))"""),
+    "q68" -> (Seq("store_sales", "date_dim", "store", "household_demographics", "customer_address", "customer") ->
+      """
+SELECT c_last_name, c_first_name, ca_city, bought_city, ss_ticket_number,
+       CAST(extended_price AS DOUBLE) AS extended_price,
+       CAST(extended_tax AS DOUBLE) AS extended_tax,
+       CAST(list_price AS DOUBLE) AS list_price
+FROM (SELECT ss_ticket_number, ss_customer_sk, ca_city bought_city,
+             sum(ss_ext_sales_price) extended_price,
+             sum(ss_ext_list_price) list_price,
+             sum(ss_ext_tax) extended_tax
+      FROM store_sales, date_dim, store, household_demographics, customer_address
+      WHERE store_sales.ss_sold_date_sk = date_dim.d_date_sk
+        AND store_sales.ss_store_sk = store.s_store_sk
+        AND store_sales.ss_hdemo_sk = household_demographics.hd_demo_sk
+        AND store_sales.ss_addr_sk = customer_address.ca_address_sk
+        AND date_dim.d_dom BETWEEN 1 AND 2
+        AND (household_demographics.hd_dep_count = 4
+             OR household_demographics.hd_vehicle_count = 3)
+        AND date_dim.d_year IN (1999, 2000, 2001)
+        AND store.s_city IN ('city0', 'city1')
+      GROUP BY ss_ticket_number, ss_customer_sk, ss_addr_sk, ca_city) dn,
+     customer, customer_address current_addr
+WHERE ss_customer_sk = c_customer_sk
+  AND customer.c_current_addr_sk = current_addr.ca_address_sk
+  AND current_addr.ca_city <> bought_city
+ORDER BY c_last_name, c_first_name, ca_city, bought_city, ss_ticket_number,
+         extended_price, extended_tax, list_price
+LIMIT 100"""),
+    "q73" -> (Seq("store_sales", "date_dim", "store", "household_demographics", "customer") ->
+      """
+SELECT c_last_name, c_first_name, c_salutation, c_preferred_cust_flag,
+       ss_ticket_number, cnt
+FROM (SELECT ss_ticket_number, ss_customer_sk, count(*) cnt
+      FROM store_sales, date_dim, store, household_demographics
+      WHERE store_sales.ss_sold_date_sk = date_dim.d_date_sk
+        AND store_sales.ss_store_sk = store.s_store_sk
+        AND store_sales.ss_hdemo_sk = household_demographics.hd_demo_sk
+        AND date_dim.d_dom BETWEEN 1 AND 2
+        AND household_demographics.hd_buy_potential IN ('>10000', 'Unknown')
+        AND household_demographics.hd_vehicle_count > 0
+        AND household_demographics.hd_dep_count > 3
+        AND date_dim.d_year IN (2000, 2001, 2002)
+        AND store.s_county IN ('county0', 'county1', 'county2', 'county3')
+      GROUP BY ss_ticket_number, ss_customer_sk) dj, customer
+WHERE ss_customer_sk = c_customer_sk AND cnt BETWEEN 1 AND 5
+ORDER BY cnt DESC, c_last_name ASC, c_first_name, c_salutation,
+         c_preferred_cust_flag, ss_ticket_number
+LIMIT 100"""),
+    "q88" -> (Seq("store_sales", "household_demographics", "time_dim", "store") ->
+      """
+SELECT * FROM
+ (SELECT count(*) h8_30_to_9 FROM store_sales, household_demographics, time_dim, store
+  WHERE ss_sold_time_sk = t_time_sk AND ss_hdemo_sk = hd_demo_sk AND ss_store_sk = s_store_sk
+    AND t_hour = 8 AND t_minute >= 30
+    AND ((hd_dep_count = 4 AND hd_vehicle_count <= 6)
+      OR (hd_dep_count = 2 AND hd_vehicle_count <= 4)
+      OR (hd_dep_count = 0 AND hd_vehicle_count <= 2))
+    AND store.s_store_name = 'store3') s1,
+ (SELECT count(*) h9_to_9_30 FROM store_sales, household_demographics, time_dim, store
+  WHERE ss_sold_time_sk = t_time_sk AND ss_hdemo_sk = hd_demo_sk AND ss_store_sk = s_store_sk
+    AND t_hour = 9 AND t_minute < 30
+    AND ((hd_dep_count = 4 AND hd_vehicle_count <= 6)
+      OR (hd_dep_count = 2 AND hd_vehicle_count <= 4)
+      OR (hd_dep_count = 0 AND hd_vehicle_count <= 2))
+    AND store.s_store_name = 'store3') s2,
+ (SELECT count(*) h9_30_to_10 FROM store_sales, household_demographics, time_dim, store
+  WHERE ss_sold_time_sk = t_time_sk AND ss_hdemo_sk = hd_demo_sk AND ss_store_sk = s_store_sk
+    AND t_hour = 9 AND t_minute >= 30
+    AND ((hd_dep_count = 4 AND hd_vehicle_count <= 6)
+      OR (hd_dep_count = 2 AND hd_vehicle_count <= 4)
+      OR (hd_dep_count = 0 AND hd_vehicle_count <= 2))
+    AND store.s_store_name = 'store3') s3,
+ (SELECT count(*) h10_to_10_30 FROM store_sales, household_demographics, time_dim, store
+  WHERE ss_sold_time_sk = t_time_sk AND ss_hdemo_sk = hd_demo_sk AND ss_store_sk = s_store_sk
+    AND t_hour = 10 AND t_minute < 30
+    AND ((hd_dep_count = 4 AND hd_vehicle_count <= 6)
+      OR (hd_dep_count = 2 AND hd_vehicle_count <= 4)
+      OR (hd_dep_count = 0 AND hd_vehicle_count <= 2))
+    AND store.s_store_name = 'store3') s4"""),
+    "q92" -> (Seq("web_sales", "item", "date_dim") ->
+      """
+SELECT CAST(sum(ws_ext_discount_amt) AS DOUBLE) AS excess_discount_amount
+FROM web_sales, item, date_dim
+WHERE i_manufact_id = 35 AND i_item_sk = ws_item_sk
+  AND d_date BETWEEN DATE '2000-01-27' AND DATE '2000-04-26'
+  AND d_date_sk = ws_sold_date_sk
+  AND ws_ext_discount_amt * 10 * (
+        SELECT count(*) FROM web_sales, date_dim
+        WHERE ws_item_sk = i_item_sk
+          AND d_date BETWEEN DATE '2000-01-27' AND DATE '2000-04-26'
+          AND d_date_sk = ws_sold_date_sk)
+      > 13 * (
+        SELECT sum(ws_ext_discount_amt) FROM web_sales, date_dim
+        WHERE ws_item_sk = i_item_sk
+          AND d_date BETWEEN DATE '2000-01-27' AND DATE '2000-04-26'
+          AND d_date_sk = ws_sold_date_sk)"""),
+    "q93" -> (Seq("store_sales", "store_returns", "reason") ->
+      """
+SELECT ss_customer_sk, CAST(sum(act_sales) AS DOUBLE) AS sumsales
+FROM (SELECT ss_item_sk, ss_ticket_number, ss_customer_sk,
+             CASE WHEN sr_return_quantity IS NOT NULL
+                  THEN (ss_quantity - sr_return_quantity) * ss_sales_price
+                  ELSE ss_quantity * ss_sales_price END act_sales
+      FROM store_sales
+      LEFT OUTER JOIN store_returns
+        ON sr_item_sk = ss_item_sk AND sr_ticket_number = ss_ticket_number
+      JOIN reason ON sr_reason_sk = r_reason_sk
+      WHERE r_reason_desc = 'reason 3') t
+GROUP BY ss_customer_sk
+HAVING ss_customer_sk IS NOT NULL
+ORDER BY sumsales, ss_customer_sk
+LIMIT 100"""),
+    "q94" -> (Seq("web_sales", "web_returns", "date_dim", "customer_address", "web_site") ->
+      """
+SELECT count(DISTINCT ws1.ws_order_number) AS order_count,
+       CAST(sum(ws1.ws_ext_ship_cost) AS DOUBLE) AS total_shipping_cost,
+       CAST(sum(ws1.ws_net_profit) AS DOUBLE) AS total_net_profit
+FROM web_sales ws1, date_dim, customer_address, web_site
+WHERE d_date BETWEEN DATE '2000-02-01' AND DATE '2000-04-01'
+  AND ws1.ws_ship_date_sk = d_date_sk
+  AND ws1.ws_ship_addr_sk = ca_address_sk AND ca_state = 'CA'
+  AND ws1.ws_web_site_sk = web_site_sk AND web_name IN ('site 0', 'site 1')
+  AND EXISTS (SELECT 1 FROM web_sales ws2
+              WHERE ws1.ws_order_number = ws2.ws_order_number
+                AND ws1.ws_warehouse_sk <> ws2.ws_warehouse_sk)
+  AND NOT EXISTS (SELECT 1 FROM web_returns wr1
+                  WHERE ws1.ws_order_number = wr1.wr_order_number)"""),
+    "q97" -> (Seq("store_sales", "date_dim", "catalog_sales") ->
+      """
+WITH ssci AS (
+  SELECT ss_customer_sk customer_sk, ss_item_sk item_sk
+  FROM store_sales, date_dim
+  WHERE ss_sold_date_sk = d_date_sk AND d_month_seq BETWEEN 360 AND 371
+  GROUP BY ss_customer_sk, ss_item_sk),
+csci AS (
+  SELECT cs_bill_customer_sk customer_sk, cs_item_sk item_sk
+  FROM catalog_sales, date_dim
+  WHERE cs_sold_date_sk = d_date_sk AND d_month_seq BETWEEN 360 AND 371
+  GROUP BY cs_bill_customer_sk, cs_item_sk)
+SELECT CAST(sum(CASE WHEN ssci.customer_sk IS NOT NULL AND csci.customer_sk IS NULL
+                     THEN 1 ELSE 0 END) AS BIGINT) AS store_only,
+       CAST(sum(CASE WHEN ssci.customer_sk IS NULL AND csci.customer_sk IS NOT NULL
+                     THEN 1 ELSE 0 END) AS BIGINT) AS catalog_only,
+       CAST(sum(CASE WHEN ssci.customer_sk IS NOT NULL AND csci.customer_sk IS NOT NULL
+                     THEN 1 ELSE 0 END) AS BIGINT) AS store_and_catalog
+FROM ssci FULL OUTER JOIN csci
+  ON ssci.customer_sk = csci.customer_sk AND ssci.item_sk = csci.item_sk""")
   )
 }
