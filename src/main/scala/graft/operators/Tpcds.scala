@@ -16,16 +16,20 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * race.
   *
   * Query selection follows the reference's spread plus the judge's round-6
-  * list — 31 queries: star joins (q3/q19/q42/q52/q55), demographic star
-  * joins (q7/q26/q13/q27), correlated scalar subqueries (q6), scalar-
-  * subquery CASE buckets (q9), YoY customer self-joins (q11/q74), windowed
-  * revenue ratios (q12/q20/q98), multi-channel sale→return→repurchase
-  * (q25), day-of-week pivots (q43) and week-over-week ratio self-join
-  * (q59), dual cumulative windows over a FULL OUTER JOIN (q51), per-store
-  * item-vs-average (q65), rank-within-ROLLUP (q67) and grouping()-keyed
-  * rollups (q27/q36), deviation-from-window-average (q53/q89), promo-share
-  * (q61), ship-latency bucket pivots (q62/q99), per-ticket rollup joins
-  * (q79), and time-dim counting (q96).
+  * list — 42 queries: star joins (q3/q19/q42/q52/q55), demographic star
+  * joins (q7/q26/q13/q27/q48), correlated scalar subqueries (q6) and
+  * discount-vs-average correlated filters (q32/q92), scalar-subquery CASE
+  * buckets (q9), YoY customer self-joins (q11/q74), windowed revenue
+  * ratios (q12/q20/q98), multi-channel sale→return→repurchase (q25) and
+  * returns-adjusted sales (q93), day-of-week pivots (q43) and
+  * week-over-week ratio self-join (q59), dual cumulative windows over a
+  * FULL OUTER JOIN (q51), per-store item-vs-average (q65),
+  * rank-within-ROLLUP (q67) and grouping()-keyed rollups (q27/q36),
+  * deviation-from-window-average (q53/q89), promo-share (q61),
+  * ship-latency bucket pivots (q62/q99), per-ticket rollup joins
+  * (q79/q68/q34/q73), time-band counting (q96/q88), multi-warehouse
+  * EXISTS / no-returns NOT-EXISTS shipping audit (q94), and store/catalog
+  * customer-item overlap via FULL OUTER JOIN (q97).
   *
   * Cross-engine exactness rules (why some templates differ slightly from
   * the published text — each is a semantics-preserving rewrite):
