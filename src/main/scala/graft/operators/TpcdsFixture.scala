@@ -240,7 +240,7 @@ FROM range(20) t(i)""",
   CAST(1 + (i * 7) % 2000 AS BIGINT) AS inv_item_sk,
   CAST(1 + i % 5 AS BIGINT) AS inv_warehouse_sk,
   CASE WHEN i % 71 = 0 THEN NULL ELSE CAST((i * 13) % 1000 AS INT) END AS inv_quantity_on_hand
-FROM range(5000) t(i)""",
+FROM range(50000) t(i)""",
     "store_sales" ->
       """SELECT
   CASE WHEN i % 97 = 0 THEN NULL ELSE 2450815 + (i * 131) % 1826 END AS ss_sold_date_sk,
@@ -412,6 +412,9 @@ FROM (SELECT i,
   1 + (k * 67) % 2000 AS wr_item_sk,
   CASE WHEN k % 71 = 0 THEN NULL ELSE 1 + (k * 139) % 5000 END AS wr_refunded_customer_sk,
   CASE WHEN k % 71 = 0 THEN NULL ELSE 1 + (k * 139) % 5000 END AS wr_returning_customer_sk,
+  1 + (k * 141) % 7200 AS wr_refunded_cdemo_sk,
+  1 + (k * 141) % 7200 AS wr_returning_cdemo_sk,
+  1 + (k * 147) % 2500 AS wr_refunded_addr_sk,
   1 + k % 20 AS wr_web_page_sk,
   1 + i % 9 AS wr_reason_sk,
   CAST(floor(k / 3.0) AS BIGINT) + 1 AS wr_order_number,
@@ -1257,6 +1260,348 @@ SELECT CAST(sum(CASE WHEN ssci.customer_sk IS NOT NULL AND csci.customer_sk IS N
        CAST(sum(CASE WHEN ssci.customer_sk IS NOT NULL AND csci.customer_sk IS NOT NULL
                      THEN 1 ELSE 0 END) AS BIGINT) AS store_and_catalog
 FROM ssci FULL OUTER JOIN csci
-  ON ssci.customer_sk = csci.customer_sk AND ssci.item_sk = csci.item_sk""")
+  ON ssci.customer_sk = csci.customer_sk AND ssci.item_sk = csci.item_sk"""),
+    "q1" -> (Seq("store_returns", "date_dim", "store", "customer") ->
+      """
+WITH customer_total_return AS (
+  SELECT sr_customer_sk ctr_customer_sk, sr_store_sk ctr_store_sk,
+         sum(sr_return_amt) ctr_total_return
+  FROM store_returns, date_dim
+  WHERE sr_returned_date_sk = d_date_sk AND d_year = 2000
+  GROUP BY sr_customer_sk, sr_store_sk)
+SELECT c_customer_id
+FROM customer_total_return ctr1, store, customer
+WHERE ctr1.ctr_total_return * 10 *
+        (SELECT count(*) FROM customer_total_return ctr2
+         WHERE ctr1.ctr_store_sk = ctr2.ctr_store_sk)
+      > 12 * (SELECT sum(ctr_total_return) FROM customer_total_return ctr2
+              WHERE ctr1.ctr_store_sk = ctr2.ctr_store_sk)
+  AND s_store_sk = ctr1.ctr_store_sk AND s_state = 'TN'
+  AND ctr1.ctr_customer_sk = c_customer_sk
+ORDER BY c_customer_id
+LIMIT 100"""),
+    "q4" -> (Seq("customer", "store_sales", "catalog_sales", "web_sales", "date_dim") ->
+      """
+WITH year_total AS (
+  SELECT c_customer_id customer_id, c_first_name customer_first_name,
+         c_last_name customer_last_name, d_year dyear,
+         sum(((ss_ext_list_price - ss_ext_wholesale_cost - ss_ext_discount_amt)
+              + ss_ext_sales_price) / 2) year_total,
+         's' sale_type
+  FROM customer, store_sales, date_dim
+  WHERE c_customer_sk = ss_customer_sk AND ss_sold_date_sk = d_date_sk
+  GROUP BY c_customer_id, c_first_name, c_last_name, d_year
+  UNION ALL
+  SELECT c_customer_id, c_first_name, c_last_name, d_year,
+         sum(((cs_ext_list_price - cs_ext_wholesale_cost - cs_ext_discount_amt)
+              + cs_ext_sales_price) / 2),
+         'c'
+  FROM customer, catalog_sales, date_dim
+  WHERE c_customer_sk = cs_bill_customer_sk AND cs_sold_date_sk = d_date_sk
+  GROUP BY c_customer_id, c_first_name, c_last_name, d_year
+  UNION ALL
+  SELECT c_customer_id, c_first_name, c_last_name, d_year,
+         sum(((ws_ext_list_price - ws_ext_wholesale_cost - ws_ext_discount_amt)
+              + ws_ext_sales_price) / 2),
+         'w'
+  FROM customer, web_sales, date_dim
+  WHERE c_customer_sk = ws_bill_customer_sk AND ws_sold_date_sk = d_date_sk
+  GROUP BY c_customer_id, c_first_name, c_last_name, d_year)
+SELECT t_s_secyear.customer_id, t_s_secyear.customer_first_name,
+       t_s_secyear.customer_last_name
+FROM year_total t_s_firstyear, year_total t_s_secyear,
+     year_total t_c_firstyear, year_total t_c_secyear,
+     year_total t_w_firstyear, year_total t_w_secyear
+WHERE t_s_secyear.customer_id = t_s_firstyear.customer_id
+  AND t_s_firstyear.customer_id = t_c_secyear.customer_id
+  AND t_s_firstyear.customer_id = t_c_firstyear.customer_id
+  AND t_s_firstyear.customer_id = t_w_firstyear.customer_id
+  AND t_s_firstyear.customer_id = t_w_secyear.customer_id
+  AND t_s_firstyear.sale_type = 's' AND t_c_firstyear.sale_type = 'c'
+  AND t_w_firstyear.sale_type = 'w' AND t_s_secyear.sale_type = 's'
+  AND t_c_secyear.sale_type = 'c' AND t_w_secyear.sale_type = 'w'
+  AND t_s_firstyear.dyear = 2000 AND t_s_secyear.dyear = 2001
+  AND t_c_firstyear.dyear = 2000 AND t_c_secyear.dyear = 2001
+  AND t_w_firstyear.dyear = 2000 AND t_w_secyear.dyear = 2001
+  AND t_s_firstyear.year_total > 0 AND t_c_firstyear.year_total > 0
+  AND t_w_firstyear.year_total > 0
+  AND t_c_secyear.year_total * t_s_firstyear.year_total
+      > t_s_secyear.year_total * t_c_firstyear.year_total
+  AND t_c_secyear.year_total * t_w_firstyear.year_total
+      > t_w_secyear.year_total * t_c_firstyear.year_total
+ORDER BY t_s_secyear.customer_id, t_s_secyear.customer_first_name,
+         t_s_secyear.customer_last_name
+LIMIT 100"""),
+    "q18" -> (Seq("catalog_sales", "customer_demographics", "customer", "customer_address", "date_dim", "item") ->
+      """
+SELECT i_item_id, ca_country, ca_state, ca_county,
+       CAST(sum(cs_quantity) AS DOUBLE) / count(*) AS agg1,
+       CAST(sum(cs_list_price) AS DOUBLE) / count(*) AS agg2,
+       CAST(sum(cs_coupon_amt) AS DOUBLE) / count(*) AS agg3,
+       CAST(sum(cs_sales_price) AS DOUBLE) / count(*) AS agg4,
+       CAST(sum(cs_net_profit) AS DOUBLE) / count(*) AS agg5,
+       CAST(sum(c_birth_year) AS DOUBLE) / count(*) AS agg6,
+       CAST(sum(cd1.cd_dep_count) AS DOUBLE) / count(*) AS agg7
+FROM catalog_sales, customer_demographics cd1, customer_demographics cd2,
+     customer, customer_address, date_dim, item
+WHERE cs_sold_date_sk = d_date_sk AND cs_item_sk = i_item_sk
+  AND cs_bill_cdemo_sk = cd1.cd_demo_sk AND cs_bill_customer_sk = c_customer_sk
+  AND cd1.cd_gender = 'F' AND cd1.cd_education_status = 'Unknown'
+  AND c_current_cdemo_sk = cd2.cd_demo_sk
+  AND c_current_addr_sk = ca_address_sk
+  AND c_birth_month IN (1, 6, 8, 9, 12, 2) AND d_year = 1998
+  AND ca_state IN ('CA', 'TX', 'OH', 'TN', 'NY', 'FL', 'IL')
+GROUP BY ROLLUP(i_item_id, ca_country, ca_state, ca_county)
+ORDER BY ca_country NULLS FIRST, ca_state NULLS FIRST, ca_county NULLS FIRST,
+         i_item_id NULLS FIRST
+LIMIT 100"""),
+    "q21" -> (Seq("inventory", "warehouse", "item", "date_dim") ->
+      """
+SELECT w_warehouse_name, i_item_id,
+       CAST(sum(CASE WHEN d_date < DATE '2000-03-11' THEN inv_quantity_on_hand
+                     ELSE 0 END) AS BIGINT) AS inv_before,
+       CAST(sum(CASE WHEN d_date >= DATE '2000-03-11' THEN inv_quantity_on_hand
+                     ELSE 0 END) AS BIGINT) AS inv_after
+FROM inventory, warehouse, item, date_dim
+WHERE i_current_price BETWEEN 0.99 AND 51.49
+  AND i_item_sk = inv_item_sk AND inv_warehouse_sk = w_warehouse_sk
+  AND inv_date_sk = d_date_sk
+  AND d_date BETWEEN DATE '2000-02-10' AND DATE '2000-04-10'
+GROUP BY w_warehouse_name, i_item_id
+HAVING sum(CASE WHEN d_date < DATE '2000-03-11' THEN inv_quantity_on_hand ELSE 0 END) > 0
+   AND 3 * sum(CASE WHEN d_date >= DATE '2000-03-11' THEN inv_quantity_on_hand ELSE 0 END)
+       >= 2 * sum(CASE WHEN d_date < DATE '2000-03-11' THEN inv_quantity_on_hand ELSE 0 END)
+   AND 2 * sum(CASE WHEN d_date >= DATE '2000-03-11' THEN inv_quantity_on_hand ELSE 0 END)
+       <= 3 * sum(CASE WHEN d_date < DATE '2000-03-11' THEN inv_quantity_on_hand ELSE 0 END)
+ORDER BY w_warehouse_name, i_item_id
+LIMIT 100"""),
+    "q22" -> (Seq("inventory", "date_dim", "item") ->
+      """
+SELECT i_product_name, i_brand, i_class, i_category,
+       CAST(sum(inv_quantity_on_hand) AS DOUBLE) / count(inv_quantity_on_hand) AS qoh
+FROM inventory, date_dim, item
+WHERE inv_date_sk = d_date_sk AND inv_item_sk = i_item_sk
+  AND d_month_seq BETWEEN 360 AND 371
+GROUP BY ROLLUP(i_product_name, i_brand, i_class, i_category)
+ORDER BY qoh NULLS FIRST, i_product_name NULLS FIRST, i_brand NULLS FIRST,
+         i_class NULLS FIRST, i_category NULLS FIRST
+LIMIT 100"""),
+    "q29" -> (Seq("store_sales", "store_returns", "catalog_sales", "date_dim", "store", "item") ->
+      """
+SELECT i_item_id, i_item_desc, s_store_id, s_store_name,
+       CAST(sum(ss_quantity) AS BIGINT) AS store_sales_quantity,
+       CAST(sum(sr_return_quantity) AS BIGINT) AS store_returns_quantity,
+       CAST(sum(cs_quantity) AS BIGINT) AS catalog_sales_quantity
+FROM store_sales, store_returns, catalog_sales, date_dim d1, date_dim d2,
+     date_dim d3, store, item
+WHERE d1.d_moy = 4 AND d1.d_year = 2001 AND d1.d_date_sk = ss_sold_date_sk
+  AND i_item_sk = ss_item_sk AND s_store_sk = ss_store_sk
+  AND ss_customer_sk = sr_customer_sk AND ss_item_sk = sr_item_sk
+  AND ss_ticket_number = sr_ticket_number
+  AND sr_returned_date_sk = d2.d_date_sk
+  AND d2.d_moy BETWEEN 4 AND 7 AND d2.d_year = 2001
+  AND sr_customer_sk = cs_bill_customer_sk AND sr_item_sk = cs_item_sk
+  AND cs_sold_date_sk = d3.d_date_sk AND d3.d_year IN (2001, 2002, 2003)
+GROUP BY i_item_id, i_item_desc, s_store_id, s_store_name
+ORDER BY i_item_id, i_item_desc, s_store_id, s_store_name
+LIMIT 100"""),
+    "q33" -> (Seq("store_sales", "catalog_sales", "web_sales", "date_dim", "customer_address", "item") ->
+      """
+WITH ss AS (
+  SELECT i_manufact_id, sum(ss_ext_sales_price) total_sales
+  FROM store_sales, date_dim, customer_address, item
+  WHERE i_manufact_id IN (SELECT i_manufact_id FROM item WHERE i_category = 'Electronics')
+    AND ss_item_sk = i_item_sk AND ss_sold_date_sk = d_date_sk
+    AND d_year = 1998 AND d_moy = 5 AND ss_addr_sk = ca_address_sk
+    AND ca_gmt_offset = -5
+  GROUP BY i_manufact_id),
+cs AS (
+  SELECT i_manufact_id, sum(cs_ext_sales_price) total_sales
+  FROM catalog_sales, date_dim, customer_address, item
+  WHERE i_manufact_id IN (SELECT i_manufact_id FROM item WHERE i_category = 'Electronics')
+    AND cs_item_sk = i_item_sk AND cs_sold_date_sk = d_date_sk
+    AND d_year = 1998 AND d_moy = 5 AND cs_bill_addr_sk = ca_address_sk
+    AND ca_gmt_offset = -5
+  GROUP BY i_manufact_id),
+ws AS (
+  SELECT i_manufact_id, sum(ws_ext_sales_price) total_sales
+  FROM web_sales, date_dim, customer_address, item
+  WHERE i_manufact_id IN (SELECT i_manufact_id FROM item WHERE i_category = 'Electronics')
+    AND ws_item_sk = i_item_sk AND ws_sold_date_sk = d_date_sk
+    AND d_year = 1998 AND d_moy = 5 AND ws_bill_addr_sk = ca_address_sk
+    AND ca_gmt_offset = -5
+  GROUP BY i_manufact_id)
+SELECT i_manufact_id, CAST(sum(total_sales) AS DOUBLE) AS total_sales
+FROM (SELECT * FROM ss UNION ALL SELECT * FROM cs UNION ALL SELECT * FROM ws) tmp1
+GROUP BY i_manufact_id
+ORDER BY total_sales, i_manufact_id
+LIMIT 100"""),
+    "q37" -> (Seq("item", "inventory", "date_dim", "catalog_sales") ->
+      """
+SELECT i_item_id, i_item_desc, CAST(i_current_price AS DOUBLE) AS i_current_price
+FROM item, inventory, date_dim, catalog_sales
+WHERE i_current_price BETWEEN 20 AND 50
+  AND inv_item_sk = i_item_sk AND d_date_sk = inv_date_sk
+  AND d_date BETWEEN DATE '2000-02-01' AND DATE '2000-04-01'
+  AND i_manufact_id IN (1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12)
+  AND inv_quantity_on_hand BETWEEN 100 AND 500
+  AND cs_item_sk = i_item_sk
+GROUP BY i_item_id, i_item_desc, i_current_price
+ORDER BY i_item_id
+LIMIT 100"""),
+    "q40" -> (Seq("catalog_sales", "catalog_returns", "warehouse", "item", "date_dim") ->
+      """
+SELECT w_state, i_item_id,
+       CAST(sum(CASE WHEN d_date < DATE '2000-03-11'
+                     THEN cs_sales_price - coalesce(cr_refunded_cash, 0)
+                     ELSE 0 END) AS DOUBLE) AS sales_before,
+       CAST(sum(CASE WHEN d_date >= DATE '2000-03-11'
+                     THEN cs_sales_price - coalesce(cr_refunded_cash, 0)
+                     ELSE 0 END) AS DOUBLE) AS sales_after
+FROM catalog_sales
+LEFT OUTER JOIN catalog_returns
+  ON cs_order_number = cr_order_number AND cs_item_sk = cr_item_sk,
+warehouse, item, date_dim
+WHERE i_current_price BETWEEN 0.99 AND 51.49
+  AND i_item_sk = cs_item_sk AND cs_warehouse_sk = w_warehouse_sk
+  AND cs_sold_date_sk = d_date_sk
+  AND d_date BETWEEN DATE '2000-02-10' AND DATE '2000-04-10'
+GROUP BY w_state, i_item_id
+ORDER BY w_state, i_item_id
+LIMIT 100"""),
+    "q41" -> (Seq("item") ->
+      """
+SELECT DISTINCT i_product_name
+FROM item i1
+WHERE i_manufact_id BETWEEN 70 AND 80
+  AND (SELECT count(*) FROM item
+       WHERE i_manufact = i1.i_manufact
+         AND ((i_category = 'Women' AND i_color IN ('color1', 'color2')
+               AND i_units IN ('unit0', 'unit1') AND i_size IN ('size0', 'size1'))
+           OR (i_category = 'Men' AND i_color IN ('color3', 'color4')
+               AND i_units IN ('unit2', 'unit3') AND i_size IN ('size2', 'size3'))
+           OR (i_category = 'Women' AND i_color IN ('color5', 'color6')
+               AND i_units IN ('unit4', 'unit0') AND i_size IN ('size4', 'size5'))
+           OR (i_category = 'Men' AND i_color IN ('color7', 'color8')
+               AND i_units IN ('unit1', 'unit2') AND i_size IN ('size6', 'size0')))) > 0
+ORDER BY i_product_name
+LIMIT 100"""),
+    "q50" -> (Seq("store_sales", "store_returns", "store", "date_dim") ->
+      """
+SELECT s_store_name, s_store_id, s_state, s_zip,
+       CAST(sum(CASE WHEN (sr_returned_date_sk - ss_sold_date_sk <= 30) THEN 1 ELSE 0 END) AS BIGINT) AS d30,
+       CAST(sum(CASE WHEN (sr_returned_date_sk - ss_sold_date_sk > 30)
+                      AND (sr_returned_date_sk - ss_sold_date_sk <= 60) THEN 1 ELSE 0 END) AS BIGINT) AS d60,
+       CAST(sum(CASE WHEN (sr_returned_date_sk - ss_sold_date_sk > 60)
+                      AND (sr_returned_date_sk - ss_sold_date_sk <= 90) THEN 1 ELSE 0 END) AS BIGINT) AS d90,
+       CAST(sum(CASE WHEN (sr_returned_date_sk - ss_sold_date_sk > 90)
+                      AND (sr_returned_date_sk - ss_sold_date_sk <= 120) THEN 1 ELSE 0 END) AS BIGINT) AS d120,
+       CAST(sum(CASE WHEN (sr_returned_date_sk - ss_sold_date_sk > 120) THEN 1 ELSE 0 END) AS BIGINT) AS d120p
+FROM store_sales, store_returns, store, date_dim d2
+WHERE ss_ticket_number = sr_ticket_number AND ss_item_sk = sr_item_sk
+  AND ss_customer_sk = sr_customer_sk
+  AND sr_returned_date_sk = d2.d_date_sk
+  AND d2.d_year = 2001 AND d2.d_moy = 8
+  AND ss_store_sk = s_store_sk
+GROUP BY s_store_name, s_store_id, s_state, s_zip
+ORDER BY s_store_name, s_store_id, s_state, s_zip
+LIMIT 100"""),
+    "q76" -> (Seq("store_sales", "web_sales", "catalog_sales", "item", "date_dim") ->
+      """
+SELECT channel, col_name, d_year, d_qoy, i_category,
+       count(*) AS sales_cnt, CAST(sum(ext_sales_price) AS DOUBLE) AS sales_amt
+FROM (
+  SELECT 'store' AS channel, 'ss_customer_sk' col_name, d_year, d_qoy,
+         i_category, ss_ext_sales_price ext_sales_price
+  FROM store_sales, item, date_dim
+  WHERE ss_customer_sk IS NULL AND ss_sold_date_sk = d_date_sk
+    AND ss_item_sk = i_item_sk
+  UNION ALL
+  SELECT 'web' AS channel, 'ws_bill_customer_sk' col_name, d_year, d_qoy,
+         i_category, ws_ext_sales_price ext_sales_price
+  FROM web_sales, item, date_dim
+  WHERE ws_bill_customer_sk IS NULL AND ws_sold_date_sk = d_date_sk
+    AND ws_item_sk = i_item_sk
+  UNION ALL
+  SELECT 'catalog' AS channel, 'cs_bill_customer_sk' col_name, d_year, d_qoy,
+         i_category, cs_ext_sales_price ext_sales_price
+  FROM catalog_sales, item, date_dim
+  WHERE cs_bill_customer_sk IS NULL AND cs_sold_date_sk = d_date_sk
+    AND cs_item_sk = i_item_sk) foo
+GROUP BY channel, col_name, d_year, d_qoy, i_category
+ORDER BY channel, col_name, d_year, d_qoy, i_category
+LIMIT 100"""),
+    "q85" -> (Seq("web_sales", "web_returns", "web_page", "customer_demographics", "customer_address", "date_dim", "reason") ->
+      """
+SELECT substr(r_reason_desc, 1, 20) AS reason,
+       CAST(sum(ws_quantity) AS DOUBLE) / count(*) AS avg_qty,
+       CAST(sum(wr_refunded_cash) AS DOUBLE) / count(*) AS avg_refunded,
+       CAST(sum(wr_fee) AS DOUBLE) / count(*) AS avg_fee
+FROM web_sales, web_returns, web_page, customer_demographics cd1,
+     customer_demographics cd2, customer_address, date_dim, reason
+WHERE ws_web_page_sk = wp_web_page_sk AND ws_item_sk = wr_item_sk
+  AND ws_order_number = wr_order_number AND ws_sold_date_sk = d_date_sk
+  AND d_year = 2000 AND cd1.cd_demo_sk = wr_refunded_cdemo_sk
+  AND cd2.cd_demo_sk = wr_returning_cdemo_sk
+  AND ca_address_sk = wr_refunded_addr_sk AND r_reason_sk = wr_reason_sk
+  AND ((cd1.cd_marital_status = 'M' AND cd1.cd_marital_status = cd2.cd_marital_status
+        AND cd1.cd_education_status = 'Advanced Degree'
+        AND cd1.cd_education_status = cd2.cd_education_status
+        AND ws_sales_price BETWEEN 60.00 AND 99.00)
+    OR (cd1.cd_marital_status = 'S' AND cd1.cd_marital_status = cd2.cd_marital_status
+        AND cd1.cd_education_status = 'College'
+        AND cd1.cd_education_status = cd2.cd_education_status
+        AND ws_sales_price BETWEEN 50.00 AND 100.00)
+    OR (cd1.cd_marital_status = 'W' AND cd1.cd_marital_status = cd2.cd_marital_status
+        AND cd1.cd_education_status = '2 yr Degree'
+        AND cd1.cd_education_status = cd2.cd_education_status
+        AND ws_sales_price BETWEEN 30.00 AND 80.00))
+  AND ((ca_country = 'United States' AND ca_state IN ('CA', 'OH', 'NY')
+        AND ws_net_profit BETWEEN 0 AND 2000)
+    OR (ca_country = 'United States' AND ca_state IN ('WA', 'TX', 'IL')
+        AND ws_net_profit BETWEEN 100 AND 5000)
+    OR (ca_country = 'United States' AND ca_state IN ('GA', 'TN', 'FL')
+        AND ws_net_profit BETWEEN 50 AND 3000))
+GROUP BY r_reason_desc
+ORDER BY reason, avg_qty, avg_refunded, avg_fee
+LIMIT 100"""),
+    "q90" -> (Seq("web_sales", "household_demographics", "time_dim", "web_page") ->
+      """
+SELECT CAST(amc AS DOUBLE) / CAST(pmc AS DOUBLE) AS am_pm_ratio
+FROM (SELECT count(*) amc FROM web_sales, household_demographics, time_dim, web_page
+      WHERE ws_sold_time_sk = time_dim.t_time_sk
+        AND ws_ship_hdemo_sk = household_demographics.hd_demo_sk
+        AND ws_web_page_sk = web_page.wp_web_page_sk
+        AND time_dim.t_hour BETWEEN 8 AND 9
+        AND household_demographics.hd_dep_count = 5
+        AND web_page.wp_char_count BETWEEN 10 AND 90) at_,
+     (SELECT count(*) pmc FROM web_sales, household_demographics, time_dim, web_page
+      WHERE ws_sold_time_sk = time_dim.t_time_sk
+        AND ws_ship_hdemo_sk = household_demographics.hd_demo_sk
+        AND ws_web_page_sk = web_page.wp_web_page_sk
+        AND time_dim.t_hour BETWEEN 19 AND 20
+        AND household_demographics.hd_dep_count = 5
+        AND web_page.wp_char_count BETWEEN 10 AND 90) pt
+ORDER BY am_pm_ratio
+LIMIT 100"""),
+    "q95" -> (Seq("web_sales", "web_returns", "date_dim", "customer_address", "web_site") ->
+      """
+WITH ws_wh AS (
+  SELECT ws1.ws_order_number
+  FROM web_sales ws1, web_sales ws2
+  WHERE ws1.ws_order_number = ws2.ws_order_number
+    AND ws1.ws_warehouse_sk <> ws2.ws_warehouse_sk)
+SELECT count(DISTINCT ws1.ws_order_number) AS order_count,
+       CAST(sum(ws1.ws_ext_ship_cost) AS DOUBLE) AS total_shipping_cost,
+       CAST(sum(ws1.ws_net_profit) AS DOUBLE) AS total_net_profit
+FROM web_sales ws1, date_dim, customer_address, web_site
+WHERE d_date BETWEEN DATE '2000-02-01' AND DATE '2000-04-01'
+  AND ws1.ws_ship_date_sk = d_date_sk
+  AND ws1.ws_ship_addr_sk = ca_address_sk AND ca_state = 'CA'
+  AND ws1.ws_web_site_sk = web_site_sk AND web_name IN ('site 0', 'site 1')
+  AND ws1.ws_order_number IN (SELECT ws_order_number FROM ws_wh)
+  AND ws1.ws_order_number IN (SELECT wr_order_number
+                              FROM web_returns, ws_wh
+                              WHERE wr_order_number = ws_wh.ws_order_number)""")
   )
 }
