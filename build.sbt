@@ -30,4 +30,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // buffers + broadcast + cached dims need far more than the 8g that was
   // here before (the full 143-query bench spent ~30% of wall in GC at 8g)
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
-)
+) ++
+  // forward the fuzzer's exploratory-seed override into the forked test JVM
+  // (plain -D lands in sbt's own JVM and would silently re-run the default)
+  sys.props.get("graft.fuzz.seed").map(s => s"-Dgraft.fuzz.seed=$s").toSeq

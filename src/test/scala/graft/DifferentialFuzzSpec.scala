@@ -366,9 +366,12 @@ class DifferentialFuzzSpec extends SparkSpec {
       "python3 + duckdb (driver-side tooling) not on this machine")
     val s = spark
     Tables.registerAll(s, sf)
-    // fixed seed for the reproducible gate; -Dgraft.fuzz.seed=N runs an
+    // fixed seed for the reproducible gate; -Dgraft.fuzz.seed=N (forwarded
+    // into the forked JVM by build.sbt) or GRAFT_FUZZ_SEED=N runs an
     // exploratory corpus (a diff under ANY seed is a real bug to keep)
-    val seed = sys.props.get("graft.fuzz.seed").map(_.toLong).getOrElse(20260813L)
+    val seed = sys.props.get("graft.fuzz.seed")
+      .orElse(sys.env.get("GRAFT_FUZZ_SEED")).map(_.toLong).getOrElse(20260813L)
+    println(s"[fuzz] seed=$seed families=18 n=$N")
     val r = new scala.util.Random(seed)
     val queries = (0 until N).map(i => (f"fuzz_$i%03d", gen(r, i)))
 
