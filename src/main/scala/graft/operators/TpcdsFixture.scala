@@ -115,7 +115,7 @@ FROM range(5000) t(i)""",
   'city' || CAST((i * 3) % 200 AS STRING) AS ca_city,
   'county' || CAST(i % 50 AS STRING) AS ca_county,
   CASE CAST(i % 10 AS INT) WHEN 0 THEN 'CA' WHEN 1 THEN 'WA' WHEN 2 THEN 'GA' WHEN 3 THEN 'TX' WHEN 4 THEN 'OH' WHEN 5 THEN 'TN' WHEN 6 THEN 'NY' WHEN 7 THEN 'FL' WHEN 8 THEN 'IL' ELSE 'MI' END AS ca_state,
-  lpad(CAST(10000 + (i * 6101) % 89999 AS STRING), 5, '0') AS ca_zip,
+  lpad(CAST(10000 + ((i * 61) % 500) * 137 AS STRING), 5, '0') AS ca_zip,
   'United States' AS ca_country,
   CAST((-500) / 100.0 AS DECIMAL(5,2)) AS ca_gmt_offset,
   CASE CAST(i % 3 AS INT) WHEN 0 THEN 'apartment' WHEN 1 THEN 'condo' ELSE 'single family' END AS ca_location_type
@@ -249,7 +249,7 @@ FROM range(50000) t(i)""",
   CASE WHEN i % 61 = 0 THEN NULL ELSE 1 + (i * 149) % 5000 END AS ss_customer_sk,
   1 + (i * 179) % 7200 AS ss_cdemo_sk,
   1 + (i * 181) % 720 AS ss_hdemo_sk,
-  1 + (i * 191) % 2500 AS ss_addr_sk,
+  CASE WHEN i % 59 = 0 THEN NULL ELSE 1 + (i * 191) % 2500 END AS ss_addr_sk,
   CASE WHEN i % 101 = 0 THEN NULL ELSE 1 + (i * 7) % 12 END AS ss_store_sk,
   1 + (i * 193) % 30 AS ss_promo_sk,
   CAST(floor(i / 4.0) AS BIGINT) + 1 AS ss_ticket_number,
@@ -415,6 +415,7 @@ FROM (SELECT i,
   1 + (k * 141) % 7200 AS wr_refunded_cdemo_sk,
   1 + (k * 141) % 7200 AS wr_returning_cdemo_sk,
   1 + (k * 147) % 2500 AS wr_refunded_addr_sk,
+  1 + (k * 149) % 2500 AS wr_returning_addr_sk,
   1 + k % 20 AS wr_web_page_sk,
   1 + i % 9 AS wr_reason_sk,
   CAST(floor(k / 3.0) AS BIGINT) + 1 AS wr_order_number,
@@ -1602,6 +1603,406 @@ WHERE d_date BETWEEN DATE '2000-02-01' AND DATE '2000-04-01'
   AND ws1.ws_order_number IN (SELECT ws_order_number FROM ws_wh)
   AND ws1.ws_order_number IN (SELECT wr_order_number
                               FROM web_returns, ws_wh
-                              WHERE wr_order_number = ws_wh.ws_order_number)""")
+                              WHERE wr_order_number = ws_wh.ws_order_number)"""),
+    "q2" -> (Seq("web_sales", "catalog_sales", "date_dim") ->
+      """
+WITH wscs AS (
+  SELECT sold_date_sk, sales_price
+  FROM (SELECT ws_sold_date_sk sold_date_sk, ws_ext_sales_price sales_price
+        FROM web_sales
+        UNION ALL
+        SELECT cs_sold_date_sk, cs_ext_sales_price FROM catalog_sales) x),
+wswscs AS (
+  SELECT d_week_seq,
+         sum(CASE WHEN d_day_name = 'Sunday' THEN sales_price ELSE NULL END) sun_sales,
+         sum(CASE WHEN d_day_name = 'Monday' THEN sales_price ELSE NULL END) mon_sales,
+         sum(CASE WHEN d_day_name = 'Tuesday' THEN sales_price ELSE NULL END) tue_sales,
+         sum(CASE WHEN d_day_name = 'Wednesday' THEN sales_price ELSE NULL END) wed_sales,
+         sum(CASE WHEN d_day_name = 'Thursday' THEN sales_price ELSE NULL END) thu_sales,
+         sum(CASE WHEN d_day_name = 'Friday' THEN sales_price ELSE NULL END) fri_sales,
+         sum(CASE WHEN d_day_name = 'Saturday' THEN sales_price ELSE NULL END) sat_sales
+  FROM wscs, date_dim
+  WHERE d_date_sk = sold_date_sk
+  GROUP BY d_week_seq)
+SELECT d_week_seq1,
+       round(CAST(sun_sales1 AS DOUBLE) / CAST(sun_sales2 AS DOUBLE), 2) r1,
+       round(CAST(mon_sales1 AS DOUBLE) / CAST(mon_sales2 AS DOUBLE), 2) r2,
+       round(CAST(tue_sales1 AS DOUBLE) / CAST(tue_sales2 AS DOUBLE), 2) r3,
+       round(CAST(wed_sales1 AS DOUBLE) / CAST(wed_sales2 AS DOUBLE), 2) r4,
+       round(CAST(thu_sales1 AS DOUBLE) / CAST(thu_sales2 AS DOUBLE), 2) r5,
+       round(CAST(fri_sales1 AS DOUBLE) / CAST(fri_sales2 AS DOUBLE), 2) r6,
+       round(CAST(sat_sales1 AS DOUBLE) / CAST(sat_sales2 AS DOUBLE), 2) r7
+FROM (SELECT wswscs.d_week_seq d_week_seq1, sun_sales sun_sales1,
+             mon_sales mon_sales1, tue_sales tue_sales1, wed_sales wed_sales1,
+             thu_sales thu_sales1, fri_sales fri_sales1, sat_sales sat_sales1
+      FROM wswscs, date_dim
+      WHERE date_dim.d_week_seq = wswscs.d_week_seq AND d_year = 2000) y,
+     (SELECT wswscs.d_week_seq d_week_seq2, sun_sales sun_sales2,
+             mon_sales mon_sales2, tue_sales tue_sales2, wed_sales wed_sales2,
+             thu_sales thu_sales2, fri_sales fri_sales2, sat_sales sat_sales2
+      FROM wswscs, date_dim
+      WHERE date_dim.d_week_seq = wswscs.d_week_seq AND d_year = 2001) z
+WHERE d_week_seq1 = d_week_seq2 - 52
+ORDER BY d_week_seq1
+LIMIT 100"""),
+    "q8" -> (Seq("store_sales", "date_dim", "store", "customer_address", "customer") ->
+      """
+SELECT s_store_name, CAST(sum(ss_net_profit) AS DOUBLE) AS net_profit
+FROM store_sales, date_dim, store,
+     (SELECT ca_zip FROM (
+        SELECT substr(ca_zip, 1, 5) ca_zip FROM customer_address
+        WHERE substr(ca_zip, 1, 5) IN ('48634', '38633', '15343', '23700', '15617',
+                                       '60827', '32468', '14110', '39455', '71513')
+        INTERSECT
+        SELECT ca_zip FROM (
+          SELECT substr(ca_zip, 1, 5) ca_zip, count(*) cnt
+          FROM customer_address, customer
+          WHERE ca_address_sk = c_current_addr_sk AND c_preferred_cust_flag = 'Y'
+          GROUP BY ca_zip HAVING count(*) > 1) a1) a2) v1
+WHERE ss_store_sk = s_store_sk AND ss_sold_date_sk = d_date_sk
+  AND d_qoy = 2 AND d_year = 1998
+  AND substr(s_zip, 1, 2) = substr(v1.ca_zip, 1, 2)
+GROUP BY s_store_name
+ORDER BY s_store_name
+LIMIT 100"""),
+    "q16" -> (Seq("catalog_sales", "catalog_returns", "date_dim", "customer_address", "call_center") ->
+      """
+SELECT count(DISTINCT cs1.cs_order_number) AS order_count,
+       CAST(sum(cs1.cs_ext_ship_cost) AS DOUBLE) AS total_shipping_cost,
+       CAST(sum(cs1.cs_net_profit) AS DOUBLE) AS total_net_profit
+FROM catalog_sales cs1, date_dim, customer_address, call_center
+WHERE d_date BETWEEN DATE '2000-02-01' AND DATE '2000-04-01'
+  AND cs1.cs_ship_date_sk = d_date_sk
+  AND cs1.cs_ship_addr_sk = ca_address_sk AND ca_state = 'CA'
+  AND cs1.cs_call_center_sk = cc_call_center_sk
+  AND cc_county IN ('county0', 'county1', 'county2')
+  AND EXISTS (SELECT 1 FROM catalog_sales cs2
+              WHERE cs1.cs_order_number = cs2.cs_order_number
+                AND cs1.cs_warehouse_sk <> cs2.cs_warehouse_sk)
+  AND NOT EXISTS (SELECT 1 FROM catalog_returns cr1
+                  WHERE cs1.cs_order_number = cr1.cr_order_number)"""),
+    "q30" -> (Seq("web_returns", "date_dim", "customer_address", "customer") ->
+      """
+WITH customer_total_return AS (
+  SELECT wr_returning_customer_sk ctr_customer_sk, ca_state ctr_state,
+         sum(wr_return_amt) ctr_total_return
+  FROM web_returns, date_dim, customer_address
+  WHERE wr_returned_date_sk = d_date_sk AND d_year = 2000
+    AND wr_returning_addr_sk = ca_address_sk
+  GROUP BY wr_returning_customer_sk, ca_state)
+SELECT c_customer_id, c_salutation, c_first_name, c_last_name,
+       c_preferred_cust_flag, c_birth_day, c_birth_month, c_birth_year,
+       c_birth_country, c_login, c_email_address,
+       CAST(ctr_total_return AS DOUBLE) AS ctr_total_return
+FROM customer_total_return ctr1, customer
+WHERE ctr1.ctr_total_return * 10 *
+        (SELECT count(*) FROM customer_total_return ctr2
+         WHERE ctr1.ctr_state = ctr2.ctr_state)
+      > 12 * (SELECT sum(ctr_total_return) FROM customer_total_return ctr2
+              WHERE ctr1.ctr_state = ctr2.ctr_state)
+  AND ctr1.ctr_customer_sk = c_customer_sk
+ORDER BY c_customer_id, ctr_total_return
+LIMIT 100"""),
+    "q31" -> (Seq("store_sales", "web_sales", "date_dim", "customer_address") ->
+      """
+WITH ss AS (
+  SELECT ca_county, d_qoy, d_year, sum(ss_ext_sales_price) store_sales
+  FROM store_sales, date_dim, customer_address
+  WHERE ss_sold_date_sk = d_date_sk AND ss_addr_sk = ca_address_sk
+  GROUP BY ca_county, d_qoy, d_year),
+ws AS (
+  SELECT ca_county, d_qoy, d_year, sum(ws_ext_sales_price) web_sales
+  FROM web_sales, date_dim, customer_address
+  WHERE ws_sold_date_sk = d_date_sk AND ws_bill_addr_sk = ca_address_sk
+  GROUP BY ca_county, d_qoy, d_year)
+SELECT ss1.ca_county, ss1.d_year,
+       CAST(ws2.web_sales AS DOUBLE) / CAST(ws1.web_sales AS DOUBLE) web_q1_q2_increase,
+       CAST(ss2.store_sales AS DOUBLE) / CAST(ss1.store_sales AS DOUBLE) store_q1_q2_increase,
+       CAST(ws3.web_sales AS DOUBLE) / CAST(ws2.web_sales AS DOUBLE) web_q2_q3_increase,
+       CAST(ss3.store_sales AS DOUBLE) / CAST(ss2.store_sales AS DOUBLE) store_q2_q3_increase
+FROM ss ss1, ss ss2, ss ss3, ws ws1, ws ws2, ws ws3
+WHERE ss1.d_qoy = 1 AND ss1.d_year = 2000 AND ss1.ca_county = ss2.ca_county
+  AND ss2.d_qoy = 2 AND ss2.d_year = 2000 AND ss2.ca_county = ss3.ca_county
+  AND ss3.d_qoy = 3 AND ss3.d_year = 2000
+  AND ss1.ca_county = ws1.ca_county AND ws1.d_qoy = 1 AND ws1.d_year = 2000
+  AND ws1.ca_county = ws2.ca_county AND ws2.d_qoy = 2 AND ws2.d_year = 2000
+  AND ws1.ca_county = ws3.ca_county AND ws3.d_qoy = 3 AND ws3.d_year = 2000
+  AND ws2.web_sales * ss1.store_sales > ss2.store_sales * ws1.web_sales
+  AND ws3.web_sales * ss2.store_sales > ss3.store_sales * ws2.web_sales
+ORDER BY ss1.ca_county, ss1.d_year
+LIMIT 100"""),
+    "q35" -> (Seq("customer", "store_sales", "web_sales", "catalog_sales", "date_dim", "customer_address", "customer_demographics") ->
+      """
+SELECT ca_state, cd_gender, cd_marital_status, cd_dep_count,
+       count(*) cnt1,
+       CAST(sum(cd_dep_count) AS BIGINT) AS sum_dep,
+       max(cd_dep_count) AS max_dep,
+       cd_dep_employed_count, count(*) cnt2,
+       cd_dep_college_count, count(*) cnt3
+FROM customer c, customer_address ca, customer_demographics
+WHERE c.c_current_addr_sk = ca.ca_address_sk
+  AND cd_demo_sk = c.c_current_cdemo_sk
+  AND EXISTS (SELECT 1 FROM store_sales, date_dim
+              WHERE c.c_customer_sk = ss_customer_sk AND ss_sold_date_sk = d_date_sk
+                AND d_year = 2000 AND d_qoy < 4)
+  AND (EXISTS (SELECT 1 FROM web_sales, date_dim
+               WHERE c.c_customer_sk = ws_bill_customer_sk AND ws_sold_date_sk = d_date_sk
+                 AND d_year = 2000 AND d_qoy < 4)
+    OR EXISTS (SELECT 1 FROM catalog_sales, date_dim
+               WHERE c.c_customer_sk = cs_ship_customer_sk AND cs_sold_date_sk = d_date_sk
+                 AND d_year = 2000 AND d_qoy < 4))
+GROUP BY ca_state, cd_gender, cd_marital_status, cd_dep_count,
+         cd_dep_employed_count, cd_dep_college_count
+ORDER BY ca_state, cd_gender, cd_marital_status, cd_dep_count,
+         cd_dep_employed_count, cd_dep_college_count
+LIMIT 100"""),
+    "q38" -> (Seq("store_sales", "catalog_sales", "web_sales", "date_dim", "customer") ->
+      """
+SELECT count(*) AS cnt FROM (
+  SELECT DISTINCT c_last_name, c_first_name, d_date
+  FROM store_sales, date_dim, customer
+  WHERE store_sales.ss_sold_date_sk = date_dim.d_date_sk
+    AND store_sales.ss_customer_sk = customer.c_customer_sk
+    AND d_month_seq BETWEEN 360 AND 371
+  INTERSECT
+  SELECT DISTINCT c_last_name, c_first_name, d_date
+  FROM catalog_sales, date_dim, customer
+  WHERE catalog_sales.cs_sold_date_sk = date_dim.d_date_sk
+    AND catalog_sales.cs_bill_customer_sk = customer.c_customer_sk
+    AND d_month_seq BETWEEN 360 AND 371
+  INTERSECT
+  SELECT DISTINCT c_last_name, c_first_name, d_date
+  FROM web_sales, date_dim, customer
+  WHERE web_sales.ws_sold_date_sk = date_dim.d_date_sk
+    AND web_sales.ws_bill_customer_sk = customer.c_customer_sk
+    AND d_month_seq BETWEEN 360 AND 371) hot_cust"""),
+    "q44" -> (Seq("store_sales", "item") ->
+      """
+SELECT asceding.rnk, i1.i_product_name best_performing, i2.i_product_name worst_performing
+FROM (SELECT * FROM (
+        SELECT item_sk, rank() OVER (ORDER BY rank_col ASC, item_sk) rnk
+        FROM (SELECT ss_item_sk item_sk,
+                     CAST(sum(ss_net_profit) AS DOUBLE) / count(*) rank_col
+              FROM store_sales ss1 WHERE ss_store_sk = 4
+              GROUP BY ss_item_sk
+              HAVING sum(ss_net_profit) * 10 * (
+                       SELECT count(*) FROM store_sales WHERE ss_store_sk = 4
+                         AND ss_addr_sk IS NULL GROUP BY ss_store_sk)
+                     > 9 * count(*) * (
+                       SELECT sum(ss_net_profit) FROM store_sales WHERE ss_store_sk = 4
+                         AND ss_addr_sk IS NULL GROUP BY ss_store_sk)) v1) v11
+      WHERE rnk < 11) asceding,
+     (SELECT * FROM (
+        SELECT item_sk, rank() OVER (ORDER BY rank_col DESC, item_sk) rnk
+        FROM (SELECT ss_item_sk item_sk,
+                     CAST(sum(ss_net_profit) AS DOUBLE) / count(*) rank_col
+              FROM store_sales ss1 WHERE ss_store_sk = 4
+              GROUP BY ss_item_sk
+              HAVING sum(ss_net_profit) * 10 * (
+                       SELECT count(*) FROM store_sales WHERE ss_store_sk = 4
+                         AND ss_addr_sk IS NULL GROUP BY ss_store_sk)
+                     > 9 * count(*) * (
+                       SELECT sum(ss_net_profit) FROM store_sales WHERE ss_store_sk = 4
+                         AND ss_addr_sk IS NULL GROUP BY ss_store_sk)) v2) v21
+      WHERE rnk < 11) descending,
+     item i1, item i2
+WHERE asceding.rnk = descending.rnk
+  AND i1.i_item_sk = asceding.item_sk AND i2.i_item_sk = descending.item_sk
+ORDER BY asceding.rnk
+LIMIT 100"""),
+    "q46" -> (Seq("store_sales", "date_dim", "store", "household_demographics", "customer_address", "customer") ->
+      """
+SELECT c_last_name, c_first_name, ca_city, bought_city, ss_ticket_number,
+       CAST(amt AS DOUBLE) AS amt, CAST(profit AS DOUBLE) AS profit
+FROM (SELECT ss_ticket_number, ss_customer_sk, ca_city bought_city,
+             sum(ss_coupon_amt) amt, sum(ss_net_profit) profit
+      FROM store_sales, date_dim, store, household_demographics, customer_address
+      WHERE store_sales.ss_sold_date_sk = date_dim.d_date_sk
+        AND store_sales.ss_store_sk = store.s_store_sk
+        AND store_sales.ss_hdemo_sk = household_demographics.hd_demo_sk
+        AND store_sales.ss_addr_sk = customer_address.ca_address_sk
+        AND (household_demographics.hd_dep_count = 4
+             OR household_demographics.hd_vehicle_count = 3)
+        AND date_dim.d_dow IN (6, 0)
+        AND date_dim.d_year IN (1999, 2000, 2001)
+        AND store.s_city IN ('city0', 'city1', 'city2', 'city3', 'city4')
+      GROUP BY ss_ticket_number, ss_customer_sk, ss_addr_sk, ca_city) dn,
+     customer, customer_address current_addr
+WHERE ss_customer_sk = c_customer_sk
+  AND customer.c_current_addr_sk = current_addr.ca_address_sk
+  AND current_addr.ca_city <> bought_city
+ORDER BY c_last_name, c_first_name, ca_city, bought_city, ss_ticket_number,
+         amt, profit
+LIMIT 100"""),
+    "q47" -> (Seq("item", "store_sales", "date_dim", "store") ->
+      """
+WITH v1 AS (
+  SELECT i_category, i_brand, s_store_name, s_company_id, d_year, d_moy,
+         sum(ss_sales_price) sum_sales_dec,
+         CAST(sum(ss_sales_price) AS DOUBLE) sum_sales,
+         sum(sum(ss_sales_price)) OVER (PARTITION BY i_category, i_brand,
+           s_store_name, s_company_id, d_year) total,
+         count(*) OVER (PARTITION BY i_category, i_brand,
+           s_store_name, s_company_id, d_year) cnt,
+         rank() OVER (PARTITION BY i_category, i_brand, s_store_name,
+           s_company_id ORDER BY d_year, d_moy) rn
+  FROM item, store_sales, date_dim, store
+  WHERE ss_item_sk = i_item_sk AND ss_sold_date_sk = d_date_sk
+    AND ss_store_sk = s_store_sk
+    AND (d_year = 2000 OR (d_year = 1999 AND d_moy = 12)
+         OR (d_year = 2001 AND d_moy = 1))
+  GROUP BY i_category, i_brand, s_store_name, s_company_id, d_year, d_moy),
+v2 AS (
+  SELECT v1.i_category, v1.i_brand, v1.s_store_name, v1.s_company_id,
+         v1.d_year, v1.d_moy, v1.sum_sales, v1.sum_sales_dec, v1.total, v1.cnt,
+         v1_lag.sum_sales psum, v1_lead.sum_sales nsum
+  FROM v1, v1 v1_lag, v1 v1_lead
+  WHERE v1.i_category = v1_lag.i_category AND v1.i_category = v1_lead.i_category
+    AND v1.i_brand = v1_lag.i_brand AND v1.i_brand = v1_lead.i_brand
+    AND v1.s_store_name = v1_lag.s_store_name
+    AND v1.s_store_name = v1_lead.s_store_name
+    AND v1.s_company_id = v1_lag.s_company_id
+    AND v1.s_company_id = v1_lead.s_company_id
+    AND v1.rn = v1_lag.rn + 1 AND v1.rn = v1_lead.rn - 1)
+SELECT i_category, i_brand, s_store_name, s_company_id, d_year, d_moy,
+       sum_sales, CAST(total AS DOUBLE) / cnt AS avg_monthly_sales, psum, nsum
+FROM v2
+WHERE d_year = 2000 AND total > 0
+  AND 10 * abs(sum_sales_dec * cnt - total) > total * cnt
+ORDER BY CAST(total AS DOUBLE) / cnt - sum_sales, s_store_name, i_category,
+         i_brand, s_company_id, d_year, d_moy
+LIMIT 100"""),
+    "q56" -> (Seq("store_sales", "catalog_sales", "web_sales", "date_dim", "customer_address", "item") ->
+      """
+WITH ss AS (
+  SELECT i_item_id, sum(ss_ext_sales_price) total_sales
+  FROM store_sales, date_dim, customer_address, item
+  WHERE i_item_id IN (SELECT i_item_id FROM item
+                      WHERE i_color IN ('color1', 'color2', 'color3'))
+    AND ss_item_sk = i_item_sk AND ss_sold_date_sk = d_date_sk
+    AND d_year = 2000 AND d_moy = 2 AND ss_addr_sk = ca_address_sk
+    AND ca_gmt_offset = -5
+  GROUP BY i_item_id),
+cs AS (
+  SELECT i_item_id, sum(cs_ext_sales_price) total_sales
+  FROM catalog_sales, date_dim, customer_address, item
+  WHERE i_item_id IN (SELECT i_item_id FROM item
+                      WHERE i_color IN ('color1', 'color2', 'color3'))
+    AND cs_item_sk = i_item_sk AND cs_sold_date_sk = d_date_sk
+    AND d_year = 2000 AND d_moy = 2 AND cs_bill_addr_sk = ca_address_sk
+    AND ca_gmt_offset = -5
+  GROUP BY i_item_id),
+ws AS (
+  SELECT i_item_id, sum(ws_ext_sales_price) total_sales
+  FROM web_sales, date_dim, customer_address, item
+  WHERE i_item_id IN (SELECT i_item_id FROM item
+                      WHERE i_color IN ('color1', 'color2', 'color3'))
+    AND ws_item_sk = i_item_sk AND ws_sold_date_sk = d_date_sk
+    AND d_year = 2000 AND d_moy = 2 AND ws_bill_addr_sk = ca_address_sk
+    AND ca_gmt_offset = -5
+  GROUP BY i_item_id)
+SELECT i_item_id, CAST(sum(total_sales) AS DOUBLE) AS total_sales
+FROM (SELECT * FROM ss UNION ALL SELECT * FROM cs UNION ALL SELECT * FROM ws) tmp1
+GROUP BY i_item_id
+ORDER BY total_sales, i_item_id
+LIMIT 100"""),
+    "q57" -> (Seq("item", "catalog_sales", "date_dim", "call_center") ->
+      """
+WITH v1 AS (
+  SELECT i_category, i_brand, cc_name, d_year, d_moy,
+         sum(cs_sales_price) sum_sales_dec,
+         CAST(sum(cs_sales_price) AS DOUBLE) sum_sales,
+         sum(sum(cs_sales_price)) OVER (PARTITION BY i_category, i_brand,
+           cc_name, d_year) total,
+         count(*) OVER (PARTITION BY i_category, i_brand, cc_name, d_year) cnt,
+         rank() OVER (PARTITION BY i_category, i_brand, cc_name
+           ORDER BY d_year, d_moy) rn
+  FROM item, catalog_sales, date_dim, call_center
+  WHERE cs_item_sk = i_item_sk AND cs_sold_date_sk = d_date_sk
+    AND cc_call_center_sk = cs_call_center_sk
+    AND (d_year = 2000 OR (d_year = 1999 AND d_moy = 12)
+         OR (d_year = 2001 AND d_moy = 1))
+  GROUP BY i_category, i_brand, cc_name, d_year, d_moy),
+v2 AS (
+  SELECT v1.i_category, v1.i_brand, v1.cc_name, v1.d_year, v1.d_moy,
+         v1.sum_sales, v1.sum_sales_dec, v1.total, v1.cnt,
+         v1_lag.sum_sales psum, v1_lead.sum_sales nsum
+  FROM v1, v1 v1_lag, v1 v1_lead
+  WHERE v1.i_category = v1_lag.i_category AND v1.i_category = v1_lead.i_category
+    AND v1.i_brand = v1_lag.i_brand AND v1.i_brand = v1_lead.i_brand
+    AND v1.cc_name = v1_lag.cc_name AND v1.cc_name = v1_lead.cc_name
+    AND v1.rn = v1_lag.rn + 1 AND v1.rn = v1_lead.rn - 1)
+SELECT i_category, i_brand, cc_name, d_year, d_moy, sum_sales,
+       CAST(total AS DOUBLE) / cnt AS avg_monthly_sales, psum, nsum
+FROM v2
+WHERE d_year = 2000 AND total > 0
+  AND 10 * abs(sum_sales_dec * cnt - total) > total * cnt
+ORDER BY CAST(total AS DOUBLE) / cnt - sum_sales, cc_name, i_category,
+         i_brand, d_year, d_moy
+LIMIT 100"""),
+    "q58" -> (Seq("store_sales", "catalog_sales", "web_sales", "date_dim", "item") ->
+      """
+WITH ss_items AS (
+  SELECT i_item_id item_id, sum(ss_ext_sales_price) ss_item_rev
+  FROM store_sales, item, date_dim
+  WHERE ss_item_sk = i_item_sk
+    AND d_date IN (SELECT d_date FROM date_dim
+                   WHERE d_month_seq = (SELECT d_month_seq FROM date_dim
+                                        WHERE d_date = DATE '2000-03-11'))
+    AND ss_sold_date_sk = d_date_sk
+  GROUP BY i_item_id),
+cs_items AS (
+  SELECT i_item_id item_id, sum(cs_ext_sales_price) cs_item_rev
+  FROM catalog_sales, item, date_dim
+  WHERE cs_item_sk = i_item_sk
+    AND d_date IN (SELECT d_date FROM date_dim
+                   WHERE d_month_seq = (SELECT d_month_seq FROM date_dim
+                                        WHERE d_date = DATE '2000-03-11'))
+    AND cs_sold_date_sk = d_date_sk
+  GROUP BY i_item_id),
+ws_items AS (
+  SELECT i_item_id item_id, sum(ws_ext_sales_price) ws_item_rev
+  FROM web_sales, item, date_dim
+  WHERE ws_item_sk = i_item_sk
+    AND d_date IN (SELECT d_date FROM date_dim
+                   WHERE d_month_seq = (SELECT d_month_seq FROM date_dim
+                                        WHERE d_date = DATE '2000-03-11'))
+    AND ws_sold_date_sk = d_date_sk
+  GROUP BY i_item_id)
+SELECT ss_items.item_id,
+       CAST(ss_item_rev AS DOUBLE) AS ss_item_rev,
+       CAST(cs_item_rev AS DOUBLE) AS cs_item_rev,
+       CAST(ws_item_rev AS DOUBLE) AS ws_item_rev
+FROM ss_items, cs_items, ws_items
+WHERE ss_items.item_id = cs_items.item_id
+  AND ss_items.item_id = ws_items.item_id
+  AND 2 * ss_item_rev >= 1 * cs_item_rev AND 2 * ss_item_rev <= 3 * cs_item_rev
+  AND 2 * ss_item_rev >= 1 * ws_item_rev AND 2 * ss_item_rev <= 3 * ws_item_rev
+  AND 2 * cs_item_rev >= 1 * ss_item_rev AND 2 * cs_item_rev <= 3 * ss_item_rev
+  AND 2 * cs_item_rev >= 1 * ws_item_rev AND 2 * cs_item_rev <= 3 * ws_item_rev
+  AND 2 * ws_item_rev >= 1 * ss_item_rev AND 2 * ws_item_rev <= 3 * ss_item_rev
+  AND 2 * ws_item_rev >= 1 * cs_item_rev AND 2 * ws_item_rev <= 3 * cs_item_rev
+ORDER BY ss_items.item_id, ss_item_rev
+LIMIT 100"""),
+    "q87" -> (Seq("store_sales", "catalog_sales", "web_sales", "date_dim", "customer") ->
+      """
+SELECT count(*) AS cnt FROM (
+  (SELECT DISTINCT c_last_name, c_first_name, d_date
+   FROM store_sales, date_dim, customer
+   WHERE store_sales.ss_sold_date_sk = date_dim.d_date_sk
+     AND store_sales.ss_customer_sk = customer.c_customer_sk
+     AND d_month_seq BETWEEN 360 AND 371)
+  EXCEPT
+  (SELECT DISTINCT c_last_name, c_first_name, d_date
+   FROM catalog_sales, date_dim, customer
+   WHERE catalog_sales.cs_sold_date_sk = date_dim.d_date_sk
+     AND catalog_sales.cs_bill_customer_sk = customer.c_customer_sk
+     AND d_month_seq BETWEEN 360 AND 371)
+  EXCEPT
+  (SELECT DISTINCT c_last_name, c_first_name, d_date
+   FROM web_sales, date_dim, customer
+   WHERE web_sales.ws_sold_date_sk = date_dim.d_date_sk
+     AND web_sales.ws_bill_customer_sk = customer.c_customer_sk
+     AND d_month_seq BETWEEN 360 AND 371)) cool_cust""")
   )
 }
