@@ -22,17 +22,42 @@ object Tables {
 
   def path(sfDir: String, name: String): String = s"$sfDir/$name.parquet"
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
-    * rejects. We read it as raw nanos (legacy nanosAsLong, set in the session
-    * conf) and truncate to µs NTZ — the documented TIMESTAMP(9)→TIMESTAMP(6)
-    * degradation from SURVEY.md §1.2. All other timestamps are NTZ already. */
+  /** `events.ts` has shipped as either parquet TIMESTAMP(NANOS) — which
+    * Spark's vectorized reader surfaces as raw nano longs (legacy
+    * nanosAsLong, set in the session conf) — or plain TIMESTAMP(MICROS),
+    * depending on the testdata generation. Normalize both to µs NTZ — the
+    * documented TIMESTAMP(9)→TIMESTAMP(6) degradation from SURVEY.md §1.2
+    * in the nanos case, an identity re-tag otherwise. */
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val df = spark.read.parquet(path(sfDir, name))
     if (name == "events")
-      df.withColumn("ts",
-        expr("timestamp_micros(ts div 1000)").cast("timestamp_ntz"))
+      df.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          df.withColumn("ts",
+            expr("timestamp_micros(ts div 1000)").cast("timestamp_ntz"))
+        case _ => df.withColumn("ts", col("ts").cast("timestamp_ntz"))
+      }
     else df
   }
+
+  /** `events.ts` as epoch-micros BIGINT, schema-polymorphic (see [[load]]):
+    * raw nanos long → `div 1000`; timestamp → `unix_micros` via a
+    * session-UTC cast (value-preserving, matches DuckDB's `epoch_us(ts)`). */
+  def tsAsMicrosLong(schema: org.apache.spark.sql.types.StructType,
+                     colName: String = "ts"): org.apache.spark.sql.Column =
+    schema(colName).dataType match {
+      case org.apache.spark.sql.types.LongType => expr(s"$colName div 1000")
+      case _ => expr(s"unix_micros(cast($colName as timestamp))")
+    }
+
+  /** `events.ts` as a watermarkable TimestampType column, schema-polymorphic. */
+  def tsAsTimestamp(schema: org.apache.spark.sql.types.StructType,
+                    colName: String = "ts"): org.apache.spark.sql.Column =
+    schema(colName).dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        expr(s"timestamp_micros($colName div 1000)").cast("timestamp")
+      case _ => expr(s"cast($colName as timestamp)")
+    }
 
   /** Register every table as a temp view so spark.sql(...) works too. */
   def registerAll(spark: SparkSession, sfDir: String): Unit =

@@ -122,7 +122,7 @@ object TimeOps {
     val schema = s.read.parquet(path).schema
     def src() = s.readStream.schema(schema).format("parquet")
       .option("pathGlobFilter", "events.parquet").load(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)").cast("timestamp"))
+      .withColumn("ts", graft.Tables.tsAsTimestamp(schema))
     val p = src().filter(col("event_type") === "purchase")
       .withWatermark("ts", "0 seconds")
       .select(col("user_id").as("u"), col("event_id").as("p_id"),

@@ -2003,6 +2003,197 @@ SELECT count(*) AS cnt FROM (
    FROM web_sales, date_dim, customer
    WHERE web_sales.ws_sold_date_sk = date_dim.d_date_sk
      AND web_sales.ws_bill_customer_sk = customer.c_customer_sk
-     AND d_month_seq BETWEEN 360 AND 371)) cool_cust""")
+     AND d_month_seq BETWEEN 360 AND 371)) cool_cust"""),
+    "q63" -> (Seq("item", "store_sales", "date_dim", "store") ->
+      """
+SELECT i_manager_id, sum_sales, CAST(total AS DOUBLE) / cnt AS avg_monthly_sales
+FROM (SELECT i_manager_id, sum_sales, sum_sales_dec,
+             sum(sum_sales_dec) OVER (PARTITION BY i_manager_id) AS total,
+             count(*) OVER (PARTITION BY i_manager_id) AS cnt
+      FROM (SELECT i_manager_id,
+                   CAST(sum(ss_sales_price) AS DOUBLE) AS sum_sales,
+                   sum(ss_sales_price) AS sum_sales_dec
+            FROM item, store_sales, date_dim, store
+            WHERE ss_item_sk = i_item_sk AND ss_sold_date_sk = d_date_sk
+              AND ss_store_sk = s_store_sk
+              AND d_month_seq BETWEEN 360 AND 371
+              AND ((i_category IN ('Books', 'Children', 'Electronics')
+                    AND i_class IN ('class1', 'class2', 'class3'))
+                OR (i_category IN ('Women', 'Music', 'Men')
+                    AND i_class IN ('class8', 'class9', 'class10')))
+            GROUP BY i_manager_id, d_moy) tmp1) tmp2
+WHERE total > 0 AND 10 * abs(sum_sales_dec * cnt - total) > total * cnt
+ORDER BY i_manager_id, avg_monthly_sales, sum_sales
+LIMIT 100"""),
+    "q86" -> (Seq("web_sales", "date_dim", "item") ->
+      """
+SELECT CAST(sum(ws_net_paid) AS DOUBLE) AS total_sum, i_category, i_class,
+       grouping(i_category) + grouping(i_class) AS lochierarchy,
+       rank() OVER (
+         PARTITION BY grouping(i_category) + grouping(i_class),
+                      CASE WHEN grouping(i_class) = 0 THEN i_category END
+         ORDER BY sum(ws_net_paid) DESC,
+                  i_category ASC NULLS FIRST, i_class ASC NULLS FIRST) AS rank_within_parent
+FROM web_sales, date_dim d1, item
+WHERE d1.d_month_seq BETWEEN 360 AND 371
+  AND d1.d_date_sk = ws_sold_date_sk AND i_item_sk = ws_item_sk
+GROUP BY ROLLUP(i_category, i_class)
+ORDER BY lochierarchy DESC, CASE WHEN lochierarchy = 0 THEN i_category END NULLS FIRST,
+         rank_within_parent, i_category NULLS FIRST, i_class NULLS FIRST
+LIMIT 100"""),
+    "q70" -> (Seq("store_sales", "date_dim", "store") ->
+      """
+SELECT CAST(sum(ss_net_profit) AS DOUBLE) AS total_sum, s_state, s_county,
+       grouping(s_state) + grouping(s_county) AS lochierarchy,
+       rank() OVER (
+         PARTITION BY grouping(s_state) + grouping(s_county),
+                      CASE WHEN grouping(s_county) = 0 THEN s_state END
+         ORDER BY sum(ss_net_profit) DESC,
+                  s_state ASC NULLS FIRST, s_county ASC NULLS FIRST) AS rank_within_parent
+FROM store_sales, date_dim d1, store
+WHERE d1.d_month_seq BETWEEN 360 AND 371
+  AND d1.d_date_sk = ss_sold_date_sk AND s_store_sk = ss_store_sk
+  AND s_state IN (SELECT s_state
+                  FROM (SELECT s_state,
+                               rank() OVER (PARTITION BY s_state
+                                 ORDER BY sum(ss_net_profit) DESC) AS ranking
+                        FROM store_sales, store, date_dim
+                        WHERE d_month_seq BETWEEN 360 AND 371
+                          AND d_date_sk = ss_sold_date_sk AND s_store_sk = ss_store_sk
+                        GROUP BY s_state) tmp1
+                  WHERE ranking <= 5)
+GROUP BY ROLLUP(s_state, s_county)
+ORDER BY lochierarchy DESC, CASE WHEN lochierarchy = 0 THEN s_state END NULLS FIRST,
+         rank_within_parent, s_state NULLS FIRST, s_county NULLS FIRST
+LIMIT 100"""),
+    "q28" -> (Seq("store_sales") ->
+      """
+SELECT *
+FROM (SELECT CAST(sum(ss_list_price) AS DOUBLE) / count(ss_list_price) AS b1_lp,
+             count(ss_list_price) AS b1_cnt, count(DISTINCT ss_list_price) AS b1_cntd
+      FROM store_sales
+      WHERE ss_quantity BETWEEN 0 AND 5
+        AND (ss_list_price BETWEEN 8 AND 18 OR ss_coupon_amt BETWEEN 4.59 AND 14.59
+             OR ss_wholesale_cost BETWEEN 27 AND 47)) b1,
+     (SELECT CAST(sum(ss_list_price) AS DOUBLE) / count(ss_list_price) AS b2_lp,
+             count(ss_list_price) AS b2_cnt, count(DISTINCT ss_list_price) AS b2_cntd
+      FROM store_sales
+      WHERE ss_quantity BETWEEN 6 AND 10
+        AND (ss_list_price BETWEEN 90 AND 100 OR ss_coupon_amt BETWEEN 13.23 AND 23.23
+             OR ss_wholesale_cost BETWEEN 21 AND 41)) b2,
+     (SELECT CAST(sum(ss_list_price) AS DOUBLE) / count(ss_list_price) AS b3_lp,
+             count(ss_list_price) AS b3_cnt, count(DISTINCT ss_list_price) AS b3_cntd
+      FROM store_sales
+      WHERE ss_quantity BETWEEN 11 AND 15
+        AND (ss_list_price BETWEEN 42 AND 52 OR ss_coupon_amt BETWEEN 12.14 AND 22.14
+             OR ss_wholesale_cost BETWEEN 9 AND 29)) b3,
+     (SELECT CAST(sum(ss_list_price) AS DOUBLE) / count(ss_list_price) AS b4_lp,
+             count(ss_list_price) AS b4_cnt, count(DISTINCT ss_list_price) AS b4_cntd
+      FROM store_sales
+      WHERE ss_quantity BETWEEN 16 AND 20
+        AND (ss_list_price BETWEEN 35 AND 45 OR ss_coupon_amt BETWEEN 6.71 AND 16.71
+             OR ss_wholesale_cost BETWEEN 18 AND 38)) b4,
+     (SELECT CAST(sum(ss_list_price) AS DOUBLE) / count(ss_list_price) AS b5_lp,
+             count(ss_list_price) AS b5_cnt, count(DISTINCT ss_list_price) AS b5_cntd
+      FROM store_sales
+      WHERE ss_quantity BETWEEN 21 AND 25
+        AND (ss_list_price BETWEEN 22 AND 32 OR ss_coupon_amt BETWEEN 8.36 AND 18.36
+             OR ss_wholesale_cost BETWEEN 7 AND 27)) b5,
+     (SELECT CAST(sum(ss_list_price) AS DOUBLE) / count(ss_list_price) AS b6_lp,
+             count(ss_list_price) AS b6_cnt, count(DISTINCT ss_list_price) AS b6_cntd
+      FROM store_sales
+      WHERE ss_quantity BETWEEN 26 AND 30
+        AND (ss_list_price BETWEEN 54 AND 64 OR ss_coupon_amt BETWEEN 3.26 AND 13.26
+             OR ss_wholesale_cost BETWEEN 5 AND 25)) b6
+LIMIT 100"""),
+    "q17" -> (Seq("store_sales", "store_returns", "catalog_sales", "date_dim", "store", "item") ->
+      """
+SELECT i_item_id, i_item_desc, s_state,
+       n_ss AS store_sales_quantitycount,
+       CAST(s1_ss AS DOUBLE) / n_ss AS store_sales_quantityave,
+       CASE WHEN n_ss > 1 THEN sqrt((n_ss * s2_ss - s1_ss * s1_ss) / (n_ss * (n_ss - 1.0))) END AS store_sales_quantitystdev,
+       CASE WHEN n_ss > 1 THEN sqrt((n_ss * s2_ss - s1_ss * s1_ss) / (n_ss * (n_ss - 1.0))) * n_ss / s1_ss END AS store_sales_quantitycov,
+       n_sr AS store_returns_quantitycount,
+       CAST(s1_sr AS DOUBLE) / n_sr AS store_returns_quantityave,
+       CASE WHEN n_sr > 1 THEN sqrt((n_sr * s2_sr - s1_sr * s1_sr) / (n_sr * (n_sr - 1.0))) END AS store_returns_quantitystdev,
+       CASE WHEN n_sr > 1 THEN sqrt((n_sr * s2_sr - s1_sr * s1_sr) / (n_sr * (n_sr - 1.0))) * n_sr / s1_sr END AS store_returns_quantitycov,
+       n_cs AS catalog_sales_quantitycount,
+       CAST(s1_cs AS DOUBLE) / n_cs AS catalog_sales_quantityave,
+       CASE WHEN n_cs > 1 THEN sqrt((n_cs * s2_cs - s1_cs * s1_cs) / (n_cs * (n_cs - 1.0))) END AS catalog_sales_quantitystdev,
+       CASE WHEN n_cs > 1 THEN sqrt((n_cs * s2_cs - s1_cs * s1_cs) / (n_cs * (n_cs - 1.0))) * n_cs / s1_cs END AS catalog_sales_quantitycov
+FROM (SELECT i_item_id, i_item_desc, s_state,
+             count(ss_quantity) AS n_ss,
+             sum(CAST(ss_quantity AS BIGINT)) AS s1_ss,
+             sum(CAST(ss_quantity AS BIGINT) * ss_quantity) AS s2_ss,
+             count(sr_return_quantity) AS n_sr,
+             sum(CAST(sr_return_quantity AS BIGINT)) AS s1_sr,
+             sum(CAST(sr_return_quantity AS BIGINT) * sr_return_quantity) AS s2_sr,
+             count(cs_quantity) AS n_cs,
+             sum(CAST(cs_quantity AS BIGINT)) AS s1_cs,
+             sum(CAST(cs_quantity AS BIGINT) * cs_quantity) AS s2_cs
+      FROM store_sales, store_returns, catalog_sales,
+           date_dim d1, date_dim d2, date_dim d3, store, item
+      WHERE d1.d_year = 2000 AND d1.d_qoy = 1
+        AND d1.d_date_sk = ss_sold_date_sk
+        AND i_item_sk = ss_item_sk AND s_store_sk = ss_store_sk
+        AND ss_customer_sk = sr_customer_sk AND ss_item_sk = sr_item_sk
+        AND ss_ticket_number = sr_ticket_number
+        AND sr_returned_date_sk = d2.d_date_sk
+        AND d2.d_year = 2000 AND d2.d_qoy IN (1, 2, 3)
+        AND sr_customer_sk = cs_bill_customer_sk AND sr_item_sk = cs_item_sk
+        AND cs_sold_date_sk = d3.d_date_sk
+        AND d3.d_year = 2000 AND d3.d_qoy IN (1, 2, 3)
+      GROUP BY i_item_id, i_item_desc, s_state) t
+ORDER BY i_item_id, i_item_desc, s_state
+LIMIT 100"""),
+    "q82" -> (Seq("item", "inventory", "date_dim", "store_sales") ->
+      """
+SELECT i_item_id, i_item_desc, CAST(i_current_price AS DOUBLE) AS i_current_price
+FROM item, inventory, date_dim, store_sales
+WHERE i_current_price BETWEEN 10 AND 40
+  AND inv_item_sk = i_item_sk AND d_date_sk = inv_date_sk
+  AND d_date BETWEEN DATE '2000-05-25' AND DATE '2000-07-24'
+  AND i_manufact_id IN (21, 23, 29, 70)
+  AND inv_quantity_on_hand BETWEEN 100 AND 500
+  AND ss_item_sk = i_item_sk
+GROUP BY i_item_id, i_item_desc, i_current_price
+ORDER BY i_item_id
+LIMIT 100"""),
+    "q91" -> (Seq("call_center", "catalog_returns", "date_dim", "customer",
+                  "customer_address", "customer_demographics", "household_demographics") ->
+      """
+SELECT cc_call_center_id AS call_center, cc_name AS call_center_name,
+       cc_manager AS manager, CAST(sum(cr_net_loss) AS DOUBLE) AS returns_loss
+FROM call_center, catalog_returns, date_dim, customer, customer_address,
+     customer_demographics, household_demographics
+WHERE cr_call_center_sk = cc_call_center_sk
+  AND cr_returned_date_sk = d_date_sk
+  AND cr_returning_customer_sk = c_customer_sk
+  AND cd_demo_sk = c_current_cdemo_sk
+  AND hd_demo_sk = c_current_hdemo_sk
+  AND ca_address_sk = c_current_addr_sk
+  AND d_year = 2000
+  AND ((cd_marital_status = 'M' AND cd_education_status = 'Unknown')
+    OR (cd_marital_status = 'W' AND cd_education_status = 'Advanced Degree'))
+  AND hd_buy_potential LIKE '1001-5000%'
+  AND ca_gmt_offset = -5
+GROUP BY cc_call_center_id, cc_name, cc_manager, cd_marital_status, cd_education_status
+ORDER BY returns_loss DESC"""),
+    "q84" -> (Seq("customer", "customer_address", "customer_demographics",
+                  "household_demographics", "income_band", "store_returns") ->
+      """
+SELECT c_customer_id AS customer_id,
+       coalesce(c_last_name, '') || ', ' || coalesce(c_first_name, '') AS customername
+FROM customer, customer_address, customer_demographics,
+     household_demographics, income_band, store_returns
+WHERE ca_city = 'city30'
+  AND c_current_addr_sk = ca_address_sk
+  AND ib_lower_bound >= 70000 AND ib_upper_bound <= 70000 + 50000
+  AND ib_income_band_sk = hd_income_band_sk
+  AND cd_demo_sk = c_current_cdemo_sk
+  AND hd_demo_sk = c_current_hdemo_sk
+  AND sr_cdemo_sk = cd_demo_sk
+ORDER BY c_customer_id
+LIMIT 100""")
   )
 }

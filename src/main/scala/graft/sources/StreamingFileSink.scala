@@ -46,7 +46,7 @@ object StreamingFileSink {
     val schema = s.read.parquet(s"$dir/events.parquet").schema
     val in = s.readStream.schema(schema).format("parquet")
       .option("pathGlobFilter", "events.parquet").load(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)").cast("timestamp_ntz"))
+      .withColumn("ts", graft.Tables.tsAsTimestamp(schema).cast("timestamp_ntz"))
     val q = in.writeStream.format("parquet")
       .partitionBy("event_type")
       .option("path", sinkDir(dir))

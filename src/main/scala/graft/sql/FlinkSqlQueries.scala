@@ -377,9 +377,7 @@ object FlinkSqlQueries {
       // the file stream source wants a directory; glob-filter to the table
       s.readStream.schema(schema).format("parquet")
         .option("pathGlobFilter", "events.parquet").load(dir)
-        .withColumn("ts",
-          org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)")
-            .cast("timestamp"))
+        .withColumn("ts", graft.Tables.tsAsTimestamp(schema))
         .withWatermark("ts", "0 seconds")
         .createOrReplaceTempView("events_stream")
       val out = s.sql(
@@ -430,9 +428,7 @@ object FlinkSqlQueries {
       val schema = s.read.parquet(path).schema
       s.readStream.schema(schema).format("parquet")
         .option("pathGlobFilter", "events.parquet").load(dir)
-        .withColumn("ts",
-          org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)")
-            .cast("timestamp"))
+        .withColumn("ts", graft.Tables.tsAsTimestamp(schema))
         .withWatermark("ts", "0 seconds")
         .createOrReplaceTempView("events_stream_hop")
       s.conf.set(EmitStrategy.DelayConf, "30 minutes")
@@ -464,9 +460,7 @@ object FlinkSqlQueries {
       val schema = s.read.parquet(path).schema
       s.readStream.schema(schema).format("parquet")
         .option("pathGlobFilter", "events.parquet").load(dir)
-        .withColumn("ts",
-          org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)")
-            .cast("timestamp"))
+        .withColumn("ts", graft.Tables.tsAsTimestamp(schema))
         .withWatermark("ts", "0 seconds")
         .createOrReplaceTempView("events_stream_cum")
       s.conf.set(EmitStrategy.DelayConf, "30 minutes")
@@ -501,9 +495,7 @@ object FlinkSqlQueries {
       val schema = s.read.parquet(path).schema
       s.readStream.schema(schema).format("parquet")
         .option("pathGlobFilter", "events.parquet").load(dir)
-        .withColumn("ts",
-          org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)")
-            .cast("timestamp"))
+        .withColumn("ts", graft.Tables.tsAsTimestamp(schema))
         .withWatermark("ts", "0 seconds")
         .createOrReplaceTempView("events_stream_sess")
       s.conf.set(EmitStrategy.DelayConf, "10 minutes")

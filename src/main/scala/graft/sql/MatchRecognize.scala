@@ -299,7 +299,7 @@ object MatchRecognize {
       .option("pathGlobFilter", s"${spec.table}.parquet").load(dir)
       .withColumn("__mask", mask)
       .select(col(spec.partitionBy).cast("long").as("key"),
-        expr(s"${spec.orderBy} div 1000").as("ts"),
+        graft.Tables.tsAsMicrosLong(schema, spec.orderBy).as("ts"),
         col("event_id").as("id"), col("__mask").as("kind"), lit(0.0).as("value"))
       .as[KeyedRow]
     val pattern = Cep.Pattern(compileSteps(spec, varBit), spec.withinMs, spec.afterMatch)

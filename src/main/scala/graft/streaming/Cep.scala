@@ -471,7 +471,7 @@ object Cep {
     // raw parquet NANOS timestamp arrives as long (legacy nanosAsLong conf)
     val rows = s.readStream.schema(schema).format("parquet")
       .option("pathGlobFilter", "events.parquet").load(dir)
-      .select(col("user_id").as("key"), expr("ts div 1000").as("ts"),
+      .select(col("user_id").as("key"), graft.Tables.tsAsMicrosLong(schema).as("ts"),
         col("event_id").as("id"), col("event_type").as("kind"), col("value"))
       .as[KeyedRow]
     s.catalog.dropTempView("cep_stream_sink"): Unit

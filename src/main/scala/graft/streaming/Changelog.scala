@@ -265,7 +265,7 @@ object Changelog {
     val schema = s.read.parquet(s"$dir/events.parquet").schema
     val rows = s.readStream.schema(schema).format("parquet")
       .option("pathGlobFilter", "events.parquet").load(dir)
-      .select(col("user_id").as("key"), expr("ts div 1000").as("ts"),
+      .select(col("user_id").as("key"), graft.Tables.tsAsMicrosLong(schema).as("ts"),
         col("event_id").as("id"), col("event_type").as("kind"),
         round(col("value") * 1e6, 0).as("value"))
       .as[KeyedRow]

@@ -43,10 +43,12 @@ class TpcdsPlanSpec extends SparkSpec {
   test("star joins broadcast their dimensions") {
     // Every query that joins a dim must plan ≥1 broadcast-hash join — a
     // shuffled sort-merge join against `item` or `date_dim` would be the
-    // 100 TB regression this pins down. q9 is the one join-free query
-    // (scalar-subquery CASE buckets over a single-row reason scan).
+    // 100 TB regression this pins down. q9 and q28 are the dim-free
+    // queries (scalar-subquery / cross-joined CASE buckets over a single
+    // fact or 1-row scan — their only joins are 1-row broadcast-NLJ).
+    val dimFree = Set("dsds_q9", "dsds_q28")
     val unbroadcast = plans.collect {
-      case (n, p) if n != "dsds_q9" && !p.contains("BroadcastHashJoin") => n
+      case (n, p) if !dimFree(n) && !p.contains("BroadcastHashJoin") => n
     }
     assert(unbroadcast.isEmpty, s"no broadcast join in: $unbroadcast")
   }
