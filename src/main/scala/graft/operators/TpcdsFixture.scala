@@ -166,6 +166,7 @@ FROM range(30) t(i)""",
   'warehouse ' || CAST(i AS STRING) AS w_warehouse_name,
   CAST(50000 + i * 9377 AS INT) AS w_warehouse_sq_ft,
   'city' || CAST(i AS STRING) AS w_city,
+  'county' || CAST(i % 4 AS STRING) AS w_county,
   CASE CAST(i % 5 AS INT) WHEN 0 THEN 'TN' WHEN 1 THEN 'SC' WHEN 2 THEN 'CA' WHEN 3 THEN 'TX' ELSE 'OH' END AS w_state,
   'United States' AS w_country
 FROM range(5) t(i)""",
@@ -239,7 +240,7 @@ FROM range(20) t(i)""",
   2450815 + (i % 261) * 7 AS inv_date_sk,
   CAST(1 + (i * 7) % 2000 AS BIGINT) AS inv_item_sk,
   CAST(1 + i % 5 AS BIGINT) AS inv_warehouse_sk,
-  CASE WHEN i % 71 = 0 THEN NULL ELSE CAST((i * 13) % 1000 AS INT) END AS inv_quantity_on_hand
+  CASE WHEN i % 71 = 0 THEN NULL ELSE CAST((i * 13 + (i % 261) * 17) % 1000 AS INT) END AS inv_quantity_on_hand
 FROM range(50000) t(i)""",
     "store_sales" ->
       """SELECT
@@ -2194,6 +2195,386 @@ WHERE ca_city = 'city30'
   AND hd_demo_sk = c_current_hdemo_sk
   AND sr_cdemo_sk = cd_demo_sk
 ORDER BY c_customer_id
+LIMIT 100"""),
+    "q39a" -> (Seq("inventory", "item", "warehouse", "date_dim") ->
+      """
+WITH moments AS (
+  SELECT w_warehouse_name, w_warehouse_sk, i_item_sk, d_moy,
+         count(inv_quantity_on_hand) AS n,
+         sum(CAST(inv_quantity_on_hand AS BIGINT)) AS s1,
+         sum(CAST(inv_quantity_on_hand AS BIGINT) * inv_quantity_on_hand) AS s2
+  FROM inventory, item, warehouse, date_dim
+  WHERE inv_item_sk = i_item_sk AND inv_warehouse_sk = w_warehouse_sk
+    AND inv_date_sk = d_date_sk
+  GROUP BY w_warehouse_name, w_warehouse_sk, i_item_sk, d_moy),
+inv AS (
+  SELECT w_warehouse_sk, i_item_sk, d_moy,
+         CAST(s1 AS DOUBLE) / n AS mean,
+         sqrt((n * s2 - s1 * s1) / (n * (n - 1.0))) * n / s1 AS cov
+  FROM moments
+  WHERE n > 1 AND n * (n * s2 - s1 * s1) > (n - 1) * s1 * s1)
+SELECT inv1.w_warehouse_sk AS wsk1, inv1.i_item_sk AS isk1, inv1.d_moy AS moy1,
+       inv1.mean AS mean1, inv1.cov AS cov1,
+       inv2.d_moy AS moy2, inv2.mean AS mean2, inv2.cov AS cov2
+FROM inv inv1, inv inv2
+WHERE inv1.i_item_sk = inv2.i_item_sk
+  AND inv1.w_warehouse_sk = inv2.w_warehouse_sk
+  AND inv1.d_moy = 1 AND inv2.d_moy = 2
+ORDER BY wsk1, isk1, moy1, mean1, cov1, moy2, mean2, cov2"""),
+    "q39b" -> (Seq("inventory", "item", "warehouse", "date_dim") ->
+      """
+WITH moments AS (
+  SELECT w_warehouse_name, w_warehouse_sk, i_item_sk, d_moy,
+         count(inv_quantity_on_hand) AS n,
+         sum(CAST(inv_quantity_on_hand AS BIGINT)) AS s1,
+         sum(CAST(inv_quantity_on_hand AS BIGINT) * inv_quantity_on_hand) AS s2
+  FROM inventory, item, warehouse, date_dim
+  WHERE inv_item_sk = i_item_sk AND inv_warehouse_sk = w_warehouse_sk
+    AND inv_date_sk = d_date_sk
+  GROUP BY w_warehouse_name, w_warehouse_sk, i_item_sk, d_moy),
+inv AS (
+  SELECT w_warehouse_sk, i_item_sk, d_moy,
+         CAST(s1 AS DOUBLE) / n AS mean,
+         sqrt((n * s2 - s1 * s1) / (n * (n - 1.0))) * n / s1 AS cov,
+         n, s1, s2
+  FROM moments
+  WHERE n > 1 AND n * (n * s2 - s1 * s1) > (n - 1) * s1 * s1)
+SELECT inv1.w_warehouse_sk AS wsk1, inv1.i_item_sk AS isk1, inv1.d_moy AS moy1,
+       inv1.mean AS mean1, inv1.cov AS cov1,
+       inv2.d_moy AS moy2, inv2.mean AS mean2, inv2.cov AS cov2
+FROM inv inv1, inv inv2
+WHERE inv1.i_item_sk = inv2.i_item_sk
+  AND inv1.w_warehouse_sk = inv2.w_warehouse_sk
+  AND inv1.d_moy = 1 AND inv2.d_moy = 2
+  AND 4 * inv1.n * (inv1.n * inv1.s2 - inv1.s1 * inv1.s1)
+      > 9 * (inv1.n - 1) * inv1.s1 * inv1.s1
+ORDER BY wsk1, isk1, moy1, mean1, cov1, moy2, mean2, cov2"""),
+    "q71" -> (Seq("item", "web_sales", "catalog_sales", "store_sales", "date_dim", "time_dim") ->
+      """
+SELECT i_brand_id AS brand_id, i_brand AS brand, t_hour, t_minute,
+       CAST(sum(ext_price) AS DOUBLE) AS ext_price
+FROM item,
+     (SELECT ws_ext_sales_price AS ext_price, ws_sold_date_sk AS sold_date_sk,
+             ws_item_sk AS sold_item_sk, ws_sold_time_sk AS time_sk
+      FROM web_sales, date_dim
+      WHERE d_date_sk = ws_sold_date_sk AND d_moy = 11 AND d_year = 2000
+      UNION ALL
+      SELECT cs_ext_sales_price, cs_sold_date_sk, cs_item_sk, cs_sold_time_sk
+      FROM catalog_sales, date_dim
+      WHERE d_date_sk = cs_sold_date_sk AND d_moy = 11 AND d_year = 2000
+      UNION ALL
+      SELECT ss_ext_sales_price, ss_sold_date_sk, ss_item_sk, ss_sold_time_sk
+      FROM store_sales, date_dim
+      WHERE d_date_sk = ss_sold_date_sk AND d_moy = 11 AND d_year = 2000) tmp,
+     time_dim
+WHERE sold_item_sk = i_item_sk AND i_manager_id = 1 AND time_sk = t_time_sk
+  AND (t_shift = 'first' OR t_shift = 'second')
+GROUP BY i_brand, i_brand_id, t_hour, t_minute
+ORDER BY ext_price DESC, brand_id"""),
+    "q66" -> (Seq("web_sales", "catalog_sales", "warehouse", "date_dim", "time_dim", "ship_mode") ->
+      """
+SELECT w_warehouse_name, w_warehouse_sq_ft, w_city, w_county, w_state, w_country,
+       ship_carriers, yr,
+       CAST(sum(jan_sales) AS DOUBLE) AS jan_sales,
+       CAST(sum(feb_sales) AS DOUBLE) AS feb_sales,
+       CAST(sum(mar_sales) AS DOUBLE) AS mar_sales,
+       CAST(sum(apr_sales) AS DOUBLE) AS apr_sales,
+       CAST(sum(may_sales) AS DOUBLE) AS may_sales,
+       CAST(sum(jun_sales) AS DOUBLE) AS jun_sales,
+       CAST(sum(jul_sales) AS DOUBLE) AS jul_sales,
+       CAST(sum(aug_sales) AS DOUBLE) AS aug_sales,
+       CAST(sum(sep_sales) AS DOUBLE) AS sep_sales,
+       CAST(sum(oct_sales) AS DOUBLE) AS oct_sales,
+       CAST(sum(nov_sales) AS DOUBLE) AS nov_sales,
+       CAST(sum(dec_sales) AS DOUBLE) AS dec_sales,
+       CAST(sum(jan_sales) AS DOUBLE) / w_warehouse_sq_ft AS jan_sales_per_sq_foot,
+       CAST(sum(feb_sales) AS DOUBLE) / w_warehouse_sq_ft AS feb_sales_per_sq_foot,
+       CAST(sum(mar_sales) AS DOUBLE) / w_warehouse_sq_ft AS mar_sales_per_sq_foot,
+       CAST(sum(apr_sales) AS DOUBLE) / w_warehouse_sq_ft AS apr_sales_per_sq_foot,
+       CAST(sum(may_sales) AS DOUBLE) / w_warehouse_sq_ft AS may_sales_per_sq_foot,
+       CAST(sum(jun_sales) AS DOUBLE) / w_warehouse_sq_ft AS jun_sales_per_sq_foot,
+       CAST(sum(jul_sales) AS DOUBLE) / w_warehouse_sq_ft AS jul_sales_per_sq_foot,
+       CAST(sum(aug_sales) AS DOUBLE) / w_warehouse_sq_ft AS aug_sales_per_sq_foot,
+       CAST(sum(sep_sales) AS DOUBLE) / w_warehouse_sq_ft AS sep_sales_per_sq_foot,
+       CAST(sum(oct_sales) AS DOUBLE) / w_warehouse_sq_ft AS oct_sales_per_sq_foot,
+       CAST(sum(nov_sales) AS DOUBLE) / w_warehouse_sq_ft AS nov_sales_per_sq_foot,
+       CAST(sum(dec_sales) AS DOUBLE) / w_warehouse_sq_ft AS dec_sales_per_sq_foot,
+       CAST(sum(jan_net) AS DOUBLE) AS jan_net,
+       CAST(sum(feb_net) AS DOUBLE) AS feb_net,
+       CAST(sum(mar_net) AS DOUBLE) AS mar_net,
+       CAST(sum(apr_net) AS DOUBLE) AS apr_net,
+       CAST(sum(may_net) AS DOUBLE) AS may_net,
+       CAST(sum(jun_net) AS DOUBLE) AS jun_net,
+       CAST(sum(jul_net) AS DOUBLE) AS jul_net,
+       CAST(sum(aug_net) AS DOUBLE) AS aug_net,
+       CAST(sum(sep_net) AS DOUBLE) AS sep_net,
+       CAST(sum(oct_net) AS DOUBLE) AS oct_net,
+       CAST(sum(nov_net) AS DOUBLE) AS nov_net,
+       CAST(sum(dec_net) AS DOUBLE) AS dec_net
+FROM (
+  SELECT w_warehouse_name, w_warehouse_sq_ft, w_city, w_county, w_state, w_country,
+         'carrier1' || ',' || 'carrier3' AS ship_carriers, d_year AS yr,
+         sum(CASE WHEN d_moy = 1 THEN ws_ext_sales_price * ws_quantity ELSE 0 END) AS jan_sales,
+         sum(CASE WHEN d_moy = 2 THEN ws_ext_sales_price * ws_quantity ELSE 0 END) AS feb_sales,
+         sum(CASE WHEN d_moy = 3 THEN ws_ext_sales_price * ws_quantity ELSE 0 END) AS mar_sales,
+         sum(CASE WHEN d_moy = 4 THEN ws_ext_sales_price * ws_quantity ELSE 0 END) AS apr_sales,
+         sum(CASE WHEN d_moy = 5 THEN ws_ext_sales_price * ws_quantity ELSE 0 END) AS may_sales,
+         sum(CASE WHEN d_moy = 6 THEN ws_ext_sales_price * ws_quantity ELSE 0 END) AS jun_sales,
+         sum(CASE WHEN d_moy = 7 THEN ws_ext_sales_price * ws_quantity ELSE 0 END) AS jul_sales,
+         sum(CASE WHEN d_moy = 8 THEN ws_ext_sales_price * ws_quantity ELSE 0 END) AS aug_sales,
+         sum(CASE WHEN d_moy = 9 THEN ws_ext_sales_price * ws_quantity ELSE 0 END) AS sep_sales,
+         sum(CASE WHEN d_moy = 10 THEN ws_ext_sales_price * ws_quantity ELSE 0 END) AS oct_sales,
+         sum(CASE WHEN d_moy = 11 THEN ws_ext_sales_price * ws_quantity ELSE 0 END) AS nov_sales,
+         sum(CASE WHEN d_moy = 12 THEN ws_ext_sales_price * ws_quantity ELSE 0 END) AS dec_sales,
+         sum(CASE WHEN d_moy = 1 THEN ws_net_paid * ws_quantity ELSE 0 END) AS jan_net,
+         sum(CASE WHEN d_moy = 2 THEN ws_net_paid * ws_quantity ELSE 0 END) AS feb_net,
+         sum(CASE WHEN d_moy = 3 THEN ws_net_paid * ws_quantity ELSE 0 END) AS mar_net,
+         sum(CASE WHEN d_moy = 4 THEN ws_net_paid * ws_quantity ELSE 0 END) AS apr_net,
+         sum(CASE WHEN d_moy = 5 THEN ws_net_paid * ws_quantity ELSE 0 END) AS may_net,
+         sum(CASE WHEN d_moy = 6 THEN ws_net_paid * ws_quantity ELSE 0 END) AS jun_net,
+         sum(CASE WHEN d_moy = 7 THEN ws_net_paid * ws_quantity ELSE 0 END) AS jul_net,
+         sum(CASE WHEN d_moy = 8 THEN ws_net_paid * ws_quantity ELSE 0 END) AS aug_net,
+         sum(CASE WHEN d_moy = 9 THEN ws_net_paid * ws_quantity ELSE 0 END) AS sep_net,
+         sum(CASE WHEN d_moy = 10 THEN ws_net_paid * ws_quantity ELSE 0 END) AS oct_net,
+         sum(CASE WHEN d_moy = 11 THEN ws_net_paid * ws_quantity ELSE 0 END) AS nov_net,
+         sum(CASE WHEN d_moy = 12 THEN ws_net_paid * ws_quantity ELSE 0 END) AS dec_net
+  FROM web_sales, warehouse, date_dim, time_dim, ship_mode
+  WHERE ws_warehouse_sk = w_warehouse_sk AND ws_sold_date_sk = d_date_sk
+    AND ws_sold_time_sk = t_time_sk AND ws_ship_mode_sk = sm_ship_mode_sk
+    AND d_year = 2001 AND t_time BETWEEN 30838 AND 30838 + 28800
+    AND sm_carrier IN ('carrier1', 'carrier3')
+  GROUP BY w_warehouse_name, w_warehouse_sq_ft, w_city, w_county, w_state,
+           w_country, d_year
+  UNION ALL
+  SELECT w_warehouse_name, w_warehouse_sq_ft, w_city, w_county, w_state, w_country,
+         'carrier1' || ',' || 'carrier3' AS ship_carriers, d_year AS yr,
+         sum(CASE WHEN d_moy = 1 THEN cs_sales_price * cs_quantity ELSE 0 END) AS jan_sales,
+         sum(CASE WHEN d_moy = 2 THEN cs_sales_price * cs_quantity ELSE 0 END) AS feb_sales,
+         sum(CASE WHEN d_moy = 3 THEN cs_sales_price * cs_quantity ELSE 0 END) AS mar_sales,
+         sum(CASE WHEN d_moy = 4 THEN cs_sales_price * cs_quantity ELSE 0 END) AS apr_sales,
+         sum(CASE WHEN d_moy = 5 THEN cs_sales_price * cs_quantity ELSE 0 END) AS may_sales,
+         sum(CASE WHEN d_moy = 6 THEN cs_sales_price * cs_quantity ELSE 0 END) AS jun_sales,
+         sum(CASE WHEN d_moy = 7 THEN cs_sales_price * cs_quantity ELSE 0 END) AS jul_sales,
+         sum(CASE WHEN d_moy = 8 THEN cs_sales_price * cs_quantity ELSE 0 END) AS aug_sales,
+         sum(CASE WHEN d_moy = 9 THEN cs_sales_price * cs_quantity ELSE 0 END) AS sep_sales,
+         sum(CASE WHEN d_moy = 10 THEN cs_sales_price * cs_quantity ELSE 0 END) AS oct_sales,
+         sum(CASE WHEN d_moy = 11 THEN cs_sales_price * cs_quantity ELSE 0 END) AS nov_sales,
+         sum(CASE WHEN d_moy = 12 THEN cs_sales_price * cs_quantity ELSE 0 END) AS dec_sales,
+         sum(CASE WHEN d_moy = 1 THEN cs_net_paid_inc_tax * cs_quantity ELSE 0 END) AS jan_net,
+         sum(CASE WHEN d_moy = 2 THEN cs_net_paid_inc_tax * cs_quantity ELSE 0 END) AS feb_net,
+         sum(CASE WHEN d_moy = 3 THEN cs_net_paid_inc_tax * cs_quantity ELSE 0 END) AS mar_net,
+         sum(CASE WHEN d_moy = 4 THEN cs_net_paid_inc_tax * cs_quantity ELSE 0 END) AS apr_net,
+         sum(CASE WHEN d_moy = 5 THEN cs_net_paid_inc_tax * cs_quantity ELSE 0 END) AS may_net,
+         sum(CASE WHEN d_moy = 6 THEN cs_net_paid_inc_tax * cs_quantity ELSE 0 END) AS jun_net,
+         sum(CASE WHEN d_moy = 7 THEN cs_net_paid_inc_tax * cs_quantity ELSE 0 END) AS jul_net,
+         sum(CASE WHEN d_moy = 8 THEN cs_net_paid_inc_tax * cs_quantity ELSE 0 END) AS aug_net,
+         sum(CASE WHEN d_moy = 9 THEN cs_net_paid_inc_tax * cs_quantity ELSE 0 END) AS sep_net,
+         sum(CASE WHEN d_moy = 10 THEN cs_net_paid_inc_tax * cs_quantity ELSE 0 END) AS oct_net,
+         sum(CASE WHEN d_moy = 11 THEN cs_net_paid_inc_tax * cs_quantity ELSE 0 END) AS nov_net,
+         sum(CASE WHEN d_moy = 12 THEN cs_net_paid_inc_tax * cs_quantity ELSE 0 END) AS dec_net
+  FROM catalog_sales, warehouse, date_dim, time_dim, ship_mode
+  WHERE cs_warehouse_sk = w_warehouse_sk AND cs_sold_date_sk = d_date_sk
+    AND cs_sold_time_sk = t_time_sk AND cs_ship_mode_sk = sm_ship_mode_sk
+    AND d_year = 2001 AND t_time BETWEEN 30838 AND 30838 + 28800
+    AND sm_carrier IN ('carrier1', 'carrier3')
+  GROUP BY w_warehouse_name, w_warehouse_sq_ft, w_city, w_county, w_state,
+           w_country, d_year) x
+GROUP BY w_warehouse_name, w_warehouse_sq_ft, w_city, w_county, w_state,
+         w_country, ship_carriers, yr
+ORDER BY w_warehouse_name
+LIMIT 100"""),
+    "q10" -> (Seq("customer", "customer_address", "customer_demographics",
+                  "store_sales", "web_sales", "catalog_sales", "date_dim") ->
+      """
+SELECT cd_gender, cd_marital_status, cd_education_status, count(*) AS cnt1,
+       cd_purchase_estimate, count(*) AS cnt2, cd_credit_rating, count(*) AS cnt3,
+       cd_dep_count, count(*) AS cnt4, cd_dep_employed_count, count(*) AS cnt5,
+       cd_dep_college_count, count(*) AS cnt6
+FROM customer c, customer_address ca, customer_demographics
+WHERE c.c_current_addr_sk = ca.ca_address_sk
+  AND ca_county IN ('county1', 'county2', 'county3', 'county4', 'county5')
+  AND cd_demo_sk = c.c_current_cdemo_sk
+  AND EXISTS (SELECT * FROM store_sales, date_dim
+              WHERE c.c_customer_sk = ss_customer_sk AND ss_sold_date_sk = d_date_sk
+                AND d_year = 2000 AND d_moy BETWEEN 1 AND 4)
+  AND (EXISTS (SELECT * FROM web_sales, date_dim
+               WHERE c.c_customer_sk = ws_bill_customer_sk AND ws_sold_date_sk = d_date_sk
+                 AND d_year = 2000 AND d_moy BETWEEN 1 AND 4)
+    OR EXISTS (SELECT * FROM catalog_sales, date_dim
+               WHERE c.c_customer_sk = cs_ship_customer_sk AND cs_sold_date_sk = d_date_sk
+                 AND d_year = 2000 AND d_moy BETWEEN 1 AND 4))
+GROUP BY cd_gender, cd_marital_status, cd_education_status, cd_purchase_estimate,
+         cd_credit_rating, cd_dep_count, cd_dep_employed_count, cd_dep_college_count
+ORDER BY cd_gender, cd_marital_status, cd_education_status, cd_purchase_estimate,
+         cd_credit_rating, cd_dep_count, cd_dep_employed_count, cd_dep_college_count
+LIMIT 100"""),
+    "q69" -> (Seq("customer", "customer_address", "customer_demographics",
+                  "store_sales", "web_sales", "catalog_sales", "date_dim") ->
+      """
+SELECT cd_gender, cd_marital_status, cd_education_status, count(*) AS cnt1,
+       cd_purchase_estimate, count(*) AS cnt2, cd_credit_rating, count(*) AS cnt3
+FROM customer c, customer_address ca, customer_demographics
+WHERE c.c_current_addr_sk = ca.ca_address_sk
+  AND ca_state IN ('CA', 'WA', 'GA')
+  AND cd_demo_sk = c.c_current_cdemo_sk
+  AND EXISTS (SELECT * FROM store_sales, date_dim
+              WHERE c.c_customer_sk = ss_customer_sk AND ss_sold_date_sk = d_date_sk
+                AND d_year = 2000 AND d_moy BETWEEN 4 AND 6)
+  AND NOT EXISTS (SELECT * FROM web_sales, date_dim
+                  WHERE c.c_customer_sk = ws_bill_customer_sk AND ws_sold_date_sk = d_date_sk
+                    AND d_year = 2000 AND d_moy BETWEEN 4 AND 6)
+  AND NOT EXISTS (SELECT * FROM catalog_sales, date_dim
+                  WHERE c.c_customer_sk = cs_ship_customer_sk AND cs_sold_date_sk = d_date_sk
+                    AND d_year = 2000 AND d_moy BETWEEN 4 AND 6)
+GROUP BY cd_gender, cd_marital_status, cd_education_status, cd_purchase_estimate,
+         cd_credit_rating
+ORDER BY cd_gender, cd_marital_status, cd_education_status, cd_purchase_estimate,
+         cd_credit_rating
+LIMIT 100"""),
+    "q49" -> (Seq("web_sales", "web_returns", "catalog_sales", "catalog_returns",
+                  "store_sales", "store_returns", "date_dim") ->
+      """
+WITH in_web AS (
+  SELECT ws.ws_item_sk AS item,
+         CAST(sum(coalesce(wr.wr_return_quantity, 0)) AS DOUBLE) /
+         sum(coalesce(ws.ws_quantity, 0)) AS return_ratio,
+         CAST(sum(coalesce(wr.wr_return_amt, 0)) AS DOUBLE) /
+         CAST(sum(coalesce(ws.ws_net_paid, 0)) AS DOUBLE) AS currency_ratio
+  FROM web_sales ws LEFT OUTER JOIN web_returns wr
+       ON ws.ws_order_number = wr.wr_order_number AND ws.ws_item_sk = wr.wr_item_sk,
+       date_dim
+  WHERE wr.wr_return_amt > 10 AND ws.ws_net_profit > 1 AND ws.ws_net_paid > 0
+    AND ws.ws_quantity > 0 AND ws_sold_date_sk = d_date_sk
+    AND d_year = 2000 AND d_moy = 12
+  GROUP BY ws.ws_item_sk),
+web AS (
+  SELECT item, return_ratio, currency_ratio,
+         rank() OVER (ORDER BY return_ratio) AS return_rank,
+         rank() OVER (ORDER BY currency_ratio) AS currency_rank
+  FROM in_web),
+in_cat AS (
+  SELECT cs.cs_item_sk AS item,
+         CAST(sum(coalesce(cr.cr_return_quantity, 0)) AS DOUBLE) /
+         sum(coalesce(cs.cs_quantity, 0)) AS return_ratio,
+         CAST(sum(coalesce(cr.cr_return_amount, 0)) AS DOUBLE) /
+         CAST(sum(coalesce(cs.cs_net_paid, 0)) AS DOUBLE) AS currency_ratio
+  FROM catalog_sales cs LEFT OUTER JOIN catalog_returns cr
+       ON cs.cs_order_number = cr.cr_order_number AND cs.cs_item_sk = cr.cr_item_sk,
+       date_dim
+  WHERE cr.cr_return_amount > 10 AND cs.cs_net_profit > 1 AND cs.cs_net_paid > 0
+    AND cs.cs_quantity > 0 AND cs_sold_date_sk = d_date_sk
+    AND d_year = 2000 AND d_moy = 12
+  GROUP BY cs.cs_item_sk),
+cat AS (
+  SELECT item, return_ratio, currency_ratio,
+         rank() OVER (ORDER BY return_ratio) AS return_rank,
+         rank() OVER (ORDER BY currency_ratio) AS currency_rank
+  FROM in_cat),
+in_store AS (
+  SELECT sts.ss_item_sk AS item,
+         CAST(sum(coalesce(sr.sr_return_quantity, 0)) AS DOUBLE) /
+         sum(coalesce(sts.ss_quantity, 0)) AS return_ratio,
+         CAST(sum(coalesce(sr.sr_return_amt, 0)) AS DOUBLE) /
+         CAST(sum(coalesce(sts.ss_net_paid, 0)) AS DOUBLE) AS currency_ratio
+  FROM store_sales sts LEFT OUTER JOIN store_returns sr
+       ON sts.ss_ticket_number = sr.sr_ticket_number AND sts.ss_item_sk = sr.sr_item_sk,
+       date_dim
+  WHERE sr.sr_return_amt > 10 AND sts.ss_net_profit > 1 AND sts.ss_net_paid > 0
+    AND sts.ss_quantity > 0 AND ss_sold_date_sk = d_date_sk
+    AND d_year = 2000 AND d_moy = 12
+  GROUP BY sts.ss_item_sk),
+store AS (
+  SELECT item, return_ratio, currency_ratio,
+         rank() OVER (ORDER BY return_ratio) AS return_rank,
+         rank() OVER (ORDER BY currency_ratio) AS currency_rank
+  FROM in_store)
+SELECT channel, item, return_ratio, return_rank, currency_rank
+FROM (SELECT 'web' AS channel, item, return_ratio, return_rank, currency_rank
+      FROM web WHERE return_rank <= 10 OR currency_rank <= 10
+      UNION
+      SELECT 'catalog' AS channel, item, return_ratio, return_rank, currency_rank
+      FROM cat WHERE return_rank <= 10 OR currency_rank <= 10
+      UNION
+      SELECT 'store' AS channel, item, return_ratio, return_rank, currency_rank
+      FROM store WHERE return_rank <= 10 OR currency_rank <= 10) x
+ORDER BY channel, return_rank, currency_rank, item
+LIMIT 100"""),
+    "q5" -> (Seq("store_sales", "store_returns", "catalog_sales", "catalog_returns",
+                 "web_sales", "web_returns", "date_dim", "store", "catalog_page",
+                 "web_site") ->
+      """
+WITH ssr AS (
+  SELECT s_store_id,
+         sum(sales_price) AS sales, sum(profit) AS profit,
+         sum(return_amt) AS returns_amt, sum(net_loss) AS profit_loss
+  FROM (SELECT ss_store_sk AS store_sk, ss_sold_date_sk AS date_sk,
+               ss_ext_sales_price AS sales_price, ss_net_profit AS profit,
+               CAST(0 AS DECIMAL(12,2)) AS return_amt,
+               CAST(0 AS DECIMAL(12,2)) AS net_loss
+        FROM store_sales
+        UNION ALL
+        SELECT sr_store_sk, sr_returned_date_sk,
+               CAST(0 AS DECIMAL(12,2)), CAST(0 AS DECIMAL(12,2)),
+               sr_return_amt, sr_net_loss
+        FROM store_returns) salesreturns, date_dim, store
+  WHERE date_sk = d_date_sk
+    AND d_date BETWEEN DATE '2000-08-23' AND DATE '2000-09-06'
+    AND store_sk = s_store_sk
+  GROUP BY s_store_id),
+csr AS (
+  SELECT cp_catalog_page_id,
+         sum(sales_price) AS sales, sum(profit) AS profit,
+         sum(return_amt) AS returns_amt, sum(net_loss) AS profit_loss
+  FROM (SELECT cs_catalog_page_sk AS page_sk, cs_sold_date_sk AS date_sk,
+               cs_ext_sales_price AS sales_price, cs_net_profit AS profit,
+               CAST(0 AS DECIMAL(12,2)) AS return_amt,
+               CAST(0 AS DECIMAL(12,2)) AS net_loss
+        FROM catalog_sales
+        UNION ALL
+        SELECT cr_catalog_page_sk, cr_returned_date_sk,
+               CAST(0 AS DECIMAL(12,2)), CAST(0 AS DECIMAL(12,2)),
+               cr_return_amount, cr_net_loss
+        FROM catalog_returns) salesreturns, date_dim, catalog_page
+  WHERE date_sk = d_date_sk
+    AND d_date BETWEEN DATE '2000-08-23' AND DATE '2000-09-06'
+    AND page_sk = cp_catalog_page_sk
+  GROUP BY cp_catalog_page_id),
+wsr AS (
+  SELECT web_site_id,
+         sum(sales_price) AS sales, sum(profit) AS profit,
+         sum(return_amt) AS returns_amt, sum(net_loss) AS profit_loss
+  FROM (SELECT ws_web_site_sk AS wsr_web_site_sk, ws_sold_date_sk AS date_sk,
+               ws_ext_sales_price AS sales_price, ws_net_profit AS profit,
+               CAST(0 AS DECIMAL(12,2)) AS return_amt,
+               CAST(0 AS DECIMAL(12,2)) AS net_loss
+        FROM web_sales
+        UNION ALL
+        SELECT ws_web_site_sk, wr_returned_date_sk,
+               CAST(0 AS DECIMAL(12,2)), CAST(0 AS DECIMAL(12,2)),
+               wr_return_amt, wr_net_loss
+        FROM web_returns LEFT OUTER JOIN web_sales
+             ON wr_item_sk = ws_item_sk AND wr_order_number = ws_order_number) salesreturns,
+       date_dim, web_site
+  WHERE date_sk = d_date_sk
+    AND d_date BETWEEN DATE '2000-08-23' AND DATE '2000-09-06'
+    AND wsr_web_site_sk = web_site_sk
+  GROUP BY web_site_id)
+SELECT channel, id, CAST(sum(sales) AS DOUBLE) AS sales,
+       CAST(sum(returns_amt) AS DOUBLE) AS returns_amt,
+       CAST(sum(profit) AS DOUBLE) AS profit
+FROM (SELECT 'store channel' AS channel, 'store' || s_store_id AS id,
+             sales, returns_amt, profit - profit_loss AS profit
+      FROM ssr
+      UNION ALL
+      SELECT 'catalog channel' AS channel, 'catalog_page' || cp_catalog_page_id AS id,
+             sales, returns_amt, profit - profit_loss AS profit
+      FROM csr
+      UNION ALL
+      SELECT 'web channel' AS channel, 'web_site' || web_site_id AS id,
+             sales, returns_amt, profit - profit_loss AS profit
+      FROM wsr) x
+GROUP BY ROLLUP(channel, id)
+ORDER BY channel NULLS FIRST, id NULLS FIRST
 LIMIT 100""")
   )
 }
