@@ -349,6 +349,7 @@ FROM (SELECT i, (CAST(floor(i / 5.0) AS BIGINT) % 8000) * 10 AS k,
   CASE WHEN k % 5 = 0 THEN 1 + ((CAST(floor(k / 5.0) AS BIGINT) % 8000) * 10 * 61) % 2000 ELSE 1 + (k * 59) % 2000 END AS cr_item_sk,
   CASE WHEN k % 67 = 0 THEN NULL ELSE 1 + (k * 151) % 5000 END AS cr_refunded_customer_sk,
   CASE WHEN k % 67 = 0 THEN NULL ELSE 1 + (k * 151) % 5000 END AS cr_returning_customer_sk,
+  1 + (k * 153) % 2500 AS cr_returning_addr_sk,
   1 + k % 4 AS cr_call_center_sk,
   1 + (k * 11) % 60 AS cr_catalog_page_sk,
   1 + k % 12 AS cr_ship_mode_sk,
@@ -2575,6 +2576,370 @@ FROM (SELECT 'store channel' AS channel, 'store' || s_store_id AS id,
       FROM wsr) x
 GROUP BY ROLLUP(channel, id)
 ORDER BY channel NULLS FIRST, id NULLS FIRST
+LIMIT 100"""),
+    "q77" -> (Seq("store_sales", "store_returns", "catalog_sales", "catalog_returns",
+                  "web_sales", "web_returns", "date_dim", "store", "web_page") ->
+      """
+WITH ss AS (
+  SELECT s_store_sk, sum(ss_ext_sales_price) AS sales, sum(ss_net_profit) AS profit
+  FROM store_sales, date_dim, store
+  WHERE ss_sold_date_sk = d_date_sk
+    AND d_date BETWEEN DATE '2000-08-23' AND DATE '2000-09-22'
+    AND ss_store_sk = s_store_sk
+  GROUP BY s_store_sk),
+sr AS (
+  SELECT s_store_sk, sum(sr_return_amt) AS returns_amt, sum(sr_net_loss) AS profit_loss
+  FROM store_returns, date_dim, store
+  WHERE sr_returned_date_sk = d_date_sk
+    AND d_date BETWEEN DATE '2000-08-23' AND DATE '2000-09-22'
+    AND sr_store_sk = s_store_sk
+  GROUP BY s_store_sk),
+cs AS (
+  SELECT cs_call_center_sk, sum(cs_ext_sales_price) AS sales, sum(cs_net_profit) AS profit
+  FROM catalog_sales, date_dim
+  WHERE cs_sold_date_sk = d_date_sk
+    AND d_date BETWEEN DATE '2000-08-23' AND DATE '2000-09-22'
+  GROUP BY cs_call_center_sk),
+cr AS (
+  SELECT cr_call_center_sk, sum(cr_return_amount) AS returns_amt, sum(cr_net_loss) AS profit_loss
+  FROM catalog_returns, date_dim
+  WHERE cr_returned_date_sk = d_date_sk
+    AND d_date BETWEEN DATE '2000-08-23' AND DATE '2000-09-22'
+  GROUP BY cr_call_center_sk),
+ws AS (
+  SELECT wp_web_page_sk, sum(ws_ext_sales_price) AS sales, sum(ws_net_profit) AS profit
+  FROM web_sales, date_dim, web_page
+  WHERE ws_sold_date_sk = d_date_sk
+    AND d_date BETWEEN DATE '2000-08-23' AND DATE '2000-09-22'
+    AND ws_web_page_sk = wp_web_page_sk
+  GROUP BY wp_web_page_sk),
+wr AS (
+  SELECT wp_web_page_sk, sum(wr_return_amt) AS returns_amt, sum(wr_net_loss) AS profit_loss
+  FROM web_returns, date_dim, web_page
+  WHERE wr_returned_date_sk = d_date_sk
+    AND d_date BETWEEN DATE '2000-08-23' AND DATE '2000-09-22'
+    AND wr_web_page_sk = wp_web_page_sk
+  GROUP BY wp_web_page_sk)
+SELECT channel, id, CAST(sum(sales) AS DOUBLE) AS sales,
+       CAST(sum(returns_amt) AS DOUBLE) AS returns_amt,
+       CAST(sum(profit) AS DOUBLE) AS profit
+FROM (SELECT 'store channel' AS channel, ss.s_store_sk AS id, sales,
+             coalesce(returns_amt, 0) AS returns_amt,
+             profit - coalesce(profit_loss, 0) AS profit
+      FROM ss LEFT JOIN sr ON ss.s_store_sk = sr.s_store_sk
+      UNION ALL
+      SELECT 'catalog channel' AS channel, cs_call_center_sk AS id, sales,
+             returns_amt, profit - profit_loss AS profit
+      FROM cs, cr
+      UNION ALL
+      SELECT 'web channel' AS channel, ws.wp_web_page_sk AS id, sales,
+             coalesce(returns_amt, 0) AS returns_amt,
+             profit - coalesce(profit_loss, 0) AS profit
+      FROM ws LEFT JOIN wr ON ws.wp_web_page_sk = wr.wp_web_page_sk) x
+GROUP BY ROLLUP(channel, id)
+ORDER BY channel NULLS FIRST, id NULLS FIRST
+LIMIT 100"""),
+    "q80" -> (Seq("store_sales", "store_returns", "catalog_sales", "catalog_returns",
+                  "web_sales", "web_returns", "date_dim", "store", "catalog_page",
+                  "web_site", "item", "promotion") ->
+      """
+WITH ssr AS (
+  SELECT s_store_id AS store_id, sum(ss_ext_sales_price) AS sales,
+         sum(coalesce(sr_return_amt, 0)) AS returns_amt,
+         sum(ss_net_profit - coalesce(sr_net_loss, 0)) AS profit
+  FROM store_sales LEFT OUTER JOIN store_returns
+       ON ss_item_sk = sr_item_sk AND ss_ticket_number = sr_ticket_number,
+       date_dim, store, item, promotion
+  WHERE ss_sold_date_sk = d_date_sk
+    AND d_date BETWEEN DATE '2000-08-23' AND DATE '2000-09-22'
+    AND ss_store_sk = s_store_sk AND ss_item_sk = i_item_sk
+    AND i_current_price > 50 AND ss_promo_sk = p_promo_sk
+    AND p_channel_tv = 'N'
+  GROUP BY s_store_id),
+csr AS (
+  SELECT cp_catalog_page_id AS catalog_page_id, sum(cs_ext_sales_price) AS sales,
+         sum(coalesce(cr_return_amount, 0)) AS returns_amt,
+         sum(cs_net_profit - coalesce(cr_net_loss, 0)) AS profit
+  FROM catalog_sales LEFT OUTER JOIN catalog_returns
+       ON cs_item_sk = cr_item_sk AND cs_order_number = cr_order_number,
+       date_dim, catalog_page, item, promotion
+  WHERE cs_sold_date_sk = d_date_sk
+    AND d_date BETWEEN DATE '2000-08-23' AND DATE '2000-09-22'
+    AND cs_catalog_page_sk = cp_catalog_page_sk AND cs_item_sk = i_item_sk
+    AND i_current_price > 50 AND cs_promo_sk = p_promo_sk
+    AND p_channel_tv = 'N'
+  GROUP BY cp_catalog_page_id),
+wsr AS (
+  SELECT web_site_id, sum(ws_ext_sales_price) AS sales,
+         sum(coalesce(wr_return_amt, 0)) AS returns_amt,
+         sum(ws_net_profit - coalesce(wr_net_loss, 0)) AS profit
+  FROM web_sales LEFT OUTER JOIN web_returns
+       ON ws_item_sk = wr_item_sk AND ws_order_number = wr_order_number,
+       date_dim, web_site, item, promotion
+  WHERE ws_sold_date_sk = d_date_sk
+    AND d_date BETWEEN DATE '2000-08-23' AND DATE '2000-09-22'
+    AND ws_web_site_sk = web_site_sk AND ws_item_sk = i_item_sk
+    AND i_current_price > 50 AND ws_promo_sk = p_promo_sk
+    AND p_channel_tv = 'N'
+  GROUP BY web_site_id)
+SELECT channel, id, CAST(sum(sales) AS DOUBLE) AS sales,
+       CAST(sum(returns_amt) AS DOUBLE) AS returns_amt,
+       CAST(sum(profit) AS DOUBLE) AS profit
+FROM (SELECT 'store channel' AS channel, 'store' || store_id AS id,
+             sales, returns_amt, profit
+      FROM ssr
+      UNION ALL
+      SELECT 'catalog channel' AS channel, 'catalog_page' || catalog_page_id AS id,
+             sales, returns_amt, profit
+      FROM csr
+      UNION ALL
+      SELECT 'web channel' AS channel, 'web_site' || web_site_id AS id,
+             sales, returns_amt, profit
+      FROM wsr) x
+GROUP BY ROLLUP(channel, id)
+ORDER BY channel NULLS FIRST, id NULLS FIRST
+LIMIT 100"""),
+    "q81" -> (Seq("catalog_returns", "date_dim", "customer_address", "customer") ->
+      """
+WITH customer_total_return AS (
+  SELECT cr_returning_customer_sk AS ctr_customer_sk, ca_state AS ctr_state,
+         sum(cr_return_amt_inc_tax) AS ctr_total_return
+  FROM catalog_returns, date_dim, customer_address
+  WHERE cr_returned_date_sk = d_date_sk AND d_year = 2000
+    AND cr_returning_addr_sk = ca_address_sk
+  GROUP BY cr_returning_customer_sk, ca_state)
+SELECT c_customer_id, c_salutation, c_first_name, c_last_name,
+       ca_street_number, ca_street_name, ca_suite_number, ca_city, ca_county,
+       ca_state, ca_zip, ca_country, CAST(ca_gmt_offset AS DOUBLE) AS ca_gmt_offset,
+       ca_location_type, CAST(ctr_total_return AS DOUBLE) AS ctr_total_return
+FROM customer_total_return ctr1, customer_address, customer
+WHERE ctr1.ctr_total_return * 10 *
+        (SELECT count(*) FROM customer_total_return ctr2
+         WHERE ctr1.ctr_state = ctr2.ctr_state)
+      > 12 * (SELECT sum(ctr_total_return) FROM customer_total_return ctr2
+              WHERE ctr1.ctr_state = ctr2.ctr_state)
+  AND ca_address_sk = c_current_addr_sk
+  AND ca_state = 'CA'
+  AND ctr1.ctr_customer_sk = c_customer_sk
+ORDER BY c_customer_id, c_salutation, c_first_name, c_last_name,
+         ca_street_number, ca_street_name, ca_suite_number, ca_city, ca_county,
+         ca_state, ca_zip, ca_country, ca_gmt_offset, ca_location_type,
+         ctr_total_return
+LIMIT 100"""),
+    "q83" -> (Seq("store_returns", "catalog_returns", "web_returns", "item", "date_dim") ->
+      """
+WITH sr_items AS (
+  SELECT i_item_id AS item_id, CAST(sum(CAST(sr_return_quantity AS BIGINT)) AS BIGINT) AS sr_item_qty
+  FROM store_returns, item, date_dim
+  WHERE sr_item_sk = i_item_sk
+    AND d_date IN (SELECT d_date FROM date_dim
+                   WHERE d_week_seq IN (SELECT d_week_seq FROM date_dim
+                                        WHERE d_date IN (DATE '2000-06-30',
+                                                         DATE '2000-09-27',
+                                                         DATE '2000-11-17')))
+    AND sr_returned_date_sk = d_date_sk
+  GROUP BY i_item_id),
+cr_items AS (
+  SELECT i_item_id AS item_id, CAST(sum(CAST(cr_return_quantity AS BIGINT)) AS BIGINT) AS cr_item_qty
+  FROM catalog_returns, item, date_dim
+  WHERE cr_item_sk = i_item_sk
+    AND d_date IN (SELECT d_date FROM date_dim
+                   WHERE d_week_seq IN (SELECT d_week_seq FROM date_dim
+                                        WHERE d_date IN (DATE '2000-06-30',
+                                                         DATE '2000-09-27',
+                                                         DATE '2000-11-17')))
+    AND cr_returned_date_sk = d_date_sk
+  GROUP BY i_item_id),
+wr_items AS (
+  SELECT i_item_id AS item_id, CAST(sum(CAST(wr_return_quantity AS BIGINT)) AS BIGINT) AS wr_item_qty
+  FROM web_returns, item, date_dim
+  WHERE wr_item_sk = i_item_sk
+    AND d_date IN (SELECT d_date FROM date_dim
+                   WHERE d_week_seq IN (SELECT d_week_seq FROM date_dim
+                                        WHERE d_date IN (DATE '2000-06-30',
+                                                         DATE '2000-09-27',
+                                                         DATE '2000-11-17')))
+    AND wr_returned_date_sk = d_date_sk
+  GROUP BY i_item_id)
+SELECT sr_items.item_id, sr_item_qty,
+       CAST(sr_item_qty AS DOUBLE) / (sr_item_qty + cr_item_qty + wr_item_qty) / 3.0 * 100 AS sr_dev,
+       cr_item_qty,
+       CAST(cr_item_qty AS DOUBLE) / (sr_item_qty + cr_item_qty + wr_item_qty) / 3.0 * 100 AS cr_dev,
+       wr_item_qty,
+       CAST(wr_item_qty AS DOUBLE) / (sr_item_qty + cr_item_qty + wr_item_qty) / 3.0 * 100 AS wr_dev,
+       CAST(sr_item_qty + cr_item_qty + wr_item_qty AS DOUBLE) / 3 AS average
+FROM sr_items, cr_items, wr_items
+WHERE sr_items.item_id = cr_items.item_id AND sr_items.item_id = wr_items.item_id
+ORDER BY sr_items.item_id, sr_item_qty
+LIMIT 100"""),
+    "q60" -> (Seq("store_sales", "catalog_sales", "web_sales", "date_dim",
+                  "customer_address", "item") ->
+      """
+WITH ss AS (
+  SELECT i_item_id, sum(ss_ext_sales_price) total_sales
+  FROM store_sales, date_dim, customer_address, item
+  WHERE i_item_id IN (SELECT i_item_id FROM item WHERE i_category IN ('Music'))
+    AND ss_item_sk = i_item_sk AND ss_sold_date_sk = d_date_sk
+    AND d_year = 2000 AND d_moy = 9 AND ss_addr_sk = ca_address_sk
+    AND ca_gmt_offset = -5
+  GROUP BY i_item_id),
+cs AS (
+  SELECT i_item_id, sum(cs_ext_sales_price) total_sales
+  FROM catalog_sales, date_dim, customer_address, item
+  WHERE i_item_id IN (SELECT i_item_id FROM item WHERE i_category IN ('Music'))
+    AND cs_item_sk = i_item_sk AND cs_sold_date_sk = d_date_sk
+    AND d_year = 2000 AND d_moy = 9 AND cs_bill_addr_sk = ca_address_sk
+    AND ca_gmt_offset = -5
+  GROUP BY i_item_id),
+ws AS (
+  SELECT i_item_id, sum(ws_ext_sales_price) total_sales
+  FROM web_sales, date_dim, customer_address, item
+  WHERE i_item_id IN (SELECT i_item_id FROM item WHERE i_category IN ('Music'))
+    AND ws_item_sk = i_item_sk AND ws_sold_date_sk = d_date_sk
+    AND d_year = 2000 AND d_moy = 9 AND ws_bill_addr_sk = ca_address_sk
+    AND ca_gmt_offset = -5
+  GROUP BY i_item_id)
+SELECT i_item_id, CAST(sum(total_sales) AS DOUBLE) AS total_sales
+FROM (SELECT * FROM ss UNION ALL SELECT * FROM cs UNION ALL SELECT * FROM ws) tmp1
+GROUP BY i_item_id
+ORDER BY i_item_id, total_sales
+LIMIT 100"""),
+    "q54" -> (Seq("catalog_sales", "web_sales", "item", "date_dim", "customer",
+                  "store_sales", "customer_address", "store") ->
+      """
+WITH my_customers AS (
+  SELECT DISTINCT c_customer_sk, c_current_addr_sk
+  FROM (SELECT cs_sold_date_sk AS sold_date_sk,
+               cs_bill_customer_sk AS customer_sk, cs_item_sk AS item_sk
+        FROM catalog_sales
+        UNION ALL
+        SELECT ws_sold_date_sk, ws_bill_customer_sk, ws_item_sk
+        FROM web_sales) cs_or_ws_sales, item, date_dim, customer
+  WHERE sold_date_sk = d_date_sk AND item_sk = i_item_sk
+    AND i_category = 'Children' AND i_class IN ('class1', 'class5', 'class13')
+    AND c_customer_sk = cs_or_ws_sales.customer_sk
+    AND d_year = 2000),
+my_revenue AS (
+  SELECT c_customer_sk, sum(ss_ext_sales_price) AS revenue
+  FROM my_customers, store_sales, customer_address, store, date_dim
+  WHERE c_current_addr_sk = ca_address_sk
+    AND ca_county = s_county AND ca_state = s_state
+    AND ss_sold_date_sk = d_date_sk
+    AND c_customer_sk = ss_customer_sk
+    AND d_month_seq BETWEEN (SELECT DISTINCT d_month_seq + 1 FROM date_dim
+                             WHERE d_year = 2000 AND d_moy = 12)
+                        AND (SELECT DISTINCT d_month_seq + 3 FROM date_dim
+                             WHERE d_year = 2000 AND d_moy = 12)
+  GROUP BY c_customer_sk),
+segments AS (
+  SELECT CAST(floor(CAST(revenue AS DOUBLE) / 50) AS INT) AS segment
+  FROM my_revenue)
+SELECT segment, count(*) AS num_customers, segment * 50 AS segment_base
+FROM segments
+GROUP BY segment
+ORDER BY segment, num_customers
+LIMIT 100"""),
+    "q75" -> (Seq("catalog_sales", "catalog_returns", "store_sales", "store_returns",
+                  "web_sales", "web_returns", "item", "date_dim") ->
+      """
+WITH all_sales AS (
+  SELECT d_year, i_brand_id, i_class_id, i_category_id, i_manufact_id,
+         CAST(sum(sales_cnt) AS BIGINT) AS sales_cnt, sum(sales_amt) AS sales_amt
+  FROM (SELECT d_year, i_brand_id, i_class_id, i_category_id, i_manufact_id,
+               cs_quantity - coalesce(cr_return_quantity, 0) AS sales_cnt,
+               cs_ext_sales_price - coalesce(cr_return_amount, 0.0) AS sales_amt
+        FROM catalog_sales
+             JOIN item ON i_item_sk = cs_item_sk
+             JOIN date_dim ON d_date_sk = cs_sold_date_sk
+             LEFT JOIN catalog_returns ON cs_order_number = cr_order_number
+                                      AND cs_item_sk = cr_item_sk
+        WHERE i_category = 'Books'
+        UNION
+        SELECT d_year, i_brand_id, i_class_id, i_category_id, i_manufact_id,
+               ss_quantity - coalesce(sr_return_quantity, 0) AS sales_cnt,
+               ss_ext_sales_price - coalesce(sr_return_amt, 0.0) AS sales_amt
+        FROM store_sales
+             JOIN item ON i_item_sk = ss_item_sk
+             JOIN date_dim ON d_date_sk = ss_sold_date_sk
+             LEFT JOIN store_returns ON ss_ticket_number = sr_ticket_number
+                                    AND ss_item_sk = sr_item_sk
+        WHERE i_category = 'Books'
+        UNION
+        SELECT d_year, i_brand_id, i_class_id, i_category_id, i_manufact_id,
+               ws_quantity - coalesce(wr_return_quantity, 0) AS sales_cnt,
+               ws_ext_sales_price - coalesce(wr_return_amt, 0.0) AS sales_amt
+        FROM web_sales
+             JOIN item ON i_item_sk = ws_item_sk
+             JOIN date_dim ON d_date_sk = ws_sold_date_sk
+             LEFT JOIN web_returns ON ws_order_number = wr_order_number
+                                  AND ws_item_sk = wr_item_sk
+        WHERE i_category = 'Books') sales_detail
+  GROUP BY d_year, i_brand_id, i_class_id, i_category_id, i_manufact_id)
+SELECT prev_yr.d_year AS prev_year, curr_yr.d_year AS curr_year,
+       curr_yr.i_brand_id, curr_yr.i_class_id, curr_yr.i_category_id,
+       curr_yr.i_manufact_id,
+       prev_yr.sales_cnt AS prev_yr_cnt, curr_yr.sales_cnt AS curr_yr_cnt,
+       curr_yr.sales_cnt - prev_yr.sales_cnt AS sales_cnt_diff,
+       CAST(curr_yr.sales_amt - prev_yr.sales_amt AS DOUBLE) AS sales_amt_diff
+FROM all_sales curr_yr, all_sales prev_yr
+WHERE curr_yr.i_brand_id = prev_yr.i_brand_id
+  AND curr_yr.i_class_id = prev_yr.i_class_id
+  AND curr_yr.i_category_id = prev_yr.i_category_id
+  AND curr_yr.i_manufact_id = prev_yr.i_manufact_id
+  AND curr_yr.d_year = 2002 AND prev_yr.d_year = 2002 - 1
+  AND CAST(curr_yr.sales_cnt AS DOUBLE) / nullif(prev_yr.sales_cnt, 0) < 0.9
+ORDER BY sales_cnt_diff, sales_amt_diff, curr_yr.i_brand_id, curr_yr.i_class_id,
+         curr_yr.i_category_id, curr_yr.i_manufact_id
+LIMIT 100"""),
+    "q78" -> (Seq("web_sales", "web_returns", "catalog_sales", "catalog_returns",
+                  "store_sales", "store_returns", "date_dim") ->
+      """
+WITH ws AS (
+  SELECT d_year AS ws_sold_year, ws_item_sk,
+         ws_bill_customer_sk AS ws_customer_sk,
+         CAST(sum(CAST(ws_quantity AS BIGINT)) AS BIGINT) AS ws_qty,
+         sum(ws_wholesale_cost) AS ws_wc, sum(ws_sales_price) AS ws_sp
+  FROM web_sales
+       LEFT JOIN web_returns ON wr_order_number = ws_order_number
+                            AND ws_item_sk = wr_item_sk
+       JOIN date_dim ON ws_sold_date_sk = d_date_sk
+  WHERE wr_order_number IS NULL
+  GROUP BY d_year, ws_item_sk, ws_bill_customer_sk),
+cs AS (
+  SELECT d_year AS cs_sold_year, cs_item_sk,
+         cs_bill_customer_sk AS cs_customer_sk,
+         CAST(sum(CAST(cs_quantity AS BIGINT)) AS BIGINT) AS cs_qty,
+         sum(cs_wholesale_cost) AS cs_wc, sum(cs_sales_price) AS cs_sp
+  FROM catalog_sales
+       LEFT JOIN catalog_returns ON cr_order_number = cs_order_number
+                                AND cs_item_sk = cr_item_sk
+       JOIN date_dim ON cs_sold_date_sk = d_date_sk
+  WHERE cr_order_number IS NULL
+  GROUP BY d_year, cs_item_sk, cs_bill_customer_sk),
+ss AS (
+  SELECT d_year AS ss_sold_year, ss_item_sk, ss_customer_sk,
+         CAST(sum(CAST(ss_quantity AS BIGINT)) AS BIGINT) AS ss_qty,
+         sum(ss_wholesale_cost) AS ss_wc, sum(ss_sales_price) AS ss_sp
+  FROM store_sales
+       LEFT JOIN store_returns ON sr_ticket_number = ss_ticket_number
+                              AND ss_item_sk = sr_item_sk
+       JOIN date_dim ON ss_sold_date_sk = d_date_sk
+  WHERE sr_ticket_number IS NULL
+  GROUP BY d_year, ss_item_sk, ss_customer_sk)
+SELECT ss_sold_year, ss_item_sk, ss_customer_sk,
+       CAST(ss_qty AS DOUBLE) / (coalesce(ws_qty, 0) + coalesce(cs_qty, 0)) AS ratio,
+       ss_qty AS store_qty, CAST(ss_wc AS DOUBLE) AS store_wholesale_cost,
+       CAST(ss_sp AS DOUBLE) AS store_sales_price,
+       CAST(coalesce(ws_qty, 0) + coalesce(cs_qty, 0) AS BIGINT) AS other_chan_qty,
+       CAST(coalesce(ws_wc, 0) + coalesce(cs_wc, 0) AS DOUBLE) AS other_chan_wholesale_cost,
+       CAST(coalesce(ws_sp, 0) + coalesce(cs_sp, 0) AS DOUBLE) AS other_chan_sales_price
+FROM ss
+     LEFT JOIN ws ON ws_sold_year = ss_sold_year AND ws_item_sk = ss_item_sk
+                 AND ws_customer_sk = ss_customer_sk
+     LEFT JOIN cs ON cs_sold_year = ss_sold_year AND cs_item_sk = ss_item_sk
+                 AND cs_customer_sk = ss_customer_sk
+WHERE (coalesce(ws_qty, 0) > 0 OR coalesce(cs_qty, 0) > 0) AND ss_sold_year = 2000
+ORDER BY ss_sold_year, ss_item_sk, ss_customer_sk
 LIMIT 100""")
   )
 }
