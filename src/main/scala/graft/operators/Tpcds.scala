@@ -2,8 +2,8 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-/** Real TPC-DS: the 24-table schema and 79 of the benchmark's own queries,
-  * run over deterministically generated data.
+/** Real TPC-DS: the 24-table schema and ALL 103 of the benchmark's query
+  * variants the reference runs, over deterministically generated data.
   *
   * The reference proves its batch SQL planner on TPC-DS proper
   * (flink-end-to-end-tests/flink-tpcds-test/.../TpcdsTestProgram.java:59-70
@@ -15,21 +15,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * expressions, so any mismatch is an ENGINE divergence, never a fixture
   * race.
   *
-  * Query selection follows the reference's spread plus the judge's round-6
-  * list, now grown to 79 queries: star joins (q3/q19/q42/q52/q55), demographic star
-  * joins (q7/q26/q13/q27/q48), correlated scalar subqueries (q6) and
-  * discount-vs-average correlated filters (q32/q92), scalar-subquery CASE
-  * buckets (q9), YoY customer self-joins (q11/q74), windowed revenue
-  * ratios (q12/q20/q98), multi-channel sale→return→repurchase (q25) and
-  * returns-adjusted sales (q93), day-of-week pivots (q43) and
-  * week-over-week ratio self-join (q59), dual cumulative windows over a
-  * FULL OUTER JOIN (q51), per-store item-vs-average (q65),
-  * rank-within-ROLLUP (q67) and grouping()-keyed rollups (q27/q36),
-  * deviation-from-window-average (q53/q89), promo-share (q61),
-  * ship-latency bucket pivots (q62/q99), per-ticket rollup joins
-  * (q79/q68/q34/q73), time-band counting (q96/q88), multi-warehouse
-  * EXISTS / no-returns NOT-EXISTS shipping audit (q94), and store/catalog
-  * customer-item overlap via FULL OUTER JOIN (q97).
+  * Coverage is the reference's full list: q1–q99 plus the a/b variants of
+  * q14/q23/q24/q39 — 103 queries, each an oracle-gated `dsds_*` row. Every
+  * optimizer shape the benchmark exercises is here: star joins, demographic
+  * stars, correlated scalar subqueries, rollup ranks, YoY self-joins
+  * (q11/q74/q75), cross-channel INTERSECT item spaces (q14a/b), frequent-
+  * item/best-customer semi-join cascades (q23a/b), zip-colocated customer-
+  * store joins (q24a/b), the 17-table q64 mega-join, inventory moment
+  * statistics (q39a/b), channel P&L rollups (q5/q77/q80), EXISTS/NOT-EXISTS
+  * demographic profiles (q10/q35/q69), warehouse pivots (q66), and the
+  * inventory-shortage shipping join (q72).
   *
   * Cross-engine exactness rules (why some templates differ slightly from
   * the published text — each is a semantics-preserving rewrite):
@@ -41,9 +36,25 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *   - ratio predicates are cross-multiplied into decimal products
   *     (q6: `price*10*cnt > 12*sum`; q11/q74: `w2*s1 > s2*w1`;
   *     q65: `revenue*10*cnt <= sum`) so no division ever feeds a
-  *     comparison;
+  *     comparison; where the published ratio can hit a zero divisor
+  *     (q75) a nullif guard replaces the bare division;
+  *   - stddev/variance gates (q17/q39) are rewritten over exact integer
+  *     moment sums n/s1/s2, so `cov > c` becomes an exact integer
+  *     inequality and the output stdev is one deterministic sqrt;
+  *   - integer-sum outputs carry `CAST(... AS BIGINT)` because DuckDB
+  *     widens integer sums to HUGEINT (pandas float64 — q78/q83);
   *   - every ORDER BY under a LIMIT carries a full tiebreak so the kept
   *     prefix is engine-independent.
+  *
+  * Fixture-scale parameter adaptations (the synthetic tables are ~1000×
+  * smaller than sf1, and the modular generators impose residue structure
+  * the DSGEN data doesn't have): q23's frequent-item gate counts per
+  * (item, year) because the fixture's (item, day) pairs are unique by
+  * construction; q64 matches equal demographic snapshots (the generators
+  * make the published <>-match structurally empty) over a widened price
+  * band; q24 pins the one store market whose zip slot intersects the
+  * returned-ticket customers' zip subspace. Join/aggregation structure is
+  * unchanged in all three.
   *
   * 100 TB scale shape: the facts shuffle only for their final aggregates;
   * every dimension (date_dim/item/store/demographics/…) sits far under the

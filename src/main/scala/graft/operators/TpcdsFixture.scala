@@ -79,7 +79,7 @@ FROM range(2000) t(i)""",
   'city' || CAST(i % 6 AS STRING) AS s_city,
   'county' || CAST(i % 4 AS STRING) AS s_county,
   CASE CAST(i % 5 AS INT) WHEN 0 THEN 'TN' WHEN 1 THEN 'SC' WHEN 2 THEN 'CA' WHEN 3 THEN 'TX' ELSE 'OH' END AS s_state,
-  lpad(CAST(10000 + (i * 3717) % 89999 AS STRING), 5, '0') AS s_zip,
+  lpad(CAST(10000 + ((i * 90) % 500) * 137 AS STRING), 5, '0') AS s_zip,
   'United States' AS s_country,
   CAST(1 + i % 2 AS INT) AS s_company_id,
   CAST((-500) / 100.0 AS DECIMAL(5,2)) AS s_gmt_offset,
@@ -363,6 +363,8 @@ FROM (SELECT i, (CAST(floor(i / 5.0) AS BIGINT) % 8000) * 10 AS k,
   CAST(((i * 5) % 500) / 100.0 AS DECIMAL(12,2)) AS cr_fee,
   CAST(((i * 53) % 4000) / 100.0 AS DECIMAL(12,2)) AS cr_return_ship_cost,
   CAST(((i * 37) % 2000) / 100.0 AS DECIMAL(12,2)) AS cr_refunded_cash,
+  CAST(((i * 43) % 1500) / 100.0 AS DECIMAL(12,2)) AS cr_reversed_charge,
+  CAST(((i * 47) % 1800) / 100.0 AS DECIMAL(12,2)) AS cr_store_credit,
   CAST(((i * 89) % 9000 + 100) / 100.0 AS DECIMAL(12,2)) AS cr_net_loss
 FROM (SELECT i, i * 10 AS k FROM range(4000) t(i)) b""",
     "web_sales" ->
@@ -2628,7 +2630,7 @@ FROM (SELECT 'store channel' AS channel, ss.s_store_sk AS id, sales,
              profit - coalesce(profit_loss, 0) AS profit
       FROM ss LEFT JOIN sr ON ss.s_store_sk = sr.s_store_sk
       UNION ALL
-      SELECT 'catalog channel' AS channel, cs_call_center_sk AS id, sales,
+      SELECT /*+ BROADCAST(cr) */ 'catalog channel' AS channel, cs_call_center_sk AS id, sales,
              returns_amt, profit - profit_loss AS profit
       FROM cs, cr
       UNION ALL
@@ -2940,6 +2942,359 @@ FROM ss
                  AND cs_customer_sk = ss_customer_sk
 WHERE (coalesce(ws_qty, 0) > 0 OR coalesce(cs_qty, 0) > 0) AND ss_sold_year = 2000
 ORDER BY ss_sold_year, ss_item_sk, ss_customer_sk
-LIMIT 100""")
+LIMIT 100"""),
+    "q72" -> (Seq("catalog_sales", "inventory", "warehouse", "item",
+                  "customer_demographics", "household_demographics", "date_dim",
+                  "promotion", "catalog_returns") ->
+      """
+SELECT i_item_desc, w_warehouse_name, d1.d_week_seq AS week_seq,
+       CAST(sum(CASE WHEN p_promo_sk IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS no_promo,
+       CAST(sum(CASE WHEN p_promo_sk IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS promo,
+       count(*) AS total_cnt
+FROM catalog_sales
+     JOIN inventory ON cs_item_sk = inv_item_sk
+     JOIN warehouse ON w_warehouse_sk = inv_warehouse_sk
+     JOIN item ON i_item_sk = cs_item_sk
+     JOIN customer_demographics ON cs_bill_cdemo_sk = cd_demo_sk
+     JOIN household_demographics ON cs_bill_hdemo_sk = hd_demo_sk
+     JOIN date_dim d1 ON cs_sold_date_sk = d1.d_date_sk
+     JOIN date_dim d2 ON inv_date_sk = d2.d_date_sk
+     JOIN date_dim d3 ON cs_ship_date_sk = d3.d_date_sk
+     LEFT OUTER JOIN promotion ON cs_promo_sk = p_promo_sk
+     LEFT OUTER JOIN catalog_returns ON cr_item_sk = cs_item_sk
+                                    AND cr_order_number = cs_order_number
+WHERE d1.d_week_seq = d2.d_week_seq
+  AND inv_quantity_on_hand < cs_quantity
+  AND d3.d_date > d1.d_date + 5
+  AND hd_buy_potential = '>10000'
+  AND d1.d_year = 2000
+  AND cd_marital_status = 'D'
+GROUP BY i_item_desc, w_warehouse_name, d1.d_week_seq
+ORDER BY total_cnt DESC, i_item_desc, w_warehouse_name, week_seq
+LIMIT 100"""),
+    "q14a" -> (Seq("store_sales", "catalog_sales", "web_sales", "item", "date_dim") ->
+      """
+WITH cross_items AS (
+  SELECT i_item_sk AS ss_item_sk
+  FROM item,
+       (SELECT iss.i_brand_id AS brand_id, iss.i_class_id AS class_id,
+               iss.i_category_id AS category_id
+        FROM store_sales, item iss, date_dim d1
+        WHERE ss_item_sk = iss.i_item_sk AND ss_sold_date_sk = d1.d_date_sk
+          AND d1.d_year BETWEEN 1999 AND 2001
+        INTERSECT
+        SELECT ics.i_brand_id, ics.i_class_id, ics.i_category_id
+        FROM catalog_sales, item ics, date_dim d2
+        WHERE cs_item_sk = ics.i_item_sk AND cs_sold_date_sk = d2.d_date_sk
+          AND d2.d_year BETWEEN 1999 AND 2001
+        INTERSECT
+        SELECT iws.i_brand_id, iws.i_class_id, iws.i_category_id
+        FROM web_sales, item iws, date_dim d3
+        WHERE ws_item_sk = iws.i_item_sk AND ws_sold_date_sk = d3.d_date_sk
+          AND d3.d_year BETWEEN 1999 AND 2001) x
+  WHERE i_brand_id = brand_id AND i_class_id = class_id
+    AND i_category_id = category_id),
+avg_sales AS (
+  SELECT CAST(sum(quantity * list_price) AS DOUBLE) / count(*) AS average_sales
+  FROM (SELECT ss_quantity AS quantity, ss_list_price AS list_price
+        FROM store_sales, date_dim
+        WHERE ss_sold_date_sk = d_date_sk AND d_year BETWEEN 1999 AND 2001
+        UNION ALL
+        SELECT cs_quantity, cs_list_price
+        FROM catalog_sales, date_dim
+        WHERE cs_sold_date_sk = d_date_sk AND d_year BETWEEN 1999 AND 2001
+        UNION ALL
+        SELECT ws_quantity, ws_list_price
+        FROM web_sales, date_dim
+        WHERE ws_sold_date_sk = d_date_sk AND d_year BETWEEN 1999 AND 2001) x)
+SELECT channel, i_brand_id, i_class_id, i_category_id,
+       CAST(sum(sales) AS DOUBLE) AS sales,
+       CAST(sum(number_sales) AS BIGINT) AS number_sales
+FROM (SELECT 'store' AS channel, i_brand_id, i_class_id, i_category_id,
+             sum(ss_quantity * ss_list_price) AS sales, count(*) AS number_sales
+      FROM store_sales, item, date_dim
+      WHERE ss_item_sk IN (SELECT ss_item_sk FROM cross_items)
+        AND ss_item_sk = i_item_sk AND ss_sold_date_sk = d_date_sk
+        AND d_year = 2001 AND d_moy = 11
+      GROUP BY i_brand_id, i_class_id, i_category_id
+      HAVING sum(ss_quantity * ss_list_price) > (SELECT average_sales FROM avg_sales)
+      UNION ALL
+      SELECT 'catalog' AS channel, i_brand_id, i_class_id, i_category_id,
+             sum(cs_quantity * cs_list_price) AS sales, count(*) AS number_sales
+      FROM catalog_sales, item, date_dim
+      WHERE cs_item_sk IN (SELECT ss_item_sk FROM cross_items)
+        AND cs_item_sk = i_item_sk AND cs_sold_date_sk = d_date_sk
+        AND d_year = 2001 AND d_moy = 11
+      GROUP BY i_brand_id, i_class_id, i_category_id
+      HAVING sum(cs_quantity * cs_list_price) > (SELECT average_sales FROM avg_sales)
+      UNION ALL
+      SELECT 'web' AS channel, i_brand_id, i_class_id, i_category_id,
+             sum(ws_quantity * ws_list_price) AS sales, count(*) AS number_sales
+      FROM web_sales, item, date_dim
+      WHERE ws_item_sk IN (SELECT ss_item_sk FROM cross_items)
+        AND ws_item_sk = i_item_sk AND ws_sold_date_sk = d_date_sk
+        AND d_year = 2001 AND d_moy = 11
+      GROUP BY i_brand_id, i_class_id, i_category_id
+      HAVING sum(ws_quantity * ws_list_price) > (SELECT average_sales FROM avg_sales)) y
+GROUP BY ROLLUP(channel, i_brand_id, i_class_id, i_category_id)
+ORDER BY channel NULLS FIRST, i_brand_id NULLS FIRST, i_class_id NULLS FIRST,
+         i_category_id NULLS FIRST
+LIMIT 100"""),
+    "q14b" -> (Seq("store_sales", "catalog_sales", "web_sales", "item", "date_dim") ->
+      """
+WITH cross_items AS (
+  SELECT i_item_sk AS ss_item_sk
+  FROM item,
+       (SELECT iss.i_brand_id AS brand_id, iss.i_class_id AS class_id,
+               iss.i_category_id AS category_id
+        FROM store_sales, item iss, date_dim d1
+        WHERE ss_item_sk = iss.i_item_sk AND ss_sold_date_sk = d1.d_date_sk
+          AND d1.d_year BETWEEN 1999 AND 2001
+        INTERSECT
+        SELECT ics.i_brand_id, ics.i_class_id, ics.i_category_id
+        FROM catalog_sales, item ics, date_dim d2
+        WHERE cs_item_sk = ics.i_item_sk AND cs_sold_date_sk = d2.d_date_sk
+          AND d2.d_year BETWEEN 1999 AND 2001
+        INTERSECT
+        SELECT iws.i_brand_id, iws.i_class_id, iws.i_category_id
+        FROM web_sales, item iws, date_dim d3
+        WHERE ws_item_sk = iws.i_item_sk AND ws_sold_date_sk = d3.d_date_sk
+          AND d3.d_year BETWEEN 1999 AND 2001) x
+  WHERE i_brand_id = brand_id AND i_class_id = class_id
+    AND i_category_id = category_id),
+avg_sales AS (
+  SELECT CAST(sum(quantity * list_price) AS DOUBLE) / count(*) AS average_sales
+  FROM (SELECT ss_quantity AS quantity, ss_list_price AS list_price
+        FROM store_sales, date_dim
+        WHERE ss_sold_date_sk = d_date_sk AND d_year BETWEEN 1999 AND 2001
+        UNION ALL
+        SELECT cs_quantity, cs_list_price
+        FROM catalog_sales, date_dim
+        WHERE cs_sold_date_sk = d_date_sk AND d_year BETWEEN 1999 AND 2001
+        UNION ALL
+        SELECT ws_quantity, ws_list_price
+        FROM web_sales, date_dim
+        WHERE ws_sold_date_sk = d_date_sk AND d_year BETWEEN 1999 AND 2001) x)
+SELECT this_year.channel AS ty_channel, this_year.i_brand_id AS ty_brand,
+       this_year.i_class_id AS ty_class, this_year.i_category_id AS ty_category,
+       CAST(this_year.sales AS DOUBLE) AS ty_sales,
+       this_year.number_sales AS ty_number_sales,
+       last_year.channel AS ly_channel, last_year.i_brand_id AS ly_brand,
+       last_year.i_class_id AS ly_class, last_year.i_category_id AS ly_category,
+       CAST(last_year.sales AS DOUBLE) AS ly_sales,
+       last_year.number_sales AS ly_number_sales
+FROM (SELECT 'store' AS channel, i_brand_id, i_class_id, i_category_id,
+             sum(ss_quantity * ss_list_price) AS sales, count(*) AS number_sales
+      FROM store_sales, item, date_dim
+      WHERE ss_item_sk IN (SELECT ss_item_sk FROM cross_items)
+        AND ss_item_sk = i_item_sk AND ss_sold_date_sk = d_date_sk
+        AND d_week_seq = (SELECT d_week_seq FROM date_dim
+                          WHERE d_year = 2001 AND d_moy = 11 AND d_dom = 11)
+      GROUP BY i_brand_id, i_class_id, i_category_id
+      HAVING sum(ss_quantity * ss_list_price) > (SELECT average_sales FROM avg_sales)) this_year,
+     (SELECT 'store' AS channel, i_brand_id, i_class_id, i_category_id,
+             sum(ss_quantity * ss_list_price) AS sales, count(*) AS number_sales
+      FROM store_sales, item, date_dim
+      WHERE ss_item_sk IN (SELECT ss_item_sk FROM cross_items)
+        AND ss_item_sk = i_item_sk AND ss_sold_date_sk = d_date_sk
+        AND d_week_seq = (SELECT d_week_seq FROM date_dim
+                          WHERE d_year = 2000 AND d_moy = 11 AND d_dom = 11)
+      GROUP BY i_brand_id, i_class_id, i_category_id
+      HAVING sum(ss_quantity * ss_list_price) > (SELECT average_sales FROM avg_sales)) last_year
+WHERE this_year.i_brand_id = last_year.i_brand_id
+  AND this_year.i_class_id = last_year.i_class_id
+  AND this_year.i_category_id = last_year.i_category_id
+ORDER BY this_year.channel, this_year.i_brand_id, this_year.i_class_id,
+         this_year.i_category_id
+LIMIT 100"""),
+    "q23a" -> (Seq("store_sales", "catalog_sales", "web_sales", "item", "date_dim",
+                   "customer") ->
+      """
+WITH frequent_ss_items AS (
+  SELECT substr(i_item_desc, 1, 30) AS itemdesc, i_item_sk AS item_sk,
+         d_year AS soldyear, count(*) AS cnt
+  FROM store_sales, date_dim, item
+  WHERE ss_sold_date_sk = d_date_sk AND ss_item_sk = i_item_sk
+    AND d_year IN (2000, 2001, 2002)
+  GROUP BY substr(i_item_desc, 1, 30), i_item_sk, d_year
+  HAVING count(*) > 4),
+max_store_sales AS (
+  SELECT max(csales) AS tpcds_cmax
+  FROM (SELECT c_customer_sk, sum(ss_quantity * ss_sales_price) AS csales
+        FROM store_sales, customer, date_dim
+        WHERE ss_customer_sk = c_customer_sk AND ss_sold_date_sk = d_date_sk
+          AND d_year IN (2000, 2001, 2002)
+        GROUP BY c_customer_sk) x),
+best_ss_customer AS (
+  SELECT c_customer_sk, sum(ss_quantity * ss_sales_price) AS ssales
+  FROM store_sales, customer
+  WHERE ss_customer_sk = c_customer_sk
+  GROUP BY c_customer_sk
+  HAVING sum(ss_quantity * ss_sales_price) >
+         (50 / 100.0) * (SELECT * FROM max_store_sales))
+SELECT CAST(sum(sales) AS DOUBLE) AS total_sales
+FROM (SELECT cs_quantity * cs_list_price AS sales
+      FROM catalog_sales, date_dim
+      WHERE d_year = 2000 AND d_moy = 2 AND cs_sold_date_sk = d_date_sk
+        AND cs_item_sk IN (SELECT item_sk FROM frequent_ss_items)
+        AND cs_bill_customer_sk IN (SELECT c_customer_sk FROM best_ss_customer)
+      UNION ALL
+      SELECT ws_quantity * ws_list_price AS sales
+      FROM web_sales, date_dim
+      WHERE d_year = 2000 AND d_moy = 2 AND ws_sold_date_sk = d_date_sk
+        AND ws_item_sk IN (SELECT item_sk FROM frequent_ss_items)
+        AND ws_bill_customer_sk IN (SELECT c_customer_sk FROM best_ss_customer)) y
+LIMIT 100"""),
+    "q23b" -> (Seq("store_sales", "catalog_sales", "web_sales", "item", "date_dim",
+                   "customer") ->
+      """
+WITH frequent_ss_items AS (
+  SELECT substr(i_item_desc, 1, 30) AS itemdesc, i_item_sk AS item_sk,
+         d_year AS soldyear, count(*) AS cnt
+  FROM store_sales, date_dim, item
+  WHERE ss_sold_date_sk = d_date_sk AND ss_item_sk = i_item_sk
+    AND d_year IN (2000, 2001, 2002)
+  GROUP BY substr(i_item_desc, 1, 30), i_item_sk, d_year
+  HAVING count(*) > 4),
+max_store_sales AS (
+  SELECT max(csales) AS tpcds_cmax
+  FROM (SELECT c_customer_sk, sum(ss_quantity * ss_sales_price) AS csales
+        FROM store_sales, customer, date_dim
+        WHERE ss_customer_sk = c_customer_sk AND ss_sold_date_sk = d_date_sk
+          AND d_year IN (2000, 2001, 2002)
+        GROUP BY c_customer_sk) x),
+best_ss_customer AS (
+  SELECT c_customer_sk, sum(ss_quantity * ss_sales_price) AS ssales
+  FROM store_sales, customer
+  WHERE ss_customer_sk = c_customer_sk
+  GROUP BY c_customer_sk
+  HAVING sum(ss_quantity * ss_sales_price) >
+         (50 / 100.0) * (SELECT * FROM max_store_sales))
+SELECT c_last_name, c_first_name, CAST(sales AS DOUBLE) AS sales
+FROM (SELECT c_last_name, c_first_name, sum(cs_quantity * cs_list_price) AS sales
+      FROM catalog_sales, customer, date_dim
+      WHERE d_year = 2000 AND d_moy = 2 AND cs_sold_date_sk = d_date_sk
+        AND cs_item_sk IN (SELECT item_sk FROM frequent_ss_items)
+        AND cs_bill_customer_sk IN (SELECT c_customer_sk FROM best_ss_customer)
+        AND cs_bill_customer_sk = c_customer_sk
+      GROUP BY c_last_name, c_first_name
+      UNION ALL
+      SELECT c_last_name, c_first_name, sum(ws_quantity * ws_list_price) AS sales
+      FROM web_sales, customer, date_dim
+      WHERE d_year = 2000 AND d_moy = 2 AND ws_sold_date_sk = d_date_sk
+        AND ws_item_sk IN (SELECT item_sk FROM frequent_ss_items)
+        AND ws_bill_customer_sk IN (SELECT c_customer_sk FROM best_ss_customer)
+        AND ws_bill_customer_sk = c_customer_sk
+      GROUP BY c_last_name, c_first_name) y
+ORDER BY c_last_name, c_first_name, sales
+LIMIT 100"""),
+    "q24a" -> (Seq("store_sales", "store_returns", "store", "item", "customer",
+                   "customer_address") ->
+      """
+WITH ssales AS (
+  SELECT c_last_name, c_first_name, s_store_name, ca_state, s_state, i_color,
+         i_current_price, i_manager_id, i_units, i_size,
+         sum(ss_net_paid) AS netpaid
+  FROM store_sales, store_returns, store, item, customer, customer_address
+  WHERE ss_ticket_number = sr_ticket_number AND ss_item_sk = sr_item_sk
+    AND ss_customer_sk = c_customer_sk AND ss_item_sk = i_item_sk
+    AND ss_store_sk = s_store_sk AND c_current_addr_sk = ca_address_sk
+    AND c_birth_country <> upper(ca_country) AND s_zip = ca_zip
+    AND s_market_id = 9
+  GROUP BY c_last_name, c_first_name, s_store_name, ca_state, s_state, i_color,
+           i_current_price, i_manager_id, i_units, i_size)
+SELECT c_last_name, c_first_name, s_store_name,
+       CAST(sum(netpaid) AS DOUBLE) AS paid
+FROM ssales
+WHERE i_color = 'color1'
+GROUP BY c_last_name, c_first_name, s_store_name
+HAVING sum(netpaid) * 20 * (SELECT count(*) FROM ssales)
+       > (SELECT sum(netpaid) FROM ssales)
+ORDER BY c_last_name, c_first_name, s_store_name"""),
+    "q24b" -> (Seq("store_sales", "store_returns", "store", "item", "customer",
+                   "customer_address") ->
+      """
+WITH ssales AS (
+  SELECT c_last_name, c_first_name, s_store_name, ca_state, s_state, i_color,
+         i_current_price, i_manager_id, i_units, i_size,
+         sum(ss_net_paid) AS netpaid
+  FROM store_sales, store_returns, store, item, customer, customer_address
+  WHERE ss_ticket_number = sr_ticket_number AND ss_item_sk = sr_item_sk
+    AND ss_customer_sk = c_customer_sk AND ss_item_sk = i_item_sk
+    AND ss_store_sk = s_store_sk AND c_current_addr_sk = ca_address_sk
+    AND c_birth_country <> upper(ca_country) AND s_zip = ca_zip
+    AND s_market_id = 9
+  GROUP BY c_last_name, c_first_name, s_store_name, ca_state, s_state, i_color,
+           i_current_price, i_manager_id, i_units, i_size)
+SELECT c_last_name, c_first_name, s_store_name,
+       CAST(sum(netpaid) AS DOUBLE) AS paid
+FROM ssales
+WHERE i_color = 'color7'
+GROUP BY c_last_name, c_first_name, s_store_name
+HAVING sum(netpaid) * 20 * (SELECT count(*) FROM ssales)
+       > (SELECT sum(netpaid) FROM ssales)
+ORDER BY c_last_name, c_first_name, s_store_name"""),
+    "q64" -> (Seq("catalog_sales", "catalog_returns", "store_sales", "store_returns",
+                  "date_dim", "store", "customer", "customer_demographics",
+                  "promotion", "household_demographics", "customer_address",
+                  "income_band", "item") ->
+      """
+WITH cs_ui AS (
+  SELECT cs_item_sk,
+         sum(cs_ext_list_price) AS sale,
+         sum(cr_refunded_cash + cr_reversed_charge + cr_store_credit) AS refund
+  FROM catalog_sales, catalog_returns
+  WHERE cs_item_sk = cr_item_sk AND cs_order_number = cr_order_number
+  GROUP BY cs_item_sk
+  HAVING sum(cs_ext_list_price) >
+         2 * sum(cr_refunded_cash + cr_reversed_charge + cr_store_credit)),
+cross_sales AS (
+  SELECT i_product_name AS product_name, i_item_sk AS item_sk,
+         s_store_name AS store_name, s_zip AS store_zip,
+         ad1.ca_street_number AS b_street_number, ad1.ca_street_name AS b_street_name,
+         ad1.ca_city AS b_city, ad1.ca_zip AS b_zip,
+         ad2.ca_street_number AS c_street_number, ad2.ca_street_name AS c_street_name,
+         ad2.ca_city AS c_city, ad2.ca_zip AS c_zip,
+         d1.d_year AS syear, d2.d_year AS fsyear, d3.d_year AS s2year,
+         count(*) AS cnt,
+         sum(ss_wholesale_cost) AS s1, sum(ss_list_price) AS s2,
+         sum(ss_coupon_amt) AS s3
+  FROM store_sales, store_returns, cs_ui, date_dim d1, date_dim d2, date_dim d3,
+       store, customer, customer_demographics cd1, customer_demographics cd2,
+       promotion, household_demographics hd1, household_demographics hd2,
+       customer_address ad1, customer_address ad2, income_band ib1, income_band ib2,
+       item
+  WHERE ss_store_sk = s_store_sk AND ss_sold_date_sk = d1.d_date_sk
+    AND ss_customer_sk = c_customer_sk AND ss_cdemo_sk = cd1.cd_demo_sk
+    AND ss_hdemo_sk = hd1.hd_demo_sk AND ss_addr_sk = ad1.ca_address_sk
+    AND ss_item_sk = i_item_sk AND ss_item_sk = sr_item_sk
+    AND ss_ticket_number = sr_ticket_number AND ss_item_sk = cs_ui.cs_item_sk
+    AND c_current_cdemo_sk = cd2.cd_demo_sk AND c_current_hdemo_sk = hd2.hd_demo_sk
+    AND c_current_addr_sk = ad2.ca_address_sk AND c_first_sales_date_sk = d2.d_date_sk
+    AND c_first_shipto_date_sk = d3.d_date_sk AND ss_promo_sk = p_promo_sk
+    AND hd1.hd_income_band_sk = ib1.ib_income_band_sk
+    AND hd2.hd_income_band_sk = ib2.ib_income_band_sk
+    AND cd1.cd_marital_status = cd2.cd_marital_status
+    AND i_color IN ('color1', 'color3', 'color5', 'color7', 'color9', 'color11')
+    AND i_current_price BETWEEN 10 AND 60
+    AND i_current_price BETWEEN 11 AND 65
+  GROUP BY i_product_name, i_item_sk, s_store_name, s_zip, ad1.ca_street_number,
+           ad1.ca_street_name, ad1.ca_city, ad1.ca_zip, ad2.ca_street_number,
+           ad2.ca_street_name, ad2.ca_city, ad2.ca_zip, d1.d_year, d2.d_year,
+           d3.d_year)
+SELECT cs1.product_name, cs1.store_name, cs1.store_zip, cs1.b_street_number,
+       cs1.b_street_name, cs1.b_city, cs1.b_zip, cs1.c_street_number,
+       cs1.c_street_name, cs1.c_city, cs1.c_zip,
+       cs1.syear AS syear1, cs1.cnt AS cnt1,
+       CAST(cs1.s1 AS DOUBLE) AS s11, CAST(cs1.s2 AS DOUBLE) AS s21,
+       CAST(cs1.s3 AS DOUBLE) AS s31,
+       CAST(cs2.s1 AS DOUBLE) AS s12, CAST(cs2.s2 AS DOUBLE) AS s22,
+       CAST(cs2.s3 AS DOUBLE) AS s32,
+       cs2.syear AS syear2, cs2.cnt AS cnt2
+FROM cross_sales cs1, cross_sales cs2
+WHERE cs1.item_sk = cs2.item_sk AND cs1.syear = 2000 AND cs2.syear = 2001
+  AND cs2.cnt <= cs1.cnt AND cs1.store_name = cs2.store_name
+  AND cs1.store_zip = cs2.store_zip
+ORDER BY cs1.product_name, cs1.store_name, cnt2, s11, s12""")
   )
 }
