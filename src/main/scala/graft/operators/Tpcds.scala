@@ -77,6 +77,15 @@ object Tpcds {
 
   private val built = scala.collection.concurrent.TrieMap.empty[String, Boolean]
 
+  /** Loaded-table cache keyed on (session UUID, fixture root): re-binding
+    * the temp views on every call is deliberate (the TPC-H family owns
+    * colliding names like `customer`), but re-reading 24 parquet footers
+    * per call is not — at bench cadence that read dominated the per-query
+    * cost. `createOrReplaceTempView` over a cached DataFrame is catalog-
+    * only. Keyed on `sessionUUID` (not identity hash) per round-6 ADVICE. */
+  private val loaded = scala.collection.concurrent.TrieMap
+    .empty[(String, String), Map[String, DataFrame]]
+
   /** Materialize all 24 tables as parquet once per JVM (the data is
     * dir-independent), then register them as temp views — on EVERY call,
     * exactly like [[graft.Tables.registerAll]]: `customer` collides
@@ -95,9 +104,15 @@ object Tpcds {
       }
       true
     })
-    TpcdsFixture.tableSql.keys.foreach { name =>
-      s.read.parquet(s"$root/$name").createOrReplaceTempView(name)
-    }
+    // sessionUUID is private[sql] at the Scala level but public in
+    // bytecode; same reflective read as Bucketing.ensureBucketed.
+    val uuid =
+      try s.getClass.getMethod("sessionUUID").invoke(s).toString
+      catch { case _: ReflectiveOperationException =>
+        String.valueOf(System.identityHashCode(s)) }
+    loaded.getOrElseUpdate((uuid, root),
+      TpcdsFixture.tableSql.keys.map(n => n -> s.read.parquet(s"$root/$n")).toMap
+    ).foreach { case (name, df) => df.createOrReplaceTempView(name) }
   }
 
   private def run(q: String)(s: SparkSession, dir: String): DataFrame = {

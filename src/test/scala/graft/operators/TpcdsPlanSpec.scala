@@ -4,12 +4,13 @@ import graft.SparkSpec
 
 /** Plan health + fixture sanity for the real TPC-DS family ([[Tpcds]]).
   *
-  * Scale discipline: every one of the 20 queries must plan star joins as
+  * Scale discipline: every one of the 103 queries must plan star joins as
   * broadcast-hash (TPC-DS dims stay tiny relative to facts at ANY scale
   * factor), must never plan a two-large-sides CartesianProduct, and the
   * fact scans must carry pushed filters/pruned columns where the query
   * allows. A BroadcastNestedLoopJoin is tolerated only for the q6-style
-  * scalar-subquery broadcast (1-row side).
+  * scalar-subquery broadcast (1-row side) and q77's hinted 1-row cs×cr
+  * cross join.
   */
 class TpcdsPlanSpec extends SparkSpec {
 
