@@ -53,6 +53,11 @@ object Partitioning {
       else df.repartition(parallelism)
     }
 
+  /** Flink's `global()` verb: route EVERYTHING to one task. Faithful
+    * mapping, and exactly as much of a scale-killer as the original —
+    * diagnostic / tiny-result use only, never in a production plan at
+    * scale (one partition = one core and one spill domain for the whole
+    * dataset). */
   def global(df: DataFrame): DataFrame = df.coalesce(1)
 
   def broadcastDim(fact: DataFrame, dim: DataFrame, keys: Seq[String]): DataFrame =

@@ -18,7 +18,7 @@ import java.nio.file.{Files, Paths}
   *    (peers aggregate together, so ties cannot reorder results);
   *  - every computed column aliased (auto-generated names differ).
   *
-  * 13 families: filters, aggregates, single-table windows, joins (incl.
+  * 19 families: filters, aggregates, single-table windows, joins (incl.
   * semi/anti via IN/NOT EXISTS), set ops, expression projections, derived
   * group keys, uncorrelated scalar subqueries, ROLLUP, FULL OUTER joins,
   * shared CTEs, CORRELATED subqueries (select-list scalar / predicate
@@ -212,7 +212,7 @@ class DifferentialFuzzSpec extends SparkSpec {
         s"WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE ${pred(r, tables(2))})"
     case 4 =>
       s"SELECT o_orderkey FROM orders o WHERE NOT EXISTS " +
-        s"(SELECT 1 FROM lineitem WHERE l_orderkey = o.o_orderkey AND ${pred(r, tables(0))})"
+        s"(SELECT 1 FROM lineitem WHERE l_orderkey = o.o_orderkey AND (${pred(r, tables(0))}))"
   }
 
   /** expression-heavy projections: CASE WHEN buckets, string functions,
@@ -303,20 +303,20 @@ class DifferentialFuzzSpec extends SparkSpec {
   private def qCorrSub(r: scala.util.Random): String = r.nextInt(4) match {
     case 0 => // correlated scalar in the SELECT list (NULL when no match)
       s"SELECT c_custkey, (SELECT CAST(min(o_orderkey) AS BIGINT) FROM orders " +
-        s"WHERE o_custkey = c.c_custkey AND ${pred(r, tables(1))}) AS mo " +
+        s"WHERE o_custkey = c.c_custkey AND (${pred(r, tables(1))})) AS mo " +
         s"FROM customer c WHERE ${pred(r, tables(2))}"
     case 1 => // correlated scalar in the predicate
       s"SELECT l_orderkey, l_linenumber FROM lineitem l " +
         s"WHERE l_partkey = (SELECT max(l2.l_partkey) FROM lineitem l2 " +
-        s"WHERE l2.l_orderkey = l.l_orderkey AND ${pred(r, tables(0))})"
+        s"WHERE l2.l_orderkey = l.l_orderkey AND (${pred(r, tables(0))}))"
     case 2 => // correlated EXISTS with an extra uncorrelated conjunct
       s"SELECT o_orderkey, o_orderstatus FROM orders o WHERE EXISTS " +
-        s"(SELECT 1 FROM lineitem WHERE l_orderkey = o.o_orderkey AND ${pred(r, tables(0))}) " +
+        s"(SELECT 1 FROM lineitem WHERE l_orderkey = o.o_orderkey AND (${pred(r, tables(0))})) " +
         s"AND ${pred(r, tables(1))}"
     case 3 => // correlated count compared against a column
       s"SELECT c_custkey FROM customer c WHERE " +
         s"(SELECT count(*) FROM orders WHERE o_custkey = c.c_custkey " +
-        s"AND ${pred(r, tables(1))}) >= ${1 + r.nextInt(3)}"
+        s"AND (${pred(r, tables(1))})) >= ${1 + r.nextInt(3)}"
   }
 
   /** WINDOW over a JOIN result — window functions above a shuffled join,
@@ -340,9 +340,44 @@ class DifferentialFuzzSpec extends SparkSpec {
         s"FROM orders JOIN customer ON o_custkey = c_custkey WHERE ${pred(r, tables(1))}"
   }
 
+  /** Disjunctive / conjunctive multi-EXISTS — the q10/q35/q69 TPC-DS shape:
+    * Catalyst must decorrelate existential subqueries UNDER a disjunction
+    * (rewritten through ExistenceJoin, not a plain semi/anti join) and
+    * stacked NOT-EXISTS conjunctions (multiple anti joins). The single-
+    * EXISTS qCorrSub case never forces either path.
+    *
+    * Engine divergence found by this family (documented, grammar avoids):
+    * when the subquery's own predicate is a disjunction left
+    * UN-parenthesized — `EXISTS(... WHERE corr = x AND a OR b)` parses as
+    * `(corr AND a) OR b`, i.e. the correlation itself sits under OR —
+    * DuckDB executes it, Spark 4.1 aborts with an internal `None.get`
+    * during decorrelation instead of a proper unsupported-subquery error.
+    * All generated inner predicates are therefore parenthesized, which
+    * keeps the correlated conjunct top-level (the only shape the SQL
+    * engines agree to decorrelate). */
+  private def qMultiExists(r: scala.util.Random): String = r.nextInt(4) match {
+    case 0 => // OR of two correlated EXISTS (ExistenceJoin, not semi)
+      s"SELECT c_custkey FROM customer c WHERE " +
+        s"EXISTS (SELECT 1 FROM orders WHERE o_custkey = c.c_custkey AND (${pred(r, tables(1))})) " +
+        s"OR EXISTS (SELECT 1 FROM orders WHERE o_custkey = c.c_custkey AND (${pred(r, tables(1))}))"
+    case 1 => // EXISTS AND (EXISTS OR EXISTS) — the q10 profile shape
+      s"SELECT o_orderkey, o_orderstatus FROM orders o WHERE " +
+        s"EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o.o_orderkey AND (${pred(r, tables(0))})) " +
+        s"AND (EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o.o_orderkey AND (${pred(r, tables(0))})) " +
+        s"OR EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o.o_orderkey AND (${pred(r, tables(0))})))"
+    case 2 => // stacked NOT EXISTS conjunction — the q69 shape (two anti joins)
+      s"SELECT c_custkey FROM customer c WHERE ${pred(r, tables(2))} " +
+        s"AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c.c_custkey AND (${pred(r, tables(1))})) " +
+        s"AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c.c_custkey AND (${pred(r, tables(1))}))"
+    case 3 => // EXISTS OR NOT EXISTS — mixed-polarity disjunction
+      s"SELECT o_orderkey FROM orders o WHERE " +
+        s"EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o.o_orderkey AND (${pred(r, tables(0))})) " +
+        s"OR NOT EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o.o_orderkey AND (${pred(r, tables(0))}))"
+  }
+
   private def gen(r: scala.util.Random, i: Int): String = {
     val t = pick(r, tables)
-    i % 18 match {
+    i % 19 match {
       case 0 | 1 | 2 => qFilter(r, t)
       case 3 | 4 | 5 => qAgg(r, t)
       case 6 | 7 => qWindow(r, t)
@@ -352,6 +387,7 @@ class DifferentialFuzzSpec extends SparkSpec {
       case 15 => qCte(r, t)
       case 16 => qCorrSub(r)
       case 17 => qWinJoin(r)
+      case 18 => qMultiExists(r)
       case 9 => qSetOp(r, t)
       case 10 => qExpr(r, t)
       case 11 => qGroupExpr(r, t)
@@ -371,7 +407,7 @@ class DifferentialFuzzSpec extends SparkSpec {
     // exploratory corpus (a diff under ANY seed is a real bug to keep)
     val seed = sys.props.get("graft.fuzz.seed")
       .orElse(sys.env.get("GRAFT_FUZZ_SEED")).map(_.toLong).getOrElse(20260813L)
-    println(s"[fuzz] seed=$seed families=18 n=$N")
+    println(s"[fuzz] seed=$seed families=19 n=$N")
     val r = new scala.util.Random(seed)
     val queries = (0 until N).map(i => (f"fuzz_$i%03d", gen(r, i)))
 
