@@ -281,6 +281,43 @@ object Dedup {
     }
   }
 
+  /** SemDeDup-shape semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
+    * k-means-cluster the embedding space, then search for near-duplicates
+    * ONLY within a cluster and keep one representative per duplicate set.
+    * This is the standard web-scale trade: the quadratic pairwise step is
+    * bounded by cluster size (raise k as the corpus grows — pairwise work
+    * per cluster stays constant), and cross-cluster pairs are never
+    * considered by construction. Centroids = the first 8 vectors (the
+    * deterministic k-means|| stand-in shared with Similarity.kmeansStep);
+    * assignment is a broadcast(k)×scan L2-argmin, the candidate join is
+    * keyed on the cluster id (one shuffle, no all-pairs), and the greedy
+    * keep rule is "lowest vec_id survives" — a vector is dropped iff a
+    * lower-id same-cluster vector sits at cosine ≥ 0.45. */
+  private def semantic(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("norm", sqrt(call_function("dot_f64", col("v"), col("v"))))
+    val cent = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("v").as("cv"), col("norm").as("cn"))
+    val d2 = col("norm") * col("norm") + col("cn") * col("cn") -
+      lit(2.0) * call_function("dot_f64", col("v"), col("cv"))
+    val assigned = e.crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("cid"), d2.as("d2"))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("d2"), col("cid"))).as("m"))
+      .select(col("vec_id"), col("m.cid").as("cid"))
+    val m = e.join(assigned, "vec_id")
+    val dropped = m.as("x").join(m.as("y"),
+        col("x.cid") === col("y.cid") && col("x.vec_id") < col("y.vec_id"))
+      .filter(call_function("dot_f64", col("x.v"), col("y.v")) /
+        (col("x.norm") * col("y.norm")) >= 0.45)
+      .select(col("y.vec_id").as("dup_id"))
+      .distinct()
+    m.join(dropped, m("vec_id") === dropped("dup_id"), "left_anti")
+      .select(col("vec_id"), col("cid"))
+      .orderBy(col("vec_id"))
+  }
+
   /** Duplicate-cluster resolution: near-dup similarity is not transitive,
     * so the standard pipeline (Broder-style web dedup; the reference's
     * batch dedup keeps first-per-key the same way,
@@ -507,6 +544,7 @@ object Dedup {
     "dedup_minhash_lsh" -> (minhashLsh _),
     "dedup_simhash" -> (simhash _),
     "dedup_embedding" -> (embeddingCosine _),
+    "dedup_semantic" -> (semantic _),
     "dedup_clusters" -> (clusters _),
     "dedup_substring" -> (duplicatedSpans _),
     "dedup_split_leakage" -> (splitAssign _)
@@ -689,6 +727,31 @@ object Dedup {
          FROM cand JOIN n a ON i = a.vec_id JOIN n b ON j = b.vec_id
          WHERE ${dot("a.v", "b.v")} / (a.nrm * b.nrm) >= 0.45
          ORDER BY i, j"""
+    },
+    // replicates the SemDeDup pipeline: same first-8 centroids, same
+    // sequential-fold dots, same lowest-id-survives greedy rule
+    "dedup_semantic" -> {
+      val dot = (a: String, b: String) =>
+        s"list_reduce(list_prepend(0.0, list_transform(range(1, 65), k -> $a[k] * $b[k])), (acc,x) -> acc + x)"
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         n AS (SELECT vec_id, v,
+                 sqrt(list_reduce(list_prepend(0.0, list_transform(v, x -> x*x)), (a,x) -> a + x)) AS nrm
+               FROM e),
+         cent AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM n WHERE vec_id < 8),
+         d AS (SELECT e2.vec_id, c.cid,
+                 e2.nrm * e2.nrm + c.cn * c.cn - 2.0 * ${dot("e2.v", "c.cv")} AS d2
+               FROM n e2 CROSS JOIN cent c),
+         a AS (SELECT vec_id, cid FROM (
+                 SELECT vec_id, cid,
+                        row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+                 FROM d) WHERE rn = 1),
+         m AS (SELECT n.vec_id, n.v, n.nrm, a.cid FROM n JOIN a USING (vec_id)),
+         dup AS (SELECT DISTINCT y.vec_id AS dup_id
+                 FROM m x JOIN m y ON x.cid = y.cid AND x.vec_id < y.vec_id
+                 WHERE ${dot("x.v", "y.v")} / (x.nrm * y.nrm) >= 0.45)
+         SELECT vec_id, cid FROM m
+         WHERE vec_id NOT IN (SELECT dup_id FROM dup)
+         ORDER BY vec_id"""
     },
     "dedup_substring" ->
       s"""WITH t AS (SELECT doc_id,

@@ -71,6 +71,18 @@ class PlanShapeSpec extends SparkSpec {
       "embedding near-dup must bucket by hyperplane signature, not compare all pairs")
   }
 
+  test("dedup_semantic: pairwise search confined to k-means clusters") {
+    val plan = executed(pipeline.Dedup.queries("dedup_semantic")(spark, sf)).toString
+    // exactly one broadcast-NLJ is legal: the k-row centroid assignment.
+    // The PAIRWISE join must be hash-keyed on the cluster id — a second
+    // NLJ or a cartesian would mean the SemDeDup cluster bound is gone
+    // and the search went quadratic in the corpus.
+    assert(!plan.contains("CartesianProduct"), "semantic dedup went all-pairs")
+    val nlj = "BroadcastNestedLoopJoin".r.findAllIn(plan).size
+    assert(nlj <= 1, s"expected only the centroid-assignment NLJ, got $nlj")
+    assert(plan.contains("cid"), "pairwise join must key on the cluster id")
+  }
+
   test("dedup_simhash: candidate join keyed on signature bit-bands") {
     val df = pipeline.Dedup.queries("dedup_simhash")(spark, sf)
     val plan = executed(df).toString
