@@ -49,6 +49,33 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Model-based quality filter — the fastText-style hashed linear
+    * classifier shape every modern curation pipeline runs (DCLM's fastText
+    * filter, FineWeb-Edu's scorer): hashing-trick features (poly_hash mod
+    * 64 buckets), a fixed weight vector, mean-pooled bag-of-words logit,
+    * keep-if-positive. The WEIGHTS here are a deterministic stand-in
+    * (w_b = ((b·37) mod 21 − 10)/10 — the sandbox trains no model), but
+    * the execution shape is the real one: a pure per-row codegen
+    * projection over the scan, no shuffle, model broadcast-free because
+    * it is an expression. The squash is algebraic (z/(1+|z|)) rather than
+    * the logistic exp — bit-identical across engines where libm exp is
+    * not. Sequential fold over the token list keeps the double sum
+    * order-identical in both engines. */
+  private def qualityModel(s: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    val z = aggregate(toks, lit(0.0), (acc, t) =>
+        acc + (call_function("poly_hash", t) % 64 * 37 % 21 - 10)
+          .cast("double") / 10.0) /
+      size(toks) - 0.05
+    Tables.load(s, dir, "documents")
+      .withColumn("zt", z)
+      .select(col("doc_id"),
+        round(col("zt"), 6).as("logit"),
+        round(col("zt") / (lit(1.0) + abs(col("zt"))), 6).as("score"),
+        (col("zt") >= 0).cast("int").as("kept"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Language id, n-gram/marker-word heuristic: score each candidate
     * language by its marker-token hits, argmax with a fixed tiebreak order.
     * (The text corpus is synthetic, so this exercises the *machinery* —
@@ -237,6 +264,7 @@ object TextAnalysis {
   def queries: Map[String, QFn] = Map(
     "text_token_count" -> (tokenCount _),
     "text_quality" -> (quality _),
+    "text_quality_model" -> (qualityModel _),
     "text_langid" -> (langId _),
     "text_fingerprint" -> (fingerprint _),
     "text_tfidf" -> (tfidf _),
@@ -267,6 +295,17 @@ object TextAnalysis {
             round(div_r, 6) AS diversity, round(len_s, 6) AS len_score,
             round(len_s * 0.4 + stop_r * 0.2 + div_r * 0.4, 6) AS quality
           FROM r ORDER BY doc_id""",
+    "text_quality_model" ->
+      s"""WITH t AS (SELECT doc_id, $tokensSql AS toks FROM documents),
+          z AS (SELECT doc_id,
+            list_reduce(list_prepend(0.0, list_transform(toks, w ->
+              CAST((list_reduce(list_prepend(0, list_transform(string_split(w, ''), c -> CAST(ascii(c) AS BIGINT))), (a, x) -> (a * 31 + x) % 1000000007) % 64 * 37) % 21 - 10 AS DOUBLE) / 10.0)),
+              (a, x) -> a + x) / len(toks) - 0.05 AS zt
+          FROM t)
+          SELECT doc_id, round(zt, 6) AS logit,
+            round(zt / (1.0 + abs(zt)), 6) AS score,
+            CAST(zt >= 0 AS INT) AS kept
+          FROM z ORDER BY doc_id""",
     "text_langid" ->
       s"""WITH t AS (SELECT doc_id, lang, $tokensSql AS toks FROM documents),
           sc AS (SELECT doc_id, lang,
