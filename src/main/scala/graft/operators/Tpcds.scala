@@ -44,7 +44,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *   - integer-sum outputs carry `CAST(... AS BIGINT)` because DuckDB
   *     widens integer sums to HUGEINT (pandas float64 — q78/q83);
   *   - every ORDER BY under a LIMIT carries a full tiebreak so the kept
-  *     prefix is engine-independent.
+  *     prefix is engine-independent; tiebreaks live ONLY on the outer
+  *     ORDER BY, never inside a rank()/row_number() window's ordering —
+  *     extra keys there would change the computed rank VALUES whenever
+  *     the published ordering ties (per round-7 ADVICE on q70/q86).
   *
   * Fixture-scale parameter adaptations (the synthetic tables are ~1000×
   * smaller than sf1, and the modular generators impose residue structure
@@ -82,9 +85,13 @@ object Tpcds {
     * colliding names like `customer`), but re-reading 24 parquet footers
     * per call is not — at bench cadence that read dominated the per-query
     * cost. `createOrReplaceTempView` over a cached DataFrame is catalog-
-    * only. Keyed on `sessionUUID` (not identity hash) per round-6 ADVICE. */
+    * only. Keyed on `sessionUUID` (not identity hash) per round-6 ADVICE.
+    * Entries whose session has stopped are evicted on the next call so a
+    * long-lived JVM creating many sessions (test suites, repeated
+    * GraftSession builds) cannot accumulate an unbounded map of DataFrames
+    * pinned to dead sessions (round-7 ADVICE). */
   private val loaded = scala.collection.concurrent.TrieMap
-    .empty[(String, String), Map[String, DataFrame]]
+    .empty[(String, String), (SparkSession, Map[String, DataFrame])]
 
   /** Materialize all 24 tables as parquet once per JVM (the data is
     * dir-independent), then register them as temp views — on EVERY call,
@@ -110,9 +117,10 @@ object Tpcds {
       try s.getClass.getMethod("sessionUUID").invoke(s).toString
       catch { case _: ReflectiveOperationException =>
         String.valueOf(System.identityHashCode(s)) }
+    loaded.filterInPlace { case (_, (sess, _)) => !sess.sparkContext.isStopped }
     loaded.getOrElseUpdate((uuid, root),
-      TpcdsFixture.tableSql.keys.map(n => n -> s.read.parquet(s"$root/$n")).toMap
-    ).foreach { case (name, df) => df.createOrReplaceTempView(name) }
+      s -> TpcdsFixture.tableSql.keys.map(n => n -> s.read.parquet(s"$root/$n")).toMap
+    )._2.foreach { case (name, df) => df.createOrReplaceTempView(name) }
   }
 
   private def run(q: String)(s: SparkSession, dir: String): DataFrame = {

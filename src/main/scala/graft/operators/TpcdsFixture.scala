@@ -874,8 +874,7 @@ SELECT CAST(sum(ss_net_profit) AS DOUBLE) / CAST(sum(ss_ext_sales_price) AS DOUB
        rank() OVER (
          PARTITION BY grouping(i_category) + grouping(i_class),
                       CASE WHEN grouping(i_class) = 0 THEN i_category END
-         ORDER BY CAST(sum(ss_net_profit) AS DOUBLE) / CAST(sum(ss_ext_sales_price) AS DOUBLE) ASC,
-                  i_category ASC NULLS FIRST, i_class ASC NULLS FIRST) AS rank_within_parent
+         ORDER BY CAST(sum(ss_net_profit) AS DOUBLE) / CAST(sum(ss_ext_sales_price) AS DOUBLE) ASC) AS rank_within_parent
 FROM store_sales, date_dim d1, item, store
 WHERE d1.d_year = 2001 AND d1.d_date_sk = ss_sold_date_sk
   AND i_item_sk = ss_item_sk AND s_store_sk = ss_store_sk
@@ -903,7 +902,7 @@ FROM (SELECT manufact_id, sum_sales, sum_sales_dec,
                 OR (i_category IN ('Women', 'Music', 'Men')
                     AND i_class IN ('class8', 'class9', 'class10')))
             GROUP BY i_manufact_id, d_qoy) tmp1) tmp2
-WHERE total > 0 AND 10 * abs(sum_sales_dec * cnt - total) > total * cnt
+WHERE total > 0 AND 10 * abs(sum_sales_dec * cnt - total) > total
 ORDER BY manufact_id, sum_sales
 LIMIT 100"""),
     "q59" -> (Seq("store_sales", "date_dim", "store") ->
@@ -1025,7 +1024,7 @@ FROM (SELECT i_category, i_class, i_brand, s_store_name, s_company_id, d_moy,
                     AND i_class IN ('class2', 'class5', 'class11')))
             GROUP BY i_category, i_class, i_brand, s_store_name, s_company_id,
                      d_moy) tmp1) tmp2
-WHERE total > 0 AND 10 * abs(sum_sales_dec * cnt - total) > total * cnt
+WHERE total > 0 AND 10 * abs(sum_sales_dec * cnt - total) > total
 ORDER BY CAST(total AS DOUBLE) / cnt - sum_sales, s_store_name, i_category,
          i_class, i_brand, d_moy
 LIMIT 100"""),
@@ -1872,7 +1871,7 @@ SELECT i_category, i_brand, s_store_name, s_company_id, d_year, d_moy,
        sum_sales, CAST(total AS DOUBLE) / cnt AS avg_monthly_sales, psum, nsum
 FROM v2
 WHERE d_year = 2000 AND total > 0
-  AND 10 * abs(sum_sales_dec * cnt - total) > total * cnt
+  AND 10 * abs(sum_sales_dec * cnt - total) > total
 ORDER BY CAST(total AS DOUBLE) / cnt - sum_sales, s_store_name, i_category,
          i_brand, s_company_id, d_year, d_moy
 LIMIT 100"""),
@@ -1940,7 +1939,7 @@ SELECT i_category, i_brand, cc_name, d_year, d_moy, sum_sales,
        CAST(total AS DOUBLE) / cnt AS avg_monthly_sales, psum, nsum
 FROM v2
 WHERE d_year = 2000 AND total > 0
-  AND 10 * abs(sum_sales_dec * cnt - total) > total * cnt
+  AND 10 * abs(sum_sales_dec * cnt - total) > total
 ORDER BY CAST(total AS DOUBLE) / cnt - sum_sales, cc_name, i_category,
          i_brand, d_year, d_moy
 LIMIT 100"""),
@@ -2026,7 +2025,7 @@ FROM (SELECT i_manager_id, sum_sales, sum_sales_dec,
                 OR (i_category IN ('Women', 'Music', 'Men')
                     AND i_class IN ('class8', 'class9', 'class10')))
             GROUP BY i_manager_id, d_moy) tmp1) tmp2
-WHERE total > 0 AND 10 * abs(sum_sales_dec * cnt - total) > total * cnt
+WHERE total > 0 AND 10 * abs(sum_sales_dec * cnt - total) > total
 ORDER BY i_manager_id, avg_monthly_sales, sum_sales
 LIMIT 100"""),
     "q86" -> (Seq("web_sales", "date_dim", "item") ->
@@ -2036,8 +2035,7 @@ SELECT CAST(sum(ws_net_paid) AS DOUBLE) AS total_sum, i_category, i_class,
        rank() OVER (
          PARTITION BY grouping(i_category) + grouping(i_class),
                       CASE WHEN grouping(i_class) = 0 THEN i_category END
-         ORDER BY sum(ws_net_paid) DESC,
-                  i_category ASC NULLS FIRST, i_class ASC NULLS FIRST) AS rank_within_parent
+         ORDER BY sum(ws_net_paid) DESC) AS rank_within_parent
 FROM web_sales, date_dim d1, item
 WHERE d1.d_month_seq BETWEEN 360 AND 371
   AND d1.d_date_sk = ws_sold_date_sk AND i_item_sk = ws_item_sk
@@ -2052,8 +2050,7 @@ SELECT CAST(sum(ss_net_profit) AS DOUBLE) AS total_sum, s_state, s_county,
        rank() OVER (
          PARTITION BY grouping(s_state) + grouping(s_county),
                       CASE WHEN grouping(s_county) = 0 THEN s_state END
-         ORDER BY sum(ss_net_profit) DESC,
-                  s_state ASC NULLS FIRST, s_county ASC NULLS FIRST) AS rank_within_parent
+         ORDER BY sum(ss_net_profit) DESC) AS rank_within_parent
 FROM store_sales, date_dim d1, store
 WHERE d1.d_month_seq BETWEEN 360 AND 371
   AND d1.d_date_sk = ss_sold_date_sk AND s_store_sk = ss_store_sk

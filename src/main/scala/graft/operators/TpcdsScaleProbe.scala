@@ -30,7 +30,14 @@ object TpcdsScaleProbe {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val root = s"target/tpcds_scale/x$mult"
+    // Content-addressed like Tpcds.root: a fixture-schema change must
+    // invalidate pre-existing scale dirs instead of silently reusing a
+    // stale schema (round-7 ADVICE — new catalog_returns columns would
+    // otherwise mis-run q64/q91 against old parquet).
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(TpcdsFixture.tableSql.toSeq.sortBy(_._1).mkString.getBytes("UTF-8"))
+      .take(6).map(b => f"$b%02x").mkString
+    val root = s"target/tpcds_scale/$digest/x$mult"
     TpcdsFixture.tableSql.foreach { case (name, sql) =>
       val scaled = facts.get(name).fold(sql) { n =>
         val from = s"range($n)"

@@ -35,10 +35,14 @@ object TextAnalysis {
     * single score (all exact integer ratios → deterministic doubles). */
   private def quality(s: SparkSession, dir: String): DataFrame = {
     val toks = tokens(col("text"))
-    val nTok = size(toks).cast("double")
+    // nullif guard: for a zero-token document Spark's non-ANSI x/0 yields
+    // NULL while DuckDB float division yields inf/NaN — nullif makes both
+    // engines agree (NULL) by construction (round-7 ADVICE; same as q75).
+    // lenScore divides by the literal 50, not by the count — unguarded.
+    val nTok = nullif(size(toks), lit(0)).cast("double")
     val stopRatio = size(filter(toks, t => t.isin(Stopwords: _*))).cast("double") / nTok
     val diversity = size(array_distinct(toks)).cast("double") / nTok
-    val lenScore = least(nTok / 50.0, lit(1.0))
+    val lenScore = least(size(toks).cast("double") / 50.0, lit(1.0))
     Tables.load(s, dir, "documents")
       .select(
         col("doc_id"),
@@ -66,7 +70,7 @@ object TextAnalysis {
     val z = aggregate(toks, lit(0.0), (acc, t) =>
         acc + (call_function("poly_hash", t) % 64 * 37 % 21 - 10)
           .cast("double") / 10.0) /
-      size(toks) - 0.05
+      nullif(size(toks), lit(0)) - 0.05
     Tables.load(s, dir, "documents")
       .withColumn("zt", z)
       .select(col("doc_id"),
@@ -287,8 +291,8 @@ object TextAnalysis {
     "text_quality" ->
       s"""WITH t AS (SELECT doc_id, $tokensSql AS toks FROM documents),
           r AS (SELECT doc_id,
-            CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is'))) AS DOUBLE) / len(toks) AS stop_r,
-            CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS div_r,
+            CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is'))) AS DOUBLE) / nullif(len(toks), 0) AS stop_r,
+            CAST(len(list_distinct(toks)) AS DOUBLE) / nullif(len(toks), 0) AS div_r,
             least(len(toks) / 50.0, 1.0) AS len_s
           FROM t)
           SELECT doc_id, round(stop_r, 6) AS stopword_ratio,
@@ -300,7 +304,7 @@ object TextAnalysis {
           z AS (SELECT doc_id,
             list_reduce(list_prepend(0.0, list_transform(toks, w ->
               CAST((list_reduce(list_prepend(0, list_transform(string_split(w, ''), c -> CAST(ascii(c) AS BIGINT))), (a, x) -> (a * 31 + x) % 1000000007) % 64 * 37) % 21 - 10 AS DOUBLE) / 10.0)),
-              (a, x) -> a + x) / len(toks) - 0.05 AS zt
+              (a, x) -> a + x) / nullif(len(toks), 0) - 0.05 AS zt
           FROM t)
           SELECT doc_id, round(zt, 6) AS logit,
             round(zt / (1.0 + abs(zt)), 6) AS score,
