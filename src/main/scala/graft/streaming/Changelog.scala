@@ -253,9 +253,14 @@ object Changelog {
     * with a directory standing in for the topic. The RowKind contract
     * crossing each boundary is identical to the fused form.
     *
-    * The upsert sink is [[applyRankChanges]] over the rank changelog — a
-    * driver-side fold of at most O(n · updates) tiny rows, the documented
-    * sink mock. Output: the final top-3 value-decile buckets by total of
+    * The upsert sink is a `foreachBatch` keyed MERGE: each micro-batch of
+    * the rank changelog is reduced to its last change per (key, rnk) slot
+    * (window on the emission `seq`) and merged into a versioned parquet
+    * snapshot — untouched slots carried by anti-join, +I/+U slots
+    * overwritten, -D slots dropped. Every step is executor-side; the
+    * driver holds only the current snapshot PATH, never rows — the
+    * delta-style upsert-sink shape that scales with the slot count, not
+    * the churn. Output: the final top-3 value-decile buckets by total of
     * every user's LAST value — which the DuckDB oracle recomputes from
     * first principles (keep-last → bucket sums → top 3). */
   def qCdcPipeline(s: SparkSession, dir: String): DataFrame = {
@@ -287,13 +292,36 @@ object Changelog {
     val changes = runStage(keyedChangelog(rows), "cdc_changes")
     // stage 2: retracting per-bucket aggregate over the relayed changelog
     val aggLog = runStage(retractingAgg(relayStream(changes, "changes")), "cdc_agg")
-    // stage 3: retractable top-3 buckets over the aggregate's changelog
-    val rankLog = runStage(
-      retractableTopN(relayStream(aggLog, "agg"), 3), "cdc_rank")
-    // upsert sink: fold the rank changelog into the final rank table
-    val tbl = applyRankChanges(rankLog.collect().toIndexedSeq.sortBy(_.seq))
-    s.createDataset(tbl.toSeq.map { case ((_, rnk), (bucket, micros)) =>
-      (rnk, bucket, micros / 1e6)
-    }).toDF("rnk", "bucket", "total").orderBy("rnk")
+    // stage 3: retractable top-3 buckets over the aggregate's changelog,
+    // upsert-sunk via foreachBatch merge into a versioned parquet snapshot
+    val tableRoot = s"$relay/rank_table"
+    var snapshot: Option[String] = None
+    val q = retractableTopN(relayStream(aggLog, "agg"), 3)
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: Dataset[RankChange], batchId: Long) =>
+        // last change per (key, rnk) slot this batch, in emission order
+        val lastPerSlot = batch.toDF()
+          .withColumn("rn", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy("key", "rnk").orderBy(col("seq").desc)))
+          .filter(col("rn") === 1).drop("rn")
+        val upserts = lastPerSlot.filter(col("kind").isin("+I", "+U"))
+          .select("key", "rnk", "id", "value")
+        val touched = lastPerSlot.select("key", "rnk")
+        val merged = snapshot match {
+          case Some(prev) => s.read.parquet(prev)
+            .join(touched, Seq("key", "rnk"), "left_anti").unionByName(upserts)
+          case None => upserts
+        }
+        val out = s"$tableRoot/v$batchId"
+        merged.write.mode("overwrite").parquet(out)
+        snapshot = Some(out)
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    snapshot.map(s.read.parquet)
+      .getOrElse(s.createDataset(Seq.empty[RankChange]).toDF())
+      .select(col("rnk"), col("id").as("bucket"), (col("value") / 1e6).as("total"))
+      .orderBy("rnk")
   }
 }
