@@ -28,6 +28,8 @@ object GraftSession {
       .withExtensions(functions.NativeExpressions.extensions)
       // custom whole-operator planning (as-of join) — SURVEY §7.3(c)
       .withExtensions(plans.AsOfJoinPlan.extensions)
+      // correlated-EXISTS-over-OR decorrelation pre-rewrite — SURVEY §7.3
+      .withExtensions(sql.SubqueryOrRewrite.extensions)
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

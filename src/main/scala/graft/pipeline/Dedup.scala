@@ -281,32 +281,78 @@ object Dedup {
     }
   }
 
+  /** Target average cluster size for [[semantic]]: k is DERIVED as
+    * ceil(N / SemTarget), so the within-cluster pairwise work stays
+    * O(SemTarget) per vector at ANY corpus size — 10× the data means 10×
+    * the clusters, not 10× the cluster size. */
+  private val SemTarget = 32L
+
   /** SemDeDup-shape semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
     * k-means-cluster the embedding space, then search for near-duplicates
     * ONLY within a cluster and keep one representative per duplicate set.
     * This is the standard web-scale trade: the quadratic pairwise step is
-    * bounded by cluster size (raise k as the corpus grows — pairwise work
-    * per cluster stays constant), and cross-cluster pairs are never
-    * considered by construction. Centroids = the first 8 vectors (the
-    * deterministic k-means|| stand-in shared with Similarity.kmeansStep);
-    * assignment is a broadcast(k)×scan L2-argmin, the candidate join is
-    * keyed on the cluster id (one shuffle, no all-pairs), and the greedy
-    * keep rule is "lowest vec_id survives" — a vector is dropped iff a
-    * lower-id same-cluster vector sits at cosine ≥ 0.45. */
+    * bounded by cluster size, and cross-cluster pairs are never considered
+    * by construction.
+    *
+    * k auto-scales: k = max(8, ceil(N / [[SemTarget]])) from one corpus
+    * count, so cluster size — and the pairwise join's per-cluster cost —
+    * is bounded as the corpus grows. Seeds are k vectors picked by a
+    * deterministic LCG score (spread through id space, order-free), and
+    * centroids are then refined with TWO Lloyd rounds over a 50%
+    * deterministic sample (vec_id % 2 = 0) before the full-corpus
+    * assignment — the SemDeDup recipe of train-on-sample, assign-all.
+    * Each round is a broadcast(k)×scan argmin plus one per-(cid,dim)
+    * partial-aggregated shuffle; the centroid update sums MICRO-QUANTIZED
+    * coordinates (round(x·1e6) as long) so the mean is an exact integer
+    * sum divided by the count — order-proof, hence bit-identical between
+    * Spark and the DuckDB oracle regardless of partitioning. Assignment is
+    * an L2-argmin (ties to the lower cid), the candidate join is keyed on
+    * the cluster id (one shuffle, no all-pairs), and the greedy keep rule
+    * is "lowest vec_id survives" — a vector is dropped iff a lower-id
+    * same-cluster vector sits at cosine ≥ 0.45. */
   private def semantic(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.load(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("norm", sqrt(call_function("dot_f64", col("v"), col("v"))))
-    val cent = e.filter(col("vec_id") < 8)
-      .select(col("vec_id").as("cid"), col("v").as("cv"), col("norm").as("cn"))
-    val d2 = col("norm") * col("norm") + col("cn") * col("cn") -
-      lit(2.0) * call_function("dot_f64", col("v"), col("cv"))
-    val assigned = e.crossJoin(broadcast(cent))
-      .select(col("vec_id"), col("cid"), d2.as("d2"))
-      .groupBy(col("vec_id"))
-      .agg(min(struct(col("d2"), col("cid"))).as("m"))
-      .select(col("vec_id"), col("m.cid").as("cid"))
-    val m = e.join(assigned, "vec_id")
+    val n = e.count()
+    val k = math.max(8L, (n + SemTarget - 1) / SemTarget)
+    val sample = e.filter(col("vec_id") % 2 === 0)
+    // k seeds by deterministic LCG score: spread pseudo-randomly through
+    // the id space without any global row_number (TakeOrdered top-k)
+    val seeds = sample
+      .orderBy(((col("vec_id") * lit(1103515245L) + lit(12345L)) %
+        lit(2147483648L)).asc, col("vec_id").asc)
+      .limit(k.toInt)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    // broadcast(k)×scan L2-argmin; d2 via dot-products only so both
+    // engines evaluate the identical expression tree
+    def assign(vecs: DataFrame, cent: DataFrame): DataFrame = {
+      val withCn = cent.withColumn(
+        "cn2", call_function("dot_f64", col("cv"), col("cv")))
+      vecs.crossJoin(broadcast(withCn))
+        .select(vecs("vec_id"),
+          col("cid"),
+          (call_function("dot_f64", vecs("v"), vecs("v")) + col("cn2") -
+            lit(2.0) * call_function("dot_f64", vecs("v"), col("cv"))).as("d2"))
+        .groupBy(col("vec_id"))
+        .agg(min(struct(col("d2"), col("cid"))).as("m"))
+        .select(col("vec_id"), col("m.cid").as("cid"))
+    }
+    // Lloyd update: exact integer sums of micro-quantized coords → mean;
+    // empty clusters simply drop out (both engines, by construction)
+    def update(vecs: DataFrame, asg: DataFrame): DataFrame =
+      vecs.join(asg, "vec_id")
+        .select(col("cid"), posexplode(col("v")).as(Seq("d", "x")))
+        .groupBy(col("cid"), col("d"))
+        .agg(sum(round(col("x") * lit(1e6), 0).cast("long")).as("sx"),
+          count(lit(1)).as("cnt"))
+        .groupBy(col("cid"))
+        .agg(array_sort(collect_list(struct(col("d"),
+          (col("sx").cast("double") / lit(1e6) / col("cnt")).as("m")))).as("dm"))
+        .select(col("cid"), transform(col("dm"), t => t.getField("m")).as("cv"))
+    val c1 = update(sample, assign(sample, seeds))
+    val c2 = update(sample, assign(sample, c1))
+    val m = e.join(assign(e, c2), "vec_id")
     val dropped = m.as("x").join(m.as("y"),
         col("x.cid") === col("y.cid") && col("x.vec_id") < col("y.vec_id"))
       .filter(call_function("dot_f64", col("x.v"), col("y.v")) /
@@ -728,23 +774,45 @@ object Dedup {
          WHERE ${dot("a.v", "b.v")} / (a.nrm * b.nrm) >= 0.45
          ORDER BY i, j"""
     },
-    // replicates the SemDeDup pipeline: same first-8 centroids, same
-    // sequential-fold dots, same lowest-id-survives greedy rule
+    // replicates the SemDeDup pipeline: same derived k, same LCG seed
+    // pick, same two integer-quantized Lloyd rounds on the 50% sample,
+    // same sequential-fold dots, same lowest-id-survives greedy rule
     "dedup_semantic" -> {
       val dot = (a: String, b: String) =>
         s"list_reduce(list_prepend(0.0, list_transform(range(1, 65), k -> $a[k] * $b[k])), (acc,x) -> acc + x)"
+      // one Lloyd step: assignment (argmin over current centroids) then the
+      // exact-integer-mean centroid update — emitted twice, then the final
+      // full-corpus assignment
+      def assignSql(vecs: String, cent: String) =
+        s"""SELECT vec_id, cid FROM (
+              SELECT e2.vec_id, c.cid,
+                     row_number() OVER (PARTITION BY e2.vec_id ORDER BY
+                       ${dot("e2.v", "e2.v")} + ${dot("c.cv", "c.cv")}
+                         - 2.0 * ${dot("e2.v", "c.cv")}, c.cid) AS rn
+              FROM $vecs e2 CROSS JOIN $cent c) WHERE rn = 1"""
+      def updateSql(vecs: String, asg: String) =
+        s"""SELECT cid, list(CAST(sx AS DOUBLE) / 1e6 / cnt ORDER BY d) AS cv
+            FROM (SELECT a2.cid, gs.d AS d,
+                         sum(CAST(round(e2.v[gs.d] * 1e6) AS BIGINT)) AS sx,
+                         count(*) AS cnt
+                  FROM $vecs e2 JOIN $asg a2 USING (vec_id), range(1, 65) gs(d)
+                  GROUP BY a2.cid, gs.d)
+            GROUP BY cid"""
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          n AS (SELECT vec_id, v,
                  sqrt(list_reduce(list_prepend(0.0, list_transform(v, x -> x*x)), (a,x) -> a + x)) AS nrm
                FROM e),
-         cent AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM n WHERE vec_id < 8),
-         d AS (SELECT e2.vec_id, c.cid,
-                 e2.nrm * e2.nrm + c.cn * c.cn - 2.0 * ${dot("e2.v", "c.cv")} AS d2
-               FROM n e2 CROSS JOIN cent c),
-         a AS (SELECT vec_id, cid FROM (
-                 SELECT vec_id, cid,
-                        row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
-                 FROM d) WHERE rn = 1),
+         kk AS (SELECT greatest(8, (count(*) + ${SemTarget - 1}) // $SemTarget) AS k FROM e),
+         smp AS (SELECT vec_id, v FROM e WHERE vec_id % 2 = 0),
+         seeds AS (SELECT vec_id AS cid, v AS cv FROM (
+                     SELECT vec_id, v, row_number() OVER (ORDER BY
+                       (vec_id * 1103515245 + 12345) % 2147483648, vec_id) AS rn
+                     FROM smp) s, kk WHERE s.rn <= kk.k),
+         a0 AS (${assignSql("smp", "seeds")}),
+         c1 AS (${updateSql("smp", "a0")}),
+         a1 AS (${assignSql("smp", "c1")}),
+         c2 AS (${updateSql("smp", "a1")}),
+         a AS (${assignSql("e", "c2")}),
          m AS (SELECT n.vec_id, n.v, n.nrm, a.cid FROM n JOIN a USING (vec_id)),
          dup AS (SELECT DISTINCT y.vec_id AS dup_id
                  FROM m x JOIN m y ON x.cid = y.cid AND x.vec_id < y.vec_id

@@ -346,16 +346,16 @@ class DifferentialFuzzSpec extends SparkSpec {
     * stacked NOT-EXISTS conjunctions (multiple anti joins). The single-
     * EXISTS qCorrSub case never forces either path.
     *
-    * Engine divergence found by this family (documented, grammar avoids):
-    * when the subquery's own predicate is a disjunction left
-    * UN-parenthesized — `EXISTS(... WHERE corr = x AND a OR b)` parses as
-    * `(corr AND a) OR b`, i.e. the correlation itself sits under OR —
-    * DuckDB executes it, Spark 4.1 aborts with an internal `None.get`
-    * during decorrelation instead of a proper unsupported-subquery error.
-    * All generated inner predicates are therefore parenthesized, which
-    * keeps the correlated conjunct top-level (the only shape the SQL
-    * engines agree to decorrelate). */
-  private def qMultiExists(r: scala.util.Random): String = r.nextInt(4) match {
+    * Engine divergence found by this family (round 7, documented-and-
+    * avoided; round 8, FIXED): when the subquery's own predicate is a
+    * disjunction left UN-parenthesized — `EXISTS(... WHERE corr = x AND a
+    * OR b)` parses as `(corr AND a) OR b`, i.e. the correlation itself
+    * sits under OR — DuckDB executes it, stock Spark 4.1 aborts with an
+    * internal `None.get` during decorrelation. The graft session's
+    * SubqueryOrRewrite pre-rewrite distributes the EXISTS over the
+    * disjunction, so cases 4–5 now generate exactly those shapes and the
+    * gate proves them green instead of skirting them. */
+  private def qMultiExists(r: scala.util.Random): String = r.nextInt(6) match {
     case 0 => // OR of two correlated EXISTS (ExistenceJoin, not semi)
       s"SELECT c_custkey FROM customer c WHERE " +
         s"EXISTS (SELECT 1 FROM orders WHERE o_custkey = c.c_custkey AND (${pred(r, tables(1))})) " +
@@ -373,6 +373,15 @@ class DifferentialFuzzSpec extends SparkSpec {
       s"SELECT o_orderkey FROM orders o WHERE " +
         s"EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o.o_orderkey AND (${pred(r, tables(0))})) " +
         s"OR NOT EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o.o_orderkey AND (${pred(r, tables(0))}))"
+    case 4 => // UN-parenthesized: correlation under OR — (corr AND a) OR b.
+      // Stock Spark aborts; runs via the SubqueryOrRewrite split.
+      s"SELECT o_orderkey FROM orders o WHERE EXISTS " +
+        s"(SELECT 1 FROM lineitem WHERE l_orderkey = o.o_orderkey " +
+        s"AND ${atom(r, tables(0))} OR ${atom(r, tables(0))})"
+    case 5 => // NOT EXISTS, correlation under OR in BOTH disjuncts
+      s"SELECT c_custkey FROM customer c WHERE NOT EXISTS " +
+        s"(SELECT 1 FROM orders WHERE o_custkey = c.c_custkey AND ${atom(r, tables(1))} " +
+        s"OR o_custkey = c.c_custkey AND ${atom(r, tables(1))})"
   }
 
   private def gen(r: scala.util.Random, i: Int): String = {
