@@ -301,47 +301,80 @@ object Dedup {
     * centroids are then refined with TWO Lloyd rounds over a 50%
     * deterministic sample (vec_id % 2 = 0) before the full-corpus
     * assignment — the SemDeDup recipe of train-on-sample, assign-all.
-    * Each round is a broadcast(k)×scan argmin plus one per-(cid,dim)
-    * partial-aggregated shuffle; the centroid update sums MICRO-QUANTIZED
-    * coordinates (round(x·1e6) as long) so the mean is an exact integer
-    * sum divided by the count — order-proof, hence bit-identical between
-    * Spark and the DuckDB oracle regardless of partitioning. Assignment is
-    * an L2-argmin (ties to the lower cid), the candidate join is keyed on
-    * the cluster id (one shuffle, no all-pairs), and the greedy keep rule
-    * is "lowest vec_id survives" — a vector is dropped iff a lower-id
-    * same-cluster vector sits at cosine ≥ 0.45. */
+    *
+    * Assignment is TWO-LEVEL (the IVF tree [[Similarity]] probes): a flat
+    * argmin over k centroids costs N·k = O(N²/SemTarget) dots — quadratic
+    * once k is derived — so the first ceil(√k) seeds form a frozen COARSE
+    * layer, every fine centroid maps to one coarse cell (coarse seeds
+    * self-map, so no cell is ever empty), and a vector takes the argmin
+    * only over its coarse cell's fine centroids: N·2√k dots total.
+    * Empty fine clusters keep their previous centroid (LEFT JOIN +
+    * coalesce), so the centroid set stays exactly k and no vector can
+    * lose its cell. The Lloyd update sums MICRO-QUANTIZED coordinates
+    * (round(x·1e6) as long), making the mean an exact integer sum over
+    * the count — order-proof, hence bit-identical between Spark and the
+    * DuckDB oracle regardless of partitioning. All argmins tie to the
+    * lower cid; the candidate join is keyed on the cluster id (one
+    * shuffle, no all-pairs), and the greedy keep rule is "lowest vec_id
+    * survives" — a vector is dropped iff a lower-id same-cluster vector
+    * sits at cosine ≥ 0.45. */
   private def semantic(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.storage.StorageLevel
     val e = Tables.load(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("norm", sqrt(call_function("dot_f64", col("v"), col("v"))))
     val n = e.count()
     val k = math.max(8L, (n + SemTarget - 1) / SemTarget)
+    val k1 = math.max(1L, math.ceil(math.sqrt(k.toDouble)).toLong)
     val sample = e.filter(col("vec_id") % 2 === 0)
+    // d2 via dot-products only, so both engines evaluate the identical
+    // expression tree (no norm² vs dot asymmetry)
+    def d2(v: org.apache.spark.sql.Column,
+           c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      call_function("dot_f64", v, v) + call_function("dot_f64", c, c) -
+        lit(2.0) * call_function("dot_f64", v, c)
     // k seeds by deterministic LCG score: spread pseudo-randomly through
-    // the id space without any global row_number (TakeOrdered top-k)
+    // the id space via TakeOrdered top-k; the rank window then runs over
+    // k rows only (k ≪ N), never the corpus
     val seeds = sample
-      .orderBy(((col("vec_id") * lit(1103515245L) + lit(12345L)) %
-        lit(2147483648L)).asc, col("vec_id").asc)
-      .limit(k.toInt)
-      .select(col("vec_id").as("cid"), col("v").as("cv"))
-    // broadcast(k)×scan L2-argmin; d2 via dot-products only so both
-    // engines evaluate the identical expression tree
-    def assign(vecs: DataFrame, cent: DataFrame): DataFrame = {
-      val withCn = cent.withColumn(
-        "cn2", call_function("dot_f64", col("cv"), col("cv")))
-      vecs.crossJoin(broadcast(withCn))
-        .select(vecs("vec_id"),
-          col("cid"),
-          (call_function("dot_f64", vecs("v"), vecs("v")) + col("cn2") -
-            lit(2.0) * call_function("dot_f64", vecs("v"), col("cv"))).as("d2"))
+      .withColumn("score", (col("vec_id") * lit(1103515245L) + lit(12345L)) %
+        lit(2147483648L))
+      .orderBy(col("score").asc, col("vec_id").asc).limit(k.toInt)
+      .withColumn("rn", row_number().over(
+        Window.orderBy(col("score"), col("vec_id"))))
+      .select(col("rn"), col("vec_id").as("cid"), col("v").as("cv"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val coarse = seeds.filter(col("rn") <= k1)
+      .select(col("cid").as("ccid"), col("cv").as("ccv"))
+    // frozen fine→coarse cell map from ORIGINAL seed positions; coarse
+    // seeds force-map to themselves so every coarse cell holds ≥1 fine
+    // centroid at all times
+    val cellmap = seeds.crossJoin(broadcast(coarse))
+      .groupBy(col("cid"), col("rn"))
+      .agg(min(struct(d2(col("cv"), col("ccv")), col("ccid"))).as("m"))
+      .select(col("cid"),
+        when(col("rn") <= k1, col("cid")).otherwise(col("m.ccid")).as("cell"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    def assignCoarse(vecs: DataFrame): DataFrame =
+      vecs.crossJoin(broadcast(coarse))
         .groupBy(col("vec_id"))
-        .agg(min(struct(col("d2"), col("cid"))).as("m"))
+        .agg(min(struct(d2(col("v"), col("ccv")), col("ccid"))).as("m"))
+        .select(col("vec_id"), col("m.ccid").as("cell"))
+    // fine argmin probes only the vector's coarse cell
+    def assign(vecs: DataFrame, cent: DataFrame, ac: DataFrame): DataFrame = {
+      val celled = cent.join(cellmap, "cid")
+        .select(col("cell"), col("cid"), col("cv"))
+      vecs.join(ac, "vec_id")
+        .join(broadcast(celled), "cell")
+        .groupBy(col("vec_id"))
+        .agg(min(struct(d2(col("v"), col("cv")), col("cid"))).as("m"))
         .select(col("vec_id"), col("m.cid").as("cid"))
     }
     // Lloyd update: exact integer sums of micro-quantized coords → mean;
-    // empty clusters simply drop out (both engines, by construction)
-    def update(vecs: DataFrame, asg: DataFrame): DataFrame =
-      vecs.join(asg, "vec_id")
+    // an empty cluster keeps its previous centroid
+    def update(vecs: DataFrame, asg: DataFrame, prev: DataFrame): DataFrame = {
+      val means = vecs.join(asg, "vec_id")
         .select(col("cid"), posexplode(col("v")).as(Seq("d", "x")))
         .groupBy(col("cid"), col("d"))
         .agg(sum(round(col("x") * lit(1e6), 0).cast("long")).as("sx"),
@@ -349,19 +382,28 @@ object Dedup {
         .groupBy(col("cid"))
         .agg(array_sort(collect_list(struct(col("d"),
           (col("sx").cast("double") / lit(1e6) / col("cnt")).as("m")))).as("dm"))
-        .select(col("cid"), transform(col("dm"), t => t.getField("m")).as("cv"))
-    val c1 = update(sample, assign(sample, seeds))
-    val c2 = update(sample, assign(sample, c1))
-    val m = e.join(assign(e, c2), "vec_id")
+        .select(col("cid"), transform(col("dm"), t => t.getField("m")).as("mv"))
+      prev.select(col("cid"), col("cv").as("pv"))
+        .join(means, Seq("cid"), "left")
+        .select(col("cid"), coalesce(col("mv"), col("pv")).as("cv"))
+    }
+    val seeds0 = seeds.select(col("cid"), col("cv"))
+    val acS = assignCoarse(sample).persist(StorageLevel.MEMORY_AND_DISK)
+    val c1 = update(sample, assign(sample, seeds0, acS), seeds0)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val c2 = update(sample, assign(sample, c1, acS), c1)
+    val m = e.join(assign(e, c2, assignCoarse(e)), "vec_id")
     val dropped = m.as("x").join(m.as("y"),
         col("x.cid") === col("y.cid") && col("x.vec_id") < col("y.vec_id"))
       .filter(call_function("dot_f64", col("x.v"), col("y.v")) /
         (col("x.norm") * col("y.norm")) >= 0.45)
       .select(col("y.vec_id").as("dup_id"))
       .distinct()
-    m.join(dropped, m("vec_id") === dropped("dup_id"), "left_anti")
-      .select(col("vec_id"), col("cid"))
-      .orderBy(col("vec_id"))
+    releasing(seeds, cellmap, acS, c1) {
+      m.join(dropped, m("vec_id") === dropped("dup_id"), "left_anti")
+        .select(col("vec_id"), col("cid"))
+        .orderBy(col("vec_id"))
+    }
   }
 
   /** Duplicate-cluster resolution: near-dup similarity is not transitive,
@@ -775,44 +817,69 @@ object Dedup {
          ORDER BY i, j"""
     },
     // replicates the SemDeDup pipeline: same derived k, same LCG seed
-    // pick, same two integer-quantized Lloyd rounds on the 50% sample,
-    // same sequential-fold dots, same lowest-id-survives greedy rule
+    // pick, same frozen coarse/fine two-level assignment, same two
+    // integer-quantized Lloyd rounds on the 50% sample, same
+    // sequential-fold dots, same lowest-id-survives greedy rule
     "dedup_semantic" -> {
       val dot = (a: String, b: String) =>
         s"list_reduce(list_prepend(0.0, list_transform(range(1, 65), k -> $a[k] * $b[k])), (acc,x) -> acc + x)"
-      // one Lloyd step: assignment (argmin over current centroids) then the
-      // exact-integer-mean centroid update — emitted twice, then the final
-      // full-corpus assignment
-      def assignSql(vecs: String, cent: String) =
-        s"""SELECT vec_id, cid FROM (
-              SELECT e2.vec_id, c.cid,
+      def d2 (a: String, b: String) =
+        s"${dot(a, a)} + ${dot(b, b)} - 2.0 * ${dot(a, b)}"
+      // coarse-cell argmin over the √k coarse seeds
+      def acSql(vecs: String) =
+        s"""SELECT vec_id, cell FROM (
+              SELECT e2.vec_id, c.ccid AS cell,
                      row_number() OVER (PARTITION BY e2.vec_id ORDER BY
-                       ${dot("e2.v", "e2.v")} + ${dot("c.cv", "c.cv")}
-                         - 2.0 * ${dot("e2.v", "c.cv")}, c.cid) AS rn
-              FROM $vecs e2 CROSS JOIN $cent c) WHERE rn = 1"""
-      def updateSql(vecs: String, asg: String) =
-        s"""SELECT cid, list(CAST(sx AS DOUBLE) / 1e6 / cnt ORDER BY d) AS cv
-            FROM (SELECT a2.cid, gs.d AS d,
-                         sum(CAST(round(e2.v[gs.d] * 1e6) AS BIGINT)) AS sx,
-                         count(*) AS cnt
-                  FROM $vecs e2 JOIN $asg a2 USING (vec_id), range(1, 65) gs(d)
-                  GROUP BY a2.cid, gs.d)
-            GROUP BY cid"""
+                       ${d2("e2.v", "c.ccv")}, c.ccid) AS rn2
+              FROM $vecs e2 CROSS JOIN coarse c) WHERE rn2 = 1"""
+      // fine argmin probes only the vector's coarse cell
+      def assignSql(vecs: String, cent: String, ac: String) =
+        s"""SELECT vec_id, cid FROM (
+              SELECT e2.vec_id, f.cid,
+                     row_number() OVER (PARTITION BY e2.vec_id ORDER BY
+                       ${d2("e2.v", "f.cv")}, f.cid) AS rn2
+              FROM $vecs e2 JOIN $ac a2 USING (vec_id)
+              JOIN (SELECT m2.cell, c.cid, c.cv FROM $cent c
+                    JOIN cellmap m2 USING (cid)) f ON f.cell = a2.cell)
+            WHERE rn2 = 1"""
+      // Lloyd update: exact integer-quantized means; empty cluster keeps
+      // its previous centroid
+      def updateSql(vecs: String, asg: String, prev: String) =
+        s"""SELECT p.cid, coalesce(m3.mv, p.cv) AS cv FROM $prev p
+            LEFT JOIN (
+              SELECT cid, list(CAST(sx AS DOUBLE) / 1e6 / cnt ORDER BY d) AS mv
+              FROM (SELECT a2.cid, gs.d AS d,
+                           sum(CAST(round(e2.v[gs.d] * 1e6) AS BIGINT)) AS sx,
+                           count(*) AS cnt
+                    FROM $vecs e2 JOIN $asg a2 USING (vec_id), range(1, 65) gs(d)
+                    GROUP BY a2.cid, gs.d)
+              GROUP BY cid) m3 USING (cid)"""
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          n AS (SELECT vec_id, v,
                  sqrt(list_reduce(list_prepend(0.0, list_transform(v, x -> x*x)), (a,x) -> a + x)) AS nrm
                FROM e),
          kk AS (SELECT greatest(8, (count(*) + ${SemTarget - 1}) // $SemTarget) AS k FROM e),
+         kk1 AS (SELECT greatest(1, CAST(ceil(sqrt(k)) AS BIGINT)) AS k1 FROM kk),
          smp AS (SELECT vec_id, v FROM e WHERE vec_id % 2 = 0),
-         seeds AS (SELECT vec_id AS cid, v AS cv FROM (
+         seeds AS (SELECT s.rn, vec_id AS cid, v AS cv FROM (
                      SELECT vec_id, v, row_number() OVER (ORDER BY
                        (vec_id * 1103515245 + 12345) % 2147483648, vec_id) AS rn
                      FROM smp) s, kk WHERE s.rn <= kk.k),
-         a0 AS (${assignSql("smp", "seeds")}),
-         c1 AS (${updateSql("smp", "a0")}),
-         a1 AS (${assignSql("smp", "c1")}),
-         c2 AS (${updateSql("smp", "a1")}),
-         a AS (${assignSql("e", "c2")}),
+         seeds0 AS (SELECT cid, cv FROM seeds),
+         coarse AS (SELECT cid AS ccid, cv AS ccv FROM seeds, kk1 WHERE rn <= kk1.k1),
+         cellmap AS (SELECT cid,
+                       CASE WHEN srn <= (SELECT k1 FROM kk1) THEN cid ELSE bcid END AS cell
+                     FROM (SELECT s.cid, s.rn AS srn, c.ccid AS bcid,
+                             row_number() OVER (PARTITION BY s.cid ORDER BY
+                               ${d2("s.cv", "c.ccv")}, c.ccid) AS rn2
+                           FROM seeds s CROSS JOIN coarse c) WHERE rn2 = 1),
+         acs AS (${acSql("smp")}),
+         a0 AS (${assignSql("smp", "seeds0", "acs")}),
+         c1 AS (${updateSql("smp", "a0", "seeds0")}),
+         a1 AS (${assignSql("smp", "c1", "acs")}),
+         c2 AS (${updateSql("smp", "a1", "c1")}),
+         ace AS (${acSql("e")}),
+         a AS (${assignSql("e", "c2", "ace")}),
          m AS (SELECT n.vec_id, n.v, n.nrm, a.cid FROM n JOIN a USING (vec_id)),
          dup AS (SELECT DISTINCT y.vec_id AS dup_id
                  FROM m x JOIN m y ON x.cid = y.cid AND x.vec_id < y.vec_id

@@ -72,15 +72,47 @@ class PlanShapeSpec extends SparkSpec {
   }
 
   test("dedup_semantic: pairwise search confined to k-means clusters") {
-    val plan = executed(pipeline.Dedup.queries("dedup_semantic")(spark, sf)).toString
-    // exactly one broadcast-NLJ is legal: the k-row centroid assignment.
-    // The PAIRWISE join must be hash-keyed on the cluster id — a second
+    // node-level asserts (the string form re-prints cached subtrees and
+    // over-counts): the only legal nested-loop joins are the bounded
+    // centroid-frame broadcasts (coarse √k-row assignment + cellmap), and
+    // the PAIRWISE join must be hash-keyed on the cluster id — an extra
     // NLJ or a cartesian would mean the SemDeDup cluster bound is gone
     // and the search went quadratic in the corpus.
-    assert(!plan.contains("CartesianProduct"), "semantic dedup went all-pairs")
-    val nlj = "BroadcastNestedLoopJoin".r.findAllIn(plan).size
-    assert(nlj <= 1, s"expected only the centroid-assignment NLJ, got $nlj")
-    assert(plan.contains("cid"), "pairwise join must key on the cluster id")
+    val p = executed(pipeline.Dedup.queries("dedup_semantic")(spark, sf))
+    // AQE wraps finished stages as leaf QueryStageExec nodes — descend
+    // into them (and reused exchanges) or the earlier joins are invisible
+    def deep(n: SparkPlan): Seq[SparkPlan] = n +: (n.children ++ (n match {
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(q.plan)
+      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => Seq(r.child)
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      // releasing() caches the result (and the centroid frames), so the
+      // compute plan sits behind InMemoryTableScan — descend into it
+      case t: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+        Seq(t.relation.cachedPlan)
+      case _ => Nil
+    })).flatMap(deep)
+    val all = deep(p).distinct
+    assert(!all.exists(_.isInstanceOf[
+      org.apache.spark.sql.execution.joins.CartesianProductExec]),
+      "semantic dedup went all-pairs")
+    val nlj = all.count(_.isInstanceOf[
+      org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec])
+    // the legal NLJs are the √k-row coarse-frame crossJoins (cellmap +
+    // sample/full coarse assignment), counted once more when a cached
+    // lineage re-embeds them — all broadcast a bounded centroid frame
+    assert(nlj <= 6, s"expected only bounded centroid-frame NLJs, got $nlj")
+    val hashKeys = all.collect {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec =>
+        j.leftKeys.map(_.toString).mkString(",")
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec =>
+        j.leftKeys.map(_.toString).mkString(",")
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec =>
+        j.leftKeys.map(_.toString).mkString(",")
+    }
+    assert(hashKeys.exists(_.contains("cid")),
+      s"pairwise join must key on the cluster id; hash-join keys seen: " +
+        s"[${hashKeys.mkString(" | ")}]; nodes: " +
+        all.map(_.getClass.getSimpleName).distinct.mkString(","))
   }
 
   test("dedup_simhash: candidate join keyed on signature bit-bands") {
