@@ -172,6 +172,20 @@ object FlinkSqlQueries {
            PATTERN (E1 E2)
            DEFINE E1 AS event_type = 'error', E2 AS event_type = 'error'
          ) ORDER BY user_id, start_ts""")),
+    // streaming MEASURES + PREV in DEFINE (round 8): adjacent value-drop
+    // pairs — B navigates PREV(value) against the watermark-ordered ring,
+    // measures join matched ids back per micro-batch (the batch recipe)
+    "mr_stream_nav_measures" -> ((s, dir) => MatchRecognize.runStream(s, dir,
+      """SELECT user_id, start_ts, end_ts, n_rows, first_val, last_val FROM events
+         MATCH_RECOGNIZE (
+           PARTITION BY user_id
+           ORDER BY ts
+           MEASURES FIRST(A.value) AS first_val, LAST(B.value) AS last_val
+           ONE ROW PER MATCH
+           AFTER MATCH SKIP TO NEXT ROW
+           PATTERN (A B)
+           DEFINE B AS B.value < PREV(B.value)
+         ) ORDER BY user_id, start_ts""")),
     // ALL ROWS PER MATCH + PREV navigation: click followed by a pricier
     // purchase; every matched row comes back with CLASSIFIER/MATCH_NUMBER
     "mr_all_rows_nav" -> ((s, dir) => run(s, dir,
@@ -1072,6 +1086,23 @@ object FlinkSqlQueries {
            FROM runs)
          SELECT user_id, epoch_us(ts) AS start_ts, epoch_us(next_ts) AS end_ts
          FROM err WHERE idx % 2 = 1 AND idx < len
+         ORDER BY user_id, start_ts""",
+    // streaming PREV + MEASURES: every adjacent (ts, event_id)-ordered pair
+    // whose second value drops below the first (SKIP TO NEXT ROW =
+    // overlapping anchors), with FIRST/LAST measures over the matched rows
+    "mr_stream_nav_measures" ->
+      """WITH o AS (
+           SELECT user_id, ts, value,
+                  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+           FROM events),
+         p AS (
+           SELECT user_id, ts, value,
+                  lead(ts) OVER (PARTITION BY user_id ORDER BY rn) AS nts,
+                  lead(value) OVER (PARTITION BY user_id ORDER BY rn) AS nval
+           FROM o)
+         SELECT user_id, epoch_us(ts) AS start_ts, epoch_us(nts) AS end_ts,
+                CAST(2 AS BIGINT) AS n_rows, value AS first_val, nval AS last_val
+         FROM p WHERE nval < value
          ORDER BY user_id, start_ts"""
   )
 }

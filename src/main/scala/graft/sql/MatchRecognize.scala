@@ -68,9 +68,14 @@ object MatchRecognize {
   case class Measure(alias: String, fn: String, variable: Option[String], expr: String,
                      running: Boolean = true)
 
+  /** `defines` carry PREV/NEXT already compiled onto lag/lead windows (the
+    * batch form); `rawDefines` keep the navigation calls intact for the
+    * streaming compiler, which resolves them against the NFA-side ordered
+    * row ring instead. */
   case class Spec(table: String, partitionBy: String, orderBy: String,
                   afterMatch: Cep.AfterMatch, pattern: Seq[(String, Quant)],
                   withinMs: Long, defines: Map[String, String],
+                  rawDefines: Map[String, String],
                   measures: Seq[Measure], allRows: Boolean,
                   selectList: String, tailClause: String)
 
@@ -190,7 +195,7 @@ object MatchRecognize {
       val defBody = defineRe.findFirstMatchIn(body).map(_.group(1))
         .getOrElse(throw new IllegalArgumentException("DEFINE required"))
       // split "A AS pred, B AS pred" on top-level commas preceding "<var> AS"
-      val defines = defBody.split("""(?i),(?=\s*\w+\s+AS\s)""").map { d =>
+      val defPairs = defBody.split("""(?i),(?=\s*\w+\s+AS\s)""").map { d =>
         val Array(name, pred) = d.trim.split("""(?i)\s+AS\s+""", 2)
         // strip the variable's own prefix: "A.col" → "col", then compile
         // PREV/NEXT row navigation onto lag/lead over the partition order
@@ -204,11 +209,13 @@ object MatchRecognize {
           .replaceAll("""(?i)\bPREV\s*\(\s*(\w+)\s*\)""", s"lag($$1, 1) $w")
           .replaceAll("""(?i)\bNEXT\s*\(\s*(\w+)\s*,\s*(\d+)\s*\)""", s"lead($$1, $$2) $w")
           .replaceAll("""(?i)\bNEXT\s*\(\s*(\w+)\s*\)""", s"lead($$1, 1) $w")
-        name.trim -> nav
-      }.toMap
+        (name.trim, stripped, nav)
+      }
+      val defines = defPairs.map(p => (p._1, p._3)).toMap
+      val rawDefines = defPairs.map(p => (p._1, p._2)).toMap
       val allRows = """(?i)ALL\s+ROWS\s+PER\s+MATCH""".r.findFirstIn(body).isDefined
-      Spec(table, part, ord, skip, pattern, within, defines, parseMeasures(body),
-        allRows, select.trim, Option(tail).getOrElse("").trim)
+      Spec(table, part, ord, skip, pattern, within, defines, rawDefines,
+        parseMeasures(body), allRows, select.trim, Option(tail).getOrElse("").trim)
     case _ => throw new IllegalArgumentException("unsupported MATCH_RECOGNIZE shape")
   }
 
@@ -270,47 +277,147 @@ object MatchRecognize {
     * passes max(ts) the emitted match set equals the batch scan's — the
     * driver gate asserts that against the SAME DuckDB oracle row.
     *
-    * Streaming surface restriction (matches the reference's own incremental
-    * subset): ONE ROW PER MATCH without measures, and per-row DEFINE
-    * predicates — PREV/NEXT navigation in DEFINE needs the batch-side
-    * window compiler. Measures-on-stream would bolt on exactly like the
-    * batch path (join matched ids back), left to the SQL batch node here.
+    * Streaming surface (round 8): ONE ROW PER MATCH with full MEASURES and
+    * PREV-k navigation in DEFINE.
+    *  - PREV compiles onto [[Cep.orderedWithPrev]] — the watermark-ordered
+    *    keyed ring of the preceding `depth` rows, the streaming analogue of
+    *    the batch lag window (the reference resolves PREV against the NFA's
+    *    own row buffer, MatchCodeGenerator.scala). The augmented stream is
+    *    relayed through a parquet channel into the NFA stage, because Spark
+    *    disallows chained flatMapGroupsWithState in one query — the
+    *    Kafka-topic-between-jobs deployment shape `cdc_pipeline` documents.
+    *    Streaming PREV navigates the KeyedRow payload (the partition /
+    *    order / event_type / value columns; the order column compares as
+    *    epoch-micros); NEXT needs lookahead and stays batch-only.
+    *  - MEASURES follow the batch recipe per micro-batch: each batch of
+    *    completed matches explodes its (id, label) list, hash-joins back to
+    *    the static source on (partition, event id) — touching only matched
+    *    rows — aggregates per match, and appends to the result sink.
+    *    ALL ROWS PER MATCH stays on the batch node.
     *
-    * At scale this is one hash-partition by key with O(open-runs) state per
-    * key and watermark-bounded buffers — no per-batch sort of history, no
-    * unbounded state. */
+    * At scale this is one hash-partition by key with O(open-runs + depth)
+    * state per key and watermark-bounded buffers — no per-batch sort of
+    * history, no unbounded state; the measure join-back is proportional to
+    * the matches of the batch, not the input. */
   def runStream(spark: SparkSession, dir: String, sql: String): DataFrame = {
     val spec = parse(sql)
-    require(!spec.allRows && spec.measures.isEmpty,
-      "streaming MATCH_RECOGNIZE: ONE ROW PER MATCH without measures")
-    // parse() already compiled PREV/NEXT navigation onto lag/lead windows —
-    // those need the batch window compiler, not a stateless stream mask
-    require(!spec.defines.values.exists(d =>
-        """(?i)\b(lag|lead)\s*\(""".r.findFirstIn(d).isDefined),
-      "streaming MATCH_RECOGNIZE: DEFINE must be per-row (no PREV/NEXT)")
+    require(!spec.allRows,
+      "streaming MATCH_RECOGNIZE: ONE ROW PER MATCH (ALL ROWS PER MATCH is batch-only)")
+    require(!spec.rawDefines.values.exists(d =>
+        """(?i)\bNEXT\s*\(""".r.findFirstIn(d).isDefined),
+      "streaming MATCH_RECOGNIZE: DEFINE may navigate PREV only (NEXT needs lookahead)")
     val vars = spec.pattern.map(_._1).distinct
     val varBit = vars.zipWithIndex.toMap
-    val flags = vars.map(v => expr(spec.defines.getOrElse(v, "true")))
-    val mask = concat(flags.map(f => when(f, lit("1")).otherwise(lit("0"))): _*)
     import spark.implicits._
     val schema = spark.read.parquet(s"$dir/${spec.table}.parquet").schema
-    // raw parquet NANOS timestamp arrives as long (nanosAsLong conf)
-    val rows = spark.readStream.schema(schema).format("parquet")
-      .option("pathGlobFilter", s"${spec.table}.parquet").load(dir)
-      .withColumn("__mask", mask)
-      .select(col(spec.partitionBy).cast("long").as("key"),
-        graft.Tables.tsAsMicrosLong(schema, spec.orderBy).as("ts"),
-        col("event_id").as("id"), col("__mask").as("kind"), lit(0.0).as("value"))
-      .as[KeyedRow]
     val pattern = Cep.Pattern(compileSteps(spec, varBit), spec.withinMs, spec.afterMatch)
-    spark.catalog.dropTempView("mr_stream_sink"): Unit
-    val q = Cep.matchStream(rows, pattern)
-      .writeStream.format("memory").queryName("mr_stream_sink")
-      .outputMode("append").start()
-    try q.processAllAvailable() finally q.stop()
-    spark.table("mr_stream_sink")
-      .select(col("key").as(spec.partitionBy), col("start_ts"), col("end_ts"))
-      .orderBy(col(spec.partitionBy), col("start_ts"))
+    def maskOf(defines: Map[String, String]): Column =
+      concat(vars.map(v => defines.get(v)
+        .map(d => when(expr(d), lit("1")).otherwise(lit("0")))
+        .getOrElse(lit("1"))): _*)
+    val prevRe = """(?i)\bPREV\s*\(\s*(\w+)\s*(?:,\s*(\d+)\s*)?\)""".r
+    val hasNav = spec.rawDefines.values.exists(d => prevRe.findFirstIn(d).isDefined)
+    // raw parquet NANOS timestamp arrives as long (nanosAsLong conf)
+    def source = spark.readStream.schema(schema).format("parquet")
+      .option("pathGlobFilter", s"${spec.table}.parquet").load(dir)
+
+    val rows: org.apache.spark.sql.Dataset[KeyedRow] =
+      if (!hasNav)
+        source.withColumn("__mask", maskOf(spec.defines))
+          .select(col(spec.partitionBy).cast("long").as("key"),
+            graft.Tables.tsAsMicrosLong(schema, spec.orderBy).as("ts"),
+            col("event_id").as("id"), col("__mask").as("kind"), lit(0.0).as("value"))
+          .as[KeyedRow]
+      else {
+        val depth = spec.rawDefines.values.flatMap(d =>
+          prevRe.findAllMatchIn(d).map(m =>
+            Option(m.group(2)).map(_.toInt).getOrElse(1))).maxOption.getOrElse(1)
+        val raw = source
+          .select(col(spec.partitionBy).cast("long").as("key"),
+            graft.Tables.tsAsMicrosLong(schema, spec.orderBy).as("ts"),
+            col("event_id").as("id"), col("event_type").as("kind"), col("value"))
+          .as[KeyedRow]
+        spark.catalog.dropTempView("mr_nav_relay"): Unit
+        val q1 = Cep.orderedWithPrev(raw, depth)
+          .writeStream.format("memory").queryName("mr_nav_relay")
+          .outputMode("append").start()
+        try q1.processAllAvailable() finally q1.stop()
+        val token = dir.replaceAll("[^a-zA-Z0-9]", "_")
+        val relay = s"target/mr_relay/$token/${java.util.UUID.randomUUID}"
+        val navDf = spark.table("mr_nav_relay")
+        navDf.write.mode("overwrite").parquet(relay)
+        // DEFINE onto the ring columns: PREV(c, k) → element_at(prev_c, k)
+        // (try_element_at: NULL past the partition start — lag's semantics
+        // map onto the KeyedRow payload names
+        def navRewrite(d: String): String =
+          prevRe.replaceAllIn(d, m => {
+            val k = Option(m.group(2)).getOrElse("1")
+            val arr = m.group(1) match {
+              case "value" => "prev_value"
+              case "event_type" => "prev_kind"
+              case c if c.equalsIgnoreCase(spec.orderBy) => "prev_ts"
+              case other => throw new IllegalArgumentException(
+                s"streaming PREV navigates value/event_type/${spec.orderBy}, got $other")
+            }
+            s"try_element_at($arr, $k)"
+          })
+            .replaceAll("""(?i)\bevent_type\b""", "kind")
+            .replaceAll(s"""(?i)\\b${spec.orderBy}\\b""", "ts")
+            .replaceAll(s"""(?i)\\b${spec.partitionBy}\\b""", "key")
+            .replaceAll("""(?i)\bevent_id\b""", "id")
+        spark.readStream.schema(navDf.schema).parquet(relay)
+          .withColumn("__mask", maskOf(spec.rawDefines.map {
+            case (v, d) => v -> navRewrite(d) }))
+          .select(col("key"), col("ts"), col("id"),
+            col("__mask").as("kind"), col("value"))
+          .as[KeyedRow]
+      }
+
+    val matched = Cep.matchStream(rows, pattern)
+    val out: DataFrame =
+      if (spec.measures.isEmpty) {
+        spark.catalog.dropTempView("mr_stream_sink"): Unit
+        val q = matched.writeStream.format("memory").queryName("mr_stream_sink")
+          .outputMode("append").start()
+        try q.processAllAvailable() finally q.stop()
+        spark.table("mr_stream_sink")
+          .select(col("key").as(spec.partitionBy), col("start_ts"), col("end_ts"),
+            size(col("ids")).cast("long").as("n_rows"))
+      } else {
+        val srcStatic = spark.read.parquet(s"$dir/${spec.table}.parquet")
+          .withColumn("__pkey", col(spec.partitionBy).cast("long"))
+          .withColumn("__srcid", col("event_id").cast("long"))
+        val aggs = spec.measures.map(measureCol)
+        // batch recipe per micro-batch: explode ids/labels, join back on
+        // (partition, event id) — matched rows only — aggregate per match
+        def measuresOf(bdf: DataFrame): DataFrame = {
+          val expl = bdf.withColumn("__mid", monotonically_increasing_id())
+            .select(col("__mid"), col("key"), col("start_ts"), col("end_ts"),
+              size(col("ids")).cast("long").as("n_rows"),
+              posexplode(arrays_zip(col("ids"), col("labels"))).as(Seq("__pos", "z")))
+            .select(col("__mid"), col("key"), col("start_ts"), col("end_ts"),
+              col("n_rows"), (col("__pos") + 1).cast("long").as("__seq"),
+              col("z.ids").as("__eid"), col("z.labels").as("__label"))
+          expl.join(srcStatic, expl("key") === srcStatic("__pkey") &&
+              expl("__eid") === srcStatic("__srcid"))
+            .groupBy(col("__mid"), col("key"), col("start_ts"), col("end_ts"),
+              col("n_rows"))
+            .agg(aggs.head, aggs.tail: _*)
+            .drop("__mid")
+        }
+        val token = dir.replaceAll("[^a-zA-Z0-9]", "_")
+        val sinkDir = s"target/mr_stream/$token/${java.util.UUID.randomUUID}"
+        val q = matched.writeStream.outputMode("append")
+          .foreachBatch { (b: org.apache.spark.sql.Dataset[Cep.Match], _: Long) =>
+            measuresOf(b.toDF()).write.mode("append").parquet(sinkDir)
+          }.start()
+        try q.processAllAvailable() finally q.stop()
+        if (new java.io.File(sinkDir).exists()) spark.read.parquet(sinkDir)
+        else measuresOf(spark.createDataset(Seq.empty[Cep.Match]).toDF())
+      }
+    out.withColumnRenamed("key", spec.partitionBy)
+      .createOrReplaceTempView("__mr_out")
+    spark.sql(s"SELECT ${spec.selectList} FROM __mr_out ${spec.tailClause}")
   }
 
   def run(spark: SparkSession, sql: String): DataFrame = {

@@ -328,7 +328,20 @@ object Cep {
                   delay: String = "0 seconds"): Dataset[Match] = {
     import rows.sparkSession.implicits._
     rows
-      .withColumn("ets", timestamp_micros(col("ts")))
+      // Event time registered 2999 µs ABOVE the row's ts. Spark watermarks
+      // are ms-granular (floor of max event time), so registering the raw
+      // µs value caps the watermark at floor(max ts) and rows inside the
+      // stream's final millisecond could never be released or even woken
+      // (an event-time timeout must sit strictly between the current and a
+      // future watermark tick — impossible at the cap). The +2999 shift
+      // guarantees a pending row pushes the watermark ≥2 ticks above the
+      // value seen when its timeout was set, so a wm+1 timeout always
+      // fires, and the release threshold wm·1000−1000 always reaches
+      // max(ts). Cost: the effective reordering tolerance is `delay` minus
+      // <2 ms (a row arriving later may be ordered-past if it lands within
+      // 2 ms under the release frontier) — document as the ms-granularity
+      // contract, matching the reference's ms-granular watermarks.
+      .withColumn("ets", timestamp_micros(col("ts") + lit(2999L)))
       .withWatermark("ets", delay)
       .as[KeyedRowW]
       .groupByKey(_.key)
@@ -336,10 +349,12 @@ object Cep {
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         case (key, it, state) =>
           val st = state.getOption.getOrElse(CepState(Nil, Nil, Long.MinValue, Nil))
-          val wmMicros = state.getCurrentWatermarkMs() * 1000L
+          val wmMs = state.getCurrentWatermarkMs()
+          val releaseMicros = wmMs * 1000L - 1000L // covers max(ts), see ets
+          val safeMicros = wmMs * 1000L - 2999L // conservative event-time "now"
           val incoming = it.map(w => KeyedRow(w.key, w.ts, w.id, w.kind, w.value))
           val all = (st.pending ++ incoming).sortBy(r => (r.ts, r.id))
-          val (ready, pending) = all.partition(_.ts <= wmMicros)
+          val (ready, pending) = all.partition(_.ts <= releaseMicros)
           var prev = st.prevId
           var active = st.active
           var holds = st.holds
@@ -354,22 +369,76 @@ object Cep {
             active = next; out ++= ms; holds ++= newHolds; prev = r.id
           }
           // the watermark itself confirms absence: holds whose window closed
-          // below it can no longer be killed by any in-order row
+          // below the conservative frontier can no longer be killed by any
+          // in-order row
           if (holds.nonEmpty) {
-            val (expired, live) = holds.partition(h => wmMicros - h.startTs > pattern.withinMs)
+            val (expired, live) = holds.partition(h => safeMicros - h.startTs > pattern.withinMs)
             out ++= expired.map(h => toMatch(key, h))
             holds = live
           }
           state.update(CepState(active, pending, prev, holds))
-          // flush guarantee: wake this key once the watermark passes its
-          // oldest pending row (or a hold's absence window), even if no new
-          // data arrives for it
-          val wakeAtMicros =
-            (pending.headOption.map(_.ts) ++
-             holds.headOption.map(_.startTs + pattern.withinMs)).minOption
-          wakeAtMicros.foreach { t =>
-            state.setTimeoutTimestamp(
-              math.max(t / 1000L + 1L, state.getCurrentWatermarkMs() + 1L))
+          // flush guarantee: wake this key even if no new data arrives for
+          // it. A pending row needs only the next tick (its own shifted ets
+          // already drives the watermark ≥2 ticks past wmMs); a hold wakes
+          // when the watermark clears its absence window.
+          val holdWakes = // guard the unbounded-within overflow
+            if (pattern.withinMs >= Long.MaxValue / 2) Nil
+            else holds.map(h => (h.startTs + pattern.withinMs + 2999L) / 1000L)
+          val wakeAtMs =
+            (pending.headOption.map(_ => wmMs + 1L) ++ holdWakes).minOption
+          wakeAtMs.foreach { t =>
+            state.setTimeoutTimestamp(math.max(t, wmMs + 1L))
+          }
+          out.iterator
+      }
+  }
+
+  /** A row plus its PREV-k ring: `prev_*(k)` (1-based, `element_at`) is the
+    * k-th preceding row of the key's event-time order — the ordered
+    * in-state buffer MATCH_RECOGNIZE's streaming DEFINE navigation rides
+    * (the reference compiles PREV onto the NFA's row buffer,
+    * MatchCodeGenerator.scala's navigation resolution). */
+  case class NavRow(key: Long, ts: Long, id: Long, kind: String, value: Double,
+                    prev_ts: Seq[Long], prev_kind: Seq[String],
+                    prev_value: Seq[Double])
+
+  private[streaming] case class NavState(pending: List[KeyedRow],
+                                         ring: List[KeyedRow])
+
+  /** Watermark-ordered PREV-k augmentation: buffer per key until the
+    * event-time watermark confirms order (the same discipline as
+    * [[matchStream]]), then emit every row with the ring of its `depth`
+    * preceding rows (newest first). State = pending buffer + depth-bounded
+    * ring; rows before the partition start get a short ring, so
+    * `element_at` past it is NULL — exactly `lag`'s semantics. */
+  def orderedWithPrev(rows: Dataset[KeyedRow], depth: Int,
+                      delay: String = "0 seconds"): Dataset[NavRow] = {
+    import rows.sparkSession.implicits._
+    rows
+      // +2999 µs shift + wm·1000−1000 release: see matchStream's ets note
+      .withColumn("ets", timestamp_micros(col("ts") + lit(2999L)))
+      .withWatermark("ets", delay)
+      .as[KeyedRowW]
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[NavState, NavRow](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (_, it, state) =>
+          val st = state.getOption.getOrElse(NavState(Nil, Nil))
+          val wmMs = state.getCurrentWatermarkMs()
+          val releaseMicros = wmMs * 1000L - 1000L
+          val incoming = it.map(w => KeyedRow(w.key, w.ts, w.id, w.kind, w.value))
+          val all = (st.pending ++ incoming).sortBy(r => (r.ts, r.id))
+          val (ready, pending) = all.partition(_.ts <= releaseMicros)
+          var ring = st.ring
+          val out = ready.map { r =>
+            val o = NavRow(r.key, r.ts, r.id, r.kind, r.value,
+              ring.map(_.ts), ring.map(_.kind), ring.map(_.value))
+            ring = (r :: ring).take(depth)
+            o
+          }
+          state.update(NavState(pending, ring))
+          pending.headOption.foreach { _ =>
+            state.setTimeoutTimestamp(wmMs + 1L)
           }
           out.iterator
       }

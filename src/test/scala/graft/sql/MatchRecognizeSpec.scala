@@ -156,6 +156,29 @@ class MatchRecognizeSpec extends SparkSpec {
       Seq((1L, 3L, 1L), (2L, 2L, 0L)))
   }
 
+  test("streaming MEASURES + PREV in DEFINE equals the batch node") {
+    // the round-8 streaming surface: PREV resolved against the ordered
+    // in-state ring, measures joined back per micro-batch — the emitted
+    // set must equal the batch compiler's on the same statement
+    val stmt =
+      """SELECT user_id, start_ts, end_ts, n_rows, first_val, last_val FROM events
+         MATCH_RECOGNIZE (
+           PARTITION BY user_id
+           ORDER BY ts
+           MEASURES FIRST(A.value) AS first_val, LAST(B.value) AS last_val
+           ONE ROW PER MATCH
+           AFTER MATCH SKIP TO NEXT ROW
+           PATTERN (A B)
+           DEFINE B AS B.value < PREV(B.value)
+         ) ORDER BY user_id, start_ts"""
+    graft.Tables.registerAll(spark, sf)
+    val batch = MatchRecognize.run(spark, stmt).collect()
+      .map(_.toSeq).toSet
+    val stream = MatchRecognize.runStream(spark, sf, stmt).collect()
+      .map(_.toSeq).toSet
+    assert(batch.nonEmpty && stream == batch)
+  }
+
   test("MATCH_RECOGNIZE inside a string literal does not hijack dispatch") {
     val rows = spark.sql("SELECT 'MATCH_RECOGNIZE(' AS s, 1 AS one").collect()
     assert(rows.head.getString(0) == "MATCH_RECOGNIZE(" && rows.head.getInt(1) == 1)
