@@ -456,4 +456,165 @@ class DifferentialFuzzSpec extends SparkSpec {
         fails.take(3).map(f => queries.toMap.get(f.split(" ")(1).stripSuffix(":")).getOrElse(""))
           .mkString("\n"))
   }
+
+  // ---- family 20: CEP / MATCH_RECOGNIZE differential ----------------------
+  //
+  // DuckDB has no MATCH_RECOGNIZE, so this family's oracle is an
+  // INDEPENDENT brute-force matcher instead: seeded random patterns
+  // (quantifiers × contiguity × skip strategy × within) against seeded
+  // random event strings, checked as (key, matched-id-list) sets. The
+  // brute force enumerates per-anchor completions by recursive descent
+  // (optional skips × absorption lengths; relaxed steps take the first
+  // matching row, which is the deterministic CEP followedBy semantics) and
+  // replays the emission policy: SKIP TO NEXT ROW emits every completion;
+  // SKIP PAST LAST ROW emits, per completion row, the earliest-anchored
+  // (then greediest — reluctant flips to fewest) completion and kills all
+  // runs through that row.
+
+  /** brute-force mirror of one expanded NFA step */
+  private case class BStep(kind: Option[String], strict: Boolean,
+                           optional: Boolean, oneOrMore: Boolean)
+
+  private case class BCase(steps: Seq[streaming.Cep.Step], bsteps: Vector[BStep],
+                           withinUs: Long, pastLast: Boolean, preferFewest: Boolean,
+                           desc: String)
+
+  private def genCepCase(r: scala.util.Random): BCase = {
+    val nVars = 2 + r.nextInt(2)
+    var anyRel = false
+    val expanded = (0 until nVars).flatMap { i =>
+      val kind: Option[String] =
+        if (r.nextInt(10) < 2) None else Some(Seq("a", "b", "c")(r.nextInt(3)))
+      val isLast = i == nVars - 1
+      // (min, max, reluctant); max None = unbounded
+      val (lo, hi, rel) =
+        if (isLast) { if (r.nextInt(4) == 0) (2, Some(2), false) else (1, Some(1), false) }
+        else r.nextInt(10) match {
+          case 0 | 1 => (0, Some(1), false)
+          case 2 | 3 => (1, None, r.nextBoolean())
+          case 4 => (0, None, r.nextBoolean())
+          case 5 => (2, Some(2), false)
+          case 6 => (1, Some(2), false)
+          case _ => (1, Some(1), false)
+        }
+      anyRel ||= rel
+      // quantified steps are strict (the MR contiguity); plain steps flip a
+      // coin — the relaxed-contiguity (CEP followedBy) axis
+      val strict = (lo, hi) != ((1, Some(1))) || r.nextBoolean()
+      val pred: streaming.KeyedRow => Boolean = kind match {
+        case Some(k) => _.kind == k
+        case None => _ => true
+      }
+      def mk(oneOrMore: Boolean, optional: Boolean) =
+        (streaming.Cep.Step(s"V$i", pred, strict = strict, oneOrMore = oneOrMore,
+          optional = optional, reluctant = rel),
+          BStep(kind, strict, optional, oneOrMore))
+      (lo, hi) match {
+        case (0, None) => Seq(mk(oneOrMore = true, optional = true))
+        case (n, None) => Seq.fill(n - 1)(mk(false, false)) :+ mk(oneOrMore = true, optional = false)
+        case (n, Some(m)) => Seq.fill(n)(mk(false, false)) ++ Seq.fill(m - n)(mk(false, optional = true))
+      }
+    }
+    val withinUs = if (r.nextBoolean()) Long.MaxValue else 5L * 1000000L
+    val pastLast = r.nextBoolean()
+    BCase(expanded.map(_._1), expanded.map(_._2).toVector, withinUs, pastLast,
+      anyRel, expanded.map(_._2).mkString(" "))
+  }
+
+  /** all completions anchored at `anchor` (first matched row = anchor). */
+  private def bruteCompletions(rows: Vector[streaming.KeyedRow], anchor: Int,
+                               steps: Vector[BStep]): List[List[Int]] = {
+    val out = scala.collection.mutable.ListBuffer.empty[List[Int]]
+    def matches(st: BStep, j: Int): Boolean =
+      j < rows.length && st.kind.forall(_ == rows(j).kind)
+    def rec(i: Int, lastIdx: Int, acc: List[Int]): Unit = {
+      if (i == steps.length) { if (acc.nonEmpty) out += acc.reverse; return }
+      val st = steps(i)
+      if (st.optional) rec(i + 1, lastIdx, acc)
+      val cand: Option[Int] =
+        if (acc.isEmpty) Some(anchor).filter(matches(st, _))
+        else if (st.strict) Some(lastIdx + 1).filter(matches(st, _))
+        else ((lastIdx + 1) until rows.length).find(matches(st, _))
+      cand.foreach { j =>
+        if (st.oneOrMore) {
+          // strict absorb loop: consecutive matching rows, advance possible
+          // at every absorption length
+          var cur = j
+          var accAbs = j :: acc
+          rec(i + 1, cur, accAbs)
+          while (matches(st, cur + 1)) {
+            cur += 1; accAbs = cur :: accAbs
+            rec(i + 1, cur, accAbs)
+          }
+        } else rec(i + 1, j, j :: acc)
+      }
+    }
+    rec(0, -1, Nil)
+    out.toList.distinct
+  }
+
+  private def bruteMatches(rowsIn: Seq[streaming.KeyedRow], c: BCase): Set[Seq[Long]] = {
+    val rows = rowsIn.sortBy(r => (r.ts, r.id)).toVector
+    def within(comp: List[Int]): Boolean =
+      rows(comp.last).ts - rows(comp.head).ts <= c.withinUs
+    val all = rows.indices.flatMap(a =>
+      bruteCompletions(rows, a, c.bsteps).filter(within))
+    if (!c.pastLast) all.map(_.map(i => rows(i).id)).toSet
+    else {
+      val out = Set.newBuilder[Seq[Long]]
+      var cursor = 0
+      var go = true
+      while (go) {
+        val cands = all.filter(comp => comp.head >= cursor)
+        if (cands.isEmpty) go = false
+        else {
+          val bestEnd = cands.map(_.last).min
+          val sizeKey: List[Int] => Int =
+            if (c.preferFewest) _.length else l => -l.length
+          val pick = cands.filter(_.last == bestEnd)
+            .minBy(comp => (comp.head, sizeKey(comp), comp.map(i => f"$i%06d").mkString))
+          out += pick.map(i => rows(i).id)
+          cursor = bestEnd + 1
+        }
+      }
+      out.result()
+    }
+  }
+
+  test("family 20: CEP NFA equals brute force on seeded patterns x event strings") {
+    val s = spark
+    import s.implicits._
+    val seed = sys.props.get("graft.fuzz.seed")
+      .orElse(sys.env.get("GRAFT_FUZZ_SEED")).map(_.toLong).getOrElse(20260813L)
+    val r = new scala.util.Random(seed + 20)
+    val nPatterns = 24
+    println(s"[fuzz] family20 seed=${seed + 20} patterns=$nPatterns keys=40")
+    var totalMatches = 0L
+    (0 until nPatterns).foreach { pi =>
+      val c = genCepCase(r)
+      val pattern = streaming.Cep.Pattern(c.steps, c.withinUs,
+        if (c.pastLast) streaming.Cep.SkipPastLastRow else streaming.Cep.SkipToNextRow)
+      val corpus: Seq[streaming.KeyedRow] = (1 to 40).flatMap { key =>
+        val n = r.nextInt(11)
+        var t = 0L
+        (0 until n).map { i =>
+          t += (if (r.nextInt(5) == 0) 7L * 1000000L else 1L + r.nextInt(900000))
+          streaming.KeyedRow(key.toLong, t, key * 1000L + i,
+            Seq("a", "b", "c")(r.nextInt(3)), 0.0)
+        }
+      }
+      val got = streaming.Cep.matchBatch(corpus.toDS(), pattern)
+        .collect().map(m => (m.key, m.ids)).toSet
+      val want = corpus.groupBy(_.key).toSeq.flatMap { case (key, rs) =>
+        bruteMatches(rs, c).map(ids => (key, ids))
+      }.toSet
+      assert(got == want,
+        s"pattern #$pi [${c.desc}] within=${c.withinUs} pastLast=${c.pastLast}\n" +
+          s"  nfa-only: ${(got -- want).take(3)}\n  brute-only: ${(want -- got).take(3)}")
+      totalMatches += got.size
+    }
+    println(s"[fuzz] family20 total matches across patterns: $totalMatches")
+    assert(totalMatches > nPatterns * 10,
+      "vacuity guard: the seeded corpora should produce plenty of matches")
+  }
 }
