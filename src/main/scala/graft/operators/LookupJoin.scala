@@ -108,6 +108,33 @@ object LookupJoin {
       }
     }
 
+  /** Async unordered lookup (AsyncDataStream.unorderedWait,
+    * AsyncDataStream.java:137-169): same bounded in-flight window, but
+    * results emit in COMPLETION order — a slow lookup delays nothing but
+    * itself. Completions land on a blocking queue from the callback
+    * thread; the consumer thread alone launches and counts in-flight. */
+  def asyncUnorderedLookup[K, V](it: Iterator[K], lookup: K => Future[V],
+                                 parallelism: Int)(implicit ec: ExecutionContext): Iterator[(K, V)] =
+    new Iterator[(K, V)] {
+      private val done =
+        new java.util.concurrent.LinkedBlockingQueue[(K, scala.util.Try[V])]()
+      private var inFlight = 0
+      private def refill(): Unit =
+        while (inFlight < parallelism && it.hasNext) {
+          val k = it.next()
+          inFlight += 1
+          lookup(k).onComplete(t => done.put(k -> t))
+        }
+      refill()
+      def hasNext: Boolean = inFlight > 0
+      def next(): (K, V) = {
+        val (k, t) = done.take()
+        inFlight -= 1
+        refill()
+        (k, t.get)
+      }
+    }
+
   private def lookupAsync(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val bc = s.sparkContext.broadcast(mockDimSnapshot(s, dir))
@@ -123,10 +150,28 @@ object LookupJoin {
       .orderBy(col("c_nationkey"))
   }
 
+  /** unorderedWait variant over the same orders scan — the aggregate is
+    * order-insensitive, so the oracle is shared with the ordered form. */
+  private def lookupAsyncUnordered(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val bc = s.sparkContext.broadcast(mockDimSnapshot(s, dir))
+    Tables.load(s, dir, "orders").select(col("o_custkey")).as[Long]
+      .mapPartitions { it =>
+        implicit val ec: ExecutionContext = ExecutionContext.global
+        val client = new MockDimClient(bc.value)
+        asyncUnorderedLookup[Long, Option[Int]](it, client.getAsync(_), parallelism = 32)
+          .map { case (k, v) => (k, v.getOrElse(-1)) }
+      }
+      .toDF("o_custkey", "c_nationkey")
+      .groupBy(col("c_nationkey")).agg(count(lit(1)).as("n_orders"))
+      .orderBy(col("c_nationkey"))
+  }
+
   def queries: Map[String, QFn] = Map(
     "lookup_broadcast" -> (lookupBroadcast _),
     "lookup_sync" -> (lookupSync _),
-    "lookup_async" -> (lookupAsync _)
+    "lookup_async" -> (lookupAsync _),
+    "lookup_async_unordered" -> (lookupAsyncUnordered _)
   )
 
   private val oracle =
@@ -137,6 +182,7 @@ object LookupJoin {
   def oracles: Map[String, String] = Map(
     "lookup_broadcast" -> oracle,
     "lookup_sync" -> oracle,
-    "lookup_async" -> oracle
+    "lookup_async" -> oracle,
+    "lookup_async_unordered" -> oracle
   )
 }

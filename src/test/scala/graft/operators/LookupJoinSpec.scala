@@ -47,4 +47,45 @@ class LookupJoinSpec extends AnyFunSuite {
     slow.trySuccess(100)
     assert(it.toList == List(1 -> 100, 2 -> 2, 3 -> 3, 4 -> 4, 5 -> 5, 6 -> 6, 7 -> 7))
   }
+
+  // ---- unorderedWait (AsyncDataStream.java:137-169) -----------------------
+
+  test("unordered: results emit in completion order, slow lookups delay only themselves") {
+    val slowKey = 0
+    val slow = Promise[Int]()
+    def lookup(k: Int): Future[Int] =
+      if (k == slowKey) slow.future else Future.successful(k * 10)
+    val it = LookupJoin.asyncUnorderedLookup[Int, Int](
+      (0 until 8).iterator, lookup, parallelism = 4)
+    // the slow HEAD is in flight, yet every fast lookup streams out first —
+    // the ordered variant would block on key 0 before emitting anything
+    val fastFirst = (1 to 7).map(_ => it.next()).toList
+    assert(fastFirst.map(_._1).toSet == (1 to 7).toSet)
+    assert(fastFirst.forall { case (k, v) => v == k * 10 })
+    slow.trySuccess(999)
+    assert(it.next() == (0 -> 999))
+    assert(!it.hasNext)
+  }
+
+  test("unordered: in-flight window stays bounded and every key is delivered once") {
+    val launched = new ConcurrentHashMap[Int, Boolean]()
+    val gates = (0 until 12).map(_ => Promise[Int]())
+    def lookup(k: Int): Future[Int] = { launched.put(k, true); gates(k).future }
+    val it = LookupJoin.asyncUnorderedLookup[Int, Int](
+      (0 until 12).iterator, lookup, parallelism = 3)
+    assert(launched.size == 3, "only the window launches eagerly")
+    // release the middle of the window: its slot refills immediately
+    gates(1).trySuccess(1)
+    assert(it.next() == (1 -> 1))
+    assert(launched.size == 4 && launched.containsKey(3))
+    // drain in scrambled order; the full key set arrives exactly once
+    new Thread(() => {
+      Thread.sleep(20)
+      scala.util.Random.shuffle((0 until 12).filter(_ != 1).toList)
+        .foreach(k => gates(k).trySuccess(k))
+    }).start()
+    val rest = it.toList
+    assert(rest.map(_._1).sorted == (0 until 12).filter(_ != 1).toList)
+    assert(rest.forall { case (k, v) => v == k })
+  }
 }
