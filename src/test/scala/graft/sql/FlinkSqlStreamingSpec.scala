@@ -578,6 +578,9 @@ class FlinkSqlStreamingSpec extends SparkSpec {
            )""")
     }
     assert(allRows.getMessage.contains("ONE ROW PER MATCH"))
+    // NEXT needs lookahead and stays batch-only; PREV runs since round 8
+    // (resolved against the ordered in-state ring — MatchRecognizeSpec
+    // proves batch ≡ stream for it)
     val nav = intercept[IllegalArgumentException] {
       MatchRecognize.runStream(spark, sf,
         """SELECT user_id, start_ts, end_ts FROM events
@@ -587,9 +590,9 @@ class FlinkSqlStreamingSpec extends SparkSpec {
              AFTER MATCH SKIP PAST LAST ROW
              PATTERN (A B)
              DEFINE A AS event_type = 'click',
-                    B AS event_type = 'purchase' AND value > PREV(value)
+                    B AS event_type = 'purchase' AND value > NEXT(value)
            )""")
     }
-    assert(nav.getMessage.contains("no PREV/NEXT"))
+    assert(nav.getMessage.contains("PREV only"))
   }
 }
