@@ -62,4 +62,23 @@ object Tables {
   /** Register every table as a temp view so spark.sql(...) works too. */
   def registerAll(spark: SparkSession, sfDir: String): Unit =
     names.foreach(n => load(spark, sfDir, n).createOrReplaceTempView(n))
+
+  /** File-STREAM a table, layout-aware. The driver fixtures ship each table
+    * as one FILE (`<dir>/<name>.parquet`), which a file-stream source can
+    * only pick up by streaming the parent dir with a `pathGlobFilter`; any
+    * real deployment — and the ScaleUp sf1 probe — ships a parquet
+    * DIRECTORY of part files, where that same glob silently matches
+    * NOTHING (it filters leaf FILE names, and `part-*.parquet` ≠
+    * `<name>.parquet`). Round 8's sf1 probe caught streaming queries
+    * reading zero rows that way — stream the table path directly when it
+    * is a directory. */
+  def streamTable(spark: SparkSession, sfDir: String, name: String,
+                  schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    val p = path(sfDir, name)
+    if (new java.io.File(p).isDirectory)
+      spark.readStream.schema(schema).parquet(p)
+    else
+      spark.readStream.schema(schema).format("parquet")
+        .option("pathGlobFilter", s"$name.parquet").load(sfDir)
+  }
 }

@@ -120,8 +120,7 @@ object TimeOps {
   private def streamIntervalJoin(s: SparkSession, dir: String): DataFrame = {
     val path = s"$dir/events.parquet"
     val schema = s.read.parquet(path).schema
-    def src() = s.readStream.schema(schema).format("parquet")
-      .option("pathGlobFilter", "events.parquet").load(dir)
+    def src() = graft.Tables.streamTable(s, dir, "events", schema)
       .withColumn("ts", graft.Tables.tsAsTimestamp(schema))
     val p = src().filter(col("event_type") === "purchase")
       .withWatermark("ts", "0 seconds")

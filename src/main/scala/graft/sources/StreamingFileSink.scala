@@ -44,8 +44,7 @@ object StreamingFileSink {
   def writeEvents(s: SparkSession, dir: String): Unit = {
     wipe(s, sinkDir(dir)); wipe(s, ckptDir(dir))
     val schema = s.read.parquet(s"$dir/events.parquet").schema
-    val in = s.readStream.schema(schema).format("parquet")
-      .option("pathGlobFilter", "events.parquet").load(dir)
+    val in = graft.Tables.streamTable(s, dir, "events", schema)
       .withColumn("ts", graft.Tables.tsAsTimestamp(schema).cast("timestamp_ntz"))
     val q = in.writeStream.format("parquet")
       .partitionBy("event_type")

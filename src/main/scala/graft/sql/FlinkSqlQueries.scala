@@ -388,9 +388,7 @@ object FlinkSqlQueries {
       // a real event-time attribute the watermark can ride
       // watermarks require TimestampType (not NTZ); the session runs UTC so
       // the final cast back to NTZ is value-preserving vs the oracle
-      // the file stream source wants a directory; glob-filter to the table
-      s.readStream.schema(schema).format("parquet")
-        .option("pathGlobFilter", "events.parquet").load(dir)
+      Tables.streamTable(s, dir, "events", schema)
         .withColumn("ts", graft.Tables.tsAsTimestamp(schema))
         .withWatermark("ts", "0 seconds")
         .createOrReplaceTempView("events_stream")
@@ -440,8 +438,7 @@ object FlinkSqlQueries {
     "fsql_stream_hop" -> ((s, dir) => {
       val path = s"$dir/events.parquet"
       val schema = s.read.parquet(path).schema
-      s.readStream.schema(schema).format("parquet")
-        .option("pathGlobFilter", "events.parquet").load(dir)
+      Tables.streamTable(s, dir, "events", schema)
         .withColumn("ts", graft.Tables.tsAsTimestamp(schema))
         .withWatermark("ts", "0 seconds")
         .createOrReplaceTempView("events_stream_hop")
@@ -472,8 +469,7 @@ object FlinkSqlQueries {
     "fsql_stream_cumulate" -> ((s, dir) => {
       val path = s"$dir/events.parquet"
       val schema = s.read.parquet(path).schema
-      s.readStream.schema(schema).format("parquet")
-        .option("pathGlobFilter", "events.parquet").load(dir)
+      Tables.streamTable(s, dir, "events", schema)
         .withColumn("ts", graft.Tables.tsAsTimestamp(schema))
         .withWatermark("ts", "0 seconds")
         .createOrReplaceTempView("events_stream_cum")
@@ -507,8 +503,7 @@ object FlinkSqlQueries {
     "fsql_stream_session" -> ((s, dir) => {
       val path = s"$dir/events.parquet"
       val schema = s.read.parquet(path).schema
-      s.readStream.schema(schema).format("parquet")
-        .option("pathGlobFilter", "events.parquet").load(dir)
+      Tables.streamTable(s, dir, "events", schema)
         .withColumn("ts", graft.Tables.tsAsTimestamp(schema))
         .withWatermark("ts", "0 seconds")
         .createOrReplaceTempView("events_stream_sess")

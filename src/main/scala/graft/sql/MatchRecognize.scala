@@ -318,8 +318,7 @@ object MatchRecognize {
     val prevRe = """(?i)\bPREV\s*\(\s*(\w+)\s*(?:,\s*(\d+)\s*)?\)""".r
     val hasNav = spec.rawDefines.values.exists(d => prevRe.findFirstIn(d).isDefined)
     // raw parquet NANOS timestamp arrives as long (nanosAsLong conf)
-    def source = spark.readStream.schema(schema).format("parquet")
-      .option("pathGlobFilter", s"${spec.table}.parquet").load(dir)
+    def source = graft.Tables.streamTable(spark, dir, spec.table, schema)
 
     val rows: org.apache.spark.sql.Dataset[KeyedRow] =
       if (!hasNav)

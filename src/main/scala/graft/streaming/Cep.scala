@@ -538,8 +538,7 @@ object Cep {
     import s.implicits._
     val schema = s.read.parquet(s"$dir/events.parquet").schema
     // raw parquet NANOS timestamp arrives as long (legacy nanosAsLong conf)
-    val rows = s.readStream.schema(schema).format("parquet")
-      .option("pathGlobFilter", "events.parquet").load(dir)
+    val rows = graft.Tables.streamTable(s, dir, "events", schema)
       .select(col("user_id").as("key"), graft.Tables.tsAsMicrosLong(schema).as("ts"),
         col("event_id").as("id"), col("event_type").as("kind"), col("value"))
       .as[KeyedRow]

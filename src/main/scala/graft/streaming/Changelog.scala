@@ -268,8 +268,7 @@ object Changelog {
     val token = dir.replaceAll("[^a-zA-Z0-9]", "_")
     val relay = s"target/cdc_relay/$token/${java.util.UUID.randomUUID}"
     val schema = s.read.parquet(s"$dir/events.parquet").schema
-    val rows = s.readStream.schema(schema).format("parquet")
-      .option("pathGlobFilter", "events.parquet").load(dir)
+    val rows = graft.Tables.streamTable(s, dir, "events", schema)
       .select(col("user_id").as("key"), graft.Tables.tsAsMicrosLong(schema).as("ts"),
         col("event_id").as("id"), col("event_type").as("kind"),
         round(col("value") * 1e6, 0).as("value"))
