@@ -186,6 +186,20 @@ object FlinkSqlQueries {
            PATTERN (A B)
            DEFINE B AS B.value < PREV(B.value)
          ) ORDER BY user_id, start_ts""")),
+    // the SAME ALL-ROWS statement as a real StreamingQuery (round 8):
+    // per-micro-batch join-back keeps each matched row with CLASSIFIER;
+    // MATCH_NUMBER is the sink-read projection (batch formulation)
+    "mr_stream_all_rows" -> ((s, dir) => MatchRecognize.runStream(s, dir,
+      """SELECT user_id, row_seq, event_id, classifier, match_no FROM events
+         MATCH_RECOGNIZE (
+           PARTITION BY user_id
+           ORDER BY ts
+           ALL ROWS PER MATCH
+           AFTER MATCH SKIP PAST LAST ROW
+           PATTERN (A B)
+           DEFINE A AS event_type = 'click',
+                  B AS event_type = 'purchase' AND value > PREV(value)
+         ) ORDER BY user_id, match_no, row_seq""")),
     // ALL ROWS PER MATCH + PREV navigation: click followed by a pricier
     // purchase; every matched row comes back with CLASSIFIER/MATCH_NUMBER
     "mr_all_rows_nav" -> ((s, dir) => run(s, dir,
@@ -604,6 +618,25 @@ object FlinkSqlQueries {
     // (A B) with SKIP PAST LAST ROW can never overlap (B is a purchase, A a
     // click), so the lag formulation is exact; two output rows per match
     "mr_all_rows_nav" ->
+      """WITH o0 AS (
+           SELECT user_id, ts, event_id, event_type, value,
+                  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+           FROM events),
+         o AS (
+           SELECT *, lag(event_type) OVER w AS t1, lag(value) OVER w AS v1,
+                  lag(event_id) OVER w AS id1, lag(rn) OVER w AS rn1
+           FROM o0 WINDOW w AS (PARTITION BY user_id ORDER BY rn)),
+         mt AS (
+           SELECT user_id, id1, rn1, event_id AS p_id, rn AS p_rn,
+                  CAST(row_number() OVER (PARTITION BY user_id ORDER BY rn) AS INT) AS match_no
+           FROM o WHERE event_type = 'purchase' AND t1 = 'click' AND value > v1)
+         SELECT user_id, rn1 AS row_seq, id1 AS event_id, 'A' AS classifier, match_no FROM mt
+         UNION ALL
+         SELECT user_id, p_rn, p_id, 'B', match_no FROM mt
+         ORDER BY user_id, match_no, row_seq""",
+    // streaming ALL ROWS must equal the batch node once the final
+    // watermark passes max(ts) — same oracle as mr_all_rows_nav
+    "mr_stream_all_rows" ->
       """WITH o0 AS (
            SELECT user_id, ts, event_id, event_type, value,
                   row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn

@@ -277,8 +277,10 @@ object MatchRecognize {
     * passes max(ts) the emitted match set equals the batch scan's — the
     * driver gate asserts that against the SAME DuckDB oracle row.
     *
-    * Streaming surface (round 8): ONE ROW PER MATCH with full MEASURES and
-    * PREV-k navigation in DEFINE.
+    * Streaming surface (round 8): the full statement shape — ONE ROW PER
+    * MATCH with MEASURES, ALL ROWS PER MATCH with CLASSIFIER /
+    * MATCH_NUMBER / RUNNING-FINAL measures, and PREV-k navigation in
+    * DEFINE.
     *  - PREV compiles onto [[Cep.orderedWithPrev]] — the watermark-ordered
     *    keyed ring of the preceding `depth` rows, the streaming analogue of
     *    the batch lag window (the reference resolves PREV against the NFA's
@@ -293,16 +295,21 @@ object MatchRecognize {
     *    completed matches explodes its (id, label) list, hash-joins back to
     *    the static source on (partition, event id) — touching only matched
     *    rows — aggregates per match, and appends to the result sink.
-    *    ALL ROWS PER MATCH stays on the batch node.
+    *  - ALL ROWS PER MATCH does the same join-back but keeps each matched
+    *    source row (CLASSIFIER = its step label; RUNNING/FINAL measures
+    *    windowed per match inside the batch — a match completes atomically
+    *    in one emission, so its rows share a batch). MATCH_NUMBER needs
+    *    the key's global match order, so it is computed on the final sink
+    *    read with the batch node's exact formulation (dense_rank over
+    *    (start_ts, first matched seq) per key) — a sink-side projection,
+    *    not part of the incremental pipeline.
     *
     * At scale this is one hash-partition by key with O(open-runs + depth)
     * state per key and watermark-bounded buffers — no per-batch sort of
-    * history, no unbounded state; the measure join-back is proportional to
-    * the matches of the batch, not the input. */
+    * history, no unbounded state; the join-back is proportional to the
+    * matches of the batch, not the input. */
   def runStream(spark: SparkSession, dir: String, sql: String): DataFrame = {
     val spec = parse(sql)
-    require(!spec.allRows,
-      "streaming MATCH_RECOGNIZE: ONE ROW PER MATCH (ALL ROWS PER MATCH is batch-only)")
     require(!spec.rawDefines.values.exists(d =>
         """(?i)\bNEXT\s*\(""".r.findFirstIn(d).isDefined),
       "streaming MATCH_RECOGNIZE: DEFINE may navigate PREV only (NEXT needs lookahead)")
@@ -374,7 +381,50 @@ object MatchRecognize {
 
     val matched = Cep.matchStream(rows, pattern)
     val out: DataFrame =
-      if (spec.measures.isEmpty) {
+      if (spec.allRows) {
+        val seqW = Window.partitionBy(col(spec.partitionBy)).orderBy(col(spec.orderBy))
+        val preparedStatic = spark.read.parquet(s"$dir/${spec.table}.parquet")
+          .withColumn("__pkey", col(spec.partitionBy).cast("long"))
+          .withColumn("__srcid", col("event_id").cast("long"))
+          .withColumn("__seq", row_number().over(seqW).cast("long"))
+        def rowsOf(bdf: DataFrame): DataFrame = {
+          val expl = bdf.withColumn("__mid", monotonically_increasing_id())
+            .select(col("__mid"), col("key"), col("start_ts"),
+              explode(arrays_zip(col("ids"), col("labels"))).as("z"))
+            .select(col("__mid"), col("key"), col("start_ts"),
+              col("z.ids").as("__eid"), col("z.labels").as("classifier"))
+          val joined = expl.join(preparedStatic,
+            expl("key") === preparedStatic("__pkey") &&
+              expl("__eid") === preparedStatic("__srcid"))
+          val runW = Window.partitionBy(col("__mid")).orderBy(col("__seq"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+          val finW = Window.partitionBy(col("__mid"))
+            .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+          val withMeasures = spec.measures.foldLeft(joined) { (df, m) =>
+            val (agg, post) = measureAgg(m, "classifier")
+            df.withColumn(m.alias, post(agg.over(if (m.running) runW else finW)))
+          }
+          withMeasures
+            .withColumn("__first_seq", min(col("__seq")).over(finW))
+            .drop("__mid", "__eid", "__srcid", "__pkey", "key")
+        }
+        val token = dir.replaceAll("[^a-zA-Z0-9]", "_")
+        val sinkDir = s"target/mr_stream/$token/${java.util.UUID.randomUUID}"
+        val q = matched.writeStream.outputMode("append")
+          .foreachBatch { (b: org.apache.spark.sql.Dataset[Cep.Match], _: Long) =>
+            rowsOf(b.toDF()).write.mode("append").parquet(sinkDir)
+          }.start()
+        try q.processAllAvailable() finally q.stop()
+        val sunk = if (new java.io.File(sinkDir).exists()) spark.read.parquet(sinkDir)
+          else rowsOf(spark.createDataset(Seq.empty[Cep.Match]).toDF())
+        sunk
+          .withColumn("match_no", dense_rank().over(
+            Window.partitionBy(col(spec.partitionBy))
+              .orderBy(col("start_ts"), col("__first_seq"))))
+          .drop("start_ts", "__first_seq")
+          .withColumnRenamed("__seq", "row_seq")
+      }
+      else if (spec.measures.isEmpty) {
         spark.catalog.dropTempView("mr_stream_sink"): Unit
         val q = matched.writeStream.format("memory").queryName("mr_stream_sink")
           .outputMode("append").start()

@@ -566,21 +566,9 @@ class FlinkSqlStreamingSpec extends SparkSpec {
   }
 
   test("streaming MATCH_RECOGNIZE rejects shapes that need the batch compiler") {
-    val allRows = intercept[IllegalArgumentException] {
-      MatchRecognize.runStream(spark, sf,
-        """SELECT user_id, row_seq, event_id, classifier, match_no FROM events
-           MATCH_RECOGNIZE (
-             PARTITION BY user_id ORDER BY ts
-             ALL ROWS PER MATCH
-             AFTER MATCH SKIP PAST LAST ROW
-             PATTERN (A B)
-             DEFINE A AS event_type = 'click', B AS event_type = 'purchase'
-           )""")
-    }
-    assert(allRows.getMessage.contains("ONE ROW PER MATCH"))
-    // NEXT needs lookahead and stays batch-only; PREV runs since round 8
-    // (resolved against the ordered in-state ring — MatchRecognizeSpec
-    // proves batch ≡ stream for it)
+    // ALL ROWS PER MATCH and PREV both run on streams since round 8
+    // (mr_stream_all_rows / mr_stream_nav_measures oracles); the remaining
+    // batch-only navigation is NEXT, which needs lookahead
     val nav = intercept[IllegalArgumentException] {
       MatchRecognize.runStream(spark, sf,
         """SELECT user_id, start_ts, end_ts FROM events
