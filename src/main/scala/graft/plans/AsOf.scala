@@ -22,6 +22,29 @@ object AsOf {
       strict))
   }
 
+  /** Multi-key variant: the key lists compose into one resolved
+    * CreateStruct expression per side (the operator clusters/orders on the
+    * key expression generically, so a struct key needs no operator change;
+    * `functions.struct` would reach the operator UNRESOLVED through the
+    * Column bridge, hence the catalyst-level construction here). */
+  def joinMulti(left: DataFrame, right: DataFrame,
+                leftKeys: Seq[Column], rightKeys: Seq[Column],
+                leftTime: Column, rightTime: Column,
+                strict: Boolean = false): DataFrame = {
+    require(leftKeys.nonEmpty && leftKeys.size == rightKeys.size,
+      "as-of join needs matching non-empty key lists")
+    val spark = left.sparkSession
+    import org.apache.spark.sql.catalyst.expressions.CreateStruct
+    def key(cols: Seq[Column]) =
+      if (cols.size == 1) GraftSqlBridge.expression(cols.head)
+      else CreateStruct(cols.map(GraftSqlBridge.expression))
+    GraftSqlBridge.ofRows(spark, AsOfJoin(
+      GraftSqlBridge.logicalPlan(left), GraftSqlBridge.logicalPlan(right),
+      key(leftKeys), key(rightKeys),
+      GraftSqlBridge.expression(leftTime), GraftSqlBridge.expression(rightTime),
+      strict))
+  }
+
   /** Oracle-checked query: the TimeOps as-of join re-planned through the
     * custom operator — same semantics (strictly-preceding click per
     * purchase), same oracle, linear merge instead of pair-join+ROW_NUMBER. */

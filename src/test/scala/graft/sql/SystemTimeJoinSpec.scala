@@ -55,6 +55,43 @@ class SystemTimeJoinSpec extends SparkSpec {
     assert(spark.table("wmd_fs_rates").count() == 2)
   }
 
+  test("aliases + multi-key conjunction compose a struct as-of key") {
+    val s = spark
+    import s.implicits._
+    // versions keyed by (currency, region)
+    Seq((1L, 7L, new Timestamp(10000L), 100L), (1L, 8L, new Timestamp(10000L), 101L),
+        (1L, 7L, new Timestamp(25000L), 102L))
+      .toDF("ok", "orgn", "ots", "oid").createOrReplaceTempView("stm_orders")
+    Seq((1L, 7L, new Timestamp(5000L), 1.0), (1L, 7L, new Timestamp(20000L), 2.0),
+        (1L, 8L, new Timestamp(5000L), 9.0))
+      .toDF("rk", "rrgn", "rts", "rate").createOrReplaceTempView("stm_rates")
+    SystemTimeJoin.declareWatermark("stm_rates", "rts")
+    val rows = spark.sql(
+      """SELECT o.oid, r.rate FROM stm_orders o
+         JOIN stm_rates r FOR SYSTEM_TIME AS OF o.ots
+         ON o.ok = r.rk AND o.orgn = r.rrgn
+         ORDER BY o.oid""").collect().map(x => (x.getLong(0), x.getDouble(1)))
+    // (1,7)@10s → 1.0; (1,8)@10s → 9.0; (1,7)@25s → 2.0
+    assert(rows.toSeq == Seq((100L, 1.0), (101L, 9.0), (102L, 2.0)))
+  }
+
+  test("aliases + multi-key over PROCTIME() pick each composite key's latest version") {
+    val s = spark
+    import s.implicits._
+    Seq((1L, 7L, 100L), (1L, 8L, 101L))
+      .toDF("ok", "orgn", "oid").createOrReplaceTempView("stp_orders")
+    Seq((1L, 7L, new Timestamp(5000L), 1.0), (1L, 7L, new Timestamp(20000L), 2.0),
+        (1L, 8L, new Timestamp(9000L), 9.0))
+      .toDF("rk", "rrgn", "rts", "rate").createOrReplaceTempView("stp_rates")
+    SystemTimeJoin.declareWatermark("stp_rates", "rts")
+    val rows = spark.sql(
+      """SELECT o.oid, r.rate FROM stp_orders AS o
+         JOIN stp_rates AS r FOR SYSTEM_TIME AS OF PROCTIME()
+         ON o.ok = r.rk AND o.orgn = r.rrgn
+         ORDER BY o.oid""").collect().map(x => (x.getLong(0), x.getDouble(1)))
+    assert(rows.toSeq == Seq((100L, 2.0), (101L, 9.0)))
+  }
+
   test("missing watermark declaration fails with a pointed message") {
     val s = spark
     import s.implicits._
