@@ -50,6 +50,17 @@ class RocksDbStateStoreSpec extends SparkSpec {
     assert(rocks == default)
   }
 
+  test("streaming MATCH_RECOGNIZE with PREV + MEASURES is identical on RocksDB state") {
+    // the round-8 pipeline runs TWO stateful operators (the PREV ring and
+    // the NFA) across a relay — both must hold their state on the
+    // disk-backed provider without changing a row
+    val fn = graft.sql.FlinkSqlQueries.queries("mr_stream_nav_measures")
+    val default = withProvider(None)(rowsOf(fn))
+    val rocks = withProvider(Some(Rocks))(rowsOf(fn))
+    assert(default.nonEmpty)
+    assert(rocks == default)
+  }
+
   test("the RocksDB provider actually serves the state (metrics probe)") {
     import spark.implicits._
     withProvider(Some(Rocks)) {
