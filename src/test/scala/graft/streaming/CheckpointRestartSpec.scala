@@ -123,4 +123,43 @@ class CheckpointRestartSpec extends SparkSpec {
     assert(rows == Set((20L, 3L, 13.0, false), (30L, 4L, 33.0, true)),
       s"early fire must include pre-restart state, terminal the full window: $rows")
   }
+
+  test("the streaming PREV ring (orderedWithPrev) survives a query restart") {
+    val s = spark
+    import s.implicits._
+    val root = java.nio.file.Files.createTempDirectory("ckpt_nav").toString
+    val in = s"$root/in"; val out = s"$root/out"; val ckpt = s"$root/ckpt"
+    new java.io.File(in).mkdirs()
+    val schema = "key LONG, ts LONG, id LONG, kind STRING, value DOUBLE"
+    def startQuery() = Cep.orderedWithPrev(
+        s.readStream.schema(schema).json(s"$in/*").as[KeyedRow], depth = 2)
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    def addFile(name: String, rows: String*): Unit =
+      rows.toSeq.toDF("value").coalesce(1).write.mode("append").text(s"$in/$name")
+    // phase 1: the ring accumulates ids 1,2
+    val q1 = startQuery()
+    try {
+      addFile("f1",
+        """{"key":1,"ts":1000000,"id":1,"kind":"a","value":1.0}""",
+        """{"key":1,"ts":2000000,"id":2,"kind":"b","value":2.0}""")
+      q1.processAllAvailable()
+    } finally q1.stop()
+    // phase 2: a NEW query from the same checkpoint — the post-restart row
+    // must see the PRE-restart rows as its PREV ring
+    val q2 = startQuery()
+    try {
+      addFile("f2", """{"key":1,"ts":3000000,"id":3,"kind":"c","value":3.0}""")
+      q2.processAllAvailable()
+      addFile("f3", """{"key":1,"ts":9000000,"id":9,"kind":"z","value":0.0}""")
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val rows = s.read.parquet(out).as[Cep.NavRow].collect().toSeq
+    val r3 = rows.find(_.id == 3).getOrElse(fail(s"row 3 never emitted: $rows"))
+    assert(r3.prev_kind == Seq("b", "a"),
+      s"the ring must survive the restart: $rows")
+    // exactly-once: pre-restart rows are not re-emitted
+    assert(rows.count(_.id == 1) == 1 && rows.count(_.id == 2) == 1)
+  }
 }
