@@ -343,15 +343,17 @@ object MatchRecognize {
             graft.Tables.tsAsMicrosLong(schema, spec.orderBy).as("ts"),
             col("event_id").as("id"), col("event_type").as("kind"), col("value"))
           .as[KeyedRow]
-        spark.catalog.dropTempView("mr_nav_relay"): Unit
-        val q1 = Cep.orderedWithPrev(raw, depth)
-          .writeStream.format("memory").queryName("mr_nav_relay")
-          .outputMode("append").start()
-        try q1.processAllAvailable() finally q1.stop()
+        // the ring-augmented stream relays through the REAL streaming
+        // parquet file sink (exactly-once, executor-side — no driver
+        // materialization), and the NFA stage file-streams the channel
         val token = dir.replaceAll("[^a-zA-Z0-9]", "_")
         val relay = s"target/mr_relay/$token/${java.util.UUID.randomUUID}"
-        val navDf = spark.table("mr_nav_relay")
-        navDf.write.mode("overwrite").parquet(relay)
+        val q1 = Cep.orderedWithPrev(raw, depth)
+          .writeStream.format("parquet").option("path", relay)
+          .option("checkpointLocation", s"$relay.ckpt")
+          .outputMode("append").start()
+        try q1.processAllAvailable() finally q1.stop()
+        val navSchema = org.apache.spark.sql.Encoders.product[Cep.NavRow].schema
         // DEFINE onto the ring columns: PREV(c, k) → element_at(prev_c, k)
         // (try_element_at: NULL past the partition start — lag's semantics
         // map onto the KeyedRow payload names
@@ -371,7 +373,7 @@ object MatchRecognize {
             .replaceAll(s"""(?i)\\b${spec.orderBy}\\b""", "ts")
             .replaceAll(s"""(?i)\\b${spec.partitionBy}\\b""", "key")
             .replaceAll("""(?i)\bevent_id\b""", "id")
-        spark.readStream.schema(navDf.schema).parquet(relay)
+        spark.readStream.schema(navSchema).parquet(relay)
           .withColumn("__mask", maskOf(spec.rawDefines.map {
             case (v, d) => v -> navRewrite(d) }))
           .select(col("key"), col("ts"), col("id"),

@@ -274,28 +274,32 @@ object Changelog {
         round(col("value") * 1e6, 0).as("value"))
       .as[KeyedRow]
 
-    def runStage[T](ds: Dataset[T], name: String): Dataset[T] = {
-      s.catalog.dropTempView(name): Unit
-      val q = ds.writeStream.format("memory").queryName(name)
+    // each stage writes its changelog through the REAL streaming parquet
+    // file sink (exactly-once manifest commit, executor-side — the driver
+    // never materializes a stage, round 8; memory-sink staging was a
+    // driver-side copy of the whole changelog) and the next stage
+    // file-streams the committed channel
+    def stageToParquet(ds: Dataset[Change], stage: String): String = {
+      val path = s"$relay/$stage"
+      val q = ds.writeStream.format("parquet").option("path", path)
+        .option("checkpointLocation", s"$relay/ckpt_$stage")
         .outputMode("append").start()
       try q.processAllAvailable() finally q.stop()
-      s.table(name).as[T](ds.encoder)
+      path
     }
-    def relayStream(data: Dataset[Change], stage: String): Dataset[Change] = {
-      val path = s"$relay/$stage"
-      data.write.mode("overwrite").parquet(path)
-      s.readStream.schema(data.schema).parquet(path).as[Change]
-    }
+    def readChanges(path: String): Dataset[Change] =
+      s.readStream.schema(org.apache.spark.sql.Encoders.product[Change].schema)
+        .parquet(path).as[Change]
 
     // stage 1: upsert-source normalize (per-user keep-last changelog)
-    val changes = runStage(keyedChangelog(rows), "cdc_changes")
+    val changesPath = stageToParquet(keyedChangelog(rows), "changes")
     // stage 2: retracting per-bucket aggregate over the relayed changelog
-    val aggLog = runStage(retractingAgg(relayStream(changes, "changes")), "cdc_agg")
+    val aggPath = stageToParquet(retractingAgg(readChanges(changesPath)), "agg")
     // stage 3: retractable top-3 buckets over the aggregate's changelog,
     // upsert-sunk via foreachBatch merge into a versioned parquet snapshot
     val tableRoot = s"$relay/rank_table"
     var snapshot: Option[String] = None
-    val q = retractableTopN(relayStream(aggLog, "agg"), 3)
+    val q = retractableTopN(readChanges(aggPath), 3)
       .writeStream.outputMode("append")
       .foreachBatch { (batch: Dataset[RankChange], batchId: Long) =>
         // last change per (key, rnk) slot this batch, in emission order
