@@ -325,7 +325,7 @@ object CorpusOps {
               .reduce(_ + _).as("bits"))
         }: _*)).as("bk"))
       .select(col("vec_id"), col("bk.band"), col("bk.bits"))
-    val qBands = bands.filter(col("vec_id") % 50 === 0)
+    val qBands = bands.filter(col("vec_id") % 50 === 0 && col("vec_id") < 1500)
       .select(col("vec_id").as("q_id"), col("band"), col("bits"))
     val cand = qBands.join(bands,
         Seq("band", "bits"))
@@ -756,7 +756,7 @@ object CorpusOps {
          cand AS (SELECT DISTINCT q.vec_id AS q_id, x.vec_id AS neighbor
                   FROM bands q JOIN bands x
                     ON q.band = x.band AND q.bits = x.bits AND q.vec_id <> x.vec_id
-                  WHERE q.vec_id % 50 = 0),
+                  WHERE q.vec_id % 50 = 0 AND q.vec_id < 1500),
          scored AS (SELECT q_id, neighbor,
                       ${dot("a.v", "b.v")} / (a.nrm * b.nrm) AS cos
                     FROM cand JOIN n a ON q_id = a.vec_id JOIN n b ON neighbor = b.vec_id),
