@@ -255,6 +255,21 @@ object FlinkSqlQueries {
     // RUNNING vs FINAL measures over ALL ROWS PER MATCH: each matched row
     // carries the error count so far, the whole match's total, and the
     // latest error value seen up to that row
+    // the SAME running/final-measures ALL-ROWS statement as a real
+    // StreamingQuery — per-match measure windows inside the micro-batch
+    "mr_stream_running" -> ((s, dir) => MatchRecognize.runStream(s, dir,
+      """SELECT user_id, row_seq, classifier, err_so_far, err_total, last_err_val FROM events
+         MATCH_RECOGNIZE (
+           PARTITION BY user_id
+           ORDER BY ts
+           MEASURES RUNNING COUNT(E.*) AS err_so_far,
+                    FINAL COUNT(E.*) AS err_total,
+                    RUNNING LAST(E.value) AS last_err_val
+           ALL ROWS PER MATCH
+           AFTER MATCH SKIP PAST LAST ROW
+           PATTERN (E+ V)
+           DEFINE E AS event_type = 'error', V AS event_type = 'view'
+         ) ORDER BY user_id, match_no, row_seq""")),
     "mr_running_measures" -> ((s, dir) => run(s, dir,
       """SELECT user_id, row_seq, classifier, err_so_far, err_total, last_err_val FROM events
          MATCH_RECOGNIZE (
@@ -920,6 +935,30 @@ object FlinkSqlQueries {
     // counts errors up to the row, err_total the island, last_err_val the
     // value at position min(row, island end)
     "mr_running_measures" ->
+      """WITH o AS (
+           SELECT user_id, ts, value, event_type, event_id,
+                  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+           FROM events),
+         isl AS (
+           SELECT *, rn - row_number() OVER (PARTITION BY user_id ORDER BY rn) AS grp
+           FROM o WHERE event_type = 'error'),
+         agg AS (
+           SELECT user_id, grp, count(*) AS len, min(rn) AS rn0, max(rn) AS rn1
+           FROM isl GROUP BY user_id, grp),
+         m AS (
+           SELECT a.* FROM agg a
+           JOIN o v ON v.user_id = a.user_id AND v.rn = a.rn1 + 1 AND v.event_type = 'view')
+         SELECT m.user_id, r.rn AS row_seq,
+                CASE WHEN r.rn <= m.rn1 THEN 'E' ELSE 'V' END AS classifier,
+                CAST(LEAST(r.rn - m.rn0 + 1, m.len) AS BIGINT) AS err_so_far,
+                CAST(m.len AS BIGINT) AS err_total,
+                lv.value AS last_err_val
+         FROM m
+         JOIN o r ON r.user_id = m.user_id AND r.rn BETWEEN m.rn0 AND m.rn1 + 1
+         JOIN o lv ON lv.user_id = m.user_id AND lv.rn = LEAST(r.rn, m.rn1)
+         ORDER BY m.user_id, row_seq""",
+    // streaming ALL ROWS + RUNNING/FINAL must equal the batch node
+    "mr_stream_running" ->
       """WITH o AS (
            SELECT user_id, ts, value, event_type, event_id,
                   row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
