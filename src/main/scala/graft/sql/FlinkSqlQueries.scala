@@ -560,6 +560,18 @@ object FlinkSqlQueries {
     // the canonical V-shape with AFTER MATCH SKIP TO FIRST DOWN: overlapping
     // matches cascade — each resumes at the previous match's first DOWN row;
     // STRT has no DEFINE (matches any row, the standard default)
+    // the SAME V-shape (SKIP TO FIRST cascade + PREV in DEFINE) as a real
+    // StreamingQuery — the skip strategy runs inside the NFA state op
+    "mr_stream_v_shape" -> ((s, dir) => MatchRecognize.runStream(s, dir,
+      """SELECT user_id, start_ts, end_ts, n_rows FROM events
+         MATCH_RECOGNIZE (
+           PARTITION BY user_id
+           ORDER BY ts
+           ONE ROW PER MATCH
+           AFTER MATCH SKIP TO FIRST DOWN
+           PATTERN (STRT DOWN+ UP)
+           DEFINE DOWN AS value < PREV(value), UP AS value > PREV(value)
+         ) ORDER BY user_id, start_ts, end_ts""")),
     "mr_v_shape" -> ((s, dir) => run(s, dir,
       """SELECT user_id, start_ts, end_ts, n_rows FROM events
          MATCH_RECOGNIZE (
@@ -1100,6 +1112,28 @@ object FlinkSqlQueries {
     // whose next row ascends yields one match per anchor in [s-1, e-1] (the
     // cascade: every emitted match resumes at its own first DOWN row)
     "mr_v_shape" ->
+      """WITH o AS (
+           SELECT user_id, ts, value, event_id,
+                  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+                  lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pv
+           FROM events),
+         d AS (
+           SELECT *, CASE WHEN value < pv THEN 1 ELSE 0 END AS is_down,
+                  CASE WHEN value > pv THEN 1 ELSE 0 END AS is_up
+           FROM o),
+         isl AS (
+           SELECT user_id, rn, rn - row_number() OVER (PARTITION BY user_id ORDER BY rn) AS grp
+           FROM d WHERE is_down = 1),
+         runs AS (SELECT user_id, grp, min(rn) AS s, max(rn) AS e FROM isl GROUP BY user_id, grp),
+         v AS (
+           SELECT r.user_id, r.s, r.e, u.ts AS up_ts
+           FROM runs r JOIN d u ON u.user_id = r.user_id AND u.rn = r.e + 1 AND u.is_up = 1)
+         SELECT v.user_id, epoch_us(a.ts) AS start_ts, epoch_us(v.up_ts) AS end_ts,
+                CAST(v.e - a.rn + 2 AS BIGINT) AS n_rows
+         FROM v JOIN o a ON a.user_id = v.user_id AND a.rn BETWEEN v.s - 1 AND v.e - 1
+         ORDER BY v.user_id, start_ts, end_ts""",
+    // streaming V-shape must equal the batch node — same oracle
+    "mr_stream_v_shape" ->
       """WITH o AS (
            SELECT user_id, ts, value, event_id,
                   row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
