@@ -611,6 +611,27 @@ class DifferentialFuzzSpec extends SparkSpec {
       assert(got == want,
         s"pattern #$pi [${c.desc}] within=${c.withinUs} pastLast=${c.pastLast}\n" +
           s"  nfa-only: ${(got -- want).take(3)}\n  brute-only: ${(want -- got).take(3)}")
+      // the first patterns also run as REAL StreamingQueries: the
+      // watermark-ordered stream NFA must emit the batch scan's match set
+      if (pi < 6) {
+        implicit val ctx = s.sqlContext
+        val in = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[streaming.KeyedRow]
+        s.catalog.dropTempView("fuzz_cep_stream"): Unit
+        val q = streaming.Cep.matchStream(in.toDS(), pattern)
+          .writeStream.format("memory").queryName("fuzz_cep_stream")
+          .outputMode("append").start()
+        val streamed = try {
+          in.addData(corpus: _*)
+          q.processAllAvailable()
+          s.table("fuzz_cep_stream").as[streaming.Cep.Match]
+            .collect().map(m => (m.key, m.ids)).toSet
+        } finally q.stop()
+        assert(streamed == got,
+          s"pattern #$pi [${c.desc}] stream != batch\n" +
+            s"  stream-only: ${(streamed -- got).take(3)}\n" +
+            s"  batch-only: ${(got -- streamed).take(3)}")
+      }
       totalMatches += got.size
     }
     println(s"[fuzz] family20 total matches across patterns: $totalMatches")
