@@ -47,7 +47,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *     prefix is engine-independent; tiebreaks live ONLY on the outer
   *     ORDER BY, never inside a rank()/row_number() window's ordering —
   *     extra keys there would change the computed rank VALUES whenever
-  *     the published ordering ties (per round-7 ADVICE on q70/q86).
+  *     the published ordering ties (per round-7 ADVICE on q70/q86);
+  *   - q72 (round 8): the inventory×date_dim join is pre-associated in a
+  *     subselect so `d1.d_week_seq = d2.d_week_seq` becomes part of the
+  *     CS×INV equi-join key — pure inner-join reassociation, identical
+  *     relational content on both engines. Without it Spark keys the
+  *     two-fact join on item alone (the week equality only connects the
+  *     date dims), which degenerates quadratically as facts scale over
+  *     the probe's fixed item dimension: 599 s → 17 s at the 1000× probe.
   *
   * Fixture-scale parameter adaptations (the synthetic tables are ~1000×
   * smaller than sf1, and the modular generators impose residue structure
