@@ -147,12 +147,14 @@ object Bench {
     // BENCH_FULL.json is overwritten by EVERY run (a judge's re-run has
     // erased the driver's round map before it was committed), so each run
     // also writes a timestamped copy that later runs can't clobber —
-    // the round snapshot then always contains this run's own full map
+    // under bench/ so history doesn't clutter the repo root (the root
+    // carries only the latest capture)
     try {
       val w = new java.io.PrintWriter("BENCH_FULL.json")
       try w.println(full) finally w.close()
+      new java.io.File("bench").mkdirs()
       val stamped = new java.io.PrintWriter(
-        s"BENCH_FULL_${System.currentTimeMillis() / 1000}.json")
+        s"bench/BENCH_FULL_${System.currentTimeMillis() / 1000}.json")
       try stamped.println(full) finally stamped.close()
     } catch { case _: Throwable => }
     val head = results.filter { case (k, _) => headline.contains(k) }

@@ -1,0 +1,41 @@
+package graft
+
+import java.io.File
+
+/** Per-invocation streaming relay/sink directories — the parquet
+  * "topic between jobs" channels used by `MatchRecognize.runStream` and
+  * `Changelog.qCdcPipeline` (the reference's deployment shape chains jobs
+  * through Kafka topics; here the channel is the exactly-once streaming
+  * file sink).
+  *
+  * Each invocation needs a FRESH dir (the file sink's commit log never
+  * overwrites), but callers read the channel LAZILY after the call returns —
+  * so the dir cannot be deleted inside the call that created it. Instead,
+  * allocating a new dir purges every sibling generation older than
+  * [[PurgeAfterMs]]: disk usage is bounded at roughly one gate/bench run's
+  * worth per token instead of growing with every run, while anything a
+  * still-unconsumed DataFrame might re-read stays on disk well past any
+  * realistic consumption window.
+  */
+object RelayDir {
+  /** Siblings older than this are purged on the next allocation. Longer than
+    * any single gate/bench run, so lazily-read frames from the current run
+    * are never pulled out from under the reader. */
+  private val PurgeAfterMs = 30L * 60L * 1000L
+
+  /** A fresh `target/<root>/<token>/<uuid>` path; purges expired sibling
+    * generations (including their `.ckpt` checkpoint dirs) first. */
+  def fresh(root: String, token: String): String = {
+    val parent = new File(s"target/$root/$token")
+    val cutoff = System.currentTimeMillis() - PurgeAfterMs
+    Option(parent.listFiles()).foreach(_.foreach { f =>
+      if (f.lastModified() < cutoff) delete(f)
+    })
+    new File(parent, java.util.UUID.randomUUID.toString).getPath
+  }
+
+  private def delete(f: File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(delete))
+    f.delete(): Unit
+  }
+}

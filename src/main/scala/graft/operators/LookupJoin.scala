@@ -92,6 +92,9 @@ object LookupJoin {
   def asyncOrderedLookup[K, V](it: Iterator[K], lookup: K => Future[V],
                                parallelism: Int)(implicit ec: ExecutionContext): Iterator[(K, V)] =
     new Iterator[(K, V)] {
+      require(parallelism > 0,
+        s"asyncOrderedLookup parallelism must be positive, got $parallelism " +
+          "(a non-positive window would silently drop every input key)")
       private val ring = scala.collection.mutable.Queue.empty[(K, Future[V])]
       private def refill(): Unit =
         while (ring.size < parallelism && it.hasNext) {
@@ -116,6 +119,9 @@ object LookupJoin {
   def asyncUnorderedLookup[K, V](it: Iterator[K], lookup: K => Future[V],
                                  parallelism: Int)(implicit ec: ExecutionContext): Iterator[(K, V)] =
     new Iterator[(K, V)] {
+      require(parallelism > 0,
+        s"asyncUnorderedLookup parallelism must be positive, got $parallelism " +
+          "(a non-positive window would silently drop every input key)")
       private val done =
         new java.util.concurrent.LinkedBlockingQueue[(K, scala.util.Try[V])]()
       private var inFlight = 0

@@ -345,9 +345,10 @@ object MatchRecognize {
           .as[KeyedRow]
         // the ring-augmented stream relays through the REAL streaming
         // parquet file sink (exactly-once, executor-side — no driver
-        // materialization), and the NFA stage file-streams the channel
+        // materialization), and the NFA stage file-streams the channel;
+        // RelayDir bounds the channel dirs' disk across repeated runs
         val token = dir.replaceAll("[^a-zA-Z0-9]", "_")
-        val relay = s"target/mr_relay/$token/${java.util.UUID.randomUUID}"
+        val relay = graft.RelayDir.fresh("mr_relay", token)
         val q1 = Cep.orderedWithPrev(raw, depth)
           .writeStream.format("parquet").option("path", relay)
           .option("checkpointLocation", s"$relay.ckpt")
@@ -384,7 +385,10 @@ object MatchRecognize {
     val matched = Cep.matchStream(rows, pattern)
     val out: DataFrame =
       if (spec.allRows) {
-        val seqW = Window.partitionBy(col(spec.partitionBy)).orderBy(col(spec.orderBy))
+        // event_id tiebreak: the NFA consumes rows in (ts, event_id) order,
+        // so row_seq numbering must break order-column ties the same way
+        val seqW = Window.partitionBy(col(spec.partitionBy))
+          .orderBy(col(spec.orderBy), col("event_id"))
         val preparedStatic = spark.read.parquet(s"$dir/${spec.table}.parquet")
           .withColumn("__pkey", col(spec.partitionBy).cast("long"))
           .withColumn("__srcid", col("event_id").cast("long"))
@@ -411,7 +415,7 @@ object MatchRecognize {
             .drop("__mid", "__eid", "__srcid", "__pkey", "key")
         }
         val token = dir.replaceAll("[^a-zA-Z0-9]", "_")
-        val sinkDir = s"target/mr_stream/$token/${java.util.UUID.randomUUID}"
+        val sinkDir = graft.RelayDir.fresh("mr_stream", token)
         val q = matched.writeStream.outputMode("append")
           .foreachBatch { (b: org.apache.spark.sql.Dataset[Cep.Match], _: Long) =>
             rowsOf(b.toDF()).write.mode("append").parquet(sinkDir)
@@ -457,7 +461,7 @@ object MatchRecognize {
             .drop("__mid")
         }
         val token = dir.replaceAll("[^a-zA-Z0-9]", "_")
-        val sinkDir = s"target/mr_stream/$token/${java.util.UUID.randomUUID}"
+        val sinkDir = graft.RelayDir.fresh("mr_stream", token)
         val q = matched.writeStream.outputMode("append")
           .foreachBatch { (b: org.apache.spark.sql.Dataset[Cep.Match], _: Long) =>
             measuresOf(b.toDF()).write.mode("append").parquet(sinkDir)
@@ -482,7 +486,14 @@ object MatchRecognize {
     // default — e.g. the STRT anchor of the canonical V-shape query)
     val flags = vars.map(v => expr(spec.defines.getOrElse(v, "true")))
     val mask = concat(flags.map(f => when(f, lit("1")).otherwise(lit("0"))): _*)
-    val seqW = Window.partitionBy(col(spec.partitionBy)).orderBy(col(spec.orderBy))
+    // tiebreak on event_id (when the table carries one) so __seq assignment
+    // — and with it the NFA's scan order — is deterministic under order-
+    // column ties, matching the streaming path's (ts, event_id) ordering
+    val seqW = {
+      val w = Window.partitionBy(col(spec.partitionBy))
+      if (src.columns.contains("event_id")) w.orderBy(col(spec.orderBy), col("event_id"))
+      else w.orderBy(col(spec.orderBy))
+    }
     import spark.implicits._
     val prepared = src
       .withColumn("__mask", mask)

@@ -158,6 +158,23 @@ object Cep {
   private def toMatch(key: Long, d: Run): Match =
     Match(key, d.startTs, d.lastTs, d.ids.reverse, d.labels.reverse)
 
+  /** The +2999 µs `ets` shift (see matchStream) would otherwise eat up to
+    * ~3 ms of a user-specified out-of-orderness budget — a row arriving
+    * within 3 ms under the release frontier could be ordered-past even
+    * though it honored `delay`. Widening the REGISTERED delay by 3 ms
+    * restores the user's contract exactly (watermarks only ever advance
+    * more slowly); Spark's interval parser accepts the multi-unit form.
+    *
+    * A ZERO delay stays uncompensated, deliberately: it promises no
+    * reorder tolerance (nothing to weaken), and widening it would hold the
+    * final watermark 3 ms under max(ts) forever — on bounded input the
+    * stream's last rows could then never flush. For nonzero delays that
+    * bounded-input tail (the last `delay` of rows pending at end of input)
+    * is inherent to Spark's watermark model with or without the extra
+    * 3 ms, so the compensation costs nothing there. */
+  private def compensatedDelay(delay: String): String =
+    if (delay.trim.matches("""(?i)0+\s+\w+""")) delay else s"$delay 3 milliseconds"
+
   /** Row id the scan resumes at under SKIP TO FIRST/LAST <var>: the id of
     * the first/last matched row labeled `variable` (ids/labels newest-first).
     * A match with no row under that variable skips past its last row — the
@@ -337,12 +354,11 @@ object Cep {
       // guarantees a pending row pushes the watermark ≥2 ticks above the
       // value seen when its timeout was set, so a wm+1 timeout always
       // fires, and the release threshold wm·1000−1000 always reaches
-      // max(ts). Cost: the effective reordering tolerance is `delay` minus
-      // <2 ms (a row arriving later may be ordered-past if it lands within
-      // 2 ms under the release frontier) — document as the ms-granularity
-      // contract, matching the reference's ms-granular watermarks.
+      // max(ts). The shift's bite out of the user's reordering tolerance is
+      // paid back by registering `delay` + 3 ms ([[compensatedDelay]]), so
+      // the effective tolerance is ≥ the user's contract.
       .withColumn("ets", timestamp_micros(col("ts") + lit(2999L)))
-      .withWatermark("ets", delay)
+      .withWatermark("ets", compensatedDelay(delay))
       .as[KeyedRowW]
       .groupByKey(_.key)
       .flatMapGroupsWithState[CepState, Match](
@@ -415,9 +431,10 @@ object Cep {
                       delay: String = "0 seconds"): Dataset[NavRow] = {
     import rows.sparkSession.implicits._
     rows
-      // +2999 µs shift + wm·1000−1000 release: see matchStream's ets note
+      // +2999 µs shift + wm·1000−1000 release + 3 ms delay compensation:
+      // see matchStream's ets note
       .withColumn("ets", timestamp_micros(col("ts") + lit(2999L)))
-      .withWatermark("ets", delay)
+      .withWatermark("ets", compensatedDelay(delay))
       .as[KeyedRowW]
       .groupByKey(_.key)
       .flatMapGroupsWithState[NavState, NavRow](

@@ -266,7 +266,7 @@ object Changelog {
   def qCdcPipeline(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val token = dir.replaceAll("[^a-zA-Z0-9]", "_")
-    val relay = s"target/cdc_relay/$token/${java.util.UUID.randomUUID}"
+    val relay = graft.RelayDir.fresh("cdc_relay", token)
     val schema = s.read.parquet(s"$dir/events.parquet").schema
     val rows = graft.Tables.streamTable(s, dir, "events", schema)
       .select(col("user_id").as("key"), graft.Tables.tsAsMicrosLong(schema).as("ts"),
