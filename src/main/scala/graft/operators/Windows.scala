@@ -98,14 +98,63 @@ object Windows {
       .orderBy(col("c_mktsegment"), col("c_custkey"))
   }
 
-  /** NTILE / PERCENT_RANK / CUME_DIST. */
+  /** NTILE / PERCENT_RANK / CUME_DIST — distributed two-pass form.
+    *
+    * The semantics are inherently GLOBAL (one total order over the whole
+    * table), and the naive `Window.orderBy(...)` plans a single-partition
+    * WindowExec — a full-table sort on one task, the one plan shape that
+    * cannot survive a 100× scale-up (the reference's unpartitioned OVER is
+    * likewise parallelism-1, BatchExecOverAggregate.scala:59). The
+    * distributed form never materializes the total order on one executor:
+    *
+    *  1. derive ~P order-preserving range buckets from approxQuantile on
+    *     the order key (31 doubles of driver metadata — deterministic,
+    *     unlike relying on a range-exchange's sampled bounds being reused
+    *     identically across plan branches);
+    *  2. count rows per bucket (map-side-combined agg, ≤P rows) and prefix-
+    *     sum the counts into bucket offsets — the only single-partition
+    *     step, over metadata rows, broadcast back;
+    *  3. per-bucket local row_number (hash-partitioned WindowExec) + the
+    *     bucket's offset = the row's GLOBAL position r;
+    *  4. ntile/percent_rank/cume_dist are then pure arithmetic over (r, N):
+    *     the (c_acctbal, c_custkey) order key is unique, so rank ==
+    *     row_number and cume_dist == r/N exactly.
+    */
   private def winDistribution(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.orderBy(col("c_acctbal"), col("c_custkey"))
-    Tables.load(s, dir, "customer")
-      .select(col("c_custkey"),
-        ntile(4).over(w).as("quartile"),
-        percent_rank().over(w).as("pct_rank"),
-        cume_dist().over(w).as("cume"))
+    val src = Tables.load(s, dir, "customer").select(col("c_custkey"), col("c_acctbal"))
+    val p = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val bounds = src.stat
+      .approxQuantile("c_acctbal", (1 until p).map(_.toDouble / p).toArray, 0.001)
+    // order-preserving bucket id: #bounds strictly below the key — rows
+    // tied on the key land in one bucket, so the within-bucket sort owns
+    // the (c_acctbal, c_custkey) tiebreak
+    val bucket = bounds.foldLeft(lit(0))((acc, b) =>
+      acc + when(col("c_acctbal") > lit(b), 1).otherwise(0))
+    val bucketed = src.withColumn("__b", bucket)
+    val cnts = bucketed.groupBy(col("__b")).agg(count(lit(1)).as("__cnt"))
+    val offW = Window.orderBy(col("__b")).rowsBetween(Window.unboundedPreceding, -1)
+    val offs = cnts
+      .withColumn("__off", coalesce(sum(col("__cnt")).over(offW), lit(0L)))
+      .withColumn("__n", sum(col("__cnt")).over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .select(col("__b"), col("__off"), col("__n"))
+    val localW = Window.partitionBy(col("__b")).orderBy(col("c_acctbal"), col("c_custkey"))
+    val withPos = bucketed
+      .join(broadcast(offs), "__b")
+      .withColumn("__r", row_number().over(localW).cast("long") + col("__off"))
+    val n = col("__n"); val r = col("__r")
+    // NTILE(4): first (N mod 4) buckets carry floor(N/4)+1 rows (the
+    // standard larger-buckets-first split Spark and DuckDB both implement)
+    val rem = n % lit(4)
+    val bsize = floor((n - rem) / lit(4))
+    val cutoff = rem * (bsize + lit(1))
+    withPos.select(col("c_custkey"),
+        when(r <= cutoff, floor((r - lit(1)) / (bsize + lit(1))) + lit(1))
+          .otherwise(rem + floor((r - cutoff - lit(1)) / greatest(bsize, lit(1))) + lit(1))
+          .cast("int").as("quartile"),
+        when(n === 1, lit(0.0))
+          .otherwise((r - lit(1)).cast("double") / (n - lit(1))).as("pct_rank"),
+        (r.cast("double") / n).as("cume"))
       .orderBy(col("c_custkey"))
   }
 

@@ -123,4 +123,42 @@ class PlanShapeSpec extends SparkSpec {
     // the equi-join key must include the extracted signature bits
     assert(plan.contains("bits"), "join key must carry signature band bits")
   }
+
+  test("win_distribution: full-data window is bucket-partitioned, never single-partition") {
+    // the two-pass global ntile/percent_rank/cume_dist: the only legal
+    // unpartitioned WindowExec is the ≤P-row bucket-count prefix sum —
+    // the customer-data row numbering must be hash-partitioned on the
+    // range bucket, or the operator is back to a one-task full-table sort
+    val df = operators.Windows.queries("win_distribution")(spark, sf)
+    val p = executed(df)
+    def deep(n: SparkPlan): Seq[SparkPlan] = n +: (n.children ++ (n match {
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(q.plan)
+      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => Seq(r.child)
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case _ => Nil
+    })).flatMap(deep)
+    val windows = deep(p).distinct.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w }
+    assert(windows.nonEmpty, "expected WindowExec nodes in the two-pass plan")
+    windows.filter(_.partitionSpec.isEmpty).foreach { w =>
+      assert(!w.output.map(_.name).contains("c_custkey"),
+        "an unpartitioned WindowExec may only run over bucket-count metadata, " +
+          s"but saw customer data columns: ${w.output.map(_.name).mkString(",")}")
+    }
+    assert(windows.exists(w =>
+      w.partitionSpec.nonEmpty && w.output.map(_.name).contains("c_custkey")),
+      "per-row global positioning must ride a bucket-partitioned window")
+    // arithmetic equivalence with the single-partition reference formulation
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val w = Window.orderBy(col("c_acctbal"), col("c_custkey"))
+    val naive = Tables.load(spark, sf, "customer")
+      .select(col("c_custkey"), ntile(4).over(w).as("quartile"),
+        percent_rank().over(w).as("pct_rank"), cume_dist().over(w).as("cume"))
+      .collect().map(r => (r.getLong(0), r.getInt(1),
+        math.round(r.getDouble(2) * 1e9), math.round(r.getDouble(3) * 1e9))).toSet
+    val twoPass = df.collect().map(r => (r.getLong(0), r.getInt(1),
+      math.round(r.getDouble(2) * 1e9), math.round(r.getDouble(3) * 1e9))).toSet
+    assert(twoPass == naive, "two-pass distribution functions diverge from the reference form")
+  }
 }
