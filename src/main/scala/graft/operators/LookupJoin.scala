@@ -47,32 +47,70 @@ object LookupJoin {
       .orderBy(col("c_nationkey"))
   }
 
-  /** Hard cap on the mock store's snapshot size. The stand-in KV "service"
-    * is seeded from a driver-side collect, which is ONLY safe because it
-    * mocks an external system at test scale — the guard makes the failure
-    * mode explicit instead of an OOM. A real deployment either queries the
-    * actual external store from executors (no snapshot at all) or uses
-    * lookupBroadcast, which never routes the dim through the driver. */
+  /** Hard cap on the mock store's snapshot size — the guard makes the
+    * failure mode explicit instead of an executor OOM. A real deployment
+    * either queries the actual external store per key (no snapshot at all)
+    * or uses lookupBroadcast, which never snapshots anywhere. */
   private val SnapshotRowCap = 5000000L
 
-  private def mockDimSnapshot(s: SparkSession, dir: String): Map[Long, Int] = {
-    import s.implicits._
-    val dim = Tables.load(s, dir, "customer")
-      .select(col("c_custkey"), col("c_nationkey"))
-    val n = dim.count()
-    require(n <= SnapshotRowCap,
-      s"dim snapshot has $n rows > $SnapshotRowCap: a driver-side snapshot of the mock " +
-        "KV store would OOM — use lookupBroadcast (broadcast hash join) or a real external client")
-    dim.as[(Long, Int)].collect().toMap
+  /** Executor-side seed for the mock KV service: each executor JVM opens
+    * the dimension parquet DIRECTLY (parquet-mr's reader — executors have
+    * no SparkSession) and caches one keyed snapshot per table path, built
+    * lazily on first lookup. Nothing routes through the driver — the
+    * driver ships only the path string. This models the client-side cache
+    * a per-partition lookup client would hold in front of an external
+    * store; with 1000 executors each JVM reads the dim once, exactly like
+    * 1000 KV clients warming their caches. Both fixture layouts (single
+    * file, directory of part files) are handled. */
+  private object MockDimStore {
+    private val cache =
+      new java.util.concurrent.ConcurrentHashMap[String, Map[Long, Int]]()
+    def snapshot(dimPath: String): Map[Long, Int] =
+      cache.computeIfAbsent(dimPath, readParquet(_))
+
+    private def readParquet(path: String): Map[Long, Int] = {
+      import org.apache.parquet.hadoop.ParquetReader
+      import org.apache.parquet.hadoop.example.GroupReadSupport
+      val f = new java.io.File(path)
+      val files =
+        if (f.isDirectory)
+          f.listFiles().filter(x => x.getName.endsWith(".parquet"))
+            .map(_.getPath).toSeq.sorted
+        else Seq(path)
+      val b = Map.newBuilder[Long, Int]
+      var n = 0L
+      val conf = new org.apache.hadoop.conf.Configuration()
+      // projection pushdown: only the key and value columns leave the file
+      conf.set(org.apache.parquet.hadoop.api.ReadSupport.PARQUET_READ_SCHEMA,
+        "message dim { optional int64 c_custkey; optional int32 c_nationkey; }")
+      files.foreach { fp =>
+        val reader = ParquetReader
+          .builder(new GroupReadSupport(), new org.apache.hadoop.fs.Path(fp))
+          .withConf(conf).build()
+        try {
+          var g = reader.read()
+          while (g != null) {
+            n += 1
+            require(n <= SnapshotRowCap,
+              s"dim snapshot exceeds $SnapshotRowCap rows: a per-JVM snapshot of the " +
+                "mock KV store would OOM — use lookupBroadcast or a real external client")
+            b += (g.getLong("c_custkey", 0) -> g.getInteger("c_nationkey", 0))
+            g = reader.read()
+          }
+        } finally reader.close()
+      }
+      b.result()
+    }
   }
 
   /** Synchronous per-partition lookup: one client, row-at-a-time get. */
   private def lookupSync(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val bc = s.sparkContext.broadcast(mockDimSnapshot(s, dir))
+    val dimPath = new java.io.File(Tables.path(dir, "customer")).getAbsolutePath
     Tables.load(s, dir, "orders").select(col("o_custkey")).as[Long]
       .mapPartitions { it =>
-        val client = new MockDimClient(bc.value) // connection per partition
+        // connection per partition; snapshot cached once per executor JVM
+        val client = new MockDimClient(MockDimStore.snapshot(dimPath))
         it.map(k => (k, client.get(k).getOrElse(-1)))
       }
       .toDF("o_custkey", "c_nationkey")
@@ -143,11 +181,11 @@ object LookupJoin {
 
   private def lookupAsync(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val bc = s.sparkContext.broadcast(mockDimSnapshot(s, dir))
+    val dimPath = new java.io.File(Tables.path(dir, "customer")).getAbsolutePath
     Tables.load(s, dir, "orders").select(col("o_custkey")).as[Long]
       .mapPartitions { it =>
         implicit val ec: ExecutionContext = ExecutionContext.global
-        val client = new MockDimClient(bc.value)
+        val client = new MockDimClient(MockDimStore.snapshot(dimPath))
         asyncOrderedLookup[Long, Option[Int]](it, client.getAsync(_), parallelism = 32)
           .map { case (k, v) => (k, v.getOrElse(-1)) }
       }
@@ -160,11 +198,11 @@ object LookupJoin {
     * order-insensitive, so the oracle is shared with the ordered form. */
   private def lookupAsyncUnordered(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val bc = s.sparkContext.broadcast(mockDimSnapshot(s, dir))
+    val dimPath = new java.io.File(Tables.path(dir, "customer")).getAbsolutePath
     Tables.load(s, dir, "orders").select(col("o_custkey")).as[Long]
       .mapPartitions { it =>
         implicit val ec: ExecutionContext = ExecutionContext.global
-        val client = new MockDimClient(bc.value)
+        val client = new MockDimClient(MockDimStore.snapshot(dimPath))
         asyncUnorderedLookup[Long, Option[Int]](it, client.getAsync(_), parallelism = 32)
           .map { case (k, v) => (k, v.getOrElse(-1)) }
       }
