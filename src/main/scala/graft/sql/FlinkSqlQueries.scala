@@ -186,6 +186,36 @@ object FlinkSqlQueries {
            PATTERN (A B)
            DEFINE B AS B.value < PREV(B.value)
          ) ORDER BY user_id, start_ts""")),
+    // NEXT in DEFINE (batch): clicks whose immediately-following row is a
+    // pricier purchase — A's predicate looks ONE ROW AHEAD (lead compile),
+    // B's looks one row back, exercising both navigation directions
+    "mr_next_define" -> ((s, dir) => run(s, dir,
+      """SELECT user_id, start_ts, end_ts FROM events
+         MATCH_RECOGNIZE (
+           PARTITION BY user_id
+           ORDER BY ts
+           ONE ROW PER MATCH
+           AFTER MATCH SKIP PAST LAST ROW
+           PATTERN (A B)
+           DEFINE A AS event_type = 'click' AND NEXT(A.value) > A.value,
+                  B AS event_type = 'purchase' AND B.value > PREV(B.value)
+         ) ORDER BY user_id, start_ts""")),
+    // the SAME statement on a real stream — the last batch-only MR feature:
+    // Cep.orderedWithNav holds each row until its successor clears the
+    // watermark, so NEXT resolves against confirmed lookahead; the bounded
+    // run's tail rows backfill from the static source (no end-of-input
+    // watermark exists in Spark file streams)
+    "mr_stream_next_define" -> ((s, dir) => MatchRecognize.runStream(s, dir,
+      """SELECT user_id, start_ts, end_ts FROM events
+         MATCH_RECOGNIZE (
+           PARTITION BY user_id
+           ORDER BY ts
+           ONE ROW PER MATCH
+           AFTER MATCH SKIP PAST LAST ROW
+           PATTERN (A B)
+           DEFINE A AS event_type = 'click' AND NEXT(A.value) > A.value,
+                  B AS event_type = 'purchase' AND B.value > PREV(B.value)
+         ) ORDER BY user_id, start_ts""")),
     // the SAME ALL-ROWS statement as a real StreamingQuery (round 8):
     // per-micro-batch join-back keeps each matched row with CLASSIFIER;
     // MATCH_NUMBER is the sink-read projection (batch formulation)
@@ -1204,6 +1234,39 @@ object FlinkSqlQueries {
          SELECT user_id, epoch_us(ts) AS start_ts, epoch_us(nts) AS end_ts,
                 CAST(2 AS BIGINT) AS n_rows, value AS first_val, nval AS last_val
          FROM p WHERE nval < value
+         ORDER BY user_id, start_ts""",
+    // NEXT-in-DEFINE: adjacent (click, pricier purchase) pairs — matches
+    // are 2-row and can never overlap (the B row is a purchase, the next
+    // A anchor must be a click), so a plain lead-pair filter is exact
+    "mr_next_define" ->
+      """WITH o AS (
+           SELECT user_id, ts, event_type, value,
+                  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+           FROM events),
+         p AS (
+           SELECT user_id, ts, event_type, value,
+                  lead(ts) OVER w AS nts, lead(event_type) OVER w AS ntype,
+                  lead(value) OVER w AS nval
+           FROM o WINDOW w AS (PARTITION BY user_id ORDER BY rn))
+         SELECT user_id, epoch_us(ts) AS start_ts, epoch_us(nts) AS end_ts
+         FROM p
+         WHERE event_type = 'click' AND nval > value AND ntype = 'purchase'
+         ORDER BY user_id, start_ts""",
+    // streaming run must equal the batch node once the watermark passes
+    // max(ts) — the SAME oracle
+    "mr_stream_next_define" ->
+      """WITH o AS (
+           SELECT user_id, ts, event_type, value,
+                  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+           FROM events),
+         p AS (
+           SELECT user_id, ts, event_type, value,
+                  lead(ts) OVER w AS nts, lead(event_type) OVER w AS ntype,
+                  lead(value) OVER w AS nval
+           FROM o WINDOW w AS (PARTITION BY user_id ORDER BY rn))
+         SELECT user_id, epoch_us(ts) AS start_ts, epoch_us(nts) AS end_ts
+         FROM p
+         WHERE event_type = 'click' AND nval > value AND ntype = 'purchase'
          ORDER BY user_id, start_ts"""
   )
 }

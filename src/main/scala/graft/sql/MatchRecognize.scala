@@ -290,7 +290,12 @@ object MatchRecognize {
     *    Kafka-topic-between-jobs deployment shape `cdc_pipeline` documents.
     *    Streaming PREV navigates the KeyedRow payload (the partition /
     *    order / event_type / value columns; the order column compares as
-    *    epoch-micros); NEXT needs lookahead and stays batch-only.
+    *    epoch-micros); NEXT compiles onto [[Cep.orderedWithNav]] (round 9)
+    *    — a row is held until its `nextDepth` successors clear the
+    *    watermark, and the bounded run's per-key tail (which no watermark
+    *    can ever confirm complete — Spark file streams emit no final
+    *    MAX_WATERMARK) backfills from the static source, the analogue of
+    *    the reference's end-of-input watermark flush.
     *  - MEASURES follow the batch recipe per micro-batch: each batch of
     *    completed matches explodes its (id, label) list, hash-joins back to
     *    the static source on (partition, event id) — touching only matched
@@ -310,9 +315,6 @@ object MatchRecognize {
     * matches of the batch, not the input. */
   def runStream(spark: SparkSession, dir: String, sql: String): DataFrame = {
     val spec = parse(sql)
-    require(!spec.rawDefines.values.exists(d =>
-        """(?i)\bNEXT\s*\(""".r.findFirstIn(d).isDefined),
-      "streaming MATCH_RECOGNIZE: DEFINE may navigate PREV only (NEXT needs lookahead)")
     val vars = spec.pattern.map(_._1).distinct
     val varBit = vars.zipWithIndex.toMap
     import spark.implicits._
@@ -323,57 +325,129 @@ object MatchRecognize {
         .map(d => when(expr(d), lit("1")).otherwise(lit("0")))
         .getOrElse(lit("1"))): _*)
     val prevRe = """(?i)\bPREV\s*\(\s*(\w+)\s*(?:,\s*(\d+)\s*)?\)""".r
-    val hasNav = spec.rawDefines.values.exists(d => prevRe.findFirstIn(d).isDefined)
+    val nextRe = """(?i)\bNEXT\s*\(\s*(\w+)\s*(?:,\s*(\d+)\s*)?\)""".r
+    def maxDepth(re: scala.util.matching.Regex): Int =
+      spec.rawDefines.values.flatMap(d => re.findAllMatchIn(d).map(m =>
+        Option(m.group(2)).map(_.toInt).getOrElse(1))).maxOption.getOrElse(0)
+    val prevDepth = maxDepth(prevRe)
+    val nextDepth = maxDepth(nextRe)
     // raw parquet NANOS timestamp arrives as long (nanosAsLong conf)
     def source = graft.Tables.streamTable(spark, dir, spec.table, schema)
 
+    // DEFINE onto the ring columns: PREV(c, k) → try_element_at(prev_c, k),
+    // NEXT(c, k) → try_element_at(next_c, k) (NULL past the partition edge —
+    // lag/lead's semantics); bare columns map onto the KeyedRow payload names
+    def navRewrite(d: String): String = {
+      def ringArr(prefix: String, m: scala.util.matching.Regex.Match): String = {
+        val k = Option(m.group(2)).getOrElse("1")
+        val arr = m.group(1) match {
+          case "value" => s"${prefix}_value"
+          case "event_type" => s"${prefix}_kind"
+          case c if c.equalsIgnoreCase(spec.orderBy) => s"${prefix}_ts"
+          case other => throw new IllegalArgumentException(
+            s"streaming ${prefix.toUpperCase} navigates value/event_type/${spec.orderBy}, got $other")
+        }
+        s"try_element_at($arr, $k)"
+      }
+      nextRe.replaceAllIn(prevRe.replaceAllIn(d, ringArr("prev", _)), ringArr("next", _))
+        .replaceAll("""(?i)\bevent_type\b""", "kind")
+        .replaceAll(s"""(?i)\\b${spec.orderBy}\\b""", "ts")
+        .replaceAll(s"""(?i)\\b${spec.partitionBy}\\b""", "key")
+        .replaceAll("""(?i)\bevent_id\b""", "id")
+    }
+
+    def rawRows = source
+      .select(col(spec.partitionBy).cast("long").as("key"),
+        graft.Tables.tsAsMicrosLong(schema, spec.orderBy).as("ts"),
+        col("event_id").as("id"), col("event_type").as("kind"), col("value"))
+      .as[KeyedRow]
+
     val rows: org.apache.spark.sql.Dataset[KeyedRow] =
-      if (!hasNav)
+      if (prevDepth == 0 && nextDepth == 0)
         source.withColumn("__mask", maskOf(spec.defines))
           .select(col(spec.partitionBy).cast("long").as("key"),
             graft.Tables.tsAsMicrosLong(schema, spec.orderBy).as("ts"),
             col("event_id").as("id"), col("__mask").as("kind"), lit(0.0).as("value"))
           .as[KeyedRow]
-      else {
-        val depth = spec.rawDefines.values.flatMap(d =>
-          prevRe.findAllMatchIn(d).map(m =>
-            Option(m.group(2)).map(_.toInt).getOrElse(1))).maxOption.getOrElse(1)
-        val raw = source
-          .select(col(spec.partitionBy).cast("long").as("key"),
-            graft.Tables.tsAsMicrosLong(schema, spec.orderBy).as("ts"),
-            col("event_id").as("id"), col("event_type").as("kind"), col("value"))
-          .as[KeyedRow]
-        // the ring-augmented stream relays through the REAL streaming
-        // parquet file sink (exactly-once, executor-side — no driver
-        // materialization), and the NFA stage file-streams the channel;
-        // RelayDir bounds the channel dirs' disk across repeated runs
+      else if (nextDepth == 0) {
+        // PREV-only: the ring-augmented stream relays through the REAL
+        // streaming parquet file sink (exactly-once, executor-side — no
+        // driver materialization), and the NFA stage file-streams the
+        // channel; RelayDir bounds the channel dirs' disk across runs
         val token = dir.replaceAll("[^a-zA-Z0-9]", "_")
         val relay = graft.RelayDir.fresh("mr_relay", token)
-        val q1 = Cep.orderedWithPrev(raw, depth)
+        val q1 = Cep.orderedWithPrev(rawRows, prevDepth)
           .writeStream.format("parquet").option("path", relay)
           .option("checkpointLocation", s"$relay.ckpt")
           .outputMode("append").start()
         try q1.processAllAvailable() finally q1.stop()
         val navSchema = org.apache.spark.sql.Encoders.product[Cep.NavRow].schema
-        // DEFINE onto the ring columns: PREV(c, k) → element_at(prev_c, k)
-        // (try_element_at: NULL past the partition start — lag's semantics
-        // map onto the KeyedRow payload names
-        def navRewrite(d: String): String =
-          prevRe.replaceAllIn(d, m => {
-            val k = Option(m.group(2)).getOrElse("1")
-            val arr = m.group(1) match {
-              case "value" => "prev_value"
-              case "event_type" => "prev_kind"
-              case c if c.equalsIgnoreCase(spec.orderBy) => "prev_ts"
-              case other => throw new IllegalArgumentException(
-                s"streaming PREV navigates value/event_type/${spec.orderBy}, got $other")
-            }
-            s"try_element_at($arr, $k)"
+        spark.readStream.schema(navSchema).parquet(relay)
+          .withColumn("__mask", maskOf(spec.rawDefines.map {
+            case (v, d) => v -> navRewrite(d) }))
+          .select(col("key"), col("ts"), col("id"),
+            col("__mask").as("kind"), col("value"))
+          .as[KeyedRow]
+      } else {
+        // NEXT (possibly with PREV): Cep.orderedWithNav holds each row
+        // until `nextDepth` successors clear the watermark, then emits it
+        // with both navigation rings — the streaming mirror of the batch
+        // lead/lag compile (the reference resolves NEXT against the NFA's
+        // row buffer the same way, MatchCodeGenerator.scala)
+        val pD = math.max(prevDepth, 1)
+        val nD = nextDepth
+        val token = dir.replaceAll("[^a-zA-Z0-9]", "_")
+        val relay = graft.RelayDir.fresh("mr_relay", token)
+        // foreachBatch append (not the exactly-once file sink): the sink's
+        // _spark_metadata log would make every reader trust the log alone,
+        // hiding the batch-appended end-of-input backfill below — the same
+        // tradeoff the measure/ALL-ROWS sinks already make
+        val q1 = Cep.orderedWithNav(rawRows, pD, nD)
+          .writeStream.outputMode("append")
+          .option("checkpointLocation", s"$relay.ckpt")
+          .foreachBatch { (b: org.apache.spark.sql.Dataset[Cep.NavRowN], _: Long) =>
+            b.write.mode("append").parquet(relay)
+          }.start()
+        try q1.processAllAvailable() finally q1.stop()
+        // End-of-input flush: Spark file streams emit no final
+        // MAX_WATERMARK, so the last nD rows per key — whose successor
+        // rings extend past end of input — are still HELD in the nav
+        // operator's state when the bounded run stops (on an unbounded
+        // stream they would correctly wait forever: a row's lookahead can
+        // never be confirmed absent by a watermark). Complete exactly
+        // those rows from the static source with the batch lag/lead
+        // formulation and append them to the relay — the analogue of the
+        // reference's end-of-input watermark flushing the pending buffer.
+        val stat = spark.read.parquet(s"$dir/${spec.table}.parquet")
+          .select(col(spec.partitionBy).cast("long").as("key"),
+            graft.Tables.tsAsMicrosLong(schema, spec.orderBy).as("ts"),
+            col("event_id").as("id"), col("event_type").as("kind"), col("value"))
+        val w = Window.partitionBy(col("key")).orderBy(col("ts"), col("id"))
+        val wRev = Window.partitionBy(col("key")).orderBy(col("ts").desc, col("id").desc)
+        def ringOf(mk: Int => Column, depth: Int): Column =
+          filter(array((1 to depth).map(mk): _*), _.isNotNull)
+        stat
+          .withColumn("__rev", row_number().over(wRev))
+          .withColumn("prev_ts", ringOf(k => lag(col("ts"), k).over(w), pD))
+          .withColumn("prev_kind", ringOf(k => lag(col("kind"), k).over(w), pD))
+          .withColumn("prev_value", ringOf(k => lag(col("value"), k).over(w), pD))
+          .withColumn("next_ts", ringOf(k => lead(col("ts"), k).over(w), nD))
+          .withColumn("next_kind", ringOf(k => lead(col("kind"), k).over(w), nD))
+          .withColumn("next_value", ringOf(k => lead(col("value"), k).over(w), nD))
+          .filter(col("__rev") <= nD)
+          .select(col("key"), col("ts"), col("id"), col("kind"), col("value"),
+            col("prev_ts"), col("prev_kind"), col("prev_value"),
+            col("next_ts"), col("next_kind"), col("next_value"))
+          .write.mode("append").parquet(relay)
+        // the ring arrays land nullable-element from the batch writer —
+        // widen the declared element nullability so both writers' files read
+        val navSchema = org.apache.spark.sql.types.StructType(
+          org.apache.spark.sql.Encoders.product[Cep.NavRowN].schema.map {
+            case f if f.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType] =>
+              val at = f.dataType.asInstanceOf[org.apache.spark.sql.types.ArrayType]
+              f.copy(dataType = at.copy(containsNull = true))
+            case f => f
           })
-            .replaceAll("""(?i)\bevent_type\b""", "kind")
-            .replaceAll(s"""(?i)\\b${spec.orderBy}\\b""", "ts")
-            .replaceAll(s"""(?i)\\b${spec.partitionBy}\\b""", "key")
-            .replaceAll("""(?i)\bevent_id\b""", "id")
         spark.readStream.schema(navSchema).parquet(relay)
           .withColumn("__mask", maskOf(spec.rawDefines.map {
             case (v, d) => v -> navRewrite(d) }))

@@ -461,6 +461,75 @@ object Cep {
       }
   }
 
+  /** A row plus BOTH navigation rings: `prev_*` as in [[NavRow]], and
+    * `next_*(k)` = the k-th FOLLOWING row of the key's event-time order —
+    * the lookahead MATCH_RECOGNIZE's NEXT-in-DEFINE needs on a stream. */
+  case class NavRowN(key: Long, ts: Long, id: Long, kind: String, value: Double,
+                     prev_ts: Seq[Long], prev_kind: Seq[String], prev_value: Seq[Double],
+                     next_ts: Seq[Long], next_kind: Seq[String], next_value: Seq[Double])
+
+  private[streaming] case class NavNState(pending: List[KeyedRow],
+                                          ring: List[KeyedRow],
+                                          holds: List[KeyedRow])
+
+  /** Watermark-ordered PREV-k AND NEXT-k augmentation — the mirror of
+    * [[orderedWithPrev]] for lookahead: a released row is HELD until
+    * `nextDepth` successors have also cleared the watermark, then emits
+    * with both rings (successors oldest-first: `next_*(1)` is the
+    * immediately following row — `lead`'s semantics). State per key =
+    * pending buffer + depth-bounded prev ring + at most `nextDepth` held
+    * rows: all bounded, never proportional to stream length.
+    *
+    * End-of-input: Spark file streams emit no final MAX_WATERMARK, so on a
+    * BOUNDED run the last `nextDepth` rows per key are still held when the
+    * query stops — no in-order row can ever confirm their successors'
+    * absence. The bounded caller completes exactly those rows from the
+    * static source (see MatchRecognize.runStream's tail backfill), the
+    * analogue of the reference's end-of-input watermark flushing the
+    * pending buffer (StreamExecMatch's WatermarkAssigner contract). */
+  def orderedWithNav(rows: Dataset[KeyedRow], prevDepth: Int, nextDepth: Int,
+                     delay: String = "0 seconds"): Dataset[NavRowN] = {
+    import rows.sparkSession.implicits._
+    require(nextDepth > 0, "use orderedWithPrev when no lookahead is needed")
+    rows
+      // +2999 µs shift + wm·1000−1000 release + 3 ms delay compensation:
+      // see matchStream's ets note
+      .withColumn("ets", timestamp_micros(col("ts") + lit(2999L)))
+      .withWatermark("ets", compensatedDelay(delay))
+      .as[KeyedRowW]
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[NavNState, NavRowN](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (_, it, state) =>
+          val st = state.getOption.getOrElse(NavNState(Nil, Nil, Nil))
+          val wmMs = state.getCurrentWatermarkMs()
+          val releaseMicros = wmMs * 1000L - 1000L
+          val incoming = it.map(w => KeyedRow(w.key, w.ts, w.id, w.kind, w.value))
+          val all = (st.pending ++ incoming).sortBy(r => (r.ts, r.id))
+          val (ready, pending) = all.partition(_.ts <= releaseMicros)
+          // holds are earlier-released rows awaiting successors; new ready
+          // rows extend the ordered run (the sort re-asserts order under
+          // the documented ms-granularity contract)
+          val buffer = (st.holds ++ ready).sortBy(r => (r.ts, r.id)).toIndexedSeq
+          val emitN = math.max(0, buffer.size - nextDepth)
+          var ring = st.ring
+          val out = (0 until emitN).map { i =>
+            val r = buffer(i)
+            val succ = buffer.slice(i + 1, i + 1 + nextDepth)
+            val o = NavRowN(r.key, r.ts, r.id, r.kind, r.value,
+              ring.map(_.ts), ring.map(_.kind), ring.map(_.value),
+              succ.map(_.ts), succ.map(_.kind), succ.map(_.value))
+            ring = (r :: ring).take(prevDepth)
+            o
+          }
+          state.update(NavNState(pending, ring, buffer.drop(emitN).toList))
+          pending.headOption.foreach { _ =>
+            state.setTimeoutTimestamp(wmMs + 1L)
+          }
+          out.iterator
+      }
+  }
+
   // ---- named patterns + batch oracle surface over the events table ----
 
   /** three consecutive error events (strict contiguity, overlapping starts) */

@@ -565,22 +565,26 @@ class FlinkSqlStreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
-  test("streaming MATCH_RECOGNIZE rejects shapes that need the batch compiler") {
-    // ALL ROWS PER MATCH and PREV both run on streams since round 8
-    // (mr_stream_all_rows / mr_stream_nav_measures oracles); the remaining
-    // batch-only navigation is NEXT, which needs lookahead
-    val nav = intercept[IllegalArgumentException] {
-      MatchRecognize.runStream(spark, sf,
-        """SELECT user_id, start_ts, end_ts FROM events
-           MATCH_RECOGNIZE (
-             PARTITION BY user_id ORDER BY ts
-             ONE ROW PER MATCH
-             AFTER MATCH SKIP PAST LAST ROW
-             PATTERN (A B)
-             DEFINE A AS event_type = 'click',
-                    B AS event_type = 'purchase' AND value > NEXT(value)
-           )""")
-    }
-    assert(nav.getMessage.contains("PREV only"))
+  test("streaming NEXT-in-DEFINE equals the batch scan (round 9: lookahead on streams)") {
+    // B navigates its OWN successor (a row outside the 2-row match) — the
+    // orderedWithNav hold-until-successors path plus the end-of-input tail
+    // backfill must reproduce the batch lead() compile exactly
+    val mrSql =
+      """SELECT user_id, start_ts, end_ts FROM events
+         MATCH_RECOGNIZE (
+           PARTITION BY user_id ORDER BY ts
+           ONE ROW PER MATCH
+           AFTER MATCH SKIP PAST LAST ROW
+           PATTERN (A B)
+           DEFINE A AS event_type = 'click',
+                  B AS event_type = 'purchase' AND value > NEXT(value)
+         ) ORDER BY user_id, start_ts"""
+    graft.Tables.registerAll(spark, sf)
+    val batch = MatchRecognize.run(spark, mrSql).collect()
+      .map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+    val streamed = MatchRecognize.runStream(spark, sf, mrSql).collect()
+      .map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+    assert(streamed.nonEmpty, "stream emitted no matches")
+    assert(streamed == batch)
   }
 }
