@@ -638,4 +638,206 @@ class DifferentialFuzzSpec extends SparkSpec {
     assert(totalMatches > nPatterns * 10,
       "vacuity guard: the seeded corpora should produce plenty of matches")
   }
+
+  // ---- family 21: batch ≡ stream for windowed aggs and interval joins -----
+  //
+  // The per-query oracles pin each fsql_stream_* statement at ONE parameter
+  // point; this family sweeps seeded random (window kind × width/slide/gap ×
+  // group × agg set × early-fire delay) statements and random interval-join
+  // bounds, running every case BOTH as a batch query and as a real
+  // StreamingQuery over the same corpus — any divergence between the two
+  // engines' answers for the same statement is a bug regardless of seed.
+  // A far-future sentinel row (filtered out of every statement AFTER the
+  // watermark registration) drives the final watermark past all real
+  // windows so the append-mode stream flushes them.
+
+  private def f21Corpus(r: scala.util.Random): Seq[F21Row] = {
+    val base = 1704067200000000L // 2024-01-01T00:00:00Z in epoch micros
+    var id = 0L
+    (1 to 8).flatMap { u =>
+      var t = base
+      (0 until (12 + r.nextInt(24))).map { _ =>
+        t += 30000000L + r.nextInt(50) * 60000000L // 0.5–50.5 min gaps
+        id += 1
+        // two-decimal values: exact under DECIMAL(18,2) sums
+        F21Row(u.toLong, id, Seq("a", "b", "c")(r.nextInt(3)),
+          (r.nextInt(10000) + 1) / 100.0, t)
+      }
+    }
+  }
+
+  private def f21Sentinel(corpus: Seq[F21Row]): F21Row =
+    F21Row(9999L, 999999L, "z", 1.0, corpus.map(_.ts_us).max + 10L * 86400000000L)
+
+  test("family 21: streaming windowed aggs and interval joins equal their batch runs") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    val seed = sys.props.get("graft.fuzz.seed")
+      .orElse(sys.env.get("GRAFT_FUZZ_SEED")).map(_.toLong).getOrElse(20260813L)
+    val r = new scala.util.Random(seed + 21)
+    val corpus = f21Corpus(r)
+    val sentinel = f21Sentinel(corpus)
+    println(s"[fuzz] family21 seed=${seed + 21} rows=${corpus.size}")
+
+    def shape(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("user_id"), col("event_id"), col("event_type"), col("value"),
+        timestamp_micros(col("ts_us")).as("ts"))
+    def toDf(rows: Seq[F21Row]) = shape(rows.toDF())
+    toDf(corpus).createOrReplaceTempView("f21_events")
+
+    def rowsOf(df: org.apache.spark.sql.DataFrame): Seq[String] = {
+      // name-sorted projection: guards against column-ORDER drift between
+      // the batch and streaming outputs of the same statement
+      val cs = df.columns.sorted.map(col)
+      df.select(cs.toIndexedSeq: _*).collect()
+        .map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+    }
+
+    /** run `stmt` (references view `f21_events`) as batch AND as a real
+      * StreamingQuery over the same corpus + sentinel; compare results.
+      * The sentinel must flow through to the AGGREGATION (a pre-agg WHERE
+      * gets pushed below the watermark node, dropping the sentinel before
+      * the watermark stats — found by this family's first run), so its
+      * far-future window rows are instead excluded from BOTH sides by a
+      * w_start bound (no real window starts after the real max ts). */
+    def differential(ci: Int, stmt: String, desc: String): Int = {
+      val bound = timestamp_micros(lit(corpus.map(_.ts_us).max))
+      val batch = rowsOf(s.sql(stmt).filter(col("w_start") <= bound))
+      implicit val ctx = s.sqlContext
+      val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[F21Row]
+      val sv = s"f21_stream_$ci"
+      shape(in.toDS().toDF()).withWatermark("ts", "0 seconds")
+        .createOrReplaceTempView(sv)
+      val out = s.sql(stmt.replace("f21_events", sv))
+      s.catalog.dropTempView(s"${sv}_sink"): Unit
+      val q = out.writeStream.format("memory").queryName(s"${sv}_sink")
+        .outputMode("append").start()
+      val streamed = try {
+        in.addData(corpus :+ sentinel: _*)
+        q.processAllAvailable()
+        rowsOf(s.table(s"${sv}_sink").filter(col("w_start") <= bound))
+      } finally q.stop()
+      assert(streamed == batch,
+        s"family21 case #$ci [$desc] stream != batch " +
+          s"(stream ${streamed.size} rows, batch ${batch.size})\n  statement: $stmt\n" +
+          s"  stream-only: ${(streamed.toSet -- batch.toSet).take(3)}\n" +
+          s"  batch-only: ${(batch.toSet -- streamed.toSet).take(3)}")
+      batch.size
+    }
+
+    var total = 0
+    var ci = 0
+
+    // -- window aggregates, final-fire only (native streaming window aggs) --
+    val groups = Seq("", ", event_type", ", user_id")
+    val aggPool = Seq(
+      "CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sv",
+      "min(value) AS mnv", "max(value) AS mxv")
+    (0 until 9).foreach { k =>
+      // streaming session windows reject GLOBAL aggregation — keep a key
+      val g = if (k % 3 == 2) groups(1 + r.nextInt(groups.size - 1))
+              else groups(r.nextInt(groups.size))
+      val aggs = ("count(*) AS n" +: r.shuffle(aggPool).take(1 + r.nextInt(2))).mkString(", ")
+      val (winExpr, startExpr, desc) = k % 3 match {
+        case 0 =>
+          val w = Seq("30' MINUTE", "1' HOUR", "2' HOUR")(r.nextInt(3))
+          (s"TUMBLE(ts, INTERVAL '$w)", s"TUMBLE_START(ts, INTERVAL '$w)", s"tumble $w")
+        case 1 =>
+          val (sl, w) = Seq(("30' MINUTE", "1' HOUR"), ("1' HOUR", "2' HOUR"),
+            ("30' MINUTE", "2' HOUR"))(r.nextInt(3))
+          (s"HOP(ts, INTERVAL '$sl, INTERVAL '$w)",
+            s"HOP_START(ts, INTERVAL '$sl, INTERVAL '$w)", s"hop $sl/$w")
+        case 2 =>
+          val gp = Seq("20' MINUTE", "45' MINUTE", "1' HOUR")(r.nextInt(3))
+          (s"SESSION(ts, INTERVAL '$gp)", s"SESSION_START(ts, INTERVAL '$gp)", s"session $gp")
+      }
+      val stmt =
+        s"""SELECT $startExpr AS w_start${if (g.isEmpty) "" else g}, $aggs
+            FROM f21_events
+            GROUP BY $winExpr$g"""
+      total += differential(ci, stmt, desc); ci += 1
+    }
+
+    // -- early-fire emission logs (EmitStrategy → StreamingEmit on streams) --
+    (0 until 6).foreach { k =>
+      val delay = Seq("10 minutes", "30 minutes")(r.nextInt(2))
+      val (winExpr, startCols, desc) = k % 3 match {
+        case 0 =>
+          val w = Seq("1' HOUR", "2' HOUR")(r.nextInt(2))
+          (s"TUMBLE(ts, INTERVAL '$w)",
+            s"TUMBLE_START(ts, INTERVAL '$w) AS w_start", s"earlyfire tumble $w")
+        case 1 =>
+          val gp = Seq("30' MINUTE", "1' HOUR")(r.nextInt(2))
+          (s"SESSION(ts, INTERVAL '$gp)",
+            s"SESSION_START(ts, INTERVAL '$gp) AS w_start", s"earlyfire session $gp")
+        case 2 =>
+          val (st, mx) = (("1' HOUR", "4' HOUR"))
+          (s"CUMULATE(ts, INTERVAL '$st, INTERVAL '$mx)",
+            s"CUMULATE_START(ts, INTERVAL '$st, INTERVAL '$mx) AS w_start, " +
+              s"CUMULATE_END(ts, INTERVAL '$st, INTERVAL '$mx) AS w_end",
+            "earlyfire cumulate 1h/4h")
+      }
+      val stmt =
+        s"""SELECT $startCols, user_id, count(*) AS n, max(value) AS mx
+            FROM f21_events
+            GROUP BY $winExpr, user_id"""
+      s.conf.set(sql.EmitStrategy.DelayConf, delay)
+      s.conf.set(sql.EmitStrategy.TiebreakConf, "event_id")
+      try total += differential(ci, stmt, s"$desc delay=$delay")
+      finally {
+        s.conf.unset(sql.EmitStrategy.DelayConf)
+        s.conf.unset(sql.EmitStrategy.TiebreakConf)
+      }
+      ci += 1
+    }
+
+    // -- interval joins: random bounds, stream-stream vs batch --------------
+    (0 until 4).foreach { _ =>
+      val pair = r.shuffle(Seq("a", "b", "c")).take(2)
+      val (lt, rt) = (pair(0), pair(1))
+      val lo = r.nextInt(3) // hours before
+      val hi = 1 + r.nextInt(2) // hours after (nonzero so pairs exist)
+      def sides(d: org.apache.spark.sql.DataFrame) = (
+        d.filter(col("event_type") === lt)
+          .select(col("user_id").as("u"), col("event_id").as("p_id"), col("ts").as("p_ts")),
+        d.filter(col("event_type") === rt)
+          .select(col("user_id").as("cu"), col("event_id").as("c_id"), col("ts").as("c_ts")))
+      def joined(p: org.apache.spark.sql.DataFrame, c: org.apache.spark.sql.DataFrame) =
+        p.join(c, col("u") === col("cu")
+          && col("c_ts") >= col("p_ts") - expr(s"INTERVAL $lo HOUR")
+          && col("c_ts") <= col("p_ts") + expr(s"INTERVAL $hi HOUR"))
+          .select(col("u"), col("p_id"), col("c_id"))
+      val (bp, bc) = sides(toDf(corpus))
+      val batch = rowsOf(joined(bp, bc))
+      implicit val ctx = s.sqlContext
+      val inL = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[F21Row]
+      val inR = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[F21Row]
+      val (sp, sc) = (
+        sides(shape(inL.toDS().toDF()).withWatermark("ts", "0 seconds"))._1,
+        sides(shape(inR.toDS().toDF()).withWatermark("ts", "0 seconds"))._2)
+      s.catalog.dropTempView(s"f21_ij_$ci"): Unit
+      val q = joined(sp, sc).writeStream.format("memory").queryName(s"f21_ij_$ci")
+        .outputMode("append").start()
+      val streamed = try {
+        inL.addData(corpus: _*); inR.addData(corpus: _*)
+        q.processAllAvailable()
+        rowsOf(s.table(s"f21_ij_$ci"))
+      } finally q.stop()
+      assert(streamed == batch,
+        s"family21 interval join [$lt->$rt -${lo}h..+${hi}h] stream != batch " +
+          s"(stream ${streamed.size}, batch ${batch.size})\n" +
+          s"  stream-only: ${(streamed.toSet -- batch.toSet).take(3)}\n" +
+          s"  batch-only: ${(batch.toSet -- streamed.toSet).take(3)}")
+      total += batch.size
+      ci += 1
+    }
+    println(s"[fuzz] family21 total compared rows: $total")
+    assert(total > 200, "vacuity guard: the seeded cases should produce plenty of rows")
+  }
 }
+
+/** family-21 corpus row — top-level so Spark can derive its Encoder
+  * (inner-class case classes capture the suite instance). */
+private[graft] case class F21Row(user_id: Long, event_id: Long,
+                                 event_type: String, value: Double, ts_us: Long)
