@@ -49,6 +49,24 @@ object FlinkSqlQueries {
                FROM purchases JOIN clicks FOR SYSTEM_TIME AS OF p_ts ON u = cu
                ORDER BY u, p_id""")
     }),
+    // round-9 front-end widening: the SAME temporal join nested inside a
+    // CTE, with the probe side a FROM-subquery — both derived tables are
+    // evaluated recursively into views, then the core join runs and the
+    // outer aggregate executes as plain SQL over the CTE view
+    "fsql_system_time_cte" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("""SELECT user_id AS cu, event_id AS c_id, ts AS c_ts FROM events
+               WHERE event_type = 'click'""").createOrReplaceTempView("clicks")
+      SystemTimeJoin.declareWatermark("clicks", "c_ts")
+      s.sql("""WITH j AS (
+                 SELECT u, p_id, c_id, c_ts
+                 FROM (SELECT user_id AS u, event_id AS p_id, ts AS p_ts FROM events
+                       WHERE event_type = 'purchase') p
+                 JOIN clicks FOR SYSTEM_TIME AS OF p_ts ON u = cu
+               )
+               SELECT u, count(c_id) AS n_with_click, max(c_ts) AS last_asof
+               FROM j GROUP BY u ORDER BY u""")
+    }),
     // processing-time temporal join: probe against the build side's LATEST
     // version (TemporalProcessTimeJoinOperator.java:48); the bounded shape
     // degenerates to keep-last-per-key + equi-join
@@ -186,6 +204,20 @@ object FlinkSqlQueries {
            PATTERN (A B)
            DEFINE B AS B.value < PREV(B.value)
          ) ORDER BY user_id, start_ts""")),
+    // multi-column PARTITION BY (round 9): the NFA runs one machine per
+    // (user, event_type) stream — distinct tuples map to a dense surrogate
+    // key via distinct+join (exact, no hash-collision partition merging);
+    // SKIP TO NEXT ROW → every adjacent rising-value pair is a match
+    "mr_multi_partition" -> ((s, dir) => run(s, dir,
+      """SELECT user_id, event_type, start_ts, end_ts FROM events
+         MATCH_RECOGNIZE (
+           PARTITION BY user_id, event_type
+           ORDER BY ts
+           ONE ROW PER MATCH
+           AFTER MATCH SKIP TO NEXT ROW
+           PATTERN (A B)
+           DEFINE B AS B.value > PREV(B.value)
+         ) ORDER BY user_id, event_type, start_ts""")),
     // NEXT in DEFINE (batch): clicks whose immediately-following row is a
     // pricier purchase — A's predicate looks ONE ROW AHEAD (lead compile),
     // B's looks one row back, exercising both navigation directions
@@ -649,6 +681,19 @@ object FlinkSqlQueries {
            LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
              ON c.user_id = p.user_id AND c.ts <= p.ts)
          WHERE rn = 1 ORDER BY u, p_id""",
+    // the CTE wrapper aggregates the same as-of pairs per user
+    "fsql_system_time_cte" ->
+      """WITH m AS (
+           SELECT u, p_id, c_id, c_ts FROM (
+             SELECT p.user_id AS u, p.event_id AS p_id, c.event_id AS c_id, c.ts AS c_ts,
+                    row_number() OVER (PARTITION BY p.user_id, p.event_id
+                                       ORDER BY c.ts DESC, c.event_id DESC) AS rn
+             FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+             LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+               ON c.user_id = p.user_id AND c.ts <= p.ts)
+           WHERE rn = 1)
+         SELECT u, count(c_id) AS n_with_click, max(c_ts) AS last_asof
+         FROM m GROUP BY u ORDER BY u""",
     // inner join against the single latest click version per user; the
     // Spark side's keep-last tiebreak is (c_ts, cu, c_id) DESC — cu is
     // constant within a partition, so the oracle replays (ts, event_id) DESC
@@ -1235,6 +1280,22 @@ object FlinkSqlQueries {
                 CAST(2 AS BIGINT) AS n_rows, value AS first_val, nval AS last_val
          FROM p WHERE nval < value
          ORDER BY user_id, start_ts""",
+    // multi-column PARTITION BY: adjacent rising-value pairs within each
+    // (user, event_type) stream; SKIP TO NEXT ROW = every pair, no greedy
+    // scan to replay
+    "mr_multi_partition" ->
+      """WITH o AS (
+           SELECT user_id, event_type, ts, value,
+                  row_number() OVER (PARTITION BY user_id, event_type
+                                     ORDER BY ts, event_id) AS rn
+           FROM events),
+         p AS (
+           SELECT user_id, event_type, ts, value,
+                  lead(ts) OVER w AS nts, lead(value) OVER w AS nval
+           FROM o WINDOW w AS (PARTITION BY user_id, event_type ORDER BY rn))
+         SELECT user_id, event_type, epoch_us(ts) AS start_ts, epoch_us(nts) AS end_ts
+         FROM p WHERE nval > value
+         ORDER BY user_id, event_type, start_ts""",
     // NEXT-in-DEFINE: adjacent (click, pricier purchase) pairs — matches
     // are 2-row and can never overlap (the B row is a purchase, the next
     // A anchor must be a click), so a plain lead-pair filter is exact

@@ -72,16 +72,22 @@ object MatchRecognize {
     * batch form); `rawDefines` keep the navigation calls intact for the
     * streaming compiler, which resolves them against the NFA-side ordered
     * row ring instead. */
+  /** `partitionCols` carries the full PARTITION BY list (round 9:
+    * multi-column partitions on the batch node); `partitionBy` stays the
+    * head column — the single-key streaming paths key on it. */
   case class Spec(table: String, partitionBy: String, orderBy: String,
                   afterMatch: Cep.AfterMatch, pattern: Seq[(String, Quant)],
                   withinMs: Long, defines: Map[String, String],
                   rawDefines: Map[String, String],
                   measures: Seq[Measure], allRows: Boolean,
-                  selectList: String, tailClause: String)
+                  selectList: String, tailClause: String,
+                  partitionCols: Seq[String] = Nil) {
+    def partCols: Seq[String] = if (partitionCols.nonEmpty) partitionCols else Seq(partitionBy)
+  }
 
   private val mrRe =
     """(?is)SELECT\s+(.*?)\s+FROM\s+(\w+)\s+MATCH_RECOGNIZE\s*\((.*)\)\s*(ORDER\s+BY.*)?""".r
-  private val partRe = """(?is)PARTITION\s+BY\s+(\w+)""".r
+  private val partRe = """(?is)PARTITION\s+BY\s+(\w+(?:\s*,\s*\w+)*)""".r
   private val ordRe = """(?is)ORDER\s+BY\s+(\w+)""".r
   private val skipRe =
     """(?is)AFTER\s+MATCH\s+SKIP\s+(PAST\s+LAST\s+ROW|TO\s+NEXT\s+ROW|TO\s+(FIRST|LAST)\s+(\w+))""".r
@@ -214,8 +220,10 @@ object MatchRecognize {
       val defines = defPairs.map(p => (p._1, p._3)).toMap
       val rawDefines = defPairs.map(p => (p._1, p._2)).toMap
       val allRows = """(?i)ALL\s+ROWS\s+PER\s+MATCH""".r.findFirstIn(body).isDefined
-      Spec(table, part, ord, skip, pattern, within, defines, rawDefines,
-        parseMeasures(body), allRows, select.trim, Option(tail).getOrElse("").trim)
+      val partCols = part.split(",").map(_.trim).toSeq
+      Spec(table, partCols.head, ord, skip, pattern, within, defines, rawDefines,
+        parseMeasures(body), allRows, select.trim, Option(tail).getOrElse("").trim,
+        partitionCols = partCols)
     case _ => throw new IllegalArgumentException("unsupported MATCH_RECOGNIZE shape")
   }
 
@@ -315,6 +323,9 @@ object MatchRecognize {
     * matches of the batch, not the input. */
   def runStream(spark: SparkSession, dir: String, sql: String): DataFrame = {
     val spec = parse(sql)
+    require(spec.partCols.size == 1,
+      "streaming MATCH_RECOGNIZE keys state on a single PARTITION BY column — " +
+        "multi-column partitions run on the batch node")
     val vars = spec.pattern.map(_._1).distinct
     val varBit = vars.zipWithIndex.toMap
     import spark.implicits._
@@ -552,6 +563,7 @@ object MatchRecognize {
   def run(spark: SparkSession, sql: String): DataFrame = {
     val spec = parse(sql)
     val src = spark.table(spec.table)
+    val pCols = spec.partCols
     // compile DEFINE predicates with Spark, pack into a bitmask string —
     // one bit per distinct pattern variable
     val vars = spec.pattern.map(_._1).distinct
@@ -564,16 +576,34 @@ object MatchRecognize {
     // — and with it the NFA's scan order — is deterministic under order-
     // column ties, matching the streaming path's (ts, event_id) ordering
     val seqW = {
-      val w = Window.partitionBy(col(spec.partitionBy))
+      val w = Window.partitionBy(pCols.map(col): _*)
       if (src.columns.contains("event_id")) w.orderBy(col(spec.orderBy), col("event_id"))
       else w.orderBy(col(spec.orderBy))
     }
     import spark.implicits._
-    val prepared = src
+    // the NFA keys on a LONG: a single partition column casts directly;
+    // a multi-column partition (round 9) maps each distinct tuple to a
+    // dense surrogate via distinct + hash join — distributed and EXACT
+    // (a hashed composite would risk collisions merging two partitions).
+    // persist + count pins the monotonically_increasing_id assignment so
+    // both the key join and the final join-back see the same surrogates.
+    val keyMapOpt: Option[DataFrame] =
+      if (pCols.size == 1) None
+      else {
+        val km = src.select(pCols.map(col): _*).distinct()
+          .withColumn("__mrpk", monotonically_increasing_id()).persist()
+        km.count(): Unit
+        Some(km)
+      }
+    val prepared0 = src
       .withColumn("__mask", mask)
       .withColumn("__seq", row_number().over(seqW).cast("long"))
+    val prepared = keyMapOpt match {
+      case None => prepared0.withColumn("__mrpk", col(pCols.head).cast("long"))
+      case Some(km) => prepared0.join(km, pCols)
+    }
     val rows = prepared
-      .select(col(spec.partitionBy).cast("long").as("key"),
+      .select(col("__mrpk").as("key"),
         expr(s"unix_micros(cast(${spec.orderBy} as timestamp))").as("ts"),
         col("__seq").as("id"), col("__mask").as("kind"), lit(0.0).as("value"))
       .as[KeyedRow]
@@ -582,10 +612,17 @@ object MatchRecognize {
     // key's rows into one partition — the NFA scan reuses that clustering
     // instead of shuffling the rows a second time on the same key
     val matchesDs = Cep.matchBatch(rows,
-      Cep.Pattern(steps, spec.withinMs, spec.afterMatch), prePartitionedByKey = true)
+      Cep.Pattern(steps, spec.withinMs, spec.afterMatch),
+      prePartitionedByKey = keyMapOpt.isEmpty)
     val m = matchesDs.toDF().withColumn("__mid", monotonically_increasing_id())
     val base = m.select(col("key").as("__pkey"), col("start_ts"), col("end_ts"),
       size(col("ids")).cast("long").as("n_rows"), col("__mid"), col("ids"), col("labels"))
+    // restore the partition columns on a match-level frame (ONE ROW paths);
+    // the ALL ROWS path carries them through its source join instead
+    def withPartCols(df: DataFrame): DataFrame = keyMapOpt match {
+      case None => df.withColumn(spec.partitionBy, col("__pkey"))
+      case Some(km) => df.join(km, df("__pkey") === km("__mrpk")).drop("__mrpk")
+    }
     val out =
       if (spec.allRows) {
         // ALL ROWS PER MATCH: one output row per MATCHED input row — source
@@ -602,7 +639,7 @@ object MatchRecognize {
           .withColumn("match_no", dense_rank().over(
             Window.partitionBy(col("__pkey")).orderBy(col("start_ts"), col("__first_seq"))))
         val joined = exploded.join(
-            prepared.withColumn("__pkey", col(spec.partitionBy).cast("long")),
+            prepared.withColumn("__pkey", col("__mrpk")),
             Seq("__pkey", "__seq"))
         val runW = Window.partitionBy(col("__mid")).orderBy(col("__seq"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -613,25 +650,25 @@ object MatchRecognize {
           df.withColumn(m.alias, post(agg.over(if (m.running) runW else finW)))
         }
         withMeasures
-          .drop("__mid", "__pkey", "start_ts", "__first_seq", "__mask")
+          .drop("__mid", "__pkey", "__mrpk", "start_ts", "__first_seq", "__mask")
           .withColumnRenamed("__seq", "row_seq")
       }
       else if (spec.measures.isEmpty)
-        base.select(col("__pkey").as(spec.partitionBy),
-          col("start_ts"), col("end_ts"), col("n_rows"))
+        withPartCols(base)
+          .select(pCols.map(col) ++ Seq(col("start_ts"), col("end_ts"), col("n_rows")): _*)
       else {
         val exploded = base.select(col("__mid"), col("__pkey"),
             explode(arrays_zip(col("ids"), col("labels"))).as("z"))
           .select(col("__mid"), col("__pkey"),
             col("z.ids").as("__seq"), col("z.labels").as("__label"))
         val joined = exploded.join(
-          prepared.withColumn("__pkey", col(spec.partitionBy).cast("long")),
+          prepared.withColumn("__pkey", col("__mrpk")),
           Seq("__pkey", "__seq"))
         val aggs = spec.measures.map(measureCol)
         val meas = joined.groupBy(col("__mid")).agg(aggs.head, aggs.tail: _*)
-        base.join(meas, "__mid")
-          .select(col("__pkey").as(spec.partitionBy) +:
-            col("start_ts") +: col("end_ts") +: col("n_rows") +:
+        withPartCols(base.join(meas, "__mid"))
+          .select(pCols.map(col) ++
+            Seq(col("start_ts"), col("end_ts"), col("n_rows")) ++
             spec.measures.map(mm => col(mm.alias)): _*)
       }
     out.createOrReplaceTempView("__mr_out")

@@ -55,7 +55,81 @@ object SystemTimeJoin {
 
   private def bare(c: String): String = c.split("\\.").last
 
-  def run(spark: SparkSession, sql: String): DataFrame = sql.trim match {
+  /** Round-9 front-end widening: the temporal join may sit inside a CTE or
+    * a FROM/JOIN derived table. CTE bodies and derived tables are evaluated
+    * recursively (through the temporal machinery when they carry the
+    * FOR SYSTEM_TIME clause, plain spark.sql otherwise) into temp views,
+    * and the remaining statement re-dispatches — so
+    * `WITH j AS (SELECT ... FOR SYSTEM_TIME ...) SELECT ... FROM j` and
+    * `SELECT ... FROM (SELECT ... FOR SYSTEM_TIME ...) t ...` both work. */
+  def run(spark: SparkSession, sql: String): DataFrame = {
+    val t = sql.trim
+    if ("""(?is)^WITH\s""".r.findFirstIn(t).isDefined) runWithCtes(spark, t)
+    else {
+      val sub = subqueryRewrite(spark, t)
+      if (sub != t) runAny(spark, sub) else core(spark, t)
+    }
+  }
+
+  private def runAny(spark: SparkSession, q: String): DataFrame =
+    if (matches(q)) run(spark, q) else spark.sql(q)
+
+  /** Evaluate each `name AS ( body )` into a temp view, then run the main
+    * query with the CTE prefix stripped. */
+  private def runWithCtes(spark: SparkSession, sql: String): DataFrame = {
+    var rest = sql.trim.replaceFirst("(?is)^WITH\\s", "")
+    val nameRe = """(?is)^\s*,?\s*(\w+)\s+AS\s*\(""".r
+    var main: Option[String] = None
+    while (main.isEmpty) {
+      nameRe.findFirstMatchIn(rest) match {
+        case Some(m) =>
+          val (body, after) = balanced(rest, m.end)
+          runAny(spark, body).createOrReplaceTempView(m.group(1))
+          rest = after
+          if (!"""(?s)^\s*,""".r.findFirstIn(rest).isDefined) main = Some(rest)
+        case None => main = Some(rest)
+      }
+    }
+    runAny(spark, main.get.trim)
+  }
+
+  /** `rest(openEnd-1) == '('`: returns (contents, text after the close). */
+  private def balanced(rest: String, openEnd: Int): (String, String) = {
+    var depth = 1; var i = openEnd
+    while (depth > 0) {
+      rest.charAt(i) match {
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case _ =>
+      }
+      i += 1
+    }
+    (rest.substring(openEnd, i - 1), rest.substring(i))
+  }
+
+  /** Replace every FROM/JOIN derived table with a temp view of its
+    * evaluated body; returns the rewritten statement (identity if none). */
+  private def subqueryRewrite(spark: SparkSession, sql: String): String = {
+    val fromRe = """(?is)\b(FROM|JOIN)\s*\(""".r
+    fromRe.findFirstMatchIn(sql) match {
+      case Some(m) =>
+        val (body, after) = balanced(sql, m.end)
+        val aliasRe = """(?is)^\s*(?:AS\s+)?(\w+)""".r
+        val (alias, rest) = aliasRe.findFirstMatchIn(after) match {
+          // FOR would be the start of the snapshot clause, not an alias
+          case Some(a) if !Set("FOR", "ON", "WHERE", "ORDER", "GROUP", "LIMIT", "JOIN")
+              .contains(a.group(1).toUpperCase) =>
+            (a.group(1), after.substring(a.end))
+          case _ => (s"__st_sub${sql.length}", after)
+        }
+        runAny(spark, body.trim).createOrReplaceTempView(alias)
+        subqueryRewrite(spark,
+          sql.substring(0, m.start) + s"${m.group(1)} $alias" + rest)
+      case None => sql
+    }
+  }
+
+  private def core(spark: SparkSession, sql: String): DataFrame = sql.trim match {
     case stRe(select, lt, la, rt, ra, timeExpr, onCond, tail) =>
       val left = spark.table(lt)
       val right = spark.table(rt)

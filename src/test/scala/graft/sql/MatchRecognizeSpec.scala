@@ -179,6 +179,38 @@ class MatchRecognizeSpec extends SparkSpec {
     assert(batch.nonEmpty && stream == batch)
   }
 
+  test("round 9: multi-column PARTITION BY runs one NFA per tuple") {
+    val s = spark
+    import s.implicits._
+    // (user, region) tuples deliberately collide on each single column so
+    // a wrong grouping (either column alone, or a collided composite)
+    // would merge streams and change the match set
+    Seq(
+      (1L, "eu", new Timestamp(1000L), "signup"),
+      (1L, "us", new Timestamp(2000L), "purchase"), // would complete 1/eu if merged
+      (1L, "eu", new Timestamp(3000L), "purchase"),
+      (2L, "eu", new Timestamp(1000L), "signup"),
+      (2L, "eu", new Timestamp(2000L), "purchase"),
+      (2L, "us", new Timestamp(3000L), "signup")
+    ).toDF("user_id", "region", "ts", "event_type")
+      .createOrReplaceTempView("mr_mp_events")
+    val rows = spark.sql(
+      """SELECT user_id, region, start_ts, end_ts FROM mr_mp_events
+         MATCH_RECOGNIZE (
+           PARTITION BY user_id, region
+           ORDER BY ts
+           ONE ROW PER MATCH
+           AFTER MATCH SKIP PAST LAST ROW
+           PATTERN (A B)
+           DEFINE A AS event_type = 'signup', B AS event_type = 'purchase'
+         ) ORDER BY user_id, region, start_ts""").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // 1/eu: signup(1s) → strict-next within the TUPLE stream is purchase(3s);
+    // 2/eu: 1s→2s; 1/us and 2/us have no signup→purchase pair
+    assert(rows.toSeq == Seq((1L, "eu", 1000000L, 3000000L),
+      (2L, "eu", 1000000L, 2000000L)))
+  }
+
   test("MATCH_RECOGNIZE inside a string literal does not hijack dispatch") {
     val rows = spark.sql("SELECT 'MATCH_RECOGNIZE(' AS s, 1 AS one").collect()
     assert(rows.head.getString(0) == "MATCH_RECOGNIZE(" && rows.head.getInt(1) == 1)

@@ -92,6 +92,38 @@ class SystemTimeJoinSpec extends SparkSpec {
     assert(rows.toSeq == Seq((100L, 2.0), (101L, 9.0)))
   }
 
+  test("round 9: the temporal join runs inside a CTE and over a FROM-subquery") {
+    val s = spark
+    import s.implicits._
+    Seq((1L, new Timestamp(10000L), 100L), (1L, new Timestamp(25000L), 101L),
+        (2L, new Timestamp(30000L), 102L))
+      .toDF("ok", "ots", "oid").createOrReplaceTempView("stc_orders")
+    Seq((1L, new Timestamp(5000L), 1.0), (1L, new Timestamp(20000L), 2.0),
+        (2L, new Timestamp(40000L), 9.0))
+      .toDF("rk", "rts", "rate").createOrReplaceTempView("stc_rates")
+    SystemTimeJoin.declareWatermark("stc_rates", "rts")
+    // CTE wrapping the temporal join, probe side itself a derived table;
+    // the outer query aggregates the CTE view as plain SQL
+    val rows = spark.sql(
+      """WITH j AS (
+           SELECT oid, rate
+           FROM (SELECT ok, ots, oid FROM stc_orders WHERE oid < 102) o
+           JOIN stc_rates FOR SYSTEM_TIME AS OF ots ON ok = rk
+         )
+         SELECT count(*) AS n, CAST(sum(rate) AS DOUBLE) AS total FROM j""")
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(rows.toSeq == Seq((2L, 3.0))) // versions 1.0 (at 10s) + 2.0 (at 25s)
+    // subquery directly in the outer FROM, no CTE; order 102 probes at 30s
+    // before its key's first version (40s) → LEFT semantics keep it, null rate
+    val rows2 = spark.sql(
+      """SELECT oid, rate
+         FROM (SELECT ok, ots, oid FROM stc_orders) o
+         JOIN stc_rates FOR SYSTEM_TIME AS OF ots ON ok = rk
+         ORDER BY oid""").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+    assert(rows2.toSeq == Seq((100L, Some(1.0)), (101L, Some(2.0)), (102L, None)))
+  }
+
   test("missing watermark declaration fails with a pointed message") {
     val s = spark
     import s.implicits._
