@@ -39,8 +39,22 @@ object Bench {
     // optional arg: comma-separated query-name filter (local iteration only;
     // the driver invokes with no args = full run)
     val only: Option[Set[String]] = args.lift(0).map(_.split(",").toSet)
-    val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
+    var spark = GraftSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // A fatal task error (executor OOM, Spark internal error) stops the
+    // SparkContext in local mode; without a rebuild every later query dies
+    // with "stopped SparkContext" and a whole probe run reads as 27 phantom
+    // failures (observed on the first sf10 capture). One poisoned query must
+    // cost exactly one error entry.
+    def alive(): SparkSession = {
+      if (spark.sparkContext.isStopped) {
+        SparkSession.clearActiveSession()
+        SparkSession.clearDefaultSession()
+        spark = GraftSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
+        spark.sparkContext.setLogLevel("WARN")
+      }
+      spark
+    }
     // untimed warmup (classloading, whole-stage-codegen compiles, parquet
     // footer caches, and — measured dominant — C1/C2 JIT of the hot operator
     // loops: a 5 000-row scan fanned over 32 tasks never reaches the compile
@@ -92,8 +106,9 @@ object Bench {
     // what we'd report from any benchmark harness. Errors surface on the
     // first attempt and skip the retry.
     def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      val sp = alive()
       val t0 = System.nanoTime()
-      fn(spark, sfDir).count()
+      fn(sp, sfDir).count()
       (System.nanoTime() - t0) / 1e9
     }
     val firstPass = SparkEntry.queries.toSeq.sortBy(_._1)

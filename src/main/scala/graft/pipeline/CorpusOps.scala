@@ -302,26 +302,27 @@ object CorpusOps {
 
   /** LSH-bucketed similarity top-k — the scale path for batch k-NN: probe
     * only vectors sharing at least one random-hyperplane band with the
-    * query (same 16-plane/4-band signature as Dedup.embeddingCosine, same
-    * plane literals in the oracle). Candidate generation is a band-key
-    * equi-join; cosine is evaluated on candidates only; per-query top-3 by
-    * window. Complements `sim_ann_ivf` (cluster-probed) with the
+    * query (same adaptive 4-band signature as Dedup.embeddingCosine —
+    * [[Dedup.bandBitsFor]] bits per band so the bucket space grows with the
+    * corpus — same plane literals in the oracle). Candidate generation is a
+    * band-key equi-join; cosine is evaluated on candidates only; per-query
+    * top-3 by window. Complements `sim_ann_ivf` (cluster-probed) with the
     * partition-free variant that needs no precomputed centroids. */
   private def lshTopK(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.load(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("norm", sqrt(call_function("dot_f64", col("v"), col("v"))))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val bits = (0 until Dedup.NumPlanes).map { p =>
-      (call_function("dot_f64", col("v"), typedLit(Dedup.planes(p))) > 0)
-        .cast("int").as(s"b$p")
-    }
+    val bb = Dedup.bandBitsFor(e.count())
+    val bits = for (band <- 0 until Dedup.NumBands; r <- 0 until bb) yield
+      (call_function("dot_f64", col("v"),
+        typedLit(Dedup.planes(band * Dedup.MaxBandBits + r))) > 0)
+        .cast("long").as(s"b_${band}_$r")
     val bands = e.select(col("vec_id") +: bits: _*)
       .select(col("vec_id"),
-        explode(array((0 until Dedup.NumPlanes / Dedup.PlaneBand).map { b =>
-          struct(lit(b).as("band"),
-            (0 until Dedup.PlaneBand)
-              .map(r => col(s"b${b * Dedup.PlaneBand + r}") * lit(1 << r))
+        explode(array((0 until Dedup.NumBands).map { band =>
+          struct(lit(band).as("band"),
+            (0 until bb).map(r => col(s"b_${band}_$r") * lit(1L << r))
               .reduce(_ + _).as("bits"))
         }: _*)).as("bk"))
       .select(col("vec_id"), col("bk.band"), col("bk.bits"))
@@ -743,6 +744,9 @@ object CorpusOps {
         s"list_reduce(list_prepend(0.0, list_transform(range(1, 65), k -> $a[k] * $b[k])), (acc,x) -> acc + x)"
       s"""WITH e AS (
            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         p AS (SELECT COALESCE((SELECT min(c.b) FROM range(4, 17) c(b)
+                                  WHERE (CAST(1 AS BIGINT) << CAST(c.b AS INT)) * 32 >= cnt), 16) AS bb
+               FROM (SELECT count(*) AS cnt FROM e)),
          n AS (SELECT vec_id, v,
                  sqrt(list_reduce(list_prepend(0.0, list_transform(v, x -> x*x)), (a,x) -> a + x)) AS nrm
                FROM e),
@@ -751,8 +755,9 @@ object CorpusOps {
                      CASE WHEN ${dot("v", "pl")} > 0 THEN 1 ELSE 0 END) AS bs
                  FROM n),
          bands AS (SELECT vec_id, b.b AS band,
-                     bs[b.b*4 + 1] + 2*bs[b.b*4 + 2] + 4*bs[b.b*4 + 3] + 8*bs[b.b*4 + 4] AS bits
-                   FROM sig, range(0, 4) b(b)),
+                     CAST(list_sum(list_transform(range(0, p.bb), r ->
+                       CAST(bs[b.b*16 + r + 1] AS BIGINT) * (CAST(1 AS BIGINT) << CAST(r AS INT)))) AS BIGINT) AS bits
+                   FROM sig, range(0, 4) b(b), p),
          cand AS (SELECT DISTINCT q.vec_id AS q_id, x.vec_id AS neighbor
                   FROM bands q JOIN bands x
                     ON q.band = x.band AND q.bits = x.bits AND q.vec_id <> x.vec_id

@@ -224,8 +224,22 @@ object Dedup {
     }
   }
 
-  private[pipeline] val NumPlanes = 16
-  private[pipeline] val PlaneBand = 4 // → 4 bands of 4 sign-bits
+  private[pipeline] val NumBands = 4
+  private[pipeline] val MaxBandBits = 16 // planes reserved per band
+  private[pipeline] val NumPlanes = NumBands * MaxBandBits
+
+  /** Bits per LSH band, derived from the corpus size: the smallest b in
+    * [4, [[MaxBandBits]]] with 2^b · 32 ≥ N, so each band's bucket space
+    * scales with the corpus and the expected bucket holds ~32 vectors. A
+    * FIXED bucket space is the classic LSH scale landmine — 4 bits = 16
+    * buckets per band turns the candidate join into N²/16 pairs (the sf10
+    * probe measured 8.0e9 candidates at N=200 000 and stalled on the 64
+    * skewed join keys); deriving b keeps candidates ~linear at any corpus,
+    * the same auto-scaling discipline as [[SemTarget]]'s derived k.
+    * Integer-exact (no float log) so Spark and the DuckDB oracle can never
+    * disagree at a power-of-two boundary. */
+  private[pipeline] def bandBitsFor(n: Long): Int =
+    (4 to MaxBandBits).find(b => (1L << b) * 32L >= n).getOrElse(MaxBandBits)
 
   /** Deterministic ±1 random-hyperplane entries (LCG-mixed parity). The
     * exact same literals are embedded in the DuckDB oracle, so the
@@ -239,43 +253,83 @@ object Dedup {
     (0 until NumPlanes).map(p => (0 until 64).map(k => planeEntry(p, k)))
 
   /** Embedding near-dup: cosine ≥ 0.45 pairs via random-hyperplane LSH
-    * (Charikar SimHash for angles): sign of ⟨v, rᵖ⟩ for 16 fixed ±1
-    * hyperplanes → 16-bit signature, banded 4×4; candidates = vectors
-    * sharing a band; true cosine verified on candidates only. Same
-    * three-shuffle shape as minhashLsh — no all-pairs join anywhere.
+    * (Charikar SimHash for angles): sign of ⟨v, rᵖ⟩ for 4·b fixed ±1
+    * hyperplanes → b-bit signature per band over 4 bands, where b is
+    * [[bandBitsFor]] the corpus count (bucket space grows with N, expected
+    * bucket ~32 vectors); candidates = vectors sharing a band; true cosine
+    * verified on candidates only. Same three-shuffle shape as minhashLsh —
+    * no all-pairs join anywhere, and no fixed bucket space to saturate.
     * Approximate by construction (a far-apart band-collision-free pair is
     * never considered), which is the 100 TB trade: recall is tuned by adding
-    * planes/bands, not by going quadratic. Exact brute-force search lives in
-    * Similarity.annBrute as the small-query-set baseline. */
+    * planes/bands, not by going quadratic — and a larger corpus narrows each
+    * band (higher b), concentrating recall on the highest-cosine pairs,
+    * exact duplicates always colliding in every band. Exact brute-force
+    * search lives in Similarity.annBrute as the small-query-set baseline. */
   private def embeddingCosine(s: SparkSession, dir: String): DataFrame = {
-    val e = Tables.load(s, dir, "embeddings")
+    // Exact-duplicate vectors are collapsed to one representative BEFORE the
+    // LSH (the r7 SimHash discipline): on a replicated corpus every copy of
+    // a vector collides with every copy of its near-neighbors in every band,
+    // so running the candidate/verify joins at the member level moves each
+    // 64-dim vector once PER COPY PAIR — the sf10 probe spilled >75 GB of
+    // sort data on exactly that. Representatives carry the vectors; members
+    // are a two-column (vec_id, rep) frame; verified representative pairs
+    // are expanded back through membership at the end. The result set is
+    // bit-identical (a signature is a function of the vector alone), so the
+    // DuckDB oracle is unchanged.
+    val tagged = Tables.load(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      .withColumn("norm", sqrt(call_function("dot_f64", col("v"), col("v"))))
+      .withColumn("rep", min(col("vec_id")).over(Window.partitionBy(col("v"))))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val bits = (0 until NumPlanes).map { p =>
-      (call_function("dot_f64", col("v"), typedLit(planes(p))) > 0)
-        .cast("int").as(s"b$p")
-    }
-    val sig = e.select(col("vec_id") +: bits: _*)
+    val bb = bandBitsFor(tagged.count()) // full-corpus N (oracle parity)
+    val members = tagged.select(col("vec_id"), col("rep"))
+    val d = tagged.filter(col("vec_id") === col("rep"))
+      .select(col("vec_id"), col("v"))
+      .withColumn("norm", sqrt(call_function("dot_f64", col("v"), col("v"))))
+    val bits = for (band <- 0 until NumBands; r <- 0 until bb) yield
+      (call_function("dot_f64", col("v"), typedLit(planes(band * MaxBandBits + r))) > 0)
+        .cast("long").as(s"b_${band}_$r")
+    val sig = d.select(col("vec_id") +: bits: _*)
     val bands = sig.select(col("vec_id"),
-        explode(array((0 until NumPlanes / PlaneBand).map { b =>
-          struct(lit(b).as("band"),
-            (0 until PlaneBand).map(r => col(s"b${b * PlaneBand + r}") * lit(1 << r))
+        explode(array((0 until NumBands).map { band =>
+          struct(lit(band).as("band"),
+            (0 until bb).map(r => col(s"b_${band}_$r") * lit(1L << r))
               .reduce(_ + _).as("bits"))
         }: _*)).as("bk"))
       .select(col("vec_id"), col("bk.band"), col("bk.bits"))
     val cand = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bits") === col("y.bits") &&
         col("x.vec_id") < col("y.vec_id"))
-      .select(col("x.vec_id").as("i"), col("y.vec_id").as("j"))
+      .select(col("x.vec_id").as("ri"), col("y.vec_id").as("rj"))
       .distinct()
-    releasing(e) {
-      cand
-        .join(e.select(col("vec_id").as("i"), col("v").as("vi"), col("norm").as("ni")), "i")
-        .join(e.select(col("vec_id").as("j"), col("v").as("vj"), col("norm").as("nj")), "j")
-        .withColumn("cosine",
-          call_function("dot_f64", col("vi"), col("vj")) / (col("ni") * col("nj")))
-        .filter(col("cosine") >= 0.45)
+    // cosine verification touches representative vectors only
+    val verified = cand
+      .join(d.select(col("vec_id").as("ri"), col("v").as("vi"), col("norm").as("ni")), "ri")
+      .join(d.select(col("vec_id").as("rj"), col("v").as("vj"), col("norm").as("nj")), "rj")
+      .withColumn("cosine",
+        call_function("dot_f64", col("vi"), col("vj")) / (col("ni") * col("nj")))
+      .filter(col("cosine") >= 0.45)
+      .select(col("ri"), col("rj"), col("cosine"))
+    // every member pair of a verified representative pair is a result pair
+    val cross = verified
+      .join(members.select(col("rep").as("ri"), col("vec_id").as("mi")), "ri")
+      .join(members.select(col("rep").as("rj"), col("vec_id").as("mj")), "rj")
+      .select(least(col("mi"), col("mj")).as("i"),
+              greatest(col("mi"), col("mj")).as("j"), col("cosine"))
+    // identical vectors collide in every band, so all within-group member
+    // pairs are candidates; their cosine is evaluated with the exact same
+    // fp expression the oracle uses (dot(v,v)/(norm·norm))
+    val selfOk = d
+      .withColumn("cosine",
+        call_function("dot_f64", col("v"), col("v")) / (col("norm") * col("norm")))
+      .filter(col("cosine") >= 0.45)
+      .select(col("vec_id").as("rep"), col("cosine"))
+    val within = members.select(col("rep"), col("vec_id").as("mi"))
+      .join(members.select(col("rep"), col("vec_id").as("mj")), "rep")
+      .filter(col("mi") < col("mj"))
+      .join(selfOk, "rep")
+      .select(col("mi").as("i"), col("mj").as("j"), col("cosine"))
+    releasing(tagged) {
+      cross.unionByName(within)
         .select(col("i"), col("j"), round(col("cosine"), 6).as("cosine"))
         .orderBy(col("i"), col("j"))
     }
@@ -789,7 +843,8 @@ object Dedup {
           WHERE bit_count(xor(a.sig, b.sig)) <= 6
           ORDER BY i, j""",
     // replicates the hyperplane-LSH pipeline (same ±1 plane literals, same
-    // sequential-fold dot) so the approximate candidate set is identical
+    // sequential-fold dot, same integer-derived bits-per-band) so the
+    // approximate candidate set is identical
     "dedup_embedding" -> {
       val planesLit = planes
         .map(_.map(x => if (x > 0) "1.0" else "-1.0").mkString("[", ",", "]"))
@@ -798,6 +853,9 @@ object Dedup {
         s"list_reduce(list_prepend(0.0, list_transform(range(1, 65), k -> $a[k] * $b[k])), (acc,x) -> acc + x)"
       s"""WITH e AS (
            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         p AS (SELECT COALESCE((SELECT min(c.b) FROM range(4, 17) c(b)
+                                  WHERE (CAST(1 AS BIGINT) << CAST(c.b AS INT)) * 32 >= cnt), 16) AS bb
+               FROM (SELECT count(*) AS cnt FROM e)),
          n AS (SELECT vec_id, v,
                  sqrt(list_reduce(list_prepend(0.0, list_transform(v, x -> x*x)), (a,x) -> a + x)) AS nrm
                FROM e),
@@ -806,8 +864,9 @@ object Dedup {
                      CASE WHEN ${dot("v", "pl")} > 0 THEN 1 ELSE 0 END) AS bs
                  FROM n),
          bands AS (SELECT vec_id, b.b AS band,
-                     bs[b.b*4 + 1] + 2*bs[b.b*4 + 2] + 4*bs[b.b*4 + 3] + 8*bs[b.b*4 + 4] AS bits
-                   FROM sig, range(0, 4) b(b)),
+                     CAST(list_sum(list_transform(range(0, p.bb), r ->
+                       CAST(bs[b.b*16 + r + 1] AS BIGINT) * (CAST(1 AS BIGINT) << CAST(r AS INT)))) AS BIGINT) AS bits
+                   FROM sig, range(0, 4) b(b), p),
          cand AS (SELECT DISTINCT x.vec_id AS i, y.vec_id AS j
                   FROM bands x JOIN bands y
                     ON x.band = y.band AND x.bits = y.bits AND x.vec_id < y.vec_id)

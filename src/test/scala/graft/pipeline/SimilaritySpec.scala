@@ -18,4 +18,20 @@ class SimilaritySpec extends SparkSpec {
       rs.foreach(r => assert(r.getLong(2) != q))
     }
   }
+
+  test("bandBitsFor: LSH bucket space scales with the corpus, integer-exact") {
+    // smallest b in [4,16] with 2^b * 32 >= n — the fixed-4-bit scheme made
+    // the candidate join N^2/16 (8.0e9 pairs at the sf10 probe's N=200k)
+    assert(Dedup.bandBitsFor(0L) == 4)
+    assert(Dedup.bandBitsFor(500L) == 4) // sf0.01 gate keeps the small-corpus shape
+    assert(Dedup.bandBitsFor(512L) == 4) // power-of-two boundary stays exact
+    assert(Dedup.bandBitsFor(513L) == 5)
+    assert(Dedup.bandBitsFor(2000L) == 6)
+    assert(Dedup.bandBitsFor(200000L) == 13)
+    assert(Dedup.bandBitsFor(32L << 16) == 16)
+    assert(Dedup.bandBitsFor(Long.MaxValue / 64) == 16) // clamped, no overflow
+    // monotone: a larger corpus never widens a bucket's share of the space
+    val bs = Seq(1L, 100L, 10000L, 1000000L, 100000000L).map(Dedup.bandBitsFor)
+    assert(bs == bs.sorted)
+  }
 }
