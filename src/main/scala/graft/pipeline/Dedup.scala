@@ -76,33 +76,67 @@ object Dedup {
   }
 
   /** Exact n-gram (trigram) Jaccard near-dup pairs, join on shared shingle.
-    * jaccard = |A∩B| / (|A|+|B|-|A∩B|) — exact integer ratio. */
+    * jaccard = |A∩B| / (|A|+|B|-|A∩B|) — exact integer ratio.
+    *
+    * Docs with identical shingle arrays are collapsed to one representative
+    * before the shared-shingle self-join (the same discipline as
+    * [[embeddingCosine]]): on a replicated corpus every shingle of a base
+    * doc recurs once per copy, so the member-level self-join emits
+    * copies² × |shingles| rows per base pair — the sf10 probe (500 k docs,
+    * ~100 copies each) spilled 57 GB of sort data and filled the disk on
+    * exactly that. Representative pairs expand back through membership;
+    * within-group pairs share the full shingle set, so their jaccard is
+    * sz/sz = 1.0 by the identical fp expression both engines evaluate. */
   private def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
-    val d = docShingles(s, dir)
+    val shingled = docShingles(s, dir)
+    val all = shingled
+      .withColumn("rep", min(col("doc_id")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("sh"))))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val members = all.select(col("doc_id"), col("rep"))
+    val d = all.filter(col("doc_id") === col("rep"))
+      .select(col("doc_id"), col("sh"))
     val sizes = d.select(col("doc_id"), size(col("sh")).as("sz"))
     val ex0 = d.select(col("doc_id"), explode(col("sh")).as("s"))
-    // shingles appearing in a single doc can never form a pair — dropping
-    // them first shrinks the self-join input by the unique-shingle mass
-    // (the dominant fraction for natural text), without changing results.
-    // The count rides a window over the SAME hash partitioning the
-    // self-join needs (one shuffle of the exploded shingles total), instead
-    // of a separate groupBy + join-back (which re-shuffled ex0 twice and
-    // cost +76% at sf0.1 without changing the asymptotics)
+    // shingles appearing in a single distinct doc can never form a
+    // representative pair — dropping them first shrinks the self-join input
+    // by the unique-shingle mass (the dominant fraction for natural text),
+    // without changing results. The count rides a window over the SAME hash
+    // partitioning the self-join needs (one shuffle of the exploded
+    // shingles total), instead of a separate groupBy + join-back (which
+    // re-shuffled ex0 twice and cost +76% at sf0.1 without changing the
+    // asymptotics)
     val ex = ex0
       .withColumn("cnt", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("s"))))
       .filter(col("cnt") > 1).drop("cnt")
     val shared = ex.as("a").join(ex.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+      .groupBy(col("a.doc_id").as("ri"), col("b.doc_id").as("rj"))
       .agg(count(lit(1)).as("shared"))
-    releasing(d) {
-      shared
-        .join(sizes.as("sa"), col("i") === col("sa.doc_id"))
-        .join(sizes.as("sb"), col("j") === col("sb.doc_id"))
-        .withColumn("jaccard",
-          col("shared").cast("double") / (col("sa.sz") + col("sb.sz") - col("shared")))
-        .filter(col("jaccard") >= 0.5)
+    val repPairs = shared
+      .join(sizes.as("sa"), col("ri") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("rj") === col("sb.doc_id"))
+      .withColumn("jaccard",
+        col("shared").cast("double") / (col("sa.sz") + col("sb.sz") - col("shared")))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("ri"), col("rj"), col("jaccard"))
+    val cross = repPairs
+      .join(members.select(col("rep").as("ri"), col("doc_id").as("mi")), "ri")
+      .join(members.select(col("rep").as("rj"), col("doc_id").as("mj")), "rj")
+      .select(least(col("mi"), col("mj")).as("i"),
+              greatest(col("mi"), col("mj")).as("j"), col("jaccard"))
+    // identical shingle sets: shared == sz, so jaccard == sz/sz == 1.0 with
+    // the exact expression shape the oracle evaluates per pair
+    val within = members.select(col("rep"), col("doc_id").as("mi"))
+      .join(members.select(col("rep"), col("doc_id").as("mj")), "rep")
+      .filter(col("mi") < col("mj"))
+      .join(sizes.select(col("doc_id").as("rep"), col("sz")), "rep")
+      .withColumn("jaccard",
+        col("sz").cast("double") / (col("sz") + col("sz") - col("sz")))
+      .select(col("mi").as("i"), col("mj").as("j"), col("jaccard"))
+    releasing(all, shingled) {
+      cross.unionByName(within)
         .select(col("i"), col("j"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy(col("i"), col("j"))
     }
@@ -375,29 +409,56 @@ object Dedup {
   private def semantic(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.storage.StorageLevel
-    val e = Tables.load(s, dir, "embeddings")
+    // Distinct-vector collapse (the [[embeddingCosine]] discipline): every
+    // copy of a vector shares its coarse cell, fine cluster, and all cosine
+    // relations, so the assignment dots and the within-cluster pairwise
+    // search run on DISTINCT vectors only — on the sf10 tiled corpus
+    // (200 k vectors, 100 copies each) the member-level pairwise join was
+    // ~10 M vector-carrying rows and measured 333 s; collapsed it is ~2 000.
+    // Members re-enter only as pure id/weight arithmetic: (a) seed ids are
+    // drawn from the full sampled id set, (b) Lloyd sums weight each
+    // distinct vector by its sample multiplicity (sum of identical
+    // quantized longs == long × count, so the integer sums — and the
+    // centroids — are bit-identical to the oracle's member-level sums),
+    // (c) the greedy keep rule becomes a per-group id threshold: rep(G) is
+    // the group's min member id, a member y of G is dropped iff
+    // y > rep(G) with G self-close, or some close same-cluster group H has
+    // rep(H) < y (any member of H below y implies rep(H) < y).
+    val tagged = Tables.load(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      .withColumn("norm", sqrt(call_function("dot_f64", col("v"), col("v"))))
-    val n = e.count()
+      .withColumn("rep", min(col("vec_id")).over(Window.partitionBy(col("v"))))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val n = tagged.count()
     val k = math.max(8L, (n + SemTarget - 1) / SemTarget)
     val k1 = math.max(1L, math.ceil(math.sqrt(k.toDouble)).toLong)
-    val sample = e.filter(col("vec_id") % 2 === 0)
+    val members = tagged.select(col("vec_id"), col("rep"))
+    val dvec = tagged.filter(col("vec_id") === col("rep"))
+      .select(col("rep"), col("v"))
+      .withColumn("norm", sqrt(call_function("dot_f64", col("v"), col("v"))))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val dv = dvec.select(col("rep").as("vec_id"), col("v"))
+    // per-distinct-vector multiplicity within the 50% Lloyd sample
+    val sampleD = dv.join(
+      members.filter(col("vec_id") % 2 === 0)
+        .groupBy(col("rep")).agg(count(lit(1)).as("w"))
+        .withColumnRenamed("rep", "vec_id"), "vec_id")
     // d2 via dot-products only, so both engines evaluate the identical
     // expression tree (no norm² vs dot asymmetry)
     def d2(v: org.apache.spark.sql.Column,
            c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
       call_function("dot_f64", v, v) + call_function("dot_f64", c, c) -
         lit(2.0) * call_function("dot_f64", v, c)
-    // k seeds by deterministic LCG score: spread pseudo-randomly through
-    // the id space via TakeOrdered top-k; the rank window then runs over
-    // k rows only (k ≪ N), never the corpus
-    val seeds = sample
+    // k seeds by deterministic LCG score over the full sampled id set
+    // (ids only — the vector is fetched through the group representative);
+    // TakeOrdered top-k, then the rank window runs over k rows only
+    val seeds = members.filter(col("vec_id") % 2 === 0)
       .withColumn("score", (col("vec_id") * lit(1103515245L) + lit(12345L)) %
         lit(2147483648L))
       .orderBy(col("score").asc, col("vec_id").asc).limit(k.toInt)
       .withColumn("rn", row_number().over(
         Window.orderBy(col("score"), col("vec_id"))))
-      .select(col("rn"), col("vec_id").as("cid"), col("v").as("cv"))
+      .join(dvec.select(col("rep"), col("v").as("cv")), "rep")
+      .select(col("rn"), col("vec_id").as("cid"), col("cv"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val coarse = seeds.filter(col("rn") <= k1)
       .select(col("cid").as("ccid"), col("cv").as("ccv"))
@@ -425,14 +486,17 @@ object Dedup {
         .agg(min(struct(d2(col("v"), col("cv")), col("cid"))).as("m"))
         .select(col("vec_id"), col("m.cid").as("cid"))
     }
-    // Lloyd update: exact integer sums of micro-quantized coords → mean;
-    // an empty cluster keeps its previous centroid
+    // Lloyd update: exact integer sums of micro-quantized coords → mean,
+    // each distinct vector weighted by its sample multiplicity (identical
+    // copies contribute identical quantized longs, so q·w == the oracle's
+    // member-level sum exactly); an empty cluster keeps its previous
+    // centroid
     def update(vecs: DataFrame, asg: DataFrame, prev: DataFrame): DataFrame = {
       val means = vecs.join(asg, "vec_id")
-        .select(col("cid"), posexplode(col("v")).as(Seq("d", "x")))
+        .select(col("cid"), col("w"), posexplode(col("v")).as(Seq("d", "x")))
         .groupBy(col("cid"), col("d"))
-        .agg(sum(round(col("x") * lit(1e6), 0).cast("long")).as("sx"),
-          count(lit(1)).as("cnt"))
+        .agg(sum(round(col("x") * lit(1e6), 0).cast("long") * col("w")).as("sx"),
+          sum(col("w")).as("cnt"))
         .groupBy(col("cid"))
         .agg(array_sort(collect_list(struct(col("d"),
           (col("sx").cast("double") / lit(1e6) / col("cnt")).as("m")))).as("dm"))
@@ -442,19 +506,35 @@ object Dedup {
         .select(col("cid"), coalesce(col("mv"), col("pv")).as("cv"))
     }
     val seeds0 = seeds.select(col("cid"), col("cv"))
-    val acS = assignCoarse(sample).persist(StorageLevel.MEMORY_AND_DISK)
-    val c1 = update(sample, assign(sample, seeds0, acS), seeds0)
+    val acS = assignCoarse(sampleD).persist(StorageLevel.MEMORY_AND_DISK)
+    val c1 = update(sampleD, assign(sampleD, seeds0, acS), seeds0)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val c2 = update(sample, assign(sample, c1, acS), c1)
-    val m = e.join(assign(e, c2, assignCoarse(e)), "vec_id")
-    val dropped = m.as("x").join(m.as("y"),
-        col("x.cid") === col("y.cid") && col("x.vec_id") < col("y.vec_id"))
+    val c2 = update(sampleD, assign(sampleD, c1, acS), c1)
+    // full-corpus assignment on distinct vectors; (rep, v, norm, cid)
+    val dAsg = dvec.join(
+      assign(dv, c2, assignCoarse(dv)).withColumnRenamed("vec_id", "rep"), "rep")
+    // close DISTINCT-vector pairs within a fine cluster (both directions:
+    // each group must see every close neighbor's rep)
+    val crossBound = dAsg.as("x").join(dAsg.as("y"),
+        col("x.cid") === col("y.cid") && col("x.rep") =!= col("y.rep"))
       .filter(call_function("dot_f64", col("x.v"), col("y.v")) /
         (col("x.norm") * col("y.norm")) >= 0.45)
-      .select(col("y.vec_id").as("dup_id"))
-      .distinct()
-    releasing(seeds, cellmap, acS, c1) {
-      m.join(dropped, m("vec_id") === dropped("dup_id"), "left_anti")
+      .groupBy(col("y.rep").as("rep"))
+      .agg(min(col("x.rep")).as("cb"))
+    // a group whose vector is self-close (cosine(v,v) >= 0.45 — false only
+    // for zero vectors, where the ratio is NaN) drops every member above
+    // its rep; the fp expression matches the oracle's pair evaluation
+    val selfBound = dAsg
+      .withColumn("sc", call_function("dot_f64", col("v"), col("v")) /
+        (col("norm") * col("norm")))
+      .select(col("rep"), col("cid"),
+        when(col("sc") >= 0.45, col("rep")).otherwise(lit(Long.MaxValue)).as("sb"))
+    val thr = selfBound.join(crossBound, Seq("rep"), "left")
+      .select(col("rep"), col("cid"),
+        least(col("sb"), coalesce(col("cb"), lit(Long.MaxValue))).as("thr"))
+    releasing(tagged, dvec, seeds, cellmap, acS, c1) {
+      members.join(thr, "rep")
+        .filter(col("vec_id") <= col("thr"))
         .select(col("vec_id"), col("cid"))
         .orderBy(col("vec_id"))
     }
