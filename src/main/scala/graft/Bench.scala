@@ -159,14 +159,19 @@ object Bench {
     // full per-query map on disk (the judge reads the repo); headline-only
     // map on stdout so the whole line fits the driver's 2000-char tail
     val full = s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_errors":${errors.size},"remeasured":$remeasured,"errors":$errJson,"queries":${qmap(results)},"sf":"$sfDir"}"""
-    // BENCH_FULL.json is overwritten by EVERY run (a judge's re-run has
+    // BENCH_FULL.json is overwritten by every FULL run (a judge's re-run has
     // erased the driver's round map before it was committed), so each run
     // also writes a timestamped copy that later runs can't clobber —
     // under bench/ so history doesn't clutter the repo root (the root
-    // carries only the latest capture)
+    // carries only the latest capture). Filtered runs (local iteration,
+    // scale probes) write ONLY the timestamped copy: a 4-query probe map
+    // must not replace the committed full-gate capture at the root — it
+    // did, twice, before this guard.
     try {
-      val w = new java.io.PrintWriter("BENCH_FULL.json")
-      try w.println(full) finally w.close()
+      if (only.isEmpty) {
+        val w = new java.io.PrintWriter("BENCH_FULL.json")
+        try w.println(full) finally w.close()
+      }
       new java.io.File("bench").mkdirs()
       val stamped = new java.io.PrintWriter(
         s"bench/BENCH_FULL_${System.currentTimeMillis() / 1000}.json")

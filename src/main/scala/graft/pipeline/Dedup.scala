@@ -121,7 +121,11 @@ object Dedup {
         col("shared").cast("double") / (col("sa.sz") + col("sb.sz") - col("shared")))
       .filter(col("jaccard") >= 0.5)
       .select(col("ri"), col("rj"), col("jaccard"))
-    val cross = repPairs
+    // pin the expansion fan-out: repPairs rides KB-scale AQE-coalesced
+    // shuffles, and the copies² member expansion must not run in the one
+    // coalesced task (see simhash below for the measured failure mode)
+    val p = s.sessionState.conf.numShufflePartitions
+    val cross = repPairs.repartition(p, col("ri"))
       .join(members.select(col("rep").as("ri"), col("doc_id").as("mi")), "ri")
       .join(members.select(col("rep").as("rj"), col("doc_id").as("mj")), "rj")
       .select(least(col("mi"), col("mj")).as("i"),
@@ -242,14 +246,23 @@ object Dedup {
       .distinct() // a close signature pair may collide in several bands
       .withColumn("hamming", bit_count(col("sa").bitwiseXOR(col("sb"))))
       .filter(col("hamming") <= 6)
+    // The member expansions below multiply a SMALL input (KB-scale signature
+    // pairs / the distinct-sig-keyed member table) into a LARGE output
+    // (copies² doc pairs per signature pair). AQE coalesces by input shuffle
+    // bytes, so without an explicit pin it folds the pair list to ONE
+    // partition, broadcasts the member table, and the whole expansion plus
+    // the final range-sort write run in a single task — the sf10 probe
+    // (100-deep clusters) measured 8+ min in that one task. An explicit
+    // repartition(P, key) is never coalesced; the expansion fans out first.
+    val p = s.sessionState.conf.numShufflePartitions
     // cross-cluster doc pairs: expand both signatures to their members
-    val cross = sigPairs
+    val cross = sigPairs.repartition(p, col("sa"))
       .join(sig.select(col("sig").as("sa"), col("doc_id").as("da")), "sa")
       .join(sig.select(col("sig").as("sb"), col("doc_id").as("db")), "sb")
       .select(least(col("da"), col("db")).as("i"),
         greatest(col("da"), col("db")).as("j"), col("hamming"))
     // within-cluster pairs: equal signatures are Hamming 0 by definition
-    val within = sig.as("x").join(sig.as("y"),
+    val within = sig.repartition(p, col("sig")).as("x").join(sig.as("y"),
         col("x.sig") === col("y.sig") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("i"), col("y.doc_id").as("j"),
         lit(0).as("hamming"))
