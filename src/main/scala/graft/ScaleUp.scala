@@ -55,6 +55,14 @@ object ScaleUp {
           shifts.foldLeft(df.crossJoin(reps)) { case (d, (c, k)) =>
             d.withColumn(c, col(c) + col("__rep") * lit(k))
           }.select(df.columns.map(col).toIndexedSeq: _*)
+            // A factor× table must also carry factor× SPLITS: replicated
+            // text/vectors snappy-compress ~100×, so the broadcast-crossJoin
+            // output otherwise collapses into ONE small file — and every
+            // probe scan (and anything cached off it) then starts life as a
+            // single partition, hiding exactly the parallelism bugs the
+            // probe exists to find. Real corpora arrive in many files; the
+            // probe's layout should too.
+            .repartition(math.min(256, math.max(8, factor)))
         }
       scaled.write.mode("overwrite").parquet(s"$out/$t.parquet")
       println(s"[scaleup] $t ${if (shifts.isEmpty) "copied" else s"-> ${factor}x"}")

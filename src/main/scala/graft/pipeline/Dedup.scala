@@ -121,19 +121,27 @@ object Dedup {
         col("shared").cast("double") / (col("sa.sz") + col("sb.sz") - col("shared")))
       .filter(col("jaccard") >= 0.5)
       .select(col("ri"), col("rj"), col("jaccard"))
-    // pin the expansion fan-out: repPairs rides KB-scale AQE-coalesced
-    // shuffles, and the copies² member expansion must not run in the one
-    // coalesced task (see simhash below for the measured failure mode)
+    // Pin the expansion fan-out on the MEMBER side. The pair list is the
+    // BUILD side of these joins (KB-scale, broadcast), so partitioning it
+    // is useless: the join output inherits the PROBE side's partitioning —
+    // the member table, whose lineage is a parquet scan that may be a
+    // single split (the sf10 probe's 100× corpus compresses to one 5 MB
+    // file), putting the whole copies² expansion plus the final range-sort
+    // sampling in ONE task (measured 11+ CPU-minutes there). Hash-pinning
+    // the member table by its cluster key spreads the expansion across the
+    // cluster whatever the scan layout, and the repartition exchange IS the
+    // join-key distribution, so a sort-merge fallback reuses it shuffle-free.
     val p = s.sessionState.conf.numShufflePartitions
-    val cross = repPairs.repartition(p, col("ri"))
-      .join(members.select(col("rep").as("ri"), col("doc_id").as("mi")), "ri")
-      .join(members.select(col("rep").as("rj"), col("doc_id").as("mj")), "rj")
+    val mem = members.repartition(p, col("rep"))
+    val cross = repPairs
+      .join(mem.select(col("rep").as("ri"), col("doc_id").as("mi")), "ri")
+      .join(mem.select(col("rep").as("rj"), col("doc_id").as("mj")), "rj")
       .select(least(col("mi"), col("mj")).as("i"),
               greatest(col("mi"), col("mj")).as("j"), col("jaccard"))
     // identical shingle sets: shared == sz, so jaccard == sz/sz == 1.0 with
     // the exact expression shape the oracle evaluates per pair
-    val within = members.select(col("rep"), col("doc_id").as("mi"))
-      .join(members.select(col("rep"), col("doc_id").as("mj")), "rep")
+    val within = mem.select(col("rep"), col("doc_id").as("mi"))
+      .join(mem.select(col("rep"), col("doc_id").as("mj")), "rep")
       .filter(col("mi") < col("mj"))
       .join(sizes.select(col("doc_id").as("rep"), col("sz")), "rep")
       .withColumn("jaccard",
@@ -152,7 +160,25 @@ object Dedup {
   /** MinHash + LSH banding: sub-quadratic candidate generation, then exact
     * Jaccard verification of candidates only. */
   private def minhashLsh(s: SparkSession, dir: String): DataFrame = {
-    val d = docShingles(s, dir)
+    // Docs with identical shingle arrays collapse to one representative
+    // before the band self-join (the [[ngramJaccard]] discipline): the
+    // minhash signature is a function of the shingle array alone, so every
+    // copy lands in every band bucket of its original and the doc-level
+    // candidate join goes copies²-dense on a replicated corpus — worse, the
+    // verify step then shuffles a KB-scale shingle ARRAY per candidate pair
+    // (tens of GB at the sf10 probe). Rep-level candidates + verify touch
+    // each distinct array once; member expansion restores the exact
+    // doc-level pair set (identical arrays ⇒ identical bands ⇒ within-group
+    // pairs are always candidates, jaccard sz/(2sz−sz) = 1.0 in the same fp
+    // shape the oracle evaluates).
+    val shingled = docShingles(s, dir)
+    val all = shingled
+      .withColumn("rep", min(col("doc_id")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("sh"))))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val members = all.select(col("doc_id"), col("rep"))
+    val d = all.filter(col("doc_id") === col("rep"))
+      .select(col("doc_id"), col("sh"))
       .withColumn("hs", transform(col("sh"), sh => polyHash(sh)))
     // one-pass k=16 signature (native MinhashSig); band key = 4 consecutive
     val sig = d.select(
@@ -167,7 +193,8 @@ object Dedup {
         }: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band"), col("bk.key"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // band keys hit by a single doc produce no candidates — prefilter them
+    // band keys hit by a single rep produce no cross-cluster candidates —
+    // prefilter them (within-cluster pairs never ride the band join at all)
     val hot = bands0.groupBy(col("band"), col("key"))
       .agg(count(lit(1)).as("cnt")).filter(col("cnt") > 1)
       .select(col("band").as("hb"), col("key").as("hk"))
@@ -179,16 +206,37 @@ object Dedup {
         col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("i"), col("y.doc_id").as("j"))
       .distinct()
-    // verify: true Jaccard on candidate pairs only
-    val withSets = candidates
+    // verify: true Jaccard on candidate representative pairs only
+    val verified = candidates
       .join(d.select(col("doc_id").as("i"), col("sh").as("sh_i")), "i")
       .join(d.select(col("doc_id").as("j"), col("sh").as("sh_j")), "j")
-    releasing(d, bands0) {
-      withSets
-        .withColumn("shared", size(array_intersect(col("sh_i"), col("sh_j"))))
-        .withColumn("jaccard", col("shared").cast("double") /
-          (size(col("sh_i")) + size(col("sh_j")) - col("shared")))
-        .filter(col("jaccard") >= 0.5)
+      .withColumn("shared", size(array_intersect(col("sh_i"), col("sh_j"))))
+      .withColumn("jaccard", col("shared").cast("double") /
+        (size(col("sh_i")) + size(col("sh_j")) - col("shared")))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("i").as("ri"), col("j").as("rj"), col("jaccard"))
+    // member expansion, hash-pinned on the member side (see simhash: the
+    // pair list is the broadcast build side, so the expansion otherwise
+    // inherits the scan's possibly-single-split partitioning)
+    val p = s.sessionState.conf.numShufflePartitions
+    val mem = members.repartition(p, col("rep"))
+    val cross = verified
+      .join(mem.select(col("rep").as("ri"), col("doc_id").as("mi")), "ri")
+      .join(mem.select(col("rep").as("rj"), col("doc_id").as("mj")), "rj")
+      .select(least(col("mi"), col("mj")).as("i"),
+              greatest(col("mi"), col("mj")).as("j"), col("jaccard"))
+    // identical shingle sets: shared == sz, so jaccard == sz/(2sz−sz) == 1.0
+    // with the exact expression shape the oracle evaluates per pair
+    val sizes = d.select(col("doc_id").as("rep"), size(col("sh")).as("sz"))
+    val within = mem.select(col("rep"), col("doc_id").as("mi"))
+      .join(mem.select(col("rep"), col("doc_id").as("mj")), "rep")
+      .filter(col("mi") < col("mj"))
+      .join(sizes, "rep")
+      .withColumn("jaccard",
+        col("sz").cast("double") / (col("sz") + col("sz") - col("sz")))
+      .select(col("mi").as("i"), col("mj").as("j"), col("jaccard"))
+    releasing(all, shingled, bands0) {
+      cross.unionByName(within)
         .select(col("i"), col("j"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy(col("i"), col("j"))
     }
@@ -246,23 +294,25 @@ object Dedup {
       .distinct() // a close signature pair may collide in several bands
       .withColumn("hamming", bit_count(col("sa").bitwiseXOR(col("sb"))))
       .filter(col("hamming") <= 6)
-    // The member expansions below multiply a SMALL input (KB-scale signature
-    // pairs / the distinct-sig-keyed member table) into a LARGE output
-    // (copies² doc pairs per signature pair). AQE coalesces by input shuffle
-    // bytes, so without an explicit pin it folds the pair list to ONE
-    // partition, broadcasts the member table, and the whole expansion plus
-    // the final range-sort write run in a single task — the sf10 probe
-    // (100-deep clusters) measured 8+ min in that one task. An explicit
-    // repartition(P, key) is never coalesced; the expansion fans out first.
+    // Pin the expansion fan-out on the SIGNATURE-MEMBER side. sigPairs is
+    // the broadcast BUILD side of the joins below, so the join output
+    // inherits sig's partitioning — and sig's lineage is a documents scan
+    // that may be ONE split (the sf10 probe's 100× corpus compresses to a
+    // single 5 MB snappy file), which put the whole copies² expansion plus
+    // the range-sort sampling in one task (measured 11+ CPU-minutes).
+    // Hash-pinning sig by the signature spreads every cluster's expansion,
+    // and since the signature IS the join key, a sort-merge fallback reuses
+    // the exchange shuffle-free.
     val p = s.sessionState.conf.numShufflePartitions
+    val sigP = sig.repartition(p, col("sig"))
     // cross-cluster doc pairs: expand both signatures to their members
-    val cross = sigPairs.repartition(p, col("sa"))
-      .join(sig.select(col("sig").as("sa"), col("doc_id").as("da")), "sa")
-      .join(sig.select(col("sig").as("sb"), col("doc_id").as("db")), "sb")
+    val cross = sigPairs
+      .join(sigP.select(col("sig").as("sa"), col("doc_id").as("da")), "sa")
+      .join(sigP.select(col("sig").as("sb"), col("doc_id").as("db")), "sb")
       .select(least(col("da"), col("db")).as("i"),
         greatest(col("da"), col("db")).as("j"), col("hamming"))
     // within-cluster pairs: equal signatures are Hamming 0 by definition
-    val within = sig.repartition(p, col("sig")).as("x").join(sig.as("y"),
+    val within = sigP.as("x").join(sigP.as("y"),
         col("x.sig") === col("y.sig") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("i"), col("y.doc_id").as("j"),
         lit(0).as("hamming"))
@@ -356,10 +406,16 @@ object Dedup {
         call_function("dot_f64", col("vi"), col("vj")) / (col("ni") * col("nj")))
       .filter(col("cosine") >= 0.45)
       .select(col("ri"), col("rj"), col("cosine"))
-    // every member pair of a verified representative pair is a result pair
+    // every member pair of a verified representative pair is a result pair.
+    // The member table is hash-pinned by its cluster key first — the pair
+    // list is the broadcast build side, so without the pin the copies²
+    // expansion runs in the member scan's partitioning, which can be a
+    // single split (see simhash: one 5 MB file at the sf10 probe).
+    val p = s.sessionState.conf.numShufflePartitions
+    val mem = members.repartition(p, col("rep"))
     val cross = verified
-      .join(members.select(col("rep").as("ri"), col("vec_id").as("mi")), "ri")
-      .join(members.select(col("rep").as("rj"), col("vec_id").as("mj")), "rj")
+      .join(mem.select(col("rep").as("ri"), col("vec_id").as("mi")), "ri")
+      .join(mem.select(col("rep").as("rj"), col("vec_id").as("mj")), "rj")
       .select(least(col("mi"), col("mj")).as("i"),
               greatest(col("mi"), col("mj")).as("j"), col("cosine"))
     // identical vectors collide in every band, so all within-group member
@@ -370,8 +426,8 @@ object Dedup {
         call_function("dot_f64", col("v"), col("v")) / (col("norm") * col("norm")))
       .filter(col("cosine") >= 0.45)
       .select(col("vec_id").as("rep"), col("cosine"))
-    val within = members.select(col("rep"), col("vec_id").as("mi"))
-      .join(members.select(col("rep"), col("vec_id").as("mj")), "rep")
+    val within = mem.select(col("rep"), col("vec_id").as("mi"))
+      .join(mem.select(col("rep"), col("vec_id").as("mj")), "rep")
       .filter(col("mi") < col("mj"))
       .join(selfOk, "rep")
       .select(col("mi").as("i"), col("mj").as("j"), col("cosine"))
