@@ -161,4 +161,33 @@ class PlanShapeSpec extends SparkSpec {
       math.round(r.getDouble(2) * 1e9), math.round(r.getDouble(3) * 1e9))).toSet
     assert(twoPass == naive, "two-pass distribution functions diverge from the reference form")
   }
+
+  test("collapse-expand dedups pin their member expansion with an explicit repartition") {
+    // The member table of each collapse-expand dedup must ride an explicit
+    // hash repartition (REPARTITION_BY_NUM): the pair list is the broadcast
+    // build side of the expansion joins, so without the pin the copies²
+    // member expansion inherits the documents/embeddings SCAN partitioning —
+    // which on a replicated (highly compressible) corpus can be a single
+    // split, putting the whole expansion plus the final range-sort sampling
+    // in one task (11+ CPU-minutes at the sf10 probe).
+    import org.apache.spark.sql.execution.exchange.{ShuffleExchangeExec, REPARTITION_BY_NUM}
+    def deep(n: SparkPlan): Seq[SparkPlan] = n +: (n.children ++ (n match {
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(q.plan)
+      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => Seq(r.child)
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case t: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+        Seq(t.relation.cachedPlan)
+      case _ => Nil
+    })).flatMap(deep)
+    for (q <- Seq("dedup_simhash", "dedup_minhash_lsh", "dedup_ngram_jaccard",
+        "dedup_embedding")) {
+      val p = executed(pipeline.Dedup.queries(q)(spark, sf))
+      val pins = deep(p).distinct.collect {
+        case s: ShuffleExchangeExec if s.shuffleOrigin == REPARTITION_BY_NUM => s
+      }
+      assert(pins.nonEmpty,
+        s"$q lost its member-expansion repartition pin — the copies² fan-out " +
+          "would run in the scan's partitioning (one task on a single-split corpus)")
+    }
+  }
 }
