@@ -168,7 +168,10 @@ object Bench {
     // must not replace the committed full-gate capture at the root — it
     // did, twice, before this guard.
     try {
-      if (only.isEmpty) {
+      // root capture = the driver's gate shape only: a FULL run over the
+      // driver's testdata. Scale probes (target/sf10 etc.) and filtered
+      // local runs write only the timestamped copy.
+      if (only.isEmpty && sfDir.startsWith("/root/testdata/")) {
         val w = new java.io.PrintWriter("BENCH_FULL.json")
         try w.println(full) finally w.close()
       }

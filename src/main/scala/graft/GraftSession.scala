@@ -35,6 +35,17 @@ object GraftSession {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // Disk-backed streaming state by default — the analogue of the
+      // reference's production RocksDB state backend (flink-statebackend-
+      // rocksdb RocksDBStateBackend.java:119). The default HDFS-backed
+      // provider keeps EVERY open key's state row on the executor heap;
+      // the sf10 probe's cumulate-window query (~24 M open (user, pane)
+      // keys in one micro-batch) ran a 24 GB heap out of memory in
+      // putState on exactly that. RocksDB keeps the working set off-heap
+      // and spills to disk, which is the only shape that survives
+      // state ≫ heap — the StateScaleProbe drives it to 10 M keys.
+      .config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       // events.ts is parquet TIMESTAMP(NANOS) — read as long, see Tables.load
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")

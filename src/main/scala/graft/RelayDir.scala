@@ -2,6 +2,8 @@ package graft
 
 import java.io.File
 
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+
 /** Per-invocation streaming relay/sink directories — the parquet
   * "topic between jobs" channels used by `MatchRecognize.runStream` and
   * `Changelog.qCdcPipeline` (the reference's deployment shape chains jobs
@@ -37,5 +39,24 @@ object RelayDir {
   private def delete(f: File): Unit = {
     Option(f.listFiles()).foreach(_.foreach(delete))
     f.delete(): Unit
+  }
+
+  /** Run an append-mode streaming DataFrame to completion through the
+    * exactly-once parquet FILE sink and read the result back. This is the
+    * deployment shape for unbounded results: the memory sink collects every
+    * output row to the driver and dies at `spark.driver.maxResultSize` the
+    * moment the emit log outgrows it (the sf10 probe's cumulate-window
+    * query produced a >1 GiB log and did exactly that). The file sink
+    * streams output to disk partition-parallel; the read-back is a plain
+    * scan any downstream consumer could run in its own job. */
+  def drain(s: SparkSession, out: DataFrame, root: String,
+            token: String): DataFrame = {
+    val dir = fresh(root, token.replaceAll("[^a-zA-Z0-9]", "_"))
+    val q = out.writeStream.format("parquet")
+      .option("path", dir).option("checkpointLocation", s"$dir.ckpt")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    if (new File(dir).exists()) s.read.parquet(dir)
+    else s.createDataFrame(new java.util.ArrayList[Row](), out.schema)
   }
 }

@@ -134,11 +134,8 @@ object TimeOps {
       && col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR")
       && col("c_ts") <= col("p_ts"))
       .select(col("u"), col("p_id"), col("c_id"))
-    s.catalog.dropTempView("stream_ij_sink"): Unit
-    val q = joined.writeStream.format("memory").queryName("stream_ij_sink")
-      .outputMode("append").start()
-    try q.processAllAvailable() finally q.stop()
-    s.table("stream_ij_sink").orderBy(col("u"), col("p_id"), col("c_id"))
+    graft.RelayDir.drain(s, joined, "tij_relay", dir)
+      .orderBy(col("u"), col("p_id"), col("c_id"))
   }
 
   def queries: Map[String, QFn] = Map(

@@ -489,11 +489,7 @@ object FlinkSqlQueries {
                   CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
            FROM events_stream
            GROUP BY TUMBLE(ts, INTERVAL '1' HOUR), event_type""")
-      s.catalog.dropTempView("fsql_stream_sink"): Unit
-      val q = out.writeStream.format("memory").queryName("fsql_stream_sink")
-        .outputMode("append").start()
-      try q.processAllAvailable() finally q.stop()
-      s.table("fsql_stream_sink")
+      graft.RelayDir.drain(s, out, "fsql_relay", dir)
         .selectExpr("CAST(w_start AS TIMESTAMP_NTZ) AS w_start",
           "event_type", "n", "total")
         .orderBy("w_start", "event_type")
@@ -541,11 +537,7 @@ object FlinkSqlQueries {
                     user_id, count(*) AS n, max(value) AS mx
              FROM events_stream_hop
              GROUP BY HOP(ts, INTERVAL '1' HOUR, INTERVAL '2' HOUR), user_id""")
-        s.catalog.dropTempView("fsql_stream_hop_sink"): Unit
-        val q = out.writeStream.format("memory").queryName("fsql_stream_hop_sink")
-          .outputMode("append").start()
-        try q.processAllAvailable() finally q.stop()
-        s.table("fsql_stream_hop_sink")
+        graft.RelayDir.drain(s, out, "fsql_relay", dir)
           .selectExpr("CAST(w_start AS TIMESTAMP_NTZ) AS w_start", "user_id", "n",
             "mx", "CAST(fire_time AS TIMESTAMP_NTZ) AS fire_time", "is_final")
           .orderBy("user_id", "w_start", "fire_time", "is_final")
@@ -573,11 +565,7 @@ object FlinkSqlQueries {
                     user_id, count(*) AS n, max(value) AS mx
              FROM events_stream_cum
              GROUP BY CUMULATE(ts, INTERVAL '1' HOUR, INTERVAL '4' HOUR), user_id""")
-        s.catalog.dropTempView("fsql_stream_cum_sink"): Unit
-        val q = out.writeStream.format("memory").queryName("fsql_stream_cum_sink")
-          .outputMode("append").start()
-        try q.processAllAvailable() finally q.stop()
-        s.table("fsql_stream_cum_sink")
+        graft.RelayDir.drain(s, out, "fsql_relay", dir)
           .selectExpr("CAST(w_start AS TIMESTAMP_NTZ) AS w_start",
             "CAST(w_end AS TIMESTAMP_NTZ) AS w_end", "user_id", "n",
             "mx", "CAST(fire_time AS TIMESTAMP_NTZ) AS fire_time", "is_final")
@@ -606,11 +594,7 @@ object FlinkSqlQueries {
                     count(*) AS n, max(value) AS mx
              FROM events_stream_sess
              GROUP BY SESSION(ts, INTERVAL '30' MINUTE), user_id""")
-        s.catalog.dropTempView("fsql_stream_sess_sink"): Unit
-        val q = out.writeStream.format("memory").queryName("fsql_stream_sess_sink")
-          .outputMode("append").start()
-        try q.processAllAvailable() finally q.stop()
-        s.table("fsql_stream_sess_sink")
+        graft.RelayDir.drain(s, out, "fsql_relay", dir)
           .selectExpr("CAST(w_start AS TIMESTAMP_NTZ) AS w_start", "user_id", "n",
             "mx", "CAST(fire_time AS TIMESTAMP_NTZ) AS fire_time", "is_final")
           .orderBy("user_id", "w_start", "fire_time", "is_final")

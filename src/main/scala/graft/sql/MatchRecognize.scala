@@ -516,13 +516,11 @@ object MatchRecognize {
           .withColumnRenamed("__seq", "row_seq")
       }
       else if (spec.measures.isEmpty) {
-        spark.catalog.dropTempView("mr_stream_sink"): Unit
-        val q = matched.writeStream.format("memory").queryName("mr_stream_sink")
-          .outputMode("append").start()
-        try q.processAllAvailable() finally q.stop()
-        spark.table("mr_stream_sink")
-          .select(col("key").as(spec.partitionBy), col("start_ts"), col("end_ts"),
-            size(col("ids")).cast("long").as("n_rows"))
+        graft.RelayDir.drain(spark,
+          matched.toDF().select(col("key").as(spec.partitionBy),
+            col("start_ts"), col("end_ts"),
+            size(col("ids")).cast("long").as("n_rows")),
+          "mr_stream", dir)
       } else {
         val srcStatic = spark.read.parquet(s"$dir/${spec.table}.parquet")
           .withColumn("__pkey", col(spec.partitionBy).cast("long"))

@@ -628,12 +628,8 @@ object Cep {
       .select(col("user_id").as("key"), graft.Tables.tsAsMicrosLong(schema).as("ts"),
         col("event_id").as("id"), col("event_type").as("kind"), col("value"))
       .as[KeyedRow]
-    s.catalog.dropTempView("cep_stream_sink"): Unit
-    val q = matchStream(rows, errorBurst)
-      .writeStream.format("memory").queryName("cep_stream_sink")
-      .outputMode("append").start()
-    try q.processAllAvailable() finally q.stop()
-    s.table("cep_stream_sink")
+    graft.RelayDir.drain(s, matchStream(rows, errorBurst).toDF(),
+        "cep_relay", dir)
       .groupBy($"key".as("user_id")).agg(count(lit(1)).as("n_matches"))
       .orderBy($"user_id")
   }
