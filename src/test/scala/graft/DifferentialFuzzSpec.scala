@@ -835,6 +835,146 @@ class DifferentialFuzzSpec extends SparkSpec {
     println(s"[fuzz] family21 total compared rows: $total")
     assert(total > 200, "vacuity guard: the seeded cases should produce plenty of rows")
   }
+
+  // ---- family 22: changelog / retraction differential ---------------------
+  //
+  // The CDC chain (keyedChangelog → retractingAgg → retractableTopN) is
+  // gated by ONE fixed end-to-end oracle (cdc_pipeline) plus fixed-scenario
+  // specs; this family sweeps seeded random UPSERT streams — out-of-order
+  // rows, stale rows, timestamp ties, bucket-emptying updates, random
+  // micro-batch splits — through each stage as a REAL StreamingQuery (state
+  // crossing every batch boundary), folds the emitted changelogs at every
+  // boundary, and compares against a first-principles recomputation:
+  //   stage 1 fold  == argmax-(ts,id) last row per key over the rows seen
+  //   stage 2 fold  == decile-bucket (count, sum) over those last rows
+  //   stage 3 fold  == top-N buckets by sum (value DESC, id ASC)
+  // plus a split-invariance assert: the multi-batch rank EMISSION LOG must
+  // equal the single-batch log change for change (the seeded generalization
+  // of ChangelogSpec's fixed split test).
+
+  test("family 22: CDC chain folds equal first-principles recomputation on seeded upsert streams") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    import graft.streaming.{Changelog, KeyedRow}
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val seed = sys.props.get("graft.fuzz.seed")
+      .orElse(sys.env.get("GRAFT_FUZZ_SEED")).map(_.toLong).getOrElse(20260813L)
+    val r = new scala.util.Random(seed + 22)
+
+    /** run `f` as one StreamingQuery fed batch-by-batch, returning the rows
+      * EMITTED PER BATCH (memory-sink growth diff) so the next stage can
+      * replay them on the same boundaries. */
+    def runStage[I <: Product : org.apache.spark.sql.Encoder,
+                 O <: Product : org.apache.spark.sql.Encoder](
+        name: String, inBatches: Seq[Seq[I]],
+        f: org.apache.spark.sql.Dataset[I] => org.apache.spark.sql.Dataset[O]): Seq[Seq[O]] = {
+      val in = MemoryStream[I]
+      s.catalog.dropTempView(name): Unit
+      val q = f(in.toDS()).writeStream.format("memory")
+        .queryName(name).outputMode("append").start()
+      try {
+        val out = scala.collection.mutable.ListBuffer.empty[Seq[O]]
+        var prev = 0
+        inBatches.foreach { b =>
+          in.addData(b: _*); q.processAllAvailable()
+          val all = s.table(name).as[O].collect().toSeq
+          out += all.drop(prev); prev = all.size
+        }
+        out.toSeq
+      } finally q.stop()
+    }
+
+    def bucketOf(vMicros: Double): Long =
+      ((math.floor(vMicros / 1e6).toLong % 10) + 10) % 10
+    def lastRows(rows: Seq[KeyedRow]): Map[Long, KeyedRow] =
+      rows.groupBy(_.key).map { case (k, rs) => k -> rs.maxBy(x => (x.ts, x.id)) }
+    def bucketSums(lr: Map[Long, KeyedRow]): Map[Long, Long] =
+      lr.values.groupBy(x => bucketOf(x.value))
+        .map { case (b, rs) => b -> rs.map(_.value.toLong).sum }
+
+    var totalChanges = 0
+    var totalDeletes = 0
+    for (sc <- 1 to 4) {
+      val nKeys = 4 + r.nextInt(21)
+      val nRows = 60 + r.nextInt(181)
+      val nBatches = 2 + r.nextInt(4)
+      val topN = 1 + r.nextInt(4)
+      // integer-micro values (exact under the retracting accumulator),
+      // spanning negative and positive deciles; ts collides freely (ties
+      // broken by id) and is NOT arrival-ordered (stale rows exercised)
+      val rows = (1 to nRows).map { i =>
+        KeyedRow(1L + r.nextInt(nKeys), r.nextInt(60).toLong, i.toLong, "",
+          (r.nextInt(20000000) - 5000000).toDouble)
+      }
+      val cuts = Seq.fill(nBatches - 1)(1 + r.nextInt(nRows - 1)).distinct.sorted
+      val batches = (0L +: cuts.map(_.toLong) :+ nRows.toLong).sliding(2).map {
+        case Seq(a, b) => rows.slice(a.toInt, b.toInt)
+      }.toSeq.filter(_.nonEmpty)
+      println(s"[fuzz] family22 #$sc keys=$nKeys rows=$nRows batches=${batches.size} n=$topN")
+
+      val stage1 = runStage[KeyedRow, Changelog.Change](
+        s"f22_s${sc}_upsert", batches, Changelog.keyedChangelog)
+      val stage2 = runStage[Changelog.Change, Changelog.Change](
+        s"f22_s${sc}_agg", stage1, Changelog.retractingAgg)
+      // retractingAgg's emission seq (carried in `ts`) is PER BUCKET, so
+      // stage 3's (ts, id) batch sort interleaves buckets differently for
+      // different splits — every interleaving is a valid changelog order
+      // (the FOLD asserts below hold regardless), but emission-LOG
+      // split-invariance only holds for totally-ordered input. Remap to a
+      // global monotone ts (per-bucket order preserved, -U/+U adjacency
+      // preserved) so the split-invariance assert tests state carry, not
+      // the interleaving choice. Found by this family's first run.
+      var gts = 0L
+      val stage2Ordered = stage2.map { b =>
+        b.sortBy(c => (c.id, c.ts)).map { c => gts += 1; c.copy(ts = gts) }
+      }
+      val stage3 = runStage[Changelog.Change, Changelog.RankChange](
+        s"f22_s${sc}_rank", stage2Ordered, Changelog.retractableTopN(_, topN))
+
+      // fold-vs-brute at EVERY batch boundary
+      val store = scala.collection.mutable.Map.empty[Long, Changelog.Change]
+      val aggTbl = scala.collection.mutable.Map.empty[Long, Double]
+      var seen = Seq.empty[KeyedRow]
+      batches.indices.foreach { bi =>
+        seen ++= batches(bi)
+        Changelog.applyToStore(store, stage1(bi))
+        val expect1 = lastRows(seen)
+        assert(store.view.mapValues(c => (c.id, c.ts, c.value)).toMap ==
+          expect1.view.mapValues(x => (x.id, x.ts, x.value)).toMap,
+          s"family22 #$sc stage1 fold != brute last rows at batch $bi")
+        stage2(bi).foreach { c =>
+          c.kind match {
+            case "+I" | "+U" => aggTbl(c.id) = c.value
+            case "-D"        => aggTbl.remove(c.id); totalDeletes += 1
+            case "-U"        => () // always followed by the +U that overwrites
+          }
+        }
+        val expect2 = bucketSums(expect1)
+        assert(aggTbl.view.mapValues(_.toLong).toMap == expect2,
+          s"family22 #$sc stage2 fold != brute bucket sums at batch $bi\n" +
+            s"  fold: ${aggTbl.toSeq.sortBy(_._1)}\n  brute: ${expect2.toSeq.sortBy(_._1)}")
+      }
+      val rankTbl = Changelog.applyRankChanges(stage3.flatten)
+      val expect3 = bucketSums(lastRows(rows)).toSeq
+        .sortBy { case (b, v) => (-v, b) }.take(topN).zipWithIndex
+        .map { case ((b, v), i) => (0L, i + 1) -> ((b, v.toDouble)) }.toMap
+      assert(rankTbl == expect3,
+        s"family22 #$sc stage3 fold != brute top-$topN buckets\n" +
+          s"  fold: ${rankTbl.toSeq.sortBy(_._1)}\n  brute: ${expect3.toSeq.sortBy(_._1)}")
+
+      // split-invariance: the multi-batch rank emission log == single-batch log
+      val whole = runStage[Changelog.Change, Changelog.RankChange](
+        s"f22_s${sc}_rank_whole", Seq(stage2Ordered.flatten), Changelog.retractableTopN(_, topN))
+      assert(stage3.flatten.sortBy(_.seq) == whole.flatten.sortBy(_.seq),
+        s"family22 #$sc rank emission log is not micro-batch-split-invariant")
+
+      totalChanges += stage1.map(_.size).sum + stage2.map(_.size).sum + stage3.map(_.size).sum
+    }
+    println(s"[fuzz] family22 total changelog rows compared: $totalChanges, -D seen: $totalDeletes")
+    assert(totalChanges > 400, "vacuity guard: the seeded streams should churn the changelog")
+    assert(totalDeletes > 0, "vacuity guard: some update must empty a bucket (-D path)")
+  }
 }
 
 /** family-21 corpus row — top-level so Spark can derive its Encoder
