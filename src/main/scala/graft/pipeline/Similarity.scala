@@ -11,12 +11,12 @@ import graft.Tables
   * Two paths, mirroring a production ANN stack:
   *  - `cosineTopK`: exact brute-force top-k — the correctness baseline.
   *    O(Q×N) with Q kept small; at 100 TB this is only for oracle checks.
-  *  - `annIvf`: IVF-style search — probe only the query's coarse cluster
-  *    (the `label` column plays the role of a k-means assignment, which a
-  *    real pipeline would precompute the same way). The candidate set drops
-  *    by ~|clusters|× while the join stays a hash join on the cluster id;
-  *    at scale you'd bucket-partition the table by cluster so probes are
-  *    partition-pruned scans.
+  *  - `annIvf`: IVF search — coarse-quantize the corpus into GEOMETRIC
+  *    cells (nearest-seed L2 assignment, the same deterministic quantizer
+  *    `kmeansStep` scores) and probe each query's 2 nearest cells. The
+  *    candidate set drops by ~k/nprobe× while the big side never shuffles;
+  *    at scale you'd grow k ~ √N and bucket-partition the table by cell so
+  *    probes are partition-pruned scans.
   *
   * Dot products run as sequential left folds in double precision — the
   * same order and arithmetic the DuckDB oracle uses, so results are
@@ -56,15 +56,49 @@ object Similarity {
       .orderBy(col("q_id"), col("rank"))
   }
 
-  /** IVF-probed ANN: search only within the query's coarse cluster. */
+  /** IVF-probed ANN — geometry-derived coarse cells, nprobe = 2.
+    *
+    * Round 9 replaced the earlier `label`-as-cell probe: the fixture's
+    * label is UNCORRELATED with vector geometry (measured at sf0.01: 2/30
+    * of the true top-3 neighbors share the query's label — label-probing
+    * is filtered search, not approximate-nearest-neighbor). A real IVF
+    * derives its cells from the data: here every vector lands in its
+    * L2-argmin cell over the 8 deterministic seed centroids (ties to the
+    * smaller cid, exactly [[kmeansStep]]'s assignment), and each query
+    * scans only its 2 nearest cells' vectors. Measured at sf0.01:
+    * recall@3 = 0.50 for a 0.25 scan fraction — the corpus is
+    * near-isotropic, and geometry still doubles the random-probe baseline
+    * (SimilaritySpec pins the recall floor against the brute-force run).
+    *
+    * Scale shape: assignment is broadcast(k) × scan + one shuffle on
+    * vec_id to attach cells; the probe side BROADCASTS the bounded
+    * (query × nprobe) table (≤ 60 rows) onto the assigned corpus — the
+    * big side never shuffles on the 8-value cell key, so parallelism
+    * stays the scan's, not k's. */
   private def annIvf(s: SparkSession, dir: String): DataFrame = {
     val e = withNorm(Tables.load(s, dir, "embeddings"))
+      .select(col("vec_id"), col("v"), col("norm"))
+    val cent = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("v").as("cv"), col("norm").as("cn"))
+    val d2 = col("norm") * col("norm") + col("cn") * col("cn") -
+      lit(2.0) * call_function("dot_f64", col("v"), col("cv"))
+    val dist = e.crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("cid"), d2.as("d2"))
+    val asn = dist.groupBy(col("vec_id"))
+      .agg(min(struct(col("d2"), col("cid"))).as("m"))
+      .select(col("vec_id"), col("m.cid").as("cell"))
+    val pw = Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("cid"))
+    val probes = dist.filter(col("vec_id") % 50 === 0 && col("vec_id") < 1500)
+      .withColumn("pr", row_number().over(pw)).filter(col("pr") <= 2)
+      .select(col("vec_id").as("q_id"), col("cid").as("qcell"))
     val q = e.filter(col("vec_id") % 50 === 0 && col("vec_id") < 1500)
-      .select(col("vec_id").as("q_id"), col("label").as("q_label"),
-              col("v").as("qv"), col("norm").as("qn"))
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("norm").as("qn"))
+      .join(probes, "q_id")
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cos").desc, col("vec_id"))
-    q.join(e, col("label") === col("q_label") && col("vec_id") =!= col("q_id"))
+    e.join(asn, "vec_id")
+      .join(broadcast(q),
+        col("cell") === col("qcell") && col("vec_id") =!= col("q_id"))
       .withColumn("cos", cosine(col("qv"), col("v"), col("qn"), col("norm")))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 3)
@@ -281,11 +315,27 @@ object Similarity {
           FROM ranked WHERE rn <= 3 ORDER BY q_id, rank""",
     "sim_ann_ivf" ->
       s"""WITH n AS ($normSql),
+          cent AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM n WHERE vec_id < 8),
+          d AS (SELECT e.vec_id, c.cid,
+                  e.nrm * e.nrm + c.cn * c.cn
+                    - 2.0 * list_reduce(list_prepend(0.0, list_transform(range(1, 65), k -> e.v[k] * c.cv[k])), (a,x) -> a + x)
+                    AS d2
+                FROM n e CROSS JOIN cent c),
+          asn AS (SELECT vec_id, cid AS cell FROM (
+                    SELECT vec_id, cid,
+                           row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+                    FROM d) WHERE rn = 1),
+          probes AS (SELECT vec_id AS q_id, cid AS cell FROM (
+                    SELECT vec_id, cid,
+                           row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+                    FROM d WHERE vec_id % 50 = 0 AND vec_id < 1500) WHERE rn <= 2),
           scored AS (
             SELECT q.vec_id AS q_id, e.vec_id AS neighbor,
                    $dotSql / (q.nrm * e.nrm) AS cos
-            FROM n q JOIN n e ON e.label = q.label AND e.vec_id <> q.vec_id
-            WHERE q.vec_id % 50 = 0 AND q.vec_id < 1500),
+            FROM n q
+            JOIN probes p ON p.q_id = q.vec_id
+            JOIN asn a ON a.cell = p.cell AND a.vec_id <> q.vec_id
+            JOIN n e ON e.vec_id = a.vec_id),
           ranked AS (
             SELECT q_id, neighbor, cos,
                    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor) AS rn

@@ -19,6 +19,26 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("annIvf: geometric cells recall true neighbors better than the scan fraction") {
+    // the ANN claim an IVF makes: probing nprobe/k of the corpus recalls
+    // MORE than nprobe/k of the true top-k — i.e. the quantizer captures
+    // geometry. The fixture is deterministic, so recall is an exact,
+    // reproducible number; the floor carries slack below the measured
+    // value (0.67 at sf0.001, 0.50 at sf0.01) but stays above the 0.25
+    // scan fraction a geometry-blind probe (e.g. the pre-round-9 label
+    // probe, measured 0.07) cannot beat.
+    def pairs(name: String): Set[(Long, Long)] =
+      Similarity.queries(name)(spark, sf).collect()
+        .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val brute = pairs("sim_cosine_topk")
+    val ivf = pairs("sim_ann_ivf")
+    assert(brute.nonEmpty)
+    val recall = (brute & ivf).size.toDouble / brute.size
+    assert(recall > 0.4,
+      f"IVF recall@3 = $recall%.2f — nprobe=2 of 8 cells scans 0.25 of the " +
+        "corpus, so the geometric quantizer must recall well above that")
+  }
+
   test("bandBitsFor: LSH bucket space scales with the corpus, integer-exact") {
     // smallest b in [4,16] with 2^b * 32 >= n — the fixed-4-bit scheme made
     // the candidate join N^2/16 (8.0e9 pairs at the sf10 probe's N=200k)
