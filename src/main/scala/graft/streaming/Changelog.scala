@@ -28,23 +28,48 @@ object Changelog {
   /** Update-mode keyed changelog: for every arriving row that becomes the
     * new "last row" of its key, emit (-U previous) then (+U new) — or (+I)
     * if the key is new. Late/stale rows emit nothing. */
-  def keyedChangelog(rows: Dataset[KeyedRow]): Dataset[Change] = {
+  def keyedChangelog(rows: Dataset[KeyedRow]): Dataset[Change] =
+    keyedChangelogImpl(rows, miniBatch = false)
+
+  /** Mini-batch variant (the reference's
+    * operators/deduplicate/ProcTimeMiniBatchDeduplicateKeepLastRowFunction
+    * .java shape, the table.exec.mini-batch.enabled production config):
+    * fold the whole micro-batch per key and emit at most ONE change pair —
+    * +I if the key is new, -U(batch-entry last)/+U(batch-exit last) if it
+    * changed, nothing otherwise. Fold-equivalent to [[keyedChangelog]] at
+    * every batch boundary (family 22 proves it on seeded streams) while
+    * shrinking the emitted changelog from O(input rows) to O(touched
+    * keys) per batch — the downstream-volume lever at 100 TB. */
+  def keyedChangelogMiniBatch(rows: Dataset[KeyedRow]): Dataset[Change] =
+    keyedChangelogImpl(rows, miniBatch = true)
+
+  private def keyedChangelogImpl(rows: Dataset[KeyedRow],
+                                 miniBatch: Boolean): Dataset[Change] = {
     import rows.sparkSession.implicits._
     rows.groupByKey(_.key)
       .flatMapGroupsWithState[LastRowEmit, Change](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         case (key, it, state) =>
           val out = scala.collection.mutable.ListBuffer.empty[Change]
-          var cur = state.getOption.orNull
+          val entry = state.getOption.orNull
+          var cur = entry
           it.toArray.sortBy(r => (r.ts, r.id)).foreach { r =>
             if (cur == null) {
               cur = LastRowEmit(key, r.id, r.ts, r.value)
-              out += Change("+I", key, r.id, r.ts, r.value)
+              if (!miniBatch) out += Change("+I", key, r.id, r.ts, r.value)
             } else if (r.ts > cur.ts || (r.ts == cur.ts && r.id > cur.id)) {
-              out += Change("-U", key, cur.id, cur.ts, cur.value)
+              if (!miniBatch) out += Change("-U", key, cur.id, cur.ts, cur.value)
               cur = LastRowEmit(key, r.id, r.ts, r.value)
-              out += Change("+U", key, r.id, r.ts, r.value)
+              if (!miniBatch) out += Change("+U", key, r.id, r.ts, r.value)
             } // stale row: no change
+          }
+          if (miniBatch && (cur ne entry)) {
+            if (entry == null)
+              out += Change("+I", key, cur.id, cur.ts, cur.value)
+            else {
+              out += Change("-U", key, entry.id, entry.ts, entry.value)
+              out += Change("+U", key, cur.id, cur.ts, cur.value)
+            }
           }
           state.update(cur)
           out.iterator
@@ -200,7 +225,21 @@ object Changelog {
     * the final accumulator depend on arrival history; integer arithmetic
     * makes it equal the plain sum over final rows, which is what the
     * composed-pipeline oracle asserts. `value` in and out is micros. */
-  def retractingAgg(changes: Dataset[Change]): Dataset[Change] = {
+  def retractingAgg(changes: Dataset[Change]): Dataset[Change] =
+    retractingAggImpl(changes, miniBatch = false)
+
+  /** Mini-batch variant (MiniBatchGroupAggFunction.java — fold the whole
+    * micro-batch into the accumulator first, then emit at most ONE change
+    * pair per group: +I when the group fills, -D when it empties,
+    * -U(entry)/+U(exit) when the aggregate VALUE changed, nothing when it
+    * didn't). Fold-equivalent to [[retractingAgg]] at every batch boundary
+    * (family 22); shrinks the emitted changelog from O(input changes) to
+    * O(touched groups) per batch. */
+  def retractingAggMiniBatch(changes: Dataset[Change]): Dataset[Change] =
+    retractingAggImpl(changes, miniBatch = true)
+
+  private def retractingAggImpl(changes: Dataset[Change],
+                                miniBatch: Boolean): Dataset[Change] = {
     import changes.sparkSession.implicits._
     def bucketOf(c: Change): Long = ((math.floor(c.value / 1e6).toLong % 10) + 10) % 10
     changes.groupByKey(bucketOf)
@@ -208,6 +247,7 @@ object Changelog {
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         case (bucket, it, state) =>
           var st = state.getOption.getOrElse(AggState(0L, 0L, 0L))
+          val entry = st
           val out = scala.collection.mutable.ListBuffer.empty[Change]
           def emit(kind: String, sumMicros: Long): Unit = {
             st = st.copy(nextSeq = st.nextSeq + 1)
@@ -225,10 +265,20 @@ object Changelog {
                   st = st.copy(count = st.count - 1, sumMicros = st.sumMicros - d)
                 case other => throw new IllegalArgumentException(s"RowKind $other")
               }
-              if (before.count == 0L) emit("+I", st.sumMicros)
-              else if (st.count == 0L) emit("-D", before.sumMicros)
-              else { emit("-U", before.sumMicros); emit("+U", st.sumMicros) }
+              if (!miniBatch) {
+                if (before.count == 0L) emit("+I", st.sumMicros)
+                else if (st.count == 0L) emit("-D", before.sumMicros)
+                else { emit("-U", before.sumMicros); emit("+U", st.sumMicros) }
+              }
             }
+          if (miniBatch) {
+            if (entry.count == 0L && st.count > 0L) emit("+I", st.sumMicros)
+            else if (entry.count > 0L && st.count == 0L) emit("-D", entry.sumMicros)
+            else if (entry.count > 0L && st.count > 0L &&
+                     st.sumMicros != entry.sumMicros) {
+              emit("-U", entry.sumMicros); emit("+U", st.sumMicros)
+            }
+          }
           state.update(st)
           out.iterator
       }
@@ -287,9 +337,21 @@ object Changelog {
     * the churn. Output: the final top-3 value-decile buckets by total of
     * every user's LAST value — which the DuckDB oracle recomputes from
     * first principles (keep-last → bucket sums → top 3). */
-  def qCdcPipeline(s: SparkSession, dir: String): DataFrame = {
+  def qCdcPipeline(s: SparkSession, dir: String): DataFrame =
+    qCdcPipeline(s, dir, miniBatch = false)
+
+  /** `miniBatch = true` runs the same chain through the mini-batch stage
+    * variants ([[keyedChangelogMiniBatch]], [[retractingAggMiniBatch]] —
+    * the reference's table.exec.mini-batch.enabled configuration): each
+    * relay channel carries one change pair per touched key/group per
+    * micro-batch instead of one per input change, so the parallelism-1
+    * rank fold sees O(groups) rows rather than O(events). The final
+    * snapshot — and therefore the DuckDB oracle — is identical; the sf10
+    * probe measures the volume difference. */
+  def qCdcPipeline(s: SparkSession, dir: String, miniBatch: Boolean): DataFrame = {
     import s.implicits._
-    val token = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val token = dir.replaceAll("[^a-zA-Z0-9]", "_") +
+      (if (miniBatch) "_mb" else "")
     val relay = graft.RelayDir.fresh("cdc_relay", token)
     val schema = s.read.parquet(s"$dir/events.parquet").schema
     val rows = graft.Tables.streamTable(s, dir, "events", schema)
@@ -316,9 +378,11 @@ object Changelog {
         .parquet(path).as[Change]
 
     // stage 1: upsert-source normalize (per-user keep-last changelog)
-    val changesPath = stageToParquet(keyedChangelog(rows), "changes")
+    val normalize = if (miniBatch) keyedChangelogMiniBatch _ else keyedChangelog _
+    val aggregate = if (miniBatch) retractingAggMiniBatch _ else retractingAgg _
+    val changesPath = stageToParquet(normalize(rows), "changes")
     // stage 2: retracting per-bucket aggregate over the relayed changelog
-    val aggPath = stageToParquet(retractingAgg(readChanges(changesPath)), "agg")
+    val aggPath = stageToParquet(aggregate(readChanges(changesPath)), "agg")
     // stage 3: retractable top-3 buckets over the aggregate's changelog,
     // upsert-sunk via foreachBatch merge into a versioned parquet snapshot
     val tableRoot = s"$relay/rank_table"

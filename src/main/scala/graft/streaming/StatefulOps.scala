@@ -684,7 +684,9 @@ object StatefulOps {
   def queries: Map[String, QFn] = Map(
     "stream_topn" -> (qTopN _),
     "stream_retract_topn" -> (qRetractTopN _),
-    "cdc_pipeline" -> (Changelog.qCdcPipeline _),
+    "cdc_pipeline" -> ((s: SparkSession, d: String) => Changelog.qCdcPipeline(s, d)),
+    "cdc_pipeline_minibatch" ->
+      ((s: SparkSession, d: String) => Changelog.qCdcPipeline(s, d, miniBatch = true)),
     "stream_sort_limit" -> (qSortLimitStream _),
     "stream_dedup_last" -> (qDedupLast _),
     "stream_over_running" -> (qRunningSum _),
@@ -693,11 +695,12 @@ object StatefulOps {
     "stream_dynamic_session" -> (qDynamicSession _)
   )
 
-  def oracles: Map[String, String] = Map(
-    // the composed CDC chain's final state = keep-last per user → integer
-    // micro-unit sums per value-decile bucket → top 3 (sum DESC, bucket ASC)
-    "cdc_pipeline" ->
-      """WITH lastr AS (
+  // the composed CDC chain's final state = keep-last per user → integer
+  // micro-unit sums per value-decile bucket → top 3 (sum DESC, bucket ASC);
+  // the mini-batch variant shares it verbatim — per-batch folding changes
+  // the changelog GRANULARITY, never the converged snapshot
+  private val cdcOracleSql =
+    """WITH lastr AS (
             SELECT user_id, value,
                    row_number() OVER (PARTITION BY user_id
                      ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
@@ -713,7 +716,11 @@ object StatefulOps {
                 FROM b)
           SELECT CAST(rnk AS INT) AS rnk, bucket,
                  CAST(sum_micros AS DOUBLE) / 1e6 AS total
-          FROM r WHERE rnk <= 3 ORDER BY rnk""",
+          FROM r WHERE rnk <= 3 ORDER BY rnk"""
+
+  def oracles: Map[String, String] = Map(
+    "cdc_pipeline" -> cdcOracleSql,
+    "cdc_pipeline_minibatch" -> cdcOracleSql,
     // the rank changelog folded = plain rank over each slot's LAST value
     "stream_retract_topn" ->
       """WITH e AS (SELECT user_id, event_id % 4 AS slot, value,

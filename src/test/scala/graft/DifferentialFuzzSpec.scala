@@ -917,6 +917,13 @@ class DifferentialFuzzSpec extends SparkSpec {
         s"f22_s${sc}_upsert", batches, Changelog.keyedChangelog)
       val stage2 = runStage[Changelog.Change, Changelog.Change](
         s"f22_s${sc}_agg", stage1, Changelog.retractingAgg)
+      // the mini-batch variants (one change pair per key/group per batch)
+      // must fold to the SAME state at every boundary while emitting no
+      // more rows than the granular forms
+      val stage1mb = runStage[KeyedRow, Changelog.Change](
+        s"f22_s${sc}_upsert_mb", batches, Changelog.keyedChangelogMiniBatch)
+      val stage2mb = runStage[Changelog.Change, Changelog.Change](
+        s"f22_s${sc}_agg_mb", stage1mb, Changelog.retractingAggMiniBatch)
       // retractingAgg's emission seq (carried in `ts`) is PER BUCKET, so
       // stage 3's (ts, id) batch sort interleaves buckets differently for
       // different splits — every interleaving is a valid changelog order
@@ -932,28 +939,42 @@ class DifferentialFuzzSpec extends SparkSpec {
       val stage3 = runStage[Changelog.Change, Changelog.RankChange](
         s"f22_s${sc}_rank", stage2Ordered, Changelog.retractableTopN(_, topN))
 
-      // fold-vs-brute at EVERY batch boundary
+      // fold-vs-brute at EVERY batch boundary, granular and mini-batch
       val store = scala.collection.mutable.Map.empty[Long, Changelog.Change]
+      val storeMb = scala.collection.mutable.Map.empty[Long, Changelog.Change]
       val aggTbl = scala.collection.mutable.Map.empty[Long, Double]
+      val aggTblMb = scala.collection.mutable.Map.empty[Long, Double]
+      def foldAgg(tbl: scala.collection.mutable.Map[Long, Double],
+                  cs: Seq[Changelog.Change]): Unit = cs.foreach { c =>
+        c.kind match {
+          case "+I" | "+U" => tbl(c.id) = c.value
+          case "-D"        => tbl.remove(c.id); if (tbl eq aggTbl) totalDeletes += 1
+          case "-U"        => () // always followed by the +U that overwrites
+        }
+      }
       var seen = Seq.empty[KeyedRow]
       batches.indices.foreach { bi =>
         seen ++= batches(bi)
         Changelog.applyToStore(store, stage1(bi))
+        Changelog.applyToStore(storeMb, stage1mb(bi))
         val expect1 = lastRows(seen)
-        assert(store.view.mapValues(c => (c.id, c.ts, c.value)).toMap ==
-          expect1.view.mapValues(x => (x.id, x.ts, x.value)).toMap,
+          .view.mapValues(x => (x.id, x.ts, x.value)).toMap
+        assert(store.view.mapValues(c => (c.id, c.ts, c.value)).toMap == expect1,
           s"family22 #$sc stage1 fold != brute last rows at batch $bi")
-        stage2(bi).foreach { c =>
-          c.kind match {
-            case "+I" | "+U" => aggTbl(c.id) = c.value
-            case "-D"        => aggTbl.remove(c.id); totalDeletes += 1
-            case "-U"        => () // always followed by the +U that overwrites
-          }
-        }
-        val expect2 = bucketSums(expect1)
+        assert(storeMb.view.mapValues(c => (c.id, c.ts, c.value)).toMap == expect1,
+          s"family22 #$sc MINI-BATCH stage1 fold != brute last rows at batch $bi")
+        assert(stage1mb(bi).size <= stage1(bi).size,
+          s"family22 #$sc mini-batch stage1 emitted MORE than granular at batch $bi")
+        foldAgg(aggTbl, stage2(bi))
+        foldAgg(aggTblMb, stage2mb(bi))
+        val expect2 = bucketSums(lastRows(seen))
         assert(aggTbl.view.mapValues(_.toLong).toMap == expect2,
           s"family22 #$sc stage2 fold != brute bucket sums at batch $bi\n" +
             s"  fold: ${aggTbl.toSeq.sortBy(_._1)}\n  brute: ${expect2.toSeq.sortBy(_._1)}")
+        assert(aggTblMb.view.mapValues(_.toLong).toMap == expect2,
+          s"family22 #$sc MINI-BATCH stage2 fold != brute bucket sums at batch $bi")
+        assert(stage2mb(bi).size <= stage2(bi).size,
+          s"family22 #$sc mini-batch stage2 emitted MORE than granular at batch $bi")
       }
       val rankTbl = Changelog.applyRankChanges(stage3.flatten)
       val expect3 = bucketSums(lastRows(rows)).toSeq
