@@ -50,6 +50,17 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), "decorrelation must avoid a cartesian product")
   }
 
+  test("sim_ann_ivf: probes broadcast onto the assigned corpus, no shuffle on the cell key") {
+    // the IVF scale claim: the bounded query×probe table broadcasts onto
+    // the cell-assigned corpus — the big side must never shuffle on the
+    // k-value cell key (parallelism would collapse to k)
+    val plan = executed(pipeline.Similarity.queries("sim_ann_ivf")(spark, sf)).toString
+    assert(plan.contains("BroadcastHashJoin"),
+      "the bounded query/probe table must broadcast onto the corpus")
+    assert(!plan.contains("hashpartitioning(cell"),
+      "the corpus must never shuffle on the low-cardinality cell key")
+  }
+
   test("graph_triangles: oriented equi-joins only — no cartesian blowup") {
     val plan = executed(graph.Graphs.triangles(spark, sf)).toString
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
