@@ -34,6 +34,7 @@ object SparkEntry {
     (sql.FlinkSqlQueries.queries, sql.FlinkSqlQueries.oracles),
     (graph.Graphs.queries, graph.Graphs.oracles),
     (streaming.StatefulOps.queries, streaming.StatefulOps.oracles),
+    (streaming.QueryableState.queries, streaming.QueryableState.oracles),
     (streaming.Triggers.queries, streaming.Triggers.oracles),
     (streaming.Cep.queries, streaming.Cep.oracles),
     (pipeline.Dedup.queries, pipeline.Dedup.oracles),
