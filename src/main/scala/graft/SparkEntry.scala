@@ -35,6 +35,7 @@ object SparkEntry {
     (graph.Graphs.queries, graph.Graphs.oracles),
     (streaming.StatefulOps.queries, streaming.StatefulOps.oracles),
     (streaming.QueryableState.queries, streaming.QueryableState.oracles),
+    (streaming.Iterations.queries, streaming.Iterations.oracles),
     (streaming.Triggers.queries, streaming.Triggers.oracles),
     (streaming.Cep.queries, streaming.Cep.oracles),
     (pipeline.Dedup.queries, pipeline.Dedup.oracles),
