@@ -67,9 +67,13 @@ object Iterations {
       .foreachBatch { (batch: Dataset[Label], _: Long) =>
         // closeWith: improvements propagate to neighbors and re-enter the
         // head through the channel; an empty round writes nothing, which
-        // terminates processAllAvailable
+        // terminates processAllAvailable. The min-combiner collapses the
+        // edge-expanded messages to ONE proposal per destination before
+        // they hit the channel — the written feedback is O(vertices), not
+        // O(edges), per round (the batch Pregel's pre-aggregation)
         val fb = batch.toDF().join(edges, col("node") === col("src"))
-          .select(col("dst").as("node"), col("label"))
+          .groupBy(col("dst").as("node"))
+          .agg(min(col("label")).as("label"))
         if (!fb.isEmpty) fb.write.mode("append").parquet(chan)
       }
       .start()
