@@ -29,6 +29,7 @@ object SparkEntry {
     (sources.Bucketing.queries, sources.Bucketing.oracles),
     (sources.StreamingFileSink.queries, sources.StreamingFileSink.oracles),
     (sources.ZOrder.queries, sources.ZOrder.oracles),
+    (sources.Jdbc.queries, sources.Jdbc.oracles),
     (functions.Sketches.queries, functions.Sketches.oracles),
     (plans.AsOf.queries, plans.AsOf.oracles),
     (sql.FlinkSqlQueries.queries, sql.FlinkSqlQueries.oracles),
