@@ -30,6 +30,17 @@ object GraftSession {
       .withExtensions(plans.AsOfJoinPlan.extensions)
       // correlated-EXISTS-over-OR decorrelation pre-rewrite — SURVEY §7.3
       .withExtensions(sql.SubqueryOrRewrite.extensions)
+      // Hive catalog (flink-connectors/flink-connector-hive
+      // HiveCatalog.java:136): persistent STORED AS tables + HiveQL DDL
+      // against an embedded Derby metastore — initialization is lazy, so
+      // sessions that never touch a persistent table pay nothing; the
+      // metastore and warehouse are pinned under target/ so nothing
+      // litters the repo root
+      .enableHiveSupport()
+      .config("spark.sql.warehouse.dir",
+        new java.io.File("target/spark-warehouse").getAbsolutePath)
+      .config("spark.hadoop.javax.jdo.option.ConnectionURL",
+        "jdbc:derby:;databaseName=target/metastore_db;create=true")
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

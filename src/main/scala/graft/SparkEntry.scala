@@ -30,6 +30,7 @@ object SparkEntry {
     (sources.StreamingFileSink.queries, sources.StreamingFileSink.oracles),
     (sources.ZOrder.queries, sources.ZOrder.oracles),
     (sources.Jdbc.queries, sources.Jdbc.oracles),
+    (sources.Hive.queries, sources.Hive.oracles),
     (functions.Sketches.queries, functions.Sketches.oracles),
     (plans.AsOf.queries, plans.AsOf.oracles),
     (sql.FlinkSqlQueries.queries, sql.FlinkSqlQueries.oracles),
