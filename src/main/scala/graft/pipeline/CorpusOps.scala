@@ -346,7 +346,8 @@ object CorpusOps {
     // materialize the (small) result BEFORE dropping the vector cache —
     // unpersisting at plan-build time would recompute the scan+norm once
     // per plan branch (Dedup.releasing discipline)
-    val out = ranked.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val out = graft.ResultCaches.register(
+      ranked.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     out.count()
     e.unpersist(blocking = false)
     // drop the previous invocation's result cache: repeated calls in one

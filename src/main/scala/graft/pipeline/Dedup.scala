@@ -72,7 +72,9 @@ object Dedup {
     val out = result.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     out.count()
     caches.foreach(_.unpersist(blocking = false))
-    out
+    // registered so Bench can drop it between samples — a plan-identical
+    // re-invocation would otherwise hit this cache and time the warm run
+    graft.ResultCaches.register(out)
   }
 
   /** Exact n-gram (trigram) Jaccard near-dup pairs, join on shared shingle.
@@ -121,19 +123,22 @@ object Dedup {
         col("shared").cast("double") / (col("sa.sz") + col("sb.sz") - col("shared")))
       .filter(col("jaccard") >= 0.5)
       .select(col("ri"), col("rj"), col("jaccard"))
-    // Pin the expansion fan-out on the MEMBER side. The pair list is the
-    // BUILD side of these joins (KB-scale, broadcast), so partitioning it
-    // is useless: the join output inherits the PROBE side's partitioning —
-    // the member table, whose lineage is a parquet scan that may be a
-    // single split (the sf10 probe's 100× corpus compresses to one 5 MB
-    // file), putting the whole copies² expansion plus the final range-sort
-    // sampling in ONE task (measured 11+ CPU-minutes there). Hash-pinning
-    // the member table by its cluster key spreads the expansion across the
-    // cluster whatever the scan layout, and the repartition exchange IS the
-    // join-key distribution, so a sort-merge fallback reuses it shuffle-free.
+    // Pin the expansion fan-out on BOTH sides. Whichever side the planner
+    // broadcasts, the join output inherits the OTHER (stream) side's
+    // partitioning — and both unpinned lineages can be tiny-partitioned:
+    // the member table's parquet scan may be a single split (the sf10
+    // probe's 100× corpus compresses to one 5 MB file — 11+ CPU-minutes in
+    // ONE task), and the pair list's distinct() coalesces to a handful of
+    // AQE partitions (the sf10 cold re-run found the 2.3 B-row expansion
+    // running in FOUR tasks because the 8 MB member side fit the broadcast
+    // threshold, flipping the roles the original member-only pin assumed).
+    // repartition(P, key) is REPARTITION_BY_NUM — never coalesced — so the
+    // expansion spreads across the cluster whichever side broadcasts, and
+    // each pin doubles as that side's join-key distribution for a
+    // sort-merge fallback.
     val p = s.sessionState.conf.numShufflePartitions
     val mem = members.repartition(p, col("rep"))
-    val cross = repPairs
+    val cross = repPairs.repartition(p, col("ri"))
       .join(mem.select(col("rep").as("ri"), col("doc_id").as("mi")), "ri")
       .join(mem.select(col("rep").as("rj"), col("doc_id").as("mj")), "rj")
       .select(least(col("mi"), col("mj")).as("i"),
@@ -215,12 +220,12 @@ object Dedup {
         (size(col("sh_i")) + size(col("sh_j")) - col("shared")))
       .filter(col("jaccard") >= 0.5)
       .select(col("i").as("ri"), col("j").as("rj"), col("jaccard"))
-    // member expansion, hash-pinned on the member side (see simhash: the
-    // pair list is the broadcast build side, so the expansion otherwise
-    // inherits the scan's possibly-single-split partitioning)
+    // member expansion, hash-pinned on BOTH sides (see ngramJaccard: the
+    // unpinned side becomes the stream side when the other broadcasts, and
+    // both lineages can be tiny-partitioned at scale)
     val p = s.sessionState.conf.numShufflePartitions
     val mem = members.repartition(p, col("rep"))
-    val cross = verified
+    val cross = verified.repartition(p, col("ri"))
       .join(mem.select(col("rep").as("ri"), col("doc_id").as("mi")), "ri")
       .join(mem.select(col("rep").as("rj"), col("doc_id").as("mj")), "rj")
       .select(least(col("mi"), col("mj")).as("i"),
@@ -294,19 +299,16 @@ object Dedup {
       .distinct() // a close signature pair may collide in several bands
       .withColumn("hamming", bit_count(col("sa").bitwiseXOR(col("sb"))))
       .filter(col("hamming") <= 6)
-    // Pin the expansion fan-out on the SIGNATURE-MEMBER side. sigPairs is
-    // the broadcast BUILD side of the joins below, so the join output
-    // inherits sig's partitioning — and sig's lineage is a documents scan
-    // that may be ONE split (the sf10 probe's 100× corpus compresses to a
-    // single 5 MB snappy file), which put the whole copies² expansion plus
-    // the range-sort sampling in one task (measured 11+ CPU-minutes).
-    // Hash-pinning sig by the signature spreads every cluster's expansion,
-    // and since the signature IS the join key, a sort-merge fallback reuses
-    // the exchange shuffle-free.
+    // Pin the expansion fan-out on BOTH sides (see ngramJaccard). The
+    // original member-only pin assumed sigPairs is the broadcast BUILD
+    // side; at sf10 the 8 MB sig table fit the broadcast threshold
+    // instead, making sigPairs — distinct()-coalesced to FOUR AQE
+    // partitions — the stream side, and the 2.3 B-row expansion ran in
+    // four tasks (20+ min where an honest 32-way run takes ~2 min).
     val p = s.sessionState.conf.numShufflePartitions
     val sigP = sig.repartition(p, col("sig"))
     // cross-cluster doc pairs: expand both signatures to their members
-    val cross = sigPairs
+    val cross = sigPairs.repartition(p, col("sa"))
       .join(sigP.select(col("sig").as("sa"), col("doc_id").as("da")), "sa")
       .join(sigP.select(col("sig").as("sb"), col("doc_id").as("db")), "sb")
       .select(least(col("da"), col("db")).as("i"),
@@ -413,7 +415,7 @@ object Dedup {
     // single split (see simhash: one 5 MB file at the sf10 probe).
     val p = s.sessionState.conf.numShufflePartitions
     val mem = members.repartition(p, col("rep"))
-    val cross = verified
+    val cross = verified.repartition(p, col("ri"))
       .join(mem.select(col("rep").as("ri"), col("vec_id").as("mi")), "ri")
       .join(mem.select(col("rep").as("rj"), col("vec_id").as("mj")), "rj")
       .select(least(col("mi"), col("mj")).as("i"),
