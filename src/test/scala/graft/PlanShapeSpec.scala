@@ -174,13 +174,15 @@ class PlanShapeSpec extends SparkSpec {
   }
 
   test("collapse-expand dedups pin their member expansion with an explicit repartition") {
-    // The member table of each collapse-expand dedup must ride an explicit
-    // hash repartition (REPARTITION_BY_NUM): the pair list is the broadcast
-    // build side of the expansion joins, so without the pin the copies²
-    // member expansion inherits the documents/embeddings SCAN partitioning —
-    // which on a replicated (highly compressible) corpus can be a single
-    // split, putting the whole expansion plus the final range-sort sampling
-    // in one task (11+ CPU-minutes at the sf10 probe).
+    // BOTH sides of each collapse-expand dedup's expansion joins must ride
+    // an explicit hash repartition (REPARTITION_BY_NUM, never AQE-coalesced):
+    // whichever side the planner broadcasts, the join output inherits the
+    // OTHER side's partitioning, and both unpinned lineages degenerate at
+    // scale — the member table's scan can be a single split (one task,
+    // 11+ CPU-minutes at the sf10 probe) and the pair list's distinct()
+    // coalesces to a handful of AQE partitions (FOUR tasks carrying the
+    // 2.3 B-row simhash expansion at the sf10 cold re-run, where the 8 MB
+    // member table fit the broadcast threshold and flipped the roles).
     import org.apache.spark.sql.execution.exchange.{ShuffleExchangeExec, REPARTITION_BY_NUM}
     def deep(n: SparkPlan): Seq[SparkPlan] = n +: (n.children ++ (n match {
       case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(q.plan)
@@ -196,9 +198,11 @@ class PlanShapeSpec extends SparkSpec {
       val pins = deep(p).distinct.collect {
         case s: ShuffleExchangeExec if s.shuffleOrigin == REPARTITION_BY_NUM => s
       }
-      assert(pins.nonEmpty,
-        s"$q lost its member-expansion repartition pin — the copies² fan-out " +
-          "would run in the scan's partitioning (one task on a single-split corpus)")
+      assert(pins.size >= 2,
+        s"$q must pin BOTH expansion sides (member table AND pair list) with " +
+          s"REPARTITION_BY_NUM exchanges, found ${pins.size} — an unpinned side " +
+          "becomes the stream side when the other broadcasts and the copies² " +
+          "fan-out collapses to the few partitions of its lineage")
     }
   }
 }
