@@ -39,6 +39,18 @@ object Bench {
     // optional arg: comma-separated query-name filter (local iteration only;
     // the driver invokes with no args = full run)
     val only: Option[Set[String]] = args.lift(0).map(_.split(",").toSet)
+    // Gate-only queries: correct but contract-priced — dedup_simhash's
+    // member-pair emission is quadratic in duplication depth BY CONTRACT
+    // (2.32 B output pairs / 565 s cold at sf10 on the tiled corpus), so at
+    // scale-probe SFs it distorts sweep totals while proving nothing the
+    // rep-level rows (dedup_clusters/resolution/split_leakage) don't.
+    // It stays in every driver-gate run (/root/testdata/*, where it is
+    // cheap and oracle-checked); scale sweeps over synthetic tilings skip
+    // it unless explicitly requested via the `only` filter. BASELINE.md
+    // documents the split.
+    val gateOnly: Set[String] = Set("dedup_simhash")
+    val isGateData = sfDir.startsWith("/root/testdata/") ||
+      sys.env.get("GRAFT_BENCH_GATE").contains("1")
     var spark = GraftSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // A fatal task error (executor OOM, Spark internal error) stops the
@@ -124,6 +136,8 @@ object Bench {
     val samples = sys.env.get("GRAFT_BENCH_SAMPLES").map(_.toInt).getOrElse(2)
     val firstPass = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
+      .filter { case (name, _) =>
+        only.isDefined || isGateData || !gateOnly.contains(name) }
       .map { case (name, fn) =>
         val t = try {
           val first = once(fn)
@@ -181,9 +195,11 @@ object Bench {
     // did, twice, before this guard.
     try {
       // root capture = the driver's gate shape only: a FULL run over the
-      // driver's testdata. Scale probes (target/sf10 etc.) and filtered
-      // local runs write only the timestamped copy.
-      if (only.isEmpty && sfDir.startsWith("/root/testdata/")) {
+      // driver's testdata (or any data root explicitly flagged as the gate
+      // via GRAFT_BENCH_GATE=1 — a relocated fixture dir must not silently
+      // stop refreshing the committed capture). Scale probes (target/sf10
+      // etc.) and filtered local runs write only the timestamped copy.
+      if (only.isEmpty && isGateData) {
         val w = new java.io.PrintWriter("BENCH_FULL.json")
         try w.println(full) finally w.close()
       }

@@ -17,6 +17,50 @@ import org.apache.spark.sql.SparkSession
   *  - UTC session time zone so timestamp semantics match the oracle.
   */
 object GraftSession {
+  /** Per-JVM-unique embedded-Derby metastore name. Embedded Derby permits
+    * exactly ONE booting JVM per database: round 9 shipped a shared on-disk
+    * `target/metastore_db`, and the first resident JVM (the driver's sbt
+    * bench) held `dbex.lck` so every OTHER JVM's catalog boot died with
+    * Derby XSDB6 ("another instance may have already booted"), failing
+    * `hive_partitioned_table`, regressing `bucket_colocated_join` (Hive
+    * support reroutes `saveAsTable` through HiveExternalCatalog), and
+    * breaking 8 tests whenever two JVMs overlapped. The metastore is
+    * throwaway — every query CREATEs its own tables — so each JVM now gets
+    * its own in-memory Derby: zero cross-JVM locks, zero disk litter.
+    * MultiJvmHiveSpec pins the exact two-JVM shape that failed. */
+  private val metastoreName =
+    "graft_ms_" + java.util.UUID.randomUUID.toString.replace("-", "")
+
+  /** Warehouse root, also per-JVM: with per-JVM catalogs, two concurrent
+    * JVMs CREATE-ing the same managed-table name must not interleave files
+    * under one shared `spark-warehouse/<table>` path. Lives under the JVM's
+    * temp dir, not the repo. */
+  private val warehouseDir = {
+    val tmp = new java.io.File(sys.props.getOrElse("java.io.tmpdir", "/tmp"))
+    // purge siblings from dead JVMs (deleteOnExit can't remove non-empty
+    // dirs); 2h is far past any run, so a LIVE concurrent JVM's warehouse
+    // is never pulled out from under it
+    val cutoff = System.currentTimeMillis() - 2L * 3600 * 1000
+    Option(tmp.listFiles()).foreach(_.foreach { f =>
+      if (f.getName.startsWith("graft-warehouse-") && f.lastModified() < cutoff) {
+        def rm(g: java.io.File): Unit = {
+          Option(g.listFiles()).foreach(_.foreach(rm)); g.delete(): Unit
+        }
+        rm(f)
+      }
+    })
+    val d = new java.io.File(tmp, s"graft-warehouse-$metastoreName")
+    d.deleteOnExit()
+    d.getAbsolutePath
+  }
+
+  // Embedded Derby writes derby.log into the CWD by default — point it at
+  // target/ so metastore boot never litters the repo root.
+  locally {
+    val _ = new java.io.File("target").mkdirs()
+    sys.props.getOrElseUpdate("derby.stream.error.file", "target/derby.log")
+  }
+
   def builder(master: String = "local[32]",
               shufflePartitions: Int = 32): SparkSession.Builder =
     SparkSession.builder()
@@ -33,14 +77,15 @@ object GraftSession {
       // Hive catalog (flink-connectors/flink-connector-hive
       // HiveCatalog.java:136): persistent STORED AS tables + HiveQL DDL
       // against an embedded Derby metastore — initialization is lazy, so
-      // sessions that never touch a persistent table pay nothing; the
-      // metastore and warehouse are pinned under target/ so nothing
-      // litters the repo root
+      // sessions that never touch a persistent table pay nothing. The
+      // metastore is IN-MEMORY and per-JVM-unique (see [[metastoreName]]):
+      // embedded Derby's one-booting-JVM-per-database lock made a shared
+      // on-disk metastore fail in every multi-JVM environment, including
+      // the driver's own gate.
       .enableHiveSupport()
-      .config("spark.sql.warehouse.dir",
-        new java.io.File("target/spark-warehouse").getAbsolutePath)
+      .config("spark.sql.warehouse.dir", warehouseDir)
       .config("spark.hadoop.javax.jdo.option.ConnectionURL",
-        "jdbc:derby:;databaseName=target/metastore_db;create=true")
+        s"jdbc:derby:memory:$metastoreName;create=true")
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

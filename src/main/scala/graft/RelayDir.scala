@@ -56,7 +56,14 @@ object RelayDir {
       .option("path", dir).option("checkpointLocation", s"$dir.ckpt")
       .outputMode("append").start()
     try q.processAllAvailable() finally q.stop()
-    if (new File(dir).exists()) s.read.parquet(dir)
+    // No-data detection must look for committed DATA files: the file sink
+    // creates the dir (its _spark_metadata log) at query start, so a
+    // dir-exists check is always true, and a stream that committed zero
+    // files would fail schema inference on the empty metadata-log index.
+    val committedData = Option(new File(dir).listFiles())
+      .exists(_.exists(f => f.isFile && !f.getName.startsWith("_") &&
+        !f.getName.startsWith(".")))
+    if (committedData) s.read.parquet(dir)
     else s.createDataFrame(new java.util.ArrayList[Row](), out.schema)
   }
 }

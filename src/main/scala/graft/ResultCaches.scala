@@ -23,10 +23,20 @@ object ResultCaches {
   }
 
   /** Unpersist every registered result cache (lazy: blocks drop in the
-    * background; the DataFrames recompute on their next action). */
-  def dropAll(): Unit = {
-    val it = refs.iterator()
-    while (it.hasNext) it.next().unpersist(false)
-    refs.clear()
-  }
+    * background; the DataFrames recompute on their next action).
+    *
+    * Each unpersist is individually guarded and the queue is cleared in a
+    * finally: after a fatal query error stops the SparkContext (the exact
+    * scenario Bench.alive() rebuilds from), stale refs from the dead
+    * session make unpersist throw (BlockManager RPC on a stopped env) —
+    * an unguarded loop would then leave the queue poisoned and fail every
+    * later sample, reintroducing the phantom-failure cascade. */
+  def dropAll(): Unit =
+    try {
+      val it = refs.iterator()
+      while (it.hasNext) {
+        try it.next().unpersist(false)
+        catch { case _: Throwable => } // dead session's ref: nothing to drop
+      }
+    } finally refs.clear()
 }
