@@ -130,15 +130,89 @@ object StateScaleProbe {
     println(s"""{"probe":"unbounded_join","keys":$k,"outRows":$outRows,"stateRows":$stateRows,"sec":${math.round(sec * 10) / 10.0}}""")
   }
 
+  /** Shared generator for the CEP/MR deep-key probes: 4 events per key
+    * (error,error,error,ok — exactly one errorBurst match), ts monotone
+    * WITH the file-stream's batch order so watermark-release is exercised
+    * mid-stream, not only at the end. Written as 8 sequential chunk
+    * appends (2 files each, streamed 2-per-trigger): within a chunk rows
+    * shuffle freely, so the watermark delay is sized to cover two full
+    * chunk spans and no row can ever be late-dropped even if chunk/batch
+    * alignment drifts. A trailing sentinel key (key = k, kind "ok", far
+    * future ts) pushes the final watermark past max(ts) so every real row
+    * is released — the bounded-input analogue of the reference's
+    * end-of-input watermark. Returns (stream, delayString). */
+  private def cepInput(spark: SparkSession, k: Long, tag: String):
+      (Dataset[KeyedRow], String) = {
+    import spark.implicits._
+    val dir = fresh(s"${tag}_$k")
+    val rows = 4L * k
+    val chunk = rows / 8
+    val tsStep = 1000L // µs per row → chunk span = chunk/1000 seconds
+    (0 until 8).foreach { c =>
+      spark.range(c * chunk, if (c == 7) rows else (c + 1) * chunk)
+        .select((col("id") / 4).cast("long").as("key"),
+          (col("id") * tsStep).as("ts"), col("id").as("id"),
+          when(col("id") % 4 < 3, "error").otherwise("ok").as("kind"),
+          lit(1.0).as("value"))
+        .repartition(2).write.mode("append").parquet(dir)
+    }
+    val delaySec = 2 * chunk * tsStep / 1000000L + 5
+    spark.range(0, 4).select(lit(k).as("key"),
+        (lit(rows * tsStep) + lit(10 * delaySec * 1000000L) + col("id")).as("ts"),
+        (lit(rows) + col("id")).as("id"), lit("ok").as("kind"), lit(1.0).as("value"))
+      .coalesce(1).write.mode("append").parquet(dir)
+    val stream = spark.readStream
+      .schema(org.apache.spark.sql.Encoders.product[KeyedRow].schema)
+      .option("maxFilesPerTrigger", 2).parquet(dir)
+      .as[KeyedRow]
+    (stream, s"$delaySec seconds")
+  }
+
+  /** Streaming CEP NFA (Cep.matchStream) to `k` distinct partition keys:
+    * state = per-key pending buffer + active runs on RocksDB. Exactly one
+    * errorBurst match per key, so outRows == k is an exact assert; the
+    * sentinel key's forever-pending rows add exactly one state row. */
+  private def probeCep(spark: SparkSession, k: Long): Unit = {
+    val (stream, delay) = cepInput(spark, k, "cep")
+    val (outRows, stateRows, sec) =
+      drive(streaming.Cep.matchStream(stream, streaming.Cep.errorBurst, delay), s"cep_$k")
+    require(outRows == k, s"cep_$k: $outRows matches != $k keys × 1")
+    require(stateRows == k + 1, s"cep_$k: state rows $stateRows != ${k + 1}")
+    println(s"""{"probe":"cep_match_stream","keys":$k,"outRows":$outRows,"stateRows":$stateRows,"sec":${math.round(sec * 10) / 10.0}}""")
+  }
+
+  /** MATCH_RECOGNIZE navigation buffer (Cep.orderedWithNav, the PREV/NEXT
+    * rings) to `k` distinct partition keys: state = per-key pending buffer
+    * + prev ring + nextDepth held rows. Each key emits its 4 rows minus
+    * the nextDepth=2 held tail → outRows == 2k exact. */
+  private def probeNav(spark: SparkSession, k: Long): Unit = {
+    val (stream, delay) = cepInput(spark, k, "nav")
+    val (outRows, stateRows, sec) =
+      drive(streaming.Cep.orderedWithNav(stream, prevDepth = 2, nextDepth = 2, delay), s"nav_$k")
+    require(outRows == 2 * k, s"nav_$k: $outRows emitted != 2×$k")
+    require(stateRows == k + 1, s"nav_$k: state rows $stateRows != ${k + 1}")
+    println(s"""{"probe":"mr_nav_stream","keys":$k,"outRows":$outRows,"stateRows":$stateRows,"sec":${math.round(sec * 10) / 10.0}}""")
+  }
+
   def main(args: Array[String]): Unit = {
+    // usage: [probes] [depth ...] — probes = comma list of
+    // topn,join,cep,nav (default all); depths default 1M/3M/10M for the
+    // row-state probes and are shared by the CEP/MR probes when given.
+    val (probes, depthArgs) = args.headOption match {
+      case Some(h) if h.exists(c => !c.isDigit) =>
+        (h.split(",").toSet, args.drop(1).toSeq)
+      case _ => (Set("topn", "join", "cep", "nav"), args.toSeq)
+    }
     val depths =
-      if (args.nonEmpty) args.toSeq.map(_.toLong)
+      if (depthArgs.nonEmpty) depthArgs.map(_.toLong)
       else Seq(1000000L, 3000000L, 10000000L)
     val spark = GraftSession.create()
     spark.conf.set("spark.sql.streaming.stateStore.providerClass", Rocks)
     depths.foreach { k =>
-      probeTopN(spark, k)
-      probeJoin(spark, k)
+      if (probes("topn")) probeTopN(spark, k)
+      if (probes("join")) probeJoin(spark, k)
+      if (probes("cep")) probeCep(spark, k)
+      if (probes("nav")) probeNav(spark, k)
     }
     spark.stop()
   }

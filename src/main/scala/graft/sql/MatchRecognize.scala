@@ -585,11 +585,15 @@ object MatchRecognize {
     // (a hashed composite would risk collisions merging two partitions).
     // persist + count pins the monotonically_increasing_id assignment so
     // both the key join and the final join-back see the same surrogates.
+    // The map outlives this call (the returned frame joins it lazily), so
+    // it is REGISTERED: Bench's between-sample drop keeps min-of-2 cold
+    // (PersistDisciplineSpec pins the classification).
     val keyMapOpt: Option[DataFrame] =
       if (pCols.size == 1) None
       else {
-        val km = src.select(pCols.map(col): _*).distinct()
-          .withColumn("__mrpk", monotonically_increasing_id()).persist()
+        val km = graft.ResultCaches.register(
+          src.select(pCols.map(col): _*).distinct()
+            .withColumn("__mrpk", monotonically_increasing_id()).persist())
         km.count(): Unit
         Some(km)
       }
