@@ -21,11 +21,36 @@ import graft.Tables
   *
   * At scale the dim table lives in the RDBMS and the fact scan stays on
   * the lake: exactly this plan — the JDBC side is a bounded dimension
-  * read (optionally partitioned by `partitionColumn` for parallel
-  * extraction), broadcast onto the fact.
+  * read broadcast onto the fact ([[jdbcDimJoin]]), and a LARGER relational
+  * extract parallelizes across executors with `partitionColumn` range
+  * splits ([[jdbcParallelRead]] — JdbcDynamicTableSource's scan options
+  * scan.partition.column/num/lower-bound/upper-bound), so the database is
+  * read by N concurrent range queries instead of one cursor.
   */
 object Jdbc {
   type QFn = (SparkSession, String) => DataFrame
+
+  /** Embedded Derby allows one booting JVM per database, so every Derby db
+    * path is per-JVM-unique (same discipline as GraftSession's metastore:
+    * two JVMs running the same query at the same data dir must not race a
+    * shared `dbex.lck`). Stale dims from dead JVMs are purged on first
+    * use. */
+  private val jvmTag = java.util.UUID.randomUUID.toString.replace("-", "").take(12)
+
+  private def dbUrl(name: String, dir: String): String = {
+    val token = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val root = new java.io.File("target/derby")
+    val cutoff = System.currentTimeMillis() - 2L * 3600 * 1000
+    Option(root.listFiles()).foreach(_.foreach { f =>
+      if (f.lastModified() < cutoff) {
+        def rm(g: java.io.File): Unit = {
+          Option(g.listFiles()).foreach(_.foreach(rm)); g.delete(): Unit
+        }
+        rm(f)
+      }
+    })
+    s"jdbc:derby:target/derby/${name}_${token}_$jvmTag;create=true"
+  }
 
   /** Derby uppercases unquoted identifiers; fold the read-back schema to
     * the lake's lowercase convention. */
@@ -33,8 +58,7 @@ object Jdbc {
     df.toDF(df.columns.map(_.toLowerCase): _*)
 
   private def jdbcDimJoin(s: SparkSession, dir: String): DataFrame = {
-    val token = dir.replaceAll("[^a-zA-Z0-9]", "_")
-    val url = s"jdbc:derby:target/derby/dim_$token;create=true"
+    val url = dbUrl("dim", dir)
     // sink: publish the dimension into the database
     Tables.load(s, dir, "nation")
       .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
@@ -52,8 +76,42 @@ object Jdbc {
       .orderBy(col("n_nationkey"))
   }
 
+  /** How many range partitions the parallel extract uses — asserted >1 by
+    * JdbcSpec (the scan must actually fan out, not just narrate it). */
+  val ParallelPartitions = 4
+
+  /** The parallel-extraction shape: a larger relational table read with
+    * `partitionColumn` range splits — Spark issues [[ParallelPartitions]]
+    * concurrent `WHERE key >= lo AND key < hi` queries, one per executor
+    * task, the exact analogue of the reference's scan.partition.* options.
+    * A 10% orders slice stands in for the "operational extract" so the
+    * JDBC load stays proportionate at every gate SF. */
+  def parallelOrdersScan(s: SparkSession, dir: String): DataFrame = {
+    val url = dbUrl("ext", dir)
+    val slice = Tables.load(s, dir, "orders")
+      .filter(col("o_orderkey") % 10 === 0)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+    slice.write.mode("overwrite")
+      .format("jdbc").option("url", url).option("dbtable", "orders_ext").save()
+    val hi = slice.agg(max(col("o_orderkey"))).head.getLong(0)
+    lowered(s.read.format("jdbc")
+      .option("url", url).option("dbtable", "orders_ext")
+      .option("partitionColumn", "o_orderkey")
+      .option("lowerBound", "0").option("upperBound", (hi + 1).toString)
+      .option("numPartitions", ParallelPartitions.toString)
+      .load())
+  }
+
+  private def jdbcParallelRead(s: SparkSession, dir: String): DataFrame =
+    parallelOrdersScan(s, dir)
+      .groupBy(col("o_orderstatus").as("status"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("cents_total"))
+      .orderBy(col("status"))
+
   def queries: Map[String, QFn] = Map(
-    "jdbc_dim_join" -> (jdbcDimJoin _)
+    "jdbc_dim_join" -> (jdbcDimJoin _),
+    "jdbc_parallel_read" -> (jdbcParallelRead _)
   )
 
   def oracles: Map[String, String] = Map(
@@ -61,6 +119,11 @@ object Jdbc {
       """SELECT n_nationkey, n_name, count(*) AS n_customers
          FROM nation JOIN customer ON c_nationkey = n_nationkey
          WHERE n_regionkey < 3
-         GROUP BY n_nationkey, n_name ORDER BY n_nationkey"""
+         GROUP BY n_nationkey, n_name ORDER BY n_nationkey""",
+    "jdbc_parallel_read" ->
+      """SELECT o_orderstatus AS status, count(*) AS n_orders,
+                CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS cents_total
+         FROM orders WHERE o_orderkey % 10 = 0
+         GROUP BY o_orderstatus ORDER BY status"""
   )
 }

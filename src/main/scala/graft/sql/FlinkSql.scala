@@ -163,6 +163,10 @@ object FlinkSql {
       * query selecting the string 'MATCH_RECOGNIZE(' parses normally. */
     private def frontEnd(sqlText: String): Option[LogicalPlan] = {
       val probe = blankLiteralsAndComments(sqlText)
+      // lineage registry for view-chained temporal joins: a plain CREATE
+      // VIEW still parses through the stock path below; only its
+      // view → base-table edge is recorded here
+      SystemTimeJoin.maybeRecordView(probe)
       if (FunctionDdl.matches(probe))
         // CREATE FUNCTION <name> AS '<GraftSqlFunction class>'; non-graft
         // classes (Hive-style DDL) fall through to the stock parser

@@ -67,6 +67,25 @@ object FlinkSqlQueries {
                SELECT u, count(c_id) AS n_with_click, max(c_ts) AS last_asof
                FROM j GROUP BY u ORDER BY u""")
     }),
+    // round-10 front-end widening: the versioned side sits under a chain of
+    // plain CREATE VIEWs (TemporalJoinRewriteWithUniqueKeyRule.scala — the
+    // reference rewrites the join under a view); the watermark is declared
+    // on the BASE only and inherited through the recorded view lineage
+    "fsql_system_time_view" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("""SELECT user_id AS cu, event_id AS c_id, ts AS c_ts FROM events
+               WHERE event_type = 'click'""").createOrReplaceTempView("stv_clicks")
+      SystemTimeJoin.declareWatermark("stv_clicks", "c_ts")
+      s.sql("""CREATE OR REPLACE TEMPORARY VIEW stv_even AS
+               SELECT cu, c_id, c_ts FROM stv_clicks WHERE c_id % 2 = 0""")
+      s.sql("""CREATE OR REPLACE TEMPORARY VIEW stv_head AS
+               SELECT c_ts, cu, c_id FROM stv_even WHERE cu <= 12""")
+      s.sql("""SELECT u, p_id, c_id AS asof_click_id, c_ts AS asof_click_ts
+               FROM (SELECT user_id AS u, event_id AS p_id, ts AS p_ts FROM events
+                     WHERE event_type = 'purchase') p
+               JOIN stv_head FOR SYSTEM_TIME AS OF p_ts ON u = cu
+               ORDER BY u, p_id""")
+    }),
     // processing-time temporal join: probe against the build side's LATEST
     // version (TemporalProcessTimeJoinOperator.java:48); the bounded shape
     // degenerates to keep-last-per-key + equi-join
@@ -678,6 +697,18 @@ object FlinkSqlQueries {
            WHERE rn = 1)
          SELECT u, count(c_id) AS n_with_click, max(c_ts) AS last_asof
          FROM m GROUP BY u ORDER BY u""",
+    // the view chain only filters the versioned side (even click ids from
+    // users ≤ 12); the as-of rewrite is otherwise identical
+    "fsql_system_time_view" ->
+      """SELECT u, p_id, c_id AS asof_click_id, c_ts AS asof_click_ts FROM (
+           SELECT p.user_id AS u, p.event_id AS p_id, c.event_id AS c_id, c.ts AS c_ts,
+                  row_number() OVER (PARTITION BY p.user_id, p.event_id
+                                     ORDER BY c.ts DESC, c.event_id DESC) AS rn
+           FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+           LEFT JOIN (SELECT * FROM events
+                      WHERE event_type = 'click' AND event_id % 2 = 0 AND user_id <= 12) c
+             ON c.user_id = p.user_id AND c.ts <= p.ts)
+         WHERE rn = 1 ORDER BY u, p_id""",
     // inner join against the single latest click version per user; the
     // Spark side's keep-last tiebreak is (c_ts, cu, c_id) DESC — cu is
     // constant within a partition, so the oracle replays (ts, event_id) DESC

@@ -43,6 +43,46 @@ object SystemTimeJoin {
   def watermarkOf(table: String): Option[(String, String)] =
     timeAttributes.get(table.toLowerCase)
 
+  /** view name → its body's base table, recorded by the injected parser
+    * whenever a plain `CREATE ... VIEW` statement passes through. The
+    * reference rewrites a temporal join whose versioned side sits under a
+    * view (TemporalJoinRewriteWithUniqueKeyRule.scala); the analogue here
+    * is lineage: a view over a declared versioned table INHERITS the time
+    * attribute, chained through any depth of views, as long as each hop's
+    * projection keeps the time column visible (checked at join time).
+    * Views created programmatically (createOrReplaceTempView) don't pass
+    * the parser and so don't inherit — declare those explicitly. */
+  private val viewBase = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private val createViewRe =
+    ("""(?is)^\s*CREATE\s+(?:OR\s+REPLACE\s+)?(?:GLOBAL\s+)?(?:TEMPORARY\s+|TEMP\s+)?""" +
+     """VIEW\s+(?:IF\s+NOT\s+EXISTS\s+)?([\w.]+)""").r
+  private val firstFromRe = """(?is)\bFROM\s+([\w.]+)""".r
+
+  /** Record `view → base` lineage if `probe` (literal/comment-blanked
+    * statement text) is a CREATE VIEW over a named base table. Bodies whose
+    * first FROM is a derived table are not recorded (regex front-end
+    * discipline: widen as tests demand). */
+  def maybeRecordView(probe: String): Unit =
+    createViewRe.findFirstMatchIn(probe).foreach { m =>
+      firstFromRe.findFirstMatchIn(probe.substring(m.end)).foreach { f =>
+        viewBase(m.group(1).toLowerCase) = f.group(1).toLowerCase
+      }
+    }
+
+  /** Resolve the versioned side's (time col, delay): a direct declaration,
+    * or one inherited through recorded view lineage — valid only if the
+    * final relation still exposes the time column. */
+  private def resolveTime(spark: SparkSession, table: String): Option[(String, String)] = {
+    def walk(t: String, seen: Set[String]): Option[(String, String)] =
+      timeAttributes.get(t).orElse {
+        if (seen(t)) None
+        else viewBase.get(t).flatMap(walk(_, seen + t))
+      }
+    walk(table.toLowerCase, Set.empty)
+      .filter { case (c, _) => spark.table(table).columns.exists(_.equalsIgnoreCase(c)) }
+  }
+
   def matches(sql: String): Boolean =
     """(?i)FOR\s+SYSTEM_TIME\s+AS\s+OF""".r.findFirstIn(sql).isDefined
 
@@ -133,10 +173,12 @@ object SystemTimeJoin {
     case stRe(select, lt, la, rt, ra, timeExpr, onCond, tail) =>
       val left = spark.table(lt)
       val right = spark.table(rt)
-      val rTimeCol = timeAttributes.get(rt.toLowerCase).map(_._1).getOrElse(
+      val rTimeCol = resolveTime(spark, rt).map(_._1).getOrElse(
         throw new IllegalArgumentException(
           s"no watermark declared for versioned table $rt — declare it in DDL " +
-            s"(WATERMARK FOR <col> AS ...) or call SystemTimeJoin.declareWatermark"))
+            s"(WATERMARK FOR <col> AS ...) or call SystemTimeJoin.declareWatermark; " +
+            s"a view inherits its base table's declaration only while its " +
+            s"projection keeps the time column"))
       // alias → side; fall back to column membership for bare names
       val lNames = Set(Option(la), Some(lt)).flatten.map(_.toLowerCase)
       val rNames = Set(Option(ra), Some(rt)).flatten.map(_.toLowerCase)

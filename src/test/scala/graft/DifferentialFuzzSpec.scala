@@ -996,6 +996,126 @@ class DifferentialFuzzSpec extends SparkSpec {
     assert(totalChanges > 400, "vacuity guard: the seeded streams should churn the changelog")
     assert(totalDeletes > 0, "vacuity guard: some update must empty a bucket (-D path)")
   }
+
+  // ---- family 23: temporal join through CREATE-VIEW lineage ---------------
+  //
+  // Round-10 front-end widening (TemporalJoinRewriteWithUniqueKeyRule.scala:
+  // the reference rewrites FOR SYSTEM_TIME when the versioned side sits
+  // under a view). Grammar: a chain of 1–2 plain CREATE VIEWs over the
+  // declared clicks base — random filter per hop, random column order —
+  // then the as-of join probes the CHAIN HEAD with no declaration of its
+  // own. Oracle: DuckDB replays the same filters inlined into the classic
+  // row_number as-of rewrite (identical predicate text both sides), via
+  // the driver's own check.py comparison gate.
+
+  private def f23Pred(r: scala.util.Random): String = r.nextInt(4) match {
+    case 0 => s"c_id <= ${200 + r.nextInt(800)}"
+    case 1 => val a = r.nextInt(500); s"c_id BETWEEN $a AND ${a + 200 + r.nextInt(500)}"
+    case 2 => s"c_id % ${2 + r.nextInt(3)} = ${r.nextInt(2)}"
+    case 3 => s"cu <= ${5 + r.nextInt(10)}"
+  }
+
+  test("family 23: view-registered versioned tables give identical as-of joins in Spark and DuckDB") {
+    assume(duckAvailable,
+      "python3 + duckdb (driver-side tooling) not on this machine")
+    val s = spark
+    Tables.registerAll(s, sf)
+    val seed = sys.props.get("graft.fuzz.seed")
+      .orElse(sys.env.get("GRAFT_FUZZ_SEED")).map(_.toLong).getOrElse(20260813L)
+    val nCases = 24
+    println(s"[fuzz] family23 seed=${seed + 23} cases=$nCases")
+    val r = new scala.util.Random(seed + 23)
+    s.sql("""CREATE OR REPLACE TEMPORARY VIEW f23_clicks AS
+             SELECT user_id AS cu, event_id AS c_id, ts AS c_ts
+             FROM events WHERE event_type = 'click'""")
+    s.sql("""CREATE OR REPLACE TEMPORARY VIEW f23_purch AS
+             SELECT user_id AS u, event_id AS p_id, ts AS p_ts
+             FROM events WHERE event_type = 'purchase'""")
+    // declared on the BASE only — every chain head must inherit
+    graft.sql.SystemTimeJoin.declareWatermark("f23_clicks", "c_ts")
+
+    val cases = (0 until nCases).map { i =>
+      val depth = 1 + r.nextInt(2)
+      val preds = Seq.fill(depth)(f23Pred(r))
+      var prev = "f23_clicks"
+      preds.zipWithIndex.foreach { case (p, d) =>
+        val name = s"f23_v${i}_$d"
+        val colOrder = r.shuffle(Seq("cu", "c_id", "c_ts")).mkString(", ")
+        s.sql(s"CREATE OR REPLACE TEMPORARY VIEW $name AS " +
+          s"SELECT $colOrder FROM $prev WHERE $p")
+        prev = name
+      }
+      // every 4th case probes the view chain with PROCTIME() — the
+      // processing-time temporal join (latest version per key, inner)
+      val proctime = i % 4 == 3
+      val timeExpr = if (proctime) "PROCTIME()" else "p_ts"
+      val sparkSql =
+        s"""SELECT u, p_id, c_id AS asof_id, c_ts AS asof_ts
+            FROM f23_purch JOIN $prev FOR SYSTEM_TIME AS OF $timeExpr ON u = cu
+            ORDER BY u, p_id"""
+      val predSql = preds.map(p => s"($p)").mkString(" AND ")
+      val filtered =
+        s"""SELECT * FROM (SELECT user_id AS cu, event_id AS c_id, ts AS c_ts
+                           FROM events WHERE event_type = 'click')
+            WHERE $predSql"""
+      val duckSql =
+        if (proctime)
+          // keep-last per key over the FILTERED chain, inner join — the
+          // Spark side's tiebreak is (c_ts, then remaining cols) DESC; cu
+          // is constant within a partition so (c_ts, c_id) DESC replays it
+          s"""SELECT u, p_id, asof_id, asof_ts FROM (
+                SELECT p.user_id AS u, p.event_id AS p_id,
+                       c.c_id AS asof_id, c.c_ts AS asof_ts
+                FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+                JOIN (SELECT *, row_number() OVER (PARTITION BY cu
+                                 ORDER BY c_ts DESC, c_id DESC) AS rn
+                      FROM ($filtered)) c
+                  ON c.cu = p.user_id AND c.rn = 1)
+              ORDER BY u, p_id"""
+        else
+          s"""SELECT u, p_id, asof_id, asof_ts FROM (
+                SELECT p.user_id AS u, p.event_id AS p_id,
+                       c.c_id AS asof_id, c.c_ts AS asof_ts,
+                       row_number() OVER (PARTITION BY p.user_id, p.event_id
+                                          ORDER BY c.c_ts DESC, c.c_id DESC) AS rn
+                FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+                LEFT JOIN ($filtered) c
+                  ON c.cu = p.user_id AND c.c_ts <= p.ts)
+              WHERE rn = 1 ORDER BY u, p_id"""
+      (f"f23_$i%02d", sparkSql, duckSql)
+    }
+
+    val outDir = new java.io.File("target/fuzz23_out")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
+      f.delete(): Unit
+    }
+    rm(outDir); outDir.mkdirs()
+    val sparkErrs = cases.flatMap { case (name, q, _) =>
+      try {
+        s.sql(q).coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        None
+      } catch { case e: Throwable => Some(s"$name: ${e.getMessage.take(200)}\n  $q") }
+    }
+    assert(sparkErrs.isEmpty,
+      s"${sparkErrs.size} family-23 cases failed on the Spark side:\n${sparkErrs.take(5).mkString("\n")}")
+    def esc(x: String): String = "\"" + x.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"),
+      cases.map { case (k, _, v) => s"${esc(k)}: ${esc(v)}" }.mkString("{", ",", "}"))
+    import scala.sys.process._
+    val buf = new StringBuilder
+    val code = Seq("python3", "tools/check.py", sf, outDir.getPath)
+      .!(ProcessLogger(l => buf.append(l).append('\n'), l => buf.append(l).append('\n')))
+    val fails = buf.toString.linesIterator.filter(_.startsWith("FAIL")).toList
+    assert(code == 0 && fails.isEmpty,
+      s"family-23 diffs vs DuckDB:\n${fails.take(10).mkString("\n")}")
+  }
 }
 
 /** family-21 corpus row — top-level so Spark can derive its Encoder

@@ -124,6 +124,51 @@ class SystemTimeJoinSpec extends SparkSpec {
     assert(rows2.toSeq == Seq((100L, Some(1.0)), (101L, Some(2.0)), (102L, None)))
   }
 
+  test("round 10: a CREATE-VIEW-registered versioned table inherits the watermark") {
+    val s = spark
+    import s.implicits._
+    Seq((1L, new Timestamp(10000L), 100L), (1L, new Timestamp(25000L), 101L))
+      .toDF("ok", "ots", "oid").createOrReplaceTempView("stv_orders")
+    Seq((1L, new Timestamp(5000L), 1.0), (1L, new Timestamp(20000L), 2.0),
+        (1L, new Timestamp(22000L), -9.0))
+      .toDF("rk", "rts", "rate").createOrReplaceTempView("stv_rates")
+    SystemTimeJoin.declareWatermark("stv_rates", "rts")
+    // a plain view over the declared base — no declaration on the view
+    spark.sql("""CREATE OR REPLACE TEMPORARY VIEW stv_pos AS
+                 SELECT rk, rts, rate FROM stv_rates WHERE rate > 0""")
+    val rows = spark.sql(
+      """SELECT oid, rate FROM stv_orders
+         JOIN stv_pos FOR SYSTEM_TIME AS OF ots ON ok = rk
+         ORDER BY oid""").collect().map(r => (r.getLong(0), r.getDouble(1)))
+    // the -9.0 version at 22s is filtered by the view, so 101 keeps 2.0
+    assert(rows.toSeq == Seq((100L, 1.0), (101L, 2.0)))
+    // chained: a view over the view still inherits
+    spark.sql("""CREATE OR REPLACE TEMPORARY VIEW stv_pos2 AS
+                 SELECT rts, rk, rate FROM stv_pos WHERE rate < 2.5""")
+    val rows2 = spark.sql(
+      """SELECT oid, rate FROM stv_orders
+         JOIN stv_pos2 FOR SYSTEM_TIME AS OF ots ON ok = rk
+         ORDER BY oid""").collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(rows2.toSeq == Seq((100L, 1.0), (101L, 2.0)))
+  }
+
+  test("round 10: a view that projects out the time column does NOT inherit") {
+    val s = spark
+    import s.implicits._
+    Seq((1L, new Timestamp(1000L), 100L))
+      .toDF("ok", "ots", "oid").createOrReplaceTempView("stx_orders")
+    Seq((1L, new Timestamp(500L), 1.0))
+      .toDF("rk", "rts", "rate").createOrReplaceTempView("stx_rates")
+    SystemTimeJoin.declareWatermark("stx_rates", "rts")
+    spark.sql("CREATE OR REPLACE TEMPORARY VIEW stx_notime AS SELECT rk, rate FROM stx_rates")
+    val e = intercept[Exception] {
+      spark.sql("""SELECT oid, rate FROM stx_orders
+                   JOIN stx_notime FOR SYSTEM_TIME AS OF ots ON ok = rk""")
+    }
+    assert(e.getMessage.contains("watermark"),
+      s"expected the pointed no-watermark message, got: ${e.getMessage}")
+  }
+
   test("missing watermark declaration fails with a pointed message") {
     val s = spark
     import s.implicits._
