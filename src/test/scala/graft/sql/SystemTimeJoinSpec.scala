@@ -152,6 +152,24 @@ class SystemTimeJoinSpec extends SparkSpec {
     assert(rows2.toSeq == Seq((100L, 1.0), (101L, 2.0)))
   }
 
+  test("round 10: the view-chained join still plans the custom AsOfJoinExec") {
+    val s = spark
+    import s.implicits._
+    Seq((1L, new Timestamp(10000L), 100L))
+      .toDF("ok", "ots", "oid").createOrReplaceTempView("stp2_orders")
+    Seq((1L, new Timestamp(5000L), 1.0))
+      .toDF("rk", "rts", "rate").createOrReplaceTempView("stp2_rates")
+    SystemTimeJoin.declareWatermark("stp2_rates", "rts")
+    spark.sql("CREATE OR REPLACE TEMPORARY VIEW stp2_v AS SELECT * FROM stp2_rates")
+    val df = spark.sql(
+      """SELECT oid, rate FROM stp2_orders
+         JOIN stp2_v FOR SYSTEM_TIME AS OF ots ON ok = rk""")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfJoin "),
+      s"view-chained temporal join fell off the custom exec:\n$plan")
+  }
+
   test("round 10: a view that projects out the time column does NOT inherit") {
     val s = spark
     import s.implicits._
