@@ -162,4 +162,52 @@ class CheckpointRestartSpec extends SparkSpec {
     // exactly-once: pre-restart rows are not re-emitted
     assert(rows.count(_.id == 1) == 1 && rows.count(_.id == 2) == 1)
   }
+
+  test("round 10: the CEP NFA resumes MID-PATTERN from checkpoint") {
+    // two errors of an errorBurst (e1,e2,e3 strict) are consumed before the
+    // stop — the partial Run (nextStep=2, matched ids, prevId bookkeeping)
+    // lives ONLY in CepState; the restarted query's third error must
+    // complete exactly that run. Proves the NFA state (List[Run]/pending/
+    // holds) round-trips through the state store across a real restart.
+    val s = spark
+    import s.implicits._
+    val root = java.nio.file.Files.createTempDirectory("ckpt_cep").toString
+    val in = s"$root/in"; val out = s"$root/out"; val ckpt = s"$root/ckpt"
+    new java.io.File(in).mkdirs()
+    val schema = org.apache.spark.sql.Encoders.product[KeyedRow].schema
+
+    def startQuery() = Cep.matchStream(
+        s.readStream.schema(schema).json(s"$in/*").as[KeyedRow], Cep.errorBurst)
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    def addFile(name: String, rows: String*): Unit =
+      rows.toSeq.toDF("value").coalesce(1).write.mode("append").text(s"$in/$name")
+
+    // phase 1: key 1's two errors, released by key 99's far-future flusher
+    // (the global watermark) — the run is mid-pattern when the query stops
+    val q1 = startQuery()
+    try {
+      addFile("f1",
+        """{"key":1,"ts":1000000,"id":1,"kind":"error","value":0.0}""",
+        """{"key":1,"ts":2000000,"id":2,"kind":"error","value":0.0}""",
+        """{"key":99,"ts":60000000,"id":1000,"kind":"ok","value":0.0}""")
+      q1.processAllAvailable()
+    } finally q1.stop()
+    assert(!new java.io.File(out).exists() ||
+      s.read.parquet(out).isEmpty, "no match may emit before the third error")
+
+    // phase 2: the third error (ts above the restored watermark, so it is
+    // not late-dropped), then a flusher to release it
+    val q2 = startQuery()
+    try {
+      addFile("f2",
+        """{"key":1,"ts":61000000,"id":3,"kind":"error","value":0.0}""",
+        """{"key":99,"ts":120000000,"id":1001,"kind":"ok","value":0.0}""")
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val matches = s.read.parquet(out).as[Cep.Match].collect().toSeq
+    assert(matches.map(m => (m.key, m.ids)) == Seq((1L, Seq(1L, 2L, 3L))),
+      s"the pre-restart partial run must complete exactly once: $matches")
+  }
 }
