@@ -210,4 +210,52 @@ class CheckpointRestartSpec extends SparkSpec {
     assert(matches.map(m => (m.key, m.ids)) == Seq((1L, Seq(1L, 2L, 3L))),
       s"the pre-restart partial run must complete exactly once: $matches")
   }
+
+  test("round 10: retractable Top-N promotes a pre-restart HIDDEN row after restore") {
+    // the ordered-index state is the key's FULL (id -> value) map, not just
+    // the visible top-N: a post-restart retraction of a top occupant must
+    // promote a row that was below the cut BEFORE the restart — possible
+    // only if the whole map survived the checkpoint round-trip.
+    val s = spark
+    import s.implicits._
+    val root = java.nio.file.Files.createTempDirectory("ckpt_topn").toString
+    val in = s"$root/in"; val out = s"$root/out"; val ckpt = s"$root/ckpt"
+    new java.io.File(in).mkdirs()
+    val schema = org.apache.spark.sql.Encoders.product[Changelog.Change].schema
+
+    def startQuery() = Changelog.retractableTopN(
+        s.readStream.schema(schema).json(s"$in/*").as[Changelog.Change], 3)
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    def addFile(name: String, rows: String*): Unit =
+      rows.toSeq.toDF("value").coalesce(1).write.mode("append").text(s"$in/$name")
+
+    val q1 = startQuery()
+    try {
+      addFile("f1",
+        """{"kind":"+I","key":7,"id":1,"ts":1,"value":50.0}""",
+        """{"kind":"+I","key":7,"id":2,"ts":2,"value":40.0}""",
+        """{"kind":"+I","key":7,"id":3,"ts":3,"value":30.0}""",
+        """{"kind":"+I","key":7,"id":4,"ts":4,"value":20.0}""") // hidden: rank 4
+      q1.processAllAvailable()
+    } finally q1.stop()
+
+    val q2 = startQuery()
+    try {
+      addFile("f2", """{"kind":"-D","key":7,"id":2,"ts":5,"value":40.0}""")
+      q2.processAllAvailable()
+    } finally q2.stop()
+
+    // the parquet read-back is unordered across the two run's files; the
+    // fold contract is per-key seq order
+    val log = s.read.parquet(out).as[Changelog.RankChange].collect().toSeq
+      .sortBy(_.seq)
+    val folded = Changelog.applyRankChanges(log)
+    assert(folded == Map(
+      (7L, 1) -> (1L, 50.0),  // untouched
+      (7L, 2) -> (3L, 30.0),  // id 3 moves up
+      (7L, 3) -> (4L, 20.0)), // the PRE-RESTART hidden row fills rank 3
+      s"restored map must include below-the-cut rows: $folded\nlog: $log")
+  }
 }
