@@ -9,17 +9,20 @@ object AsOf {
 
   /** Join each left row with the latest right row of the same key whose
     * `rightTime` is ≤ (or < when `strict`) the left row's `leftTime`.
-    * Unmatched left rows keep null right columns. */
+    * Unmatched left rows keep null right columns (`inner = false`, the
+    * reference's `LEFT JOIN ... FOR SYSTEM_TIME`) or are dropped
+    * (`inner = true`, the plain-`JOIN` form — TemporalJoinITCase.scala:500
+    * vs :344). */
   def join(left: DataFrame, right: DataFrame,
            leftKey: Column, rightKey: Column,
            leftTime: Column, rightTime: Column,
-           strict: Boolean = false): DataFrame = {
+           strict: Boolean = false, inner: Boolean = false): DataFrame = {
     val spark = left.sparkSession
     GraftSqlBridge.ofRows(spark, AsOfJoin(
       GraftSqlBridge.logicalPlan(left), GraftSqlBridge.logicalPlan(right),
       GraftSqlBridge.expression(leftKey), GraftSqlBridge.expression(rightKey),
       GraftSqlBridge.expression(leftTime), GraftSqlBridge.expression(rightTime),
-      strict))
+      strict, inner))
   }
 
   /** Multi-key variant: the key lists compose into one resolved
@@ -30,7 +33,7 @@ object AsOf {
   def joinMulti(left: DataFrame, right: DataFrame,
                 leftKeys: Seq[Column], rightKeys: Seq[Column],
                 leftTime: Column, rightTime: Column,
-                strict: Boolean = false): DataFrame = {
+                strict: Boolean = false, inner: Boolean = false): DataFrame = {
     require(leftKeys.nonEmpty && leftKeys.size == rightKeys.size,
       "as-of join needs matching non-empty key lists")
     val spark = left.sparkSession
@@ -42,7 +45,7 @@ object AsOf {
       GraftSqlBridge.logicalPlan(left), GraftSqlBridge.logicalPlan(right),
       key(leftKeys), key(rightKeys),
       GraftSqlBridge.expression(leftTime), GraftSqlBridge.expression(rightTime),
-      strict))
+      strict, inner))
   }
 
   /** Oracle-checked query: the TimeOps as-of join re-planned through the

@@ -33,10 +33,14 @@ import org.apache.spark.sql.execution.SparkStrategy
 case class AsOfJoin(left: LogicalPlan, right: LogicalPlan,
                     leftKey: Expression, rightKey: Expression,
                     leftTime: Expression, rightTime: Expression,
-                    strict: Boolean) extends BinaryNode {
-  // right side is nullable: a left row may precede every right version
+                    strict: Boolean, inner: Boolean = false) extends BinaryNode {
+  // left (outer) mode null-pads the right side when a left row precedes
+  // every right version; inner mode (the reference's plain
+  // `JOIN ... FOR SYSTEM_TIME`, TemporalJoinITCase.scala:500 vs :344 for
+  // the LEFT form) drops such rows, so the right output stays non-null
   override def output: Seq[Attribute] =
-    left.output ++ right.output.map(_.withNullability(true))
+    left.output ++ (if (inner) right.output
+                    else right.output.map(_.withNullability(true)))
   override protected def withNewChildrenInternal(newLeft: LogicalPlan,
                                                  newRight: LogicalPlan): AsOfJoin =
     copy(left = newLeft, right = newRight)
@@ -45,9 +49,10 @@ case class AsOfJoin(left: LogicalPlan, right: LogicalPlan,
 case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
                         leftKey: Expression, rightKey: Expression,
                         leftTime: Expression, rightTime: Expression,
-                        strict: Boolean) extends BinaryExecNode {
+                        strict: Boolean, inner: Boolean) extends BinaryExecNode {
   override def output: Seq[Attribute] =
-    left.output ++ right.output.map(_.withNullability(true))
+    left.output ++ (if (inner) right.output
+                    else right.output.map(_.withNullability(true)))
 
   // co-partition on the join key (EnsureRequirements inserts the exchanges)
   override def requiredChildDistribution: Seq[Distribution] =
@@ -78,7 +83,7 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
       // the single buffered version: latest right row seen for curKey
       var verKey: Any = null
       var version: InternalRow = null
-      lit.map { lrow =>
+      val merged = lit.map { lrow =>
         val k = lKey.eval(lrow)
         val t = lTime.eval(lrow)
         // advance the right cursor up to (key, time): every row passed with
@@ -98,8 +103,12 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
           } else advancing = false
         }
         val matched = version != null && keyOrd.compare(verKey, k) == 0
-        proj(joined(lrow, if (matched) version else nullRight))
+        // inner mode drops unmatched lefts (null sentinel filtered below —
+        // same single merge pass, no second scan)
+        if (inner && !matched) null
+        else proj(joined(lrow, if (matched) version else nullRight))
       }
+      if (inner) merged.filter(_ != null) else merged
     }
   }
 
@@ -111,8 +120,8 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
 /** Planner strategy: AsOfJoin logical → AsOfJoinExec physical. */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoin(l, r, lk, rk, lt, rt, strict) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, strict) :: Nil
+    case AsOfJoin(l, r, lk, rk, lt, rt, strict, inner) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, strict, inner) :: Nil
     case _ => Nil
   }
 }

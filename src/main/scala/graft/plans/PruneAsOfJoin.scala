@@ -21,13 +21,13 @@ import org.apache.spark.sql.catalyst.rules.Rule
   */
 object PruneAsOfJoin extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
-    case p @ Project(projList, aj @ AsOfJoin(l, r, lk, rk, lt, rt, strict)) =>
+    case p @ Project(projList, aj @ AsOfJoin(l, r, lk, rk, lt, rt, strict, inner)) =>
       val required = AttributeSet(projList.flatMap(_.references)) ++
         AttributeSet(Seq(lk, rk, lt, rt).flatMap(_.references))
       val keepL = l.output.filter(required.contains)
       val keepR = r.output.filter(required.contains)
       if (keepL.size == l.output.size && keepR.size == r.output.size) p
       else Project(projList,
-        AsOfJoin(Project(keepL, l), Project(keepR, r), lk, rk, lt, rt, strict))
+        AsOfJoin(Project(keepL, l), Project(keepR, r), lk, rk, lt, rt, strict, inner))
   }
 }

@@ -45,6 +45,22 @@ object FlinkSqlQueries {
       s.sql("""SELECT user_id AS cu, event_id AS c_id, ts AS c_ts FROM events
                WHERE event_type = 'click'""").createOrReplaceTempView("clicks")
       SystemTimeJoin.declareWatermark("clicks", "c_ts") // DDL WATERMARK FOR c_ts
+      // LEFT JOIN = null-pad unmatched probes (TemporalJoinITCase.scala:500)
+      s.sql("""SELECT u, p_id, c_id AS asof_click_id, c_ts AS asof_click_ts
+               FROM purchases LEFT JOIN clicks FOR SYSTEM_TIME AS OF p_ts ON u = cu
+               ORDER BY u, p_id""")
+    }),
+    // round-11 keyword fidelity: plain JOIN is INNER in the reference —
+    // purchases with no click version ≤ their time are DROPPED, not
+    // null-padded (TemporalJoinITCase.scala:500 is the LEFT form; the plain
+    // form drops). Same fixture as fsql_system_time, inner keyword.
+    "fsql_system_time_inner" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("""SELECT user_id AS u, event_id AS p_id, ts AS p_ts FROM events
+               WHERE event_type = 'purchase'""").createOrReplaceTempView("purchases")
+      s.sql("""SELECT user_id AS cu, event_id AS c_id, ts AS c_ts FROM events
+               WHERE event_type = 'click'""").createOrReplaceTempView("clicks")
+      SystemTimeJoin.declareWatermark("clicks", "c_ts")
       s.sql("""SELECT u, p_id, c_id AS asof_click_id, c_ts AS asof_click_ts
                FROM purchases JOIN clicks FOR SYSTEM_TIME AS OF p_ts ON u = cu
                ORDER BY u, p_id""")
@@ -62,7 +78,7 @@ object FlinkSqlQueries {
                  SELECT u, p_id, c_id, c_ts
                  FROM (SELECT user_id AS u, event_id AS p_id, ts AS p_ts FROM events
                        WHERE event_type = 'purchase') p
-                 JOIN clicks FOR SYSTEM_TIME AS OF p_ts ON u = cu
+                 LEFT JOIN clicks FOR SYSTEM_TIME AS OF p_ts ON u = cu
                )
                SELECT u, count(c_id) AS n_with_click, max(c_ts) AS last_asof
                FROM j GROUP BY u ORDER BY u""")
@@ -83,7 +99,7 @@ object FlinkSqlQueries {
       s.sql("""SELECT u, p_id, c_id AS asof_click_id, c_ts AS asof_click_ts
                FROM (SELECT user_id AS u, event_id AS p_id, ts AS p_ts FROM events
                      WHERE event_type = 'purchase') p
-               JOIN stv_head FOR SYSTEM_TIME AS OF p_ts ON u = cu
+               LEFT JOIN stv_head FOR SYSTEM_TIME AS OF p_ts ON u = cu
                ORDER BY u, p_id""")
     }),
     // processing-time temporal join: probe against the build side's LATEST
@@ -100,6 +116,25 @@ object FlinkSqlQueries {
                FROM purchases JOIN clicks FOR SYSTEM_TIME AS OF PROCTIME() ON u = cu
                ORDER BY u, p_id""")
     }),
+    // round-11 keyword fidelity, proc-time LEFT form
+    // (TemporalJoinITCase.scala:344 testProcTimeLeftTemporalJoin): probes
+    // whose key has NO version at all keep a null-padded row. Probe side is
+    // ALL events (clicks exist only for a subset of users' keys? every user
+    // clicks in this fixture, so key on (user_id, event_type-less) — use a
+    // shifted key to guarantee unmatched probes: purchases keyed on
+    // user_id+1000 for odd users never find a version
+    "fsql_proctime_left" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("""SELECT CASE WHEN user_id % 2 = 1 THEN user_id + 1000 ELSE user_id END AS u,
+                      event_id AS p_id, ts AS p_ts FROM events
+               WHERE event_type = 'purchase'""").createOrReplaceTempView("lpurchases")
+      s.sql("""SELECT user_id AS cu, event_id AS c_id, ts AS c_ts FROM events
+               WHERE event_type = 'click'""").createOrReplaceTempView("lclicks")
+      SystemTimeJoin.declareWatermark("lclicks", "c_ts")
+      s.sql("""SELECT u, p_id, c_id AS latest_click_id, c_ts AS latest_click_ts
+               FROM lpurchases LEFT JOIN lclicks FOR SYSTEM_TIME AS OF PROCTIME() ON u = cu
+               ORDER BY u, p_id""")
+    }),
     // watermark declared via DDL (WATERMARK FOR in CREATE VIEW) instead of
     // a programmatic declareWatermark call; the as-of join resolves the
     // versioned side's time attribute from the registry the DDL fed
@@ -114,7 +149,7 @@ object FlinkSqlQueries {
                AS SELECT user_id AS cu, event_id AS c_id, ts AS c_ts FROM events
                   WHERE event_type = 'click'""")
       s.sql("""SELECT u2 AS u, p_id2 AS p_id, c_id AS asof_click_id, c_ts AS asof_click_ts
-               FROM wm_purchases JOIN wm_clicks FOR SYSTEM_TIME AS OF p_ts ON u2 = cu
+               FROM wm_purchases LEFT JOIN wm_clicks FOR SYSTEM_TIME AS OF p_ts ON u2 = cu
                ORDER BY u, p_id""")
     }),
     // filesystem connector SINK table + INSERT INTO (the write half of the
@@ -684,6 +719,18 @@ object FlinkSqlQueries {
            LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
              ON c.user_id = p.user_id AND c.ts <= p.ts)
          WHERE rn = 1 ORDER BY u, p_id""",
+    // plain JOIN = inner: purchases with no click version ≤ their time drop
+    // out entirely (the rewrite uses INNER JOIN, so rn=1 only exists for
+    // matched probes)
+    "fsql_system_time_inner" ->
+      """SELECT u, p_id, c_id AS asof_click_id, c_ts AS asof_click_ts FROM (
+           SELECT p.user_id AS u, p.event_id AS p_id, c.event_id AS c_id, c.ts AS c_ts,
+                  row_number() OVER (PARTITION BY p.user_id, p.event_id
+                                     ORDER BY c.ts DESC, c.event_id DESC) AS rn
+           FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+           JOIN (SELECT * FROM events WHERE event_type = 'click') c
+             ON c.user_id = p.user_id AND c.ts <= p.ts)
+         WHERE rn = 1 ORDER BY u, p_id""",
     // the CTE wrapper aggregates the same as-of pairs per user
     "fsql_system_time_cte" ->
       """WITH m AS (
@@ -720,6 +767,19 @@ object FlinkSqlQueries {
                              ORDER BY ts DESC, event_id DESC) AS rn
                  FROM events WHERE event_type = 'click') c
              ON c.user_id = p.user_id AND c.rn = 1)
+         ORDER BY u, p_id""",
+    // proc-time LEFT form: shifted odd-user keys never find a click
+    // version and keep a null-padded row; matched keys join the single
+    // latest version (same (ts, event_id) DESC keep-last tiebreak replay)
+    "fsql_proctime_left" ->
+      """SELECT u, p_id, c_id AS latest_click_id, c_ts AS latest_click_ts FROM (
+           SELECT p.u AS u, p.event_id AS p_id, c.event_id AS c_id, c.ts AS c_ts
+           FROM (SELECT CASE WHEN user_id % 2 = 1 THEN user_id + 1000 ELSE user_id END AS u, *
+                 FROM events WHERE event_type = 'purchase') p
+           LEFT JOIN (SELECT *, row_number() OVER (PARTITION BY user_id
+                             ORDER BY ts DESC, event_id DESC) AS rn
+                 FROM events WHERE event_type = 'click') c
+             ON c.user_id = p.u AND c.rn = 1)
          ORDER BY u, p_id""",
     // same semantics as fsql_system_time — the DDL only changes how the
     // time attribute is declared, not the join result

@@ -13,9 +13,10 @@ import graft.plans.AsOf
   * [[declareWatermark]](table, col) — the same information, declared
   * programmatically instead of via DDL.
   *
-  * Statement shape (round 8 widened — aliases + multi-key conjunctions):
+  * Statement shape (round 8 widened — aliases + multi-key conjunctions;
+  * round 11 adds the LEFT keyword):
   *
-  *   SELECT <cols> FROM <left> [[AS] la] JOIN <right> [[AS] ra]
+  *   SELECT <cols> FROM <left> [[AS] la] [LEFT] JOIN <right> [[AS] ra]
   *     FOR SYSTEM_TIME AS OF <timeExpr>
   *   ON <k> = <k> [AND <k> = <k> ...] [WHERE ... | ORDER BY ...]
   *
@@ -24,7 +25,11 @@ import graft.plans.AsOf
   * (the custom operator clusters and orders on the key expression
   * generically, so a struct key needs no operator change). Alias prefixes
   * are resolved during parsing and stripped from the outer SELECT/tail.
-  * Output = left columns + right columns (null when no version ≤ time).
+  * Output = left columns + right columns. Keyword semantics match the
+  * reference (TemporalJoinITCase.scala:344 proctime LEFT, :500
+  * testEventTimeLeftTemporalJoin) in BOTH time variants: plain `JOIN`
+  * is INNER — left rows with no version ≤ time (event time) or no
+  * version at all (proc time) are DROPPED; `LEFT JOIN` null-pads them.
   */
 object SystemTimeJoin {
 
@@ -60,14 +65,19 @@ object SystemTimeJoin {
   private val firstFromRe = """(?is)\bFROM\s+([\w.]+)""".r
 
   /** Record `view → base` lineage if `probe` (literal/comment-blanked
-    * statement text) is a CREATE VIEW over a named base table. Bodies whose
-    * first FROM is a derived table are not recorded (regex front-end
-    * discipline: widen as tests demand). */
+    * statement text) is a CREATE VIEW over a named base table. Only a FROM
+    * at parenthesis depth zero counts: a FROM inside a scalar subquery or
+    * derived table (any '(' before it) must NOT register lineage, or a
+    * colliding column name could silently inherit the wrong watermark
+    * (regex front-end discipline: widen as tests demand). */
   def maybeRecordView(probe: String): Unit =
     createViewRe.findFirstMatchIn(probe).foreach { m =>
-      firstFromRe.findFirstMatchIn(probe.substring(m.end)).foreach { f =>
-        viewBase(m.group(1).toLowerCase) = f.group(1).toLowerCase
-      }
+      val body = probe.substring(m.end)
+      firstFromRe.findFirstMatchIn(body)
+        .filter(f => !body.substring(0, f.start).contains("("))
+        .foreach { f =>
+          viewBase(m.group(1).toLowerCase) = f.group(1).toLowerCase
+        }
     }
 
   /** Resolve the versioned side's (time col, delay): a direct declaration,
@@ -87,8 +97,8 @@ object SystemTimeJoin {
     """(?i)FOR\s+SYSTEM_TIME\s+AS\s+OF""".r.findFirstIn(sql).isDefined
 
   private val stRe =
-    ("""(?is)SELECT\s+(.*?)\s+FROM\s+(\w+)(?:\s+(?:AS\s+)?(?!JOIN\b)(\w+))?""" +
-     """\s+JOIN\s+(\w+)(?:\s+(?:AS\s+)?(?!FOR\b)(\w+))?""" +
+    ("""(?is)SELECT\s+(.*?)\s+FROM\s+(\w+)(?:\s+(?:AS\s+)?(?!JOIN\b|LEFT\b)(\w+))?""" +
+     """\s+(LEFT\s+)?JOIN\s+(\w+)(?:\s+(?:AS\s+)?(?!FOR\b)(\w+))?""" +
      """\s+FOR\s+SYSTEM_TIME\s+AS\s+OF\s+([\w.]+(?:\(\s*\))?)""" +
      """\s+ON\s+(.*?)\s*((?:WHERE|ORDER|GROUP|LIMIT)\b.*)?""").r
   private val eqRe = """([\w.]+)\s*=\s*([\w.]+)""".r
@@ -157,7 +167,7 @@ object SystemTimeJoin {
         val aliasRe = """(?is)^\s*(?:AS\s+)?(\w+)""".r
         val (alias, rest) = aliasRe.findFirstMatchIn(after) match {
           // FOR would be the start of the snapshot clause, not an alias
-          case Some(a) if !Set("FOR", "ON", "WHERE", "ORDER", "GROUP", "LIMIT", "JOIN")
+          case Some(a) if !Set("FOR", "ON", "WHERE", "ORDER", "GROUP", "LIMIT", "JOIN", "LEFT")
               .contains(a.group(1).toUpperCase) =>
             (a.group(1), after.substring(a.end))
           case _ => (s"__st_sub${sql.length}", after)
@@ -170,7 +180,10 @@ object SystemTimeJoin {
   }
 
   private def core(spark: SparkSession, sql: String): DataFrame = sql.trim match {
-    case stRe(select, lt, la, rt, ra, timeExpr, onCond, tail) =>
+    case stRe(select, lt, la, leftKw, rt, ra, timeExpr, onCond, tail) =>
+      // reference keyword semantics in both variants: plain JOIN = inner,
+      // LEFT JOIN = null-pad (TemporalJoinITCase.scala:344,500)
+      val outer = leftKw != null
       val left = spark.table(lt)
       val right = spark.table(rt)
       val rTimeCol = resolveTime(spark, rt).map(_._1).getOrElse(
@@ -220,11 +233,12 @@ object SystemTimeJoin {
               Window.partitionBy(pairs.map(p => col(p._2)): _*).orderBy(ord: _*)))
             .filter(col("__v") === 1).drop("__v")
           left.join(latest,
-            pairs.map(p => left(p._1) === latest(p._2)).reduce(_ && _))
+            pairs.map(p => left(p._1) === latest(p._2)).reduce(_ && _),
+            if (outer) "left" else "inner")
         } else
           AsOf.joinMulti(left, right,
             pairs.map(p => left(p._1)), pairs.map(p => right(p._2)),
-            left(bare(timeExpr)), right(rTimeCol))
+            left(bare(timeExpr)), right(rTimeCol), inner = !outer)
       joined.createOrReplaceTempView("__st_out")
       // the view flattens both sides, so strip alias qualifiers from the
       // outer projection and tail

@@ -1046,12 +1046,17 @@ class DifferentialFuzzSpec extends SparkSpec {
         prev = name
       }
       // every 4th case probes the view chain with PROCTIME() — the
-      // processing-time temporal join (latest version per key, inner)
+      // processing-time temporal join (latest version per key); round 11
+      // flips a coin on the JOIN keyword in both variants — plain JOIN is
+      // inner (unmatched probes DROP), LEFT JOIN null-pads, matching the
+      // reference (TemporalJoinITCase.scala:344,500)
       val proctime = i % 4 == 3
+      val outerKw = r.nextBoolean()
+      val kw = if (outerKw) "LEFT JOIN" else "JOIN"
       val timeExpr = if (proctime) "PROCTIME()" else "p_ts"
       val sparkSql =
         s"""SELECT u, p_id, c_id AS asof_id, c_ts AS asof_ts
-            FROM f23_purch JOIN $prev FOR SYSTEM_TIME AS OF $timeExpr ON u = cu
+            FROM f23_purch $kw $prev FOR SYSTEM_TIME AS OF $timeExpr ON u = cu
             ORDER BY u, p_id"""
       val predSql = preds.map(p => s"($p)").mkString(" AND ")
       val filtered =
@@ -1060,14 +1065,14 @@ class DifferentialFuzzSpec extends SparkSpec {
             WHERE $predSql"""
       val duckSql =
         if (proctime)
-          // keep-last per key over the FILTERED chain, inner join — the
-          // Spark side's tiebreak is (c_ts, then remaining cols) DESC; cu
-          // is constant within a partition so (c_ts, c_id) DESC replays it
+          // keep-last per key over the FILTERED chain — the Spark side's
+          // tiebreak is (c_ts, then remaining cols) DESC; cu is constant
+          // within a partition so (c_ts, c_id) DESC replays it
           s"""SELECT u, p_id, asof_id, asof_ts FROM (
                 SELECT p.user_id AS u, p.event_id AS p_id,
                        c.c_id AS asof_id, c.c_ts AS asof_ts
                 FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-                JOIN (SELECT *, row_number() OVER (PARTITION BY cu
+                $kw (SELECT *, row_number() OVER (PARTITION BY cu
                                  ORDER BY c_ts DESC, c_id DESC) AS rn
                       FROM ($filtered)) c
                   ON c.cu = p.user_id AND c.rn = 1)
@@ -1079,7 +1084,7 @@ class DifferentialFuzzSpec extends SparkSpec {
                        row_number() OVER (PARTITION BY p.user_id, p.event_id
                                           ORDER BY c.c_ts DESC, c.c_id DESC) AS rn
                 FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-                LEFT JOIN ($filtered) c
+                $kw ($filtered) c
                   ON c.cu = p.user_id AND c.c_ts <= p.ts)
               WHERE rn = 1 ORDER BY u, p_id"""
       (f"f23_$i%02d", sparkSql, duckSql)

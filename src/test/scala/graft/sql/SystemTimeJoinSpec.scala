@@ -114,14 +114,91 @@ class SystemTimeJoinSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getDouble(1)))
     assert(rows.toSeq == Seq((2L, 3.0))) // versions 1.0 (at 10s) + 2.0 (at 25s)
     // subquery directly in the outer FROM, no CTE; order 102 probes at 30s
-    // before its key's first version (40s) → LEFT semantics keep it, null rate
+    // before its key's first version (40s) → LEFT JOIN keeps it, null rate
     val rows2 = spark.sql(
       """SELECT oid, rate
          FROM (SELECT ok, ots, oid FROM stc_orders) o
-         JOIN stc_rates FOR SYSTEM_TIME AS OF ots ON ok = rk
+         LEFT JOIN stc_rates FOR SYSTEM_TIME AS OF ots ON ok = rk
          ORDER BY oid""").collect()
       .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getDouble(1))))
     assert(rows2.toSeq == Seq((100L, Some(1.0)), (101L, Some(2.0)), (102L, None)))
+  }
+
+  test("round 11: plain JOIN is inner, LEFT JOIN null-pads — both time variants") {
+    // the reference's keyword mapping (TemporalJoinITCase.scala:344 proctime
+    // LEFT, :500 testEventTimeLeftTemporalJoin): plain JOIN FOR SYSTEM_TIME
+    // DROPS probes with no valid version; LEFT JOIN keeps them null-padded
+    val s = spark
+    import s.implicits._
+    // order 102 probes before its key's first version; order 103's key has
+    // no versions at all
+    Seq((1L, new Timestamp(10000L), 100L), (1L, new Timestamp(25000L), 101L),
+        (2L, new Timestamp(30000L), 102L), (3L, new Timestamp(30000L), 103L))
+      .toDF("ok", "ots", "oid").createOrReplaceTempView("kw_orders")
+    Seq((1L, new Timestamp(5000L), 1.0), (1L, new Timestamp(20000L), 2.0),
+        (2L, new Timestamp(40000L), 9.0))
+      .toDF("rk", "rts", "rate").createOrReplaceTempView("kw_rates")
+    SystemTimeJoin.declareWatermark("kw_rates", "rts")
+    def run(q: String) = spark.sql(q).collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toSeq
+    // event time, inner: 102 and 103 drop
+    assert(run("""SELECT oid, rate FROM kw_orders
+                  JOIN kw_rates FOR SYSTEM_TIME AS OF ots ON ok = rk
+                  ORDER BY oid""") == Seq((100L, Some(1.0)), (101L, Some(2.0))))
+    // event time, left: 102 and 103 kept null-padded
+    assert(run("""SELECT oid, rate FROM kw_orders
+                  LEFT JOIN kw_rates FOR SYSTEM_TIME AS OF ots ON ok = rk
+                  ORDER BY oid""") ==
+      Seq((100L, Some(1.0)), (101L, Some(2.0)), (102L, None), (103L, None)))
+    // proc time, inner: key 3 has no version at all → 103 drops; key 2's
+    // latest version (by query time everything has arrived) is 9.0
+    assert(run("""SELECT oid, rate FROM kw_orders
+                  JOIN kw_rates FOR SYSTEM_TIME AS OF PROCTIME() ON ok = rk
+                  ORDER BY oid""") ==
+      Seq((100L, Some(2.0)), (101L, Some(2.0)), (102L, Some(9.0))))
+    // proc time, left: 103 kept null-padded
+    assert(run("""SELECT oid, rate FROM kw_orders
+                  LEFT JOIN kw_rates FOR SYSTEM_TIME AS OF PROCTIME() ON ok = rk
+                  ORDER BY oid""") ==
+      Seq((100L, Some(2.0)), (101L, Some(2.0)), (102L, Some(9.0)), (103L, None)))
+  }
+
+  test("round 11: inner as-of output schema is non-nullable on the right side") {
+    val s = spark
+    import s.implicits._
+    val left = Seq((1L, new Timestamp(10000L), 100L)).toDF("k", "t", "id")
+    val right = Seq((1L, new Timestamp(5000L), 1.0)).toDF("rk", "rt", "v")
+    val inner = graft.plans.AsOf.join(left, right, left("k"), right("rk"),
+      left("t"), right("rt"), inner = true)
+    assert(!inner.schema("v").nullable, "inner mode must not widen right nullability")
+    val outer = graft.plans.AsOf.join(left, right, left("k"), right("rk"),
+      left("t"), right("rt"))
+    assert(outer.schema("v").nullable, "left mode must widen right nullability")
+  }
+
+  test("round 11: a scalar-subquery FROM before the real FROM records no false lineage") {
+    // ADVICE r10: maybeRecordView scanned past '(' — a body like
+    // `SELECT (SELECT max(x) FROM other), ... FROM base` must NOT record
+    // view → other
+    SystemTimeJoin.maybeRecordView(
+      """CREATE OR REPLACE TEMPORARY VIEW fl_v AS
+         SELECT (SELECT max(rts) FROM fl_other), rk, rts FROM fl_base""")
+    val s = spark
+    import s.implicits._
+    // fl_other declared; if false lineage were recorded, fl_v would inherit
+    Seq((1L, new Timestamp(500L), 1.0)).toDF("rk", "rts", "rate")
+      .createOrReplaceTempView("fl_other")
+    SystemTimeJoin.declareWatermark("fl_other", "rts")
+    Seq((1L, new Timestamp(500L), 1.0)).toDF("rk", "rts", "rate")
+      .createOrReplaceTempView("fl_v")
+    Seq((1L, new Timestamp(1000L), 10L)).toDF("ok", "ots", "oid")
+      .createOrReplaceTempView("fl_orders")
+    val e = intercept[Exception] {
+      spark.sql("""SELECT oid, rate FROM fl_orders
+                   JOIN fl_v FOR SYSTEM_TIME AS OF ots ON ok = rk""")
+    }
+    assert(e.getMessage.contains("watermark"),
+      s"false lineage inherited a watermark through a scalar subquery: ${e.getMessage}")
   }
 
   test("round 10: a CREATE-VIEW-registered versioned table inherits the watermark") {
