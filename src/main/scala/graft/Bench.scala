@@ -210,6 +210,6 @@ object Bench {
     } catch { case _: Throwable => }
     val head = results.filter { case (k, _) => headline.contains(k) }
     println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_errors":${errors.size},"remeasured":$remeasured,"errors":$errJson,"queries":${qmap(head)},"detail":"BENCH_FULL.json","sf":"$sfDir"}""")
-    spark.stop()
+    GraftSession.shutdown(spark)
   }
 }

@@ -15,6 +15,6 @@ object Explain {
     spark.sparkContext.setLogLevel("ERROR")
     val df = SparkEntry.queries(name)(spark, sfDir)
     df.explain("formatted")
-    spark.stop()
+    GraftSession.shutdown(spark)
   }
 }

@@ -38,11 +38,15 @@ object GraftSession {
   private val warehouseDir = {
     val tmp = new java.io.File(sys.props.getOrElse("java.io.tmpdir", "/tmp"))
     // purge siblings from dead JVMs (deleteOnExit can't remove non-empty
-    // dirs); 2h is far past any run, so a LIVE concurrent JVM's warehouse
-    // is never pulled out from under it
+    // dirs). Liveness is the NEWEST mtime anywhere in the subtree, not the
+    // top-level dir's — a directory's mtime does not change when nested
+    // files do (ADVICE r10), so a live >2h JVM still writing tables keeps
+    // its warehouse; 2h idle is far past any run
     val cutoff = System.currentTimeMillis() - 2L * 3600 * 1000
     Option(tmp.listFiles()).foreach(_.foreach { f =>
-      if (f.getName.startsWith("graft-warehouse-") && f.lastModified() < cutoff) {
+      def newest(g: java.io.File): Long =
+        (g.lastModified() +: Option(g.listFiles()).toSeq.flatten.map(newest)).max
+      if (f.getName.startsWith("graft-warehouse-") && newest(f) < cutoff) {
         def rm(g: java.io.File): Unit = {
           Option(g.listFiles()).foreach(_.foreach(rm)); g.delete(): Unit
         }
@@ -116,6 +120,30 @@ object GraftSession {
   def create(): SparkSession = {
     val spark = builder().getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Quiet the RocksDB JNI logger bridge: Spark's state-store RocksDB
+    // derives its native InfoLogLevel from this slf4j logger's enabled
+    // level (RocksDB.createLogger), and every message above that level
+    // crosses a JNI callback (rocksdbjni LoggerJniCallback). A round-10
+    // StateScaleProbe run SIGSEGV'd in that callback when a native
+    // background-compaction thread logged during teardown (BASELINE.md
+    // incident note). ERROR keeps routine flush/compaction chatter —
+    // the overwhelming majority of callback invocations — entirely on
+    // the native side of the bridge.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.streaming.state.RocksDB",
+      org.apache.logging.log4j.Level.ERROR)
     spark
+  }
+
+  /** Orderly engine shutdown for `main`s: close every loaded state-store
+    * provider (joining RocksDB native background work while JNI attach
+    * still succeeds) BEFORE stopping the session. Without this, a cached
+    * RocksDB provider's background compaction can outlive `spark.stop()`
+    * into JVM exit and crash in the JNI logger callback — the round-10
+    * `hs_err` incident (BASELINE.md). RocksDbShutdownSpec forks a real
+    * JVM through this exact open-run-exit path and asserts a clean exit. */
+  def shutdown(spark: SparkSession): Unit = {
+    org.apache.spark.sql.GraftSqlBridge.stopStateStores()
+    spark.stop()
   }
 }

@@ -25,7 +25,7 @@ object ScaleUp {
     val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     scaleUp(spark, src, out, factor)
-    spark.stop()
+    GraftSession.shutdown(spark)
   }
 
   /** max(key)+1 — the shift stride of a key family. */

@@ -214,6 +214,6 @@ object StateScaleProbe {
       if (probes("cep")) probeCep(spark, k)
       if (probes("nav")) probeNav(spark, k)
     }
-    spark.stop()
+    GraftSession.shutdown(spark)
   }
 }

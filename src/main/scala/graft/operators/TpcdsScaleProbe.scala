@@ -71,6 +71,6 @@ object TpcdsScaleProbe {
       s""""n_queries":${times.size},"n_errors":${errors.size},""" +
       s""""cartesians":[${cartesians.map("\"" + _ + "\"").mkString(",")}],""" +
       s""""queries":{$qjson}}""")
-    spark.stop()
+    GraftSession.shutdown(spark)
   }
 }

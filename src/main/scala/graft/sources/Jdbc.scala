@@ -37,19 +37,38 @@ object Jdbc {
     * use. */
   private val jvmTag = java.util.UUID.randomUUID.toString.replace("-", "").take(12)
 
-  private def dbUrl(name: String, dir: String): String = {
-    val token = dir.replaceAll("[^a-zA-Z0-9]", "_")
+  /** One purge per JVM (ADVICE r10: the old per-call walk also re-ran on
+    * every dbUrl). A db dir is purged only when BOTH its top-level mtime
+    * AND its `db.lck` (present while/after a Derby boot; absent only for
+    * wreckage) are past the cutoff — a directory's mtime does not change
+    * when nested files do, so the dir mtime alone could pull a LIVE >2h
+    * JVM's database out from under it. Our own dirs (jvmTag suffix) are
+    * never candidates, and [[dbUrl]] re-touches them on every use so they
+    * stay fresh for OTHER JVMs' purges too. */
+  private lazy val purgeStale: Unit = {
     val root = new java.io.File("target/derby")
     val cutoff = System.currentTimeMillis() - 2L * 3600 * 1000
     Option(root.listFiles()).foreach(_.foreach { f =>
-      if (f.lastModified() < cutoff) {
+      val lck = new java.io.File(f, "db.lck")
+      if (!f.getName.endsWith(s"_$jvmTag") && f.lastModified() < cutoff &&
+          (!lck.exists() || lck.lastModified() < cutoff)) {
         def rm(g: java.io.File): Unit = {
           Option(g.listFiles()).foreach(_.foreach(rm)); g.delete(): Unit
         }
         rm(f)
       }
     })
-    s"jdbc:derby:target/derby/${name}_${token}_$jvmTag;create=true"
+  }
+
+  private def dbUrl(name: String, dir: String): String = {
+    purgeStale
+    val token = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val path = s"target/derby/${name}_${token}_$jvmTag"
+    // keep a long-lived JVM's db visibly fresh (dir mtime is the other
+    // JVMs' first-line liveness signal)
+    val d = new java.io.File(path)
+    if (d.exists()) { d.setLastModified(System.currentTimeMillis()): Unit }
+    s"jdbc:derby:$path;create=true"
   }
 
   /** Derby uppercases unquoted identifiers; fold the read-back schema to

@@ -583,20 +583,20 @@ object MatchRecognize {
     // a multi-column partition (round 9) maps each distinct tuple to a
     // dense surrogate via distinct + hash join — distributed and EXACT
     // (a hashed composite would risk collisions merging two partitions).
-    // persist + count pins the monotonically_increasing_id assignment so
-    // both the key join and the final join-back see the same surrogates.
-    // The map outlives this call (the returned frame joins it lazily), so
-    // it is REGISTERED: Bench's between-sample drop keeps min-of-2 cold
-    // (PersistDisciplineSpec pins the classification).
+    // monotonically_increasing_id is NONDETERMINISTIC across recomputes,
+    // and the returned frame references this map lazily — so the map is
+    // eagerly localCheckpoint-ed: the surrogate values are pinned and the
+    // lineage severed, making a recompute (e.g. after a ResultCaches
+    // between-sample drop) structurally impossible rather than silently
+    // divergent between the key join and the final join-back (ADVICE r10).
+    // The tiny distinct-keys blocks are reclaimed by the ContextCleaner
+    // once the returned frame is unreachable.
     val keyMapOpt: Option[DataFrame] =
       if (pCols.size == 1) None
-      else {
-        val km = graft.ResultCaches.register(
-          src.select(pCols.map(col): _*).distinct()
-            .withColumn("__mrpk", monotonically_increasing_id()).persist())
-        km.count(): Unit
-        Some(km)
-      }
+      else Some(
+        src.select(pCols.map(col): _*).distinct()
+          .withColumn("__mrpk", monotonically_increasing_id())
+          .localCheckpoint(true))
     val prepared0 = src
       .withColumn("__mask", mask)
       .withColumn("__seq", row_number().over(seqW).cast("long"))

@@ -16,4 +16,14 @@ object GraftSqlBridge {
 
   def logicalPlan(df: DataFrame): LogicalPlan =
     df.asInstanceOf[classic.Dataset[Row]].logicalPlan
+
+  /** Unload every loaded state-store provider and stop the maintenance
+    * task, closing each provider's RocksDB instance (joining its native
+    * background work) while the JVM can still service JNI attach calls.
+    * `SparkSession.stop()` alone leaves cached providers loaded; their
+    * RocksDB background compactions then race JVM teardown inside
+    * rocksdbjni's LoggerJniCallback (SIGSEGV — see BASELINE.md round-11
+    * incident note). Call before `spark.stop()` in every main. */
+  def stopStateStores(): Unit =
+    execution.streaming.state.StateStore.stop()
 }

@@ -42,9 +42,9 @@ class PersistDisciplineSpec extends AnyFunSuite {
     // RELEASED ×1 (multi-sink shared scan: persisted for the statement
     //   set's sinks, unpersisted in the execute's finally)
     "sql/StatementSet.scala" -> 1,
-    // RESULT ×1 (the multi-column partition surrogate key map outlives the
-    //   call — the returned frame joins it lazily — so it is registered)
-    "sql/MatchRecognize.scala" -> 1,
+    // (round 11: the multi-column partition surrogate key map is now an
+    //   eager localCheckpoint — pinned values, severed lineage — instead of
+    //   a registered persist, so no classified site remains here)
     // INPUT ×2 (the per-(session,dir) shared edge cache and undirected+deg
     //   cache, consumed by many graph_* queries — dropped via dropCaches),
     // RELEASED ×2 (pagerank's `linked` layout, HITS' dst-keyed copy — both
