@@ -194,10 +194,45 @@ object StateScaleProbe {
     println(s"""{"probe":"mr_nav_stream","keys":$k,"outRows":$outRows,"stateRows":$stateRows,"sec":${math.round(sec * 10) / 10.0}}""")
   }
 
+  /** The NFA's documented historical worst case (Cep.scala object scaladoc):
+    * an always-true anchor under relaxed contiguity over one monotone run —
+    * `A+ B` where A matches EVERY row and B only the key's last row. Every
+    * row anchors a fresh run and every active run grows, which held
+    * O(rows²) run objects and list cells before round 11's segment-
+    * compressed trails + greedy-domination pruning (the SharedBuffer
+    * analogue); with them, active state is O(pattern length) runs × O(1)
+    * trail cells per key and the scan is a single linear pass. `rowsPerKey`
+    * rows on each of 4 keys, batch NFA (the same `advance` core the stream
+    * runs); exact asserts: 1 match per key covering ALL its rows. */
+  private def probeBlow(spark: SparkSession, rowsPerKey: Long): Unit = {
+    import spark.implicits._
+    val nKeys = 4L
+    val t0 = System.nanoTime()
+    val rows = spark.range(0, nKeys * rowsPerKey).select(
+        (col("id") / rowsPerKey).cast("long").as("key"),
+        (col("id") % rowsPerKey).as("ts"), (col("id") % rowsPerKey).as("id"),
+        when(col("id") % rowsPerKey === rowsPerKey - 1, "last").otherwise("a").as("kind"),
+        lit(1.0).as("value"))
+      .as[KeyedRow]
+    val pat = streaming.Cep.Pattern(Seq(
+      streaming.Cep.Step("A", _ => true, oneOrMore = true),
+      streaming.Cep.Step("B", _.kind == "last")))
+    val m = streaming.Cep.matchBatch(rows, pat).toDF()
+      .select(col("key"), size(col("ids")).cast("long").as("n"))
+      .groupBy().agg(count(lit(1)).as("matches"), sum(col("n")).as("rows_covered"))
+      .collect()(0)
+    val sec = (System.nanoTime() - t0) / 1e9
+    require(m.getLong(0) == nKeys, s"blow_$rowsPerKey: ${m.getLong(0)} matches != $nKeys")
+    require(m.getLong(1) == nKeys * rowsPerKey,
+      s"blow_$rowsPerKey: ${m.getLong(1)} rows covered != ${nKeys * rowsPerKey}")
+    println(s"""{"probe":"cep_worstcase_anchor","rowsPerKey":$rowsPerKey,"keys":$nKeys,"matches":${m.getLong(0)},"rowsCovered":${m.getLong(1)},"sec":${math.round(sec * 10) / 10.0}}""")
+  }
+
   def main(args: Array[String]): Unit = {
     // usage: [probes] [depth ...] — probes = comma list of
-    // topn,join,cep,nav (default all); depths default 1M/3M/10M for the
-    // row-state probes and are shared by the CEP/MR probes when given.
+    // topn,join,cep,nav,blow (default topn,join,cep,nav); depths default
+    // 1M/3M/10M for the row-state probes and are shared by the CEP/MR
+    // probes when given.
     val (probes, depthArgs) = args.headOption match {
       case Some(h) if h.exists(c => !c.isDigit) =>
         (h.split(",").toSet, args.drop(1).toSeq)
@@ -213,6 +248,7 @@ object StateScaleProbe {
       if (probes("join")) probeJoin(spark, k)
       if (probes("cep")) probeCep(spark, k)
       if (probes("nav")) probeNav(spark, k)
+      if (probes("blow")) probeBlow(spark, k)
     }
     GraftSession.shutdown(spark)
   }

@@ -22,13 +22,18 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * Scale: state per key is the set of active partial runs — bounded by
   * pattern length × concurrent starts inside the `within` horizon, never by
   * stream length. The NFA advances row-at-a-time, so the streaming variant
-  * processes each watermark-released row exactly once. Known worst case:
-  * each run carries its own matched-row list, so a pattern whose anchor
-  * matches every row of a very long partial match (e.g. an always-true
-  * anchor over a monotone million-row run) holds O(runs × match length)
-  * list cells — the reference bounds the same blowup by deduplicating
-  * storage in SharedBuffer.java's versioned DAG; patterns with selective
-  * anchors or a `within` bound (the practical cases) stay linear.
+  * processes each watermark-released row exactly once. The historical worst
+  * case — an always-true anchor over a monotone million-row run used to
+  * hold O(runs × match length) list cells — is bounded since round 11 by
+  * the same two ideas as the reference's SharedBuffer.java versioned DAG:
+  * matched-row trails are SEGMENT-COMPRESSED (consecutive same-label ids
+  * collapse to one [[Seg]] cell, so a monotone absorption is O(label
+  * switches) not O(rows)) and dead runs are DOMINATION-PRUNED (under
+  * greedy SKIP PAST LAST ROW semantics a same-anchor shorter sibling — and,
+  * when no `within` bound exists, a later-anchor run at the same pattern
+  * position — can never out-rank its dominator at any future completion, so
+  * it is dropped as it forms; see [[Pattern.greedyPrunable]]). The
+  * `CepBlowupProbe` drives the exact worst shape to 10 M rows per key.
   */
 object Cep {
 
@@ -126,18 +131,76 @@ object Cep {
       while (p < steps.size - 1 && steps(p).optional) { p += 1; b += p }
       b.toList
     }
+    /** Greedy-domination pruning is sound for this pattern (the run-count
+      * half of the SharedBuffer-analogue state bound, see the object
+      * scaladoc). Preconditions, each of which would otherwise let a
+      * dominated run diverge from (or out-rank) its dominator:
+      *  - SKIP PAST LAST ROW: only the top-ranked same-row completion is
+      *    ever emitted, so a run that always ranks below a lockstep sibling
+      *    is unreachable output;
+      *  - greedy (no reluctant step): ranking prefers MORE absorbed rows;
+      *  - no optional steps / trailing absence: those paths rank or hold
+      *    completions independently of the (anchor, position, length) key;
+      *  - no strict / notNext-guard / consecutive step: a run's future must
+      *    not depend on its `lastRowId`, which differs between dominator
+      *    and dominated;
+      *  - no followedByAny / allowCombinations: branch-reviving flags keep
+      *    siblings whose futures genuinely diverge. */
+    lazy val greedyPrunable: Boolean =
+      afterMatch == SkipPastLastRow && !preferFewest && tailNot.isEmpty &&
+        !hasOptional && steps.forall(s => !s.anyMatch && !s.combinations &&
+          !s.strict && !s.guardOnNext && !s.consecutive)
   }
 
   case class Match(key: Long, start_ts: Long, end_ts: Long, ids: Seq[Long],
                    labels: Seq[String])
 
-  /** A partial run: index of the next step to satisfy, matched row ids and
-    * the step name each id matched under (both newest-first). `firstId` is
-    * the anchor row's id (= ids.last, kept O(1) for skip-strategy pruning);
-    * `lastTs` the timestamp of the newest matched row (the end_ts of a match
-    * emitted from a held run). */
-  private[streaming] case class Run(nextStep: Int, startTs: Long, ids: List[Long],
-                                    lastRowId: Long, labels: List[String],
+  /** One segment of a run's matched-row trail: ids `lo..hi` (consecutive,
+    * ascending), all matched under `label`. Trails are newest-first segment
+    * lists: consing a row that extends the head segment replaces only the
+    * head cell, so sibling branches keep sharing the tail, and a monotone
+    * absorption compresses to O(label switches) cells instead of one cell
+    * per row — the storage half of the SharedBuffer.java:54 analogue. */
+  private[streaming] case class Seg(label: String, lo: Long, hi: Long)
+
+  private[streaming] object Trail {
+    def cons(label: String, id: Long, t: List[Seg]): List[Seg] = t match {
+      case Seg(l, lo, hi) :: tail if l == label && id == hi + 1 =>
+        Seg(l, lo, id) :: tail
+      case _ => Seg(label, id, id) :: t
+    }
+    /** oldest-first (ids, labels) expansion for Match emission */
+    def expand(t: List[Seg]): (Seq[Long], Seq[String]) = {
+      val ids = Seq.newBuilder[Long]; val labels = Seq.newBuilder[String]
+      t.reverse.foreach { s =>
+        var i = s.lo
+        while (i <= s.hi) { ids += i; labels += s.label; i += 1 }
+      }
+      (ids.result(), labels.result())
+    }
+    /** label-agnostic id coverage (adjacent segments merged, newest-first) —
+      * run ids are strictly ascending by construction, so equal coverage ⇔
+      * equal id sequence; used as the ε-closure dedup key. */
+    def idShape(t: List[Seg]): List[(Long, Long)] = t match {
+      case Nil => Nil
+      case h :: rest =>
+        var out = List.empty[(Long, Long)]
+        var cur = (h.lo, h.hi)
+        rest.foreach { s =>
+          if (s.hi + 1 == cur._1) cur = (s.lo, cur._2)
+          else { out = cur :: out; cur = (s.lo, s.hi) }
+        }
+        (cur :: out).reverse // newest-first, deterministic
+    }
+  }
+
+  /** A partial run: index of the next step to satisfy, the matched-row
+    * trail (newest-first segments) and its total row count `len`. `firstId`
+    * is the anchor row's id (= the trail's oldest id, kept O(1) for
+    * skip-strategy pruning); `lastTs` the timestamp of the newest matched
+    * row (the end_ts of a match emitted from a held run). */
+  private[streaming] case class Run(nextStep: Int, startTs: Long, trail: List[Seg],
+                                    len: Int, lastRowId: Long,
                                     firstId: Long, lastTs: Long)
 
   /** ε-closure over optional steps: a run standing before an optional step
@@ -155,8 +218,10 @@ object Cep {
       out.toList
     }
 
-  private def toMatch(key: Long, d: Run): Match =
-    Match(key, d.startTs, d.lastTs, d.ids.reverse, d.labels.reverse)
+  private def toMatch(key: Long, d: Run): Match = {
+    val (ids, labels) = Trail.expand(d.trail)
+    Match(key, d.startTs, d.lastTs, ids, labels)
+  }
 
   /** The +2999 µs `ets` shift (see matchStream) would otherwise eat up to
     * ~3 ms of a user-specified out-of-orderness budget — a row arriving
@@ -181,13 +246,13 @@ object Cep {
     * reference treats it as PAST LAST ROW in that case. */
   private def skipTargetId(d: Run, variable: String, first: Boolean): Long = {
     var found = -1L
-    var ids = d.ids; var labels = d.labels
-    while (ids.nonEmpty) {
-      if (labels.head == variable) {
-        found = ids.head           // newest-first: keep overwriting → FIRST
-        if (!first) return found   // newest-first head = LAST
+    var t = d.trail
+    while (t.nonEmpty) {
+      if (t.head.label == variable) {
+        found = t.head.lo           // newest-first: keep overwriting → FIRST
+        if (!first) return t.head.hi // newest-first head's hi = LAST
       }
-      ids = ids.tail; labels = labels.tail
+      t = t.tail
     }
     if (found >= 0) found else d.lastRowId + 1
   }
@@ -205,9 +270,9 @@ object Cep {
       val step = pattern.steps(run.nextStep)
       // a run that already holds rows under this oneOrMore step is mid-loop:
       // consecutive() turns its contiguity strict (step names are unique per
-      // pattern, so labels.head identifies the absorbing step)
+      // pattern, so the trail head's label identifies the absorbing step)
       val absorbing = step.oneOrMore &&
-        run.labels.nonEmpty && run.labels.head == step.name
+        run.trail.nonEmpty && run.trail.head.label == step.name
       val effStrict = step.strict || (step.consecutive && absorbing)
       // absence guard (notFollowedBy / notNext): the constraint outranks the
       // step predicate — a row that violates the absence kills the run even
@@ -216,15 +281,16 @@ object Cep {
         (!step.guardOnNext || run.lastRowId == prevRowId) && g(r))
       if (guarded) Nil
       else if (step.pred(r) && (!effStrict || run.lastRowId == prevRowId)) {
-        val advanced = Run(run.nextStep + 1, run.startTs, r.id :: run.ids, r.id,
-          step.name :: run.labels, run.firstId, r.ts)
+        val grown = Trail.cons(step.name, r.id, run.trail)
+        val advanced = Run(run.nextStep + 1, run.startTs, grown, run.len + 1,
+          r.id, run.firstId, r.ts)
         // a oneOrMore step also branches into "absorb and stay" — the
         // parallel run-set is how the NFA explores every absorption length;
         // `until` closes the loop: no absorb branch once its condition holds
         val stay =
           if (step.oneOrMore && !step.untilPred.exists(_(r)))
-            Run(run.nextStep, run.startTs, r.id :: run.ids, r.id,
-              step.name :: run.labels, run.firstId, r.ts) :: Nil
+            Run(run.nextStep, run.startTs, grown, run.len + 1,
+              r.id, run.firstId, r.ts) :: Nil
           else Nil
         // followedByAny: the un-advanced run survives too, so a later row
         // matching this step opens an alternative branch; allowCombinations
@@ -245,22 +311,53 @@ object Cep {
     val started = pattern.startPositions.flatMap { j =>
       val st = pattern.steps(j)
       if (st.pred(r)) {
-        val adv = Run(j + 1, r.ts, List(r.id), r.id, List(st.name), r.id, r.ts)
+        val t0 = List(Seg(st.name, r.id, r.id))
+        val adv = Run(j + 1, r.ts, t0, 1, r.id, r.id, r.ts)
         // a oneOrMore start step keeps an absorb-branch anchored at itself
         val stay =
           if (st.oneOrMore && !st.untilPred.exists(_(r)))
-            List(Run(j, r.ts, List(r.id), r.id, List(st.name), r.id, r.ts))
+            List(Run(j, r.ts, t0, 1, r.id, r.id, r.ts))
           else Nil
         closure(pattern, adv) ++ stay
       } else Nil
     }
     val (done0, pending0) = (stepped ++ started).partition(_.nextStep == pattern.steps.size)
     // ε-closure can reach the same configuration along several skip paths —
-    // but only when optional steps exist; skip the (O(runs·|ids|)) dedup
+    // but only when optional steps exist; skip the (O(runs·|segs|)) dedup
     // entirely for plain patterns, which are the hot path
-    val done = if (pattern.hasOptional) done0.distinctBy(_.ids) else done0
+    val done = if (pattern.hasOptional) done0.distinctBy(d => Trail.idShape(d.trail)) else done0
+    val pending1 =
+      if (pattern.hasOptional)
+        pending0.distinctBy(p0 => (p0.nextStep, Trail.idShape(p0.trail)))
+      else pending0
+    // greedy-domination prune (see Pattern.greedyPrunable): a same-anchor
+    // same-position shorter sibling — and, when no within bound can kill an
+    // earlier-anchored dominator first, ANY lower-ranked run at the same
+    // position — marches in lockstep with its dominator forever and can
+    // never be the SKIP PAST LAST ROW winner. Dropping them as they form
+    // bounds the always-true-anchor worst case from O(rows²) active runs
+    // to O(pattern length); order is preserved so same-rank ties keep
+    // their previous emission choice.
     val pending =
-      if (pattern.hasOptional) pending0.distinctBy(p0 => (p0.nextStep, p0.ids)) else pending0
+      if (!pattern.greedyPrunable || pending1.sizeIs <= 1) pending1
+      else if (pattern.withinMs == Long.MaxValue) {
+        val rankLt = Ordering.Tuple3[Long, Long, Int].lt _
+        val best = scala.collection.mutable.Map.empty[Int, Run]
+        pending1.foreach { p =>
+          val cur = best.get(p.nextStep)
+          if (cur.forall(c => rankLt((p.startTs, p.firstId, -p.len),
+                                     (c.startTs, c.firstId, -c.len))))
+            best(p.nextStep) = p
+        }
+        pending1.filter(p => best(p.nextStep) eq p)
+      } else {
+        val best = scala.collection.mutable.Map.empty[(Long, Int), Int]
+        pending1.foreach { p =>
+          val k = (p.firstId, p.nextStep)
+          if (best.get(k).forall(_ < p.len)) best(k) = p.len
+        }
+        pending1.filter(p => best((p.firstId, p.nextStep)) == p.len)
+      }
     // a trailing absence holds completions open instead of emitting — the
     // caller owns the hold list (kill on tailNot hit, emit on window expiry)
     if (pattern.tailNot.isDefined) return (pending, Nil, done)
@@ -268,7 +365,7 @@ object Cep {
     // earliest-started (then greediest = most rows absorbed; reluctant
     // quantifiers flip that to fewest) one first
     val sizeKey: Run => Int =
-      if (pattern.preferFewest) d => d.ids.size else d => -d.ids.size
+      if (pattern.preferFewest) d => d.len else d => -d.len
     val ranked = done.sortBy(d => (d.startTs, d.firstId, sizeKey(d)))
     pattern.afterMatch match {
       case SkipPastLastRow if ranked.nonEmpty =>
