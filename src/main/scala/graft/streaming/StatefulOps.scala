@@ -159,6 +159,111 @@ object StatefulOps {
       }
   }
 
+  /** Streaming OVER with a bounded ROWS frame — the reference's
+    * RowTimeRowsBoundedPrecedingFunction.java (operators/over/): per row,
+    * sum(value) over `ROWS BETWEEN preceding PRECEDING AND CURRENT ROW` in
+    * per-key (ts, id) order. State per key = the last `preceding` values +
+    * the rolling accumulator — O(frame), never the stream; the aggregate
+    * rolls by one exact add and one exact subtract per row (all terms
+    * 2dp-scaled BigDecimal, so add/evict order can never change the sum).
+    * A ROWS frame has no same-timestamp peer lookahead, so each row emits
+    * eagerly — ordered arrival across micro-batches is the contract, same
+    * as [[runningSumPerKey]]. */
+  def boundedRowsPrecedingPerKey(rows: Dataset[KeyedRow],
+                                 preceding: Int): Dataset[RunningEmit] = {
+    import rows.sparkSession.implicits._
+    def d2(v: Double) = java.math.BigDecimal.valueOf(v)
+      .setScale(2, java.math.RoundingMode.HALF_UP)
+    rows.groupByKey(_.key)
+      .flatMapGroupsWithState[(List[Double], java.math.BigDecimal), RunningEmit](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (key, it, state) =>
+          var (buf, acc) = state.getOption.getOrElse(
+            (List.empty[Double], java.math.BigDecimal.ZERO.setScale(2)))
+          val out = it.toArray.sortBy(r => (r.ts, r.id)).iterator.map { r =>
+            acc = acc.add(d2(r.value))
+            buf = buf :+ r.value // newest-last
+            if (buf.size > preceding + 1) {
+              acc = acc.subtract(d2(buf.head))
+              buf = buf.tail
+            }
+            RunningEmit(key, r.id, acc.doubleValue)
+          }.toList
+          state.update((buf, acc))
+          out.iterator
+      }
+  }
+
+  /** Retained row of a RANGE-frame buffer (ts, id, value) — ids are needed
+    * because same-timestamp PEERS emit together, after the full peer group
+    * is known. */
+  private[streaming] case class RangeRow(ts: Long, id: Long, value: Double)
+  /** RANGE-frame state: retained rows (ascending (ts, id)) — frame rows
+    * within the newest emitted group's horizon plus every still-pending
+    * group — and the newest already-emitted timestamp. */
+  private[streaming] case class RangeOverState(buf: List[RangeRow], emittedUpTo: Long)
+
+  /** Streaming OVER with a bounded RANGE frame — the reference's
+    * RowTimeRangeBoundedPrecedingFunction.java: per row, sum(value) over
+    * `RANGE BETWEEN rangeUs PRECEDING AND CURRENT ROW` on the event time.
+    * A RANGE frame includes same-timestamp PEERS, so a timestamp group can
+    * only emit once no more rows can carry that timestamp — exactly the
+    * reference's per-timestamp registered timer: rows buffer in state and
+    * each group flushes when the WATERMARK passes it (event-time timeout;
+    * rows at or behind the watermark drop as late, so a flushed group can
+    * never gain a peer). Out-of-order arrival across micro-batches inside
+    * the watermark delay is therefore handled, not just tolerated. State
+    * per key = frame rows + pending groups, both horizon-bounded. On a
+    * bounded Dataset the whole key group arrives at once and every group
+    * closes at end of group. */
+  def boundedRangePrecedingPerKey(rows: Dataset[KeyedRow], rangeUs: Long,
+                                  watermarkDelay: String = "0 seconds"): Dataset[RunningEmit] = {
+    import rows.sparkSession.implicits._
+    def d2(v: Double) = java.math.BigDecimal.valueOf(v)
+      .setScale(2, java.math.RoundingMode.HALF_UP)
+    val streaming = rows.isStreaming
+    val withTs = rows.withColumn("ets", timestamp_micros($"ts")).as[SortRowW]
+    val marked = if (streaming) withTs.withWatermark("ets", watermarkDelay) else withTs
+    marked.groupByKey(_.key)
+      .flatMapGroupsWithState[RangeOverState, RunningEmit](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (key, it, state) =>
+          var RangeOverState(buf, emittedUpTo) =
+            state.getOption.getOrElse(RangeOverState(Nil, Long.MinValue))
+          val out = scala.collection.mutable.ListBuffer.empty[RunningEmit]
+          // emit group `gts` (ascending flush order): evict below its
+          // horizon, one aggregate per peer — the frame is [gts-range, gts]
+          def flush(gts: Long): Unit = {
+            buf = buf.dropWhile(_.ts < gts - rangeUs)
+            val acc = buf.foldLeft(java.math.BigDecimal.ZERO.setScale(2)) {
+              (a, x) => if (x.ts <= gts) a.add(d2(x.value)) else a
+            }
+            buf.foreach(x => if (x.ts == gts) out += RunningEmit(key, x.id, acc.doubleValue))
+            emittedUpTo = gts
+          }
+          val wmMs = if (streaming) state.getCurrentWatermarkMs else Long.MinValue
+          if (!state.hasTimedOut) {
+            val fresh = it.toArray
+              .filter(r => !streaming || r.ts / 1000 > wmMs) // late rows drop
+              .filter(_.ts > emittedUpTo) // belt-and-braces vs emitted groups
+              .map(r => RangeRow(r.ts, r.id, r.value))
+            if (fresh.nonEmpty) buf = (buf ++ fresh).sortBy(x => (x.ts, x.id))
+          }
+          // groups the watermark has passed can no longer gain peers — flush
+          // ascending (bounded input: everything is final at end of group)
+          buf.iterator.map(_.ts)
+            .filter(t => t > emittedUpTo && (!streaming || t / 1000 <= wmMs))
+            .toList.distinct.sorted.foreach(flush)
+          state.update(RangeOverState(buf, emittedUpTo))
+          if (streaming) {
+            val pending = buf.iterator.map(_.ts).filter(_ > emittedUpTo).toList
+            if (pending.nonEmpty)
+              state.setTimeoutTimestamp(math.max(pending.min / 1000 + 1, wmMs + 1))
+          }
+          out.iterator
+      }
+  }
+
   /** Count-tumbling windows (CountTumblingWindowAssigner,
     * operators/window/assigners/): every n rows per key — ordered by
     * (ts, id) — close a window and emit its aggregate. Partial windows stay
@@ -321,6 +426,63 @@ object StatefulOps {
         acc = acc.add(java.math.BigDecimal.valueOf(r.value)
           .setScale(2, java.math.RoundingMode.HALF_UP))
         RunningEmit(key, r.id, acc.doubleValue)
+      }
+    }
+  }
+
+  /** Batch bounded-ROWS OVER (RowTimeRowsBoundedPrecedingFunction.java):
+    * rolling exact accumulator over the last `preceding`+1 rows — O(frame)
+    * state per key on the spillable scan. */
+  def boundedRowsPrecedingBatch(rows: Dataset[KeyedRow],
+                                preceding: Int): Dataset[RunningEmit] = {
+    import rows.sparkSession.implicits._
+    def d2(v: Double) = java.math.BigDecimal.valueOf(v)
+      .setScale(2, java.math.RoundingMode.HALF_UP)
+    SortedScan.perKeyOrdered(rows) { (key, it) =>
+      var acc = java.math.BigDecimal.ZERO.setScale(2)
+      val window = scala.collection.mutable.Queue.empty[java.math.BigDecimal]
+      it.map { r =>
+        val d = d2(r.value)
+        acc = acc.add(d)
+        window.enqueue(d)
+        if (window.size > preceding + 1) acc = acc.subtract(window.dequeue())
+        RunningEmit(key, r.id, acc.doubleValue)
+      }
+    }
+  }
+
+  /** Batch bounded-RANGE OVER (RowTimeRangeBoundedPrecedingFunction.java):
+    * the frame `[ts - rangeUs, ts]` includes same-timestamp PEERS, so each
+    * consecutive timestamp group is absorbed whole, the horizon evicted
+    * with exact subtraction, and every peer emits the group's aggregate —
+    * O(frame) state per key. */
+  def boundedRangePrecedingBatch(rows: Dataset[KeyedRow],
+                                 rangeUs: Long): Dataset[RunningEmit] = {
+    import rows.sparkSession.implicits._
+    def d2(v: Double) = java.math.BigDecimal.valueOf(v)
+      .setScale(2, java.math.RoundingMode.HALF_UP)
+    SortedScan.perKeyOrdered(rows) { (key, it0) =>
+      val it = it0.buffered
+      new Iterator[RunningEmit] {
+        private var acc = java.math.BigDecimal.ZERO.setScale(2)
+        private val frame = scala.collection.mutable.Queue.empty[(Long, java.math.BigDecimal)]
+        private var emits: List[RunningEmit] = Nil
+        override def hasNext: Boolean = emits.nonEmpty || it.hasNext
+        override def next(): RunningEmit = {
+          if (emits.isEmpty) {
+            val gts = it.head.ts
+            var group = List.empty[KeyedRow] // collected newest-first
+            while (it.hasNext && it.head.ts == gts) group ::= it.next()
+            group.foreach { r =>
+              val d = d2(r.value); acc = acc.add(d); frame.enqueue((r.ts, d))
+            }
+            while (frame.nonEmpty && frame.head._1 < gts - rangeUs)
+              acc = acc.subtract(frame.dequeue()._2)
+            val a = acc.doubleValue
+            emits = group.reverse.map(r => RunningEmit(key, r.id, a))
+          }
+          val h = emits.head; emits = emits.tail; h
+        }
       }
     }
   }
@@ -615,6 +777,20 @@ object StatefulOps {
       .orderBy($"user_id", $"event_id")
   }
 
+  def qRowsBounded(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    boundedRowsPrecedingBatch(eventRows(s, dir), 9)
+      .select($"key".as("user_id"), $"id".as("event_id"), $"run_sum".as("frame_sum"))
+      .orderBy($"user_id", $"event_id")
+  }
+
+  def qRangeBounded(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    boundedRangePrecedingBatch(eventRows(s, dir), 3600L * 1000000L) // 1 hour
+      .select($"key".as("user_id"), $"id".as("event_id"), $"run_sum".as("frame_sum"))
+      .orderBy($"user_id", $"event_id")
+  }
+
   def qCountWindows(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     countTumblingBatch(eventRows(s, dir), 10)
@@ -690,6 +866,8 @@ object StatefulOps {
     "stream_sort_limit" -> (qSortLimitStream _),
     "stream_dedup_last" -> (qDedupLast _),
     "stream_over_running" -> (qRunningSum _),
+    "stream_over_rows_bounded" -> (qRowsBounded _),
+    "stream_over_range_bounded" -> (qRangeBounded _),
     "stream_count_windows" -> (qCountWindows _),
     "stream_count_sliding" -> (qCountSliding _),
     "stream_dynamic_session" -> (qDynamicSession _)
@@ -771,6 +949,20 @@ object StatefulOps {
                 CAST(sum(CAST(value AS DECIMAL(18,2)))
                      OVER (PARTITION BY user_id ORDER BY ts, event_id
                            ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS run_sum
+         FROM events ORDER BY user_id, event_id""",
+    "stream_over_rows_bounded" ->
+      """SELECT user_id, event_id,
+                CAST(sum(CAST(value AS DECIMAL(18,2)))
+                     OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS DOUBLE) AS frame_sum
+         FROM events ORDER BY user_id, event_id""",
+    // RANGE frames order by the time attribute alone; same-ts peers share
+    // the frame aggregate in both engines
+    "stream_over_range_bounded" ->
+      """SELECT user_id, event_id,
+                CAST(sum(CAST(value AS DECIMAL(18,2)))
+                     OVER (PARTITION BY user_id ORDER BY ts
+                           RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW) AS DOUBLE) AS frame_sum
          FROM events ORDER BY user_id, event_id""",
     "stream_count_windows" ->
       """SELECT user_id, win_id, count(*) AS n_events, max(value) AS max_value,

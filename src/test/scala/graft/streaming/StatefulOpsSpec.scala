@@ -84,6 +84,64 @@ class StatefulOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("boundedRowsPrecedingPerKey: streaming across batches equals the batch scan") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    // 12 rows, frame = ROWS 2 PRECEDING → window of 3; split mid-frame so
+    // the rolling buffer must carry across micro-batches
+    val rows = (1 to 12).map(i => row(1, i * 100L, i, value = i * 0.1))
+    val in = MemoryStream[KeyedRow]
+    val q = StatefulOps.boundedRowsPrecedingPerKey(in.toDS(), 2)
+      .writeStream.format("memory").queryName("rowsb").outputMode("append").start()
+    try {
+      in.addData(rows.take(5): _*); q.processAllAvailable()
+      in.addData(rows.slice(5, 7): _*); q.processAllAvailable()
+      in.addData(rows.drop(7): _*); q.processAllAvailable()
+      val streamed = s.sql("select * from rowsb").as[RunningEmit].collect()
+        .sortBy(_.id).toSeq
+      val batch = StatefulOps.boundedRowsPrecedingBatch(rows.toDS(), 2)
+        .collect().sortBy(_.id).toSeq
+      assert(streamed == batch, s"stream $streamed != batch $batch")
+      assert(math.abs(batch.last.run_sum - 3.3) < 1e-9) // exact decimal 1.0+1.1+1.2
+    } finally q.stop()
+  }
+
+  test("boundedRangePrecedingPerKey: watermark-driven flush, peers + reordering ≡ batch") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val sec = 1000000L
+    // peers at 30 s (ids 4 & 5 share the frame aggregate), a row arriving in
+    // a LATER batch that is older than already-seen rows but inside the
+    // 1000 s watermark delay (id 3 at 20 s after 30 s was seen), frame = 15 s
+    val data = Seq(
+      row(1, 10 * sec, 1, value = 1.0), row(1, 12 * sec, 2, value = 2.0),
+      row(1, 30 * sec, 4, value = 4.0), row(1, 30 * sec, 5, value = 5.0),
+      row(1, 20 * sec, 3, value = 3.0), // out-of-order across batches
+      row(1, 40 * sec, 6, value = 6.0))
+    val in = MemoryStream[KeyedRow]
+    val q = StatefulOps.boundedRangePrecedingPerKey(in.toDS(), 15 * sec, "1000 seconds")
+      .writeStream.format("memory").queryName("rangeb").outputMode("append").start()
+    try {
+      in.addData(data.take(4): _*); q.processAllAvailable()
+      in.addData(data(4)); q.processAllAvailable()
+      in.addData(data(5)); q.processAllAvailable()
+      // sentinel on another key pushes the global watermark past 40 s + delay
+      in.addData(row(99, 3000 * sec, 999, value = 0.0)); q.processAllAvailable()
+      in.addData(row(99, 9000 * sec, 1000, value = 0.0)); q.processAllAvailable()
+      val streamed = s.sql("select * from rangeb where key = 1").as[RunningEmit]
+        .collect().sortBy(_.id).toSeq
+      val batch = StatefulOps.boundedRangePrecedingBatch(data.toDS(), 15 * sec)
+        .collect().sortBy(_.id).toSeq
+      assert(streamed == batch, s"stream $streamed != batch $batch")
+      // spot semantics: peers 4 & 5 share [15 s, 30 s] = 3+4+5; id 6 sees
+      // [25 s, 40 s] = 4+5+6
+      assert(batch.filter(r => r.id == 4 || r.id == 5).map(_.run_sum).toSet == Set(12.0))
+      assert(batch.last.run_sum == 15.0)
+    } finally q.stop()
+  }
+
   test("dynamicGapSessions: a session spanning micro-batches emits exactly once") {
     val s = spark
     import s.implicits._
