@@ -67,6 +67,43 @@ object QueryableState {
       .orderBy("user_id")
   }
 
+  /** Point lookup — the reference's QueryableStateClient.getKvState
+    * (KeyedStream.java:1034 registers the descriptor; the client reads ONE
+    * key): read a single key's state row WITHOUT scanning the whole
+    * keyspace. Streaming state is hash-clustered by the grouping key —
+    * HashPartitioning places a key at `pmod(murmur3(key), nParts)` — so the
+    * lookup computes the key's state partition driver-side and restricts
+    * the statestore read to THAT partition (`snapshotStartBatchId` +
+    * `snapshotPartitionId`), then filters the key inside it: 1 of nParts
+    * partitions touched, the scan-side analogue of a KV point read.
+    * QueryableStateSpec asserts both the restriction (a one-partition scan)
+    * and agreement with the full-keyspace scan.
+    *
+    * `nParts` must be the job's shuffle-partition count when the state was
+    * written (the checkpoint pins it); defaults to the session's current
+    * setting, which GraftSession holds at 32 everywhere. */
+  def getKvState(spark: SparkSession, ckpt: String, key: Long,
+                 nPartsOpt: Option[Int] = None): DataFrame = {
+    val nParts = nPartsOpt.getOrElse(
+      spark.conf.get("spark.sql.shuffle.partitions").toInt)
+    // last committed batch: the snapshot read needs an explicit version
+    val lastBatch = Option(new java.io.File(s"$ckpt/commits").listFiles())
+      .map(_.map(_.getName).filter(_.forall(_.isDigit)).map(_.toLong))
+      .filter(_.nonEmpty).map(_.max)
+      .getOrElse(throw new IllegalArgumentException(s"no committed batch under $ckpt"))
+    // the exact HashPartitioning expression (Murmur3, seed 42) on the key —
+    // evaluated through Spark so the hash implementation can never drift
+    val pid = spark.range(1)
+      .select(pmod(hash(lit(key)), lit(nParts))).head().getInt(0)
+    spark.read.format("statestore")
+      .option("path", ckpt)
+      .option("snapshotStartBatchId", lastBatch)
+      .option("snapshotPartitionId", pid)
+      .option("batchId", lastBatch)
+      .load()
+      .filter(col("key.value") === key)
+  }
+
   def queries: Map[String, QFn] = Map(
     "queryable_state" -> (qQueryableState _)
   )
