@@ -17,6 +17,6 @@ object ColdTimer {
       val n = graft.SparkEntry.queries(name)(s, dir).count()
       println(f"COLD $name%s ${(System.nanoTime() - t0) / 1e9}%.1f s rows=$n")
     }
-    s.stop()
+    graft.GraftSession.shutdown(s)
   }
 }

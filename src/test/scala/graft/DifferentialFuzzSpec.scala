@@ -1121,6 +1121,89 @@ class DifferentialFuzzSpec extends SparkSpec {
     assert(code == 0 && fails.isEmpty,
       s"family-23 diffs vs DuckDB:\n${fails.take(10).mkString("\n")}")
   }
+
+  // ---- family 24: bounded-preceding OVER frames ----------------------------
+  //
+  // Round-11 addition (RowTime{Rows,Range}BoundedPrecedingFunction.java):
+  // the two oracle rows pin ONE parameter point each; this family sweeps
+  // seeded random frame sizes — ROWS n PRECEDING (n ∈ 1..24) and RANGE
+  // interval PRECEDING (5 min .. 3 h) — through the spillable batch scans
+  // against DuckDB's own window frames (RANGE on the numeric epoch key, so
+  // same-timestamp peer semantics are compared too).
+
+  test("family 24: bounded ROWS/RANGE OVER frames equal DuckDB across random parameters") {
+    assume(duckAvailable,
+      "python3 + duckdb (driver-side tooling) not on this machine")
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.{col, expr}
+    Tables.registerAll(s, sf)
+    val seed = sys.props.get("graft.fuzz.seed")
+      .orElse(sys.env.get("GRAFT_FUZZ_SEED")).map(_.toLong).getOrElse(20260813L)
+    val nCases = 12
+    println(s"[fuzz] family24 seed=${seed + 24} cases=$nCases")
+    val r = new scala.util.Random(seed + 24)
+    val rows = Tables.load(s, sf, "events")
+      .select(col("user_id").as("key"),
+        expr("unix_micros(cast(ts as timestamp))").as("ts"),
+        col("event_id").as("id"), col("event_type").as("kind"), col("value"))
+      .as[graft.streaming.KeyedRow]
+    val cases = (0 until nCases).map { i =>
+      if (i % 2 == 0) {
+        val n = 1 + r.nextInt(24)
+        val spark_df = graft.streaming.StatefulOps.boundedRowsPrecedingBatch(rows, n)
+          .select(col("key").as("user_id"), col("id").as("event_id"),
+            col("run_sum").as("frame_sum"))
+          .orderBy(col("user_id"), col("event_id"))
+        val duck =
+          s"""SELECT user_id, event_id,
+                CAST(sum(CAST(value AS DECIMAL(18,2)))
+                     OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN $n PRECEDING AND CURRENT ROW) AS DOUBLE) AS frame_sum
+              FROM events ORDER BY user_id, event_id"""
+        (f"f24_$i%02d", spark_df, duck)
+      } else {
+        val mins = 5 + r.nextInt(176)
+        val us = mins * 60L * 1000000L
+        val spark_df = graft.streaming.StatefulOps.boundedRangePrecedingBatch(rows, us)
+          .select(col("key").as("user_id"), col("id").as("event_id"),
+            col("run_sum").as("frame_sum"))
+          .orderBy(col("user_id"), col("event_id"))
+        val duck =
+          s"""SELECT user_id, event_id,
+                CAST(sum(CAST(value AS DECIMAL(18,2)))
+                     OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+                           RANGE BETWEEN $us PRECEDING AND CURRENT ROW) AS DOUBLE) AS frame_sum
+              FROM events ORDER BY user_id, event_id"""
+        (f"f24_$i%02d", spark_df, duck)
+      }
+    }
+    val outDir = new java.io.File("target/fuzz24_out")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
+      f.delete(): Unit
+    }
+    rm(outDir); outDir.mkdirs()
+    cases.foreach { case (name, df, _) =>
+      df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+    }
+    def esc(x: String): String = "\"" + x.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"),
+      cases.map { case (k, _, v) => s"${esc(k)}: ${esc(v)}" }.mkString("{", ",", "}"))
+    import scala.sys.process._
+    val buf = new StringBuilder
+    val code = Seq("python3", "tools/check.py", sf, outDir.getPath)
+      .!(ProcessLogger(l => buf.append(l).append('\n'), l => buf.append(l).append('\n')))
+    val fails = buf.toString.linesIterator.filter(_.startsWith("FAIL")).toList
+    assert(code == 0 && fails.isEmpty,
+      s"family-24 diffs vs DuckDB:\n${fails.take(10).mkString("\n")}")
+  }
 }
 
 /** family-21 corpus row — top-level so Spark can derive its Encoder
