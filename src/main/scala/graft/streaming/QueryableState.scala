@@ -79,18 +79,28 @@ object QueryableState {
     * QueryableStateSpec asserts both the restriction (a one-partition scan)
     * and agreement with the full-keyspace scan.
     *
-    * `nParts` must be the job's shuffle-partition count when the state was
-    * written (the checkpoint pins it); defaults to the session's current
-    * setting, which GraftSession holds at 32 everywhere. */
+    * `nParts` is the job's shuffle-partition count when the state was
+    * written — read from the checkpoint's own offsets metadata (the
+    * checkpoint pins the conf), falling back to the session setting for
+    * checkpoints without it. */
   def getKvState(spark: SparkSession, ckpt: String, key: Long,
                  nPartsOpt: Option[Int] = None): DataFrame = {
-    val nParts = nPartsOpt.getOrElse(
-      spark.conf.get("spark.sql.shuffle.partitions").toInt)
     // last committed batch: the snapshot read needs an explicit version
     val lastBatch = Option(new java.io.File(s"$ckpt/commits").listFiles())
       .map(_.map(_.getName).filter(_.forall(_.isDigit)).map(_.toLong))
       .filter(_.nonEmpty).map(_.max)
       .getOrElse(throw new IllegalArgumentException(s"no committed batch under $ckpt"))
+    val nParts = nPartsOpt.orElse {
+      // the offsets log's metadata line records the conf the state was
+      // hash-partitioned with — the authoritative count even if the
+      // reading session runs a different setting
+      try {
+        val txt = java.nio.file.Files.readString(
+          java.nio.file.Paths.get(s"$ckpt/offsets/$lastBatch"))
+        """"spark\.sql\.shuffle\.partitions"\s*:\s*"?(\d+)"?""".r
+          .findFirstMatchIn(txt).map(_.group(1).toInt)
+      } catch { case _: Throwable => None }
+    }.getOrElse(spark.conf.get("spark.sql.shuffle.partitions").toInt)
     // the exact HashPartitioning expression (Murmur3, seed 42) on the key —
     // evaluated through Spark so the hash implementation can never drift
     val pid = spark.range(1)

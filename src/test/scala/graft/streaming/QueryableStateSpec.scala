@@ -58,5 +58,18 @@ class QueryableStateSpec extends SparkSpec {
       assert(got.map(_.getLong(0)).toSeq == Seq(k * 10 + 1),
         s"key $k not found via its computed state partition")
     }
+
+    // the partition count must come from the CHECKPOINT's metadata, not the
+    // reading session's conf — a reader with a different setting would
+    // compute the wrong partition otherwise
+    val before = s.conf.get("spark.sql.shuffle.partitions")
+    try {
+      s.conf.set("spark.sql.shuffle.partitions", "7")
+      val got = QueryableState.getKvState(s, ckpt, 23L)
+        .select(col("value.groupState.sumMicros")).collect()
+      assert(got.map(_.getLong(0)).toSeq == Seq(231L),
+        "lookup broke under a mismatched session shuffle-partition conf — " +
+          "nParts did not come from the checkpoint metadata")
+    } finally s.conf.set("spark.sql.shuffle.partitions", before)
   }
 }
