@@ -211,6 +211,63 @@ class CheckpointRestartSpec extends SparkSpec {
       s"the pre-restart partial run must complete exactly once: $matches")
   }
 
+  test("round 11: bounded-RANGE OVER pending groups + frame survive a restart") {
+    // the RangeOverState holds (a) the PENDING newest timestamp group (held
+    // until the watermark passes it) and (b) already-emitted frame rows
+    // still inside the horizon. Both must round-trip the checkpoint: the
+    // post-restart flush of the pre-restart pending group must emit, and a
+    // post-restart row's frame must include PRE-restart rows.
+    val s = spark
+    import s.implicits._
+    val root = java.nio.file.Files.createTempDirectory("ckpt_range").toString
+    val in = s"$root/in"; val out = s"$root/out"; val ckpt = s"$root/ckpt"
+    new java.io.File(in).mkdirs()
+    val schema = org.apache.spark.sql.Encoders.product[KeyedRow].schema
+    val sec = 1000000L
+
+    def startQuery() = StatefulOps.boundedRangePrecedingPerKey(
+        s.readStream.schema(schema).json(s"$in/*").as[KeyedRow],
+        rangeUs = 15 * sec, watermarkDelay = "1000 seconds")
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    def addFile(name: String, rows: String*): Unit =
+      rows.toSeq.toDF("value").coalesce(1).write.mode("append").text(s"$in/$name")
+
+    // phase 1: rows at 10 s and 20 s — both pending (the watermark delay
+    // holds them), NOTHING emitted before the stop
+    val q1 = startQuery()
+    try {
+      addFile("f1",
+        s"""{"key":1,"ts":${10 * sec},"id":1,"kind":"a","value":1.0}""",
+        s"""{"key":1,"ts":${20 * sec},"id":2,"kind":"a","value":2.0}""")
+      q1.processAllAvailable()
+    } finally q1.stop()
+    assert(!new java.io.File(out).exists() || s.read.parquet(out).isEmpty,
+      "the watermark has not passed any group — nothing may emit pre-restart")
+
+    // phase 2 (restarted): a row at 30 s (frame [15 s, 30 s] must see the
+    // RESTORED 20 s row but not the evicted 10 s one), then a far-future
+    // sentinel key drives the watermark past everything
+    val q2 = startQuery()
+    try {
+      addFile("f2", s"""{"key":1,"ts":${30 * sec},"id":3,"kind":"a","value":4.0}""")
+      q2.processAllAvailable()
+      addFile("f3", s"""{"key":9,"ts":${9000 * sec},"id":99,"kind":"z","value":0.0}""")
+      q2.processAllAvailable()
+      addFile("f4", s"""{"key":9,"ts":${99000 * sec},"id":100,"kind":"z","value":0.0}""")
+      q2.processAllAvailable()
+    } finally q2.stop()
+
+    val rows = s.read.parquet(out).filter(col("key") === 1L).as[RunningEmit]
+      .collect().sortBy(_.id).toSeq
+    assert(rows == Seq(
+      RunningEmit(1, 1, 1.0),   // pre-restart pending group, flushed after restore
+      RunningEmit(1, 2, 3.0),   // frame [5 s, 20 s] = 1.0 + 2.0
+      RunningEmit(1, 3, 6.0)),  // frame [15 s, 30 s] = restored 2.0 + 4.0 (10 s evicted)
+      s"pending groups and frame rows must survive the restart: $rows")
+  }
+
   test("round 10: retractable Top-N promotes a pre-restart HIDDEN row after restore") {
     // the ordered-index state is the key's FULL (id -> value) map, not just
     // the visible top-N: a post-restart retraction of a top occupant must
