@@ -833,8 +833,8 @@ object StatefulOps {
     *
     * Scale: state is one row per build key — the minimum any temporal join
     * can hold — and the union shuffles each side once on the join key. */
-  def proctimeTemporalJoin(left: Dataset[KeyedRow], right: Dataset[KeyedRow])
-      : Dataset[(Long, Long, String)] = {
+  def proctimeTemporalJoin(left: Dataset[KeyedRow], right: Dataset[KeyedRow],
+                           outer: Boolean = false): Dataset[(Long, Long, String)] = {
     import left.sparkSession.implicits._
     val tagged = right.map(r => TemporalTagged(r.key, build = true, r.ts, r.id, r.kind, r.value))
       .union(left.map(l => TemporalTagged(l.key, build = false, l.ts, l.id, l.kind, l.value)))
@@ -852,7 +852,15 @@ object StatefulOps {
           }
           val version = state.getOption
           rows.filterNot(_.build).sortBy(p => (p.ts, p.id)).iterator.flatMap { p =>
-            version.map(v => (key, p.id, v.kind))
+            version match {
+              case Some(v) => Some((key, p.id, v.kind))
+              // LEFT form (TemporalJoinITCase.scala:344
+              // testProcTimeLeftTemporalJoin): a probe with no version yet
+              // emits null-padded instead of dropping — still never
+              // retro-filled when a version later arrives
+              case None if outer => Some((key, p.id, null))
+              case None => None
+            }
           }
       }
   }

@@ -54,4 +54,35 @@ class ProctimeTemporalJoinSpec extends SparkSpec {
       assert(got.contains((1L, 6L, "v2")) && !got.exists(_._3 == "v0"))
     } finally q.stop()
   }
+
+  test("round 11: LEFT form null-pads version-less probes, never retro-fills") {
+    // TemporalJoinITCase.scala:344 testProcTimeLeftTemporalJoin: a probe
+    // whose key has no version yet keeps a null-padded row (inner drops
+    // it); when the version later arrives, the old probe is NOT re-emitted
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val leftIn = MemoryStream[KeyedRow]
+    val rightIn = MemoryStream[KeyedRow]
+    val out = StatefulOps.proctimeTemporalJoin(leftIn.toDS(), rightIn.toDS(), outer = true)
+      .toDF("key", "probe_id", "version")
+    val q = out.writeStream.format("memory").queryName("proctime_tj_left")
+      .outputMode("append").start()
+    def got: Set[(Long, Long, Option[String])] =
+      spark.table("proctime_tj_left").collect()
+        .map(r => (r.getLong(0), r.getLong(1), Option(r.getString(2)))).toSet
+    try {
+      // key 2 has no version: its probe emits null-padded
+      rightIn.addData(row(1, 10, 100, "v1"))
+      leftIn.addData(row(1, 11, 1, "p"), row(2, 11, 2, "p"))
+      q.processAllAvailable()
+      assert(got == Set((1L, 1L, Some("v1")), (2L, 2L, None)))
+
+      // key 2's version arrives: a NEW probe joins it; the old null-padded
+      // row stays exactly once (no retro-fill, no duplicate)
+      rightIn.addData(row(2, 20, 102, "w1"))
+      leftIn.addData(row(2, 21, 3, "p"))
+      q.processAllAvailable()
+      assert(got == Set((1L, 1L, Some("v1")), (2L, 2L, None), (2L, 3L, Some("w1"))))
+    } finally q.stop()
+  }
 }
