@@ -65,8 +65,28 @@ object GraftSession {
     sys.props.getOrElseUpdate("derby.stream.error.file", "target/derby.log")
   }
 
+  /** Once-per-JVM backstop for ABNORMAL exits: a shutdown hook that closes
+    * every cached state-store provider (joining RocksDB native background
+    * work) while JNI attach still succeeds. The orderly path is
+    * [[shutdown]] in every `main`'s finally — but a fatal task error can
+    * exit through Spark's uncaught-exception handler (System.exit), which
+    * skips finally blocks; a round-11 disk-full job abort reproduced the
+    * rocksdbjni LoggerJniCallback SIGSEGV on exactly that path
+    * (BASELINE.md incident addendum). StateStore.stop() is idempotent and
+    * safe whatever the SparkContext's state, so hook ordering is
+    * irrelevant. */
+  private val shutdownHookInstalled = new java.util.concurrent.atomic.AtomicBoolean(false)
+  private def installShutdownHook(): Unit =
+    if (shutdownHookInstalled.compareAndSet(false, true)) {
+      Runtime.getRuntime.addShutdownHook(new Thread(
+        () => try org.apache.spark.sql.GraftSqlBridge.stopStateStores()
+              catch { case _: Throwable => () },
+        "graft-statestore-shutdown"))
+    }
+
   def builder(master: String = "local[32]",
-              shufflePartitions: Int = 32): SparkSession.Builder =
+              shufflePartitions: Int = 32): SparkSession.Builder = {
+    installShutdownHook()
     SparkSession.builder()
       .master(master)
       .appName("graft")
@@ -116,6 +136,7 @@ object GraftSession {
       .config("spark.ui.retainedJobs", "100")
       .config("spark.ui.retainedStages", "100")
       .config("spark.ui.retainedTasks", "1000")
+  }
 
   def create(): SparkSession = {
     val spark = builder().getOrCreate()

@@ -243,13 +243,18 @@ object StateScaleProbe {
       else Seq(1000000L, 3000000L, 10000000L)
     val spark = GraftSession.create()
     spark.conf.set("spark.sql.streaming.stateStore.providerClass", Rocks)
-    depths.foreach { k =>
-      if (probes("topn")) probeTopN(spark, k)
-      if (probes("join")) probeJoin(spark, k)
-      if (probes("cep")) probeCep(spark, k)
-      if (probes("nav")) probeNav(spark, k)
-      if (probes("blow")) probeBlow(spark, k)
-    }
-    GraftSession.shutdown(spark)
+    // shutdown MUST run on the exception path too: an aborted probe that
+    // exits with open RocksDB providers reproduces the JNI-logger SIGSEGV
+    // (BASELINE.md round-11 incident addendum — a disk-full task abort
+    // walked exactly that path)
+    try {
+      depths.foreach { k =>
+        if (probes("topn")) probeTopN(spark, k)
+        if (probes("join")) probeJoin(spark, k)
+        if (probes("cep")) probeCep(spark, k)
+        if (probes("nav")) probeNav(spark, k)
+        if (probes("blow")) probeBlow(spark, k)
+      }
+    } finally GraftSession.shutdown(spark)
   }
 }

@@ -56,4 +56,41 @@ class RocksDbShutdownSpec extends AnyFunSuite {
         f.getName.startsWith("hs_err_pid") && f.lastModified() >= startedAt),
       "probe JVM left an hs_err crash dump in the repo root")
   }
+
+  test("an ABNORMAL exit (System.exit with open providers) is caught by the shutdown hook") {
+    // the round-11 reproduction: a disk-full task abort exited through a
+    // path that skips finally blocks, leaving RocksDB providers open into
+    // JVM teardown — SIGSEGV in the JNI logger callback (exit 134). The
+    // once-per-JVM shutdown hook (GraftSession.installShutdownHook) closes
+    // the providers during the hooks phase, while JNI attach still
+    // succeeds; this fork exits 3 by design and must NEVER crash.
+    val java = new File(new File(sys.props("java.home"), "bin"), "java").getPath
+    val addOpens = Seq(
+      "java.base/java.lang", "java.base/java.lang.invoke",
+      "java.base/java.lang.reflect", "java.base/java.io",
+      "java.base/java.net", "java.base/java.nio",
+      "java.base/java.util", "java.base/java.util.concurrent",
+      "java.base/java.util.concurrent.atomic",
+      "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+      "java.base/sun.security.action", "java.base/sun.util.calendar",
+    ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+    val cmd = Seq(java) ++ addOpens ++ Seq(
+      "-Xmx6g", "-Dspark.ui.enabled=false",
+      "-cp", sys.props("java.class.path"),
+      "graft.tools.AbruptExitProbe", "200000")
+    val startedAt = System.currentTimeMillis()
+    val out = new StringBuilder
+    val code = Process(cmd, new File(".")) ! ProcessLogger(
+      l => out.synchronized { out.append(l).append('\n'); () },
+      l => out.synchronized { out.append(l).append('\n'); () })
+    val text = out.toString
+    assert(text.contains("ABRUPT_PROBE_STATE_BUILT"),
+      s"probe never built its state:\n${text.takeRight(2000)}")
+    assert(code == 3,
+      s"abnormal-exit probe must exit 3 (its own code), got $code " +
+        s"(SIGSEGV/SIGABRT exit 134/139):\n${text.takeRight(4000)}")
+    assert(!new File(".").listFiles.exists(f =>
+        f.getName.startsWith("hs_err_pid") && f.lastModified() >= startedAt),
+      "abnormal-exit probe left an hs_err crash dump")
+  }
 }
