@@ -32,6 +32,22 @@ private[streaming] case class JoinSideState(
 case class TemporalTagged(key: Long, build: Boolean, ts: Long, id: Long,
                           kind: String, value: Double)
 
+/** TemporalTagged + materialized event-time column (watermark carrier) for
+  * the EVENT-time streaming temporal join. */
+case class TemporalTaggedW(key: Long, build: Boolean, ts: Long, id: Long,
+                           kind: String, value: Double, ets: java.sql.Timestamp)
+
+/** Event-time temporal-join emission: the probe row plus its matched
+  * version (None-padded in the LEFT form when no version ≤ probe time). */
+case class AsOfStreamEmit(key: Long, probe_id: Long, probe_ts: Long,
+                          version_id: Option[Long], version_ts: Option[Long],
+                          version_value: Option[Double])
+
+/** Event-time temporal-join state: buffered probes awaiting their
+  * watermark, and the retained version history (both (ts, id)-ascending). */
+private[streaming] case class TemporalRowTimeState(
+  probes: List[KeyedRow], versions: List[KeyedRow])
+
 /** Windowed-agg emission with a late-data side channel: tag "window" rows
   * carry the closed window's aggregate; tag "late" rows carry the dropped
   * row's id (win_start = the window it would have belonged to). */
@@ -865,8 +881,117 @@ object StatefulOps {
       }
   }
 
+  /** EVENT-time temporal join, streaming form — the reference's
+    * TemporalRowTimeJoinOperator.java:77 (StreamExecTemporalJoin): buffer
+    * probe rows and version rows per key; when the WATERMARK passes a
+    * probe's time, join it with the latest version whose time ≤ the
+    * probe's (binary search over the buffered history,
+    * latestRightRowToJoin:332-355) — inner drops versionless probes, the
+    * LEFT form null-pads them. Version cleanup is the reference's rule:
+    * versions above the watermark are all retained, and of those at or
+    * below it only the NEWEST survives (every future probe has
+    * ts > watermark, so older versions are dominated) — state per key is
+    * the in-flight horizon, never the stream. Late rows (at or behind the
+    * watermark) drop on both sides. On a bounded Dataset the whole key
+    * group arrives at once and every probe resolves at end of group. */
+  def eventTimeTemporalJoin(left: Dataset[KeyedRow], right: Dataset[KeyedRow],
+                            outer: Boolean = false,
+                            watermarkDelay: String = "0 seconds"): Dataset[AsOfStreamEmit] = {
+    import left.sparkSession.implicits._
+    val streaming = left.isStreaming
+    val tagged = right.map(r => TemporalTagged(r.key, build = true, r.ts, r.id, r.kind, r.value))
+      .union(left.map(l => TemporalTagged(l.key, build = false, l.ts, l.id, l.kind, l.value)))
+      .withColumn("ets", timestamp_micros($"ts")).as[TemporalTaggedW]
+    val marked = if (streaming) tagged.withWatermark("ets", watermarkDelay) else tagged
+    marked.groupByKey(_.key)
+      .flatMapGroupsWithState[TemporalRowTimeState, AsOfStreamEmit](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (key, it, state) =>
+          var TemporalRowTimeState(probes, versions) =
+            state.getOption.getOrElse(TemporalRowTimeState(Nil, Nil))
+          val out = scala.collection.mutable.ListBuffer.empty[AsOfStreamEmit]
+          val wmMs = if (streaming) state.getCurrentWatermarkMs else Long.MinValue
+          if (!state.hasTimedOut) {
+            val fresh = it.toArray.filter(r => !streaming || r.ts / 1000 > wmMs)
+            val (vs, ps) = fresh.partition(_.build)
+            if (vs.nonEmpty)
+              versions = (versions ++ vs.map(v =>
+                KeyedRow(key, v.ts, v.id, v.kind, v.value))).sortBy(x => (x.ts, x.id))
+            if (ps.nonEmpty)
+              probes = (probes ++ ps.map(p =>
+                KeyedRow(key, p.ts, p.id, p.kind, p.value))).sortBy(x => (x.ts, x.id))
+          }
+          // probes the watermark has passed resolve now: the latest version
+          // with ts ≤ probe ts can no longer change (any new version there
+          // would be late-dropped)
+          val (ready, pending) =
+            if (streaming) probes.partition(_.ts / 1000 <= wmMs)
+            else (probes, Nil)
+          ready.foreach { p =>
+            val v = versions.takeWhile(_.ts <= p.ts).lastOption
+            if (v.isDefined) out += AsOfStreamEmit(key, p.id, p.ts,
+              Some(v.get.id), Some(v.get.ts), Some(v.get.value))
+            else if (outer) out += AsOfStreamEmit(key, p.id, p.ts, None, None, None)
+          }
+          probes = pending
+          // reference cleanup: keep versions above the watermark plus the
+          // single newest at-or-below it
+          if (streaming && versions.nonEmpty) {
+            val (below, above) = versions.partition(_.ts / 1000 <= wmMs)
+            versions = below.lastOption.toList ++ above
+          }
+          if (probes.isEmpty && versions.isEmpty) state.remove()
+          else {
+            state.update(TemporalRowTimeState(probes, versions))
+            if (streaming && probes.nonEmpty)
+              state.setTimeoutTimestamp(math.max(probes.head.ts / 1000 + 1, wmMs + 1))
+          }
+          out.iterator
+      }
+  }
+
+  /** Oracle row: [[eventTimeTemporalJoin]] driven as a REAL StreamingQuery
+    * over parquet channels — purchases probe the clicks version history,
+    * inner keyword semantics, drained through the exactly-once file sink.
+    * A far-future sentinel (filtered from the result) arrives in its own
+    * trigger and advances the shared watermark past every real row, so the
+    * buffered probes all resolve before the drain stops. */
+  def qStreamAsofJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val token = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val probesDir = graft.RelayDir.fresh("asof_stream_in", s"${token}_p")
+    val versDir = graft.RelayDir.fresh("asof_stream_in", s"${token}_v")
+    val ev = graft.Tables.load(s, dir, "events")
+    def keyed(t: String) = ev.filter(col("event_type") === t)
+      .select(col("user_id").as("key"),
+        expr("unix_micros(cast(ts as timestamp))").as("ts"),
+        col("event_id").as("id"), col("event_type").as("kind"), col("value"))
+    // one file per side: all real rows share the first trigger (nothing can
+    // be late against the initial watermark); the sentinel file is the
+    // second trigger
+    keyed("purchase").coalesce(1).write.parquet(probesDir)
+    val far = ev.agg(max(expr("unix_micros(cast(ts as timestamp))")))
+      .head().getLong(0) + 3600L * 1000000L
+    Seq((-1L, far, -1L, "s", 0.0), (-1L, far + 1, -2L, "s", 0.0))
+      .toDF("key", "ts", "id", "kind", "value").coalesce(1)
+      .write.mode("append").parquet(probesDir)
+    keyed("click").coalesce(1).write.parquet(versDir)
+    val schema = org.apache.spark.sql.Encoders.product[KeyedRow].schema
+    val left = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(probesDir).as[KeyedRow]
+    val right = s.readStream.schema(schema).parquet(versDir).as[KeyedRow]
+    val emitted = graft.RelayDir.drain(s,
+      eventTimeTemporalJoin(left, right).toDF(), "asof_stream_out", token)
+    emitted.filter(col("key") >= 0)
+      .select(col("key").as("u"), col("probe_id").as("p_id"),
+        col("version_id").as("asof_click_id"),
+        col("version_ts").as("asof_click_ts_us"))
+      .orderBy(col("u"), col("p_id"))
+  }
+
   def queries: Map[String, QFn] = Map(
     "stream_topn" -> (qTopN _),
+    "stream_asof_join" -> (qStreamAsofJoin _),
     "stream_retract_topn" -> (qRetractTopN _),
     "cdc_pipeline" -> ((s: SparkSession, d: String) => Changelog.qCdcPipeline(s, d)),
     "cdc_pipeline_minibatch" ->
@@ -905,6 +1030,18 @@ object StatefulOps {
           FROM r WHERE rnk <= 3 ORDER BY rnk"""
 
   def oracles: Map[String, String] = Map(
+    // inner event-time temporal join, resolved streaming: the latest click
+    // version at-or-before each purchase; versionless purchases drop
+    "stream_asof_join" ->
+      """SELECT u, p_id, asof_click_id, asof_click_ts_us FROM (
+           SELECT p.user_id AS u, p.event_id AS p_id, c.event_id AS asof_click_id,
+                  epoch_us(c.ts) AS asof_click_ts_us,
+                  row_number() OVER (PARTITION BY p.user_id, p.event_id
+                                     ORDER BY c.ts DESC, c.event_id DESC) AS rn
+           FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+           JOIN (SELECT * FROM events WHERE event_type = 'click') c
+             ON c.user_id = p.user_id AND c.ts <= p.ts)
+         WHERE rn = 1 ORDER BY u, p_id""",
     "cdc_pipeline" -> cdcOracleSql,
     "cdc_pipeline_minibatch" -> cdcOracleSql,
     // the rank changelog folded = plain rank over each slot's LAST value
