@@ -1204,6 +1204,83 @@ class DifferentialFuzzSpec extends SparkSpec {
     assert(code == 0 && fails.isEmpty,
       s"family-24 diffs vs DuckDB:\n${fails.take(10).mkString("\n")}")
   }
+
+  // ---- family 25: streaming event-time temporal join -----------------------
+  //
+  // Round-11 addition (TemporalRowTimeJoinOperator.java:77). The oracle is
+  // first-principles: for every probe, the latest version with ts ≤ the
+  // probe's (max by (ts, id)); inner drops versionless probes, LEFT
+  // null-pads. Each seeded case shuffles versions AND probes into 3
+  // arbitrary micro-batch chunks per side — out-of-order arrival inside the
+  // watermark delay is exactly the buffered-history path under test — then
+  // sentinel probes flush everything.
+
+  test("family 25: the streaming event-time temporal join equals first principles under shuffled arrival") {
+    import graft.streaming.{KeyedRow, StatefulOps}
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val seed = sys.props.get("graft.fuzz.seed")
+      .orElse(sys.env.get("GRAFT_FUZZ_SEED")).map(_.toLong).getOrElse(20260813L)
+    val nCases = 6
+    println(s"[fuzz] family25 seed=${seed + 25} cases=$nCases")
+    val r = new scala.util.Random(seed + 25)
+    val sec = 1000000L
+    var totalEmits = 0
+    var totalNullPads = 0
+    (0 until nCases).foreach { c =>
+      val outer = r.nextBoolean()
+      val nKeys = 3 + r.nextInt(6)
+      var id = 0L
+      def nid(): Long = { id += 1; id }
+      val versions = (0 until nKeys).flatMap { k =>
+        Seq.fill(r.nextInt(7))(KeyedRow(k.toLong, (1 + r.nextInt(100)) * sec, nid(), "v", r.nextInt(1000).toDouble))
+      }
+      val probes = (0 until nKeys).flatMap { k =>
+        Seq.fill(1 + r.nextInt(10))(KeyedRow(k.toLong, (1 + r.nextInt(100)) * sec, nid(), "p", 0.0))
+      }
+      // first principles
+      val expected = probes.flatMap { p =>
+        val v = versions.filter(x => x.key == p.key && x.ts <= p.ts)
+          .sortBy(x => (x.ts, x.id)).lastOption
+        if (v.isDefined) Some((p.key, p.id, Some(v.get.id)))
+        else if (outer) Some((p.key, p.id, None: Option[Long]))
+        else None
+      }.toSet
+      // streaming with shuffled 3-chunk arrival per side
+      val pIn = MemoryStream[KeyedRow]
+      val vIn = MemoryStream[KeyedRow]
+      val q = StatefulOps.eventTimeTemporalJoin(pIn.toDS(), vIn.toDS(),
+          outer = outer, watermarkDelay = "1000 seconds")
+        .writeStream.format("memory").queryName(s"f25_$c")
+        .outputMode("append").start()
+      try {
+        val pChunks = r.shuffle(probes).grouped(math.max(1, probes.size / 3 + 1)).toSeq
+        val vChunks = r.shuffle(versions).grouped(math.max(1, versions.size / 3 + 1)).toSeq
+        (0 until math.max(pChunks.size, vChunks.size)).foreach { i =>
+          vChunks.lift(i).foreach(ch => vIn.addData(ch: _*))
+          pChunks.lift(i).foreach(ch => pIn.addData(ch: _*))
+          q.processAllAvailable()
+        }
+        pIn.addData(KeyedRow(999L, 100000L * sec, 999999L, "p", 0.0))
+        q.processAllAvailable()
+        pIn.addData(KeyedRow(999L, 200000L * sec, 999998L, "p", 0.0))
+        q.processAllAvailable()
+        val got = s.sql(s"select * from f25_$c")
+          .as[graft.streaming.AsOfStreamEmit].collect()
+          .filter(_.key != 999L)
+          .map(e => (e.key, e.probe_id, e.version_id)).toSet
+        assert(got == expected,
+          s"family25 #$c (outer=$outer): missing=${(expected -- got).take(5)} " +
+            s"extra=${(got -- expected).take(5)}")
+        totalEmits += got.size
+        totalNullPads += got.count(_._3.isEmpty)
+      } finally q.stop()
+    }
+    println(s"[fuzz] family25 total emits compared: $totalEmits, null-padded: $totalNullPads")
+    assert(totalEmits > 60, "vacuity guard: the seeded corpora should produce real joins")
+  }
 }
 
 /** family-21 corpus row — top-level so Spark can derive its Encoder
