@@ -38,20 +38,23 @@ object Jdbc {
   private val jvmTag = java.util.UUID.randomUUID.toString.replace("-", "").take(12)
 
   /** One purge per JVM (ADVICE r10: the old per-call walk also re-ran on
-    * every dbUrl). A db dir is purged only when BOTH its top-level mtime
-    * AND its `db.lck` (present while/after a Derby boot; absent only for
-    * wreckage) are past the cutoff — a directory's mtime does not change
-    * when nested files do, so the dir mtime alone could pull a LIVE >2h
-    * JVM's database out from under it. Our own dirs (jvmTag suffix) are
-    * never candidates, and [[dbUrl]] re-touches them on every use so they
-    * stay fresh for OTHER JVMs' purges too. */
+    * every dbUrl). A db dir is purged only when its top-level mtime is past
+    * the cutoff AND its `db.lck` is ABSENT — Derby sets db.lck's mtime once
+    * at boot and never refreshes it (ADVICE r11), so a present lock file is
+    * treated as live regardless of age: a >2h JVM that hasn't re-called
+    * dbUrl must not have its booted database pulled out from under it.
+    * Dead-JVM wreckage that kept its db.lck is therefore retained (these
+    * dim databases are KB-scale; disk is bounded), while clean-shutdown
+    * leftovers (Derby removes db.lck on orderly shutdown) purge normally.
+    * Our own dirs (jvmTag suffix) are never candidates, and [[dbUrl]]
+    * re-touches them on every use. */
   private lazy val purgeStale: Unit = {
     val root = new java.io.File("target/derby")
     val cutoff = System.currentTimeMillis() - 2L * 3600 * 1000
     Option(root.listFiles()).foreach(_.foreach { f =>
       val lck = new java.io.File(f, "db.lck")
       if (!f.getName.endsWith(s"_$jvmTag") && f.lastModified() < cutoff &&
-          (!lck.exists() || lck.lastModified() < cutoff)) {
+          !lck.exists()) {
         def rm(g: java.io.File): Unit = {
           Option(g.listFiles()).foreach(_.foreach(rm)); g.delete(): Unit
         }

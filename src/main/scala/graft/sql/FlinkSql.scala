@@ -192,6 +192,12 @@ object FlinkSql {
       else if (SystemTimeJoin.matches(probe))
         Some(org.apache.spark.sql.GraftSqlBridge.logicalPlan(
           SystemTimeJoin.run(session, sqlText)))
+      // temporal TABLE FUNCTION laterals — the pre-FOR SYSTEM_TIME idiom
+      // (LATERAL TABLE (Rates(o.rowtime))); only registered function names
+      // dispatch, so Spark's LATERAL VIEW and stock laterals fall through
+      else if (TemporalTableFunctions.matches(probe))
+        Some(org.apache.spark.sql.GraftSqlBridge.logicalPlan(
+          TemporalTableFunctions.run(session, sqlText)))
       // early-fire / late-fire emit strategies: config-gated, exactly like
       // the reference's TABLE_EXEC_EMIT_EARLY_FIRE_ENABLED / _LATE_FIRE_
       // ENABLED — with both confs unset, TUMBLE queries take the plain

@@ -135,6 +135,72 @@ object FlinkSqlQueries {
                FROM lpurchases LEFT JOIN lclicks FOR SYSTEM_TIME AS OF PROCTIME() ON u = cu
                ORDER BY u, p_id""")
     }),
+    // temporal TABLE FUNCTION — the reference's pre-FOR SYSTEM_TIME
+    // temporal-join idiom (Table.createTemporalTableFunction +
+    // LATERAL TABLE (Rates(o.rowtime)); TemporalTableFunctionJoinITCase
+    // .scala:113 event-time form). The comma-join lateral is INNER; the
+    // primary-key equality lives in WHERE. Routed onto the same custom
+    // AsOfJoin operator as FOR SYSTEM_TIME.
+    "fsql_ttf_rowtime" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("""SELECT user_id AS u, event_id AS p_id, ts AS p_ts FROM events
+               WHERE event_type = 'purchase'""").createOrReplaceTempView("ttf_purchases")
+      val clicks = s.sql(
+        """SELECT user_id AS cu, event_id AS c_id, ts AS c_ts, value AS c_val
+           FROM events WHERE event_type = 'click'""")
+      TemporalTableFunctions.registerFunction("ClickVersions",
+        TemporalTableFunctions.createTemporalTableFunction(clicks, "c_ts", "cu"))
+      s.sql("""SELECT o.u, o.p_id, r.c_id AS asof_click_id, r.c_val AS asof_val
+               FROM ttf_purchases AS o, LATERAL TABLE (ClickVersions(o.p_ts)) AS r
+               WHERE r.cu = o.u
+               ORDER BY u, p_id""")
+    }),
+    // proc-time temporal table function (TemporalTableFunctionJoinITCase
+    // .scala:64): LATERAL TABLE (Rates(o.proctime)) — probe against the
+    // build side's LATEST version; bounded degeneration = keep-last-per-key
+    // + inner equi-join, same keep-last tiebreak as fsql_proctime_join
+    "fsql_ttf_proctime" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("""SELECT user_id AS u, event_id AS p_id, ts AS p_ts FROM events
+               WHERE event_type = 'purchase'""").createOrReplaceTempView("ttf_purchases")
+      val clicks = s.sql(
+        """SELECT user_id AS cu, event_id AS c_id, ts AS c_ts, value AS c_val
+           FROM events WHERE event_type = 'click'""")
+      TemporalTableFunctions.registerFunction("ClickVersions",
+        TemporalTableFunctions.createTemporalTableFunction(clicks, "c_ts", "cu"))
+      s.sql("""SELECT o.u, o.p_id, r.c_id AS latest_click_id, r.c_val AS latest_val
+               FROM ttf_purchases AS o, LATERAL TABLE (ClickVersions(o.proctime)) AS r
+               WHERE r.cu = o.u
+               ORDER BY u, p_id""")
+    }),
+    // nested temporal table functions (TemporalTableFunctionJoinITCase
+    // .scala:177): TWO laterals against one probe, where the second
+    // lateral's key equality references the FIRST lateral's output
+    // (r.currency = p.currency in the reference) — laterals fold
+    // left-to-right onto the accumulated probe side. The second versioned
+    // table is aggregated to unique (key, time) pairs so version
+    // selection is deterministic.
+    "fsql_ttf_nested" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("""SELECT user_id AS u, event_id AS p_id, ts AS p_ts FROM events
+               WHERE event_type = 'purchase'""").createOrReplaceTempView("ttf_purchases")
+      val clicks = s.sql(
+        """SELECT user_id AS cu, event_id AS c_id, ts AS c_ts, event_id % 8 AS c_bucket
+           FROM events WHERE event_type = 'click'""")
+      val buckets = s.sql(
+        """SELECT event_id % 8 AS b_key, ts AS b_ts, max(value) AS b_val
+           FROM events WHERE event_type = 'view' GROUP BY 1, 2""")
+      TemporalTableFunctions.registerFunction("ClickB",
+        TemporalTableFunctions.createTemporalTableFunction(clicks, "c_ts", "cu"))
+      TemporalTableFunctions.registerFunction("BucketV",
+        TemporalTableFunctions.createTemporalTableFunction(buckets, "b_ts", "b_key"))
+      s.sql("""SELECT o.u, o.p_id, c.c_id AS click_id, b.b_val AS bucket_val
+               FROM ttf_purchases AS o,
+                 LATERAL TABLE (ClickB(o.p_ts)) AS c,
+                 LATERAL TABLE (BucketV(o.p_ts)) AS b
+               WHERE c.cu = o.u AND b.b_key = c.c_bucket
+               ORDER BY u, p_id""")
+    }),
     // watermark declared via DDL (WATERMARK FOR in CREATE VIEW) instead of
     // a programmatic declareWatermark call; the as-of join resolves the
     // versioned side's time attribute from the registry the DDL fed
@@ -781,6 +847,54 @@ object FlinkSqlQueries {
                  FROM events WHERE event_type = 'click') c
              ON c.user_id = p.u AND c.rn = 1)
          ORDER BY u, p_id""",
+    // lateral rowtime form = the inner as-of rewrite (same fixture as
+    // fsql_system_time_inner, carrying value instead of ts)
+    "fsql_ttf_rowtime" ->
+      """SELECT u, p_id, c_id AS asof_click_id, c_val AS asof_val FROM (
+           SELECT p.user_id AS u, p.event_id AS p_id, c.event_id AS c_id, c.value AS c_val,
+                  row_number() OVER (PARTITION BY p.user_id, p.event_id
+                                     ORDER BY c.ts DESC, c.event_id DESC) AS rn
+           FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+           JOIN (SELECT * FROM events WHERE event_type = 'click') c
+             ON c.user_id = p.user_id AND c.ts <= p.ts)
+         WHERE rn = 1 ORDER BY u, p_id""",
+    // lateral proctime form = inner join against the single latest click
+    // version per user (same keep-last tiebreak replay as
+    // fsql_proctime_join)
+    "fsql_ttf_proctime" ->
+      """SELECT u, p_id, c_id AS latest_click_id, c_val AS latest_val FROM (
+           SELECT p.user_id AS u, p.event_id AS p_id, c.event_id AS c_id, c.value AS c_val
+           FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+           JOIN (SELECT *, row_number() OVER (PARTITION BY user_id
+                             ORDER BY ts DESC, event_id DESC) AS rn
+                 FROM events WHERE event_type = 'click') c
+             ON c.user_id = p.user_id AND c.rn = 1)
+         ORDER BY u, p_id""",
+    // nested laterals: chained as-of rewrites — the second version lookup
+    // keys on the FIRST lookup's output bucket; the bucket table is
+    // pre-aggregated to unique (key, time) so rn needs no tiebreak
+    "fsql_ttf_nested" ->
+      """WITH p AS (SELECT user_id AS u, event_id AS p_id, ts AS p_ts
+                    FROM events WHERE event_type = 'purchase'),
+              c AS (SELECT user_id AS cu, event_id AS c_id, ts AS c_ts,
+                           event_id % 8 AS c_bucket
+                    FROM events WHERE event_type = 'click'),
+              b AS (SELECT event_id % 8 AS b_key, ts AS b_ts, max(value) AS b_val
+                    FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+              j1 AS (SELECT u, p_id, p_ts, c_id, c_bucket FROM (
+                       SELECT p.u, p.p_id, p.p_ts, c.c_id, c.c_bucket,
+                              row_number() OVER (PARTITION BY p.u, p.p_id
+                                                 ORDER BY c.c_ts DESC, c.c_id DESC) AS rn
+                       FROM p JOIN c ON c.cu = p.u AND c.c_ts <= p.p_ts)
+                     WHERE rn = 1),
+              j2 AS (SELECT u, p_id, c_id, b_val FROM (
+                       SELECT j1.u, j1.p_id, j1.c_id, b.b_val,
+                              row_number() OVER (PARTITION BY j1.u, j1.p_id
+                                                 ORDER BY b.b_ts DESC) AS rn
+                       FROM j1 JOIN b ON b.b_key = j1.c_bucket AND b.b_ts <= j1.p_ts)
+                     WHERE rn = 1)
+         SELECT u, p_id, c_id AS click_id, b_val AS bucket_val
+         FROM j2 ORDER BY u, p_id""",
     // same semantics as fsql_system_time — the DDL only changes how the
     // time attribute is declared, not the join result
     "fsql_watermark_ddl" ->

@@ -67,14 +67,19 @@ object SystemTimeJoin {
   /** Record `view → base` lineage if `probe` (literal/comment-blanked
     * statement text) is a CREATE VIEW over a named base table. Only a FROM
     * at parenthesis depth zero counts: a FROM inside a scalar subquery or
-    * derived table (any '(' before it) must NOT register lineage, or a
-    * colliding column name could silently inherit the wrong watermark
-    * (regex front-end discipline: widen as tests demand). */
+    * derived table must NOT register lineage, or a colliding column name
+    * could silently inherit the wrong watermark. Depth is tracked by
+    * balance, not presence — a CLOSED paren group before the FROM (e.g.
+    * `SELECT CAST(x AS INT), ts FROM base`) is depth zero and records
+    * lineage normally (regex front-end discipline: widen as tests demand). */
   def maybeRecordView(probe: String): Unit =
     createViewRe.findFirstMatchIn(probe).foreach { m =>
       val body = probe.substring(m.end)
       firstFromRe.findFirstMatchIn(body)
-        .filter(f => !body.substring(0, f.start).contains("("))
+        .filter { f =>
+          val head = body.substring(0, f.start)
+          head.count(_ == '(') == head.count(_ == ')')
+        }
         .foreach { f =>
           viewBase(m.group(1).toLowerCase) = f.group(1).toLowerCase
         }
@@ -92,6 +97,11 @@ object SystemTimeJoin {
     walk(table.toLowerCase, Set.empty)
       .filter { case (c, _) => spark.table(table).columns.exists(_.equalsIgnoreCase(c)) }
   }
+
+  /** JVM-unique sequence for generated view names (`__st_out_*`,
+    * `__st_sub_*`) — a fixed name could collide across concurrent
+    * sessions or interleaved front-end calls. */
+  private val viewSeq = new java.util.concurrent.atomic.AtomicLong()
 
   def matches(sql: String): Boolean =
     """(?i)FOR\s+SYSTEM_TIME\s+AS\s+OF""".r.findFirstIn(sql).isDefined
@@ -170,7 +180,7 @@ object SystemTimeJoin {
           case Some(a) if !Set("FOR", "ON", "WHERE", "ORDER", "GROUP", "LIMIT", "JOIN", "LEFT")
               .contains(a.group(1).toUpperCase) =>
             (a.group(1), after.substring(a.end))
-          case _ => (s"__st_sub${sql.length}", after)
+          case _ => (s"__st_sub_${viewSeq.incrementAndGet()}", after)
         }
         runAny(spark, body.trim).createOrReplaceTempView(alias)
         subqueryRewrite(spark,
@@ -239,13 +249,16 @@ object SystemTimeJoin {
           AsOf.joinMulti(left, right,
             pairs.map(p => left(p._1)), pairs.map(p => right(p._2)),
             left(bare(timeExpr)), right(rTimeCol), inner = !outer)
-      joined.createOrReplaceTempView("__st_out")
+      // session-unique flattened-output view: concurrent sessions in one
+      // JVM share the temp-view namespace per session, but a fixed name
+      // could still collide across interleaved front-end calls
+      val out = s"__st_out_${viewSeq.incrementAndGet()}"
+      joined.createOrReplaceTempView(out)
       // the view flattens both sides, so strip alias qualifiers from the
-      // outer projection and tail
-      def strip(s0: String): String =
-        (lNames ++ rNames).foldLeft(s0)((acc, a) =>
-          acc.replaceAll(s"(?i)\\b$a\\.", ""))
-      spark.sql(s"SELECT ${strip(select)} FROM __st_out ${strip(Option(tail).getOrElse(""))}")
+      // outer projection and tail (literal-aware: a string literal
+      // containing "la." survives verbatim)
+      def strip(s0: String): String = SqlText.stripQualifiers(s0, lNames ++ rNames)
+      spark.sql(s"SELECT ${strip(select)} FROM $out ${strip(Option(tail).getOrElse(""))}")
     case _ =>
       throw new IllegalArgumentException("unsupported FOR SYSTEM_TIME AS OF shape")
   }

