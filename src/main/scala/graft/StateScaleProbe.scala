@@ -228,11 +228,140 @@ object StateScaleProbe {
     println(s"""{"probe":"cep_worstcase_anchor","rowsPerKey":$rowsPerKey,"keys":$nKeys,"matches":${m.getLong(0)},"rowsCovered":${m.getLong(1)},"sec":${math.round(sec * 10) / 10.0}}""")
   }
 
+  /** Round 12: the always-true-anchor worst case with a RELUCTANT
+    * quantifier (`A+? B`, relaxed contiguity, SKIP PAST LAST ROW) — the
+    * shape VERDICT r11 flagged as falling outside the (then greedy-only)
+    * domination prune. With the round-12 rank flip (reluctant keeps the
+    * SHORTEST lockstep sibling) it is linear again. Exact asserts: one
+    * match per key, ids = [first row, last row] (fewest-rows semantics). */
+  private def probeBlowReluctant(spark: SparkSession, rowsPerKey: Long): Unit = {
+    import spark.implicits._
+    val nKeys = 4L
+    val t0 = System.nanoTime()
+    val rows = spark.range(0, nKeys * rowsPerKey).select(
+        (col("id") / rowsPerKey).cast("long").as("key"),
+        (col("id") % rowsPerKey).as("ts"), (col("id") % rowsPerKey).as("id"),
+        when(col("id") % rowsPerKey === rowsPerKey - 1, "last").otherwise("a").as("kind"),
+        lit(1.0).as("value"))
+      .as[KeyedRow]
+    val pat = streaming.Cep.Pattern(Seq(
+      streaming.Cep.Step("A", _ => true, oneOrMore = true, reluctant = true),
+      streaming.Cep.Step("B", _.kind == "last")))
+    val m = streaming.Cep.matchBatch(rows, pat).toDF()
+      .select(col("key"), size(col("ids")).cast("long").as("n"),
+        element_at(col("ids"), 1).as("id0"), element_at(col("ids"), 2).as("id1"))
+      .groupBy().agg(count(lit(1)).as("matches"), sum(col("n")).as("rows_covered"),
+        max(col("id0")).as("maxId0"), min(col("id1")).as("minId1"))
+      .collect()(0)
+    val sec = (System.nanoTime() - t0) / 1e9
+    require(m.getLong(0) == nKeys, s"blowrel_$rowsPerKey: ${m.getLong(0)} matches != $nKeys")
+    require(m.getLong(1) == 2 * nKeys, s"blowrel_$rowsPerKey: reluctant matches must be 2 rows each")
+    require(m.getLong(2) == 0 && m.getLong(3) == rowsPerKey - 1,
+      s"blowrel_$rowsPerKey: ids must be [0, ${rowsPerKey - 1}]")
+    println(s"""{"probe":"cep_worstcase_reluctant","rowsPerKey":$rowsPerKey,"keys":$nKeys,"matches":${m.getLong(0)},"sec":${math.round(sec * 10) / 10.0}}""")
+  }
+
+  /** Round 12: the SAME anchor shape under SKIP TO NEXT ROW — the other
+    * unprunable configuration VERDICT r11 named. Here the blowup is
+    * CONTRACT-INHERENT: every (anchor, absorption-length) pair is a
+    * DISTINCT match the user asked for, so matches per key = n(n-1)/2 and
+    * the id volume is cubic — no engine can emit less than its output
+    * (documented in BASELINE.md next to the simhash member-pair contract).
+    * The probe pins (a) the exact closed-form output cardinality and
+    * (b) that wall-clock scales with OUTPUT volume, not worse. */
+  private def probeBlowNext(spark: SparkSession, rowsPerKey: Long): Unit = {
+    import spark.implicits._
+    val nKeys = 4L
+    val n = rowsPerKey
+    val t0 = System.nanoTime()
+    val rows = spark.range(0, nKeys * n).select(
+        (col("id") / n).cast("long").as("key"),
+        (col("id") % n).as("ts"), (col("id") % n).as("id"),
+        when(col("id") % n === n - 1, "last").otherwise("a").as("kind"),
+        lit(1.0).as("value"))
+      .as[KeyedRow]
+    val pat = streaming.Cep.Pattern(Seq(
+      streaming.Cep.Step("A", _ => true, oneOrMore = true),
+      streaming.Cep.Step("B", _.kind == "last")),
+      afterMatch = streaming.Cep.SkipToNextRow)
+    val m = streaming.Cep.matchBatch(rows, pat).toDF()
+      .select(col("key"), size(col("ids")).cast("long").as("nids"))
+      .groupBy().agg(count(lit(1)).as("matches"), sum(col("nids")).as("id_cells"))
+      .collect()(0)
+    val sec = (System.nanoTime() - t0) / 1e9
+    // anchors a = 0..n-2, absorption ends e = a..n-2 → (a, e) pairs, each
+    // match = rows a..e plus the last row → (e - a + 2) id cells
+    val expMatches = nKeys * (n - 1) * n / 2
+    var expCells = 0L
+    var a = 0L
+    while (a < n - 1) {
+      val m1 = n - 1 - a // number of absorption ends
+      expCells += m1 * (m1 + 1) / 2 + m1 // sum of lengths + the B row each
+      a += 1
+    }
+    expCells *= nKeys
+    require(m.getLong(0) == expMatches,
+      s"blownext_$n: ${m.getLong(0)} matches != closed form $expMatches")
+    require(m.getLong(1) == expCells,
+      s"blownext_$n: ${m.getLong(1)} id cells != closed form $expCells")
+    println(s"""{"probe":"cep_worstcase_skipnext","rowsPerKey":$n,"keys":$nKeys,"matches":${m.getLong(0)},"idCells":${m.getLong(1)},"sec":${math.round(sec * 10) / 10.0}}""")
+  }
+
+  /** Event-time temporal join HOT-KEY probe (round 12): ONE key holding a
+    * deep version history entirely ABOVE the watermark while probes
+    * accumulate — the shape VERDICT r11 flagged: per-trigger cost must be
+    * bounded by merge work (one linear pass over the buffer), not
+    * O(probes × versions) per resolution or a full re-sort per trigger.
+    * `versions` version rows (ts = 1s + 2i µs) and versions/10 probe rows
+    * (ts = 1s + 20j+1 µs) stream in 8 chunks each under a watermark delay
+    * covering the whole span, so NOTHING resolves until the far-future
+    * sentinel probes release the entire backlog through the merge cursor
+    * in one pass. Exact asserts: probe j joins version 10j → outRows ==
+    * probes; final state = key 0's single retained below-watermark version
+    * + the sentinel key's pending probes = 2 state rows. */
+  private def probeAsof(spark: SparkSession, versions: Long): Unit = {
+    import spark.implicits._
+    val nProbes = versions / 10
+    val base = 1000000L // keep every ts ≥ 1s so ts/1000 > initial wm (0)
+    val vDir = fresh(s"asof_v_$versions")
+    val pDir = fresh(s"asof_p_$versions")
+    val vChunk = versions / 8
+    (0 until 8).foreach { c =>
+      spark.range(c * vChunk, if (c == 7) versions else (c + 1) * vChunk)
+        .select(lit(0L).as("key"), (lit(base) + col("id") * 2).as("ts"),
+          col("id").as("id"), lit("v").as("kind"), lit(1.0).as("value"))
+        .repartition(2).write.mode("append").parquet(vDir)
+    }
+    val pChunk = nProbes / 8
+    (0 until 8).foreach { c =>
+      spark.range(c * pChunk, if (c == 7) nProbes else (c + 1) * pChunk)
+        .select(lit(0L).as("key"), (lit(base) + col("id") * 20 + 1).as("ts"),
+          col("id").as("id"), lit("p").as("kind"), lit(1.0).as("value"))
+        .repartition(2).write.mode("append").parquet(pDir)
+    }
+    // sentinel probes on their own key, far past the span + delay
+    val span = base + 2 * versions
+    spark.range(0, 4).select(lit(1L).as("key"),
+        (lit(span) + lit(600L * 1000000L) + col("id")).as("ts"),
+        (lit(nProbes) + col("id")).as("id"), lit("s").as("kind"), lit(1.0).as("value"))
+      .coalesce(1).write.mode("append").parquet(pDir)
+    def read(dir: String) = spark.readStream
+      .schema(org.apache.spark.sql.Encoders.product[KeyedRow].schema)
+      .option("maxFilesPerTrigger", 2).parquet(dir).as[KeyedRow]
+    val delaySec = span / 1000000L + 60
+    val joined = StatefulOps.eventTimeTemporalJoin(
+      read(pDir), read(vDir), watermarkDelay = s"$delaySec seconds")
+    val (outRows, stateRows, sec) = drive(joined, s"asof_$versions")
+    require(outRows == nProbes, s"asof_$versions: $outRows joined != $nProbes probes")
+    require(stateRows == 2, s"asof_$versions: state rows $stateRows != 2")
+    println(s"""{"probe":"asof_hot_key","versions":$versions,"probes":$nProbes,"outRows":$outRows,"stateRows":$stateRows,"sec":${math.round(sec * 10) / 10.0}}""")
+  }
+
   def main(args: Array[String]): Unit = {
     // usage: [probes] [depth ...] — probes = comma list of
-    // topn,join,cep,nav,blow (default topn,join,cep,nav); depths default
-    // 1M/3M/10M for the row-state probes and are shared by the CEP/MR
-    // probes when given.
+    // topn,join,cep,nav,blow,asof (default topn,join,cep,nav); depths
+    // default 1M/3M/10M for the row-state probes and are shared by the
+    // CEP/MR probes when given.
     val (probes, depthArgs) = args.headOption match {
       case Some(h) if h.exists(c => !c.isDigit) =>
         (h.split(",").toSet, args.drop(1).toSeq)
@@ -254,6 +383,9 @@ object StateScaleProbe {
         if (probes("cep")) probeCep(spark, k)
         if (probes("nav")) probeNav(spark, k)
         if (probes("blow")) probeBlow(spark, k)
+        if (probes("blowrel")) probeBlowReluctant(spark, k)
+        if (probes("blownext")) probeBlowNext(spark, k)
+        if (probes("asof")) probeAsof(spark, k)
       }
     } finally GraftSession.shutdown(spark)
   }

@@ -131,14 +131,22 @@ object Cep {
       while (p < steps.size - 1 && steps(p).optional) { p += 1; b += p }
       b.toList
     }
-    /** Greedy-domination pruning is sound for this pattern (the run-count
+    /** Rank-domination pruning is sound for this pattern (the run-count
       * half of the SharedBuffer-analogue state bound, see the object
-      * scaladoc). Preconditions, each of which would otherwise let a
-      * dominated run diverge from (or out-rank) its dominator:
+      * scaladoc). Two same-position runs march in LOCKSTEP (identical
+      * futures) when nothing in a step's behavior depends on the trail —
+      * then the one that ranks below its sibling under the emission order
+      * `(startTs, firstId, sizeKey(len))` can never be the emitted match
+      * and is dropped as it forms. The length leg of the rank FLIPS with
+      * the quantifier mode (round 12): greedy prefers the LONGEST lockstep
+      * sibling, reluctant the SHORTEST — the domination argument is
+      * symmetric because lockstep futures add identical row counts, so the
+      * length order is preserved forever. Preconditions, each of which
+      * would otherwise let a dominated run diverge from (or out-rank) its
+      * dominator:
       *  - SKIP PAST LAST ROW: only the top-ranked same-row completion is
       *    ever emitted, so a run that always ranks below a lockstep sibling
       *    is unreachable output;
-      *  - greedy (no reluctant step): ranking prefers MORE absorbed rows;
       *  - no optional steps / trailing absence: those paths rank or hold
       *    completions independently of the (anchor, position, length) key;
       *  - no strict / notNext-guard / consecutive step: a run's future must
@@ -146,8 +154,8 @@ object Cep {
       *    and dominated;
       *  - no followedByAny / allowCombinations: branch-reviving flags keep
       *    siblings whose futures genuinely diverge. */
-    lazy val greedyPrunable: Boolean =
-      afterMatch == SkipPastLastRow && !preferFewest && tailNot.isEmpty &&
+    lazy val rankPrunable: Boolean =
+      afterMatch == SkipPastLastRow && tailNot.isEmpty &&
         !hasOptional && steps.forall(s => !s.anyMatch && !s.combinations &&
           !s.strict && !s.guardOnNext && !s.consecutive)
   }
@@ -330,33 +338,39 @@ object Cep {
       if (pattern.hasOptional)
         pending0.distinctBy(p0 => (p0.nextStep, Trail.idShape(p0.trail)))
       else pending0
-    // greedy-domination prune (see Pattern.greedyPrunable): a same-anchor
-    // same-position shorter sibling — and, when no within bound can kill an
-    // earlier-anchored dominator first, ANY lower-ranked run at the same
-    // position — marches in lockstep with its dominator forever and can
-    // never be the SKIP PAST LAST ROW winner. Dropping them as they form
-    // bounds the always-true-anchor worst case from O(rows²) active runs
-    // to O(pattern length); order is preserved so same-rank ties keep
-    // their previous emission choice.
+    // rank-domination prune (see Pattern.rankPrunable): a same-anchor
+    // same-position rank-dominated sibling — and, when no within bound can
+    // kill an earlier-anchored dominator first, ANY lower-ranked run at the
+    // same position — marches in lockstep with its dominator forever and
+    // can never be the SKIP PAST LAST ROW winner. Dropping them as they
+    // form bounds the always-true-anchor worst case from O(rows²) active
+    // runs to O(pattern length); order is preserved so same-rank ties keep
+    // their previous emission choice. The length leg flips with the
+    // quantifier mode: greedy keeps the longest sibling, reluctant the
+    // shortest (round 12 — the previously-unprunable reluctant shape).
     val pending =
-      if (!pattern.greedyPrunable || pending1.sizeIs <= 1) pending1
-      else if (pattern.withinMs == Long.MaxValue) {
-        val rankLt = Ordering.Tuple3[Long, Long, Int].lt _
-        val best = scala.collection.mutable.Map.empty[Int, Run]
-        pending1.foreach { p =>
-          val cur = best.get(p.nextStep)
-          if (cur.forall(c => rankLt((p.startTs, p.firstId, -p.len),
-                                     (c.startTs, c.firstId, -c.len))))
-            best(p.nextStep) = p
+      if (!pattern.rankPrunable || pending1.sizeIs <= 1) pending1
+      else {
+        val lenKey: Run => Int =
+          if (pattern.preferFewest) p => p.len else p => -p.len
+        if (pattern.withinMs == Long.MaxValue) {
+          val rankLt = Ordering.Tuple3[Long, Long, Int].lt _
+          val best = scala.collection.mutable.Map.empty[Int, Run]
+          pending1.foreach { p =>
+            val cur = best.get(p.nextStep)
+            if (cur.forall(c => rankLt((p.startTs, p.firstId, lenKey(p)),
+                                       (c.startTs, c.firstId, lenKey(c)))))
+              best(p.nextStep) = p
+          }
+          pending1.filter(p => best(p.nextStep) eq p)
+        } else {
+          val best = scala.collection.mutable.Map.empty[(Long, Int), Int]
+          pending1.foreach { p =>
+            val k = (p.firstId, p.nextStep)
+            if (best.get(k).forall(_ > lenKey(p))) best(k) = lenKey(p)
+          }
+          pending1.filter(p => best((p.firstId, p.nextStep)) == lenKey(p))
         }
-        pending1.filter(p => best(p.nextStep) eq p)
-      } else {
-        val best = scala.collection.mutable.Map.empty[(Long, Int), Int]
-        pending1.foreach { p =>
-          val k = (p.firstId, p.nextStep)
-          if (best.get(k).forall(_ < p.len)) best(k) = p.len
-        }
-        pending1.filter(p => best((p.firstId, p.nextStep)) == p.len)
       }
     // a trailing absence holds completions open instead of emitting — the
     // caller owns the hold list (kill on tailNot hit, emit on window expiry)

@@ -498,9 +498,10 @@ class DifferentialFuzzSpec extends SparkSpec {
           case _ => (1, Some(1), false)
         }
       anyRel ||= rel
-      // quantified steps are strict (the MR contiguity); plain steps flip a
-      // coin — the relaxed-contiguity (CEP followedBy) axis
-      val strict = (lo, hi) != ((1, Some(1))) || r.nextBoolean()
+      // round 12: ALL steps flip the contiguity coin — relaxed quantified
+      // steps (CEP followedBy + oneOrMore, incl. relaxed RELUCTANT, the
+      // rank-domination prune's new territory) now generate too
+      val strict = r.nextBoolean()
       val pred: streaming.KeyedRow => Boolean = kind match {
         case Some(k) => _.kind == k
         case None => _ => true
@@ -537,14 +538,21 @@ class DifferentialFuzzSpec extends SparkSpec {
         else ((lastIdx + 1) until rows.length).find(matches(st, _))
       cand.foreach { j =>
         if (st.oneOrMore) {
-          // strict absorb loop: consecutive matching rows, advance possible
-          // at every absorption length
+          // absorb loop, advance possible at every absorption length:
+          // strict = consecutive matching rows; relaxed = the prefix of the
+          // MATCHING-row subsequence (the NFA absorbs every matching row
+          // while waiting — non-matching rows are skipped, round 12)
+          def nextAbsorb(cur: Int): Option[Int] =
+            if (st.strict) Some(cur + 1).filter(matches(st, _))
+            else ((cur + 1) until rows.length).find(matches(st, _))
           var cur = j
           var accAbs = j :: acc
           rec(i + 1, cur, accAbs)
-          while (matches(st, cur + 1)) {
-            cur += 1; accAbs = cur :: accAbs
+          var nxt = nextAbsorb(cur)
+          while (nxt.isDefined) {
+            cur = nxt.get; accAbs = cur :: accAbs
             rec(i + 1, cur, accAbs)
+            nxt = nextAbsorb(cur)
           }
         } else rec(i + 1, j, j :: acc)
       }
