@@ -372,6 +372,13 @@ object StateScaleProbe {
       else Seq(1000000L, 3000000L, 10000000L)
     val spark = GraftSession.create()
     spark.conf.set("spark.sql.streaming.stateStore.providerClass", Rocks)
+    // probes never failure-recover across old batches; the default
+    // minBatchesToRetain=100 keeps ~100 state versions of SSTs+changelog on
+    // disk, which at 100 M keys outgrows the sandbox volume (the round-12
+    // first 100 M attempt hit 94% disk on retained versions alone). A
+    // production deployment sizes this to its recovery SLA; the probe needs
+    // only the last committed version + the in-flight one.
+    spark.conf.set("spark.sql.streaming.minBatchesToRetain", "2")
     // shutdown MUST run on the exception path too: an aborted probe that
     // exits with open RocksDB providers reproduces the JNI-logger SIGSEGV
     // (BASELINE.md round-11 incident addendum — a disk-full task abort

@@ -77,6 +77,34 @@ object TemporalTableFunctions {
   def registerFunction(name: String, fn: TemporalTableFunction): Unit =
     registry(name.toLowerCase) = fn
 
+  /** Table-API form (Table.joinLateral(call("Rates", $"o_rowtime"),
+    * $"r_currency" === $"o_currency"), Table.java:581-812): join `probe`
+    * with the function's version valid at `probe(timeArg)` —
+    * `timeArg = "proctime"` selects the processing-time (latest-version)
+    * variant. Key equalities are (probe column, versioned key) pairs;
+    * INNER, like the SQL comma-join lateral. */
+  def joinLateral(probe: DataFrame, fn: TemporalTableFunction, timeArg: String,
+                  keys: Seq[(String, String)]): DataFrame = {
+    require(keys.map(_._2).toSet == fn.keys.map(_.toLowerCase).toSet ||
+      keys.map(_._2.toLowerCase).toSet == fn.keys.map(_.toLowerCase).toSet,
+      s"joinLateral must equate every primary key of the function (${fn.keys})")
+    if (timeArg.equalsIgnoreCase("proctime") || timeArg.equalsIgnoreCase("proctime()")) {
+      import org.apache.spark.sql.expressions.Window
+      val versioned = fn.table
+      val ord = (fn.timeCol +:
+        versioned.columns.filterNot(_ == fn.timeCol).toSeq).map(c => col(c).desc)
+      val latest = versioned
+        .withColumn("__v", row_number().over(
+          Window.partitionBy(fn.keys.map(col): _*).orderBy(ord: _*)))
+        .filter(col("__v") === 1).drop("__v")
+      probe.join(latest,
+        keys.map { case (p, k) => probe(p) === latest(k) }.reduce(_ && _), "inner")
+    } else
+      AsOf.joinMulti(probe, fn.table,
+        keys.map { case (p, _) => probe(p) }, keys.map { case (_, k) => fn.table(k) },
+        probe(timeArg), fn.table(fn.timeCol), inner = true)
+  }
+
   private val latHeadRe = """(?is)LATERAL\s+TABLE\s*\(\s*(\w+)\s*\(""".r
 
   /** Dispatch test: a LATERAL TABLE call whose function name is registered.

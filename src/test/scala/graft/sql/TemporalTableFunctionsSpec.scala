@@ -118,6 +118,31 @@ class TemporalTableFunctionsSpec extends SparkSpec {
       "SELECT * FROM t, LATERAL TABLE (NotRegistered(x))"))
   }
 
+  test("Table-API joinLateral equals the SQL lateral, both time variants") {
+    val s = spark
+    import s.implicits._
+    ratesFixture("ttfapi")
+    val fn = {
+      val rates = Seq(("USD", 102L, new Timestamp(1L)), ("Euro", 114L, new Timestamp(1L)),
+          ("Yen", 1L, new Timestamp(1L)), ("Euro", 116L, new Timestamp(5L)),
+          ("Euro", 119L, new Timestamp(7L)))
+        .toDF("rcur", "rate", "rts")
+      TemporalTableFunctions.createTemporalTableFunction(rates, "rts", "rcur")
+    }
+    val orders = spark.table("ttfapi_orders")
+    // event-time form
+    val ev = TemporalTableFunctions
+      .joinLateral(orders, fn, "rowtime", Seq("currency" -> "rcur"))
+      .selectExpr("amount * rate AS amount").collect().map(_.getLong(0)).toSet
+    assert(ev == Set(2L * 114, 1L * 102, 50L * 1, 3L * 116))
+    // proc-time form (latest version per key)
+    val pt = TemporalTableFunctions
+      .joinLateral(orders, fn, "proctime", Seq("currency" -> "rcur"))
+      .selectExpr("amount", "rate").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pt == Set((2L, 119L), (3L, 119L), (1L, 102L), (50L, 1L)))
+  }
+
   test("SqlText.stripQualifiers: literal-aware, word-boundary, path-segment safe") {
     assert(SqlText.stripQualifiers("la.x + r.y", Seq("la", "r")) == "x + y")
     assert(SqlText.stripQualifiers("'la.x' || la.x", Seq("la")) == "'la.x' || x")
