@@ -1289,6 +1289,150 @@ class DifferentialFuzzSpec extends SparkSpec {
     println(s"[fuzz] family25 total emits compared: $totalEmits, null-padded: $totalNullPads")
     assert(totalEmits > 60, "vacuity guard: the seeded corpora should produce real joins")
   }
+
+  // ---- family 26: temporal TABLE FUNCTION laterals -------------------------
+  //
+  // Round-12 front-end (TemporalTableFunctionJoinITCase shapes): random
+  // versioned-side filters baked into createTemporalTableFunction (the
+  // reference's FilteredRatesHistory idiom), rowtime vs proctime argument,
+  // optional residual WHERE predicate (applies AFTER version selection),
+  // and every 4th case NESTED — a second lateral keyed on the FIRST
+  // lateral's output bucket. Oracle: DuckDB replays the as-of / keep-last
+  // rewrite with the same filter inlined, residual applied after rn = 1,
+  // through the driver's own check.py gate.
+
+  test("family 26: temporal table-function laterals equal DuckDB across random shapes") {
+    assume(duckAvailable,
+      "python3 + duckdb (driver-side tooling) not on this machine")
+    val s = spark
+    Tables.registerAll(s, sf)
+    val seed = sys.props.get("graft.fuzz.seed")
+      .orElse(sys.env.get("GRAFT_FUZZ_SEED")).map(_.toLong).getOrElse(20260813L)
+    val nCases = 16
+    println(s"[fuzz] family26 seed=${seed + 26} cases=$nCases")
+    val r = new scala.util.Random(seed + 26)
+    s.sql("""CREATE OR REPLACE TEMPORARY VIEW f26_purch AS
+             SELECT user_id AS u, event_id AS p_id, ts AS p_ts
+             FROM events WHERE event_type = 'purchase'""")
+    import graft.sql.TemporalTableFunctions
+    val cases = (0 until nCases).map { i =>
+      val pred = f23Pred(r) // same predicate grammar over (cu, c_id)
+      val versioned = s.sql(
+        s"""SELECT user_id AS cu, event_id AS c_id, ts AS c_ts, value AS c_val,
+                   event_id % 8 AS c_bucket
+            FROM events WHERE event_type = 'click'""").where(pred)
+      val fn = s"f26_fn_$i"
+      TemporalTableFunctions.registerFunction(fn,
+        TemporalTableFunctions.createTemporalTableFunction(versioned, "c_ts", "cu"))
+      val proctime = i % 3 == 2
+      val nested = i % 4 == 3 && !proctime
+      val residual = if (r.nextBoolean()) Some(s"0.${1 + r.nextInt(8)}") else None
+      val timeArg = if (proctime) "o.proctime" else "o.p_ts"
+      // Spark side filters the flattened lateral output's c_val; the DuckDB
+      // rewrite's outer scope sees it as asof_val
+      val resSql = residual.map(v => s" AND c_val >= $v").getOrElse("")
+      val resDuck = residual.map(v => s" AND asof_val >= $v").getOrElse("")
+      val filtered =
+        s"""SELECT user_id AS cu, event_id AS c_id, ts AS c_ts, value AS c_val,
+                   event_id % 8 AS c_bucket
+            FROM events WHERE event_type = 'click' AND ($pred)"""
+      if (!nested) {
+        val sparkSql =
+          s"""SELECT o.u, o.p_id, r.c_id AS asof_id, r.c_val AS asof_val
+              FROM f26_purch AS o, LATERAL TABLE ($fn($timeArg)) AS r
+              WHERE r.cu = o.u$resSql
+              ORDER BY u, p_id"""
+        val duckSql =
+          if (proctime)
+            s"""SELECT u, p_id, asof_id, asof_val FROM (
+                  SELECT p.user_id AS u, p.event_id AS p_id,
+                         c.c_id AS asof_id, c.c_val AS asof_val
+                  FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+                  JOIN (SELECT *, row_number() OVER (PARTITION BY cu
+                                   ORDER BY c_ts DESC, c_id DESC) AS rn
+                        FROM ($filtered)) c
+                    ON c.cu = p.user_id AND c.rn = 1)
+                WHERE TRUE$resDuck ORDER BY u, p_id"""
+          else
+            s"""SELECT u, p_id, asof_id, asof_val FROM (
+                  SELECT p.user_id AS u, p.event_id AS p_id,
+                         c.c_id AS asof_id, c.c_val AS asof_val,
+                         row_number() OVER (PARTITION BY p.user_id, p.event_id
+                                            ORDER BY c.c_ts DESC, c.c_id DESC) AS rn
+                  FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+                  JOIN ($filtered) c
+                    ON c.cu = p.user_id AND c.c_ts <= p.ts)
+                WHERE rn = 1$resDuck ORDER BY u, p_id"""
+        (f"f26_$i%02d", sparkSql, duckSql)
+      } else {
+        // nested: second lateral keyed on the FIRST lateral's bucket; the
+        // bucket table is aggregated to unique (key, time) for determinism
+        val bfn = s"f26_bfn_$i"
+        val buckets = s.sql(
+          """SELECT event_id % 8 AS b_key, ts AS b_ts, max(value) AS b_val
+             FROM events WHERE event_type = 'view' GROUP BY 1, 2""")
+        TemporalTableFunctions.registerFunction(bfn,
+          TemporalTableFunctions.createTemporalTableFunction(buckets, "b_ts", "b_key"))
+        val sparkSql =
+          s"""SELECT o.u, o.p_id, c.c_id AS asof_id, b.b_val AS bucket_val
+              FROM f26_purch AS o,
+                LATERAL TABLE ($fn(o.p_ts)) AS c,
+                LATERAL TABLE ($bfn(o.p_ts)) AS b
+              WHERE c.cu = o.u AND b.b_key = c.c_bucket
+              ORDER BY u, p_id"""
+        val duckSql =
+          s"""WITH j1 AS (SELECT u, p_id, p_ts, c_id, c_bucket FROM (
+                  SELECT p.user_id AS u, p.event_id AS p_id, p.ts AS p_ts,
+                         c.c_id, c.c_bucket,
+                         row_number() OVER (PARTITION BY p.user_id, p.event_id
+                                            ORDER BY c.c_ts DESC, c.c_id DESC) AS rn
+                  FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+                  JOIN ($filtered) c
+                    ON c.cu = p.user_id AND c.c_ts <= p.ts)
+                WHERE rn = 1),
+                b AS (SELECT event_id % 8 AS b_key, ts AS b_ts, max(value) AS b_val
+                      FROM events WHERE event_type = 'view' GROUP BY 1, 2)
+              SELECT u, p_id, asof_id, bucket_val FROM (
+                SELECT j1.u, j1.p_id, j1.c_id AS asof_id, b.b_val AS bucket_val,
+                       row_number() OVER (PARTITION BY j1.u, j1.p_id
+                                          ORDER BY b.b_ts DESC) AS rn
+                FROM j1 JOIN b ON b.b_key = j1.c_bucket AND b.b_ts <= j1.p_ts)
+              WHERE rn = 1 ORDER BY u, p_id"""
+        (f"f26_$i%02d", sparkSql, duckSql)
+      }
+    }
+    val outDir = new java.io.File("target/fuzz26_out")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
+      f.delete(): Unit
+    }
+    rm(outDir); outDir.mkdirs()
+    val sparkErrs = cases.flatMap { case (name, q, _) =>
+      try {
+        val df = s.sql(q)
+        df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        None
+      } catch { case e: Throwable => Some(s"$name: ${e.getMessage.take(200)}\n  $q") }
+    }
+    assert(sparkErrs.isEmpty,
+      s"${sparkErrs.size} family-26 cases failed on the Spark side:\n${sparkErrs.take(5).mkString("\n")}")
+    def esc(x: String): String = "\"" + x.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"),
+      cases.map { case (k, _, v) => s"${esc(k)}: ${esc(v)}" }.mkString("{", ",", "}"))
+    import scala.sys.process._
+    val buf = new StringBuilder
+    val code = Seq("python3", "tools/check.py", sf, outDir.getPath)
+      .!(ProcessLogger(l => buf.append(l).append('\n'), l => buf.append(l).append('\n')))
+    val fails = buf.toString.linesIterator.filter(_.startsWith("FAIL")).toList
+    assert(code == 0 && fails.isEmpty,
+      s"family-26 diffs vs DuckDB:\n${fails.take(10).mkString("\n")}")
+  }
 }
 
 /** family-21 corpus row — top-level so Spark can derive its Encoder
