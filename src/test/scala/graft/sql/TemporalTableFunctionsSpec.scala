@@ -143,6 +143,32 @@ class TemporalTableFunctionsSpec extends SparkSpec {
     assert(pt == Set((2L, 119L), (3L, 119L), (1L, 102L), (50L, 1L)))
   }
 
+  test("round 12: nested laterals plan TWO chained AsOfJoinExec nodes, no cartesian") {
+    val s = spark
+    import s.implicits._
+    Seq((1L, 2L, new Timestamp(2L))).toDF("u2", "amount", "rowtime")
+      .createOrReplaceTempView("ttfp_orders")
+    val prices = Seq((1L, 3L, 10L, new Timestamp(1L))).toDF("pid", "bucket", "price", "pts")
+    val rates = Seq((3L, 114L, new Timestamp(1L))).toDF("rb", "rate", "rts")
+    TemporalTableFunctions.registerFunction("ttfp_P",
+      TemporalTableFunctions.createTemporalTableFunction(prices, "pts", "pid"))
+    TemporalTableFunctions.registerFunction("ttfp_R",
+      TemporalTableFunctions.createTemporalTableFunction(rates, "rts", "rb"))
+    val df = spark.sql(
+      """SELECT o.u2, p.price, r.rate
+         FROM ttfp_orders AS o,
+           LATERAL TABLE (ttfp_P(o.rowtime)) AS p,
+           LATERAL TABLE (ttfp_R(o.rowtime)) AS r
+         WHERE p.pid = o.u2 AND r.rb = p.bucket""")
+    val plan = df.queryExecution.executedPlan.toString
+    assert("AsOfJoin".r.findAllIn(plan).size >= 2,
+      s"nested laterals must chain two custom as-of execs:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"lateral fold must never plan a cartesian:\n$plan")
+    assert(df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq((1L, 10L, 114L)))
+  }
+
   test("SqlText.stripQualifiers: literal-aware, word-boundary, path-segment safe") {
     assert(SqlText.stripQualifiers("la.x + r.y", Seq("la", "r")) == "x + y")
     assert(SqlText.stripQualifiers("'la.x' || la.x", Seq("la")) == "'la.x' || x")
