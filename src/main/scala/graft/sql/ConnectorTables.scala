@@ -2,12 +2,12 @@ package graft.sql
 
 import java.util.concurrent.ConcurrentHashMap
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, DataFrameReader, SparkSession}
+import org.apache.spark.sql.types.StructType
 
-/** Filesystem connector SINK tables + INSERT INTO — the write half of the
-  * reference's connector DDL (FileSystemTableSink via
-  * `CREATE TABLE ... WITH ('connector'='filesystem', ...)` and
-  * StreamExecSink / BatchExecSink planning of `INSERT INTO`).
+/** Filesystem connector tables + INSERT INTO — the reference's connector DDL
+  * (FileSystemTableSink via `CREATE TABLE ... WITH ('connector'='filesystem',
+  * ...)` and StreamExecSink / BatchExecSink planning of `INSERT INTO`).
   *
   * `CREATE TABLE s (...) WITH ('connector'='filesystem','path'=p,
   * 'format'=f)` with NO watermark clause registers a sink; `INSERT INTO s
@@ -17,22 +17,46 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * (temp view over the written files), mirroring the reference where the
   * same connector table is readable and writable.
   *
+  * Round 12 widens the DDL surface to the reference's:
+  *   - the declared column list is parsed into a Spark schema and applied to
+  *     formats that are not self-describing (csv/json), so a connector table
+  *     over csv reads with the DDL types rather than inference;
+  *   - format-scoped options (`'csv.field-delimiter' = '|'` etc., the
+  *     reference's CsvFormatFactory option surface) map onto the Spark
+  *     reader/writer options of the same meaning;
+  *   - `CREATE TABLE d WITH (...) LIKE base (INCLUDING ALL | EXCLUDING
+  *     OPTIONS | OVERWRITING OPTIONS)` merges the base table's options and
+  *     schema per the reference's MergingStrategy semantics
+  *     (SqlTableLike.java:104, MergeTableLikeUtil.java:185-206: INCLUDING
+  *     duplicates error and point at EXCLUDING/OVERWRITING OPTIONS;
+  *     OVERWRITING lets the derived WITH win; EXCLUDING starts empty);
+  *   - query-time option overrides for the OPTIONS hint
+  *     (see [[OptionsHint]]) read through [[ConnectorTables.read]] with the
+  *     hinted map merged over the registered one
+  *     (CatalogSourceTable.java:258 `FlinkHints.mergeTableOptions`).
+  *
   * Statements whose target is NOT a registered connector sink fall through
   * untouched, so Spark-native INSERT INTO on catalog tables keeps working.
   */
 object ConnectorTables {
 
-  private case class Sink(path: String, format: String)
+  private[sql] case class Tbl(
+      path: String,
+      format: String,
+      props: Map[String, String],
+      schema: Option[StructType])
 
-  /** (session identity, table name) → sink; session-keyed so tests with
+  /** (session identity, table name) → table; session-keyed so tests with
     * multiple sessions cannot see each other's registrations. */
-  private val sinks = new ConcurrentHashMap[String, Sink]()
+  private val tables = new ConcurrentHashMap[String, Tbl]()
 
   private def key(s: SparkSession, name: String) =
     s"${System.identityHashCode(s)}:${name.toLowerCase}"
 
   private val createRe =
-    """(?is)\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)\s*\((.*)\)\s*WITH\s*\((.*)\)\s*""".r
+    """(?is)\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)\s*\((.*)\)\s*WITH\s*\((.*?)\)\s*""".r
+  private val likeRe =
+    """(?is)\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)\s*(?:\((.*)\)\s*)?WITH\s*\((.*?)\)\s*LIKE\s+(\w+)\s*(?:\(\s*(.*?)\s*\))?\s*""".r
   private val insertRe =
     """(?is)\s*INSERT\s+INTO\s+(\w+)\s+(SELECT\s+.*|VALUES\s*\(.*)""".r
   private val propRe = """'([^']+)'\s*=\s*'([^']*)'""".r
@@ -45,8 +69,131 @@ object ConnectorTables {
   def matchesInsert(probe: String): Boolean =
     """(?i)^\s*INSERT\s+INTO\b""".r.findFirstIn(probe).isDefined
 
+  /** The registered table, if `name` is a connector table of this session. */
+  private[sql] def lookup(spark: SparkSession, name: String): Option[Tbl] =
+    Option(tables.get(key(spark, name)))
+
+  /** Flink DDL column list → Spark schema. Computed columns, PRIMARY KEY
+    * constraints and metadata columns are not part of the physical read
+    * schema; types map per FlinkTypeFactory (VARCHAR/CHAR → STRING,
+    * TIMESTAMP(p) → TIMESTAMP, BYTES → BINARY). Returns None when the list
+    * does not parse — self-describing formats never need it. */
+  private[sql] def parseSchema(colsDdl: String): Option[StructType] = {
+    val cols = splitTop(colsDdl).filterNot { c =>
+      val u = c.trim.toUpperCase
+      u.startsWith("PRIMARY KEY") || u.startsWith("CONSTRAINT") || u.contains(" AS ")
+    }
+    if (cols.isEmpty) return None
+    val cleaned = cols.map { c =>
+      c.trim
+        .replaceAll("(?i)\\s+NOT\\s+NULL", "")
+        .replaceAll("(?i)\\bTIMESTAMP\\s*\\(\\d+\\)", "TIMESTAMP")
+        .replaceAll("(?i)\\bVARCHAR\\s*\\(\\d+\\)", "STRING")
+        .replaceAll("(?i)\\bCHAR\\s*\\(\\d+\\)", "STRING")
+        .replaceAll("(?i)\\bBYTES\\b", "BINARY")
+    }
+    try Some(StructType.fromDDL(cleaned.mkString(", ")))
+    catch { case _: Exception => None }
+  }
+
+  /** Split a column list on top-level commas (ignores commas inside
+    * parens like DECIMAL(10,2) and inside quoted strings). */
+  private def splitTop(s: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var depth = 0; var start = 0; var inStr = false
+    var i = 0
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '\'' => inStr = !inStr
+        case '(' | '<' if !inStr => depth += 1
+        case ')' | '>' if !inStr => depth -= 1
+        case ',' if depth == 0 && !inStr =>
+          out += s.substring(start, i); start = i + 1
+        case _ =>
+      }
+      i += 1
+    }
+    out += s.substring(start)
+    out.result().map(_.trim).filter(_.nonEmpty)
+  }
+
+  /** `'csv.field-delimiter'` → Spark csv reader/writer option `sep`, etc. —
+    * the reference's CsvFormatFactory option names mapped to Spark's. Keys
+    * of other formats (or unknown csv keys) pass through verbatim minus the
+    * `<format>.` prefix, which matches Spark's parquet/orc/json options. */
+  private val csvOptionMap = Map(
+    "field-delimiter" -> "sep",
+    "quote-character" -> "quote",
+    "escape-character" -> "escape",
+    "null-literal" -> "nullValue",
+    "ignore-parse-errors" -> "mode")
+
+  private[sql] def readerOptions(format: String, props: Map[String, String]): Map[String, String] = {
+    val prefix = format.toLowerCase + "."
+    props.collect { case (k, v) if k.startsWith(prefix) =>
+      val bare = k.stripPrefix(prefix)
+      if (format.equalsIgnoreCase("csv")) {
+        val mapped = csvOptionMap.getOrElse(bare, bare)
+        if (bare == "ignore-parse-errors")
+          mapped -> (if (v.equalsIgnoreCase("true")) "DROPMALFORMED" else "FAILFAST")
+        else mapped -> v
+      } else bare -> v
+    }
+  }
+
+  /** Build the reader for a registered table, `overrides` merged OVER the
+    * registered options (the OPTIONS-hint merge, CatalogSourceTable.java:258).
+    * The declared schema applies to non-self-describing formats. */
+  private[sql] def read(spark: SparkSession, tbl: Tbl,
+      overrides: Map[String, String] = Map.empty): DataFrame = {
+    val props = tbl.props ++ overrides
+    val fmt = props.getOrElse("format", tbl.format)
+    val path = props.getOrElse("path", tbl.path)
+    var r: DataFrameReader = spark.read.format(fmt).options(readerOptions(fmt, props))
+    if (fmt.equalsIgnoreCase("csv") || fmt.equalsIgnoreCase("json"))
+      tbl.schema.foreach(sc => r = r.schema(sc))
+    r.load(path)
+  }
+
+  private def register(spark: SparkSession, name: String, tbl: Tbl): DataFrame = {
+    tables.put(key(spark, name), tbl)
+    // pre-existing data → the table is immediately readable too (an empty
+    // directory is NOT data — self-describing formats can't infer from it)
+    val f = new java.io.File(tbl.path)
+    val hasData = f.isFile ||
+      (f.isDirectory && Option(f.listFiles).exists(_.exists(c => !c.getName.startsWith("_"))))
+    if (hasData) read(spark, tbl).createOrReplaceTempView(name)
+    spark.emptyDataFrame
+  }
+
   def runCreate(spark: SparkSession, sql: String): DataFrame = sql match {
-    case createRe(name, _, propsBody) =>
+    case likeRe(name, colsOpt, propsBody, baseName, likeOptsOpt) =>
+      val base = lookup(spark, baseName).getOrElse(throw new IllegalArgumentException(
+        s"CREATE TABLE $name LIKE $baseName: base table is not a registered connector table"))
+      val derived = propRe.findAllMatchIn(propsBody)
+        .map(m => m.group(1).toLowerCase -> m.group(2)).toMap
+      // MergingStrategy for OPTIONS (SqlTableLike.java:104): default INCLUDING
+      val strategy = Option(likeOptsOpt).map(_.toUpperCase.trim).getOrElse("") match {
+        case s if s.contains("EXCLUDING OPTIONS") || s.contains("EXCLUDING ALL") => "EXCLUDING"
+        case s if s.contains("OVERWRITING OPTIONS") => "OVERWRITING"
+        case _ => "INCLUDING"
+      }
+      val merged = scala.collection.mutable.LinkedHashMap[String, String]()
+      if (strategy != "EXCLUDING") merged ++= base.props
+      derived.foreach { case (k, v) =>
+        if (strategy != "OVERWRITING" && merged.contains(k))
+          // MergeTableLikeUtil.java:196 — same guidance as the reference
+          throw new IllegalArgumentException(
+            s"There already exists an option ['$k' -> '${merged(k)}'] in the base table. " +
+              "You might want to specify EXCLUDING OPTIONS or OVERWRITING OPTIONS.")
+        merged(k) = v
+      }
+      val props = merged.toMap
+      val schema = Option(colsOpt).flatMap(parseSchema).orElse(base.schema)
+      val path = props.getOrElse("path", throw new IllegalArgumentException(
+        s"CREATE TABLE $name LIKE $baseName: no 'path' after option merge"))
+      register(spark, name, Tbl(path, props.getOrElse("format", "parquet"), props, schema))
+    case createRe(name, cols, propsBody) =>
       val props = propRe.findAllMatchIn(propsBody)
         .map(m => m.group(1).toLowerCase -> m.group(2)).toMap
       require(props.get("connector").forall(_ == "filesystem"),
@@ -55,11 +202,7 @@ object ConnectorTables {
       val path = props.getOrElse("path",
         throw new IllegalArgumentException(s"CREATE TABLE $name: 'path' property required"))
       val fmt = props.getOrElse("format", "parquet")
-      sinks.put(key(spark, name), Sink(path, fmt))
-      // pre-existing data → the table is immediately readable too
-      if (new java.io.File(path).exists())
-        spark.read.format(fmt).load(path).createOrReplaceTempView(name)
-      spark.emptyDataFrame
+      register(spark, name, Tbl(path, fmt, props, parseSchema(cols)))
     case _ => throw new IllegalArgumentException("unsupported connector CREATE TABLE shape")
   }
 
@@ -67,11 +210,12 @@ object ConnectorTables {
     * not ours, let the stock parser plan the INSERT. */
   def tryInsert(spark: SparkSession, sql: String): Option[DataFrame] = sql match {
     case insertRe(name, query) =>
-      Option(sinks.get(key(spark, name))).map { sink =>
+      lookup(spark, name).map { tbl =>
         val df = spark.sql(query)
-        df.write.format(sink.format).mode("append").save(sink.path)
+        val writerOpts = readerOptions(tbl.format, tbl.props) - "mode"
+        df.write.format(tbl.format).options(writerOpts).mode("append").save(tbl.path)
         // refresh the readable view over the now-written files
-        spark.read.format(sink.format).load(sink.path).createOrReplaceTempView(name)
+        read(spark, tbl).createOrReplaceTempView(name)
         spark.emptyDataFrame
       }
     case _ => None

@@ -215,12 +215,26 @@ object FlinkSql {
       else None
     }
 
-    override def parsePlan(sqlText: String): LogicalPlan =
-      frontEnd(sqlText).getOrElse(delegate.parsePlan(rewrite(sqlText)))
-    override def parseQuery(sqlText: String): LogicalPlan =
-      frontEnd(sqlText).getOrElse(delegate.parseQuery(rewrite(sqlText)))
-    override def parsePlanWithParameters(sqlText: String, ctx: ParameterContext): LogicalPlan =
-      frontEnd(sqlText).getOrElse(delegate.parsePlanWithParameters(rewrite(sqlText), ctx))
+    /** Text-level pre-passes that run before dispatch: utility-statement
+      * spellings (EXPLAIN PLAN FOR / USE CATALOG / SHOW CURRENT ...) and the
+      * OPTIONS dynamic-table-options hint comment (resolved to a
+      * per-query view — Spark's grammar only admits hints after SELECT, so
+      * the table-attached spelling must leave the text before parsing). */
+    private def preprocess(sqlText: String): String =
+      OptionsHint.rewrite(session, UtilityStatements.rewrite(sqlText))
+
+    override def parsePlan(sqlText: String): LogicalPlan = {
+      val t = preprocess(sqlText)
+      frontEnd(t).getOrElse(delegate.parsePlan(rewrite(t)))
+    }
+    override def parseQuery(sqlText: String): LogicalPlan = {
+      val t = preprocess(sqlText)
+      frontEnd(t).getOrElse(delegate.parseQuery(rewrite(t)))
+    }
+    override def parsePlanWithParameters(sqlText: String, ctx: ParameterContext): LogicalPlan = {
+      val t = preprocess(sqlText)
+      frontEnd(t).getOrElse(delegate.parsePlanWithParameters(rewrite(t), ctx))
+    }
     override def parseExpression(sqlText: String): Expression =
       delegate.parseExpression(rewrite(sqlText))
     override def parseTableIdentifier(sqlText: String): TableIdentifier =

@@ -201,6 +201,56 @@ object FlinkSqlQueries {
                WHERE c.cu = o.u AND b.b_key = c.c_bucket
                ORDER BY u, p_id""")
     }),
+    // dynamic table options: the OPTIONS hint comment after a table ref
+    // (FlinkHints.HINT_NAME_OPTIONS; CatalogSourceTable.java:242-259) —
+    // the registered csv table declares a COMMA delimiter, the file on disk
+    // is PIPE-delimited, and only the hinted read parses it; the hinted
+    // options merge over the registration for this one query. Gated by
+    // table.dynamic-table-options.enabled exactly like the reference.
+    "fsql_options_hint" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      val path = s"target/sink_cache/${dir.replaceAll("[^a-zA-Z0-9]", "_")}/opth_ev"
+      s.sql("""SELECT event_type, user_id, event_id FROM events
+               WHERE event_type IN ('click', 'purchase')""")
+        .write.mode("overwrite").option("sep", "|").csv(path)
+      s.conf.set(OptionsHint.ConfKey, "true")
+      s.sql(s"""CREATE TABLE opth_ev (event_type STRING, user_id BIGINT, event_id BIGINT)
+                WITH ('connector' = 'filesystem', 'path' = '$path',
+                      'format' = 'csv', 'csv.field-delimiter' = ',')""")
+      s.sql("""SELECT event_type, count(*) AS n, sum(event_id) AS sum_eid,
+                      count(DISTINCT user_id) AS users
+               FROM opth_ev /*+ OPTIONS('csv.field-delimiter' = '|') */
+               GROUP BY event_type ORDER BY event_type""")
+    }),
+    // CREATE TABLE ... LIKE (SqlTableLike.java:104; MergeTableLikeUtil
+    // .java:185): the derived sink inherits the base's format option and
+    // overwrites its path under OVERWRITING OPTIONS; both sinks are written
+    // through INSERT INTO and joined back — the read of the derived table
+    // only parses if the format really was inherited
+    "fsql_create_table_like" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      val root = s"target/sink_cache/${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
+        f.delete(): Unit
+      }
+      rm(new java.io.File(s"$root/liketbl_base")); rm(new java.io.File(s"$root/liketbl_drv"))
+      s.sql(s"""CREATE TABLE liketbl_base (flag STRING, n BIGINT)
+                WITH ('connector' = 'filesystem', 'path' = '$root/liketbl_base',
+                      'format' = 'parquet')""")
+      s.sql(s"""CREATE TABLE liketbl_drv (flag STRING, q BIGINT)
+                WITH ('path' = '$root/liketbl_drv')
+                LIKE liketbl_base (OVERWRITING OPTIONS)""")
+      s.sql("""INSERT INTO liketbl_base
+               SELECT l_returnflag AS flag, count(*) AS n FROM lineitem GROUP BY 1""")
+      s.sql("""INSERT INTO liketbl_drv
+               SELECT l_returnflag AS flag,
+                      sum(CAST(floor(l_quantity * 100) AS BIGINT)) AS q
+               FROM lineitem GROUP BY 1""")
+      s.sql("""SELECT b.flag, b.n, d.q
+               FROM liketbl_base b JOIN liketbl_drv d ON b.flag = d.flag
+               ORDER BY b.flag""")
+    }),
     // watermark declared via DDL (WATERMARK FOR in CREATE VIEW) instead of
     // a programmatic declareWatermark call; the as-of join resolves the
     // versioned side's time attribute from the registry the DDL fed
@@ -895,6 +945,23 @@ object FlinkSqlQueries {
                      WHERE rn = 1)
          SELECT u, p_id, c_id AS click_id, b_val AS bucket_val
          FROM j2 ORDER BY u, p_id""",
+    // the round trip through the pipe-delimited csv is exact for strings +
+    // bigints, so the oracle recomputes straight from events
+    "fsql_options_hint" ->
+      """SELECT event_type, count(*) AS n,
+                CAST(sum(event_id) AS BIGINT) AS sum_eid,
+                count(DISTINCT user_id) AS users
+         FROM events WHERE event_type IN ('click', 'purchase')
+         GROUP BY event_type ORDER BY event_type""",
+    // both sinks recompute from lineitem; the join proves both writes
+    "fsql_create_table_like" ->
+      """WITH b AS (SELECT l_returnflag AS flag, count(*) AS n
+                    FROM lineitem GROUP BY 1),
+              d AS (SELECT l_returnflag AS flag,
+                           CAST(sum(CAST(floor(l_quantity * 100) AS BIGINT)) AS BIGINT) AS q
+                    FROM lineitem GROUP BY 1)
+         SELECT b.flag, b.n, d.q FROM b JOIN d ON b.flag = d.flag
+         ORDER BY b.flag""",
     // same semantics as fsql_system_time — the DDL only changes how the
     // time attribute is declared, not the join result
     "fsql_watermark_ddl" ->

@@ -1,0 +1,65 @@
+package graft.sql
+
+import org.apache.spark.sql.SparkSession
+
+/** Dynamic table options — the `OPTIONS('k'='v')` table hint (spelled as
+  * a hint comment right after the table name; reference:
+  * FlinkHints.HINT_NAME_OPTIONS, applied in
+  * CatalogSourceTable.createFinalCatalogTable, CatalogSourceTable.java:242-259).
+  *
+  * Semantics mirrored exactly:
+  *   - gated by `table.dynamic-table-options.enabled` (default FALSE —
+  *     TableConfigOptions.java:40-46); a hint with the conf unset throws the
+  *     reference's validation error;
+  *   - hinted options merge OVER the table's registered options
+  *     (`FlinkHints.mergeTableOptions(hinted, catalogTable.getOptions())`),
+  *     scoped to this one query — the registration is untouched;
+  *   - the hint attaches to the table reference (`FROM t <hint> [AS alias]`).
+  *
+  * Spark-first shape: a text-level pre-pass (Spark's grammar only admits
+  * hints after SELECT, so the table-attached spelling must be resolved
+  * before the stock parser sees it). Each hinted reference to a registered
+  * connector table is replaced by a session-unique temp view reading the
+  * table through [[ConnectorTables.read]] with the hinted map merged in;
+  * the hint comment is removed. Everything downstream — pushdown, pruning,
+  * planning — is stock Spark over that view.
+  */
+object OptionsHint {
+
+  val ConfKey = "table.dynamic-table-options.enabled"
+
+  // Calcite grammar order: tableName [hint-comment] [[AS] alias] — the word
+  // immediately BEFORE the hint is the table name; an explicit `AS alias`
+  // may follow the hint (bare aliases after a hint are not supported here).
+  private val hintRe =
+    """(?is)(\w+)\s*/\*\+\s*OPTIONS\s*\(([^)]*)\)\s*\*/(\s+AS\s+\w+)?""".r
+  private val propRe = """'([^']+)'\s*=\s*'([^']*)'""".r
+
+  def matches(sqlText: String): Boolean =
+    """(?is)/\*\+\s*OPTIONS\s*\(""".r.findFirstIn(sqlText).isDefined
+
+  /** Resolve every OPTIONS hint in `sqlText`; returns the text unchanged
+    * when no hint is present. */
+  def rewrite(spark: SparkSession, sqlText: String): String = {
+    if (!matches(sqlText)) return sqlText
+    if (!spark.conf.getOption(ConfKey).exists(_.equalsIgnoreCase("true")))
+      // CatalogSourceTable.java:250-257, message shape preserved
+      throw new IllegalArgumentException(
+        s"The 'OPTIONS' hint is allowed only when the config option '$ConfKey' is set to true.")
+    hintRe.replaceAllIn(sqlText, m => {
+      val name = m.group(1)
+      val tbl = ConnectorTables.lookup(spark, name).getOrElse(
+        throw new IllegalArgumentException(
+          s"OPTIONS hint: '$name' is not a registered connector table " +
+            "(dynamic options apply to connector tables only)"))
+      val hinted = propRe.findAllMatchIn(m.group(2))
+        .map(p => p.group(1).toLowerCase -> p.group(2)).toMap
+      val view = s"__opt_hint_${name}_${java.util.UUID.randomUUID.toString.replace("-", "").take(12)}"
+      ConnectorTables.read(spark, tbl, hinted).createOrReplaceTempView(view)
+      // keep the original name visible as the alias when none was written,
+      // so unqualified/qualified references elsewhere in the query resolve
+      val alias = Option(m.group(3)).getOrElse(s" AS $name")
+      java.util.regex.Matcher.quoteReplacement(view + alias)
+    })
+  }
+}
