@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -67,18 +67,150 @@ object Formats {
     AvroCodec.decodeRows(AvroCodec.encodeRows(src), src.schema)
   }
 
+  // ---- CDC changelog formats (debezium/canal/maxwell JSON) ----
+
+  /** Deterministic per-user changelog over the click events: first click
+    * +I, every later click -U(prev)/+U(cur), and users with user_id%3==0
+    * get a final -D — the update/delete mix every op branch needs.
+    * Columns: (kind, user_id, ev_seq, val_cents). */
+  private def clickChangelog(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val ev = Tables.load(s, dir, "events")
+      .filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id"), col("ts"),
+        floor(col("value") * 100).cast("long").as("val_cents"))
+      .select(col("user_id"),
+        row_number().over(w).as("ev_seq"),
+        count(lit(1)).over(Window.partitionBy("user_id")).as("cnt"),
+        col("val_cents"),
+        lag(col("val_cents"), 1).over(w).as("prev_cents"))
+    def node(kind: String, seq: Column, cents: Column) =
+      struct(lit(kind).as("kind"), col("user_id"), seq.as("ev_seq"), cents.as("val_cents"))
+    val ops = concat(
+      when(col("ev_seq") === 1, array(node("+I", col("ev_seq"), col("val_cents"))))
+        .otherwise(array(
+          node("-U", col("ev_seq") - 1, col("prev_cents")),
+          node("+U", col("ev_seq"), col("val_cents")))),
+      when(col("ev_seq") === col("cnt") && col("user_id") % 3 === 0,
+        array(node("-D", col("ev_seq"), col("val_cents"))))
+        .otherwise(array().cast("array<struct<kind:string,user_id:bigint,ev_seq:bigint,val_cents:bigint>>")))
+    ev.select(explode(ops).as("e")).select(col("e.kind").as("kind"),
+      col("e.user_id").as("user_id"), col("e.ev_seq").cast("long").as("ev_seq"),
+      col("e.val_cents").as("val_cents"))
+  }
+
+  /** Order-independent changelog fold: a (user, seq, val) survives when its
+    * insert/delete counts don't cancel — works under the formats' LOSSY
+    * encoding (-U/+U pairs become d/c pairs), since every superseded or
+    * deleted version nets to zero regardless of file read order. */
+  private def foldSurvivors(changelog: DataFrame): DataFrame =
+    changelog.groupBy("user_id", "ev_seq", "val_cents")
+      .agg(sum(when(col("kind").isin("+I", "+U"), 1).otherwise(-1)).as("net"))
+      .filter(col("net") > 0)
+      .select("user_id", "ev_seq", "val_cents")
+      .orderBy("user_id", "ev_seq")
+
+  /** The surviving state the fold must reconstruct: each non-deleted user's
+    * LAST click version. */
+  private val lastClickOracle =
+    """WITH c AS (SELECT user_id,
+                         row_number() OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id) AS ev_seq,
+                         CAST(floor(value * 100) AS BIGINT) AS val_cents,
+                         count(*) OVER (PARTITION BY user_id) AS cnt
+                  FROM events WHERE event_type = 'click')
+       SELECT user_id, CAST(ev_seq AS BIGINT) AS ev_seq, val_cents
+       FROM c WHERE ev_seq = cnt AND user_id % 3 <> 0
+       ORDER BY user_id, ev_seq"""
+
+  /** debezium-json through the connector DDL: encode the changelog via
+    * INSERT INTO a debezium sink table, decode it back through the table's
+    * read path, fold to the surviving state. */
+  private def debeziumCdc(s: SparkSession, dir: String): DataFrame = {
+    val path = cacheDir("dbz_cdc", dir)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
+      f.delete(): Unit
+    }
+    rm(new java.io.File(path))
+    clickChangelog(s, dir).createOrReplaceTempView("dbz_changelog")
+    s.sql(s"""CREATE TABLE dbz_sink (user_id BIGINT, ev_seq BIGINT, val_cents BIGINT)
+              WITH ('connector' = 'filesystem', 'path' = '$path',
+                    'format' = 'debezium-json')""")
+    s.sql("INSERT INTO dbz_sink SELECT kind, user_id, ev_seq, val_cents FROM dbz_changelog")
+    foldSurvivors(s.sql("SELECT kind, user_id, ev_seq, val_cents FROM dbz_sink"))
+  }
+
+  /** canal-json decode with BATCHED data arrays and the database filter:
+    * one INSERT message per user carrying all their versions, one batched
+    * DELETE for user_id%3==0, plus poisoned messages under another
+    * database name that the filter must drop. */
+  private def canalCdc(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val rowSchema = StructType(Seq(
+      StructField("user_id", LongType), StructField("ev_seq", LongType),
+      StructField("val_cents", LongType)))
+    val versions = clickChangelog(s, dir)
+      .filter(col("kind").isin("+I", "+U"))
+      .groupBy("user_id")
+      .agg(array_sort(collect_list(struct(col("user_id"), col("ev_seq"), col("val_cents"))))
+        .as("rows"))
+    def msg(ty: String, db: String, rows: Column) = to_json(struct(
+      rows.as("data"),
+      lit(null).cast(ArrayType(rowSchema)).as("old"),
+      lit(ty).as("type"), lit(db).as("database")))
+    val inserts = versions.select(msg("INSERT", "inv", col("rows")).as("value"))
+    val deletes = versions.filter(col("user_id") % 3 === 0)
+      .select(msg("DELETE", "inv", col("rows")).as("value"))
+    // same shape, wrong database — values poisoned so a filter miss is loud
+    val noise = versions.filter(col("user_id") % 5 === 0)
+      .select(msg("INSERT", "other",
+        transform(col("rows"), r => struct(r.getField("user_id").as("user_id"),
+          r.getField("ev_seq").as("ev_seq"),
+          (r.getField("val_cents") + 999999).as("val_cents")))).as("value"))
+    val decoded = CdcFormats.canalJson(inserts.union(deletes).union(noise),
+      "value", rowSchema, database = Some("inv"))
+    foldSurvivors(decoded)
+  }
+
+  /** maxwell-json encode → decode round trip of the same changelog. */
+  private def maxwellCdc(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val rowSchema = StructType(Seq(
+      StructField("user_id", LongType), StructField("ev_seq", LongType),
+      StructField("val_cents", LongType)))
+    val encoded = CdcFormats.toMaxwellJson(clickChangelog(s, dir))
+    foldSurvivors(CdcFormats.maxwellJson(encoded, "value", rowSchema))
+  }
+
+  /** Canal's batched INSERTs keep every version of surviving users. */
+  private val allClicksOracle =
+    """SELECT user_id,
+              CAST(row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS BIGINT) AS ev_seq,
+              CAST(floor(value * 100) AS BIGINT) AS val_cents
+       FROM events WHERE event_type = 'click' AND user_id % 3 <> 0
+       ORDER BY user_id, ev_seq"""
+
   def queries: Map[String, QFn] = Map(
     "fmt_csv_roundtrip" -> ((s, d) =>
       agged(roundTrip(s, d, "csv", Map("header" -> "true")))),
     "fmt_json_roundtrip" -> ((s, d) => agged(roundTrip(s, d, "json"))),
     "fmt_orc_roundtrip" -> ((s, d) => agged(roundTrip(s, d, "orc"))),
-    "fmt_avro_roundtrip" -> ((s, d) => agged(avroRoundTrip(s, d)))
+    "fmt_avro_roundtrip" -> ((s, d) => agged(avroRoundTrip(s, d))),
+    "fmt_debezium_cdc" -> ((s, d) => { Tables.registerAll(s, d); debeziumCdc(s, d) }),
+    "fmt_canal_cdc" -> ((s, d) => { Tables.registerAll(s, d); canalCdc(s, d) }),
+    "fmt_maxwell_cdc" -> ((s, d) => { Tables.registerAll(s, d); maxwellCdc(s, d) })
   )
 
   def oracles: Map[String, String] = Map(
     "fmt_csv_roundtrip" -> aggOracle,
     "fmt_json_roundtrip" -> aggOracle,
     "fmt_orc_roundtrip" -> aggOracle,
-    "fmt_avro_roundtrip" -> aggOracle
+    "fmt_avro_roundtrip" -> aggOracle,
+    "fmt_debezium_cdc" -> lastClickOracle,
+    "fmt_canal_cdc" -> allClicksOracle,
+    "fmt_maxwell_cdc" -> lastClickOracle
   )
 }

@@ -141,6 +141,29 @@ object ConnectorTables {
     }
   }
 
+  /** CDC changelog formats (flink-formats/flink-json): reading decodes the
+    * line-JSON change messages into the repo's changelog shape — a `kind`
+    * column ('+I'/'-U'/'+U'/'-D') followed by the declared columns. The
+    * reference hides RowKind inside RowData; Spark rows have no kind slot,
+    * so the explicit column is the documented mapping (the convention
+    * streaming/Changelog.scala uses throughout). */
+  private val cdcFmts = Set("debezium-json", "canal-json", "maxwell-json")
+
+  private def cdcRead(spark: SparkSession, fmt: String, path: String,
+      schema: StructType, props: Map[String, String]): DataFrame = {
+    val raw = spark.read.text(path).toDF("value")
+    val ignore = props.get(s"$fmt.ignore-parse-errors").exists(_.equalsIgnoreCase("true"))
+    fmt match {
+      case "debezium-json" => graft.sources.CdcFormats.debeziumJson(raw, "value", schema,
+        ignoreParseErrors = ignore,
+        schemaInclude = props.get("debezium-json.schema-include").exists(_.equalsIgnoreCase("true")))
+      case "canal-json" => graft.sources.CdcFormats.canalJson(raw, "value", schema,
+        ignoreParseErrors = ignore, database = props.get("canal-json.database.include"))
+      case "maxwell-json" => graft.sources.CdcFormats.maxwellJson(raw, "value", schema,
+        ignoreParseErrors = ignore)
+    }
+  }
+
   /** Build the reader for a registered table, `overrides` merged OVER the
     * registered options (the OPTIONS-hint merge, CatalogSourceTable.java:258).
     * The declared schema applies to non-self-describing formats. */
@@ -149,6 +172,11 @@ object ConnectorTables {
     val props = tbl.props ++ overrides
     val fmt = props.getOrElse("format", tbl.format)
     val path = props.getOrElse("path", tbl.path)
+    if (cdcFmts(fmt.toLowerCase)) {
+      val schema = tbl.schema.getOrElse(throw new IllegalArgumentException(
+        s"format '$fmt' requires a declared column list"))
+      return cdcRead(spark, fmt.toLowerCase, path, schema, props)
+    }
     var r: DataFrameReader = spark.read.format(fmt).options(readerOptions(fmt, props))
     if (fmt.equalsIgnoreCase("csv") || fmt.equalsIgnoreCase("json"))
       tbl.schema.foreach(sc => r = r.schema(sc))
@@ -212,8 +240,19 @@ object ConnectorTables {
     case insertRe(name, query) =>
       lookup(spark, name).map { tbl =>
         val df = spark.sql(query)
-        val writerOpts = readerOptions(tbl.format, tbl.props) - "mode"
-        df.write.format(tbl.format).options(writerOpts).mode("append").save(tbl.path)
+        if (cdcFmts(tbl.format.toLowerCase)) {
+          // changelog sink: the query yields (kind, <cols>) rows, encoded
+          // with the reference's (lossy) serialization schema of the format
+          val encoded = tbl.format.toLowerCase match {
+            case "debezium-json" => graft.sources.CdcFormats.toDebeziumJson(df)
+            case "canal-json" => graft.sources.CdcFormats.toCanalJson(df)
+            case "maxwell-json" => graft.sources.CdcFormats.toMaxwellJson(df)
+          }
+          encoded.write.mode("append").text(tbl.path)
+        } else {
+          val writerOpts = readerOptions(tbl.format, tbl.props) - "mode"
+          df.write.format(tbl.format).options(writerOpts).mode("append").save(tbl.path)
+        }
         // refresh the readable view over the now-written files
         read(spark, tbl).createOrReplaceTempView(name)
         spark.emptyDataFrame
