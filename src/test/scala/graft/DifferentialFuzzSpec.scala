@@ -1433,7 +1433,97 @@ class DifferentialFuzzSpec extends SparkSpec {
     assert(code == 0 && fails.isEmpty,
       s"family-26 diffs vs DuckDB:\n${fails.take(10).mkString("\n")}")
   }
+
+  // ---- family 27: CDC format round trips ----------------------------------
+
+  test("family 27: CDC formats reconstruct random consistent changelogs through encode→decode→fold") {
+    val s = spark
+    import s.implicits._
+    import graft.sources.CdcFormats
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.functions.{col, sum, when}
+    val seed = sys.props.get("graft.fuzz.seed")
+      .orElse(sys.env.get("GRAFT_FUZZ_SEED")).map(_.toLong).getOrElse(20260813L)
+    val r = new scala.util.Random(seed + 27)
+
+    val rowSchema = StructType(Seq(
+      StructField("k", LongType), StructField("seq", LongType),
+      StructField("v", LongType)))
+
+    /** Random CONSISTENT changelog: per key, insert → updates → maybe
+      * delete → maybe re-insert → ... (the only histories a CDC stream of
+      * a real table can produce). Returns (rows, expected survivors). */
+    def genChangelog(): (Seq[F27Row], Set[(Long, Long, Long)]) = {
+      val rows = Seq.newBuilder[F27Row]
+      val expected = Set.newBuilder[(Long, Long, Long)]
+      val nKeys = 3 + r.nextInt(10)
+      (0 until nKeys).foreach { k =>
+        var seq = 0L
+        var live: Option[(Long, Long)] = None // (seq, v)
+        val nOps = 1 + r.nextInt(8)
+        (0 until nOps).foreach { _ =>
+          live match {
+            case None =>
+              seq += 1; val v = r.nextInt(1000).toLong
+              rows += F27Row("+I", k.toLong, seq, v); live = Some((seq, v))
+            case Some((ps, pv)) =>
+              if (r.nextInt(4) == 0) { // delete
+                rows += F27Row("-D", k.toLong, ps, pv); live = None
+              } else { // update
+                seq += 1; val v = r.nextInt(1000).toLong
+                rows += F27Row("-U", k.toLong, ps, pv)
+                rows += F27Row("+U", k.toLong, seq, v)
+                live = Some((seq, v))
+              }
+          }
+        }
+        live.foreach { case (sq, v) => expected += ((k.toLong, sq, v)) }
+      }
+      (rows.result(), expected.result())
+    }
+
+    /** The order-independent net-count fold (the Formats.scala gate fold):
+      * a version survives iff inserts − deletes > 0. Valid under the
+      * formats' lossy encoding because every superseded version nets to 0. */
+    def fold(decoded: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long)] =
+      decoded.groupBy("k", "seq", "v")
+        .agg(sum(when(col("kind").isin("+I", "+U"), 1).otherwise(-1)).as("net"))
+        .filter(col("net") > 0)
+        .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSet
+
+    var totalRows = 0
+    val nCases = 12
+    (0 until nCases).foreach { i =>
+      val (rows, expected) = genChangelog()
+      totalRows += rows.size
+      val changelog = rows.toDF("kind", "k", "seq", "v")
+      val codecs: Seq[(String, org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)] = Seq(
+        "debezium" -> (df => CdcFormats.debeziumJson(CdcFormats.toDebeziumJson(df), "value", rowSchema)),
+        "canal" -> (df => CdcFormats.canalJson(CdcFormats.toCanalJson(df), "value", rowSchema)),
+        "maxwell" -> (df => CdcFormats.maxwellJson(CdcFormats.toMaxwellJson(df), "value", rowSchema)))
+      codecs.foreach { case (name, codec) =>
+        // shuffle the encoded messages across partitions — the fold must be
+        // arrival-order-independent
+        val got = fold(codec(changelog.repartition(1 + r.nextInt(8))))
+        assert(got == expected,
+          s"family-27 case $i format $name: got ${got.toSeq.sorted} expected ${expected.toSeq.sorted}")
+        // corrupt lines injected under ignore-parse-errors change nothing
+        if (r.nextBoolean()) {
+          val poisoned = CdcFormats.toDebeziumJson(changelog)
+            .union(Seq("{not json", """{"op":"zz"}""").toDF("value"))
+          val gotIgnore = fold(CdcFormats.debeziumJson(
+            poisoned, "value", rowSchema, ignoreParseErrors = true))
+          assert(gotIgnore == expected, s"family-27 case $i ignore-parse-errors diverged")
+        }
+      }
+    }
+    assert(totalRows > 100, s"vacuous family-27 corpus: $totalRows rows")
+    println(s"[fuzz] family27 seed=${seed + 27} cases=$nCases changelogRows=$totalRows")
+  }
 }
+
+/** family-27 changelog row — top-level for Encoder derivation. */
+private[graft] case class F27Row(kind: String, k: Long, seq: Long, v: Long)
 
 /** family-21 corpus row — top-level so Spark can derive its Encoder
   * (inner-class case classes capture the suite instance). */
