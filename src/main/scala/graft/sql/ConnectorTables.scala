@@ -69,6 +69,46 @@ object ConnectorTables {
   def matchesInsert(probe: String): Boolean =
     """(?i)^\s*INSERT\s+INTO\b""".r.findFirstIn(probe).isDefined
 
+  def matchesAlterOrDrop(probe: String): Boolean =
+    """(?i)^\s*(ALTER|DROP)\s+TABLE\b""".r.findFirstIn(probe).isDefined
+
+  private val alterSetRe =
+    """(?is)\s*ALTER\s+TABLE\s+(\w+)\s+SET\s*\((.*)\)\s*""".r
+  private val alterRenameRe =
+    """(?is)\s*ALTER\s+TABLE\s+(\w+)\s+RENAME\s+TO\s+(\w+)\s*""".r
+  private val dropRe =
+    """(?is)\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?(\w+)\s*""".r
+
+  /** ALTER TABLE ... SET (props) / RENAME TO / DROP TABLE on registered
+    * connector tables (SqlAlterTableProperties.java:33,
+    * SqlAlterTableRename.java, SqlDropTable.java). SET merges the new
+    * props over the registration (the reference replaces matching keys);
+    * statements naming a non-connector table return None and fall through
+    * to Spark's own DDL. */
+  def tryAlterOrDrop(spark: SparkSession, sql: String): Option[DataFrame] = sql match {
+    case alterSetRe(name, propsBody) =>
+      lookup(spark, name).map { tbl =>
+        val newProps = propRe.findAllMatchIn(propsBody)
+          .map(m => m.group(1).toLowerCase -> m.group(2)).toMap
+        val merged = tbl.props ++ newProps
+        register(spark, name, Tbl(merged.getOrElse("path", tbl.path),
+          merged.getOrElse("format", tbl.format), merged, tbl.schema))
+      }
+    case alterRenameRe(name, newName) =>
+      lookup(spark, name).map { tbl =>
+        tables.remove(key(spark, name))
+        spark.catalog.dropTempView(name)
+        register(spark, newName, tbl)
+      }
+    case dropRe(name) =>
+      lookup(spark, name).map { _ =>
+        tables.remove(key(spark, name))
+        spark.catalog.dropTempView(name)
+        spark.emptyDataFrame
+      }
+    case _ => None
+  }
+
   /** The registered table, if `name` is a connector table of this session. */
   private[sql] def lookup(spark: SparkSession, name: String): Option[Tbl] =
     Option(tables.get(key(spark, name)))

@@ -186,6 +186,12 @@ object FlinkSql {
         ConnectorTables.tryInsert(session, sqlText)
           .map(org.apache.spark.sql.GraftSqlBridge.logicalPlan)
           .orElse(Some(delegate.parsePlan(rewrite(sqlText))))
+      // ALTER TABLE SET/RENAME + DROP TABLE on registered connector tables;
+      // statements naming other tables fall through to Spark's own DDL
+      else if (ConnectorTables.matchesAlterOrDrop(probe))
+        ConnectorTables.tryAlterOrDrop(session, sqlText)
+          .map(org.apache.spark.sql.GraftSqlBridge.logicalPlan)
+          .orElse(Some(delegate.parsePlan(rewrite(sqlText))))
       else if (MatchRecognize.matches(probe))
         Some(org.apache.spark.sql.GraftSqlBridge.logicalPlan(
           MatchRecognize.run(session, sqlText)))

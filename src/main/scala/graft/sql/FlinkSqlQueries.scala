@@ -251,6 +251,30 @@ object FlinkSqlQueries {
                FROM liketbl_base b JOIN liketbl_drv d ON b.flag = d.flag
                ORDER BY b.flag""")
     }),
+    // ALTER TABLE SET retargets the registration (SqlAlterTableProperties
+    // .java:33) and RENAME TO moves it (SqlAlterTableRename.java): the
+    // second INSERT lands on the NEW path, the read after the rename sees
+    // only it — the final aggregate only matches the oracle if SET really
+    // switched both the write and read targets
+    "fsql_alter_table" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      val root = s"target/sink_cache/${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
+        f.delete(): Unit
+      }
+      rm(new java.io.File(s"$root/alter_p1")); rm(new java.io.File(s"$root/alter_p2"))
+      s.sql(s"""CREATE TABLE alter_tbl (flag STRING, n BIGINT)
+                WITH ('connector' = 'filesystem', 'path' = '$root/alter_p1',
+                      'format' = 'parquet')""")
+      s.sql("""INSERT INTO alter_tbl
+               SELECT l_linestatus AS flag, count(*) AS n FROM lineitem GROUP BY 1""")
+      s.sql(s"ALTER TABLE alter_tbl SET ('path' = '$root/alter_p2')")
+      s.sql("""INSERT INTO alter_tbl
+               SELECT l_returnflag AS flag, count(*) AS n FROM lineitem GROUP BY 1""")
+      s.sql("ALTER TABLE alter_tbl RENAME TO alter_dst")
+      s.sql("SELECT flag, n FROM alter_dst ORDER BY flag")
+    }),
     // watermark declared via DDL (WATERMARK FOR in CREATE VIEW) instead of
     // a programmatic declareWatermark call; the as-of join resolves the
     // versioned side's time attribute from the registry the DDL fed
@@ -962,6 +986,10 @@ object FlinkSqlQueries {
                     FROM lineitem GROUP BY 1)
          SELECT b.flag, b.n, d.q FROM b JOIN d ON b.flag = d.flag
          ORDER BY b.flag""",
+    // only the post-ALTER insert (returnflag counts) is visible
+    "fsql_alter_table" ->
+      """SELECT l_returnflag AS flag, count(*) AS n
+         FROM lineitem GROUP BY 1 ORDER BY flag""",
     // same semantics as fsql_system_time — the DDL only changes how the
     // time attribute is declared, not the join result
     "fsql_watermark_ddl" ->

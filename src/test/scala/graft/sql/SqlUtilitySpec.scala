@@ -135,6 +135,26 @@ class SqlUtilitySpec extends SparkSpec {
     assert(df.count() == 3)
   }
 
+  test("ALTER TABLE SET retargets the connector registration; RENAME TO moves it; DROP TABLE unregisters") {
+    val p1 = freshDir("alterp1"); val p2 = freshDir("alterp2")
+    spark.sql(s"""CREATE TABLE alt_t (k BIGINT) WITH
+                  ('connector' = 'filesystem', 'path' = '$p1', 'format' = 'parquet')""")
+    spark.sql("INSERT INTO alt_t SELECT id AS k FROM range(3)")
+    spark.sql(s"ALTER TABLE alt_t SET ('path' = '$p2')")
+    spark.sql("INSERT INTO alt_t SELECT id + 100 AS k FROM range(2)")
+    // reads now come from p2 only — the SET retargeted both halves
+    val afterSet = spark.sql("SELECT k FROM alt_t ORDER BY k").collect().map(_.getLong(0))
+    assert(afterSet.toSeq == Seq(100L, 101L))
+    spark.sql("ALTER TABLE alt_t RENAME TO alt_r")
+    assert(spark.sql("SELECT count(*) FROM alt_r").collect().head.getLong(0) == 2L)
+    intercept[Exception] { spark.sql("SELECT * FROM alt_t").collect() } // old name gone
+    spark.sql("DROP TABLE alt_r")
+    intercept[Exception] { spark.sql("SELECT * FROM alt_r").collect() }
+    // non-connector ALTER/DROP falls through to Spark's own DDL
+    spark.sql("CREATE TABLE IF NOT EXISTS native_drop_probe (x INT) USING parquet")
+    spark.sql("DROP TABLE native_drop_probe") // must not be intercepted
+  }
+
   test("EXPLAIN PLAN FOR / SHOW CURRENT CATALOG / SHOW CURRENT DATABASE / USE CATALOG") {
     val plan = spark.sql("EXPLAIN PLAN FOR SELECT 1 AS one").collect().head.getString(0)
     assert(plan.contains("Physical Plan") || plan.contains("Project"))
