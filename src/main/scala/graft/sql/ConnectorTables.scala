@@ -44,7 +44,8 @@ object ConnectorTables {
       path: String,
       format: String,
       props: Map[String, String],
-      schema: Option[StructType])
+      schema: Option[StructType],
+      partitions: Seq[String] = Nil)
 
   /** (session identity, table name) → table; session-keyed so tests with
     * multiple sessions cannot see each other's registrations. */
@@ -53,12 +54,15 @@ object ConnectorTables {
   private def key(s: SparkSession, name: String) =
     s"${System.identityHashCode(s)}:${name.toLowerCase}"
 
+  // cols are non-greedy so the optional PARTITIONED BY group can match —
+  // a greedy (.*) would swallow it and backtrack straight to WITH
   private val createRe =
-    """(?is)\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)\s*\((.*)\)\s*WITH\s*\((.*?)\)\s*""".r
+    """(?is)\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)\s*\((.*?)\)\s*(?:PARTITIONED\s+BY\s*\(([^)]*)\)\s*)?WITH\s*\((.*?)\)\s*""".r
   private val likeRe =
     """(?is)\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)\s*(?:\((.*)\)\s*)?WITH\s*\((.*?)\)\s*LIKE\s+(\w+)\s*(?:\(\s*(.*?)\s*\))?\s*""".r
+  // INSERT INTO|OVERWRITE t [PARTITION (p='v'[, ...])] SELECT ...
   private val insertRe =
-    """(?is)\s*INSERT\s+INTO\s+(\w+)\s+(SELECT\s+.*|VALUES\s*\(.*)""".r
+    """(?is)\s*INSERT\s+(INTO|OVERWRITE)\s+(?:TABLE\s+)?(\w+)\s*(?:PARTITION\s*\(([^)]*)\)\s*)?(SELECT\s+.*|VALUES\s*\(.*)""".r
   private val propRe = """'([^']+)'\s*=\s*'([^']*)'""".r
 
   def matchesCreate(probe: String): Boolean =
@@ -67,7 +71,7 @@ object ConnectorTables {
       """(?i)\bWATERMARK\s+FOR\b""".r.findFirstIn(probe).isEmpty
 
   def matchesInsert(probe: String): Boolean =
-    """(?i)^\s*INSERT\s+INTO\b""".r.findFirstIn(probe).isDefined
+    """(?i)^\s*INSERT\s+(INTO|OVERWRITE)\b""".r.findFirstIn(probe).isDefined
 
   def matchesAlterOrDrop(probe: String): Boolean =
     """(?i)^\s*(ALTER|DROP)\s+TABLE\b""".r.findFirstIn(probe).isDefined
@@ -92,7 +96,7 @@ object ConnectorTables {
           .map(m => m.group(1).toLowerCase -> m.group(2)).toMap
         val merged = tbl.props ++ newProps
         register(spark, name, Tbl(merged.getOrElse("path", tbl.path),
-          merged.getOrElse("format", tbl.format), merged, tbl.schema))
+          merged.getOrElse("format", tbl.format), merged, tbl.schema, tbl.partitions))
       }
     case alterRenameRe(name, newName) =>
       lookup(spark, name).map { tbl =>
@@ -219,8 +223,18 @@ object ConnectorTables {
     }
     var r: DataFrameReader = spark.read.format(fmt).options(readerOptions(fmt, props))
     if (fmt.equalsIgnoreCase("csv") || fmt.equalsIgnoreCase("json"))
-      tbl.schema.foreach(sc => r = r.schema(sc))
-    r.load(path)
+      // partition columns live in the directory layout, not the files —
+      // they come back via Spark's partition discovery
+      tbl.schema.map(sc => StructType(sc.filterNot(f => tbl.partitions.contains(f.name))))
+        .foreach(sc => r = r.schema(sc))
+    val df = r.load(path)
+    // partition discovery infers partition-col types; cast back to the DDL
+    // types and restore the declared column order
+    tbl.schema.filter(_ => tbl.partitions.nonEmpty).fold(df) { sc =>
+      df.select(sc.fieldNames.toSeq.map(n =>
+        org.apache.spark.sql.functions.col(n)
+          .cast(sc(n).dataType).as(n)): _*)
+    }
   }
 
   private def register(spark: SparkSession, name: String, tbl: Tbl): DataFrame = {
@@ -261,7 +275,7 @@ object ConnectorTables {
       val path = props.getOrElse("path", throw new IllegalArgumentException(
         s"CREATE TABLE $name LIKE $baseName: no 'path' after option merge"))
       register(spark, name, Tbl(path, props.getOrElse("format", "parquet"), props, schema))
-    case createRe(name, cols, propsBody) =>
+    case createRe(name, cols, partCols, propsBody) =>
       val props = propRe.findAllMatchIn(propsBody)
         .map(m => m.group(1).toLowerCase -> m.group(2)).toMap
       require(props.get("connector").forall(_ == "filesystem"),
@@ -270,16 +284,32 @@ object ConnectorTables {
       val path = props.getOrElse("path",
         throw new IllegalArgumentException(s"CREATE TABLE $name: 'path' property required"))
       val fmt = props.getOrElse("format", "parquet")
-      register(spark, name, Tbl(path, fmt, props, parseSchema(cols)))
+      // PARTITIONED BY columns must be part of the declared schema (the
+      // reference's SqlCreateTable validates the same); they become the
+      // col=value directory layout on write
+      val parts = Option(partCols).map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+        .getOrElse(Nil)
+      register(spark, name, Tbl(path, fmt, props, parseSchema(cols), parts))
     case _ => throw new IllegalArgumentException("unsupported connector CREATE TABLE shape")
   }
 
   /** Some(empty DF) if the target is a registered connector sink; None →
     * not ours, let the stock parser plan the INSERT. */
   def tryInsert(spark: SparkSession, sql: String): Option[DataFrame] = sql match {
-    case insertRe(name, query) =>
+    case insertRe(mode, name, staticPart, query) =>
       lookup(spark, name).map { tbl =>
-        val df = spark.sql(query)
+        var df = spark.sql(query)
+        // static PARTITION (p='v') clause: the literals append as columns
+        // (the reference converts them to a constant partition writer)
+        Option(staticPart).foreach { sp =>
+          """(\w+)\s*=\s*'([^']*)'""".r.findAllMatchIn(sp).foreach { m =>
+            val declared = tbl.schema.map(_.apply(m.group(1)).dataType)
+            val c = org.apache.spark.sql.functions.lit(m.group(2))
+            df = df.withColumn(m.group(1),
+              declared.fold(c)(t => c.cast(t)))
+          }
+        }
+        val overwrite = mode.equalsIgnoreCase("OVERWRITE")
         if (cdcFmts(tbl.format.toLowerCase)) {
           // changelog sink: the query yields (kind, <cols>) rows, encoded
           // with the reference's (lossy) serialization schema of the format
@@ -288,10 +318,19 @@ object ConnectorTables {
             case "canal-json" => graft.sources.CdcFormats.toCanalJson(df)
             case "maxwell-json" => graft.sources.CdcFormats.toMaxwellJson(df)
           }
-          encoded.write.mode("append").text(tbl.path)
+          encoded.write.mode(if (overwrite) "overwrite" else "append").text(tbl.path)
         } else {
           val writerOpts = readerOptions(tbl.format, tbl.props) - "mode"
-          df.write.format(tbl.format).options(writerOpts).mode("append").save(tbl.path)
+          var w = df.write.format(tbl.format).options(writerOpts)
+            .mode(if (overwrite) "overwrite" else "append")
+          if (tbl.partitions.nonEmpty) {
+            w = w.partitionBy(tbl.partitions: _*)
+            // the reference's PartitionLoader overwrites ONLY the partitions
+            // present in the written data (FileSystemCommitter.java:97) —
+            // Spark's dynamic partitionOverwriteMode is the same contract
+            if (overwrite) w = w.option("partitionOverwriteMode", "dynamic")
+          }
+          w.save(tbl.path)
         }
         // refresh the readable view over the now-written files
         read(spark, tbl).createOrReplaceTempView(name)

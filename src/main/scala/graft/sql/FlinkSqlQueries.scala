@@ -251,6 +251,31 @@ object FlinkSqlQueries {
                FROM liketbl_base b JOIN liketbl_drv d ON b.flag = d.flag
                ORDER BY b.flag""")
     }),
+    // partitioned filesystem sink (FileSystemTableSink + PartitionLoader):
+    // PARTITIONED BY lays out col=value directories; INSERT OVERWRITE
+    // replaces ONLY the partitions present in the written data
+    // (FileSystemCommitter.java:97 — Spark's dynamic partitionOverwrite
+    // is the same contract); the static PARTITION clause pins a constant
+    // partition. Final state composes all three write modes.
+    "fsql_partitioned_sink" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      val root = s"target/sink_cache/${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
+        f.delete(): Unit
+      }
+      rm(new java.io.File(s"$root/part_sink"))
+      s.sql(s"""CREATE TABLE part_sink (n BIGINT, flag STRING) PARTITIONED BY (flag)
+                WITH ('connector' = 'filesystem', 'path' = '$root/part_sink',
+                      'format' = 'parquet')""")
+      s.sql("""INSERT INTO part_sink
+               SELECT count(*) AS n, l_returnflag AS flag FROM lineitem GROUP BY l_returnflag""")
+      s.sql("""INSERT OVERWRITE part_sink
+               SELECT count(*) * 2 AS n, l_returnflag AS flag FROM lineitem
+               WHERE l_returnflag = 'N' GROUP BY l_returnflag""")
+      s.sql("INSERT INTO part_sink PARTITION (flag = 'Z') SELECT count(*) AS n FROM nation")
+      s.sql("SELECT flag, n FROM part_sink ORDER BY flag")
+    }),
     // ALTER TABLE SET retargets the registration (SqlAlterTableProperties
     // .java:33) and RENAME TO moves it (SqlAlterTableRename.java): the
     // second INSERT lands on the NEW path, the read after the rename sees
@@ -986,6 +1011,15 @@ object FlinkSqlQueries {
                     FROM lineitem GROUP BY 1)
          SELECT b.flag, b.n, d.q FROM b JOIN d ON b.flag = d.flag
          ORDER BY b.flag""",
+    // composition of the three write modes: append per-flag counts, the
+    // dynamic overwrite doubles ONLY flag N, the static partition adds Z
+    "fsql_partitioned_sink" ->
+      """WITH c AS (SELECT l_returnflag AS flag, count(*) AS n
+                    FROM lineitem GROUP BY 1)
+         SELECT flag, CASE WHEN flag = 'N' THEN n * 2 ELSE n END AS n FROM c
+         UNION ALL
+         SELECT 'Z' AS flag, count(*) AS n FROM nation
+         ORDER BY flag""",
     // only the post-ALTER insert (returnflag counts) is visible
     "fsql_alter_table" ->
       """SELECT l_returnflag AS flag, count(*) AS n

@@ -135,6 +135,46 @@ class SqlUtilitySpec extends SparkSpec {
     assert(df.count() == 3)
   }
 
+  test("PARTITIONED BY connector table: col=value layout, declared order/types restored, scan prunes") {
+    val dir = freshDir("partsink") + "/t"
+    spark.sql(s"""CREATE TABLE part_t (k BIGINT, grp STRING) PARTITIONED BY (grp)
+                  WITH ('connector' = 'filesystem', 'path' = '$dir', 'format' = 'parquet')""")
+    spark.sql("INSERT INTO part_t SELECT id AS k, CASE WHEN id % 2 = 0 THEN 'even' ELSE 'odd' END AS grp FROM range(10)")
+    // directory layout is the reference's col=value partitioning
+    val subdirs = new java.io.File(dir).listFiles.filter(_.isDirectory).map(_.getName).sorted
+    assert(subdirs.toSeq == Seq("grp=even", "grp=odd"))
+    val df = spark.sql("SELECT k, grp FROM part_t WHERE grp = 'even'")
+    assert(df.schema.map(f => (f.name, f.dataType.typeName)) ==
+      Seq(("k", "long"), ("grp", "string")))
+    assert(df.count() == 5)
+    // the partition filter prunes at the scan, not post-read
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("grp"),
+      s"partition filter not pushed:\n$plan")
+  }
+
+  test("INSERT OVERWRITE on a partitioned table replaces only the written partitions") {
+    val dir = freshDir("partovw") + "/t"
+    spark.sql(s"""CREATE TABLE part_o (k BIGINT, grp STRING) PARTITIONED BY (grp)
+                  WITH ('connector' = 'filesystem', 'path' = '$dir', 'format' = 'parquet')""")
+    spark.sql("INSERT INTO part_o SELECT id AS k, CASE WHEN id % 2 = 0 THEN 'a' ELSE 'b' END AS grp FROM range(6)")
+    // dynamic overwrite: only partition 'a' is replaced (FileSystemCommitter semantics)
+    spark.sql("INSERT OVERWRITE part_o SELECT id + 100 AS k, 'a' AS grp FROM range(2)")
+    val rows = spark.sql("SELECT grp, count(*) AS n, min(k) AS mn FROM part_o GROUP BY grp ORDER BY grp")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.toSeq == Seq(("a", 2L, 100L), ("b", 3L, 1L)))
+  }
+
+  test("static PARTITION clause pins the partition value as a constant column") {
+    val dir = freshDir("partstatic") + "/t"
+    spark.sql(s"""CREATE TABLE part_s (k BIGINT, grp STRING) PARTITIONED BY (grp)
+                  WITH ('connector' = 'filesystem', 'path' = '$dir', 'format' = 'parquet')""")
+    spark.sql("INSERT INTO part_s PARTITION (grp = 'fixed') SELECT id AS k FROM range(3)")
+    val rows = spark.sql("SELECT k, grp FROM part_s ORDER BY k").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(rows.toSeq == Seq((0L, "fixed"), (1L, "fixed"), (2L, "fixed")))
+  }
+
   test("ALTER TABLE SET retargets the connector registration; RENAME TO moves it; DROP TABLE unregisters") {
     val p1 = freshDir("alterp1"); val p2 = freshDir("alterp2")
     spark.sql(s"""CREATE TABLE alt_t (k BIGINT) WITH
