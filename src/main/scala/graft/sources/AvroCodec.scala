@@ -95,19 +95,33 @@ object AvroCodec {
   }
 
   /** Deserialize a binary `value` column back to rows of `schema`. */
-  def decodeRows(df: DataFrame, schema: StructType): DataFrame = {
-    val avroJson = avroSchemaFor(schema).toString
+  def decodeRows(df: DataFrame, schema: StructType): DataFrame =
+    decodeRowsEvolved(df, schema, schema)
+
+  /** Schema-RESOLVED decode — Avro schema evolution (the reference's
+    * RegistryAvroDeserializationSchema path resolves writer vs reader
+    * schema the same way; Avro spec "Schema Resolution"): bytes written
+    * under `writerSchema` read as rows of `readerSchema`. Fields are
+    * matched BY NAME (reordering is fine); fields dropped from the reader
+    * are skipped; fields added by the reader fill from their default
+    * (nullable → null — non-nullable additions fail resolution, as the
+    * spec requires); int→long / float→double promotions apply. */
+  def decodeRowsEvolved(df: DataFrame, writerSchema: StructType,
+      readerSchema: StructType): DataFrame = {
+    val wJson = avroSchemaFor(writerSchema).toString
+    val rJson = avroSchemaFor(readerSchema).toString
     df.select("value").as(Encoders.BINARY).mapPartitions { it =>
-      val avroSchema = new Schema.Parser().parse(avroJson)
-      val reader = new GenericDatumReader[GenericRecord](avroSchema)
+      val w = new Schema.Parser().parse(wJson)
+      val r = new Schema.Parser().parse(rJson)
+      val reader = new GenericDatumReader[GenericRecord](w, r)
       var decoder: BinaryDecoder = null
       var record: GenericRecord = null
       it.map { bytes =>
         decoder = DecoderFactory.get().binaryDecoder(bytes, decoder)
         record = reader.read(record, decoder)
-        toRow(record, schema)
+        toRow(record, readerSchema)
       }
-    }(Encoders.row(schema))
+    }(Encoders.row(readerSchema))
   }
 
   // ---- value conversions ----

@@ -67,4 +67,26 @@ class AvroCodecSpec extends SparkSpec {
       Seq(("value", BinaryType)))
     assert(enc.count() == 2)
   }
+
+  test("schema evolution: by-name resolution, dropped/added fields, int→long promotion") {
+    val s = spark
+    import s.implicits._
+    // writer: (a INT, b STRING, c DOUBLE); reader reorders, drops c,
+    // promotes a to LONG, and adds nullable d
+    val src = Seq((1, "x", 2.5), (2, "y", 3.5)).toDF("a", "b", "c")
+    val encoded = AvroCodec.encodeRows(src)
+    val readerSchema = StructType(Seq(
+      StructField("b", StringType), StructField("a", LongType),
+      StructField("d", StringType, nullable = true)))
+    val out = AvroCodec.decodeRowsEvolved(encoded, src.schema, readerSchema)
+      .orderBy("a").collect()
+    assert(out.map(r => (r.getString(0), r.getLong(1), r.isNullAt(2))).toSeq ==
+      Seq(("x", 1L, true), ("y", 2L, true)))
+    // a non-nullable added field has no default → resolution fails loudly
+    val bad = StructType(Seq(StructField("a", LongType),
+      StructField("req", LongType, nullable = false)))
+    intercept[Exception] {
+      AvroCodec.decodeRowsEvolved(encoded, src.schema, bad).collect()
+    }
+  }
 }
