@@ -105,7 +105,10 @@ object CdcFormats {
     // the database filter skips silently in the reference regardless of
     // ignore-parse-errors (CanalJsonDeserializationSchema.java:176-186)
     val parsed = database.fold(parsed0)(db => parsed0.filter(col("p.database") === db))
-    val corrupt = col("p").isNull || col("p.type").isNull
+    // an UPDATE without its old values is a corrupt message in the
+    // reference (old.getRow(i) NPEs into the corrupt-message path)
+    val corrupt = col("p").isNull || col("p.type").isNull ||
+      (col("p.type") === "UPDATE" && col("p.old").isNull)
     val unknownTy = !col("p.type").isin("INSERT", "UPDATE", "DELETE", "CREATE")
     val checked =
       if (ignoreParseErrors) parsed.filter(!corrupt && !unknownTy)
@@ -135,7 +138,9 @@ object CdcFormats {
       StructField("data", schema), StructField("old", schema),
       StructField("type", StringType)))
     val parsed = df.select(from_json(col(jsonCol), env).as("p"), col(jsonCol).as("_raw"))
-    val corrupt = col("p").isNull || col("p.type").isNull
+    // update without old values NPEs into the reference's corrupt path
+    val corrupt = col("p").isNull || col("p.type").isNull ||
+      (col("p.type") === "update" && col("p.old").isNull)
     val unknownTy = !col("p.type").isin("insert", "update", "delete")
     val checked =
       if (ignoreParseErrors) parsed.filter(!corrupt && !unknownTy)

@@ -35,31 +35,55 @@ object OptionsHint {
     """(?is)(\w+)\s*/\*\+\s*OPTIONS\s*\(([^)]*)\)\s*\*/(\s+AS\s+\w+)?""".r
   private val propRe = """'([^']+)'\s*=\s*'([^']*)'""".r
 
+  /** Offset-preserving blank of single-quoted literal CONTENT only (quotes
+    * stay), so a literal containing the hint spelling can't dispatch — the
+    * reference parses hints structurally, where literals are inert. */
+  private def blankLiterals(sql: String): String = {
+    val out = sql.toCharArray
+    var i = 0; var inStr = false
+    while (i < out.length) {
+      if (out(i) == '\'') inStr = !inStr
+      else if (inStr && !out(i).isWhitespace) out(i) = ' '
+      i += 1
+    }
+    new String(out)
+  }
+
   def matches(sqlText: String): Boolean =
-    """(?is)/\*\+\s*OPTIONS\s*\(""".r.findFirstIn(sqlText).isDefined
+    """(?is)/\*\+\s*OPTIONS\s*\(""".r.findFirstIn(blankLiterals(sqlText)).isDefined
 
   /** Resolve every OPTIONS hint in `sqlText`; returns the text unchanged
-    * when no hint is present. */
+    * when no hint is present. Hints are LOCATED on the literal-blanked
+    * text (offset-preserving) and the replacement splices the ORIGINAL —
+    * a string literal containing the hint spelling survives verbatim. */
   def rewrite(spark: SparkSession, sqlText: String): String = {
     if (!matches(sqlText)) return sqlText
     if (!spark.conf.getOption(ConfKey).exists(_.equalsIgnoreCase("true")))
       // CatalogSourceTable.java:250-257, message shape preserved
       throw new IllegalArgumentException(
         s"The 'OPTIONS' hint is allowed only when the config option '$ConfKey' is set to true.")
-    hintRe.replaceAllIn(sqlText, m => {
+    val blanked = blankLiterals(sqlText)
+    val sb = new StringBuilder
+    var last = 0
+    hintRe.findAllMatchIn(blanked).foreach { m =>
       val name = m.group(1)
       val tbl = ConnectorTables.lookup(spark, name).getOrElse(
         throw new IllegalArgumentException(
           s"OPTIONS hint: '$name' is not a registered connector table " +
             "(dynamic options apply to connector tables only)"))
-      val hinted = propRe.findAllMatchIn(m.group(2))
+      // option values come from the ORIGINAL text (the blank hid them)
+      val hinted = propRe.findAllMatchIn(
+        sqlText.substring(m.start(2), m.end(2)))
         .map(p => p.group(1).toLowerCase -> p.group(2)).toMap
       val view = s"__opt_hint_${name}_${java.util.UUID.randomUUID.toString.replace("-", "").take(12)}"
       ConnectorTables.read(spark, tbl, hinted).createOrReplaceTempView(view)
       // keep the original name visible as the alias when none was written,
       // so unqualified/qualified references elsewhere in the query resolve
       val alias = Option(m.group(3)).getOrElse(s" AS $name")
-      java.util.regex.Matcher.quoteReplacement(view + alias)
-    })
+      sb.append(sqlText.substring(last, m.start)).append(view + alias)
+      last = m.end
+    }
+    sb.append(sqlText.substring(last))
+    sb.toString
   }
 }

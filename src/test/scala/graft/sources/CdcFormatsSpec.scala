@@ -124,6 +124,17 @@ class CdcFormatsSpec extends SparkSpec {
     }
   }
 
+  test("canal/maxwell: UPDATE without old values is corrupt (raises; drops under ignore)") {
+    val canalBad = """{"data":[{"id":1,"name":"a","weight":2.0}],"old":null,"type":"UPDATE","database":"inv"}"""
+    intercept[Exception] { CdcFormats.canalJson(df(canalBad), "value", schema).collect() }
+    assert(CdcFormats.canalJson(df(canalBad), "value", schema,
+      ignoreParseErrors = true).count() == 0)
+    val maxwellBad = """{"data":{"id":1,"name":"a","weight":2.0},"old":null,"type":"update"}"""
+    intercept[Exception] { CdcFormats.maxwellJson(df(maxwellBad), "value", schema).collect() }
+    assert(CdcFormats.maxwellJson(df(maxwellBad), "value", schema,
+      ignoreParseErrors = true).count() == 0)
+  }
+
   test("debezium decode runs as a real StreamingQuery (file-stream source)") {
     val s = spark
     import s.implicits._

@@ -78,6 +78,13 @@ class SqlUtilitySpec extends SparkSpec {
     } finally spark.conf.unset(OptionsHint.ConfKey)
   }
 
+  test("a string literal containing the hint spelling is NOT a hint") {
+    // no conf enabled — if the literal dispatched as a hint this would
+    // throw the conf-gate error instead of returning the literal
+    val v = spark.sql("SELECT '/*+ OPTIONS(''k''=''v'') */' AS s").collect().head.getString(0)
+    assert(v == "/*+ OPTIONS('k'='v') */")
+  }
+
   test("CREATE TABLE LIKE inherits options; derived WITH overwrites under OVERWRITING OPTIONS") {
     val s = spark
     import s.implicits._
