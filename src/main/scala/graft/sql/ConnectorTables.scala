@@ -274,7 +274,10 @@ object ConnectorTables {
       val schema = Option(colsOpt).flatMap(parseSchema).orElse(base.schema)
       val path = props.getOrElse("path", throw new IllegalArgumentException(
         s"CREATE TABLE $name LIKE $baseName: no 'path' after option merge"))
-      register(spark, name, Tbl(path, props.getOrElse("format", "parquet"), props, schema))
+      // partitions inherit (the reference's FeatureOption.PARTITIONS
+      // defaults to INCLUDING, SqlTableLike.java:190)
+      register(spark, name,
+        Tbl(path, props.getOrElse("format", "parquet"), props, schema, base.partitions))
     case createRe(name, cols, partCols, propsBody) =>
       val props = propRe.findAllMatchIn(propsBody)
         .map(m => m.group(1).toLowerCase -> m.group(2)).toMap

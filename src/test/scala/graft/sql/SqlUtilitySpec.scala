@@ -130,6 +130,16 @@ class SqlUtilitySpec extends SparkSpec {
     assert(spark.sql("SELECT count(*) FROM like_excl").collect().head.getLong(0) == 3L)
   }
 
+  test("CREATE TABLE LIKE inherits the base's partition columns") {
+    val b = freshDir("likepart") + "/b"; val d = freshDir("likepart2") + "/d"
+    spark.sql(s"""CREATE TABLE lp_base (k BIGINT, grp STRING) PARTITIONED BY (grp)
+                  WITH ('connector' = 'filesystem', 'path' = '$b', 'format' = 'parquet')""")
+    spark.sql(s"CREATE TABLE lp_drv WITH ('path' = '$d') LIKE lp_base (OVERWRITING OPTIONS)")
+    spark.sql("INSERT INTO lp_drv SELECT id AS k, CAST(id % 2 AS STRING) AS grp FROM range(4)")
+    val subdirs = new java.io.File(d).listFiles.filter(_.isDirectory).map(_.getName).sorted
+    assert(subdirs.toSeq == Seq("grp=0", "grp=1")) // partitioned layout inherited
+  }
+
   test("connector csv table reads with the DECLARED schema, not inference") {
     val dir = freshDir("csvschema")
     writePipeCsv(dir)
