@@ -69,7 +69,12 @@ object CdcFormats {
       StructField("before", schema), StructField("after", schema),
       StructField("op", StringType)))
     val full = if (schemaInclude) StructType(Seq(StructField("payload", env))) else env
-    val parsed0 = df.select(from_json(col(jsonCol), full).as("m"), col(jsonCol).as("_raw"))
+    // null/empty messages are Kafka tombstones — skipped BEFORE parsing,
+    // unconditionally, even with ignore-parse-errors off
+    // (DebeziumJsonDeserializationSchema.java:122-125; canal/maxwell have
+    // no such skip — their empty message is a corrupt one)
+    val nonTombstone = df.filter(col(jsonCol).isNotNull && length(col(jsonCol)) > 0)
+    val parsed0 = nonTombstone.select(from_json(col(jsonCol), full).as("m"), col(jsonCol).as("_raw"))
     val p = if (schemaInclude) col("m.payload") else col("m")
     val parsed = parsed0.select(p.as("p"), col("_raw"))
     val corrupt = col("p").isNull || col("p.op").isNull
@@ -106,9 +111,13 @@ object CdcFormats {
     // ignore-parse-errors (CanalJsonDeserializationSchema.java:176-186)
     val parsed = database.fold(parsed0)(db => parsed0.filter(col("p.database") === db))
     // an UPDATE without its old values is a corrupt message in the
-    // reference (old.getRow(i) NPEs into the corrupt-message path)
+    // reference (old.getRow(i) NPEs into the corrupt-message path); so is
+    // a DML message with a null data array (data.size() NPEs the same way,
+    // CanalJsonDeserializationSchema.java:188-236) — without this the
+    // explode-of-null would silently drop the message instead
     val corrupt = col("p").isNull || col("p.type").isNull ||
-      (col("p.type") === "UPDATE" && col("p.old").isNull)
+      (col("p.type") === "UPDATE" && col("p.old").isNull) ||
+      (col("p.type").isin("INSERT", "UPDATE", "DELETE") && col("p.data").isNull)
     val unknownTy = !col("p.type").isin("INSERT", "UPDATE", "DELETE", "CREATE")
     val checked =
       if (ignoreParseErrors) parsed.filter(!corrupt && !unknownTy)
@@ -138,9 +147,12 @@ object CdcFormats {
       StructField("data", schema), StructField("old", schema),
       StructField("type", StringType)))
     val parsed = df.select(from_json(col(jsonCol), env).as("p"), col(jsonCol).as("_raw"))
-    // update without old values NPEs into the reference's corrupt path
+    // update without old values NPEs into the reference's corrupt path;
+    // likewise a DML message with a null data row
+    // (MaxwellJsonDeserializationSchema.java:96-125)
     val corrupt = col("p").isNull || col("p.type").isNull ||
-      (col("p.type") === "update" && col("p.old").isNull)
+      (col("p.type") === "update" && col("p.old").isNull) ||
+      (col("p.type").isin("insert", "update", "delete") && col("p.data").isNull)
     val unknownTy = !col("p.type").isin("insert", "update", "delete")
     val checked =
       if (ignoreParseErrors) parsed.filter(!corrupt && !unknownTy)

@@ -135,6 +135,40 @@ class CdcFormatsSpec extends SparkSpec {
       ignoreParseErrors = true).count() == 0)
   }
 
+  test("debezium: null/empty tombstone messages are skipped before parsing, even strict") {
+    // DebeziumJsonDeserializationSchema.java:122-125 — skip tombstones
+    // unconditionally; a blank line must NOT raise the corrupt error
+    val s = spark
+    import s.implicits._
+    val withBlanks = Seq(
+      """{"before":null,"after":{"id":1,"name":"a","weight":1.0},"op":"c"}""",
+      "", null.asInstanceOf[String]).toDF("value")
+    assert(collectKinds(CdcFormats.debeziumJson(withBlanks, "value", schema)) ==
+      Seq(("+I", 1L, "a", 1.0)))
+    // canal/maxwell have no tombstone skip: an empty message parses to a
+    // null envelope → the corrupt error
+    intercept[Exception] { CdcFormats.canalJson(df(""), "value", schema).collect() }
+    intercept[Exception] { CdcFormats.maxwellJson(df(""), "value", schema).collect() }
+  }
+
+  test("canal/maxwell: DML with null data array is corrupt, not silently dropped") {
+    // reference NPEs on row.getArray(0)/row.getRow(0) into the corrupt path
+    val canalIns = """{"data":null,"old":null,"type":"INSERT","database":"inv"}"""
+    val canalDel = """{"data":null,"old":null,"type":"DELETE","database":"inv"}"""
+    intercept[Exception] { CdcFormats.canalJson(df(canalIns), "value", schema).collect() }
+    intercept[Exception] { CdcFormats.canalJson(df(canalDel), "value", schema).collect() }
+    assert(CdcFormats.canalJson(df(canalIns, canalDel), "value", schema,
+      ignoreParseErrors = true).count() == 0)
+    val maxwellIns = """{"data":null,"old":null,"type":"insert"}"""
+    intercept[Exception] { CdcFormats.maxwellJson(df(maxwellIns), "value", schema).collect() }
+    assert(CdcFormats.maxwellJson(df(maxwellIns), "value", schema,
+      ignoreParseErrors = true).count() == 0)
+    // CREATE (DDL) with null data stays a silent skip — only DML types check
+    assert(CdcFormats.canalJson(
+      df("""{"data":null,"old":null,"type":"CREATE","database":"inv"}"""),
+      "value", schema).count() == 0)
+  }
+
   test("debezium decode runs as a real StreamingQuery (file-stream source)") {
     val s = spark
     import s.implicits._
