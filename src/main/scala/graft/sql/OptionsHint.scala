@@ -28,22 +28,43 @@ object OptionsHint {
 
   val ConfKey = "table.dynamic-table-options.enabled"
 
-  // Calcite grammar order: tableName [hint-comment] [[AS] alias] — the word
-  // immediately BEFORE the hint is the table name; an explicit `AS alias`
-  // may follow the hint (bare aliases after a hint are not supported here).
+  // Calcite grammar order: tableName [hint-comment] [[AS] alias] — the
+  // possibly-qualified name immediately BEFORE the hint is the table
+  // reference; an `AS alias` or a bare alias word may follow the hint.
+  // A bare word that is really a clause keyword (JOIN/WHERE/...) is told
+  // apart in code, not in the regex, so the original text can be respliced.
   private val hintRe =
-    """(?is)(\w+)\s*/\*\+\s*OPTIONS\s*\(([^)]*)\)\s*\*/(\s+AS\s+\w+)?""".r
+    """(?is)((?:\w+\.)*\w+)\s*/\*\+\s*OPTIONS\s*\(([^)]*)\)\s*\*/(?:(\s+AS\s+\w+)|(\s+\w+))?""".r
   private val propRe = """'([^']+)'\s*=\s*'([^']*)'""".r
+
+  // clause keywords that can directly follow a table reference — NOT bare
+  // aliases (Calcite's reserved words in that position)
+  private val notAlias = Set(
+    "WHERE", "GROUP", "ORDER", "HAVING", "LIMIT", "OFFSET", "FETCH",
+    "JOIN", "LEFT", "RIGHT", "FULL", "INNER", "OUTER", "CROSS", "NATURAL",
+    "LATERAL", "SEMI", "ANTI", "ON", "USING", "UNION", "EXCEPT", "INTERSECT",
+    "MINUS", "WINDOW", "MATCH_RECOGNIZE", "FOR", "TABLESAMPLE", "AS")
 
   /** Offset-preserving blank of single-quoted literal CONTENT only (quotes
     * stay), so a literal containing the hint spelling can't dispatch — the
-    * reference parses hints structurally, where literals are inert. */
+    * reference parses hints structurally, where literals are inert.
+    * Mirrors Spark's default lexer escapes: a backslash escapes the next
+    * character (so 'it\'s' does not close the literal) and a doubled ''
+    * is an escaped quote, not close+open — both stay literal content. */
   private def blankLiterals(sql: String): String = {
     val out = sql.toCharArray
     var i = 0; var inStr = false
     while (i < out.length) {
-      if (out(i) == '\'') inStr = !inStr
-      else if (inStr && !out(i).isWhitespace) out(i) = ' '
+      val c = out(i)
+      if (inStr && c == '\\' && i + 1 < out.length) {
+        out(i) = ' '
+        if (!out(i + 1).isWhitespace) out(i + 1) = ' '
+        i += 1
+      } else if (inStr && c == '\'' && i + 1 < out.length && out(i + 1) == '\'') {
+        out(i) = ' '; out(i + 1) = ' '
+        i += 1
+      } else if (c == '\'') inStr = !inStr
+      else if (inStr && !c.isWhitespace) out(i) = ' '
       i += 1
     }
     new String(out)
@@ -69,19 +90,31 @@ object OptionsHint {
       val name = m.group(1)
       val tbl = ConnectorTables.lookup(spark, name).getOrElse(
         throw new IllegalArgumentException(
-          s"OPTIONS hint: '$name' is not a registered connector table " +
-            "(dynamic options apply to connector tables only)"))
+          if (name.contains("."))
+            s"OPTIONS hint: qualified reference '$name' is not a registered " +
+              "connector table (register it under that qualified name, or " +
+              "reference it unqualified)"
+          else
+            s"OPTIONS hint: '$name' is not a registered connector table " +
+              "(dynamic options apply to connector tables only)"))
       // option values come from the ORIGINAL text (the blank hid them)
       val hinted = propRe.findAllMatchIn(
         sqlText.substring(m.start(2), m.end(2)))
         .map(p => p.group(1).toLowerCase -> p.group(2)).toMap
-      val view = s"__opt_hint_${name}_${java.util.UUID.randomUUID.toString.replace("-", "").take(12)}"
+      val view = s"__opt_hint_${name.replace('.', '_')}_${java.util.UUID.randomUUID.toString.replace("-", "").take(12)}"
       ConnectorTables.read(spark, tbl, hinted).createOrReplaceTempView(view)
-      // keep the original name visible as the alias when none was written,
-      // so unqualified/qualified references elsewhere in the query resolve
-      val alias = Option(m.group(3)).getOrElse(s" AS $name")
+      // the visible name downstream: an explicit AS alias, a bare alias
+      // (when the word after the hint is not a clause keyword — Calcite
+      // admits `FROM t /*+ ... */ a`), or the table's own (last-segment)
+      // name so references elsewhere in the query keep resolving
+      val bare = Option(m.group(4)).map(_.trim).filter(w => !notAlias(w.toUpperCase))
+      val consumedEnd =
+        if (m.group(4) != null && bare.isEmpty) m.start(4) else m.end
+      val alias = Option(m.group(3))
+        .orElse(bare.map(" AS " + _))
+        .getOrElse(s" AS ${name.split('.').last}")
       sb.append(sqlText.substring(last, m.start)).append(view + alias)
-      last = m.end
+      last = consumedEnd
     }
     sb.append(sqlText.substring(last))
     sb.toString

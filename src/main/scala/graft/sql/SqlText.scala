@@ -16,14 +16,19 @@ object SqlText {
     while (i < s.length) {
       s.charAt(i) match {
         case '\'' =>
-          // copy the literal whole (SQL escapes quotes by doubling)
+          // copy the literal whole: quotes escape by doubling ('') AND by
+          // backslash ('\''), both honored by Spark's default lexer
           val start = i; i += 1
-          while (i < s.length && (s.charAt(i) != '\'' ||
-              (i + 1 < s.length && s.charAt(i + 1) == '\''))) {
-            if (s.charAt(i) == '\'') i += 1 // the doubled quote
-            i += 1
+          var closed = false
+          while (i < s.length && !closed) {
+            s.charAt(i) match {
+              case '\\' => i += 2
+              case '\'' if i + 1 < s.length && s.charAt(i + 1) == '\'' => i += 2
+              case '\'' => closed = true; i += 1
+              case _ => i += 1
+            }
           }
-          i = math.min(i + 1, s.length)
+          i = math.min(i, s.length)
           out.append(s.substring(start, i))
         case c if c.isLetter || c == '_' =>
           val start = i

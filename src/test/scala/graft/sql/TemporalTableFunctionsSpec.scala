@@ -176,5 +176,7 @@ class TemporalTableFunctionsSpec extends SparkSpec {
     assert(SqlText.stripQualifiers("a.la.x", Seq("la")) == "a.la.x")   // mid-path
     assert(SqlText.stripQualifiers("LA.x", Seq("la")) == "x")          // case
     assert(SqlText.stripQualifiers("'it''s la.' || la.c", Seq("la")) == "'it''s la.' || c")
+    // backslash-escaped quote does not close the literal (Spark's lexer)
+    assert(SqlText.stripQualifiers("'it\\'s la.' || la.c", Seq("la")) == "'it\\'s la.' || c")
   }
 }
