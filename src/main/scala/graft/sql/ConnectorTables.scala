@@ -45,7 +45,12 @@ object ConnectorTables {
       format: String,
       props: Map[String, String],
       schema: Option[StructType],
-      partitions: Seq[String] = Nil)
+      partitions: Seq[String] = Nil,
+      computed: Seq[(String, String)] = Nil,
+      // PRIMARY KEY columns — metadata, NOT enforced, exactly like the
+      // reference's `PRIMARY KEY (...) NOT ENFORCED`; carried for LIKE's
+      // CONSTRAINTS merging and changelog-sink key derivation
+      pk: Option[Seq[String]] = None)
 
   /** (session identity, table name) → table; session-keyed so tests with
     * multiple sessions cannot see each other's registrations. */
@@ -55,20 +60,34 @@ object ConnectorTables {
     s"${System.identityHashCode(s)}:${name.toLowerCase}"
 
   // cols are non-greedy so the optional PARTITIONED BY group can match —
-  // a greedy (.*) would swallow it and backtrack straight to WITH
+  // a greedy (.*) would swallow it and backtrack straight to WITH.
+  // Table names may be database-qualified (db.t) — see resolveQualified.
   private val createRe =
-    """(?is)\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)\s*\((.*?)\)\s*(?:PARTITIONED\s+BY\s*\(([^)]*)\)\s*)?WITH\s*\((.*?)\)\s*""".r
+    """(?is)\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?((?:\w+\.)?\w+)\s*\((.*?)\)\s*(?:PARTITIONED\s+BY\s*\(([^)]*)\)\s*)?WITH\s*\((.*?)\)\s*""".r
   private val likeRe =
-    """(?is)\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)\s*(?:\((.*)\)\s*)?WITH\s*\((.*?)\)\s*LIKE\s+(\w+)\s*(?:\(\s*(.*?)\s*\))?\s*""".r
+    """(?is)\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?((?:\w+\.)?\w+)\s*(?:\((.*?)\)\s*)?(?:PARTITIONED\s+BY\s*\(([^)]*)\)\s*)?WITH\s*\((.*?)\)\s*LIKE\s+((?:\w+\.)?\w+)\s*(?:\(\s*(.*?)\s*\))?\s*;?\s*""".r
   // INSERT INTO|OVERWRITE t [PARTITION (p='v'[, ...])] SELECT ...
   private val insertRe =
-    """(?is)\s*INSERT\s+(INTO|OVERWRITE)\s+(?:TABLE\s+)?(\w+)\s*(?:PARTITION\s*\(([^)]*)\)\s*)?(SELECT\s+.*|VALUES\s*\(.*)""".r
+    """(?is)\s*INSERT\s+(INTO|OVERWRITE)\s+(?:TABLE\s+)?((?:\w+\.)?\w+)\s*(?:PARTITION\s*\(([^)]*)\)\s*)?(SELECT\s+.*|VALUES\s*\(.*)""".r
   private val propRe = """'([^']+)'\s*=\s*'([^']*)'""".r
+  private val pkRe = """(?i)PRIMARY\s+KEY\s*\(([^)]*)\)""".r
+
+  private def parsePk(cols: String): Option[Seq[String]] =
+    pkRe.findFirstMatchIn(cols)
+      .map(_.group(1).split(",").map(_.trim).filter(_.nonEmpty).toSeq)
 
   def matchesCreate(probe: String): Boolean =
     """(?i)^\s*CREATE\s+TABLE\b""".r.findFirstIn(probe).isDefined &&
       """(?i)\bWITH\s*\(""".r.findFirstIn(probe).isDefined &&
-      """(?i)\bWATERMARK\s+FOR\b""".r.findFirstIn(probe).isEmpty
+      ("""(?i)\bWATERMARK\s+FOR\b""".r.findFirstIn(probe).isEmpty || matchesLike(probe))
+
+  /** CREATE TABLE ... WITH (...) LIKE base [(like options)] — detected on
+    * literal-blanked text (prop values can't contain stray parens there).
+    * LIKE statements route here even when the derived column list declares
+    * its own WATERMARK — the merge needs both sides. */
+  private[sql] def matchesLike(probe: String): Boolean =
+    """(?is)^\s*CREATE\s+TABLE\b.*\bWITH\s*\([^)]*\)\s*LIKE\s+\w+\s*(?:\([^)]*\))?\s*;?\s*$""".r
+      .findFirstIn(probe).isDefined
 
   def matchesInsert(probe: String): Boolean =
     """(?i)^\s*INSERT\s+(INTO|OVERWRITE)\b""".r.findFirstIn(probe).isDefined
@@ -76,12 +95,45 @@ object ConnectorTables {
   def matchesAlterOrDrop(probe: String): Boolean =
     """(?i)^\s*(ALTER|DROP)\s+TABLE\b""".r.findFirstIn(probe).isDefined
 
+  private val showPartsRe =
+    """(?is)^\s*SHOW\s+PARTITIONS\s+((?:\w+\.)?\w+)\s*(?:PARTITION\s*\(([^)]*)\)\s*)?;?\s*$""".r
+
+  def matchesShowPartitions(probe: String): Boolean =
+    showPartsRe.findFirstIn(probe).isDefined
+
+  /** SHOW PARTITIONS t [PARTITION (partial spec)] on a registered
+    * partitioned connector table — the reference's result shape: one
+    * `partition name` column of `k=v[/k2=v2]` strings
+    * (TableEnvironmentImpl.java:1026-1041). Non-connector tables return
+    * None and fall through to Spark's native statement. */
+  def tryShowPartitions(spark: SparkSession, sql: String): Option[DataFrame] = sql match {
+    case showPartsRe(name, specOpt) =>
+      lookup(spark, name).map { tbl =>
+        if (tbl.partitions.isEmpty)
+          // TableNotPartitionedException message shape
+          throw new IllegalArgumentException(s"Table $name is not partitioned.")
+        def walk(dir: java.io.File, depth: Int, acc: List[String]): Seq[String] =
+          if (depth == tbl.partitions.size) Seq(acc.reverse.mkString("/"))
+          else Option(dir.listFiles).toSeq.flatten
+            .filter(f => f.isDirectory && f.getName.contains("="))
+            .flatMap(f => walk(f, depth + 1, f.getName :: acc))
+        val all = walk(new java.io.File(tbl.path), 0, Nil)
+        val filters = Option(specOpt).toSeq.flatMap(sp =>
+          """(\w+)\s*=\s*(?:'([^']*)'|([^,\s']+))""".r.findAllMatchIn(sp)
+            .map(m => m.group(1) + "=" + Option(m.group(2)).getOrElse(m.group(3))))
+        val kept = all.filter(p => filters.forall(f => p.split("/").contains(f)))
+        import spark.implicits._
+        kept.sorted.toDF("partition name")
+      }
+    case _ => None
+  }
+
   private val alterSetRe =
-    """(?is)\s*ALTER\s+TABLE\s+(\w+)\s+SET\s*\((.*)\)\s*""".r
+    """(?is)\s*ALTER\s+TABLE\s+((?:\w+\.)?\w+)\s+SET\s*\((.*)\)\s*""".r
   private val alterRenameRe =
-    """(?is)\s*ALTER\s+TABLE\s+(\w+)\s+RENAME\s+TO\s+(\w+)\s*""".r
+    """(?is)\s*ALTER\s+TABLE\s+((?:\w+\.)?\w+)\s+RENAME\s+TO\s+((?:\w+\.)?\w+)\s*""".r
   private val dropRe =
-    """(?is)\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?(\w+)\s*""".r
+    """(?is)\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?((?:\w+\.)?\w+)\s*""".r
 
   /** ALTER TABLE ... SET (props) / RENAME TO / DROP TABLE on registered
     * connector tables (SqlAlterTableProperties.java:33,
@@ -101,13 +153,13 @@ object ConnectorTables {
     case alterRenameRe(name, newName) =>
       lookup(spark, name).map { tbl =>
         tables.remove(key(spark, name))
-        spark.catalog.dropTempView(name)
+        spark.catalog.dropTempView(viewName(name))
         register(spark, newName, tbl)
       }
     case dropRe(name) =>
       lookup(spark, name).map { _ =>
         tables.remove(key(spark, name))
-        spark.catalog.dropTempView(name)
+        spark.catalog.dropTempView(viewName(name))
         spark.emptyDataFrame
       }
     case _ => None
@@ -230,11 +282,120 @@ object ConnectorTables {
     val df = r.load(path)
     // partition discovery infers partition-col types; cast back to the DDL
     // types and restore the declared column order
-    tbl.schema.filter(_ => tbl.partitions.nonEmpty).fold(df) { sc =>
+    val ordered = tbl.schema.filter(_ => tbl.partitions.nonEmpty).fold(df) { sc =>
       df.select(sc.fieldNames.toSeq.map(n =>
         org.apache.spark.sql.functions.col(n)
           .cast(sc(n).dataType).as(n)): _*)
     }
+    // computed (generated) columns apply on top in declaration order, so
+    // later ones may reference earlier ones — parserImpls.ftl:551
+    tbl.computed.foldLeft(ordered) { case (d, (n, e)) =>
+      d.withColumn(n, org.apache.spark.sql.functions.expr(e))
+    }
+  }
+
+  /** Stream-read a registered connector table: file-stream over its path
+    * with the declared (or batch-inferred) schema, computed columns applied,
+    * and the table's registered watermark — its own WATERMARK FOR or one
+    * inherited through CREATE TABLE LIKE (INCLUDING WATERMARKS) — attached.
+    * The streaming-source half of the reference's connector DDL. */
+  def readStream(spark: SparkSession, name: String): DataFrame = {
+    val tbl = lookup(spark, name).getOrElse(throw new IllegalArgumentException(
+      s"readStream: '$name' is not a registered connector table"))
+    val opts = readerOptions(tbl.format, tbl.props)
+    val schema = tbl.schema.getOrElse(
+      spark.read.format(tbl.format).options(opts).load(tbl.path).schema)
+    val raw = spark.readStream.format(tbl.format).options(opts)
+      .schema(schema).load(tbl.path)
+    val withComputed = tbl.computed.foldLeft(raw) { case (d, (n, e)) =>
+      d.withColumn(n, org.apache.spark.sql.functions.expr(e)) }
+    SystemTimeJoin.watermarkOf(name).fold(withComputed) { case (c, delay) =>
+      withComputed.withWatermark(c, delay) }
+  }
+
+  /** Registry-only insert — for tables whose readable view is built by the
+    * caller (WatermarkDdl builds its own view with computed columns before
+    * the Tbl metadata lands here for LIKE to find). */
+  private[sql] def registerMeta(spark: SparkSession, name: String, tbl: Tbl): Unit =
+    tables.put(key(spark, name), tbl): Unit
+
+  /** Per-feature merging strategies of a LIKE options list
+    * (MergeTableLikeUtil.computeMergingStrategies:98-121 + the parser's
+    * SqlTableLike.validate():194-210): defaults are OPTIONS → OVERWRITING
+    * and everything else → INCLUDING (MergeTableLikeUtil.java:74-81); an
+    * ALL entry overrides every default; specific entries override last.
+    * Each feature at most once; OVERWRITING is illegal for
+    * ALL / PARTITIONS / CONSTRAINTS. */
+  private[sql] def likeStrategies(optsText: String): Map[String, String] = {
+    val feats = Seq("CONSTRAINTS", "GENERATED", "METADATA", "OPTIONS",
+      "PARTITIONS", "WATERMARKS")
+    val entryRe =
+      """(?i)\b(INCLUDING|EXCLUDING|OVERWRITING)\s+(ALL|CONSTRAINTS|GENERATED|METADATA|OPTIONS|PARTITIONS|WATERMARKS)\b""".r
+    val entries = entryRe.findAllMatchIn(optsText)
+      .map(m => m.group(2).toUpperCase -> m.group(1).toUpperCase).toSeq
+    if (entries.map(_._1).distinct.size != entries.size)
+      throw new IllegalArgumentException(
+        "Each like option feature can be declared only once.")
+    entries.foreach { case (f, s) =>
+      if (s == "OVERWRITING" && Set("ALL", "PARTITIONS", "CONSTRAINTS")(f))
+        throw new IllegalArgumentException(
+          s"Illegal merging strategy '$s' for '$f' option.")
+    }
+    val defaults =
+      feats.map(f => f -> (if (f == "OPTIONS") "OVERWRITING" else "INCLUDING")).toMap
+    val withAll = entries.collectFirst { case ("ALL", s) => s }
+      .fold(defaults)(s => feats.map(_ -> s).toMap)
+    withAll ++ entries.filter(_._1 != "ALL")
+  }
+
+  /** Flat readable-view name of a possibly-qualified table name (temp view
+    * names cannot contain dots). Qualified references in queries reach this
+    * name through [[resolveQualified]]. */
+  private[sql] def viewName(name: String): String =
+    if (name.contains(".")) "__dbq_" + name.toLowerCase.replace('.', '_') else name
+
+  /** Rewrite qualified references (`db.t`) to REGISTERED connector tables
+    * into their flat readable-view names — the read half of database-scoped
+    * connector tables. Locations are found on literal/comment-blanked text
+    * (a string containing 'db.t' is untouched); the splice edits the
+    * original. Statements the connector front-ends handle themselves
+    * (CREATE / INSERT / ALTER / DROP) keep their qualified spelling — those
+    * paths resolve names via lookup(). A trailing `.col` stays correct:
+    * `db.t.col` becomes `<view>.col`. */
+  def resolveQualified(spark: SparkSession, sqlText: String): String = {
+    if (!sqlText.contains(".")) return sqlText
+    val prefix = s"${System.identityHashCode(spark)}:"
+    val quals = {
+      val it = tables.keys()
+      val b = Seq.newBuilder[String]
+      while (it.hasMoreElements) {
+        val k = it.nextElement()
+        if (k.startsWith(prefix) && k.stripPrefix(prefix).contains("."))
+          b += k.stripPrefix(prefix)
+      }
+      b.result()
+    }
+    if (quals.isEmpty) return sqlText
+    val probe = FlinkSql.blankLiteralsAndComments(sqlText)
+    if (matchesCreate(probe) || matchesInsert(probe) || matchesAlterOrDrop(probe) ||
+        matchesShowPartitions(probe))
+      return sqlText
+    var text = sqlText
+    quals.foreach { q =>
+      val re = ("(?i)(?<![\\w.`])" + java.util.regex.Pattern.quote(q) + "(?!\\w)").r
+      val blanked = FlinkSql.blankLiteralsAndComments(text)
+      if (re.findFirstIn(blanked).isDefined) {
+        val sb = new StringBuilder
+        var last = 0
+        re.findAllMatchIn(blanked).foreach { m =>
+          sb.append(text.substring(last, m.start)).append(viewName(q))
+          last = m.end
+        }
+        sb.append(text.substring(last))
+        text = sb.toString
+      }
+    }
+    text
   }
 
   private def register(spark: SparkSession, name: String, tbl: Tbl): DataFrame = {
@@ -244,40 +405,106 @@ object ConnectorTables {
     val f = new java.io.File(tbl.path)
     val hasData = f.isFile ||
       (f.isDirectory && Option(f.listFiles).exists(_.exists(c => !c.getName.startsWith("_"))))
-    if (hasData) read(spark, tbl).createOrReplaceTempView(name)
+    if (hasData) read(spark, tbl).createOrReplaceTempView(viewName(name))
     spark.emptyDataFrame
   }
 
   def runCreate(spark: SparkSession, sql: String): DataFrame = sql match {
-    case likeRe(name, colsOpt, propsBody, baseName, likeOptsOpt) =>
+    case likeRe(name, colsOpt, partColsOpt, propsBody, baseName, likeOptsOpt) =>
       val base = lookup(spark, baseName).getOrElse(throw new IllegalArgumentException(
         s"CREATE TABLE $name LIKE $baseName: base table is not a registered connector table"))
+      val st = likeStrategies(Option(likeOptsOpt).getOrElse(""))
       val derived = propRe.findAllMatchIn(propsBody)
         .map(m => m.group(1).toLowerCase -> m.group(2)).toMap
-      // MergingStrategy for OPTIONS (SqlTableLike.java:104): default INCLUDING
-      val strategy = Option(likeOptsOpt).map(_.toUpperCase.trim).getOrElse("") match {
-        case s if s.contains("EXCLUDING OPTIONS") || s.contains("EXCLUDING ALL") => "EXCLUDING"
-        case s if s.contains("OVERWRITING OPTIONS") => "OVERWRITING"
-        case _ => "INCLUDING"
-      }
+      // options merge (MergeTableLikeUtil.mergeOptions:185-206). NOTE the
+      // default strategy is OVERWRITING (MergeTableLikeUtil.java:75) — a
+      // bare LIKE lets the derived WITH silently win; the duplicate error
+      // fires only under an explicit INCLUDING
       val merged = scala.collection.mutable.LinkedHashMap[String, String]()
-      if (strategy != "EXCLUDING") merged ++= base.props
+      if (st("OPTIONS") != "EXCLUDING") merged ++= base.props
       derived.foreach { case (k, v) =>
-        if (strategy != "OVERWRITING" && merged.contains(k))
-          // MergeTableLikeUtil.java:196 — same guidance as the reference
+        if (st("OPTIONS") == "INCLUDING" && merged.contains(k))
           throw new IllegalArgumentException(
             s"There already exists an option ['$k' -> '${merged(k)}'] in the base table. " +
               "You might want to specify EXCLUDING OPTIONS or OVERWRITING OPTIONS.")
         merged(k) = v
       }
       val props = merged.toMap
-      val schema = Option(colsOpt).flatMap(parseSchema).orElse(base.schema)
+      // schema: derived PHYSICAL columns APPEND to the base's; a duplicate
+      // physical name is the reference's unconditional error
+      // (MergeTableLikeUtil.collectPhysicalFieldsTypes:460-469)
+      val derivedSchema = Option(colsOpt).flatMap(parseSchema)
+      val schema = (base.schema, derivedSchema) match {
+        case (Some(b), Some(d)) =>
+          d.fields.find(f => b.fieldNames.contains(f.name)).foreach(f =>
+            throw new IllegalArgumentException(
+              s"A column named '${f.name}' already exists in the base table."))
+          Some(StructType(b.fields ++ d.fields))
+        case (b, d) => d.orElse(b)
+      }
+      // computed (GENERATED) columns: inherit unless EXCLUDING; a derived
+      // computed column on an inherited name needs OVERWRITING
+      // (MergeTableLikeUtil.appendDerivedColumns:395-410)
+      val computedRe = """(?is)^(\w+)\s+AS\s+(.+)$""".r
+      val items = Option(colsOpt).map(splitTop).getOrElse(Nil)
+      val derivedComputed = items.collect {
+        case c if !c.trim.toUpperCase.startsWith("WATERMARK") &&
+            computedRe.findFirstMatchIn(c.trim).isDefined =>
+          val m = computedRe.findFirstMatchIn(c.trim).get
+          (m.group(1), m.group(2).trim)
+      }
+      val baseComputed = if (st("GENERATED") == "EXCLUDING") Nil else base.computed
+      derivedComputed.foreach { case (n, _) =>
+        if (baseComputed.exists(_._1.equalsIgnoreCase(n)) && st("GENERATED") != "OVERWRITING")
+          throw new IllegalArgumentException(
+            s"A generated column named '$n' already exists in the base table. " +
+              "You might want to specify EXCLUDING GENERATED or OVERWRITING GENERATED.")
+      }
+      val computed = baseComputed.filterNot(bc =>
+        derivedComputed.exists(_._1.equalsIgnoreCase(bc._1))) ++ derivedComputed
+      // partitions (MergeTableLikeUtil.mergePartitions:164-180 — the 1.12
+      // shape, preserved exactly: EXCLUDING legalizes a derived override,
+      // but an EMPTY derived list inherits the base's partitions under
+      // every strategy, EXCLUDING included)
+      val derivedParts = Option(partColsOpt)
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+      if (derivedParts.nonEmpty && base.partitions.nonEmpty && st("PARTITIONS") != "EXCLUDING")
+        throw new IllegalArgumentException(
+          "The base table already has partitions defined. You might want to " +
+            "specify EXCLUDING PARTITIONS.")
+      val parts = if (derivedParts.nonEmpty) derivedParts else base.partitions
+      // watermarks (populateWatermarksFromSourceTable:258-266 +
+      // verifyRowtimeAttribute:336-349): inherit unless EXCLUDING; a
+      // derived spec on the same rowtime column needs OVERWRITING
+      val baseWm = if (st("WATERMARKS") == "EXCLUDING") None
+                   else SystemTimeJoin.watermarkOf(baseName)
+      val derivedWm = Option(colsOpt).flatMap(c => WatermarkDdl.wmRe.findFirstMatchIn(c))
+      derivedWm.foreach { m =>
+        if (baseWm.exists(_._1.equalsIgnoreCase(m.group(1))) && st("WATERMARKS") != "OVERWRITING")
+          throw new IllegalArgumentException(
+            s"There already exists a watermark spec for column '${m.group(1)}' in the " +
+              "base table. You might want to specify EXCLUDING WATERMARKS or " +
+              "OVERWRITING WATERMARKS.")
+      }
+      val wm = derivedWm.map(m =>
+          (m.group(1), WatermarkDdl.delayLiteral(m.group(2), m.group(3))))
+        .orElse(baseWm)
+      // primary key (CONSTRAINTS): copied only under INCLUDING
+      // (populatePrimaryKeyFromSourceTable:268-275); base + derived PK
+      // together is the reference's error (appendDerivedPrimaryKey:277-281)
+      val basePk = if (st("CONSTRAINTS") == "INCLUDING") base.pk else None
+      val derivedPk = Option(colsOpt).flatMap(parsePk)
+      if (derivedPk.isDefined && basePk.isDefined)
+        throw new IllegalArgumentException(
+          "The base table already has a primary key. You might want to " +
+            "specify EXCLUDING CONSTRAINTS.")
       val path = props.getOrElse("path", throw new IllegalArgumentException(
         s"CREATE TABLE $name LIKE $baseName: no 'path' after option merge"))
-      // partitions inherit (the reference's FeatureOption.PARTITIONS
-      // defaults to INCLUDING, SqlTableLike.java:190)
-      register(spark, name,
-        Tbl(path, props.getOrElse("format", "parquet"), props, schema, base.partitions))
+      val out = register(spark, name,
+        Tbl(path, props.getOrElse("format", "parquet"), props, schema, parts,
+          computed, derivedPk.orElse(basePk)))
+      wm.foreach { case (c, d) => SystemTimeJoin.declareWatermark(name, c, d) }
+      out
     case createRe(name, cols, partCols, propsBody) =>
       val props = propRe.findAllMatchIn(propsBody)
         .map(m => m.group(1).toLowerCase -> m.group(2)).toMap
@@ -292,7 +519,8 @@ object ConnectorTables {
       // col=value directory layout on write
       val parts = Option(partCols).map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
         .getOrElse(Nil)
-      register(spark, name, Tbl(path, fmt, props, parseSchema(cols), parts))
+      register(spark, name,
+        Tbl(path, fmt, props, parseSchema(cols), parts, Nil, parsePk(cols)))
     case _ => throw new IllegalArgumentException("unsupported connector CREATE TABLE shape")
   }
 
@@ -302,12 +530,22 @@ object ConnectorTables {
     case insertRe(mode, name, staticPart, query) =>
       lookup(spark, name).map { tbl =>
         var df = spark.sql(query)
-        // static PARTITION (p='v') clause: the literals append as columns
-        // (the reference converts them to a constant partition writer)
+        // static PARTITION (p='v' | p=5) clause: the literals — quoted or
+        // unquoted, both valid in the reference's grammar — append as
+        // constant columns cast to the declared type; an unparsed residue
+        // is a pointed error rather than a silent drop
         Option(staticPart).foreach { sp =>
-          """(\w+)\s*=\s*'([^']*)'""".r.findAllMatchIn(sp).foreach { m =>
+          val specRe = """(\w+)\s*=\s*(?:'([^']*)'|([^,\s']+))""".r
+          val ms = specRe.findAllMatchIn(sp).toSeq
+          val residue = ms.foldLeft(sp)((acc, m) => acc.replace(m.matched, ""))
+            .replaceAll("[,\\s]+", "")
+          if (residue.nonEmpty)
+            throw new IllegalArgumentException(
+              s"INSERT INTO $name: unsupported static PARTITION spec near '$residue'")
+          ms.foreach { m =>
+            val v = Option(m.group(2)).getOrElse(m.group(3))
             val declared = tbl.schema.map(_.apply(m.group(1)).dataType)
-            val c = org.apache.spark.sql.functions.lit(m.group(2))
+            val c = org.apache.spark.sql.functions.lit(v)
             df = df.withColumn(m.group(1),
               declared.fold(c)(t => c.cast(t)))
           }
@@ -336,7 +574,7 @@ object ConnectorTables {
           w.save(tbl.path)
         }
         // refresh the readable view over the now-written files
-        read(spark, tbl).createOrReplaceTempView(name)
+        read(spark, tbl).createOrReplaceTempView(viewName(name))
         spark.emptyDataFrame
       }
     case _ => None

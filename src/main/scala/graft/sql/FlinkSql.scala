@@ -137,8 +137,18 @@ object FlinkSql {
     while (i < out.length) {
       out(i) match {
         case '\'' =>
+          // honor the lexer's escapes: backslash escapes the next char and
+          // a doubled '' is an escaped quote — neither closes the literal
           var j = i + 1
-          while (j < out.length && out(j) != '\'') j += 1
+          var closed = false
+          while (j < out.length && !closed) {
+            out(j) match {
+              case '\\' => j += 2
+              case '\'' if j + 1 < out.length && out(j + 1) == '\'' => j += 2
+              case '\'' => closed = true
+              case _ => j += 1
+            }
+          }
           blank(i + 1, math.min(j, out.length)); i = j + 1
         case '-' if i + 1 < out.length && out(i + 1) == '-' =>
           var j = i
@@ -192,6 +202,19 @@ object FlinkSql {
         ConnectorTables.tryAlterOrDrop(session, sqlText)
           .map(org.apache.spark.sql.GraftSqlBridge.logicalPlan)
           .orElse(Some(delegate.parsePlan(rewrite(sqlText))))
+      // SHOW PARTITIONS on registered partitioned connector tables — the
+      // reference's `partition name` k=v/k2=v2 result; other tables fall
+      // through to Spark's native statement
+      else if (ConnectorTables.matchesShowPartitions(probe))
+        ConnectorTables.tryShowPartitions(session, sqlText)
+          .map(org.apache.spark.sql.GraftSqlBridge.logicalPlan)
+          .orElse(Some(delegate.parsePlan(rewrite(sqlText))))
+      // SHOW DATABASES with the reference's result column name, built from
+      // the catalog API (CREATE/ALTER DATABASE property clauses are text
+      // rewrites in preprocess; DROP DATABASE / USE are native spellings)
+      else if (DatabaseDdl.matches(probe))
+        Some(org.apache.spark.sql.GraftSqlBridge.logicalPlan(
+          DatabaseDdl.run(session, sqlText)))
       else if (MatchRecognize.matches(probe))
         Some(org.apache.spark.sql.GraftSqlBridge.logicalPlan(
           MatchRecognize.run(session, sqlText)))
@@ -227,7 +250,9 @@ object FlinkSql {
       * per-query view — Spark's grammar only admits hints after SELECT, so
       * the table-attached spelling must leave the text before parsing). */
     private def preprocess(sqlText: String): String =
-      OptionsHint.rewrite(session, UtilityStatements.rewrite(sqlText))
+      ConnectorTables.resolveQualified(session,
+        OptionsHint.rewrite(session,
+          DatabaseDdl.rewrite(UtilityStatements.rewrite(sqlText))))
 
     override def parsePlan(sqlText: String): LogicalPlan = {
       val t = preprocess(sqlText)

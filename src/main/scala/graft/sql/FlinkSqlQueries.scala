@@ -238,18 +238,82 @@ object FlinkSqlQueries {
       s.sql(s"""CREATE TABLE liketbl_base (flag STRING, n BIGINT)
                 WITH ('connector' = 'filesystem', 'path' = '$root/liketbl_base',
                       'format' = 'parquet')""")
-      s.sql(s"""CREATE TABLE liketbl_drv (flag STRING, q BIGINT)
+      // derived column list APPENDS to the inherited schema (flag, n) — a
+      // re-declared physical name would be the reference's duplicate error
+      s.sql(s"""CREATE TABLE liketbl_drv (q BIGINT)
                 WITH ('path' = '$root/liketbl_drv')
                 LIKE liketbl_base (OVERWRITING OPTIONS)""")
       s.sql("""INSERT INTO liketbl_base
                SELECT l_returnflag AS flag, count(*) AS n FROM lineitem GROUP BY 1""")
       s.sql("""INSERT INTO liketbl_drv
-               SELECT l_returnflag AS flag,
+               SELECT l_returnflag AS flag, count(*) AS n,
                       sum(CAST(floor(l_quantity * 100) AS BIGINT)) AS q
                FROM lineitem GROUP BY 1""")
       s.sql("""SELECT b.flag, b.n, d.q
                FROM liketbl_base b JOIN liketbl_drv d ON b.flag = d.flag
                ORDER BY b.flag""")
+    }),
+    // database DDL + a connector table registered INSIDE a non-default
+    // database, written and read back fully qualified (Parser.tdd:36-62,
+    // SqlCreateDatabase / SqlUseDatabase; TableEnvironmentImpl.java:1016)
+    "fsql_database_ddl" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      val root = s"target/sink_cache/${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
+        f.delete(): Unit
+      }
+      rm(new java.io.File(s"$root/dbddl_t"))
+      s.sql("CREATE DATABASE IF NOT EXISTS graft_mart WITH ('team' = 'graft')")
+      require(s.sql("SHOW DATABASES").collect().exists(_.getString(0) == "graft_mart"))
+      s.sql(s"""CREATE TABLE graft_mart.flag_stats (flag STRING, n BIGINT, sum_qty DOUBLE)
+                WITH ('connector' = 'filesystem', 'path' = '$root/dbddl_t',
+                      'format' = 'parquet')""")
+      s.sql("""INSERT INTO graft_mart.flag_stats
+               SELECT l_returnflag AS flag, count(*) AS n,
+                      CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+               FROM lineitem GROUP BY 1""")
+      s.sql("SELECT flag, n, sum_qty FROM graft_mart.flag_stats ORDER BY flag")
+    }),
+    // CREATE TABLE LIKE inheriting the base's WATERMARK FOR (+ the generated
+    // rowtime column it rides on): the derived table is stream-readable
+    // without re-declaring event time — a real StreamingQuery windows over
+    // the inherited attribute; emitted rows = windows the final watermark
+    // closed, so the oracle filters the batch aggregate the same way
+    // (MergeTableLikeUtil.populateWatermarksFromSourceTable:258-266)
+    "fsql_like_watermark" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      val root = s"target/sink_cache/${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
+        f.delete(): Unit
+      }
+      rm(new java.io.File(s"$root/wmlike_base")); rm(new java.io.File(s"$root/wmlike_drv"))
+      // seed the base table's path (WatermarkDdl reads it at CREATE time)
+      s.sql("SELECT event_id, ts, user_id, value FROM events WHERE event_type = 'purchase'")
+        .write.parquet(s"$root/wmlike_base")
+      s.sql(s"""CREATE TABLE wmlike_base (
+                  ts_attr AS CAST(ts AS TIMESTAMP),
+                  WATERMARK FOR ts_attr AS ts_attr - INTERVAL '0' SECOND
+                ) WITH ('connector' = 'filesystem', 'path' = '$root/wmlike_base',
+                        'format' = 'parquet')""")
+      s.sql(s"CREATE TABLE wmlike_drv WITH ('path' = '$root/wmlike_drv') LIKE wmlike_base")
+      s.sql("""INSERT INTO wmlike_drv
+               SELECT event_id, ts, user_id, value FROM events
+               WHERE event_type = 'purchase'""")
+      val stream = ConnectorTables.readStream(s, "wmlike_drv")
+      val out = stream
+        .groupBy(org.apache.spark.sql.functions.window(
+          org.apache.spark.sql.functions.col("ts_attr"), "1 hour"))
+        .agg(org.apache.spark.sql.functions.count("*").as("n"),
+          org.apache.spark.sql.functions.expr(
+            "CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)").as("total"))
+        .select(org.apache.spark.sql.functions.col("window.start").as("w_start"),
+          org.apache.spark.sql.functions.col("n"),
+          org.apache.spark.sql.functions.col("total"))
+      graft.RelayDir.drain(s, out, "fsql_relay", dir)
+        .selectExpr("CAST(w_start AS TIMESTAMP_NTZ) AS w_start", "n", "total")
+        .orderBy("w_start")
     }),
     // partitioned filesystem sink (FileSystemTableSink + PartitionLoader):
     // PARTITIONED BY lays out col=value directories; INSERT OVERWRITE
@@ -1011,6 +1075,22 @@ object FlinkSqlQueries {
                     FROM lineitem GROUP BY 1)
          SELECT b.flag, b.n, d.q FROM b JOIN d ON b.flag = d.flag
          ORDER BY b.flag""",
+    "fsql_database_ddl" ->
+      """SELECT l_returnflag AS flag, count(*) AS n,
+                CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+         FROM lineitem GROUP BY 1 ORDER BY flag""",
+    // batch equivalent of the streaming window agg over the LIKE-derived
+    // watermarked table: only windows the final watermark (max purchase ts,
+    // 0s delay) closed are emitted by the append-mode stream
+    "fsql_like_watermark" ->
+      """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS w_start,
+                count(*) AS n,
+                CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+         FROM events WHERE event_type = 'purchase'
+         GROUP BY 1
+         HAVING w_start + INTERVAL 1 HOUR <=
+                (SELECT max(CAST(ts AS TIMESTAMP)) FROM events WHERE event_type = 'purchase')
+         ORDER BY w_start""",
     // composition of the three write modes: append per-flag counts, the
     // dynamic overwrite doubles ONLY flag N, the static partition adds Z
     "fsql_partitioned_sink" ->

@@ -32,20 +32,23 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object WatermarkDdl {
 
-  /** Dispatch test — caller passes literal/comment-blanked text. */
+  /** Dispatch test — caller passes literal/comment-blanked text. LIKE
+    * statements route to [[ConnectorTables]] even with a WATERMARK clause
+    * (the merge needs both sides' specs). */
   def matches(probe: String): Boolean =
     """(?i)^\s*CREATE\b""".r.findFirstIn(probe).isDefined &&
-      """(?i)\bWATERMARK\s+FOR\b""".r.findFirstIn(probe).isDefined
+      """(?i)\bWATERMARK\s+FOR\b""".r.findFirstIn(probe).isDefined &&
+      !ConnectorTables.matchesLike(probe)
 
   private val viewRe =
     """(?is)CREATE\s+(?:OR\s+REPLACE\s+)?(?:TEMPORARY\s+)?VIEW\s+(\w+)\s+WATERMARK\s+FOR\s+(\w+)\s+AS\s+\w+(?:\s*-\s*INTERVAL\s+'(\d+)'\s+(\w+))?\s+AS\s+(.*)""".r
   private val tableRe =
     """(?is)CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)\s*\((.*)\)\s*WITH\s*\((.*)\)\s*""".r
-  private val wmRe =
+  private[sql] val wmRe =
     """(?is)WATERMARK\s+FOR\s+(\w+)\s+AS\s+\w+(?:\s*-\s*INTERVAL\s+'(\d+)'\s+(\w+))?""".r
   private val propRe = """'([^']+)'\s*=\s*'([^']*)'""".r
 
-  private def delayLiteral(n: String, unit: String): String =
+  private[sql] def delayLiteral(n: String, unit: String): String =
     if (n == null) "0 seconds"
     else {
       val u = unit.toLowerCase // Flink units are singular; Spark durations plural
@@ -72,16 +75,21 @@ object WatermarkDdl {
       // are applied on top in declaration order, so later ones may
       // reference earlier ones — the reference's generated-column flow.
       val computedRe = """(?is)^(\w+)\s+AS\s+(.+)$""".r
-      val base = FlinkSqlSupport.splitTop(schemaBody).foldLeft(
-        spark.read.format(fmt).load(path)) { (df, item) =>
-        item match {
-          case i if wmRe.findFirstIn(i).isDefined => df // the WATERMARK item
-          case computedRe(colName, colExpr) =>
-            df.withColumn(colName, org.apache.spark.sql.functions.expr(colExpr))
-          case _ => df // plain column def
-        }
+      val computedCols = FlinkSqlSupport.splitTop(schemaBody).collect {
+        case i if wmRe.findFirstIn(i).isEmpty && computedRe.findFirstMatchIn(i.trim).isDefined =>
+          val m = computedRe.findFirstMatchIn(i.trim).get
+          (m.group(1), m.group(2).trim)
+      }
+      val base = computedCols.foldLeft(spark.read.format(fmt).load(path)) {
+        case (df, (colName, colExpr)) =>
+          df.withColumn(colName, org.apache.spark.sql.functions.expr(colExpr))
       }
       base.createOrReplaceTempView(name)
+      // the Tbl metadata (path/format/props/computed columns) lands in the
+      // connector registry so CREATE TABLE ... LIKE <this table> can merge
+      // its options and inherit its watermark + generated columns
+      ConnectorTables.registerMeta(spark, name,
+        ConnectorTables.Tbl(path, fmt, props, None, Nil, computedCols))
       SystemTimeJoin.declareWatermark(name, wm.group(1),
         delayLiteral(wm.group(2), wm.group(3)))
       spark.emptyDataFrame

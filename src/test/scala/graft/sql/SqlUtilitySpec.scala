@@ -85,6 +85,55 @@ class SqlUtilitySpec extends SparkSpec {
     assert(v == "/*+ OPTIONS('k'='v') */")
   }
 
+  test("literal-blanking honors '' and backslash escapes — a hint AFTER the escape stays visible") {
+    // 'it''s' / 'it\'s': the escaped quote must not flip the in-string
+    // tracking, so the LITERAL hint tail stays hidden and the REAL hint
+    // later in the statement still dispatches (here: to the conf-gate error)
+    val doubled = spark.sql("SELECT 'it''s /*+ OPTIONS' AS s").collect().head.getString(0)
+    assert(doubled == "it's /*+ OPTIONS")
+    val backslashed = spark.sql("SELECT 'it\\'s /*+ OPTIONS' AS s").collect().head.getString(0)
+    assert(backslashed == "it's /*+ OPTIONS")
+    // genuine hint after an escaped-quote literal is still seen (conf off →
+    // the reference's gate error, NOT a parse error from a missed rewrite)
+    spark.range(1).createOrReplaceTempView("esc_t")
+    val e = intercept[Exception] {
+      spark.sql("SELECT 'it''s' AS s FROM esc_t /*+ OPTIONS('k'='v') */")
+    }
+    assert(e.getMessage.contains("table.dynamic-table-options.enabled"))
+  }
+
+  test("OPTIONS hint with a BARE alias after the hint (no AS)") {
+    val dir = freshDir("opthint4")
+    writePipeCsv(dir)
+    spark.conf.set(OptionsHint.ConfKey, "true")
+    try {
+      spark.sql(s"""CREATE TABLE hint_ev4 (etype STRING, eid BIGINT, v DOUBLE)
+                    WITH ('connector' = 'filesystem', 'path' = '$dir',
+                          'format' = 'csv')""")
+      val n = spark.sql(
+        """SELECT count(*) AS n
+           FROM hint_ev4 /*+ OPTIONS('csv.field-delimiter' = '|') */ e
+           WHERE e.eid > 1""").collect().head.getLong(0)
+      assert(n == 2L)
+      // a clause keyword after the hint is NOT an alias — must not be eaten
+      val n2 = spark.sql(
+        """SELECT count(*) AS n
+           FROM hint_ev4 /*+ OPTIONS('csv.field-delimiter' = '|') */
+           WHERE eid > 1""").collect().head.getLong(0)
+      assert(n2 == 2L)
+    } finally spark.conf.unset(OptionsHint.ConfKey)
+  }
+
+  test("OPTIONS hint on an unregistered QUALIFIED reference is a pointed error, not broken SQL") {
+    spark.conf.set(OptionsHint.ConfKey, "true")
+    try {
+      val e = intercept[Exception] {
+        spark.sql("SELECT count(*) FROM somedb.somet /*+ OPTIONS('k' = 'v') */")
+      }
+      assert(e.getMessage.contains("qualified reference 'somedb.somet'"))
+    } finally spark.conf.unset(OptionsHint.ConfKey)
+  }
+
   test("CREATE TABLE LIKE inherits options; derived WITH overwrites under OVERWRITING OPTIONS") {
     val s = spark
     import s.implicits._
@@ -111,9 +160,136 @@ class SqlUtilitySpec extends SparkSpec {
                   WITH ('connector' = 'filesystem', 'path' = '$baseDir')""")
     val e = intercept[Exception] {
       spark.sql(s"""CREATE TABLE like_dup WITH ('path' = '/tmp/other')
-                    LIKE like_dup_base""")
+                    LIKE like_dup_base (INCLUDING OPTIONS)""")
     }
     assert(e.getMessage.contains("EXCLUDING OPTIONS or OVERWRITING OPTIONS"))
+    // INCLUDING ALL sets every feature to INCLUDING — same duplicate error
+    val e2 = intercept[Exception] {
+      spark.sql(s"""CREATE TABLE like_dup WITH ('path' = '/tmp/other')
+                    LIKE like_dup_base (INCLUDING ALL)""")
+    }
+    assert(e2.getMessage.contains("EXCLUDING OPTIONS or OVERWRITING OPTIONS"))
+  }
+
+  test("CREATE TABLE LIKE: bare LIKE defaults OPTIONS to OVERWRITING (the derived WITH silently wins)") {
+    // MergeTableLikeUtil.java:75 — the DEFAULT strategy for OPTIONS is
+    // OVERWRITING, not INCLUDING; a bare LIKE with a duplicate 'path' must
+    // NOT raise, and the derived value must win
+    val baseDir = freshDir("likedef"); val drvDir = freshDir("likedef2")
+    spark.sql(s"""CREATE TABLE like_def_base (k BIGINT)
+                  WITH ('connector' = 'filesystem', 'path' = '$baseDir',
+                        'format' = 'parquet')""")
+    spark.sql(s"CREATE TABLE like_def_drv WITH ('path' = '$drvDir') LIKE like_def_base")
+    spark.sql("INSERT INTO like_def_drv SELECT id AS k FROM range(3)")
+    assert(spark.sql("SELECT count(*) FROM like_def_drv").collect().head.getLong(0) == 3L)
+    // the derived write landed on the derived path, not the base's
+    assert(Option(new java.io.File(baseDir).listFiles).forall(_.isEmpty))
+  }
+
+  test("CREATE TABLE LIKE: like-option validation mirrors SqlTableLike.validate()") {
+    val baseDir = freshDir("likeval")
+    spark.sql(s"""CREATE TABLE like_val_base (k BIGINT)
+                  WITH ('connector' = 'filesystem', 'path' = '$baseDir')""")
+    // OVERWRITING is illegal for ALL / PARTITIONS / CONSTRAINTS
+    val e1 = intercept[Exception] {
+      spark.sql(s"""CREATE TABLE lv1 WITH ('path' = '/tmp/x')
+                    LIKE like_val_base (OVERWRITING PARTITIONS)""")
+    }
+    assert(e1.getMessage.contains("Illegal merging strategy 'OVERWRITING' for 'PARTITIONS' option."))
+    // each feature at most once
+    val e2 = intercept[Exception] {
+      spark.sql(s"""CREATE TABLE lv2 WITH ('path' = '/tmp/x')
+                    LIKE like_val_base (INCLUDING OPTIONS, EXCLUDING OPTIONS)""")
+    }
+    assert(e2.getMessage.contains("declared only once"))
+  }
+
+  test("CREATE TABLE LIKE: partition merging is the reference's 1.12 shape") {
+    val b = freshDir("likepm") + "/b"
+    spark.sql(s"""CREATE TABLE pm_base (k BIGINT, grp STRING) PARTITIONED BY (grp)
+                  WITH ('connector' = 'filesystem', 'path' = '$b', 'format' = 'parquet')""")
+    // both sides partitioned without EXCLUDING → the reference's error
+    val e = intercept[Exception] {
+      spark.sql(s"""CREATE TABLE pm_err (extra STRING) PARTITIONED BY (extra)
+                    WITH ('path' = '/tmp/x') LIKE pm_base""")
+    }
+    assert(e.getMessage.contains("You might want to specify EXCLUDING PARTITIONS"))
+    // EXCLUDING PARTITIONS legalizes the derived override
+    val d1 = freshDir("likepm2") + "/d1"
+    spark.sql(s"""CREATE TABLE pm_over (extra STRING) PARTITIONED BY (extra)
+                  WITH ('path' = '$d1') LIKE pm_base (EXCLUDING PARTITIONS)""")
+    spark.sql("INSERT INTO pm_over SELECT id AS k, CAST(id % 2 AS STRING) AS grp, 'x' AS extra FROM range(4)")
+    val sub1 = new java.io.File(d1).listFiles.filter(_.isDirectory).map(_.getName).sorted
+    assert(sub1.toSeq == Seq("extra=x")) // derived partitioning won
+    // the 1.12 quirk, pinned: EXCLUDING PARTITIONS with NO derived
+    // PARTITIONED BY still inherits the base's partitions
+    // (mergePartitions falls through to sourcePartitions)
+    val d2 = freshDir("likepm3") + "/d2"
+    spark.sql(s"""CREATE TABLE pm_quirk WITH ('path' = '$d2')
+                  LIKE pm_base (EXCLUDING PARTITIONS)""")
+    spark.sql("INSERT INTO pm_quirk SELECT id AS k, CAST(id % 2 AS STRING) AS grp FROM range(4)")
+    val sub2 = new java.io.File(d2).listFiles.filter(_.isDirectory).map(_.getName).sorted
+    assert(sub2.toSeq == Seq("grp=0", "grp=1"))
+  }
+
+  test("CREATE TABLE LIKE: derived physical column colliding with the base errors; new columns append") {
+    val b = freshDir("likecols")
+    spark.sql(s"""CREATE TABLE lc_base (k BIGINT, v DOUBLE)
+                  WITH ('connector' = 'filesystem', 'path' = '$b', 'format' = 'csv')""")
+    val e = intercept[Exception] {
+      spark.sql(s"""CREATE TABLE lc_dup (k BIGINT) WITH ('path' = '/tmp/x') LIKE lc_base""")
+    }
+    assert(e.getMessage.contains("A column named 'k' already exists in the base table."))
+    val d = freshDir("likecols2")
+    spark.sql(s"""CREATE TABLE lc_app (tag STRING) WITH ('path' = '$d') LIKE lc_base""")
+    spark.sql("INSERT INTO lc_app SELECT id AS k, CAST(id AS DOUBLE) AS v, 'a' AS tag FROM range(2)")
+    // csv reads through the DECLARED (merged) schema: (k, v) + appended tag
+    val df = spark.sql("SELECT * FROM lc_app")
+    assert(df.schema.fieldNames.toSeq == Seq("k", "v", "tag"))
+    assert(df.count() == 2)
+  }
+
+  test("CREATE TABLE LIKE: INCLUDING WATERMARKS inherits the base's event-time declaration") {
+    val s = spark
+    import s.implicits._
+    val b = freshDir("likewm"); val d = freshDir("likewm2")
+    Seq((1L, "2026-01-01 00:10:00"), (2L, "2026-01-01 01:20:00"))
+      .toDF("k", "raw_ts").coalesce(1).write.mode("overwrite").parquet(b)
+    spark.sql(s"""CREATE TABLE wm_src (
+                    ts AS CAST(raw_ts AS TIMESTAMP),
+                    WATERMARK FOR ts AS ts - INTERVAL '5' SECOND
+                  ) WITH ('connector' = 'filesystem', 'path' = '$b',
+                          'format' = 'parquet')""")
+    // bare LIKE: WATERMARKS defaults to INCLUDING → inherited, along with
+    // the generated column the rowtime attribute rides on
+    spark.sql(s"CREATE TABLE wm_drv WITH ('path' = '$d') LIKE wm_src")
+    assert(SystemTimeJoin.watermarkOf("wm_drv").contains(("ts", "5 seconds")))
+    // EXCLUDING WATERMARKS → not inherited
+    spark.sql(s"CREATE TABLE wm_ex WITH ('path' = '$d') LIKE wm_src (EXCLUDING WATERMARKS)")
+    assert(SystemTimeJoin.watermarkOf("wm_ex").isEmpty)
+    // derived spec on the same column needs OVERWRITING
+    val e = intercept[Exception] {
+      spark.sql(s"""CREATE TABLE wm_dup (WATERMARK FOR ts AS ts - INTERVAL '1' SECOND)
+                    WITH ('path' = '$d') LIKE wm_src""")
+    }
+    assert(e.getMessage.contains("EXCLUDING WATERMARKS or OVERWRITING WATERMARKS"))
+    spark.sql(s"""CREATE TABLE wm_ov (WATERMARK FOR ts AS ts - INTERVAL '1' SECOND)
+                  WITH ('path' = '$d') LIKE wm_src (OVERWRITING WATERMARKS)""")
+    assert(SystemTimeJoin.watermarkOf("wm_ov").contains(("ts", "1 seconds")))
+    // the inherited table stream-reads with the watermark attached: insert
+    // then drive a real streaming count through the inherited attribute
+    spark.sql("INSERT INTO wm_drv SELECT k, raw_ts FROM wm_src")
+    val stream = ConnectorTables.readStream(spark, "wm_drv")
+    assert(stream.isStreaming)
+    val q = stream.groupBy(org.apache.spark.sql.functions.window($"ts", "1 hour"))
+      .count()
+      .writeStream.format("memory").queryName("wm_drv_out")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val n = spark.table("wm_drv_out").collect().map(_.getLong(1)).sum
+      assert(n == 2L)
+    } finally q.stop()
   }
 
   test("CREATE TABLE LIKE (EXCLUDING OPTIONS) starts from the derived WITH only") {
@@ -190,6 +366,105 @@ class SqlUtilitySpec extends SparkSpec {
     val rows = spark.sql("SELECT k, grp FROM part_s ORDER BY k").collect()
       .map(r => (r.getLong(0), r.getString(1)))
     assert(rows.toSeq == Seq((0L, "fixed"), (1L, "fixed"), (2L, "fixed")))
+  }
+
+  test("static PARTITION accepts UNQUOTED literals, cast to the declared type") {
+    val dir = freshDir("partstatic2") + "/t"
+    spark.sql(s"""CREATE TABLE part_u (k BIGINT, p BIGINT) PARTITIONED BY (p)
+                  WITH ('connector' = 'filesystem', 'path' = '$dir', 'format' = 'parquet')""")
+    spark.sql("INSERT INTO part_u PARTITION (p = 5) SELECT id AS k FROM range(2)")
+    val rows = spark.sql("SELECT k, p FROM part_u ORDER BY k").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.toSeq == Seq((0L, 5L), (1L, 5L)))
+    // the col=value directory layout carries the typed value
+    val sub = new java.io.File(dir).listFiles.filter(_.isDirectory).map(_.getName)
+    assert(sub.toSeq == Seq("p=5"))
+    // a spec the grammar can't parse is a pointed error, not a silent drop
+    val e = intercept[Exception] {
+      spark.sql("INSERT INTO part_u PARTITION (p = 1 stray) SELECT id AS k FROM range(2)")
+    }
+    assert(e.getMessage.contains("unsupported static PARTITION spec"))
+  }
+
+  test("SHOW PARTITIONS on a connector table: reference column name, k=v names, partial-spec filter") {
+    val dir = freshDir("showparts") + "/t"
+    spark.sql(s"""CREATE TABLE sp_t (k BIGINT, grp STRING, sub BIGINT)
+                  PARTITIONED BY (grp, sub)
+                  WITH ('connector' = 'filesystem', 'path' = '$dir', 'format' = 'parquet')""")
+    spark.sql("""INSERT INTO sp_t
+                 SELECT id AS k, CAST(id % 2 AS STRING) AS grp, id % 3 AS sub
+                 FROM range(6)""")
+    val all = spark.sql("SHOW PARTITIONS sp_t")
+    assert(all.schema.fieldNames.toSeq == Seq("partition name"))
+    assert(all.collect().map(_.getString(0)).toSeq ==
+      Seq("grp=0/sub=0", "grp=0/sub=1", "grp=0/sub=2",
+          "grp=1/sub=0", "grp=1/sub=1", "grp=1/sub=2"))
+    // partial spec filters (quoted and unquoted literals both accepted)
+    val filtered = spark.sql("SHOW PARTITIONS sp_t PARTITION (grp = '1')")
+      .collect().map(_.getString(0)).toSeq
+    assert(filtered == Seq("grp=1/sub=0", "grp=1/sub=1", "grp=1/sub=2"))
+    // non-partitioned connector table → the reference's validation error
+    val d2 = freshDir("showparts2")
+    spark.sql(s"""CREATE TABLE sp_flat (k BIGINT)
+                  WITH ('connector' = 'filesystem', 'path' = '$d2', 'format' = 'parquet')""")
+    val e = intercept[Exception] { spark.sql("SHOW PARTITIONS sp_flat") }
+    assert(e.getMessage.contains("is not partitioned"))
+  }
+
+  test("CREATE TABLE LIKE: CONSTRAINTS (primary key) merging") {
+    val b = freshDir("likepk")
+    spark.sql(s"""CREATE TABLE pk_base (k BIGINT, v DOUBLE, PRIMARY KEY (k))
+                  WITH ('connector' = 'filesystem', 'path' = '$b', 'format' = 'parquet')""")
+    // INCLUDING (the default) + derived PK → the reference's error
+    val e = intercept[Exception] {
+      spark.sql(s"""CREATE TABLE pk_dup (extra STRING, PRIMARY KEY (extra))
+                    WITH ('path' = '/tmp/x') LIKE pk_base""")
+    }
+    assert(e.getMessage.contains("The base table already has a primary key."))
+    // EXCLUDING CONSTRAINTS drops the base PK; the derived one stands
+    spark.sql(s"""CREATE TABLE pk_own (extra STRING, PRIMARY KEY (extra))
+                  WITH ('path' = '/tmp/x1') LIKE pk_base (EXCLUDING CONSTRAINTS)""")
+    // OVERWRITING CONSTRAINTS is illegal at the parser (SqlTableLike:191)
+    val e2 = intercept[Exception] {
+      spark.sql(s"""CREATE TABLE pk_ov WITH ('path' = '/tmp/x2')
+                    LIKE pk_base (OVERWRITING CONSTRAINTS)""")
+    }
+    assert(e2.getMessage.contains("Illegal merging strategy 'OVERWRITING' for 'CONSTRAINTS' option."))
+  }
+
+  test("database DDL: CREATE/ALTER DATABASE WITH props; SHOW DATABASES has the reference's column name") {
+    spark.sql("CREATE DATABASE IF NOT EXISTS ddl_db1 COMMENT 'first' WITH ('team' = 'graft')")
+    val dbs = spark.sql("SHOW DATABASES")
+    // TableEnvironmentImpl.java:1016 — buildShowResult("database name", ...)
+    assert(dbs.schema.fieldNames.toSeq == Seq("database name"))
+    assert(dbs.collect().map(_.getString(0)).contains("ddl_db1"))
+    spark.sql("ALTER DATABASE ddl_db1 SET ('team' = 'other')")
+    val desc = spark.sql("DESCRIBE DATABASE EXTENDED ddl_db1").collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+    assert(desc.get("Properties").exists(_.contains("other")))
+    // USE / DROP DATABASE are native statements that pass through unchanged
+    spark.sql("USE ddl_db1")
+    assert(spark.sql("SHOW CURRENT DATABASE").collect().head.getString(0) == "ddl_db1")
+    spark.sql("USE default")
+    spark.sql("DROP DATABASE ddl_db1")
+    assert(!spark.sql("SHOW DATABASES").collect().map(_.getString(0)).contains("ddl_db1"))
+  }
+
+  test("connector table registered under a QUALIFIED name reads back qualified") {
+    val dir = freshDir("dbqual")
+    spark.sql("CREATE DATABASE IF NOT EXISTS qdb")
+    spark.sql(s"""CREATE TABLE qdb.qt (k BIGINT, v DOUBLE)
+                  WITH ('connector' = 'filesystem', 'path' = '$dir', 'format' = 'parquet')""")
+    spark.sql("INSERT INTO qdb.qt SELECT id AS k, CAST(id * 2.0 AS DOUBLE) AS v FROM range(3)")
+    // qualified table refs AND fully-qualified column refs both resolve
+    val rows = spark.sql(
+      "SELECT qdb.qt.k, v FROM qdb.qt WHERE qdb.qt.k > 0 ORDER BY k").collect()
+    assert(rows.map(r => (r.getLong(0), r.getDouble(1))).toSeq == Seq((1L, 2.0), (2L, 4.0)))
+    // a string literal containing the qualified name is untouched
+    val lit = spark.sql("SELECT 'qdb.qt' AS s FROM qdb.qt LIMIT 1").collect().head.getString(0)
+    assert(lit == "qdb.qt")
+    spark.sql("DROP TABLE qdb.qt")
+    intercept[Exception] { spark.sql("SELECT * FROM qdb.qt").collect() }
   }
 
   test("ALTER TABLE SET retargets the connector registration; RENAME TO moves it; DROP TABLE unregisters") {
