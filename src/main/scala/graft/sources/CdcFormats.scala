@@ -57,18 +57,63 @@ object CdcFormats {
   private def err(msg: Column): Column = raise_error(msg).cast(StringType)
 
   private def finish(exploded: DataFrame, schema: StructType): DataFrame =
-    exploded.select(col("e.kind").as("kind") +:
-      schema.fields.toSeq.map(f => col(s"e.row.${f.name}").as(f.name)): _*)
+    exploded.select((col("e.kind").as("kind") +:
+      schema.fields.toSeq.map(f => col(s"e.row.${f.name}").as(f.name))) ++
+      exploded.columns.filter(_.startsWith("__meta_")).toSeq.map(col): _*)
+
+  /** The format's readable metadata (FLIP-107;
+    * DebeziumJsonDecodingFormat.ReadableMetadata:137-243): key → the column
+    * expression over the parsed envelope `p` (payload fields) and the
+    * top-level parse `m` (the `schema` string lives OUTSIDE payload —
+    * isJsonPayload=false in the reference). */
+  val DebeziumMetadataKeys: Seq[String] = Seq(
+    "schema", "ingestion-timestamp", "source.timestamp",
+    "source.database", "source.schema", "source.table", "source.properties")
+
+  private def debeziumMetaExpr(key: String, p: Column, topSchema: Column): Column = key match {
+    case "schema" => topSchema
+    case "ingestion-timestamp" =>
+      when(p.getField("ts_ms").isNotNull, timestamp_millis(p.getField("ts_ms")))
+    case "source.timestamp" =>
+      when(element_at(p.getField("source"), "ts_ms").isNotNull,
+        timestamp_millis(element_at(p.getField("source"), "ts_ms").cast("long")))
+    case "source.database" => element_at(p.getField("source"), "db")
+    case "source.schema" => element_at(p.getField("source"), "schema")
+    case "source.table" => element_at(p.getField("source"), "table")
+    case "source.properties" => p.getField("source")
+    case other => throw new IllegalArgumentException(
+      s"Invalid metadata key '$other'. The debezium-json format supports: " +
+        DebeziumMetadataKeys.mkString(", "))
+  }
 
   /** Decode debezium-json messages in `jsonCol` into a changelog frame
-    * `(kind, <schema>)`. `schemaInclude` mirrors
-    * 'debezium-json.schema-include' (envelope nested under `payload`). */
+    * `(kind, <schema>[, <metadata>])`. `schemaInclude` mirrors
+    * 'debezium-json.schema-include' (envelope nested under `payload`);
+    * `metadata` appends the requested readable-metadata keys as trailing
+    * columns named by key, after the physical columns — the reference's
+    * appendRowFields order (DebeziumJsonDecodingFormat.java:88-94). */
   def debeziumJson(df: DataFrame, jsonCol: String, schema: StructType,
-      ignoreParseErrors: Boolean = false, schemaInclude: Boolean = false): DataFrame = {
+      ignoreParseErrors: Boolean = false, schemaInclude: Boolean = false,
+      metadata: Seq[String] = Nil): DataFrame = {
+    metadata.foreach { k =>
+      if (!DebeziumMetadataKeys.contains(k))
+        throw new IllegalArgumentException(
+          s"Invalid metadata key '$k'. The debezium-json format supports: " +
+            DebeziumMetadataKeys.mkString(", "))
+    }
+    val needMeta = metadata.nonEmpty
     val env = StructType(Seq(
       StructField("before", schema), StructField("after", schema),
-      StructField("op", StringType)))
-    val full = if (schemaInclude) StructType(Seq(StructField("payload", env))) else env
+      StructField("op", StringType)) ++ (if (needMeta) Seq(
+      StructField("ts_ms", LongType),
+      StructField("source", MapType(StringType, StringType))) else Nil))
+    val full =
+      if (schemaInclude) StructType(
+        StructField("payload", env) +:
+          (if (needMeta) Seq(StructField("schema", StringType)) else Nil))
+      else if (needMeta && metadata.contains("schema"))
+        StructType(env.fields :+ StructField("schema", StringType))
+      else env
     // null/empty messages are Kafka tombstones — skipped BEFORE parsing,
     // unconditionally, even with ignore-parse-errors off
     // (DebeziumJsonDeserializationSchema.java:122-125; canal/maxwell have
@@ -76,7 +121,12 @@ object CdcFormats {
     val nonTombstone = df.filter(col(jsonCol).isNotNull && length(col(jsonCol)) > 0)
     val parsed0 = nonTombstone.select(from_json(col(jsonCol), full).as("m"), col(jsonCol).as("_raw"))
     val p = if (schemaInclude) col("m.payload") else col("m")
-    val parsed = parsed0.select(p.as("p"), col("_raw"))
+    // metadata values bind here, where both the top-level parse (`schema`
+    // lives OUTSIDE payload) and the envelope are in scope; they ride along
+    // the pipeline as positional columns and surface named by key
+    val metaVals = metadata.zipWithIndex.map { case (k, i) =>
+      debeziumMetaExpr(k, p, col("m.schema")).as(s"__meta_$i") }
+    val parsed = parsed0.select(p.as("p") +: col("_raw") +: metaVals: _*)
     val corrupt = col("p").isNull || col("p.op").isNull
     val unknownOp = !col("p.op").isin("c", "r", "u", "d")
     val nullBefore = col("p.op").isin("u", "d") && col("p.before").isNull
@@ -96,7 +146,12 @@ object CdcFormats {
     val ops = when(opCol.isin("c", "r"), one("+I", col("p.after")))
       .when(opCol === "u", concat(one("-U", col("p.before")), one("+U", col("p.after"))))
       .when(opCol === "d", one("-D", col("p.before")))
-    finish(checked.select(explode(ops).as("e")), schema)
+    val exploded = checked.select(explode(ops).as("e") +:
+      metadata.indices.map(i => col(s"__meta_$i")): _*)
+    val out = finish(exploded, schema)
+    if (!needMeta) out
+    else out.select(out.columns.filterNot(_.startsWith("__meta_")).map(col).toSeq ++
+      metadata.zipWithIndex.map { case (k, i) => col(s"__meta_$i").as(k) }: _*)
   }
 
   /** Decode canal-json messages. `database` mirrors 'canal-json.database

@@ -142,6 +142,55 @@ object Formats {
     foldSurvivors(s.sql("SELECT kind, user_id, ev_seq, val_cents FROM dbz_sink"))
   }
 
+  /** debezium-json READABLE METADATA (FLIP-107;
+    * DebeziumJsonDecodingFormat.ReadableMetadata): raw messages carrying
+    * ts_ms + source envelopes, read through a connector table whose DDL
+    * declares METADATA columns; timestamps surface as epoch millis so the
+    * oracle is integer-exact. */
+  private def debeziumMetadata(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val path = cacheDir("dbz_meta", dir)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
+      f.delete(): Unit
+    }
+    rm(new java.io.File(path))
+    val rowSchema = StructType(Seq(
+      StructField("event_id", LongType), StructField("user_id", LongType),
+      StructField("val_cents", LongType)))
+    val baseMs = 1589355606000L // deterministic epoch base, integer-exact
+    s.sql("""SELECT event_id, user_id, CAST(floor(value * 100) AS BIGINT) AS val_cents
+             FROM events WHERE event_type = 'click'""")
+      .select(to_json(struct(
+        lit(null).cast(rowSchema).as("before"),
+        struct(col("event_id"), col("user_id"), col("val_cents")).as("after"),
+        lit("c").as("op"),
+        (lit(baseMs) + col("event_id")).as("ts_ms"),
+        map(lit("db"), lit("inventory"), lit("table"), lit("clicks"),
+          lit("ts_ms"), (lit(baseMs) - 1000L + col("event_id")).cast("string"))
+          .as("source"))).as("value"))
+      .write.mode("overwrite").text(path)
+    s.sql(s"""CREATE TABLE dbz_meta_t (
+                event_id BIGINT, user_id BIGINT, val_cents BIGINT,
+                origin_db STRING METADATA FROM 'source.database',
+                origin_table STRING METADATA FROM 'source.table',
+                ingest_ts TIMESTAMP METADATA FROM 'ingestion-timestamp',
+                src_ts TIMESTAMP METADATA FROM 'source.timestamp'
+              ) WITH ('connector' = 'filesystem', 'path' = '$path',
+                      'format' = 'debezium-json')""")
+    s.sql("""SELECT event_id, user_id, val_cents, origin_db, origin_table,
+                    unix_millis(ingest_ts) AS ingest_ms,
+                    unix_millis(src_ts) AS src_ms
+             FROM dbz_meta_t ORDER BY event_id""")
+  }
+
+  private val debeziumMetadataOracle =
+    """SELECT event_id, user_id, CAST(floor(value * 100) AS BIGINT) AS val_cents,
+              'inventory' AS origin_db, 'clicks' AS origin_table,
+              1589355606000 + event_id AS ingest_ms,
+              1589355605000 + event_id AS src_ms
+       FROM events WHERE event_type = 'click' ORDER BY event_id"""
+
   /** canal-json decode with BATCHED data arrays and the database filter:
     * one INSERT message per user carrying all their versions, one batched
     * DELETE for user_id%3==0, plus poisoned messages under another
@@ -200,6 +249,7 @@ object Formats {
     "fmt_orc_roundtrip" -> ((s, d) => agged(roundTrip(s, d, "orc"))),
     "fmt_avro_roundtrip" -> ((s, d) => agged(avroRoundTrip(s, d))),
     "fmt_debezium_cdc" -> ((s, d) => { Tables.registerAll(s, d); debeziumCdc(s, d) }),
+    "fmt_debezium_metadata" -> ((s, d) => { Tables.registerAll(s, d); debeziumMetadata(s, d) }),
     "fmt_canal_cdc" -> ((s, d) => { Tables.registerAll(s, d); canalCdc(s, d) }),
     "fmt_maxwell_cdc" -> ((s, d) => { Tables.registerAll(s, d); maxwellCdc(s, d) })
   )
@@ -210,6 +260,7 @@ object Formats {
     "fmt_orc_roundtrip" -> aggOracle,
     "fmt_avro_roundtrip" -> aggOracle,
     "fmt_debezium_cdc" -> lastClickOracle,
+    "fmt_debezium_metadata" -> debeziumMetadataOracle,
     "fmt_canal_cdc" -> allClicksOracle,
     "fmt_maxwell_cdc" -> lastClickOracle
   )

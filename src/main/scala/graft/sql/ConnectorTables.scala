@@ -50,7 +50,9 @@ object ConnectorTables {
       // PRIMARY KEY columns — metadata, NOT enforced, exactly like the
       // reference's `PRIMARY KEY (...) NOT ENFORCED`; carried for LIKE's
       // CONSTRAINTS merging and changelog-sink key derivation
-      pk: Option[Seq[String]] = None)
+      pk: Option[Seq[String]] = None,
+      // METADATA columns (FLIP-107): declared name → readable-metadata key
+      metaCols: Seq[(String, String)] = Nil)
 
   /** (session identity, table name) → table; session-keyed so tests with
     * multiple sessions cannot see each other's registrations. */
@@ -75,6 +77,15 @@ object ConnectorTables {
   private def parsePk(cols: String): Option[Seq[String]] =
     pkRe.findFirstMatchIn(cols)
       .map(_.group(1).split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+
+  // `col TYPE METADATA [FROM 'key'] [VIRTUAL]` (parserImpls.ftl:560-568);
+  // the key defaults to the column name when FROM is absent
+  private val metaColRe =
+    """(?is)^(\w+)\s+\w+(?:\([^)]*\))?\s+METADATA(?:\s+FROM\s+'([^']+)')?(?:\s+VIRTUAL)?$""".r
+
+  private[sql] def parseMetaCols(cols: String): Seq[(String, String)] =
+    splitTop(cols).flatMap(c => metaColRe.findFirstMatchIn(c.trim).map(m =>
+      (m.group(1), Option(m.group(2)).getOrElse(m.group(1)))))
 
   def matchesCreate(probe: String): Boolean =
     """(?i)^\s*CREATE\s+TABLE\b""".r.findFirstIn(probe).isDefined &&
@@ -177,7 +188,8 @@ object ConnectorTables {
   private[sql] def parseSchema(colsDdl: String): Option[StructType] = {
     val cols = splitTop(colsDdl).filterNot { c =>
       val u = c.trim.toUpperCase
-      u.startsWith("PRIMARY KEY") || u.startsWith("CONSTRAINT") || u.contains(" AS ")
+      u.startsWith("PRIMARY KEY") || u.startsWith("CONSTRAINT") ||
+        u.contains(" AS ") || metaColRe.findFirstIn(c.trim).isDefined
     }
     if (cols.isEmpty) return None
     val cleaned = cols.map { c =>
@@ -245,14 +257,22 @@ object ConnectorTables {
     * streaming/Changelog.scala uses throughout). */
   private val cdcFmts = Set("debezium-json", "canal-json", "maxwell-json")
 
-  private def cdcRead(spark: SparkSession, fmt: String, path: String,
-      schema: StructType, props: Map[String, String]): DataFrame = {
-    val raw = spark.read.text(path).toDF("value")
+  /** Decode a (batch OR streaming) frame of raw change messages — the CDC
+    * decoders are pure column pipelines, so the same plan serves both.
+    * METADATA columns (debezium only in 1.12 — DebeziumJsonDecodingFormat
+    * .listReadableMetadata) surface under their DECLARED names, appended
+    * after the physical columns. */
+  private def cdcDecode(raw: DataFrame, fmt: String, schema: StructType,
+      props: Map[String, String], metaCols: Seq[(String, String)]): DataFrame = {
     val ignore = props.get(s"$fmt.ignore-parse-errors").exists(_.equalsIgnoreCase("true"))
     fmt match {
-      case "debezium-json" => graft.sources.CdcFormats.debeziumJson(raw, "value", schema,
-        ignoreParseErrors = ignore,
-        schemaInclude = props.get("debezium-json.schema-include").exists(_.equalsIgnoreCase("true")))
+      case "debezium-json" =>
+        val decoded = graft.sources.CdcFormats.debeziumJson(raw, "value", schema,
+          ignoreParseErrors = ignore,
+          schemaInclude = props.get("debezium-json.schema-include").exists(_.equalsIgnoreCase("true")),
+          metadata = metaCols.map(_._2))
+        metaCols.foldLeft(decoded) { case (d, (name, key)) =>
+          d.withColumnRenamed(key, name) }
       case "canal-json" => graft.sources.CdcFormats.canalJson(raw, "value", schema,
         ignoreParseErrors = ignore, database = props.get("canal-json.database.include"))
       case "maxwell-json" => graft.sources.CdcFormats.maxwellJson(raw, "value", schema,
@@ -271,7 +291,8 @@ object ConnectorTables {
     if (cdcFmts(fmt.toLowerCase)) {
       val schema = tbl.schema.getOrElse(throw new IllegalArgumentException(
         s"format '$fmt' requires a declared column list"))
-      return cdcRead(spark, fmt.toLowerCase, path, schema, props)
+      return cdcDecode(spark.read.text(path).toDF("value"),
+        fmt.toLowerCase, schema, props, tbl.metaCols)
     }
     var r: DataFrameReader = spark.read.format(fmt).options(readerOptions(fmt, props))
     if (fmt.equalsIgnoreCase("csv") || fmt.equalsIgnoreCase("json"))
@@ -302,6 +323,13 @@ object ConnectorTables {
   def readStream(spark: SparkSession, name: String): DataFrame = {
     val tbl = lookup(spark, name).getOrElse(throw new IllegalArgumentException(
       s"readStream: '$name' is not a registered connector table"))
+    if (cdcFmts(tbl.format.toLowerCase)) {
+      // pure-projection decode — the identical plan runs under streaming
+      val schema = tbl.schema.getOrElse(throw new IllegalArgumentException(
+        s"format '${tbl.format}' requires a declared column list"))
+      return cdcDecode(spark.readStream.text(tbl.path).toDF("value"),
+        tbl.format.toLowerCase, schema, tbl.props, tbl.metaCols)
+    }
     val opts = readerOptions(tbl.format, tbl.props)
     val schema = tbl.schema.getOrElse(
       spark.read.format(tbl.format).options(opts).load(tbl.path).schema)
@@ -462,6 +490,19 @@ object ConnectorTables {
       }
       val computed = baseComputed.filterNot(bc =>
         derivedComputed.exists(_._1.equalsIgnoreCase(bc._1))) ++ derivedComputed
+      // METADATA columns: inherit unless EXCLUDING; a derived metadata
+      // column on an inherited name needs OVERWRITING
+      // (MergeTableLikeUtil.appendDerivedColumns:429-443)
+      val derivedMeta = Option(colsOpt).map(parseMetaCols).getOrElse(Nil)
+      val baseMeta = if (st("METADATA") == "EXCLUDING") Nil else base.metaCols
+      derivedMeta.foreach { case (n, _) =>
+        if (baseMeta.exists(_._1.equalsIgnoreCase(n)) && st("METADATA") != "OVERWRITING")
+          throw new IllegalArgumentException(
+            s"A metadata column named '$n' already exists in the base table. You " +
+              "might want to specify EXCLUDING METADATA or OVERWRITING METADATA.")
+      }
+      val metaMerged = baseMeta.filterNot(bm =>
+        derivedMeta.exists(_._1.equalsIgnoreCase(bm._1))) ++ derivedMeta
       // partitions (MergeTableLikeUtil.mergePartitions:164-180 — the 1.12
       // shape, preserved exactly: EXCLUDING legalizes a derived override,
       // but an EMPTY derived list inherits the base's partitions under
@@ -502,7 +543,7 @@ object ConnectorTables {
         s"CREATE TABLE $name LIKE $baseName: no 'path' after option merge"))
       val out = register(spark, name,
         Tbl(path, props.getOrElse("format", "parquet"), props, schema, parts,
-          computed, derivedPk.orElse(basePk)))
+          computed, derivedPk.orElse(basePk), metaMerged))
       wm.foreach { case (c, d) => SystemTimeJoin.declareWatermark(name, c, d) }
       out
     case createRe(name, cols, partCols, propsBody) =>
@@ -519,8 +560,24 @@ object ConnectorTables {
       // col=value directory layout on write
       val parts = Option(partCols).map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
         .getOrElse(Nil)
+      // METADATA columns (FLIP-107): in 1.12 only the debezium-json format
+      // lists readable metadata (DebeziumJsonDecodingFormat.java:108-113);
+      // keys validate at DDL time with the reference's pointed error shape
+      // (DynamicSourceUtils invalid-metadata-key validation)
+      val metaCols = parseMetaCols(cols)
+      if (metaCols.nonEmpty && !fmt.equalsIgnoreCase("debezium-json"))
+        throw new IllegalArgumentException(
+          s"CREATE TABLE $name: format '$fmt' does not support reading metadata " +
+            "(only debezium-json lists readable metadata in this surface)")
+      metaCols.foreach { case (c, k) =>
+        if (!graft.sources.CdcFormats.DebeziumMetadataKeys.contains(k))
+          throw new IllegalArgumentException(
+            s"Invalid metadata key '$k' in column '$c' of table $name. " +
+              "The debezium-json format supports the following metadata keys for " +
+              s"READING: ${graft.sources.CdcFormats.DebeziumMetadataKeys.mkString(", ")}")
+      }
       register(spark, name,
-        Tbl(path, fmt, props, parseSchema(cols), parts, Nil, parsePk(cols)))
+        Tbl(path, fmt, props, parseSchema(cols), parts, Nil, parsePk(cols), metaCols))
     case _ => throw new IllegalArgumentException("unsupported connector CREATE TABLE shape")
   }
 

@@ -169,6 +169,45 @@ class CdcFormatsSpec extends SparkSpec {
       "value", schema).count() == 0)
   }
 
+  test("debezium readable metadata keys decode per the reference's converters") {
+    val msg = """{"before":{"id":1,"name":"a","weight":1.0},"after":{"id":1,"name":"a","weight":2.0},"op":"u","ts_ms":1589355606100,"source":{"db":"inv","schema":"pg","table":"products","ts_ms":"1589355606000","version":"1.1"}}"""
+    val out = CdcFormats.debeziumJson(df(msg), "value", schema,
+      metadata = Seq("ingestion-timestamp", "source.timestamp", "source.database",
+        "source.schema", "source.table", "source.properties"))
+    // metadata appends AFTER the physical columns, named by key
+    assert(out.schema.fieldNames.toSeq == Seq("kind", "id", "name", "weight",
+      "ingestion-timestamp", "source.timestamp", "source.database",
+      "source.schema", "source.table", "source.properties"))
+    val rows = out.collect()
+    // an UPDATE explodes to -U/+U — BOTH carry the message's metadata
+    assert(rows.map(_.getString(0)).toSeq == Seq("-U", "+U"))
+    rows.foreach { r =>
+      assert(r.getTimestamp(4).getTime == 1589355606100L)  // ts_ms, epoch millis
+      assert(r.getTimestamp(5).getTime == 1589355606000L)  // source.ts_ms string
+      assert(r.getString(6) == "inv" && r.getString(7) == "pg" && r.getString(8) == "products")
+      val props = r.getMap[String, String](9)
+      assert(props("version") == "1.1" && props("db") == "inv")
+    }
+    // null envelope fields → null metadata (the reference's nullable types)
+    val bare = """{"before":null,"after":{"id":2,"name":"b","weight":1.0},"op":"c"}"""
+    val r2 = CdcFormats.debeziumJson(df(bare), "value", schema,
+      metadata = Seq("ingestion-timestamp", "source.database")).collect().head
+    assert(r2.isNullAt(4) && r2.isNullAt(5))
+  }
+
+  test("debezium metadata: the schema key reads the TOP-LEVEL schema string, with and without schema-include") {
+    // isJsonPayload=false in the reference — `schema` lives OUTSIDE payload
+    val withEnvelope = """{"schema":{"type":"struct"},"payload":{"before":null,"after":{"id":1,"name":"a","weight":1.0},"op":"c","source":{"table":"t1"}}}"""
+    val out = CdcFormats.debeziumJson(df(withEnvelope), "value", schema,
+      schemaInclude = true, metadata = Seq("schema", "source.table")).collect().head
+    assert(out.getString(4).contains("struct") && out.getString(5) == "t1")
+    // invalid key is a pointed error listing the supported keys
+    val e = intercept[Exception] {
+      CdcFormats.debeziumJson(df(withEnvelope), "value", schema, metadata = Seq("nope"))
+    }
+    assert(e.getMessage.contains("Invalid metadata key 'nope'"))
+  }
+
   test("debezium decode runs as a real StreamingQuery (file-stream source)") {
     val s = spark
     import s.implicits._

@@ -432,6 +432,48 @@ class SqlUtilitySpec extends SparkSpec {
     assert(e2.getMessage.contains("Illegal merging strategy 'OVERWRITING' for 'CONSTRAINTS' option."))
   }
 
+  test("METADATA columns in connector DDL: debezium only, key validation, LIKE inheritance") {
+    val s = spark
+    import s.implicits._
+    val dir = freshDir("dbzmeta")
+    Seq("""{"before":null,"after":{"id":1,"name":"a"},"op":"c","ts_ms":1000,"source":{"db":"inv","table":"t1"}}""")
+      .toDF("value").coalesce(1).write.mode("overwrite").text(dir)
+    spark.sql(s"""CREATE TABLE meta_t (
+                    id BIGINT, name STRING,
+                    origin STRING METADATA FROM 'source.table' VIRTUAL,
+                    ingest TIMESTAMP METADATA FROM 'ingestion-timestamp'
+                  ) WITH ('connector' = 'filesystem', 'path' = '$dir',
+                          'format' = 'debezium-json')""")
+    val r = spark.sql("SELECT kind, id, name, origin, unix_millis(ingest) AS ms FROM meta_t")
+      .collect().head
+    assert((r.getString(0), r.getLong(1), r.getString(3), r.getLong(4)) ==
+      ("+I", 1L, "t1", 1000L))
+    // metadata on a format that lists none (1.12: everything but debezium)
+    val e1 = intercept[Exception] {
+      spark.sql(s"""CREATE TABLE meta_bad (k BIGINT, o STRING METADATA FROM 'source.table')
+                    WITH ('connector' = 'filesystem', 'path' = '$dir', 'format' = 'parquet')""")
+    }
+    assert(e1.getMessage.contains("does not support reading metadata"))
+    // unknown key validates at DDL time with the reference's error shape
+    val e2 = intercept[Exception] {
+      spark.sql(s"""CREATE TABLE meta_bad2 (k BIGINT, o STRING METADATA FROM 'bogus')
+                    WITH ('connector' = 'filesystem', 'path' = '$dir', 'format' = 'debezium-json')""")
+    }
+    assert(e2.getMessage.contains("Invalid metadata key 'bogus' in column 'o'"))
+    // LIKE: metadata columns inherit by default; EXCLUDING METADATA drops;
+    // a same-name derived metadata column needs OVERWRITING
+    spark.sql(s"CREATE TABLE meta_like WITH ('path' = '$dir') LIKE meta_t")
+    assert(spark.sql("SELECT origin FROM meta_like").collect().head.getString(0) == "t1")
+    val e3 = intercept[Exception] {
+      spark.sql(s"""CREATE TABLE meta_dup (origin STRING METADATA FROM 'source.database')
+                    WITH ('path' = '$dir') LIKE meta_t""")
+    }
+    assert(e3.getMessage.contains("EXCLUDING METADATA or OVERWRITING METADATA"))
+    spark.sql(s"""CREATE TABLE meta_ov (origin STRING METADATA FROM 'source.database')
+                  WITH ('path' = '$dir') LIKE meta_t (OVERWRITING METADATA)""")
+    assert(spark.sql("SELECT origin FROM meta_ov").collect().head.getString(0) == "inv")
+  }
+
   test("database DDL: CREATE/ALTER DATABASE WITH props; SHOW DATABASES has the reference's column name") {
     spark.sql("CREATE DATABASE IF NOT EXISTS ddl_db1 COMMENT 'first' WITH ('team' = 'graft')")
     val dbs = spark.sql("SHOW DATABASES")
