@@ -32,6 +32,9 @@ object DatabaseDdl {
   private val alterRe =
     """(?is)^(\s*ALTER\s+DATABASE\s+\w+\s+SET\s*)\((.*)\)\s*;?\s*$""".r
   private val showRe = """(?is)^\s*SHOW\s+DATABASES\s*;?\s*$""".r
+  private val showTablesRe = """(?is)^\s*SHOW\s+TABLES\s*;?\s*$""".r
+  private val showViewsRe = """(?is)^\s*SHOW\s+VIEWS\s*;?\s*$""".r
+  private val showFunctionsRe = """(?is)^\s*SHOW\s+FUNCTIONS\s*;?\s*$""".r
 
   /** Text rewrite of the Flink property-clause spellings into Spark's —
     * `WITH (...)` → `WITH DBPROPERTIES (...)`, `SET (...)` →
@@ -45,12 +48,33 @@ object DatabaseDdl {
     case _ => sqlText
   }
 
-  /** Dispatch test for the one form that needs a built result — caller
-    * passes literal/comment-blanked text. */
-  def matches(probe: String): Boolean = showRe.findFirstIn(probe).isDefined
+  /** Dispatch test for the SHOW forms that need a BUILT result (the
+    * reference's one-column result headers — buildShowResult,
+    * TableEnvironmentImpl.java:1012-1024). Only the bare spellings are
+    * intercepted; `SHOW TABLES IN db` / `LIKE 'pat'` variants pass through
+    * to Spark natively. Caller passes literal/comment-blanked text. */
+  def matches(probe: String): Boolean =
+    showRe.findFirstIn(probe).isDefined ||
+      showTablesRe.findFirstIn(probe).isDefined ||
+      showViewsRe.findFirstIn(probe).isDefined ||
+      showFunctionsRe.findFirstIn(probe).isDefined
 
-  /** SHOW DATABASES with the reference's result column name, built from the
-    * catalog API (not spark.sql — that would re-enter this dispatch). */
-  def run(spark: SparkSession, sql: String): DataFrame =
-    spark.catalog.listDatabases().select(col("name").as("database name"))
+  /** Build the SHOW result with the reference's column name. `native` runs
+    * a statement through the DELEGATE parser (not spark.sql — that would
+    * re-enter this dispatch). Tables/views are sorted like the reference
+    * (TableEnvironmentImpl.listTables/listViews .sorted());
+    * listFunctions/listDatabases carry the provider's order. */
+  def run(spark: SparkSession, sql: String, native: String => DataFrame): DataFrame =
+    sql match {
+      case showTablesRe() =>
+        native("SHOW TABLES").select(col("tableName").as("table name"))
+          .sort("table name")
+      case showViewsRe() =>
+        native("SHOW VIEWS").select(col("viewName").as("view name"))
+          .sort("view name")
+      case showFunctionsRe() =>
+        native("SHOW FUNCTIONS").select(col("function").as("function name"))
+      case _ =>
+        spark.catalog.listDatabases().select(col("name").as("database name"))
+    }
 }

@@ -209,12 +209,14 @@ object FlinkSql {
         ConnectorTables.tryShowPartitions(session, sqlText)
           .map(org.apache.spark.sql.GraftSqlBridge.logicalPlan)
           .orElse(Some(delegate.parsePlan(rewrite(sqlText))))
-      // SHOW DATABASES with the reference's result column name, built from
-      // the catalog API (CREATE/ALTER DATABASE property clauses are text
-      // rewrites in preprocess; DROP DATABASE / USE are native spellings)
+      // SHOW DATABASES/TABLES/VIEWS/FUNCTIONS with the reference's result
+      // column names, built over the DELEGATE parser so the dispatch can't
+      // loop (CREATE/ALTER DATABASE property clauses are text rewrites in
+      // preprocess; DROP DATABASE / USE are native spellings)
       else if (DatabaseDdl.matches(probe))
         Some(org.apache.spark.sql.GraftSqlBridge.logicalPlan(
-          DatabaseDdl.run(session, sqlText)))
+          DatabaseDdl.run(session, sqlText, stmt =>
+            org.apache.spark.sql.GraftSqlBridge.ofRows(session, delegate.parsePlan(stmt)))))
       else if (MatchRecognize.matches(probe))
         Some(org.apache.spark.sql.GraftSqlBridge.logicalPlan(
           MatchRecognize.run(session, sqlText)))

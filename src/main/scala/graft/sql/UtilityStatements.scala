@@ -11,10 +11,11 @@ package graft.sql
   *   USE CATALOG <name>        → SET CATALOG <name>
   *
   * (column names match the reference's ShowCurrentCatalogOperation /
-  * ShowCurrentDatabaseOperation result headers). SHOW TABLES / SHOW VIEWS /
-  * SHOW FUNCTIONS / SHOW DATABASES / DESCRIBE / USE <db> are native Spark
-  * statements with matching semantics and pass through untouched —
-  * spec-pinned in SqlUtilitySpec rather than rewritten. */
+  * ShowCurrentDatabaseOperation result headers). Bare SHOW TABLES / VIEWS /
+  * FUNCTIONS / DATABASES are built with the reference's one-column result
+  * headers in [[DatabaseDdl]]; DESCRIBE / USE <db> and the qualified or
+  * pattern SHOW variants are native Spark statements and pass through
+  * untouched — spec-pinned in SqlUtilitySpec rather than rewritten. */
 object UtilityStatements {
 
   def rewrite(sqlText: String): String = {

@@ -1515,6 +1515,18 @@ class DifferentialFuzzSpec extends SparkSpec {
             poisoned, "value", rowSchema, ignoreParseErrors = true))
           assert(gotIgnore == expected, s"family-27 case $i ignore-parse-errors diverged")
         }
+        // requesting readable metadata must not perturb the op pipeline;
+        // envelopes without ts_ms/source (the lossy encoder emits none)
+        // yield NULL metadata, never errors (nullable types per FLIP-107)
+        if (r.nextBoolean()) {
+          val metaKeys = r.shuffle(CdcFormats.DebeziumMetadataKeys).take(1 + r.nextInt(3))
+          val withMeta = CdcFormats.debeziumJson(
+            CdcFormats.toDebeziumJson(changelog), "value", rowSchema, metadata = metaKeys)
+          assert(fold(withMeta) == expected, s"family-27 case $i metadata request diverged")
+          assert(withMeta.filter(metaKeys.map(k => col(s"`$k`").isNotNull)
+            .reduce(_ || _)).count() == 0,
+            s"family-27 case $i: metadata over metadata-less envelopes must be NULL")
+        }
       }
     }
     assert(totalRows > 100, s"vacuous family-27 corpus: $totalRows rows")

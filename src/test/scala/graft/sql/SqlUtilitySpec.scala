@@ -542,12 +542,23 @@ class SqlUtilitySpec extends SparkSpec {
     assert(spark.sql("SHOW CURRENT CATALOG").collect().head.getString(0) == "spark_catalog")
   }
 
-  test("native utility statements pass through: SHOW TABLES / VIEWS / FUNCTIONS / DESCRIBE") {
+  test("SHOW TABLES / VIEWS / FUNCTIONS carry the reference's column names; DESCRIBE passes through") {
     spark.range(2).createOrReplaceTempView("util_probe_view")
-    val views = spark.sql("SHOW VIEWS").collect().map(_.getString(1))
-    assert(views.contains("util_probe_view"))
-    assert(spark.sql("SHOW TABLES").columns.nonEmpty)
-    assert(spark.sql("SHOW FUNCTIONS").count() > 100)
+    // buildShowResult headers (TableEnvironmentImpl.java:1020-1024)
+    val views = spark.sql("SHOW VIEWS")
+    assert(views.schema.fieldNames.toSeq == Seq("view name"))
+    assert(views.collect().map(_.getString(0)).contains("util_probe_view"))
+    val tables = spark.sql("SHOW TABLES")
+    assert(tables.schema.fieldNames.toSeq == Seq("table name"))
+    // temp views list under tables too (catalogManager.listTables semantics),
+    // sorted like the reference's listTables().sorted()
+    val names = tables.collect().map(_.getString(0))
+    assert(names.contains("util_probe_view") && names.toSeq == names.toSeq.sorted)
+    val fns = spark.sql("SHOW FUNCTIONS")
+    assert(fns.schema.fieldNames.toSeq == Seq("function name"))
+    assert(fns.count() > 100)
+    // qualified/pattern SHOW forms stay native Spark
+    assert(spark.sql("SHOW TABLES IN default").columns.length > 1)
     val desc = spark.sql("DESCRIBE util_probe_view").collect()
     assert(desc.exists(r => r.getString(0) == "id" && r.getString(1) == "bigint"))
   }
