@@ -47,10 +47,10 @@ object ConnectorTables {
       schema: Option[StructType],
       partitions: Seq[String] = Nil,
       computed: Seq[(String, String)] = Nil,
-      // PRIMARY KEY columns — metadata, NOT enforced, exactly like the
-      // reference's `PRIMARY KEY (...) NOT ENFORCED`; carried for LIKE's
-      // CONSTRAINTS merging and changelog-sink key derivation
-      pk: Option[Seq[String]] = None,
+      // PRIMARY KEY (name, columns) — metadata, NOT enforced, exactly like
+      // the reference's `PRIMARY KEY (...) NOT ENFORCED`; carried for LIKE's
+      // CONSTRAINTS merging and ALTER TABLE ADD/DROP CONSTRAINT
+      pk: Option[(String, Seq[String])] = None,
       // METADATA columns (FLIP-107): declared name → readable-metadata key
       metaCols: Seq[(String, String)] = Nil)
 
@@ -72,11 +72,13 @@ object ConnectorTables {
   private val insertRe =
     """(?is)\s*INSERT\s+(INTO|OVERWRITE)\s+(?:TABLE\s+)?((?:\w+\.)?\w+)\s*(?:PARTITION\s*\(([^)]*)\)\s*)?(SELECT\s+.*|VALUES\s*\(.*)""".r
   private val propRe = """'([^']+)'\s*=\s*'([^']*)'""".r
-  private val pkRe = """(?i)PRIMARY\s+KEY\s*\(([^)]*)\)""".r
+  private val pkRe = """(?i)(?:CONSTRAINT\s+(\w+)\s+)?PRIMARY\s+KEY\s*\(([^)]*)\)""".r
 
-  private def parsePk(cols: String): Option[Seq[String]] =
-    pkRe.findFirstMatchIn(cols)
-      .map(_.group(1).split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+  private def parsePk(cols: String): Option[(String, Seq[String])] =
+    pkRe.findFirstMatchIn(cols).map { m =>
+      val c = m.group(2).split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      (Option(m.group(1)).getOrElse("PK_" + c.mkString("_")), c)
+    }
 
   // `col TYPE METADATA [FROM 'key'] [VIRTUAL]` (parserImpls.ftl:560-568);
   // the key defaults to the column name when FROM is absent
@@ -141,6 +143,10 @@ object ConnectorTables {
 
   private val alterSetRe =
     """(?is)\s*ALTER\s+TABLE\s+((?:\w+\.)?\w+)\s+SET\s*\((.*)\)\s*""".r
+  private val alterAddConstraintRe =
+    """(?is)\s*ALTER\s+TABLE\s+((?:\w+\.)?\w+)\s+ADD\s+(?:CONSTRAINT\s+(\w+)\s+)?(PRIMARY\s+KEY|UNIQUE)\s*\(([^)]*)\)\s*(NOT\s+ENFORCED)?\s*;?\s*""".r
+  private val alterDropConstraintRe =
+    """(?is)\s*ALTER\s+TABLE\s+((?:\w+\.)?\w+)\s+DROP\s+CONSTRAINT\s+(\w+)\s*;?\s*""".r
   private val alterRenameRe =
     """(?is)\s*ALTER\s+TABLE\s+((?:\w+\.)?\w+)\s+RENAME\s+TO\s+((?:\w+\.)?\w+)\s*""".r
   private val dropRe =
@@ -153,6 +159,41 @@ object ConnectorTables {
     * statements naming a non-connector table return None and fall through
     * to Spark's own DDL. */
   def tryAlterOrDrop(spark: SparkSession, sql: String): Option[DataFrame] = sql match {
+    // ALTER TABLE ADD [CONSTRAINT name] PRIMARY KEY (...) NOT ENFORCED /
+    // DROP CONSTRAINT name (SqlAlterTableAddConstraint /
+    // SqlAlterTableDropConstraint; SqlToOperationConverter.java:340-371,
+    // validateTableConstraint:798-809 — reference error texts preserved,
+    // including the original's 'constaint' spelling)
+    case alterAddConstraintRe(name, cName, kind, colsList, notEnforced) =>
+      lookup(spark, name).map { tbl =>
+        if (kind.toUpperCase.startsWith("UNIQUE"))
+          throw new UnsupportedOperationException(
+            "UNIQUE constraint is not supported yet")
+        if (notEnforced == null)
+          throw new IllegalArgumentException(
+            "Flink doesn't support ENFORCED mode for PRIMARY KEY constaint. " +
+              "ENFORCED/NOT ENFORCED  controls if the constraint checks are performed " +
+              "on the incoming/outgoing data. Flink does not own the data therefore " +
+              "the only supported mode is the NOT ENFORCED mode")
+        if (tbl.pk.isDefined) // TableSchema.Builder.primaryKey:684-686
+          throw new IllegalArgumentException("Can not create multiple PRIMARY keys.")
+        val cols = colsList.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        tbl.schema.foreach { sc =>
+          cols.find(c => !sc.fieldNames.contains(c)).foreach(c =>
+            throw new IllegalArgumentException(
+              s"Could not create a PRIMARY KEY with column '$c'. Column does not exist."))
+        }
+        val pkName = Option(cName).getOrElse("PK_" + cols.mkString("_"))
+        registerMeta(spark, name, tbl.copy(pk = Some((pkName, cols))))
+        spark.emptyDataFrame
+      }
+    case alterDropConstraintRe(name, cName) =>
+      lookup(spark, name).map { tbl =>
+        if (!tbl.pk.exists(_._1.equalsIgnoreCase(cName)))
+          throw new IllegalArgumentException(s"CONSTRAINT [$cName] does not exist")
+        registerMeta(spark, name, tbl.copy(pk = None))
+        spark.emptyDataFrame
+      }
     case alterSetRe(name, propsBody) =>
       lookup(spark, name).map { tbl =>
         val newProps = propRe.findAllMatchIn(propsBody)

@@ -411,6 +411,45 @@ class SqlUtilitySpec extends SparkSpec {
     assert(e.getMessage.contains("is not partitioned"))
   }
 
+  test("ALTER TABLE ADD/DROP CONSTRAINT: reference validation and registry effect") {
+    val dir = freshDir("altercons")
+    spark.sql(s"""CREATE TABLE ac_t (k BIGINT, v DOUBLE)
+                  WITH ('connector' = 'filesystem', 'path' = '$dir', 'format' = 'parquet')""")
+    // ENFORCED is the reference's validation error (exact text preserved)
+    val e1 = intercept[Exception] {
+      spark.sql("ALTER TABLE ac_t ADD CONSTRAINT pk0 PRIMARY KEY (k)")
+    }
+    assert(e1.getMessage.contains("the only supported mode is the NOT ENFORCED mode"))
+    // UNIQUE is unsupported (validateTableConstraint:799-801)
+    val e2 = intercept[Exception] {
+      spark.sql("ALTER TABLE ac_t ADD CONSTRAINT u0 UNIQUE (k) NOT ENFORCED")
+    }
+    assert(e2.getMessage.contains("UNIQUE constraint is not supported yet"))
+    // unknown column is a sanity error
+    val e3 = intercept[Exception] {
+      spark.sql("ALTER TABLE ac_t ADD CONSTRAINT pk0 PRIMARY KEY (nope) NOT ENFORCED")
+    }
+    assert(e3.getMessage.contains("Column does not exist"))
+    spark.sql("ALTER TABLE ac_t ADD CONSTRAINT pk0 PRIMARY KEY (k) NOT ENFORCED")
+    // second PK → TableSchema.Builder's duplicate error
+    val e4 = intercept[Exception] {
+      spark.sql("ALTER TABLE ac_t ADD PRIMARY KEY (v) NOT ENFORCED")
+    }
+    assert(e4.getMessage.contains("Can not create multiple PRIMARY keys."))
+    // DROP by wrong name → "CONSTRAINT [x] does not exist"; right name works
+    val e5 = intercept[Exception] { spark.sql("ALTER TABLE ac_t DROP CONSTRAINT nope") }
+    assert(e5.getMessage.contains("CONSTRAINT [nope] does not exist"))
+    spark.sql("ALTER TABLE ac_t DROP CONSTRAINT pk0")
+    // dropped → a fresh ADD succeeds again
+    spark.sql("ALTER TABLE ac_t ADD PRIMARY KEY (k) NOT ENFORCED")
+    // the added PK participates in LIKE's CONSTRAINTS merge
+    val e6 = intercept[Exception] {
+      spark.sql(s"""CREATE TABLE ac_dup (extra STRING, PRIMARY KEY (extra))
+                    WITH ('path' = '/tmp/x') LIKE ac_t""")
+    }
+    assert(e6.getMessage.contains("The base table already has a primary key."))
+  }
+
   test("CREATE TABLE LIKE: CONSTRAINTS (primary key) merging") {
     val b = freshDir("likepk")
     spark.sql(s"""CREATE TABLE pk_base (k BIGINT, v DOUBLE, PRIMARY KEY (k))
