@@ -74,10 +74,27 @@ object CdcScaleProbe {
       assert(agg.getLong(1) == sumK, "sum(k) mismatch")
       assert(agg.getLong(2) == live * V, "sum(seq) mismatch")
       assert(agg.getLong(3) == sumK * 10 + live * V, "sum(v) mismatch")
+
+      // round 13: decode the SAME files with readable metadata requested —
+      // the wider parse schema + appended projections must stay shuffle-free
+      // and leave the fold unchanged (metadata-less envelopes → NULLs)
+      val t2 = System.nanoTime()
+      val decodedMeta = CdcFormats.debeziumJson(
+        spark.read.text(dir.getPath).toDF("value"), "value", rowSchema,
+        metadata = Seq("ingestion-timestamp", "source.table", "source.properties"))
+      assert(!decodedMeta.queryExecution.executedPlan.toString.contains("Exchange"),
+        "metadata decode must stay shuffle-free")
+      val survMeta = decodedMeta.groupBy("k", "seq", "v")
+        .agg(sum(when(col("kind").isin("+I", "+U"), 1).otherwise(-1)).as("net"))
+        .filter(col("net") > 0)
+        .agg(count(lit(1))).head.getLong(0)
+      val tMeta = (System.nanoTime() - t2) / 1e9
+      assert(survMeta == live, s"metadata-decode survivors $survMeta != $live")
+
       val msgs = users * (1 + 2 * (V - 1)) + (users + 2) / 3
       println(s"""{"probe":"cdc_debezium","users":$users,"messages":$msgs,""" +
         s""""encode_sec":${f"$tEnc%.1f"},"decode_fold_sec":${f"$tDec%.1f"},""" +
-        s""""survivors":$live,"exact":true}""")
+        s""""decode_meta_sec":${f"$tMeta%.1f"},"survivors":$live,"exact":true}""")
       rm(dir)
     }
     GraftSession.shutdown(spark)
