@@ -513,6 +513,36 @@ class SqlUtilitySpec extends SparkSpec {
     assert(spark.sql("SELECT origin FROM meta_ov").collect().head.getString(0) == "inv")
   }
 
+  test("CREATE TABLE LIKE chains: a derived table can be the base of another LIKE; qualified bases resolve") {
+    val s = spark
+    import s.implicits._
+    val b = freshDir("likechain"); val d1 = freshDir("likechain1"); val d2 = freshDir("likechain2")
+    Seq((1L, "2026-01-01 00:10:00")).toDF("k", "raw_ts")
+      .coalesce(1).write.mode("overwrite").parquet(b)
+    spark.sql(s"""CREATE TABLE chain_base (
+                    ts AS CAST(raw_ts AS TIMESTAMP),
+                    WATERMARK FOR ts AS ts - INTERVAL '7' SECOND
+                  ) WITH ('connector' = 'filesystem', 'path' = '$b',
+                          'format' = 'parquet')""")
+    spark.sql(s"CREATE TABLE chain_d1 WITH ('path' = '$d1') LIKE chain_base")
+    // d1 (itself LIKE-derived) is a valid base: watermark + generated
+    // column survive TWO hops through the registry
+    spark.sql(s"CREATE TABLE chain_d2 WITH ('path' = '$d2') LIKE chain_d1")
+    assert(SystemTimeJoin.watermarkOf("chain_d2").contains(("ts", "7 seconds")))
+    spark.sql("INSERT INTO chain_d2 SELECT k, raw_ts FROM chain_base")
+    val r = spark.sql("SELECT k, ts FROM chain_d2").collect().head
+    assert(r.getLong(0) == 1L && r.get(1) != null) // computed col inherited twice
+    // a QUALIFIED base name resolves through the same registry
+    spark.sql("CREATE DATABASE IF NOT EXISTS likedb")
+    val qb = freshDir("likechainq")
+    spark.sql(s"""CREATE TABLE likedb.qbase (k BIGINT)
+                  WITH ('connector' = 'filesystem', 'path' = '$qb', 'format' = 'parquet')""")
+    val dq = freshDir("likechainq2")
+    spark.sql(s"CREATE TABLE q_drv WITH ('path' = '$dq') LIKE likedb.qbase")
+    spark.sql("INSERT INTO q_drv SELECT id AS k FROM range(2)")
+    assert(spark.sql("SELECT count(*) FROM q_drv").collect().head.getLong(0) == 2L)
+  }
+
   test("database DDL: CREATE/ALTER DATABASE WITH props; SHOW DATABASES has the reference's column name") {
     spark.sql("CREATE DATABASE IF NOT EXISTS ddl_db1 COMMENT 'first' WITH ('team' = 'graft')")
     val dbs = spark.sql("SHOW DATABASES")
