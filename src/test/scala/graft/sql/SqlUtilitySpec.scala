@@ -543,6 +543,48 @@ class SqlUtilitySpec extends SparkSpec {
     assert(spark.sql("SELECT count(*) FROM q_drv").collect().head.getLong(0) == 2L)
   }
 
+  test("a LIKE-derived watermarked table serves as the versioned side of FOR SYSTEM_TIME") {
+    val s = spark
+    import s.implicits._
+    import java.sql.Timestamp
+    val b = freshDir("likesyst"); val d = freshDir("likesyst2")
+    Seq((1L, new Timestamp(5000L), 1.0), (1L, new Timestamp(20000L), 2.0))
+      .toDF("rk", "rts", "rate").coalesce(1).write.mode("overwrite").parquet(b)
+    spark.sql(s"""CREATE TABLE syst_base (
+                    rk BIGINT, rts TIMESTAMP, rate DOUBLE,
+                    WATERMARK FOR rts AS rts - INTERVAL '5' SECOND
+                  ) WITH ('connector' = 'filesystem', 'path' = '$b',
+                          'format' = 'parquet')""")
+    spark.sql(s"CREATE TABLE syst_drv WITH ('path' = '$d') LIKE syst_base")
+    spark.sql("INSERT INTO syst_drv SELECT rk, rts, rate FROM syst_base")
+    Seq((1L, new Timestamp(10000L), 100L), (1L, new Timestamp(25000L), 101L))
+      .toDF("ok", "ots", "oid").createOrReplaceTempView("syst_orders")
+    // the temporal-join front-end resolves the DERIVED table's time
+    // attribute from the LIKE-inherited watermark registry entry
+    val rows = spark.sql(
+      """SELECT oid, rate FROM syst_orders
+         JOIN syst_drv FOR SYSTEM_TIME AS OF ots ON ok = rk
+         ORDER BY oid""").collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(rows.toSeq == Seq((100L, 1.0), (101L, 2.0)))
+  }
+
+  test("plan shape: filters push into the parquet scan through a QUALIFIED connector table") {
+    val dir = freshDir("dbqplan")
+    spark.sql("CREATE DATABASE IF NOT EXISTS plandb")
+    spark.sql(s"""CREATE TABLE plandb.pt (k BIGINT, v DOUBLE)
+                  WITH ('connector' = 'filesystem', 'path' = '$dir', 'format' = 'parquet')""")
+    spark.sql("INSERT INTO plandb.pt SELECT id AS k, CAST(id AS DOUBLE) AS v FROM range(10)")
+    val q = spark.sql("SELECT k FROM plandb.pt WHERE k > 5")
+    val plan = q.queryExecution.executedPlan.toString
+    // the qualified-reference pre-pass lands on a plain view over the
+    // parquet scan — predicate pushdown and column pruning must survive
+    assert(plan.contains("PushedFilters") && plan.contains("GreaterThan(k,5"),
+      s"filter not pushed through the qualified view:\n$plan")
+    assert(plan.contains("ReadSchema: struct<k:bigint>"),
+      s"projection not pruned to k:\n$plan")
+    assert(q.collect().map(_.getLong(0)).sorted.toSeq == Seq(6L, 7L, 8L, 9L))
+  }
+
   test("database DDL: CREATE/ALTER DATABASE WITH props; SHOW DATABASES has the reference's column name") {
     spark.sql("CREATE DATABASE IF NOT EXISTS ddl_db1 COMMENT 'first' WITH ('team' = 'graft')")
     val dbs = spark.sql("SHOW DATABASES")
