@@ -16,3 +16,14 @@ class VowelCountFn extends GraftSqlFunction {
       if (s == null) null.asInstanceOf[Integer]
       else Integer.valueOf(s.toLowerCase.count("aeiou".contains(_))))
 }
+
+/** Letter count (a–z, case-insensitive) — the ALTER FUNCTION target: same
+  * signature as [[VowelCountFn]], visibly different results, so a query
+  * after `ALTER FUNCTION f AS '...LetterCountFn'` proves the
+  * re-registration actually switched implementations. */
+class LetterCountFn extends GraftSqlFunction {
+  override def register(spark: SparkSession, name: String): Unit =
+    spark.udf.register(name, (s: String) =>
+      if (s == null) null.asInstanceOf[Integer]
+      else Integer.valueOf(s.count(_.isLetter)))
+}

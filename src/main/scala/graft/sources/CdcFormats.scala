@@ -91,10 +91,18 @@ object CdcFormats {
     * 'debezium-json.schema-include' (envelope nested under `payload`);
     * `metadata` appends the requested readable-metadata keys as trailing
     * columns named by key, after the physical columns — the reference's
-    * appendRowFields order (DebeziumJsonDecodingFormat.java:88-94). */
+    * appendRowFields order (DebeziumJsonDecodingFormat.java:88-94).
+    * `metadataNames` (when non-empty, same length as `metadata`) names the
+    * appended columns POSITIONALLY — the DDL's declared column names. The
+    * positional alias is what keeps a physical column that happens to share
+    * a key's name (e.g. a column literally called `schema`), or two METADATA
+    * columns reading the SAME key, unambiguous: nothing is renamed after the
+    * fact, each requested key lands directly under its declared name. */
   def debeziumJson(df: DataFrame, jsonCol: String, schema: StructType,
       ignoreParseErrors: Boolean = false, schemaInclude: Boolean = false,
-      metadata: Seq[String] = Nil): DataFrame = {
+      metadata: Seq[String] = Nil, metadataNames: Seq[String] = Nil): DataFrame = {
+    require(metadataNames.isEmpty || metadataNames.size == metadata.size,
+      "metadataNames must be empty or align 1:1 with metadata keys")
     metadata.foreach { k =>
       if (!DebeziumMetadataKeys.contains(k))
         throw new IllegalArgumentException(
@@ -149,9 +157,10 @@ object CdcFormats {
     val exploded = checked.select(explode(ops).as("e") +:
       metadata.indices.map(i => col(s"__meta_$i")): _*)
     val out = finish(exploded, schema)
+    val names = if (metadataNames.nonEmpty) metadataNames else metadata
     if (!needMeta) out
     else out.select(out.columns.filterNot(_.startsWith("__meta_")).map(col).toSeq ++
-      metadata.zipWithIndex.map { case (k, i) => col(s"__meta_$i").as(k) }: _*)
+      names.zipWithIndex.map { case (n, i) => col(s"__meta_$i").as(n) }: _*)
   }
 
   /** Decode canal-json messages. `database` mirrors 'canal-json.database

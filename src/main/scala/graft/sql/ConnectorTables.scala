@@ -40,6 +40,21 @@ import org.apache.spark.sql.types.StructType
   */
 object ConnectorTables {
 
+  /** One declared column, in DDL declaration order — the catalog metadata
+    * DESCRIBE projects (TableColumn.PhysicalColumn / ComputedColumn /
+    * MetadataColumn, flink-table-common TableColumn.java:185-305). */
+  private[sql] sealed trait DeclCol { def name: String }
+  /** `name TYPE [NOT NULL]` — typeText is the normalized declared type. */
+  private[sql] case class PhysCol(name: String, typeText: String,
+      nullable: Boolean) extends DeclCol
+  /** `name AS expr` — a generated column. */
+  private[sql] case class CompCol(name: String, expr: String) extends DeclCol
+  /** `name TYPE METADATA [FROM 'key'] [VIRTUAL]` (FLIP-107). `explicitFrom`
+    * records whether the key was spelled (DESCRIBE prints FROM only then —
+    * TableColumn.MetadataColumn.explainExtras, TableColumn.java:289-305). */
+  private[sql] case class MetaCol(name: String, key: String, typeText: String,
+      explicitFrom: Boolean, virtual: Boolean) extends DeclCol
+
   private[sql] case class Tbl(
       path: String,
       format: String,
@@ -51,8 +66,11 @@ object ConnectorTables {
       // the reference's `PRIMARY KEY (...) NOT ENFORCED`; carried for LIKE's
       // CONSTRAINTS merging and ALTER TABLE ADD/DROP CONSTRAINT
       pk: Option[(String, Seq[String])] = None,
-      // METADATA columns (FLIP-107): declared name → readable-metadata key
-      metaCols: Seq[(String, String)] = Nil)
+      // METADATA columns (FLIP-107), declaration-ordered
+      metaCols: Seq[MetaCol] = Nil,
+      // full declared column list in declaration order — what DESCRIBE
+      // renders; empty for tables registered without a usable column list
+      decl: Seq[DeclCol] = Nil)
 
   /** (session identity, table name) → table; session-keyed so tests with
     * multiple sessions cannot see each other's registrations. */
@@ -74,20 +92,63 @@ object ConnectorTables {
   private val propRe = """'([^']+)'\s*=\s*'([^']*)'""".r
   private val pkRe = """(?i)(?:CONSTRAINT\s+(\w+)\s+)?PRIMARY\s+KEY\s*\(([^)]*)\)""".r
 
-  private def parsePk(cols: String): Option[(String, Seq[String])] =
+  private[sql] def parsePk(cols: String): Option[(String, Seq[String])] =
     pkRe.findFirstMatchIn(cols).map { m =>
       val c = m.group(2).split(",").map(_.trim).filter(_.nonEmpty).toSeq
       (Option(m.group(1)).getOrElse("PK_" + c.mkString("_")), c)
     }
 
   // `col TYPE METADATA [FROM 'key'] [VIRTUAL]` (parserImpls.ftl:560-568);
-  // the key defaults to the column name when FROM is absent
+  // the key defaults to the column name when FROM is absent. The type
+  // portion admits multi-word spellings ("TIMESTAMP(3) WITH LOCAL TIME
+  // ZONE", "MAP<STRING, STRING>") — non-greedy up to the METADATA keyword.
   private val metaColRe =
-    """(?is)^(\w+)\s+\w+(?:\([^)]*\))?\s+METADATA(?:\s+FROM\s+'([^']+)')?(?:\s+VIRTUAL)?$""".r
+    """(?is)^(\w+)\s+(.+?)\s+METADATA(?:\s+(FROM)\s+'([^']+)')?(\s+VIRTUAL)?\s*$""".r
 
-  private[sql] def parseMetaCols(cols: String): Seq[(String, String)] =
+  private[sql] def parseMetaCols(cols: String): Seq[MetaCol] =
     splitTop(cols).flatMap(c => metaColRe.findFirstMatchIn(c.trim).map(m =>
-      (m.group(1), Option(m.group(2)).getOrElse(m.group(1)))))
+      MetaCol(m.group(1), Option(m.group(4)).getOrElse(m.group(1)),
+        normType(m.group(2)), m.group(3) != null, m.group(5) != null)))
+
+  /** Normalize a declared type's rendering to the reference's summary form
+    * (LogicalType.asSummaryString): uppercase keywords, single spaces, a
+    * space after commas — `decimal(10,2)` → `DECIMAL(10, 2)`. */
+  private[sql] def normType(t: String): String =
+    t.trim.replaceAll("\\s+", " ").replaceAll(",\\s*", ", ").toUpperCase
+
+  /** `name TYPE [NOT NULL]` — anything that is not computed/metadata/
+    * constraint/watermark. */
+  private val physColRe = """(?is)^(\w+)\s+(.+?)(\s+NOT\s+NULL)?\s*$""".r
+  private val compColRe = """(?is)^(\w+)\s+AS\s+(.+)$""".r
+
+  /** The declared column list in declaration order — DESCRIBE's source of
+    * truth. Constraint and WATERMARK items are not columns and drop out. */
+  private[sql] def parseDecl(colsDdl: String): Seq[DeclCol] =
+    splitTop(colsDdl).flatMap { item =>
+      val c = item.trim
+      val u = c.toUpperCase
+      if (u.startsWith("PRIMARY KEY") || u.startsWith("CONSTRAINT") ||
+          u.startsWith("WATERMARK")) None
+      else metaColRe.findFirstMatchIn(c).map(m =>
+        MetaCol(m.group(1), Option(m.group(4)).getOrElse(m.group(1)),
+          normType(m.group(2)), m.group(3) != null, m.group(5) != null))
+        .orElse(compColRe.findFirstMatchIn(c).map(m => CompCol(m.group(1), m.group(2).trim)))
+        .orElse(physColRe.findFirstMatchIn(c).map(m =>
+          PhysCol(m.group(1), normType(m.group(2)), nullable = m.group(3) == null)))
+    }
+
+  /** Flink DDL type text → the Spark type it reads as (the single-column
+    * version of [[parseSchema]]'s mapping). None when unparseable. */
+  private[sql] def flinkTypeToSpark(t: String): Option[org.apache.spark.sql.types.DataType] = {
+    val cleaned = t.trim
+      .replaceAll("(?i)\\bTIMESTAMP\\s*\\(\\d+\\)\\s+WITH\\s+LOCAL\\s+TIME\\s+ZONE", "TIMESTAMP")
+      .replaceAll("(?i)\\bTIMESTAMP\\s*\\(\\d+\\)", "TIMESTAMP")
+      .replaceAll("(?i)\\bVARCHAR\\s*\\(\\d+\\)", "STRING")
+      .replaceAll("(?i)\\bCHAR\\s*\\(\\d+\\)", "STRING")
+      .replaceAll("(?i)\\bBYTES\\b", "BINARY")
+    try Some(StructType.fromDDL(s"__c $cleaned").head.dataType)
+    catch { case _: Exception => None }
+  }
 
   def matchesCreate(probe: String): Boolean =
     """(?i)^\s*CREATE\s+TABLE\b""".r.findFirstIn(probe).isDefined &&
@@ -99,7 +160,7 @@ object ConnectorTables {
     * LIKE statements route here even when the derived column list declares
     * its own WATERMARK — the merge needs both sides. */
   private[sql] def matchesLike(probe: String): Boolean =
-    """(?is)^\s*CREATE\s+TABLE\b.*\bWITH\s*\([^)]*\)\s*LIKE\s+\w+\s*(?:\([^)]*\))?\s*;?\s*$""".r
+    """(?is)^\s*CREATE\s+TABLE\b.*\bWITH\s*\([^)]*\)\s*LIKE\s+(?:\w+\.)?\w+\s*(?:\([^)]*\))?\s*;?\s*$""".r
       .findFirstIn(probe).isDefined
 
   def matchesInsert(probe: String): Boolean =
@@ -179,11 +240,17 @@ object ConnectorTables {
           throw new IllegalArgumentException("Can not create multiple PRIMARY keys.")
         val cols = colsList.split(",").map(_.trim).filter(_.nonEmpty).toSeq
         tbl.schema.foreach { sc =>
-          cols.find(c => !sc.fieldNames.contains(c)).foreach(c =>
+          cols.find(c => !sc.fieldNames.contains(c) &&
+              !tbl.computed.exists(_._1.equalsIgnoreCase(c)) &&
+              !tbl.metaCols.exists(_.name.equalsIgnoreCase(c))).foreach(c =>
             throw new IllegalArgumentException(
               s"Could not create a PRIMARY KEY with column '$c'. Column does not exist."))
         }
         val pkName = Option(cName).getOrElse("PK_" + cols.mkString("_"))
+        // the operation rebuilds the schema through TableSchema.Builder,
+        // whose validatePrimaryKey ladder rejects non-physical and nullable
+        // columns (TableSchema.java:455-478)
+        validatePkColumns(pkName, cols, tbl)
         registerMeta(spark, name, tbl.copy(pk = Some((pkName, cols))))
         spark.emptyDataFrame
       }
@@ -199,8 +266,12 @@ object ConnectorTables {
         val newProps = propRe.findAllMatchIn(propsBody)
           .map(m => m.group(1).toLowerCase -> m.group(2)).toMap
         val merged = tbl.props ++ newProps
-        register(spark, name, Tbl(merged.getOrElse("path", tbl.path),
-          merged.getOrElse("format", tbl.format), merged, tbl.schema, tbl.partitions))
+        // SET changes OPTIONS only — schema metadata (computed columns, PK,
+        // metadata columns, declared list) rides along untouched, exactly
+        // like the reference's SqlAlterTableProperties which replaces the
+        // CatalogTable's options and keeps its TableSchema
+        register(spark, name, tbl.copy(path = merged.getOrElse("path", tbl.path),
+          format = merged.getOrElse("format", tbl.format), props = merged))
       }
     case alterRenameRe(name, newName) =>
       lookup(spark, name).map { tbl =>
@@ -221,6 +292,25 @@ object ConnectorTables {
   private[sql] def lookup(spark: SparkSession, name: String): Option[Tbl] =
     Option(tables.get(key(spark, name)))
 
+  /** TableSchema.validatePrimaryKey's physical + nullability ladder
+    * (TableSchema.java:455-478): a PK column must be a physical column and
+    * declared NOT NULL. Existence is checked by the callers (their error
+    * texts differ by path in the reference). Nullability can only be
+    * checked when the table carries a declared column list — an inferred
+    * schema has no NOT NULL to honor. */
+  private def validatePkColumns(pkName: String, cols: Seq[String], tbl: Tbl): Unit = {
+    cols.find(c => tbl.computed.exists(_._1.equalsIgnoreCase(c)) ||
+        tbl.metaCols.exists(_.name.equalsIgnoreCase(c))).foreach(c =>
+      throw new IllegalArgumentException(
+        s"Could not create a PRIMARY KEY '$pkName'. Column '$c' is not a physical column."))
+    cols.find(c => tbl.decl.exists {
+      case PhysCol(n, _, nullable) => n.equalsIgnoreCase(c) && nullable
+      case _ => false
+    }).foreach(c =>
+      throw new IllegalArgumentException(
+        s"Could not create a PRIMARY KEY '$pkName'. Column '$c' is nullable."))
+  }
+
   /** Flink DDL column list → Spark schema. Computed columns, PRIMARY KEY
     * constraints and metadata columns are not part of the physical read
     * schema; types map per FlinkTypeFactory (VARCHAR/CHAR → STRING,
@@ -236,6 +326,7 @@ object ConnectorTables {
     val cleaned = cols.map { c =>
       c.trim
         .replaceAll("(?i)\\s+NOT\\s+NULL", "")
+        .replaceAll("(?i)\\bTIMESTAMP\\s*\\(\\d+\\)\\s+WITH\\s+LOCAL\\s+TIME\\s+ZONE", "TIMESTAMP")
         .replaceAll("(?i)\\bTIMESTAMP\\s*\\(\\d+\\)", "TIMESTAMP")
         .replaceAll("(?i)\\bVARCHAR\\s*\\(\\d+\\)", "STRING")
         .replaceAll("(?i)\\bCHAR\\s*\\(\\d+\\)", "STRING")
@@ -304,16 +395,22 @@ object ConnectorTables {
     * .listReadableMetadata) surface under their DECLARED names, appended
     * after the physical columns. */
   private def cdcDecode(raw: DataFrame, fmt: String, schema: StructType,
-      props: Map[String, String], metaCols: Seq[(String, String)]): DataFrame = {
+      props: Map[String, String], metaCols: Seq[MetaCol]): DataFrame = {
     val ignore = props.get(s"$fmt.ignore-parse-errors").exists(_.equalsIgnoreCase("true"))
     fmt match {
       case "debezium-json" =>
+        // metadata columns surface POSITIONALLY under their DECLARED names
+        // (no rename-by-key afterwards — a physical column sharing a key's
+        // name, or two METADATA columns on the same key, stay distinct) and
+        // cast to the declared DDL type, the reference's
+        // DataTypeUtils.appendRowFields contract
         val decoded = graft.sources.CdcFormats.debeziumJson(raw, "value", schema,
           ignoreParseErrors = ignore,
           schemaInclude = props.get("debezium-json.schema-include").exists(_.equalsIgnoreCase("true")),
-          metadata = metaCols.map(_._2))
-        metaCols.foldLeft(decoded) { case (d, (name, key)) =>
-          d.withColumnRenamed(key, name) }
+          metadata = metaCols.map(_.key), metadataNames = metaCols.map(_.name))
+        metaCols.foldLeft(decoded) { case (d, mc) =>
+          flinkTypeToSpark(mc.typeText).fold(d)(t =>
+            d.withColumn(mc.name, org.apache.spark.sql.functions.col(mc.name).cast(t))) }
       case "canal-json" => graft.sources.CdcFormats.canalJson(raw, "value", schema,
         ignoreParseErrors = ignore, database = props.get("canal-json.database.include"))
       case "maxwell-json" => graft.sources.CdcFormats.maxwellJson(raw, "value", schema,
@@ -446,7 +543,16 @@ object ConnectorTables {
     }
     if (quals.isEmpty) return sqlText
     val probe = FlinkSql.blankLiteralsAndComments(sqlText)
-    if (matchesCreate(probe) || matchesInsert(probe) || matchesAlterOrDrop(probe) ||
+    // INSERT statements are skipped only when their TARGET is a registered
+    // connector table (tryInsert owns those and re-parses the query tail,
+    // which resolves on re-entry); an INSERT into anything else falls
+    // through to Spark's parser, so qualified connector refs in its SELECT
+    // must be resolved HERE or they reach Spark unresolved
+    val insertOwned = probe match {
+      case insertRe(_, name, _, _) => lookup(spark, name).isDefined
+      case _ => false
+    }
+    if (matchesCreate(probe) || insertOwned || matchesAlterOrDrop(probe) ||
         matchesShowPartitions(probe))
       return sqlText
     var text = sqlText
@@ -536,14 +642,14 @@ object ConnectorTables {
       // (MergeTableLikeUtil.appendDerivedColumns:429-443)
       val derivedMeta = Option(colsOpt).map(parseMetaCols).getOrElse(Nil)
       val baseMeta = if (st("METADATA") == "EXCLUDING") Nil else base.metaCols
-      derivedMeta.foreach { case (n, _) =>
-        if (baseMeta.exists(_._1.equalsIgnoreCase(n)) && st("METADATA") != "OVERWRITING")
+      derivedMeta.foreach { mc =>
+        if (baseMeta.exists(_.name.equalsIgnoreCase(mc.name)) && st("METADATA") != "OVERWRITING")
           throw new IllegalArgumentException(
-            s"A metadata column named '$n' already exists in the base table. You " +
+            s"A metadata column named '${mc.name}' already exists in the base table. You " +
               "might want to specify EXCLUDING METADATA or OVERWRITING METADATA.")
       }
       val metaMerged = baseMeta.filterNot(bm =>
-        derivedMeta.exists(_._1.equalsIgnoreCase(bm._1))) ++ derivedMeta
+        derivedMeta.exists(_.name.equalsIgnoreCase(bm.name))) ++ derivedMeta
       // partitions (MergeTableLikeUtil.mergePartitions:164-180 — the 1.12
       // shape, preserved exactly: EXCLUDING legalizes a derived override,
       // but an EMPTY derived list inherits the base's partitions under
@@ -582,10 +688,31 @@ object ConnectorTables {
             "specify EXCLUDING CONSTRAINTS.")
       val path = props.getOrElse("path", throw new IllegalArgumentException(
         s"CREATE TABLE $name LIKE $baseName: no 'path' after option merge"))
+      // declaration-order column list for DESCRIBE: the base's (minus
+      // excluded/overridden computed+metadata items) with the derived list
+      // appended — the merged TableSchema's column order in the reference
+      val derivedDecl = Option(colsOpt).map(parseDecl).getOrElse(Nil)
+      val mergedDecl = base.decl.filter {
+        case _: PhysCol => true
+        case c: CompCol => st("GENERATED") != "EXCLUDING" &&
+          !derivedComputed.exists(_._1.equalsIgnoreCase(c.name))
+        case m: MetaCol => st("METADATA") != "EXCLUDING" &&
+          !derivedMeta.exists(_.name.equalsIgnoreCase(m.name))
+      } ++ derivedDecl
+      val mergedPk = derivedPk.orElse(basePk)
+      mergedPk.foreach { case (pn, pc) =>
+        validatePkColumns(pn, pc, Tbl(path, "", props, schema, parts, computed,
+          None, metaMerged, mergedDecl)) }
       val out = register(spark, name,
         Tbl(path, props.getOrElse("format", "parquet"), props, schema, parts,
-          computed, derivedPk.orElse(basePk), metaMerged))
+          computed, mergedPk, metaMerged, mergedDecl))
       wm.foreach { case (c, d) => SystemTimeJoin.declareWatermark(name, c, d) }
+      // the watermark EXPRESSION text (DESCRIBE's `watermark` column):
+      // derived spec wins, else inherited from the base's registration
+      derivedWm.map(m => WatermarkDdl.exprText(m.group(1), m.group(2), m.group(3)))
+        .orElse(if (st("WATERMARKS") == "EXCLUDING") None
+                else SystemTimeJoin.watermarkExprOf(baseName))
+        .foreach(e => SystemTimeJoin.declareWatermarkExpr(name, e))
       out
     case createRe(name, cols, partCols, propsBody) =>
       val props = propRe.findAllMatchIn(propsBody)
@@ -610,15 +737,27 @@ object ConnectorTables {
         throw new IllegalArgumentException(
           s"CREATE TABLE $name: format '$fmt' does not support reading metadata " +
             "(only debezium-json lists readable metadata in this surface)")
-      metaCols.foreach { case (c, k) =>
-        if (!graft.sources.CdcFormats.DebeziumMetadataKeys.contains(k))
+      metaCols.foreach { mc =>
+        if (!graft.sources.CdcFormats.DebeziumMetadataKeys.contains(mc.key))
           throw new IllegalArgumentException(
-            s"Invalid metadata key '$k' in column '$c' of table $name. " +
+            s"Invalid metadata key '${mc.key}' in column '${mc.name}' of table $name. " +
               "The debezium-json format supports the following metadata keys for " +
               s"READING: ${graft.sources.CdcFormats.DebeziumMetadataKeys.mkString(", ")}")
       }
-      register(spark, name,
-        Tbl(path, fmt, props, parseSchema(cols), parts, Nil, parsePk(cols), metaCols))
+      val decl = parseDecl(cols)
+      // computed (generated) columns are independent of the WATERMARK
+      // clause (parserImpls.ftl:551) — a plain connector CREATE carries
+      // them too; read() applies them in declaration order
+      val computedCols = decl.collect { case CompCol(n, e) => (n, e) }
+      val tbl = Tbl(path, fmt, props, parseSchema(cols), parts, computedCols,
+        parsePk(cols), metaCols, decl)
+      tbl.pk.foreach { case (pn, pc) =>
+        pc.find(c => !decl.exists(_.name.equalsIgnoreCase(c))).foreach(c =>
+          throw new IllegalArgumentException(
+            s"Could not create a PRIMARY KEY '$pn'. Column '$c' does not exist."))
+        validatePkColumns(pn, pc, tbl)
+      }
+      register(spark, name, tbl)
     case _ => throw new IllegalArgumentException("unsupported connector CREATE TABLE shape")
   }
 

@@ -75,6 +75,12 @@ object DatabaseDdl {
       case showFunctionsRe() =>
         native("SHOW FUNCTIONS").select(col("function").as("function name"))
       case _ =>
-        spark.catalog.listDatabases().select(col("name").as("database name"))
+        // with a DDL-registered catalog current, its database list is just
+        // its default database (GenericInMemoryCatalog ships with one)
+        CatalogDdl.currentOverride(spark).map { c =>
+          import spark.implicits._
+          Seq(c.defaultDatabase).toDF("database name")
+        }.getOrElse(
+          spark.catalog.listDatabases().select(col("name").as("database name")))
     }
 }

@@ -183,6 +183,11 @@ object FlinkSql {
         FunctionDdl.tryRun(session, sqlText)
           .map(org.apache.spark.sql.GraftSqlBridge.logicalPlan)
           .orElse(Some(delegate.parsePlan(sqlText)))
+      // ALTER FUNCTION <name> AS '<class>' — re-registration with the
+      // reference's temporary-function refusal ladder
+      else if (FunctionDdl.matchesAlter(probe))
+        Some(org.apache.spark.sql.GraftSqlBridge.logicalPlan(
+          FunctionDdl.runAlter(session, sqlText)))
       else if (WatermarkDdl.matches(probe))
         Some(org.apache.spark.sql.GraftSqlBridge.logicalPlan(
           WatermarkDdl.run(session, sqlText)))
@@ -217,6 +222,19 @@ object FlinkSql {
         Some(org.apache.spark.sql.GraftSqlBridge.logicalPlan(
           DatabaseDdl.run(session, sqlText, stmt =>
             org.apache.spark.sql.GraftSqlBridge.ofRows(session, delegate.parsePlan(stmt)))))
+      // catalog statements: CREATE/DROP CATALOG, USE CATALOG, SHOW
+      // CATALOGS, SHOW CURRENT CATALOG/DATABASE (+ the reference's
+      // unsupported DESCRIBE CATALOG error) — built over the DELEGATE
+      // parser like DatabaseDdl so the dispatch can't loop
+      else if (CatalogDdl.matches(probe))
+        Some(org.apache.spark.sql.GraftSqlBridge.logicalPlan(
+          CatalogDdl.run(session, sqlText, stmt =>
+            org.apache.spark.sql.GraftSqlBridge.ofRows(session, delegate.parsePlan(stmt)))))
+      // DESCRIBE <registered connector table> — the reference's six-column
+      // result; DESCRIBE on anything else stays native Spark
+      else if (DescribeTable.matches(session, probe))
+        Some(org.apache.spark.sql.GraftSqlBridge.logicalPlan(
+          DescribeTable.run(session, sqlText)))
       else if (MatchRecognize.matches(probe))
         Some(org.apache.spark.sql.GraftSqlBridge.logicalPlan(
           MatchRecognize.run(session, sqlText)))
@@ -247,7 +265,7 @@ object FlinkSql {
     }
 
     /** Text-level pre-passes that run before dispatch: utility-statement
-      * spellings (EXPLAIN PLAN FOR / USE CATALOG / SHOW CURRENT ...) and the
+      * spellings (EXPLAIN PLAN FOR) and the
       * OPTIONS dynamic-table-options hint comment (resolved to a
       * per-query view — Spark's grammar only admits hints after SELECT, so
       * the table-attached spelling must leave the text before parsing). */

@@ -18,16 +18,40 @@ trait GraftSqlFunction {
   * TableEnvironmentImpl.createCatalogFunction). The class is resolved
   * reflectively and must implement [[GraftSqlFunction]]; statements whose
   * class does not (e.g. Spark's own Hive-style CREATE FUNCTION ... USING
-  * JAR) fall through to the stock parser untouched. */
+  * JAR) fall through to the stock parser untouched.
+  *
+  * `ALTER FUNCTION <name> AS '<className>'` completes the function-DDL
+  * ladder (SqlAlterFunction.java; SqlToOperationConverter
+  * .convertAlterFunction:460-478; executed in TableEnvironmentImpl
+  * .alterCatalogFunction:1379-1402): the function re-registers under the
+  * same name with the new class. The reference's refusal ladder is
+  * preserved verbatim — TEMPORARY SYSTEM → "Alter temporary system
+  * function is not supported" (converter:462), TEMPORARY → "Alter
+  * temporary catalog function is not supported" (:1384-1385), and altering
+  * a function this DDL never created → FunctionNotExistException unless
+  * IF EXISTS. */
 object FunctionDdl {
 
   private val re =
     """(?is)\s*CREATE\s+(?:OR\s+REPLACE\s+)?(?:TEMPORARY\s+)?(?:SYSTEM\s+)?FUNCTION\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)\s+AS\s+'([\w.$]+)'\s*(?:LANGUAGE\s+\w+\s*)?""".r
+  private val alterRe =
+    """(?is)\s*ALTER\s+(TEMPORARY\s+SYSTEM\s+|TEMPORARY\s+)?FUNCTION\s+(?:(IF\s+EXISTS)\s+)?((?:\w+\.)*\w+)\s+AS\s+'([\w.$]+)'\s*(?:LANGUAGE\s+\w+\s*)?;?\s*""".r
+
+  /** session identity + function name → class name, recorded by CREATE so
+    * ALTER can distinguish "exists" from "never created here". */
+  private val registered =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private def key(s: SparkSession, name: String) =
+    s"${System.identityHashCode(s)}:${name.toLowerCase}"
 
   def matches(probe: String): Boolean =
     """(?i)^\s*CREATE\b""".r.findFirstIn(probe).isDefined &&
       """(?i)\bFUNCTION\b""".r.findFirstIn(probe).isDefined &&
       """(?i)\bUSING\s+JAR\b""".r.findFirstIn(probe).isEmpty
+
+  def matchesAlter(probe: String): Boolean =
+    """(?i)^\s*ALTER\s+(TEMPORARY\s+(SYSTEM\s+)?)?FUNCTION\b""".r.findFirstIn(probe).isDefined
 
   /** Some(empty DF) if handled; None → not a graft function class, let the
     * stock parser have the statement. */
@@ -39,9 +63,46 @@ object FunctionDdl {
       inst match {
         case f: GraftSqlFunction =>
           f.register(spark, name)
+          registered(key(spark, name)) = className
           Some(spark.emptyDataFrame)
         case _ => None
       }
     case _ => None
+  }
+
+  /** ALTER FUNCTION — always handled once the shape matches (there is no
+    * Spark-native spelling to fall through to). */
+  def runAlter(spark: SparkSession, sql: String): DataFrame = sql match {
+    case alterRe(temp, ifExists, name, className) =>
+      Option(temp).map(_.trim.toUpperCase) match {
+        case Some("TEMPORARY SYSTEM") => throw new UnsupportedOperationException(
+          "Alter temporary system function is not supported")
+        case Some("TEMPORARY") => throw new UnsupportedOperationException(
+          "Alter temporary catalog function is not supported")
+        case _ =>
+      }
+      val bare = name.split("\\.").last
+      if (!registered.contains(key(spark, bare))) {
+        if (ifExists == null)
+          // FunctionNotExistException message shape
+          throw new IllegalArgumentException(s"Function $name does not exist.")
+        spark.emptyDataFrame
+      } else {
+        val inst =
+          try Class.forName(className).getDeclaredConstructor().newInstance()
+          catch { case e: Throwable => throw new IllegalArgumentException(
+            s"ALTER FUNCTION $name: could not instantiate '$className'", e) }
+        inst match {
+          case f: GraftSqlFunction =>
+            f.register(spark, bare) // spark.udf.register replaces in place
+            registered(key(spark, bare)) = className
+            spark.emptyDataFrame
+          case _ => throw new IllegalArgumentException(
+            s"ALTER FUNCTION $name: '$className' is not a GraftSqlFunction")
+        }
+      }
+    case _ => throw new IllegalArgumentException(
+      "unsupported ALTER FUNCTION shape — expected ALTER [TEMPORARY [SYSTEM]] " +
+        "FUNCTION [IF EXISTS] <name> AS '<className>' [LANGUAGE ...]")
   }
 }

@@ -48,6 +48,20 @@ object SystemTimeJoin {
   def watermarkOf(table: String): Option[(String, String)] =
     timeAttributes.get(table.toLowerCase)
 
+  /** table → the DDL watermark EXPRESSION text in the reference's catalog
+    * serialization (identifiers backquoted: "`ts` - INTERVAL '5' SECOND") —
+    * what DESCRIBE prints in its `watermark` column
+    * (WatermarkSpec.getWatermarkExpr, TableEnvironmentImpl.java:1100-1103).
+    * Kept beside the (col, delay) pair because the pair is lossy: the delay
+    * is already normalized to a Spark duration. */
+  private val wmExprTexts = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  def declareWatermarkExpr(table: String, exprText: String): Unit =
+    wmExprTexts(table.toLowerCase) = exprText
+
+  def watermarkExprOf(table: String): Option[String] =
+    wmExprTexts.get(table.toLowerCase)
+
   /** view name → its body's base table, recorded by the injected parser
     * whenever a plain `CREATE ... VIEW` statement passes through. The
     * reference rewrites a temporal join whose versioned side sits under a

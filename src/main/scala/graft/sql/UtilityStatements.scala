@@ -6,29 +6,21 @@ package graft.sql
   * parser forms in flink-sql-parser parserImpls.ftl):
   *
   *   EXPLAIN PLAN FOR <stmt>   → EXPLAIN <stmt>       (SqlRichExplain)
-  *   SHOW CURRENT CATALOG      → SELECT current_catalog()  AS `current catalog name`
-  *   SHOW CURRENT DATABASE     → SELECT current_database() AS `current database name`
-  *   USE CATALOG <name>        → SET CATALOG <name>
   *
-  * (column names match the reference's ShowCurrentCatalogOperation /
-  * ShowCurrentDatabaseOperation result headers). Bare SHOW TABLES / VIEWS /
-  * FUNCTIONS / DATABASES are built with the reference's one-column result
-  * headers in [[DatabaseDdl]]; DESCRIBE / USE <db> and the qualified or
-  * pattern SHOW variants are native Spark statements and pass through
-  * untouched — spec-pinned in SqlUtilitySpec rather than rewritten. */
+  * USE CATALOG / SHOW CURRENT CATALOG / SHOW CURRENT DATABASE / SHOW
+  * CATALOGS / CREATE+DROP CATALOG live in [[CatalogDdl]] (they must consult
+  * the DDL-registered catalog set, not just rewrite text). Bare SHOW TABLES
+  * / VIEWS / FUNCTIONS / DATABASES are built with the reference's
+  * one-column result headers in [[DatabaseDdl]]; DESCRIBE <db-things> /
+  * USE <db> and the qualified or pattern SHOW variants are native Spark
+  * statements and pass through untouched — spec-pinned in SqlUtilitySpec
+  * rather than rewritten. */
 object UtilityStatements {
 
   def rewrite(sqlText: String): String = {
-    val t = sqlText.trim
     val explainRe = """(?is)^\s*EXPLAIN\s+PLAN\s+FOR\s+(.*)$""".r
-    val useCatalogRe = """(?is)^\s*USE\s+CATALOG\s+(\w+)\s*;?\s*$""".r
-    t match {
+    sqlText.trim match {
       case explainRe(stmt) => s"EXPLAIN $stmt"
-      case useCatalogRe(cat) => s"SET CATALOG $cat"
-      case _ if t.matches("(?is)^SHOW\\s+CURRENT\\s+CATALOG\\s*;?\\s*$") =>
-        "SELECT current_catalog() AS `current catalog name`"
-      case _ if t.matches("(?is)^SHOW\\s+CURRENT\\s+DATABASE\\s*;?\\s*$") =>
-        "SELECT current_database() AS `current database name`"
       case _ => sqlText
     }
   }

@@ -55,11 +55,18 @@ object WatermarkDdl {
       s"$n ${if (u.endsWith("s")) u else u + "s"}"
     }
 
+  /** The watermark expression in the reference's catalog serialization
+    * (identifiers backquoted) — DESCRIBE's `watermark` column text. */
+  private[sql] def exprText(col: String, n: String, unit: String): String =
+    if (n == null) s"`$col`"
+    else s"`$col` - INTERVAL '$n' ${unit.toUpperCase}"
+
   def run(spark: SparkSession, sql: String): DataFrame = sql.trim match {
     case viewRe(name, wmCol, n, unit, query) =>
       // the view body parses through the stock path (no WATERMARK clause)
       spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW $name AS $query")
       SystemTimeJoin.declareWatermark(name, wmCol, delayLiteral(n, unit))
+      SystemTimeJoin.declareWatermarkExpr(name, exprText(wmCol, n, unit))
       spark.emptyDataFrame
     case tableRe(name, schemaBody, propsBody) =>
       val wm = wmRe.findFirstMatchIn(schemaBody).getOrElse(
@@ -85,13 +92,20 @@ object WatermarkDdl {
           df.withColumn(colName, org.apache.spark.sql.functions.expr(colExpr))
       }
       base.createOrReplaceTempView(name)
-      // the Tbl metadata (path/format/props/computed columns) lands in the
-      // connector registry so CREATE TABLE ... LIKE <this table> can merge
-      // its options and inherit its watermark + generated columns
+      // the Tbl metadata (path/format/props/computed columns + the full
+      // declared list, PK and metadata columns) lands in the connector
+      // registry so CREATE TABLE ... LIKE <this table> can merge its
+      // options and inherit its watermark + generated columns, and so
+      // DESCRIBE can render the declared schema
       ConnectorTables.registerMeta(spark, name,
-        ConnectorTables.Tbl(path, fmt, props, None, Nil, computedCols))
+        ConnectorTables.Tbl(path, fmt, props, None, Nil, computedCols,
+          ConnectorTables.parsePk(schemaBody),
+          ConnectorTables.parseMetaCols(schemaBody),
+          ConnectorTables.parseDecl(schemaBody)))
       SystemTimeJoin.declareWatermark(name, wm.group(1),
         delayLiteral(wm.group(2), wm.group(3)))
+      SystemTimeJoin.declareWatermarkExpr(name,
+        exprText(wm.group(1), wm.group(2), wm.group(3)))
       spark.emptyDataFrame
     case _ =>
       throw new IllegalArgumentException(

@@ -413,7 +413,8 @@ class SqlUtilitySpec extends SparkSpec {
 
   test("ALTER TABLE ADD/DROP CONSTRAINT: reference validation and registry effect") {
     val dir = freshDir("altercons")
-    spark.sql(s"""CREATE TABLE ac_t (k BIGINT, v DOUBLE)
+    spark.sql(s"""CREATE TABLE ac_t (k BIGINT NOT NULL, v DOUBLE NOT NULL,
+                    n STRING, c AS k + 1)
                   WITH ('connector' = 'filesystem', 'path' = '$dir', 'format' = 'parquet')""")
     // ENFORCED is the reference's validation error (exact text preserved)
     val e1 = intercept[Exception] {
@@ -430,6 +431,18 @@ class SqlUtilitySpec extends SparkSpec {
       spark.sql("ALTER TABLE ac_t ADD CONSTRAINT pk0 PRIMARY KEY (nope) NOT ENFORCED")
     }
     assert(e3.getMessage.contains("Column does not exist"))
+    // TableSchema.validatePrimaryKey ladder (TableSchema.java:455-478):
+    // a computed column is not physical; a nullable column is rejected
+    val e3b = intercept[Exception] {
+      spark.sql("ALTER TABLE ac_t ADD CONSTRAINT pkc PRIMARY KEY (c) NOT ENFORCED")
+    }
+    assert(e3b.getMessage ==
+      "Could not create a PRIMARY KEY 'pkc'. Column 'c' is not a physical column.")
+    val e3c = intercept[Exception] {
+      spark.sql("ALTER TABLE ac_t ADD CONSTRAINT pkn PRIMARY KEY (n) NOT ENFORCED")
+    }
+    assert(e3c.getMessage ==
+      "Could not create a PRIMARY KEY 'pkn'. Column 'n' is nullable.")
     spark.sql("ALTER TABLE ac_t ADD CONSTRAINT pk0 PRIMARY KEY (k) NOT ENFORCED")
     // second PK → TableSchema.Builder's duplicate error
     val e4 = intercept[Exception] {
@@ -444,7 +457,7 @@ class SqlUtilitySpec extends SparkSpec {
     spark.sql("ALTER TABLE ac_t ADD PRIMARY KEY (k) NOT ENFORCED")
     // the added PK participates in LIKE's CONSTRAINTS merge
     val e6 = intercept[Exception] {
-      spark.sql(s"""CREATE TABLE ac_dup (extra STRING, PRIMARY KEY (extra))
+      spark.sql(s"""CREATE TABLE ac_dup (extra STRING NOT NULL, PRIMARY KEY (extra))
                     WITH ('path' = '/tmp/x') LIKE ac_t""")
     }
     assert(e6.getMessage.contains("The base table already has a primary key."))
@@ -452,16 +465,24 @@ class SqlUtilitySpec extends SparkSpec {
 
   test("CREATE TABLE LIKE: CONSTRAINTS (primary key) merging") {
     val b = freshDir("likepk")
-    spark.sql(s"""CREATE TABLE pk_base (k BIGINT, v DOUBLE, PRIMARY KEY (k))
+    spark.sql(s"""CREATE TABLE pk_base (k BIGINT NOT NULL, v DOUBLE, PRIMARY KEY (k))
                   WITH ('connector' = 'filesystem', 'path' = '$b', 'format' = 'parquet')""")
+    // PK at CREATE validates the TableSchema ladder too: nullable column →
+    // the reference's error (TableSchema.java:471-476)
+    val e0 = intercept[Exception] {
+      spark.sql(s"""CREATE TABLE pk_nullable (k BIGINT, PRIMARY KEY (k))
+                    WITH ('connector' = 'filesystem', 'path' = '/tmp/xn',
+                          'format' = 'parquet')""")
+    }
+    assert(e0.getMessage == "Could not create a PRIMARY KEY 'PK_k'. Column 'k' is nullable.")
     // INCLUDING (the default) + derived PK → the reference's error
     val e = intercept[Exception] {
-      spark.sql(s"""CREATE TABLE pk_dup (extra STRING, PRIMARY KEY (extra))
+      spark.sql(s"""CREATE TABLE pk_dup (extra STRING NOT NULL, PRIMARY KEY (extra))
                     WITH ('path' = '/tmp/x') LIKE pk_base""")
     }
     assert(e.getMessage.contains("The base table already has a primary key."))
     // EXCLUDING CONSTRAINTS drops the base PK; the derived one stands
-    spark.sql(s"""CREATE TABLE pk_own (extra STRING, PRIMARY KEY (extra))
+    spark.sql(s"""CREATE TABLE pk_own (extra STRING NOT NULL, PRIMARY KEY (extra))
                   WITH ('path' = '/tmp/x1') LIKE pk_base (EXCLUDING CONSTRAINTS)""")
     // OVERWRITING CONSTRAINTS is illegal at the parser (SqlTableLike:191)
     val e2 = intercept[Exception] {
