@@ -694,4 +694,153 @@ class SqlUtilitySpec extends SparkSpec {
     val desc = spark.sql("DESCRIBE util_probe_view").collect()
     assert(desc.exists(r => r.getString(0) == "id" && r.getString(1) == "bigint"))
   }
+
+  test("DESCRIBE on a connector table: the reference's six-column result in declaration order") {
+    val dir = freshDir("desc6")
+    val s = spark
+    import s.implicits._
+    Seq((1L, "a", 1.5, "2024-01-01 00:00:01"), (2L, "b", 2.5, "2024-01-01 00:00:02"))
+      .toDF("id", "tag", "v", "ts").write.mode("overwrite").parquet(dir)
+    spark.sql(s"""CREATE TABLE desc_t (
+                    id BIGINT NOT NULL,
+                    tag STRING,
+                    v DOUBLE,
+                    ts_attr AS CAST(ts AS TIMESTAMP),
+                    PRIMARY KEY (id) NOT ENFORCED,
+                    WATERMARK FOR ts_attr AS ts_attr - INTERVAL '5' SECOND
+                  ) WITH ('connector' = 'filesystem', 'path' = '$dir',
+                          'format' = 'parquet')""")
+    val d = spark.sql("DESCRIBE desc_t")
+    // buildDescribeResult headers (TableEnvironmentImpl.java:1124-1126)
+    assert(d.schema.fieldNames.toSeq ==
+      Seq("name", "type", "null", "key", "extras", "watermark"))
+    val rows = d.collect().map(r => (r.getString(0), r.getString(1), r.getBoolean(2),
+      r.getString(3), r.getString(4), r.getString(5))).toSeq
+    assert(rows == Seq(
+      ("id", "BIGINT", false, "PRI(id)", null, null),
+      ("tag", "STRING", true, null, null, null),
+      ("v", "DOUBLE", true, null, null, null),
+      ("ts_attr", "TIMESTAMP(6)", true, null, "AS CAST(ts AS TIMESTAMP)",
+        "`ts_attr` - INTERVAL '5' SECOND")))
+    // DESC alias; a multi-column PK renders every member as PRI(a, b)
+    assert(spark.sql("DESC desc_t").collect().length == 4)
+    val dir2 = freshDir("desc6b")
+    spark.sql(s"""CREATE TABLE desc_t2 (a BIGINT NOT NULL, b STRING NOT NULL, c DOUBLE,
+                    CONSTRAINT pk_ab PRIMARY KEY (a, b))
+                  WITH ('connector' = 'filesystem', 'path' = '$dir2',
+                        'format' = 'parquet')""")
+    val rows2 = spark.sql("DESCRIBE desc_t2").collect()
+      .map(r => (r.getString(0), r.getString(3))).toSeq
+    assert(rows2 == Seq(("a", "PRI(a, b)"), ("b", "PRI(a, b)"), ("c", null)))
+  }
+
+  test("DESCRIBE on a debezium table renders METADATA extras with declared types") {
+    val dir = freshDir("descmeta")
+    spark.sql(s"""CREATE TABLE desc_dbz (
+                    id BIGINT,
+                    origin_db STRING METADATA FROM 'source.database',
+                    ingest_ts TIMESTAMP(3) WITH LOCAL TIME ZONE METADATA FROM 'ingestion-timestamp',
+                    tbl STRING METADATA FROM 'source.table' VIRTUAL
+                  ) WITH ('connector' = 'filesystem', 'path' = '$dir',
+                          'format' = 'debezium-json')""")
+    val rows = spark.sql("DESCRIBE desc_dbz").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(4))).toSeq
+    assert(rows == Seq(
+      ("id", "BIGINT", null),
+      ("origin_db", "STRING", "METADATA FROM 'source.database'"),
+      ("ingest_ts", "TIMESTAMP(3) WITH LOCAL TIME ZONE",
+        "METADATA FROM 'ingestion-timestamp'"),
+      ("tbl", "STRING", "METADATA FROM 'source.table' VIRTUAL")))
+  }
+
+  test("METADATA decode is positional: shared names and duplicate keys stay distinct") {
+    val dir = freshDir("metapos")
+    val s = spark
+    import s.implicits._
+    // a PHYSICAL column literally named `schema` + top-level schema string
+    val msg = """{"schema": "sj", "before": null, """ +
+      """"after": {"id": 1, "schema": "phys"}, "op": "c", "ts_ms": 1000, """ +
+      """"source": {"db": "d1", "table": "t1"}}"""
+    Seq(msg).toDF("value").coalesce(1).write.mode("overwrite").text(dir)
+    spark.sql(s"""CREATE TABLE meta_pos (
+                    id BIGINT,
+                    schema STRING,
+                    sch STRING METADATA FROM 'schema',
+                    db1 STRING METADATA FROM 'source.database',
+                    db2 STRING METADATA FROM 'source.database'
+                  ) WITH ('connector' = 'filesystem', 'path' = '$dir',
+                          'format' = 'debezium-json')""")
+    val r = spark.sql("SELECT id, schema, sch, db1, db2 FROM meta_pos").collect().head
+    assert(r.getLong(0) == 1L)
+    assert(r.getString(1) == "phys") // the physical column, NOT the metadata
+    assert(r.getString(2) == "sj")   // the top-level schema metadata
+    assert(r.getString(3) == "d1" && r.getString(4) == "d1") // same key, twice
+  }
+
+  test("catalog DDL: CREATE/DROP CATALOG, SHOW CATALOGS, USE CATALOG switches current") {
+    try {
+      val e0 = intercept[Exception] { spark.sql("CREATE CATALOG c_bad WITH ('foo' = 'x')") }
+      assert(e0.getMessage.contains("'type' property is required"))
+      spark.sql("CREATE CATALOG cat_mem WITH ('type' = 'generic_in_memory', " +
+        "'default-database' = 'memdb')")
+      // CatalogManager.registerCatalog:188
+      val dup = intercept[Exception] {
+        spark.sql("CREATE CATALOG cat_mem WITH ('type' = 'generic_in_memory')")
+      }
+      assert(dup.getMessage == "Catalog cat_mem already exists.")
+      val cats = spark.sql("SHOW CATALOGS")
+      // buildShowResult("catalog name", ...) — TableEnvironmentImpl.java:1012
+      assert(cats.schema.fieldNames.toSeq == Seq("catalog name"))
+      val names = cats.collect().map(_.getString(0)).toSeq
+      assert(names.contains("cat_mem") && names.contains("spark_catalog"))
+      assert(names == names.sorted) // listCatalogs().sorted()
+      spark.sql("USE CATALOG cat_mem")
+      assert(spark.sql("SHOW CURRENT CATALOG").collect().head.getString(0) == "cat_mem")
+      // setCurrentCatalog also switches to the catalog's default database
+      // (CatalogManager.java:618-627)
+      assert(spark.sql("SHOW CURRENT DATABASE").collect().head.getString(0) == "memdb")
+      assert(spark.sql("SHOW DATABASES").collect().map(_.getString(0)).toSeq == Seq("memdb"))
+      spark.sql("USE CATALOG spark_catalog")
+      assert(spark.sql("SHOW CURRENT CATALOG").collect().head.getString(0) == "spark_catalog")
+      // setCurrentCatalog's unknown-name error text
+      val eu = intercept[Exception] { spark.sql("USE CATALOG nope_cat") }
+      assert(eu.getMessage.contains("A catalog with name [nope_cat] does not exist."))
+      // unregisterCatalog:209
+      val ed = intercept[Exception] { spark.sql("DROP CATALOG nope_cat") }
+      assert(ed.getMessage == "Catalog nope_cat does not exist.")
+      spark.sql("DROP CATALOG IF EXISTS nope_cat") // no-op
+      spark.sql("DROP CATALOG cat_mem")
+      assert(!spark.sql("SHOW CATALOGS").collect().map(_.getString(0)).contains("cat_mem"))
+      // DESCRIBE CATALOG parses in the reference's grammar but the 1.12
+      // blink planner never converts it (ParserImpl.java:79)
+      val ec = intercept[Exception] { spark.sql("DESCRIBE CATALOG spark_catalog") }
+      assert(ec.getMessage.contains("Unsupported query: DESCRIBE CATALOG spark_catalog"))
+    } finally spark.sql("USE CATALOG spark_catalog")
+  }
+
+  test("ALTER FUNCTION re-registers; the reference's temporary-function refusals") {
+    val s = spark
+    import s.implicits._
+    spark.sql("CREATE TEMPORARY FUNCTION alt_fn AS 'graft.functions.VowelCountFn'")
+    Seq("banana").toDF("w").createOrReplaceTempView("alt_words")
+    assert(spark.sql("SELECT alt_fn(w) FROM alt_words").collect().head.getInt(0) == 3)
+    // re-registration switches the implementation in place
+    spark.sql("ALTER FUNCTION alt_fn AS 'graft.functions.LetterCountFn'")
+    assert(spark.sql("SELECT alt_fn(w) FROM alt_words").collect().head.getInt(0) == 6)
+    // SqlToOperationConverter.convertAlterFunction:462
+    val e1 = intercept[Exception] {
+      spark.sql("ALTER TEMPORARY SYSTEM FUNCTION alt_fn AS 'graft.functions.LetterCountFn'")
+    }
+    assert(e1.getMessage.contains("Alter temporary system function is not supported"))
+    // TableEnvironmentImpl.alterCatalogFunction:1384-1385
+    val e2 = intercept[Exception] {
+      spark.sql("ALTER TEMPORARY FUNCTION alt_fn AS 'graft.functions.LetterCountFn'")
+    }
+    assert(e2.getMessage.contains("Alter temporary catalog function is not supported"))
+    val e3 = intercept[Exception] {
+      spark.sql("ALTER FUNCTION never_made AS 'graft.functions.LetterCountFn'")
+    }
+    assert(e3.getMessage.contains("Function never_made does not exist."))
+    spark.sql("ALTER FUNCTION IF EXISTS never_made AS 'graft.functions.LetterCountFn'")
+  }
 }
