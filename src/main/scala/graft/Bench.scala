@@ -151,18 +151,24 @@ object Bench {
         name -> t
       }
     // CPU-steal defense, part 2: re-measure outliers once more and keep the
-    // min. A query is an outlier when its min-of-2 still exceeds 4x the
-    // set's median — AND exceeds 2.5x its own time from the previous run
-    // of the same sf (so legitimately-heavy streaming queries, which sit
-    // far above the median every run, are not re-run on every capture) —
-    // AND exceeds a 0.5s floor (a spike that small cannot move the total).
-    // Bounded cost: one extra execution per flagged query.
+    // min. Two triggers, each bounded to one extra execution per query:
+    //   (a) HISTORY drift — the min-of-2 exceeds 2x the committed time of
+    //       the same query at the same sf (and a 0.15s floor so micro-query
+    //       jitter isn't re-run). The r13 gate landed 25% high on exactly
+    //       this shape: dozens of small rows each 2-2.4x their stamped
+    //       time, none large enough for the old median rule, summing to a
+    //       phantom regression (`remeasured: 0` on a 365s run whose
+    //       same-day min-of-2 was 277s).
+    //   (b) no-history fallback — min-of-2 above 4x the set's median and a
+    //       0.5s floor (new queries / first run at an sf).
     val timed = firstPass.collect { case (n, t) if t > 0 => t }.sorted
     val median = if (timed.isEmpty) 0.0 else timed(timed.size / 2)
     var remeasured = 0
     val results = firstPass.map { case (name, t) =>
-      val spiky = t > math.max(4 * median, 0.5) &&
-        history.get(name).forall(h => t > 2.5 * h)
+      val spiky = history.get(name) match {
+        case Some(h) => t > 2 * h && t > 0.15
+        case None => t > math.max(4 * median, 0.5)
+      }
       if (!spiky || errors.contains(name)) name -> t
       else {
         remeasured += 1

@@ -275,6 +275,23 @@ object FlinkSqlQueries {
                FROM lineitem GROUP BY 1""")
       s.sql("SELECT flag, n, sum_qty FROM graft_mart.flag_stats ORDER BY flag")
     }),
+    // DESCRIBE with the reference's six-column result (name, type, null,
+    // key, extras, watermark) — buildDescribeResult,
+    // TableEnvironmentImpl.java:1098-1130: PRI(col) key rendering, computed
+    // AS-expr extras, the watermark expression on the rowtime row. The
+    // oracle is a literal frame: this is catalog metadata, not data
+    "fsql_describe" -> ((s, dir) => {
+      s.sql(s"""CREATE TABLE desc_events (
+                  event_id BIGINT NOT NULL,
+                  event_type STRING,
+                  value DOUBLE,
+                  ts_attr AS CAST(ts AS TIMESTAMP),
+                  PRIMARY KEY (event_id) NOT ENFORCED,
+                  WATERMARK FOR ts_attr AS ts_attr - INTERVAL '5' SECOND
+                ) WITH ('connector' = 'filesystem',
+                        'path' = '$dir/events.parquet', 'format' = 'parquet')""")
+      s.sql("DESCRIBE desc_events").orderBy("name")
+    }),
     // CREATE TABLE LIKE inheriting the base's WATERMARK FOR (+ the generated
     // rowtime column it rides on): the derived table is stream-readable
     // without re-declaring event time — a real StreamingQuery windows over
@@ -432,11 +449,20 @@ object FlinkSqlQueries {
                ORDER BY t.event_type""")
     }),
     // CREATE FUNCTION DDL: class resolved reflectively, UDF registered
-    // under the DDL name, then used from plain SQL
+    // under the DDL name, then used from plain SQL. ALTER FUNCTION then
+    // switches a second name's implementation in place
+    // (SqlAlterFunction.java; alterCatalogFunction:1379-1402) — the `lv`
+    // column only matches the oracle if the re-registration really took
     "fsql_function_ddl" -> ((s, dir) => {
       Tables.registerAll(s, dir)
       s.sql("CREATE TEMPORARY FUNCTION vowel_count AS 'graft.functions.VowelCountFn'")
-      s.sql("""SELECT n_name, vowel_count(n_name) AS nv FROM nation ORDER BY n_name""")
+      // analysis binds the UDF at spark.sql time, so `before` keeps the
+      // vowel implementation even though it evaluates after the ALTER
+      val before = s.sql("SELECT n_name, vowel_count(n_name) AS nv FROM nation")
+      s.sql("CREATE TEMPORARY FUNCTION mut_count AS 'graft.functions.VowelCountFn'")
+      s.sql("ALTER FUNCTION mut_count AS 'graft.functions.LetterCountFn'")
+      val after = s.sql("SELECT n_name, mut_count(n_name) AS lv FROM nation")
+      before.join(after, Seq("n_name")).orderBy("n_name")
     }),
     // computed column in the connector-table DDL (`col AS expr`), stacked
     // with the WATERMARK clause; the generated column is queryable
@@ -1079,6 +1105,20 @@ object FlinkSqlQueries {
       """SELECT l_returnflag AS flag, count(*) AS n,
                 CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
          FROM lineitem GROUP BY 1 ORDER BY flag""",
+    // DESCRIBE is catalog metadata — the oracle is the literal six-column
+    // frame the reference's buildDescribeResult would print for this DDL
+    "fsql_describe" ->
+      """SELECT * FROM (VALUES
+           ('event_id', 'BIGINT', false, 'PRI(event_id)',
+            CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)),
+           ('event_type', 'STRING', true, CAST(NULL AS VARCHAR),
+            CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)),
+           ('ts_attr', 'TIMESTAMP(6)', true, CAST(NULL AS VARCHAR),
+            'AS CAST(ts AS TIMESTAMP)', '`ts_attr` - INTERVAL ''5'' SECOND'),
+           ('value', 'DOUBLE', true, CAST(NULL AS VARCHAR),
+            CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR))
+         ) AS t("name", "type", "null", "key", "extras", "watermark")
+         ORDER BY "name"""",
     // batch equivalent of the streaming window agg over the LIKE-derived
     // watermarked table: only windows the final watermark (max purchase ts,
     // 0s delay) closed are emitted by the append-mode stream
@@ -1210,7 +1250,8 @@ object FlinkSqlQueries {
     "fsql_function_ddl" ->
       """SELECT n_name,
                 CAST(length(lower(n_name)) -
-                     length(regexp_replace(lower(n_name), '[aeiou]', '', 'g')) AS INTEGER) AS nv
+                     length(regexp_replace(lower(n_name), '[aeiou]', '', 'g')) AS INTEGER) AS nv,
+                CAST(length(regexp_replace(n_name, '[^a-zA-Z]', '', 'g')) AS INTEGER) AS lv
          FROM nation ORDER BY n_name""",
     "fsql_computed_column" ->
       """SELECT CAST(floor(value) AS BIGINT) AS value_bucket, count(*) AS n
