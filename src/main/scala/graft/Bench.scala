@@ -190,7 +190,12 @@ object Bench {
     val total = ms(results.map(_._2).sum)
     // full per-query map on disk (the judge reads the repo); headline-only
     // map on stdout so the whole line fits the driver's 2000-char tail
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_errors":${errors.size},"remeasured":$remeasured,"errors":$errJson,"queries":${qmap(results)},"sf":"$sfDir"}"""
+    // "samples" is part of a map's identity: min-of-2 values ride warm
+    // input fixtures + JIT on the second sample, single-sample values are
+    // honest-cold — the two modes differ up to ~6x on fixture-heavy rows
+    // (graph_adamic_adar sf10: 5.5 s cold vs 0.98 s min-of-2) and MUST
+    // never be compared against each other (round-14 root-cause)
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_errors":${errors.size},"remeasured":$remeasured,"samples":$samples,"errors":$errJson,"queries":${qmap(results)},"sf":"$sfDir"}"""
     // BENCH_FULL.json is overwritten by every FULL run (a judge's re-run has
     // erased the driver's round map before it was committed), so each run
     // also writes a timestamped copy that later runs can't clobber —
@@ -215,7 +220,7 @@ object Bench {
       try stamped.println(full) finally stamped.close()
     } catch { case _: Throwable => }
     val head = results.filter { case (k, _) => headline.contains(k) }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_errors":${errors.size},"remeasured":$remeasured,"errors":$errJson,"queries":${qmap(head)},"detail":"BENCH_FULL.json","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_errors":${errors.size},"remeasured":$remeasured,"samples":$samples,"errors":$errJson,"queries":${qmap(head)},"detail":"BENCH_FULL.json","sf":"$sfDir"}""")
     GraftSession.shutdown(spark)
   }
 }

@@ -51,8 +51,14 @@ object CdcScaleProbe {
         (col("id") * 10 + V).as("v"))
       val changelog = ups.unionAll(dels)
 
+      // encode is a pure projection over the changelog (to_json of a
+      // kind-mapped struct) — the plan must stay shuffle-free; at 100 TB
+      // the encode cost is the JSON serialization itself, map-side only
+      val encoded = CdcFormats.toDebeziumJson(changelog)
+      assert(!encoded.queryExecution.executedPlan.toString.contains("Exchange"),
+        "debezium encode must stay shuffle-free")
       val t0 = System.nanoTime()
-      CdcFormats.toDebeziumJson(changelog).write.mode("overwrite").text(dir.getPath)
+      encoded.write.mode("overwrite").text(dir.getPath)
       val tEnc = (System.nanoTime() - t0) / 1e9
 
       val rowSchema = StructType(Seq(StructField("k", LongType),

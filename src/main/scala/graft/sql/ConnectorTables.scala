@@ -553,7 +553,7 @@ object ConnectorTables {
       case _ => false
     }
     if (matchesCreate(probe) || insertOwned || matchesAlterOrDrop(probe) ||
-        matchesShowPartitions(probe))
+        matchesShowPartitions(probe) || DescribeTable.matches(spark, probe))
       return sqlText
     var text = sqlText
     quals.foreach { q =>

@@ -732,6 +732,18 @@ class SqlUtilitySpec extends SparkSpec {
     val rows2 = spark.sql("DESCRIBE desc_t2").collect()
       .map(r => (r.getString(0), r.getString(3))).toSeq
     assert(rows2 == Seq(("a", "PRI(a, b)"), ("b", "PRI(a, b)"), ("c", null)))
+    // a QUALIFIED connector table keeps its six-column DESCRIBE (the
+    // qualified-ref pre-pass must not rewrite the name away first)
+    val dir3 = freshDir("desc6c")
+    spark.sql("CREATE DATABASE IF NOT EXISTS desc_db")
+    spark.sql(s"""CREATE TABLE desc_db.qt (x BIGINT NOT NULL, y STRING)
+                  WITH ('connector' = 'filesystem', 'path' = '$dir3',
+                        'format' = 'parquet')""")
+    val q = spark.sql("DESCRIBE desc_db.qt")
+    assert(q.schema.fieldNames.toSeq ==
+      Seq("name", "type", "null", "key", "extras", "watermark"))
+    assert(q.collect().map(r => (r.getString(0), r.getString(1), r.getBoolean(2))).toSeq ==
+      Seq(("x", "BIGINT", false), ("y", "STRING", true)))
   }
 
   test("DESCRIBE on a debezium table renders METADATA extras with declared types") {
