@@ -701,6 +701,10 @@ object ConnectorTables {
       } ++ derivedDecl
       val mergedPk = derivedPk.orElse(basePk)
       mergedPk.foreach { case (pn, pc) =>
+        if (mergedDecl.nonEmpty)
+          pc.find(c => !mergedDecl.exists(_.name.equalsIgnoreCase(c))).foreach(c =>
+            throw new IllegalArgumentException(
+              s"Could not create a PRIMARY KEY '$pn'. Column '$c' does not exist."))
         validatePkColumns(pn, pc, Tbl(path, "", props, schema, parts, computed,
           None, metaMerged, mergedDecl)) }
       val out = register(spark, name,

@@ -30,7 +30,10 @@ import org.apache.spark.sql.types._
   */
 object DescribeTable {
 
-  private val re = """(?is)^\s*DESC(?:RIBE)?\s+((?:\w+\.)?\w+)\s*;?\s*$""".r
+  // DESCRIBE [EXTENDED] [[cat.]db.]t — SqlRichDescribeTable's grammar
+  // (parserImpls.ftl:93-108); 1.12's buildDescribeResult ignores the
+  // EXTENDED flag, so both spellings yield the same six-column result
+  private val re = """(?is)^\s*DESC(?:RIBE)?\s+(?:EXTENDED\s+)?((?:\w+\.)?\w+)\s*;?\s*$""".r
 
   /** Dispatch test — only DESCRIBE over a registered connector table. */
   def matches(spark: SparkSession, probe: String): Boolean = probe match {

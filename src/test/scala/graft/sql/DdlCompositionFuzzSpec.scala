@@ -30,7 +30,8 @@ class DdlCompositionFuzzSpec extends SparkSpec {
       physical: Option[Seq[String]],
       computed: Seq[(String, String)],
       partitions: Seq[String],
-      wm: Option[(String, String)]) // (col, delay-literal "5 seconds")
+      wm: Option[(String, String)], // (col, delay-literal "5 seconds")
+      pk: Option[Seq[String]] = None)
 
   /** One derived hop's declaration. */
   private case class Hop(
@@ -39,6 +40,7 @@ class DdlCompositionFuzzSpec extends SparkSpec {
       computed: Seq[(String, String)], // name -> expr (may collide)
       partitions: Seq[String],
       wm: Option[(String, String, String)], // (col, n, unit)
+      pk: Option[Seq[String]],
       options: Map[String, String],
       strategies: Seq[(String, String)]) // (strategy, feature) in order
 
@@ -100,7 +102,22 @@ class DdlCompositionFuzzSpec extends SparkSpec {
         return Left(s"There already exists a watermark spec for column '$c' in the base table.")
     }
     val wm = hop.wm.map { case (c, n, u) => (c, s"$n ${u.toLowerCase}s") }.orElse(baseWm)
-    Right(Model(opts.toMap, phys, comp, parts, wm))
+    // primary key — LAST in the real merge order: copied only under
+    // INCLUDING (populatePrimaryKeyFromSourceTable:268-275); base+derived
+    // together is the error (appendDerivedPrimaryKey:277-281); the merged
+    // key then re-validates existence against the merged declared list
+    val basePk = if (st("CONSTRAINTS") == "INCLUDING") base.pk else None
+    if (hop.pk.isDefined && basePk.isDefined)
+      return Left("The base table already has a primary key.")
+    val pk = hop.pk.orElse(basePk)
+    pk.foreach { cols =>
+      // the generator only produces valid-by-construction PKs or the
+      // sentinel bogus column
+      if (cols.contains("nope_col"))
+        return Left("Could not create a PRIMARY KEY 'PK_nope_col'. " +
+          "Column 'nope_col' does not exist.")
+    }
+    Right(Model(opts.toMap, phys, comp, parts, wm, pk))
   }
 
   // ---- generator ------------------------------------------------------------
@@ -145,22 +162,29 @@ class DdlCompositionFuzzSpec extends SparkSpec {
     val optPool = Seq("probe", "team", "tag")
     val options = (Seq("path" -> "__PATH__") ++ // re-filled by the caller
       (0 until r.nextInt(3)).map(_ => optPool(r.nextInt(3)) -> s"v${r.nextInt(4)}")).toMap
+    // derived PK: on a fresh NOT NULL physical column (valid by
+    // construction), or the sentinel bogus column (existence error)
+    val pk: Option[Seq[String]] =
+      if (newPhys.nonEmpty && r.nextInt(4) == 0) Some(Seq(newPhys.head))
+      else if (r.nextInt(20) == 0) Some(Seq("nope_col"))
+      else None
     val stratPool = Seq("INCLUDING", "EXCLUDING", "OVERWRITING")
     val featPool = "ALL" +: feats
     val strategies = (0 until r.nextInt(4)).map(_ =>
       (stratPool(r.nextInt(3)), featPool(r.nextInt(featPool.size))))
-    Hop(newPhys, collide, computed, partitions, wm, options, strategies)
+    Hop(newPhys, collide, computed, partitions, wm, pk, options, strategies)
   }
 
   private def hopDdl(name: String, baseName: String, hop: Hop, path: String): String = {
     val colItems =
       hop.collidePhysical.map(c => s"$c BIGINT").toSeq ++
-      hop.newPhysical.map(c => s"$c BIGINT") ++
+      hop.newPhysical.map(c => s"$c BIGINT NOT NULL") ++
       hop.computed.map { case (n, e) => s"$n AS $e" } ++
       hop.wm.toSeq.flatMap { case (c, n, u) =>
         Seq(s"$c AS CAST(ts AS TIMESTAMP)",
           s"WATERMARK FOR $c AS $c - INTERVAL '$n' $u")
-      }
+      } ++
+      hop.pk.map(cols => s"PRIMARY KEY (${cols.mkString(", ")})").toSeq
     val cols = if (colItems.isEmpty) "" else colItems.mkString("(", ", ", ") ")
     val parts = if (hop.partitions.isEmpty) "" else hop.partitions.mkString("PARTITIONED BY (", ", ", ") ")
     val props = hop.options.map { case (k, v) =>
@@ -193,10 +217,13 @@ class DdlCompositionFuzzSpec extends SparkSpec {
           (if (r.nextBoolean()) Map("probe" -> s"v${r.nextInt(3)}") else Map.empty)
         val baseWm = if (r.nextInt(3) == 0) Some((s"ts_${fresh()}", "5", "SECOND")) else None
         val baseParts = if (baseWm.isEmpty && r.nextInt(4) == 0) Seq(basePhys.head) else Nil
+        val basePk = if (r.nextInt(4) == 0) Some(Seq(basePhys.head)) else None
         val baseName = s"fz28_${si}_${ci}_b"
-        val baseCols = basePhys.map(c => s"$c BIGINT") ++
+        val baseCols = basePhys.map(c => s"$c BIGINT" +
+            (if (basePk.exists(_.contains(c))) " NOT NULL" else "")) ++
           baseWm.toSeq.flatMap { case (c, n, u) =>
-            Seq(s"$c AS CAST(ts AS TIMESTAMP)", s"WATERMARK FOR $c AS $c - INTERVAL '$n' $u") }
+            Seq(s"$c AS CAST(ts AS TIMESTAMP)", s"WATERMARK FOR $c AS $c - INTERVAL '$n' $u") } ++
+          basePk.map(cols => s"PRIMARY KEY (${cols.mkString(", ")})").toSeq
         val basePartsSql = if (baseParts.isEmpty) "" else baseParts.mkString("PARTITIONED BY (", ", ", ") ")
         val baseDdl = s"CREATE TABLE $baseName (${baseCols.mkString(", ")}) " +
           basePartsSql + s"WITH (${baseOpts.map { case (k, v) => s"'$k' = '$v'" }.mkString(", ")})"
@@ -206,7 +233,8 @@ class DdlCompositionFuzzSpec extends SparkSpec {
         var model = Model(baseOpts,
           if (baseWm.isDefined) None else Some(basePhys),
           baseWm.map(w => (w._1, "CAST(ts AS TIMESTAMP)")).toSeq,
-          baseParts, baseWm.map { case (c, n, u) => (c, s"$n ${u.toLowerCase}s") })
+          baseParts, baseWm.map { case (c, n, u) => (c, s"$n ${u.toLowerCase}s") },
+          basePk)
         var prevName = baseName
         val hops = 1 + r.nextInt(3)
         var aborted = false
@@ -244,6 +272,9 @@ class DdlCompositionFuzzSpec extends SparkSpec {
                 assert(gotWm == next.wm,
                   s"family28 s$si c$ci h$hi watermark mismatch\nDDL: $ddl\n" +
                     s"got $gotWm exp ${next.wm}")
+                assert(tbl.pk.map(_._2) == next.pk,
+                  s"family28 s$si c$ci h$hi pk mismatch\nDDL: $ddl\n" +
+                    s"got ${tbl.pk} exp ${next.pk}")
                 // the readable view exists and the computed columns resolve
                 assert(spark.table(ConnectorTables.viewName(name)).count() == 2)
                 model = next

@@ -722,8 +722,12 @@ class SqlUtilitySpec extends SparkSpec {
       ("v", "DOUBLE", true, null, null, null),
       ("ts_attr", "TIMESTAMP(6)", true, null, "AS CAST(ts AS TIMESTAMP)",
         "`ts_attr` - INTERVAL '5' SECOND")))
-    // DESC alias; a multi-column PK renders every member as PRI(a, b)
+    // DESC alias; DESCRIBE EXTENDED yields the same result (1.12's
+    // buildDescribeResult ignores the flag); multi-column PK renders
+    // every member as PRI(a, b)
     assert(spark.sql("DESC desc_t").collect().length == 4)
+    assert(spark.sql("DESCRIBE EXTENDED desc_t").schema.fieldNames.toSeq ==
+      Seq("name", "type", "null", "key", "extras", "watermark"))
     val dir2 = freshDir("desc6b")
     spark.sql(s"""CREATE TABLE desc_t2 (a BIGINT NOT NULL, b STRING NOT NULL, c DOUBLE,
                     CONSTRAINT pk_ab PRIMARY KEY (a, b))
