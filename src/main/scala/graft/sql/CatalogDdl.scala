@@ -62,18 +62,23 @@ object CatalogDdl {
   private val dropRe =
     """(?is)^\s*DROP\s+CATALOG\s+(?:(IF\s+EXISTS)\s+)?(\w+)\s*;?\s*$""".r
   private val useRe = """(?is)^\s*USE\s+CATALOG\s+(\w+)\s*;?\s*$""".r
+  // `USE <db>` while a DDL-registered catalog is current: resolves against
+  // THAT catalog's databases (its default database only), not Spark's —
+  // CatalogManager.setCurrentDatabase:648-667 incl. the unknown-db error
+  private val useDbRe = """(?is)^\s*USE\s+(?!CATALOG\b)(\w+)\s*;?\s*$""".r
   private val showRe = """(?is)^\s*SHOW\s+CATALOGS\s*;?\s*$""".r
   private val showCurrentCatRe = """(?is)^\s*SHOW\s+CURRENT\s+CATALOG\s*;?\s*$""".r
   private val showCurrentDbRe = """(?is)^\s*SHOW\s+CURRENT\s+DATABASE\s*;?\s*$""".r
   private val descCatRe = """(?is)^\s*DESCRIBE\s+CATALOG\s+\w+\s*;?\s*$""".r
   private val propRe = """'([^']+)'\s*=\s*'([^']*)'""".r
 
-  def matches(probe: String): Boolean =
+  def matches(spark: SparkSession, probe: String): Boolean =
     createRe.findFirstIn(probe).isDefined || dropRe.findFirstIn(probe).isDefined ||
       useRe.findFirstIn(probe).isDefined || showRe.findFirstIn(probe).isDefined ||
       showCurrentCatRe.findFirstIn(probe).isDefined ||
       showCurrentDbRe.findFirstIn(probe).isDefined ||
-      descCatRe.findFirstIn(probe).isDefined
+      descCatRe.findFirstIn(probe).isDefined ||
+      (useDbRe.findFirstIn(probe).isDefined && currentOverrideName(spark).isDefined)
 
   /** `native` runs a statement through the DELEGATE parser (same contract
     * as [[DatabaseDdl.run]] — spark.sql would re-enter this dispatch). */
@@ -101,6 +106,13 @@ object CatalogDdl {
         if (catalogs.remove(key(spark, name)).isEmpty && ifExists == null)
           throw new IllegalArgumentException(s"Catalog $name does not exist.")
         spark.emptyDataFrame
+      case useDbRe(db) if currentOverride(spark).isDefined =>
+        val cat = currentOverride(spark).get
+        if (!db.equalsIgnoreCase(cat.defaultDatabase))
+          throw new IllegalArgumentException(
+            s"A database with name [$db] does not exist in the catalog: " +
+              s"[${currentOverrideName(spark).get}].")
+        spark.emptyDataFrame // already the current database
       case useRe(name) =>
         if (catalogs.contains(key(spark, name))) {
           current(skey(spark)) = name

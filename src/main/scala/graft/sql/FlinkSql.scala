@@ -226,7 +226,7 @@ object FlinkSql {
       // CATALOGS, SHOW CURRENT CATALOG/DATABASE (+ the reference's
       // unsupported DESCRIBE CATALOG error) — built over the DELEGATE
       // parser like DatabaseDdl so the dispatch can't loop
-      else if (CatalogDdl.matches(probe))
+      else if (CatalogDdl.matches(session, probe))
         Some(org.apache.spark.sql.GraftSqlBridge.logicalPlan(
           CatalogDdl.run(session, sqlText, stmt =>
             org.apache.spark.sql.GraftSqlBridge.ofRows(session, delegate.parsePlan(stmt)))))

@@ -816,6 +816,13 @@ class SqlUtilitySpec extends SparkSpec {
       // (CatalogManager.java:618-627)
       assert(spark.sql("SHOW CURRENT DATABASE").collect().head.getString(0) == "memdb")
       assert(spark.sql("SHOW DATABASES").collect().map(_.getString(0)).toSeq == Seq("memdb"))
+      // USE <db> resolves against the CURRENT (registered) catalog — its
+      // default database exists, anything else is the reference's error
+      // (CatalogManager.setCurrentDatabase:648-667)
+      spark.sql("USE memdb") // no-op: already current
+      val eud = intercept[Exception] { spark.sql("USE default") }
+      assert(eud.getMessage.contains(
+        "A database with name [default] does not exist in the catalog: [cat_mem]."))
       spark.sql("USE CATALOG spark_catalog")
       assert(spark.sql("SHOW CURRENT CATALOG").collect().head.getString(0) == "spark_catalog")
       // setCurrentCatalog's unknown-name error text
