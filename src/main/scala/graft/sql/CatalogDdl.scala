@@ -16,7 +16,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * 'generic_in_memory' per GenericInMemoryCatalogValidator.java:25).
   * A registered catalog is a NAMESPACE: USE CATALOG switches to it (and to
   * its default database, CatalogManager.setCurrentCatalog:618-627), SHOW
-  * CURRENT CATALOG/DATABASE and SHOW CATALOGS/DATABASES reflect it.
+  * CURRENT CATALOG/DATABASE, SHOW CATALOGS/DATABASES and USE <db> reflect
+  * it. Documented divergence: connector tables and temp views stay
+  * SESSION-GLOBAL (SHOW TABLES lists them under any current catalog) —
+  * the reference scopes object identifiers per catalog.database; scoping
+  * the whole registry per catalog buys little for a single-session
+  * library and is out of surface.
   *
   * `DESCRIBE CATALOG` PARSES in the reference's grammar
   * (parserImpls.ftl:76-103) but the 1.12 blink planner's converter never

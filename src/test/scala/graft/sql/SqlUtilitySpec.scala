@@ -750,6 +750,27 @@ class SqlUtilitySpec extends SparkSpec {
       Seq(("x", "BIGINT", false), ("y", "STRING", true)))
   }
 
+  test("ALTER TABLE SET keeps schema metadata: DESCRIBE unchanged after a property change") {
+    val dir = freshDir("descset")
+    spark.sql(s"""CREATE TABLE desc_set (k BIGINT NOT NULL, v DOUBLE, c AS k * 2,
+                    PRIMARY KEY (k) NOT ENFORCED)
+                  WITH ('connector' = 'filesystem', 'path' = '$dir',
+                        'format' = 'parquet')""")
+    def snapshot() = spark.sql("DESCRIBE desc_set").collect()
+      .map(r => (r.getString(0), r.getString(3), r.getString(4))).toSeq
+    val before = snapshot()
+    assert(before == Seq(("k", "PRI(k)", null), ("v", null, null), ("c", null, "AS k * 2")))
+    // SET changes OPTIONS only — the reference keeps the TableSchema; the
+    // registration must not shed PK / computed / declared columns
+    spark.sql("ALTER TABLE desc_set SET ('probe' = 'x')")
+    assert(snapshot() == before)
+    // and ADD CONSTRAINT surfaces in the key column afterwards
+    spark.sql("ALTER TABLE desc_set DROP CONSTRAINT PK_k")
+    assert(snapshot().forall(_._2 == null))
+    spark.sql("ALTER TABLE desc_set ADD CONSTRAINT pk2 PRIMARY KEY (k) NOT ENFORCED")
+    assert(snapshot().head == (("k", "PRI(k)", null)))
+  }
+
   test("DESCRIBE on a debezium table renders METADATA extras with declared types") {
     val dir = freshDir("descmeta")
     spark.sql(s"""CREATE TABLE desc_dbz (
