@@ -61,12 +61,15 @@ object FlinkSql {
   }
 
   /** Replace every `name(args)` call (case-insensitive, nesting-aware) using
-    * `f(args)` to produce the replacement text. */
+    * `f(args)` to produce the replacement text. Matches are located on
+    * literal/comment-BLANKED text (offset-preserving), so a group-window
+    * keyword inside a string literal or comment — `SELECT 'TUMBLE(...)'` —
+    * is never rewritten (found by fuzz family 29). */
   private def rewriteCalls(sql: String, name: String, f: Seq[String] => String): String = {
     val pat = ("""(?i)\b""" + name + """\s*\(""").r
     val sb = new StringBuilder
     var rest = sql
-    var m = pat.findFirstMatchIn(rest)
+    var m = pat.findFirstMatchIn(blankLiteralsAndComments(rest))
     while (m.isDefined) {
       val mm = m.get
       sb.append(rest.substring(0, mm.start))
@@ -84,7 +87,7 @@ object FlinkSql {
       val args = splitArgs(rest.substring(mm.end, i - 1))
       sb.append(f(args))
       rest = rest.substring(i)
-      m = pat.findFirstMatchIn(rest)
+      m = pat.findFirstMatchIn(blankLiteralsAndComments(rest))
     }
     sb.append(rest)
     sb.toString
