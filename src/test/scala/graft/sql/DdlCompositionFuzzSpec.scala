@@ -31,7 +31,10 @@ class DdlCompositionFuzzSpec extends SparkSpec {
       computed: Seq[(String, String)],
       partitions: Seq[String],
       wm: Option[(String, String)], // (col, delay-literal "5 seconds")
-      pk: Option[Seq[String]] = None)
+      pk: Option[Seq[String]] = None,
+      // full declared-column order (physical + computed interleaved as
+      // declared) — what DESCRIBE must render, merged per MergeTableLikeUtil
+      declNames: Seq[String] = Nil)
 
   /** One derived hop's declaration. */
   private case class Hop(
@@ -117,7 +120,17 @@ class DdlCompositionFuzzSpec extends SparkSpec {
         return Left("Could not create a PRIMARY KEY 'PK_nope_col'. " +
           "Column 'nope_col' does not exist.")
     }
-    Right(Model(opts.toMap, phys, comp, parts, wm, pk))
+    // declaration order: the base's list with excluded/overridden computed
+    // items dropped, then the derived items in their declared order
+    val baseCompNames = base.computed.map(_._1.toLowerCase).toSet
+    val hopCompNames = hopComputed.map(_._1.toLowerCase).toSet
+    val keptBase = base.declNames.filter { n =>
+      val isComp = baseCompNames(n.toLowerCase)
+      !isComp || (st("GENERATED") != "EXCLUDING" && !hopCompNames(n.toLowerCase))
+    }
+    val hopDeclNames = hop.collidePhysical.toSeq ++ hop.newPhysical ++
+      hop.computed.map(_._1) ++ hop.wm.map(_._1).toSeq
+    Right(Model(opts.toMap, phys, comp, parts, wm, pk, keptBase ++ hopDeclNames))
   }
 
   // ---- generator ------------------------------------------------------------
@@ -234,7 +247,7 @@ class DdlCompositionFuzzSpec extends SparkSpec {
           if (baseWm.isDefined) None else Some(basePhys),
           baseWm.map(w => (w._1, "CAST(ts AS TIMESTAMP)")).toSeq,
           baseParts, baseWm.map { case (c, n, u) => (c, s"$n ${u.toLowerCase}s") },
-          basePk)
+          basePk, basePhys ++ baseWm.map(_._1).toSeq)
         var prevName = baseName
         val hops = 1 + r.nextInt(3)
         var aborted = false
@@ -275,6 +288,13 @@ class DdlCompositionFuzzSpec extends SparkSpec {
                 assert(tbl.pk.map(_._2) == next.pk,
                   s"family28 s$si c$ci h$hi pk mismatch\nDDL: $ddl\n" +
                     s"got ${tbl.pk} exp ${next.pk}")
+                // DESCRIBE renders the MERGED declaration order (the decl
+                // merge is what LIKE chains exercise hardest)
+                val descNames = spark.sql(s"DESCRIBE $name").collect()
+                  .map(_.getString(0)).toSeq
+                assert(descNames == next.declNames,
+                  s"family28 s$si c$ci h$hi DESCRIBE order mismatch\nDDL: $ddl\n" +
+                    s"got $descNames\nexp ${next.declNames}")
                 // the readable view exists and the computed columns resolve
                 assert(spark.table(ConnectorTables.viewName(name)).count() == 2)
                 model = next
