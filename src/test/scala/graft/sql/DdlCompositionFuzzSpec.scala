@@ -320,4 +320,69 @@ class DdlCompositionFuzzSpec extends SparkSpec {
     println(s"[fuzz] family28 cases=$casesRun merges=$mergesChecked errors=$errorsPredicted")
     assert(mergesChecked > 10 && errorsPredicted > 0)
   }
+
+  test("family 28b: METADATA strategies through LIKE chains over debezium tables") {
+    val s = spark
+    import s.implicits._
+    val dataDir = java.nio.file.Files.createTempDirectory("fz28m").toString
+    Seq("""{"before": null, "after": {"id": 7}, "op": "c", "ts_ms": 1000, """ +
+        """"source": {"db": "d1", "table": "t1"}}""")
+      .toDF("value").coalesce(1).write.mode("overwrite").text(dataDir)
+    val baseSeed = sys.props.get("graft.fuzz.seed")
+      .orElse(sys.env.get("GRAFT_FUZZ_SEED")).map(_.toLong).getOrElse(20260813L)
+    var merges = 0; var errors = 0
+    (0 until 3).foreach { si =>
+      val r = new scala.util.Random(baseSeed + 285 + si)
+      (0 until 8).foreach { ci =>
+        val baseName = s"fz28m_${si}_${ci}_b"
+        spark.sql(s"""CREATE TABLE $baseName (
+                        id BIGINT,
+                        m1 STRING METADATA FROM 'source.database'
+                      ) WITH ('connector' = 'filesystem', 'path' = '$dataDir',
+                              'format' = 'debezium-json')""")
+        // derived: either a COLLIDING m1 (new key) or a fresh m2
+        val collide = r.nextBoolean()
+        val derived = if (collide) ("m1", "source.table") else ("m2", "source.table")
+        val strat = r.nextInt(4) match {
+          case 0 => ""                         // default INCLUDING
+          case 1 => " (INCLUDING METADATA)"
+          case 2 => " (EXCLUDING METADATA)"
+          case 3 => " (OVERWRITING METADATA)"
+        }
+        val name = s"fz28m_${si}_${ci}_d"
+        val ddl = s"""CREATE TABLE $name (
+                        ${derived._1} STRING METADATA FROM '${derived._2}'
+                      ) WITH ('path' = '$dataDir') LIKE $baseName$strat"""
+        // model: collision + inherited + not OVERWRITING → error; else the
+        // base's list (unless EXCLUDING) minus overridden ++ derived
+        val inherits = !strat.contains("EXCLUDING")
+        val expectError = collide && inherits && !strat.contains("OVERWRITING")
+        if (expectError) {
+          errors += 1
+          val e = intercept[Exception] { spark.sql(ddl) }
+          assert(e.getMessage.contains(
+            "A metadata column named 'm1' already exists in the base table."),
+            s"family28b unexpected error for: $ddl\n${e.getMessage}")
+        } else {
+          spark.sql(ddl)
+          merges += 1
+          val expected =
+            (if (inherits && !collide) Seq(("m1", "source.database")) else Nil) :+ derived
+          val tbl = ConnectorTables.lookup(spark, name).get
+          assert(tbl.metaCols.map(mc => (mc.name, mc.key)) == expected,
+            s"family28b metaCols mismatch for: $ddl\ngot ${tbl.metaCols}\nexp $expected")
+          // the decode surfaces each declared name under ITS key's value
+          val row = spark.sql(s"SELECT * FROM ${ConnectorTables.viewName(name)}")
+            .collect().head
+          val vals = expected.map { case (n, k) =>
+            row.getString(row.fieldIndex(n)) ->
+              (if (k == "source.database") "d1" else "t1") }
+          vals.foreach { case (got, exp) =>
+            assert(got == exp, s"family28b decode mismatch for: $ddl") }
+        }
+      }
+    }
+    println(s"[fuzz] family28b merges=$merges errors=$errors")
+    assert(merges > 5 && errors > 0)
+  }
 }
