@@ -103,6 +103,66 @@ object CdcScaleProbe {
         s""""decode_meta_sec":${f"$tMeta%.1f"},"survivors":$live,"exact":true}""")
       rm(dir)
     }
+
+    // round 15: the OTHER two formats' encode+decode paths at the top
+    // decade — same changelog, same fold asserts, same shuffle-free encode
+    // plan requirement (both encoders are map-side to_json projections)
+    val users = depths.max
+    Seq(
+      ("canal",
+        (df: org.apache.spark.sql.DataFrame) => CdcFormats.toCanalJson(df),
+        (raw: org.apache.spark.sql.DataFrame, sc: StructType) =>
+          CdcFormats.canalJson(raw, "value", sc)),
+      ("maxwell",
+        (df: org.apache.spark.sql.DataFrame) => CdcFormats.toMaxwellJson(df),
+        (raw: org.apache.spark.sql.DataFrame, sc: StructType) =>
+          CdcFormats.maxwellJson(raw, "value", sc))
+    ).foreach { case (fmt, enc, dec) =>
+      val dir = new java.io.File(s"target/cdc_probe/${fmt}_u$users")
+      rm(dir)
+      val versions = spark.range(users * V).select(
+        (col("id") / V).cast("long").as("k"),
+        (col("id") % V + 1).as("seq"))
+        .withColumn("v", col("k") * 10 + col("seq"))
+      val ups = versions.select(explode(
+        when(col("seq") === 1, array(struct(lit("+I").as("kind"), col("k"), col("seq"), col("v"))))
+          .otherwise(array(
+            struct(lit("-U").as("kind"), col("k"), (col("seq") - 1).as("seq"),
+              (col("k") * 10 + col("seq") - 1).as("v")),
+            struct(lit("+U").as("kind"), col("k"), col("seq"), col("v"))))).as("e"))
+        .select("e.*")
+      val dels = spark.range(users).filter(col("id") % 3 === 0).select(
+        lit("-D").as("kind"), col("id").as("k"), lit(V.toLong).as("seq"),
+        (col("id") * 10 + V).as("v"))
+      val changelog = ups.unionAll(dels)
+      val encoded = enc(changelog)
+      assert(!encoded.queryExecution.executedPlan.toString.contains("Exchange"),
+        s"$fmt encode must stay shuffle-free")
+      val t0 = System.nanoTime()
+      encoded.write.mode("overwrite").text(dir.getPath)
+      val tEnc = (System.nanoTime() - t0) / 1e9
+      val rowSchema = StructType(Seq(StructField("k", LongType),
+        StructField("seq", LongType), StructField("v", LongType)))
+      val t1 = System.nanoTime()
+      val decoded = dec(spark.read.text(dir.getPath).toDF("value"), rowSchema)
+      val agg = decoded.groupBy("k", "seq", "v")
+        .agg(sum(when(col("kind").isin("+I", "+U"), 1).otherwise(-1)).as("net"))
+        .filter(col("net") > 0)
+        .agg(count(lit(1)).as("n"), sum("k").as("sk"),
+          sum("seq").as("ss"), sum("v").as("sv")).head
+      val tDec = (System.nanoTime() - t1) / 1e9
+      val live = (0L until users).count(_ % 3 != 0).toLong
+      val sumK = (0L until users).filter(_ % 3 != 0).sum
+      assert(agg.getLong(0) == live, s"$fmt count ${agg.getLong(0)} != $live")
+      assert(agg.getLong(1) == sumK, s"$fmt sum(k) mismatch")
+      assert(agg.getLong(2) == live * V, s"$fmt sum(seq) mismatch")
+      assert(agg.getLong(3) == sumK * 10 + live * V, s"$fmt sum(v) mismatch")
+      val msgs = users * (1 + 2 * (V - 1)) + (users + 2) / 3
+      println(s"""{"probe":"cdc_$fmt","users":$users,"messages":$msgs,""" +
+        s""""encode_sec":${f"$tEnc%.1f"},"decode_fold_sec":${f"$tDec%.1f"},""" +
+        s""""survivors":$live,"exact":true}""")
+      rm(dir)
+    }
     GraftSession.shutdown(spark)
   }
 }

@@ -72,23 +72,128 @@ object ConnectorTables {
       // renders; empty for tables registered without a usable column list
       decl: Seq[DeclCol] = Nil)
 
-  /** (session identity, table name) → table; session-keyed so tests with
-    * multiple sessions cannot see each other's registrations. */
+  /** (session identity, canonical table name) → table; session-keyed so
+    * tests with multiple sessions cannot see each other's registrations.
+    * Canonical names are `@cat.db.t` for tables living in a DDL-registered
+    * catalog's namespace and the spelled (possibly `db.`-qualified) name
+    * for session-global tables — see [[canonical]]. */
   private val tables = new ConcurrentHashMap[String, Tbl]()
 
+  private def skey(s: SparkSession) = System.identityHashCode(s).toString
+
   private def key(s: SparkSession, name: String) =
-    s"${System.identityHashCode(s)}:${name.toLowerCase}"
+    s"${skey(s)}:${name.toLowerCase}"
+
+  /** Resolve a spelled table identifier to its canonical registry name —
+    * the reference's CatalogManager.qualifyIdentifier(:616-621): an
+    * unqualified name takes the current catalog + database, `db.t` takes
+    * the current catalog, `cat.db.t` is already full. Namespace resolution
+    * applies only while a DDL-registered catalog is current (or the first
+    * part names one); otherwise the spelled name IS the canonical name —
+    * the session-global registry this surface always had. */
+  private[sql] def canonical(spark: SparkSession, name: String): String = {
+    val n = name.toLowerCase
+    val parts = n.split("\\.")
+    parts.length match {
+      case 3 if CatalogDdl.isRegistered(spark, parts(0)) => s"@$n"
+      case 2 => CatalogDdl.currentNamespace(spark)
+        .fold(n) { case (cat, _) => s"@$cat.$n" }
+      case 1 => CatalogDdl.currentNamespace(spark)
+        .fold(n) { case (cat, db) => s"@$cat.$db.$n" }
+      case _ => n
+    }
+  }
+
+  /** session identity → bare-name temp views mounted for the CURRENT
+    * namespace (so `SELECT * FROM t` resolves natively while `USE CATALOG`
+    * points at t's namespace). [[remount]] swaps the set on every
+    * namespace switch. */
+  private val mounted =
+    scala.collection.concurrent.TrieMap.empty[String, Set[String]]
+
+  /** Re-point bare-name temp views at the current namespace's tables —
+    * called by [[CatalogDdl]] on USE CATALOG / USE <db> / DROP CATALOG.
+    * Aliases of the previous namespace are dropped (a shadowed
+    * session-global table's readable view is restored), then every
+    * readable table of the new namespace mounts under its bare name. */
+  private[sql] def remount(spark: SparkSession): Unit = {
+    val sk = skey(spark)
+    mounted.getOrElse(sk, Set.empty).foreach { bare =>
+      spark.catalog.dropTempView(bare): Unit
+      Option(tables.get(s"$sk:$bare")).foreach { legacy =>
+        if (hasData(legacy)) read(spark, legacy).createOrReplaceTempView(bare)
+      }
+    }
+    val newMounts = CatalogDdl.currentNamespace(spark).toSeq.flatMap { case (cat, db) =>
+      listNamespace(spark, cat, db).flatMap { bare =>
+        val v = viewName(s"@$cat.$db.$bare")
+        if (spark.catalog.tableExists(v)) {
+          spark.table(v).createOrReplaceTempView(bare)
+          Some(bare)
+        } else None
+      }
+    }
+    mounted(sk) = newMounts.toSet
+  }
+
+  /** Bare object names registered under (cat, db) in this session. */
+  private[sql] def listNamespace(spark: SparkSession, cat: String, db: String): Seq[String] = {
+    val prefix = s"${skey(spark)}:@${cat.toLowerCase}.${db.toLowerCase}."
+    val it = tables.keys()
+    val b = Seq.newBuilder[String]
+    while (it.hasMoreElements) {
+      val k = it.nextElement()
+      if (k.startsWith(prefix)) b += k.stripPrefix(prefix)
+    }
+    b.result()
+  }
+
+  /** Drop a namespaced table's registration and views (DROP DATABASE
+    * CASCADE's per-table cleanup). */
+  private[sql] def dropNamespaced(spark: SparkSession, cat: String, db: String,
+      bare: String): Unit = {
+    val cname = s"@${cat.toLowerCase}.${db.toLowerCase}.${bare.toLowerCase}"
+    tables.remove(key(spark, cname)): Unit
+    spark.catalog.dropTempView(viewName(cname)): Unit
+    val sk = skey(spark)
+    if (mounted.getOrElse(sk, Set.empty).contains(bare.toLowerCase)) {
+      spark.catalog.dropTempView(bare): Unit
+      mounted(sk) = mounted(sk) - bare.toLowerCase
+    }
+  }
+
+  private def hasData(tbl: Tbl): Boolean = {
+    val f = new java.io.File(tbl.path)
+    f.isFile ||
+      (f.isDirectory && Option(f.listFiles).exists(_.exists(c => !c.getName.startsWith("_"))))
+  }
+
+  /** (Re)create a canonical table's readable view(s): the flat canonical
+    * view always, plus the bare-name alias when the table's namespace is
+    * the session's current one. */
+  private[sql] def refreshViews(spark: SparkSession, cname: String, df: DataFrame): Unit = {
+    df.createOrReplaceTempView(viewName(cname))
+    if (cname.startsWith("@")) {
+      val parts = cname.drop(1).split("\\.")
+      if (CatalogDdl.currentNamespace(spark).contains((parts(0), parts(1)))) {
+        df.createOrReplaceTempView(parts(2))
+        val sk = skey(spark)
+        mounted(sk) = mounted.getOrElse(sk, Set.empty) + parts(2)
+      }
+    }
+  }
 
   // cols are non-greedy so the optional PARTITIONED BY group can match —
   // a greedy (.*) would swallow it and backtrack straight to WITH.
-  // Table names may be database-qualified (db.t) — see resolveQualified.
+  // Table names may be database- or catalog-qualified (db.t / cat.db.t) —
+  // see resolveQualified and canonical.
   private val createRe =
-    """(?is)\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?((?:\w+\.)?\w+)\s*\((.*?)\)\s*(?:PARTITIONED\s+BY\s*\(([^)]*)\)\s*)?WITH\s*\((.*?)\)\s*""".r
+    """(?is)\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?((?:\w+\.){0,2}\w+)\s*\((.*?)\)\s*(?:PARTITIONED\s+BY\s*\(([^)]*)\)\s*)?WITH\s*\((.*?)\)\s*""".r
   private val likeRe =
-    """(?is)\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?((?:\w+\.)?\w+)\s*(?:\((.*?)\)\s*)?(?:PARTITIONED\s+BY\s*\(([^)]*)\)\s*)?WITH\s*\((.*?)\)\s*LIKE\s+((?:\w+\.)?\w+)\s*(?:\(\s*(.*?)\s*\))?\s*;?\s*""".r
+    """(?is)\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?((?:\w+\.){0,2}\w+)\s*(?:\((.*?)\)\s*)?(?:PARTITIONED\s+BY\s*\(([^)]*)\)\s*)?WITH\s*\((.*?)\)\s*LIKE\s+((?:\w+\.){0,2}\w+)\s*(?:\(\s*(.*?)\s*\))?\s*;?\s*""".r
   // INSERT INTO|OVERWRITE t [PARTITION (p='v'[, ...])] SELECT ...
   private val insertRe =
-    """(?is)\s*INSERT\s+(INTO|OVERWRITE)\s+(?:TABLE\s+)?((?:\w+\.)?\w+)\s*(?:PARTITION\s*\(([^)]*)\)\s*)?(SELECT\s+.*|VALUES\s*\(.*)""".r
+    """(?is)\s*INSERT\s+(INTO|OVERWRITE)\s+(?:TABLE\s+)?((?:\w+\.){0,2}\w+)\s*(?:PARTITION\s*\(([^)]*)\)\s*)?(SELECT\s+.*|VALUES\s*\(.*)""".r
   private val propRe = """'([^']+)'\s*=\s*'([^']*)'""".r
   private val pkRe = """(?i)(?:CONSTRAINT\s+(\w+)\s+)?PRIMARY\s+KEY\s*\(([^)]*)\)""".r
 
@@ -110,11 +215,44 @@ object ConnectorTables {
       MetaCol(m.group(1), Option(m.group(4)).getOrElse(m.group(1)),
         normType(m.group(2)), m.group(3) != null, m.group(5) != null)))
 
+  /** SQL type keywords — the words [[normType]] case-folds. Identifiers
+    * (nested ROW field names) keep their spelled case, matching the
+    * reference's asSummaryString which renders RowType field names
+    * verbatim (RowType.asSummaryString). */
+  private val typeKeywords = Set(
+    "STRING", "CHAR", "VARCHAR", "BOOLEAN", "BINARY", "VARBINARY", "BYTES",
+    "DECIMAL", "NUMERIC", "DEC", "TINYINT", "SMALLINT", "INT", "INTEGER",
+    "BIGINT", "FLOAT", "DOUBLE", "PRECISION", "DATE", "TIME", "TIMESTAMP",
+    "TIMESTAMP_LTZ", "WITH", "WITHOUT", "LOCAL", "ZONE", "INTERVAL", "YEAR",
+    "MONTH", "DAY", "HOUR", "MINUTE", "SECOND", "ARRAY", "MULTISET", "MAP",
+    "ROW", "RAW", "NULL", "NOT")
+
   /** Normalize a declared type's rendering to the reference's summary form
-    * (LogicalType.asSummaryString): uppercase keywords, single spaces, a
-    * space after commas — `decimal(10,2)` → `DECIMAL(10, 2)`. */
-  private[sql] def normType(t: String): String =
-    t.trim.replaceAll("\\s+", " ").replaceAll(",\\s*", ", ").toUpperCase
+    * (LogicalType.asSummaryString): uppercase TYPE KEYWORDS (identifiers —
+    * e.g. field names inside ROW<...> — keep their case), single spaces, a
+    * space after commas — `decimal(10,2)` → `DECIMAL(10, 2)`,
+    * `row<name string>` → `ROW<name STRING>`. Backquoted names pass
+    * through untouched. */
+  private[sql] def normType(t: String): String = {
+    val spaced = t.trim.replaceAll("\\s+", " ").replaceAll(",\\s*", ", ")
+    val sb = new StringBuilder
+    var i = 0
+    while (i < spaced.length) {
+      val c = spaced.charAt(i)
+      if (c == '`') { // quoted identifier: copy verbatim incl. quotes
+        val close = spaced.indexOf('`', i + 1)
+        val end = if (close < 0) spaced.length else close + 1
+        sb.append(spaced.substring(i, end)); i = end
+      } else if (c.isLetter || c == '_') {
+        var j = i
+        while (j < spaced.length && (spaced.charAt(j).isLetterOrDigit || spaced.charAt(j) == '_')) j += 1
+        val word = spaced.substring(i, j)
+        sb.append(if (typeKeywords(word.toUpperCase)) word.toUpperCase else word)
+        i = j
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
 
   /** `name TYPE [NOT NULL]` — anything that is not computed/metadata/
     * constraint/watermark. */
@@ -160,7 +298,7 @@ object ConnectorTables {
     * LIKE statements route here even when the derived column list declares
     * its own WATERMARK — the merge needs both sides. */
   private[sql] def matchesLike(probe: String): Boolean =
-    """(?is)^\s*CREATE\s+TABLE\b.*\bWITH\s*\([^)]*\)\s*LIKE\s+(?:\w+\.)?\w+\s*(?:\([^)]*\))?\s*;?\s*$""".r
+    """(?is)^\s*CREATE\s+TABLE\b.*\bWITH\s*\([^)]*\)\s*LIKE\s+(?:\w+\.){0,2}\w+\s*(?:\([^)]*\))?\s*;?\s*$""".r
       .findFirstIn(probe).isDefined
 
   def matchesInsert(probe: String): Boolean =
@@ -170,7 +308,7 @@ object ConnectorTables {
     """(?i)^\s*(ALTER|DROP)\s+TABLE\b""".r.findFirstIn(probe).isDefined
 
   private val showPartsRe =
-    """(?is)^\s*SHOW\s+PARTITIONS\s+((?:\w+\.)?\w+)\s*(?:PARTITION\s*\(([^)]*)\)\s*)?;?\s*$""".r
+    """(?is)^\s*SHOW\s+PARTITIONS\s+((?:\w+\.){0,2}\w+)\s*(?:PARTITION\s*\(([^)]*)\)\s*)?;?\s*$""".r
 
   def matchesShowPartitions(probe: String): Boolean =
     showPartsRe.findFirstIn(probe).isDefined
@@ -203,15 +341,15 @@ object ConnectorTables {
   }
 
   private val alterSetRe =
-    """(?is)\s*ALTER\s+TABLE\s+((?:\w+\.)?\w+)\s+SET\s*\((.*)\)\s*""".r
+    """(?is)\s*ALTER\s+TABLE\s+((?:\w+\.){0,2}\w+)\s+SET\s*\((.*)\)\s*""".r
   private val alterAddConstraintRe =
-    """(?is)\s*ALTER\s+TABLE\s+((?:\w+\.)?\w+)\s+ADD\s+(?:CONSTRAINT\s+(\w+)\s+)?(PRIMARY\s+KEY|UNIQUE)\s*\(([^)]*)\)\s*(NOT\s+ENFORCED)?\s*;?\s*""".r
+    """(?is)\s*ALTER\s+TABLE\s+((?:\w+\.){0,2}\w+)\s+ADD\s+(?:CONSTRAINT\s+(\w+)\s+)?(PRIMARY\s+KEY|UNIQUE)\s*\(([^)]*)\)\s*(NOT\s+ENFORCED)?\s*;?\s*""".r
   private val alterDropConstraintRe =
-    """(?is)\s*ALTER\s+TABLE\s+((?:\w+\.)?\w+)\s+DROP\s+CONSTRAINT\s+(\w+)\s*;?\s*""".r
+    """(?is)\s*ALTER\s+TABLE\s+((?:\w+\.){0,2}\w+)\s+DROP\s+CONSTRAINT\s+(\w+)\s*;?\s*""".r
   private val alterRenameRe =
-    """(?is)\s*ALTER\s+TABLE\s+((?:\w+\.)?\w+)\s+RENAME\s+TO\s+((?:\w+\.)?\w+)\s*""".r
+    """(?is)\s*ALTER\s+TABLE\s+((?:\w+\.){0,2}\w+)\s+RENAME\s+TO\s+((?:\w+\.){0,2}\w+)\s*""".r
   private val dropRe =
-    """(?is)\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?((?:\w+\.)?\w+)\s*""".r
+    """(?is)\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?((?:\w+\.){0,2}\w+)\s*""".r
 
   /** ALTER TABLE ... SET (props) / RENAME TO / DROP TABLE on registered
     * connector tables (SqlAlterTableProperties.java:33,
@@ -270,27 +408,47 @@ object ConnectorTables {
         // metadata columns, declared list) rides along untouched, exactly
         // like the reference's SqlAlterTableProperties which replaces the
         // CatalogTable's options and keeps its TableSchema
-        register(spark, name, tbl.copy(path = merged.getOrElse("path", tbl.path),
-          format = merged.getOrElse("format", tbl.format), props = merged))
+        register(spark, canonical(spark, name),
+          tbl.copy(path = merged.getOrElse("path", tbl.path),
+            format = merged.getOrElse("format", tbl.format), props = merged))
       }
     case alterRenameRe(name, newName) =>
       lookup(spark, name).map { tbl =>
-        tables.remove(key(spark, name))
-        spark.catalog.dropTempView(viewName(name))
-        register(spark, newName, tbl)
+        val cname = canonical(spark, name)
+        tables.remove(key(spark, cname))
+        dropViews(spark, cname)
+        register(spark, canonical(spark, newName), tbl)
       }
     case dropRe(name) =>
       lookup(spark, name).map { _ =>
-        tables.remove(key(spark, name))
-        spark.catalog.dropTempView(viewName(name))
+        val cname = canonical(spark, name)
+        tables.remove(key(spark, cname))
+        dropViews(spark, cname)
         spark.emptyDataFrame
       }
     case _ => None
   }
 
-  /** The registered table, if `name` is a connector table of this session. */
+  /** Drop a canonical table's readable view(s) — the flat view plus any
+    * bare-name alias mounted for the current namespace. */
+  private def dropViews(spark: SparkSession, cname: String): Unit = {
+    spark.catalog.dropTempView(viewName(cname)): Unit
+    if (cname.startsWith("@")) {
+      val parts = cname.drop(1).split("\\.")
+      val sk = skey(spark)
+      if (mounted.getOrElse(sk, Set.empty).contains(parts(2)) &&
+          CatalogDdl.currentNamespace(spark).contains((parts(0), parts(1)))) {
+        spark.catalog.dropTempView(parts(2)): Unit
+        mounted(sk) = mounted(sk) - parts(2)
+      }
+    }
+  }
+
+  /** The registered table, if `name` resolves to a connector table of this
+    * session — through the current (catalog, database) namespace when a
+    * DDL-registered catalog is current, else the session-global registry. */
   private[sql] def lookup(spark: SparkSession, name: String): Option[Tbl] =
-    Option(tables.get(key(spark, name)))
+    Option(tables.get(key(spark, canonical(spark, name))))
 
   /** TableSchema.validatePrimaryKey's physical + nullability ladder
     * (TableSchema.java:455-478): a PK column must be a physical column and
@@ -475,8 +633,8 @@ object ConnectorTables {
       .schema(schema).load(tbl.path)
     val withComputed = tbl.computed.foldLeft(raw) { case (d, (n, e)) =>
       d.withColumn(n, org.apache.spark.sql.functions.expr(e)) }
-    SystemTimeJoin.watermarkOf(name).fold(withComputed) { case (c, delay) =>
-      withComputed.withWatermark(c, delay) }
+    SystemTimeJoin.watermarkOf(canonical(spark, name)).fold(withComputed) {
+      case (c, delay) => withComputed.withWatermark(c, delay) }
   }
 
   /** Registry-only insert — for tables whose readable view is built by the
@@ -514,11 +672,14 @@ object ConnectorTables {
     withAll ++ entries.filter(_._1 != "ALL")
   }
 
-  /** Flat readable-view name of a possibly-qualified table name (temp view
-    * names cannot contain dots). Qualified references in queries reach this
-    * name through [[resolveQualified]]. */
+  /** Flat readable-view name of a canonical (or legacy possibly-qualified)
+    * table name (temp view names cannot contain dots). Qualified references
+    * in queries reach this name through [[resolveQualified]]; namespaced
+    * tables additionally mount under their bare name while their namespace
+    * is current — see [[remount]]. */
   private[sql] def viewName(name: String): String =
-    if (name.contains(".")) "__dbq_" + name.toLowerCase.replace('.', '_') else name
+    if (name.startsWith("@")) "__cat_" + name.drop(1).toLowerCase.replace('.', '_')
+    else if (name.contains(".")) "__dbq_" + name.toLowerCase.replace('.', '_') else name
 
   /** Rewrite qualified references (`db.t`) to REGISTERED connector tables
     * into their flat readable-view names — the read half of database-scoped
@@ -531,13 +692,27 @@ object ConnectorTables {
   def resolveQualified(spark: SparkSession, sqlText: String): String = {
     if (!sqlText.contains(".")) return sqlText
     val prefix = s"${System.identityHashCode(spark)}:"
+    val ns = CatalogDdl.currentNamespace(spark)
+    // (textual pattern, canonical name): a legacy `db.t` resolves as
+    // spelled; a namespaced table resolves as `cat.db.t` from ANY current
+    // catalog (cross-catalog reads) and as `db.t` when its catalog is
+    // current — CatalogManager.qualifyIdentifier's partial-identifier
+    // completion (CatalogManager.java:616-621)
     val quals = {
       val it = tables.keys()
-      val b = Seq.newBuilder[String]
+      val b = Seq.newBuilder[(String, String)]
       while (it.hasMoreElements) {
-        val k = it.nextElement()
-        if (k.startsWith(prefix) && k.stripPrefix(prefix).contains("."))
-          b += k.stripPrefix(prefix)
+        val k0 = it.nextElement()
+        if (k0.startsWith(prefix)) {
+          val k = k0.stripPrefix(prefix)
+          if (k.startsWith("@")) {
+            val full = k.drop(1)
+            b += full -> k
+            val parts = full.split("\\.")
+            if (ns.exists(_._1 == parts(0)))
+              b += s"${parts(1)}.${parts(2)}" -> k
+          } else if (k.contains(".")) b += k -> k
+        }
       }
       b.result()
     }
@@ -556,14 +731,16 @@ object ConnectorTables {
         matchesShowPartitions(probe) || DescribeTable.matches(spark, probe))
       return sqlText
     var text = sqlText
-    quals.foreach { q =>
+    // longest patterns first so `cat.db.t` wins over a same-suffix `db.t`
+    quals.sortBy(-_._1.length).foreach { case (q, cname) =>
+      // trailing `.col` stays correct: `db.t.col` becomes `<view>.col`
       val re = ("(?i)(?<![\\w.`])" + java.util.regex.Pattern.quote(q) + "(?!\\w)").r
       val blanked = FlinkSql.blankLiteralsAndComments(text)
       if (re.findFirstIn(blanked).isDefined) {
         val sb = new StringBuilder
         var last = 0
         re.findAllMatchIn(blanked).foreach { m =>
-          sb.append(text.substring(last, m.start)).append(viewName(q))
+          sb.append(text.substring(last, m.start)).append(viewName(cname))
           last = m.end
         }
         sb.append(text.substring(last))
@@ -573,21 +750,31 @@ object ConnectorTables {
     text
   }
 
+  /** Register under a CANONICAL name (callers resolve with [[canonical]]).
+    * A namespaced create validates its database exists in the owning
+    * catalog — GenericInMemoryCatalog.createTable's DatabaseNotExist check
+    * (GenericInMemoryCatalog.java:154-163, message shape of
+    * DatabaseNotExistException). */
   private def register(spark: SparkSession, name: String, tbl: Tbl): DataFrame = {
+    if (name.startsWith("@")) {
+      val parts = name.drop(1).split("\\.")
+      if (!CatalogDdl.databaseExists(spark, parts(0), parts(1)))
+        throw new IllegalArgumentException(
+          s"Database ${parts(1)} does not exist in Catalog ${parts(0)}.")
+    }
     tables.put(key(spark, name), tbl)
     // pre-existing data → the table is immediately readable too (an empty
     // directory is NOT data — self-describing formats can't infer from it)
-    val f = new java.io.File(tbl.path)
-    val hasData = f.isFile ||
-      (f.isDirectory && Option(f.listFiles).exists(_.exists(c => !c.getName.startsWith("_"))))
-    if (hasData) read(spark, tbl).createOrReplaceTempView(viewName(name))
+    if (hasData(tbl)) refreshViews(spark, name, read(spark, tbl))
     spark.emptyDataFrame
   }
 
   def runCreate(spark: SparkSession, sql: String): DataFrame = sql match {
-    case likeRe(name, colsOpt, partColsOpt, propsBody, baseName, likeOptsOpt) =>
-      val base = lookup(spark, baseName).getOrElse(throw new IllegalArgumentException(
-        s"CREATE TABLE $name LIKE $baseName: base table is not a registered connector table"))
+    case likeRe(rawName, colsOpt, partColsOpt, propsBody, rawBase, likeOptsOpt) =>
+      val name = canonical(spark, rawName)
+      val baseName = canonical(spark, rawBase)
+      val base = lookup(spark, rawBase).getOrElse(throw new IllegalArgumentException(
+        s"CREATE TABLE $rawName LIKE $rawBase: base table is not a registered connector table"))
       val st = likeStrategies(Option(likeOptsOpt).getOrElse(""))
       val derived = propRe.findAllMatchIn(propsBody)
         .map(m => m.group(1).toLowerCase -> m.group(2)).toMap
@@ -666,16 +853,15 @@ object ConnectorTables {
       // derived spec on the same rowtime column needs OVERWRITING
       val baseWm = if (st("WATERMARKS") == "EXCLUDING") None
                    else SystemTimeJoin.watermarkOf(baseName)
-      val derivedWm = Option(colsOpt).flatMap(c => WatermarkDdl.wmRe.findFirstMatchIn(c))
-      derivedWm.foreach { m =>
-        if (baseWm.exists(_._1.equalsIgnoreCase(m.group(1))) && st("WATERMARKS") != "OVERWRITING")
+      val derivedWm = Option(colsOpt).flatMap(WatermarkDdl.parseWm)
+      derivedWm.foreach { w =>
+        if (baseWm.exists(_._1.equalsIgnoreCase(w.col)) && st("WATERMARKS") != "OVERWRITING")
           throw new IllegalArgumentException(
-            s"There already exists a watermark spec for column '${m.group(1)}' in the " +
+            s"There already exists a watermark spec for column '${w.col}' in the " +
               "base table. You might want to specify EXCLUDING WATERMARKS or " +
               "OVERWRITING WATERMARKS.")
       }
-      val wm = derivedWm.map(m =>
-          (m.group(1), WatermarkDdl.delayLiteral(m.group(2), m.group(3))))
+      val wm = derivedWm.map(w => (w.col, WatermarkDdl.delayOf(spark, w)))
         .orElse(baseWm)
       // primary key (CONSTRAINTS): copied only under INCLUDING
       // (populatePrimaryKeyFromSourceTable:268-275); base + derived PK
@@ -713,12 +899,13 @@ object ConnectorTables {
       wm.foreach { case (c, d) => SystemTimeJoin.declareWatermark(name, c, d) }
       // the watermark EXPRESSION text (DESCRIBE's `watermark` column):
       // derived spec wins, else inherited from the base's registration
-      derivedWm.map(m => WatermarkDdl.exprText(m.group(1), m.group(2), m.group(3)))
+      derivedWm.map(WatermarkDdl.exprTextOf)
         .orElse(if (st("WATERMARKS") == "EXCLUDING") None
                 else SystemTimeJoin.watermarkExprOf(baseName))
         .foreach(e => SystemTimeJoin.declareWatermarkExpr(name, e))
       out
-    case createRe(name, cols, partCols, propsBody) =>
+    case createRe(rawName, cols, partCols, propsBody) =>
+      val name = canonical(spark, rawName)
       val props = propRe.findAllMatchIn(propsBody)
         .map(m => m.group(1).toLowerCase -> m.group(2)).toMap
       require(props.get("connector").forall(_ == "filesystem"),
@@ -815,7 +1002,7 @@ object ConnectorTables {
           w.save(tbl.path)
         }
         // refresh the readable view over the now-written files
-        read(spark, tbl).createOrReplaceTempView(viewName(name))
+        refreshViews(spark, canonical(spark, name), read(spark, tbl))
         spark.emptyDataFrame
       }
     case _ => None

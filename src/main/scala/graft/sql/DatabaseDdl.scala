@@ -67,19 +67,29 @@ object DatabaseDdl {
   def run(spark: SparkSession, sql: String, native: String => DataFrame): DataFrame =
     sql match {
       case showTablesRe() =>
-        native("SHOW TABLES").select(col("tableName").as("table name"))
-          .sort("table name")
+        // with a DDL-registered catalog current, list ONLY that
+        // catalog.database's registered tables — the reference's
+        // CatalogManager.listTables(currentCatalog, currentDatabase)
+        // (CatalogManager.java:430-454). Spark temp views stay
+        // session-global and out of the namespaced listing (documented
+        // divergence in CatalogDdl's scaladoc).
+        CatalogDdl.currentNamespace(spark).map { case (cat, db) =>
+          import spark.implicits._
+          ConnectorTables.listNamespace(spark, cat, db).sorted.toDF("table name")
+        }.getOrElse(
+          native("SHOW TABLES").select(col("tableName").as("table name"))
+            .sort("table name"))
       case showViewsRe() =>
         native("SHOW VIEWS").select(col("viewName").as("view name"))
           .sort("view name")
       case showFunctionsRe() =>
         native("SHOW FUNCTIONS").select(col("function").as("function name"))
       case _ =>
-        // with a DDL-registered catalog current, its database list is just
-        // its default database (GenericInMemoryCatalog ships with one)
-        CatalogDdl.currentOverride(spark).map { c =>
+        // with a DDL-registered catalog current, list ITS databases in
+        // creation order (GenericInMemoryCatalog.listDatabases)
+        CatalogDdl.listDatabases(spark).map { dbs =>
           import spark.implicits._
-          Seq(c.defaultDatabase).toDF("database name")
+          dbs.toDF("database name")
         }.getOrElse(
           spark.catalog.listDatabases().select(col("name").as("database name")))
     }

@@ -63,16 +63,16 @@ object EmitStrategy {
     """(?i)\b(TUMBLE|HOP|SESSION|CUMULATE)\s*\(""".r.findFirstIn(probe).isDefined &&
       """(?i)\bGROUP\s+BY""".r.findFirstIn(probe).isDefined
 
-  private val shapeRe =
-    """(?is)\s*SELECT\s+(.*?)\s+FROM\s+(\w+)\s+GROUP\s+BY\s+TUMBLE\s*\(\s*(\w+)\s*,\s*INTERVAL\s+'(\d+)'\s+(\w+)\s*\)\s*(?:,\s*([\w\s,]+?))?\s*(ORDER\s+BY\s+.*)?""".r
+  private val shapeRe = new FlinkSql.Blanked(
+    """(?is)\s*SELECT\s+(.*?)\s+FROM\s+(\w+)\s+GROUP\s+BY\s+TUMBLE\s*\(\s*(\w+)\s*,\s*INTERVAL\s+'([^']*)'\s+(\w+)\s*\)\s*(?:,\s*([\w\s,]+?))?\s*(ORDER\s+BY\s+.*)?""".r)
   // Flink argument order: HOP(time, slide, size)
-  private val hopShapeRe =
-    """(?is)\s*SELECT\s+(.*?)\s+FROM\s+(\w+)\s+GROUP\s+BY\s+HOP\s*\(\s*(\w+)\s*,\s*INTERVAL\s+'(\d+)'\s+(\w+)\s*,\s*INTERVAL\s+'(\d+)'\s+(\w+)\s*\)\s*(?:,\s*([\w\s,]+?))?\s*(ORDER\s+BY\s+.*)?""".r
-  private val sessionShapeRe =
-    """(?is)\s*SELECT\s+(.*?)\s+FROM\s+(\w+)\s+GROUP\s+BY\s+SESSION\s*\(\s*(\w+)\s*,\s*INTERVAL\s+'(\d+)'\s+(\w+)\s*\)\s*(?:,\s*([\w\s,]+?))?\s*(ORDER\s+BY\s+.*)?""".r
+  private val hopShapeRe = new FlinkSql.Blanked(
+    """(?is)\s*SELECT\s+(.*?)\s+FROM\s+(\w+)\s+GROUP\s+BY\s+HOP\s*\(\s*(\w+)\s*,\s*INTERVAL\s+'([^']*)'\s+(\w+)\s*,\s*INTERVAL\s+'([^']*)'\s+(\w+)\s*\)\s*(?:,\s*([\w\s,]+?))?\s*(ORDER\s+BY\s+.*)?""".r)
+  private val sessionShapeRe = new FlinkSql.Blanked(
+    """(?is)\s*SELECT\s+(.*?)\s+FROM\s+(\w+)\s+GROUP\s+BY\s+SESSION\s*\(\s*(\w+)\s*,\s*INTERVAL\s+'([^']*)'\s+(\w+)\s*\)\s*(?:,\s*([\w\s,]+?))?\s*(ORDER\s+BY\s+.*)?""".r)
   // CUMULATE(time, step, max) — the cumulative-window TVF argument order
-  private[sql] val cumShapeRe =
-    """(?is)\s*SELECT\s+(.*?)\s+FROM\s+(\w+)\s+GROUP\s+BY\s+CUMULATE\s*\(\s*(\w+)\s*,\s*INTERVAL\s+'(\d+)'\s+(\w+)\s*,\s*INTERVAL\s+'(\d+)'\s+(\w+)\s*\)\s*(?:,\s*([\w\s,]+?))?\s*(ORDER\s+BY\s+.*)?""".r
+  private[sql] val cumShapeRe = new FlinkSql.Blanked(
+    """(?is)\s*SELECT\s+(.*?)\s+FROM\s+(\w+)\s+GROUP\s+BY\s+CUMULATE\s*\(\s*(\w+)\s*,\s*INTERVAL\s+'([^']*)'\s+(\w+)\s*,\s*INTERVAL\s+'([^']*)'\s+(\w+)\s*\)\s*(?:,\s*([\w\s,]+?))?\s*(ORDER\s+BY\s+.*)?""".r)
   private val tumbleStartRe =
     """(?is)^(?:TUMBLE_START|HOP_START|SESSION_START|CUMULATE_START)\s*\(.*?\)\s+AS\s+(\w+)$""".r
   private val cumEndRe =
@@ -472,8 +472,6 @@ object CumulateSql {
     """(?i)\bCUMULATE\s*\(""".r.findFirstIn(probe).isDefined &&
       """(?i)\bGROUP\s+BY\s+CUMULATE\s*\(""".r.findFirstIn(probe).isDefined
 
-  private val startRe = """(?is)\bCUMULATE_START\s*\([^)]*\)""".r
-  private val endRe = """(?is)\bCUMULATE_END\s*\([^)]*\)""".r
 
   def run(session: SparkSession, sql: String): DataFrame = sql match {
     case EmitStrategy.cumShapeRe(select, table, tsCol, stepN, stepU, maxN, maxU,
@@ -497,9 +495,11 @@ object CumulateSql {
           .drop("fire_time", "is_final")
       }
       val uts = s"unix_micros(cast($tsCol as timestamp))"
-      val items = startRe.replaceAllIn(
-        endRe.replaceAllIn(select, "timestamp_micros(__we)"),
-        "timestamp_micros(__ws)")
+      // blanked-located call rewrite: CUMULATE_START/END inside a string
+      // literal in the select list stays a literal (family-30 discipline)
+      val items = FlinkSql.rewriteCalls(
+        FlinkSql.rewriteCalls(select, "CUMULATE_END", _ => "timestamp_micros(__we)"),
+        "CUMULATE_START", _ => "timestamp_micros(__ws)")
       val gTail = if (groupCols.isEmpty) "" else ", " + groupCols.mkString(", ")
       session.sql(
         s"""SELECT $items

@@ -65,7 +65,7 @@ object FlinkSql {
     * literal/comment-BLANKED text (offset-preserving), so a group-window
     * keyword inside a string literal or comment — `SELECT 'TUMBLE(...)'` —
     * is never rewritten (found by fuzz family 29). */
-  private def rewriteCalls(sql: String, name: String, f: Seq[String] => String): String = {
+  private[sql] def rewriteCalls(sql: String, name: String, f: Seq[String] => String): String = {
     val pat = ("""(?i)\b""" + name + """\s*\(""").r
     val sb = new StringBuilder
     var rest = sql
@@ -167,6 +167,36 @@ object FlinkSql {
     new String(out)
   }
 
+  /** Match `re` against the literal/comment-BLANKED text but slice every
+    * capture group from the ORIGINAL (blanking preserves offsets). The
+    * structural anchors of a front-end shape regex then can NOT be
+    * satisfied by keywords inside string literals or comments — e.g. a
+    * SELECT-list literal containing " FROM t GROUP BY TUMBLE(" no longer
+    * steals the FROM clause — while captured fragments (select lists,
+    * predicates) keep their literals intact for re-emission. The
+    * dispatch-safety discipline fuzz family 30 enforces on every
+    * text rewriter. Unanchored (findFirstMatchIn semantics). */
+  private[sql] def blankedMatch(re: scala.util.matching.Regex, sql: String)
+      : Option[IndexedSeq[String]] =
+    re.findFirstMatchIn(blankLiteralsAndComments(sql)).map { m =>
+      (1 to m.groupCount).map(i =>
+        if (m.start(i) < 0) null else sql.substring(m.start(i), m.end(i)))
+    }
+
+  /** [[blankedMatch]] packaged as an extractor, so a front-end shape regex
+    * keeps its `sql match { case shapeRe(groups...) => }` style while
+    * locating structure on blanked text and slicing groups from the
+    * original. FULL-match semantics, exactly like Scala's own
+    * Regex.unapplySeq. */
+  private[sql] class Blanked(re: scala.util.matching.Regex) {
+    def unapplySeq(sql: String): Option[List[String]] = {
+      val m = re.pattern.matcher(blankLiteralsAndComments(sql))
+      if (!m.matches()) None
+      else Some((1 to m.groupCount()).toList.map(i =>
+        if (m.start(i) < 0) null else sql.substring(m.start(i), m.end(i))))
+    }
+  }
+
   /** Parser delegate: MATCH_RECOGNIZE routes to the CEP front-end;
     * everything else is dialect-rewritten and handed to Spark's parser. */
   class Parser(session: SparkSession, delegate: ParserInterface) extends ParserInterface {
@@ -180,6 +210,9 @@ object FlinkSql {
       // VIEW still parses through the stock path below; only its
       // view → base-table edge is recorded here
       SystemTimeJoin.maybeRecordView(probe)
+      // DROP FUNCTION stays native but evicts the CREATE FUNCTION
+      // bookkeeping, so ALTER FUNCTION on a dropped name refuses
+      FunctionDdl.noteDrop(session, probe)
       if (FunctionDdl.matches(probe))
         // CREATE FUNCTION <name> AS '<GraftSqlFunction class>'; non-graft
         // classes (Hive-style DDL) fall through to the stock parser

@@ -275,6 +275,44 @@ object FlinkSqlQueries {
                FROM lineitem GROUP BY 1""")
       s.sql("SELECT flag, n, sum_qty FROM graft_mart.flag_stats ORDER BY flag")
     }),
+    // per-catalog object scoping (CatalogManager.qualifyIdentifier,
+    // CatalogManager.java:616-621): two DDL catalogs hold SAME-NAMED
+    // tables with different shapes; an unqualified CREATE/INSERT lands in
+    // the current catalog.database, a bare reference resolves through the
+    // current namespace, and a fully-qualified cat.db.t reads across
+    // catalogs — the round-15 namespace isolation, oracle-checked on data
+    "fsql_catalog_scoping" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      val root = s"target/sink_cache/${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
+        f.delete(): Unit
+      }
+      rm(new java.io.File(s"$root/cats_a")); rm(new java.io.File(s"$root/cats_b"))
+      s.sql("USE CATALOG spark_catalog")
+      s.sql("DROP CATALOG IF EXISTS scat_a"); s.sql("DROP CATALOG IF EXISTS scat_b")
+      s.sql("CREATE CATALOG scat_a WITH ('type' = 'generic_in_memory')")
+      s.sql("CREATE CATALOG scat_b WITH ('type' = 'generic_in_memory')")
+      s.sql("USE CATALOG scat_a")
+      s.sql(s"""CREATE TABLE mart (n_regionkey BIGINT, nations BIGINT)
+                WITH ('connector' = 'filesystem', 'path' = '$root/cats_a',
+                      'format' = 'parquet')""")
+      s.sql("""INSERT INTO mart
+               SELECT n_regionkey, count(*) AS nations FROM nation GROUP BY n_regionkey""")
+      s.sql("USE CATALOG scat_b")
+      s.sql(s"""CREATE TABLE mart (r_regionkey BIGINT, r_name STRING)
+                WITH ('connector' = 'filesystem', 'path' = '$root/cats_b',
+                      'format' = 'parquet')""")
+      s.sql("INSERT INTO mart SELECT r_regionkey, r_name FROM region")
+      // bare `mart` is scat_b's (the current namespace); scat_a's reads
+      // fully-qualified from here — cross-catalog resolution
+      val out = s.sql(
+        """SELECT m.r_name AS r_name, a.nations AS nations
+           FROM mart m JOIN scat_a.default.mart a ON m.r_regionkey = a.n_regionkey
+           ORDER BY r_name""")
+      s.sql("USE CATALOG spark_catalog")
+      out
+    }),
     // DESCRIBE with the reference's six-column result (name, type, null,
     // key, extras, watermark) — buildDescribeResult,
     // TableEnvironmentImpl.java:1098-1130: PRI(col) key rendering, computed
@@ -459,7 +497,10 @@ object FlinkSqlQueries {
       // analysis binds the UDF at spark.sql time, so `before` keeps the
       // vowel implementation even though it evaluates after the ALTER
       val before = s.sql("SELECT n_name, vowel_count(n_name) AS nv FROM nation")
-      s.sql("CREATE TEMPORARY FUNCTION mut_count AS 'graft.functions.VowelCountFn'")
+      // non-TEMPORARY create → a CATALOG function, the namespace ALTER
+      // FUNCTION resolves in (a temp-only name would refuse — the
+      // reference keeps the two namespaces separate)
+      s.sql("CREATE FUNCTION mut_count AS 'graft.functions.VowelCountFn'")
       s.sql("ALTER FUNCTION mut_count AS 'graft.functions.LetterCountFn'")
       val after = s.sql("SELECT n_name, mut_count(n_name) AS lv FROM nation")
       before.join(after, Seq("n_name")).orderBy("n_name")
@@ -1105,6 +1146,12 @@ object FlinkSqlQueries {
       """SELECT l_returnflag AS flag, count(*) AS n,
                 CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
          FROM lineitem GROUP BY 1 ORDER BY flag""",
+    "fsql_catalog_scoping" ->
+      """SELECT r.r_name AS r_name, x.nations AS nations
+         FROM region r
+         JOIN (SELECT n_regionkey, count(*) AS nations FROM nation GROUP BY 1) x
+           ON r.r_regionkey = x.n_regionkey
+         ORDER BY r_name""",
     // DESCRIBE is catalog metadata — the oracle is the literal six-column
     // frame the reference's buildDescribeResult would print for this DDL
     "fsql_describe" ->

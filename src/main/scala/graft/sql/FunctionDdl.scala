@@ -25,22 +25,31 @@ trait GraftSqlFunction {
   * .convertAlterFunction:460-478; executed in TableEnvironmentImpl
   * .alterCatalogFunction:1379-1402): the function re-registers under the
   * same name with the new class. The reference's refusal ladder is
-  * preserved verbatim — TEMPORARY SYSTEM → "Alter temporary system
+  * preserved — TEMPORARY SYSTEM → "Alter temporary system
   * function is not supported" (converter:462), TEMPORARY → "Alter
   * temporary catalog function is not supported" (:1384-1385), and altering
   * a function this DDL never created → FunctionNotExistException unless
-  * IF EXISTS. */
+  * IF EXISTS. Namespaces are separate like the reference's: a name created
+  * via CREATE TEMPORARY FUNCTION lives in the temp registry only, so a
+  * non-TEMPORARY ALTER on it refuses with FunctionNotExistException
+  * (Catalog.alterFunction never sees temp names), and DROP FUNCTION
+  * evicts the bookkeeping (see [[noteDrop]]). */
 object FunctionDdl {
 
   private val re =
-    """(?is)\s*CREATE\s+(?:OR\s+REPLACE\s+)?(?:TEMPORARY\s+)?(?:SYSTEM\s+)?FUNCTION\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)\s+AS\s+'([\w.$]+)'\s*(?:LANGUAGE\s+\w+\s*)?""".r
+    """(?is)\s*CREATE\s+(?:OR\s+REPLACE\s+)?(TEMPORARY\s+)?(?:SYSTEM\s+)?FUNCTION\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)\s+AS\s+'([\w.$]+)'\s*(?:LANGUAGE\s+\w+\s*)?""".r
   private val alterRe =
     """(?is)\s*ALTER\s+(TEMPORARY\s+SYSTEM\s+|TEMPORARY\s+)?FUNCTION\s+(?:(IF\s+EXISTS)\s+)?((?:\w+\.)*\w+)\s+AS\s+'([\w.$]+)'\s*(?:LANGUAGE\s+\w+\s*)?;?\s*""".r
+  private val dropRe =
+    """(?is)^\s*DROP\s+(?:TEMPORARY\s+)?(?:SYSTEM\s+)?FUNCTION\s+(?:IF\s+EXISTS\s+)?((?:\w+\.)*\w+)\s*;?\s*$""".r
 
-  /** session identity + function name → class name, recorded by CREATE so
-    * ALTER can distinguish "exists" from "never created here". */
+  /** session identity + function name → (class name, created TEMPORARY),
+    * recorded by CREATE so ALTER can distinguish "exists as a catalog
+    * function" / "temporary only" / "never created here" — the reference
+    * keeps temporary and catalog function namespaces separate
+    * (FunctionCatalog temp registry vs Catalog.alterFunction). */
   private val registered =
-    scala.collection.concurrent.TrieMap.empty[String, String]
+    scala.collection.concurrent.TrieMap.empty[String, (String, Boolean)]
 
   private def key(s: SparkSession, name: String) =
     s"${System.identityHashCode(s)}:${name.toLowerCase}"
@@ -56,18 +65,27 @@ object FunctionDdl {
   /** Some(empty DF) if handled; None → not a graft function class, let the
     * stock parser have the statement. */
   def tryRun(spark: SparkSession, sql: String): Option[DataFrame] = sql match {
-    case re(name, className) =>
+    case re(temp, name, className) =>
       val inst =
         try Class.forName(className).getDeclaredConstructor().newInstance()
         catch { case _: Throwable => return None }
       inst match {
         case f: GraftSqlFunction =>
           f.register(spark, name)
-          registered(key(spark, name)) = className
+          registered(key(spark, name)) = (className, temp != null)
           Some(spark.emptyDataFrame)
         case _ => None
       }
     case _ => None
+  }
+
+  /** DROP FUNCTION eviction hook — the statement itself stays native
+    * (Spark drops the UDF registration); this just forgets the CREATE
+    * bookkeeping so a later ALTER FUNCTION sees the function as gone. */
+  def noteDrop(spark: SparkSession, probe: String): Unit = probe match {
+    case dropRe(name) =>
+      registered.remove(key(spark, name.split("\\.").last)): Unit
+    case _ =>
   }
 
   /** ALTER FUNCTION — always handled once the shape matches (there is no
@@ -82,7 +100,11 @@ object FunctionDdl {
         case _ =>
       }
       val bare = name.split("\\.").last
-      if (!registered.contains(key(spark, bare))) {
+      // a non-TEMPORARY ALTER resolves in the CATALOG function namespace
+      // only — a name created via CREATE TEMPORARY FUNCTION is invisible
+      // to it (alterCatalogFunction goes to Catalog.alterFunction, which
+      // throws FunctionNotExistException for a temp-only name)
+      if (!registered.get(key(spark, bare)).exists(!_._2)) {
         if (ifExists == null)
           // FunctionNotExistException message shape
           throw new IllegalArgumentException(s"Function $name does not exist.")
@@ -95,7 +117,7 @@ object FunctionDdl {
         inst match {
           case f: GraftSqlFunction =>
             f.register(spark, bare) // spark.udf.register replaces in place
-            registered(key(spark, bare)) = className
+            registered(key(spark, bare)) = (className, false)
             spark.emptyDataFrame
           case _ => throw new IllegalArgumentException(
             s"ALTER FUNCTION $name: '$className' is not a GraftSqlFunction")

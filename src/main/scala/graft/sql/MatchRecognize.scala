@@ -85,14 +85,19 @@ object MatchRecognize {
     def partCols: Seq[String] = if (partitionCols.nonEmpty) partitionCols else Seq(partitionBy)
   }
 
-  private val mrRe =
-    """(?is)SELECT\s+(.*?)\s+FROM\s+(\w+)\s+MATCH_RECOGNIZE\s*\((.*)\)\s*(ORDER\s+BY.*)?""".r
+  // the statement shape matches on literal/comment-BLANKED text with
+  // groups sliced from the original (FlinkSql.Blanked), and every clause
+  // scan below runs through FlinkSql.blankedMatch the same way — a DEFINE
+  // predicate literal containing "PATTERN (" / "WITHIN INTERVAL ..." /
+  // "AFTER MATCH ..." can no longer steal a clause (fuzz family 30)
+  private val mrRe = new FlinkSql.Blanked(
+    """(?is)\s*SELECT\s+(.*?)\s+FROM\s+(\w+)\s+MATCH_RECOGNIZE\s*\((.*)\)\s*(ORDER\s+BY.*)?""".r)
   private val partRe = """(?is)PARTITION\s+BY\s+(\w+(?:\s*,\s*\w+)*)""".r
   private val ordRe = """(?is)ORDER\s+BY\s+(\w+)""".r
   private val skipRe =
     """(?is)AFTER\s+MATCH\s+SKIP\s+(PAST\s+LAST\s+ROW|TO\s+NEXT\s+ROW|TO\s+(FIRST|LAST)\s+(\w+))""".r
   private val patRe = """(?is)PATTERN\s*\(\s*([\w\s+*?{},]+?)\s*\)""".r
-  private val withinRe = """(?is)WITHIN\s+INTERVAL\s+'(\d+)'\s+(\w+)""".r
+  private val withinRe = """(?is)WITHIN\s+INTERVAL\s+'([^']*)'\s+(\w+)""".r
   private val defineRe = """(?is)DEFINE\s+(.*)$""".r
   private val measuresRe =
     """(?is)MEASURES\s+(.*?)\s+(?=ONE\s+ROW|ALL\s+ROWS|AFTER\s+MATCH|PATTERN\s*\()""".r
@@ -144,16 +149,19 @@ object MatchRecognize {
   }
 
   private def parseMeasures(body: String): Seq[Measure] = {
-    val clause = measuresRe.findFirstMatchIn(body).map(_.group(1)).getOrElse(return Nil)
-    // split on top-level commas (measure exprs may contain nested parens)
+    val clause = FlinkSql.blankedMatch(measuresRe, body).map(_.head).getOrElse(return Nil)
+    // split on top-level commas (measure exprs may contain nested parens
+    // and string literals — both respected)
     val items = {
       val out = Seq.newBuilder[String]
-      var depth = 0; var start = 0
+      var depth = 0; var start = 0; var inStr = false
       clause.zipWithIndex.foreach { case (c, i) =>
         c match {
-          case '(' => depth += 1
-          case ')' => depth -= 1
-          case ',' if depth == 0 => out += clause.substring(start, i).trim; start = i + 1
+          case '\'' => inStr = !inStr
+          case '(' if !inStr => depth += 1
+          case ')' if !inStr => depth -= 1
+          case ',' if depth == 0 && !inStr =>
+            out += clause.substring(start, i).trim; start = i + 1
           case _ =>
         }
       }
@@ -182,26 +190,34 @@ object MatchRecognize {
 
   def parse(sql: String): Spec = sql.trim match {
     case mrRe(select, table, body, tail) =>
-      val part = partRe.findFirstMatchIn(body).map(_.group(1))
+      val part = FlinkSql.blankedMatch(partRe, body).map(_.head)
         .getOrElse(throw new IllegalArgumentException("PARTITION BY required"))
-      val ord = ordRe.findFirstMatchIn(body).map(_.group(1))
+      val ord = FlinkSql.blankedMatch(ordRe, body).map(_.head)
         .getOrElse(throw new IllegalArgumentException("ORDER BY required"))
-      val skip = skipRe.findFirstMatchIn(body) match {
-        case Some(m) if m.group(2) != null =>
-          Cep.SkipToVar(m.group(3), m.group(2).equalsIgnoreCase("FIRST"))
-        case Some(m) if m.group(1).toUpperCase.startsWith("TO") => Cep.SkipToNextRow
+      val skip = FlinkSql.blankedMatch(skipRe, body) match {
+        case Some(g) if g(1) != null =>
+          Cep.SkipToVar(g(2), g(1).equalsIgnoreCase("FIRST"))
+        case Some(g) if g(0).toUpperCase.startsWith("TO") => Cep.SkipToNextRow
         case _ => Cep.SkipPastLastRow
       }
-      val pattern = patRe.findFirstMatchIn(body)
-        .map(m => parsePattern(m.group(1)))
+      val pattern = FlinkSql.blankedMatch(patRe, body)
+        .map(g => parsePattern(g.head))
         .getOrElse(throw new IllegalArgumentException("PATTERN required"))
-      val within = withinRe.findFirstMatchIn(body)
-        .map(m => m.group(1).toLong * unitMicros(m.group(2)))
+      val within = FlinkSql.blankedMatch(withinRe, body)
+        .map(g => g(0).toLong * unitMicros(g(1)))
         .getOrElse(Long.MaxValue)
-      val defBody = defineRe.findFirstMatchIn(body).map(_.group(1))
+      val defBody = FlinkSql.blankedMatch(defineRe, body).map(_.head)
         .getOrElse(throw new IllegalArgumentException("DEFINE required"))
-      // split "A AS pred, B AS pred" on top-level commas preceding "<var> AS"
-      val defPairs = defBody.split("""(?i),(?=\s*\w+\s+AS\s)""").map { d =>
+      // split "A AS pred, B AS pred" on top-level commas preceding
+      // "<var> AS" — cut points located on blanked text so a predicate
+      // literal containing ", X AS ..." stays one predicate
+      val defSplitRe = """(?i),(?=\s*\w+\s+AS\s)""".r
+      val defCuts = defSplitRe
+        .findAllMatchIn(FlinkSql.blankLiteralsAndComments(defBody)).map(_.start).toSeq
+      val defItems = (Seq(-1) ++ defCuts :+ defBody.length).sliding(2).map {
+        case Seq(a, b) => defBody.substring(a + 1, b)
+      }.toSeq
+      val defPairs = defItems.map { d =>
         val Array(name, pred) = d.trim.split("""(?i)\s+AS\s+""", 2)
         // strip the variable's own prefix: "A.col" → "col", then compile
         // PREV/NEXT row navigation onto lag/lead over the partition order
@@ -219,7 +235,8 @@ object MatchRecognize {
       }
       val defines = defPairs.map(p => (p._1, p._3)).toMap
       val rawDefines = defPairs.map(p => (p._1, p._2)).toMap
-      val allRows = """(?i)ALL\s+ROWS\s+PER\s+MATCH""".r.findFirstIn(body).isDefined
+      val allRows = """(?i)ALL\s+ROWS\s+PER\s+MATCH""".r
+        .findFirstIn(FlinkSql.blankLiteralsAndComments(body)).isDefined
       val partCols = part.split(",").map(_.trim).toSeq
       Spec(table, partCols.head, ord, skip, pattern, within, defines, rawDefines,
         parseMeasures(body), allRows, select.trim, Option(tail).getOrElse("").trim,

@@ -120,11 +120,15 @@ object SystemTimeJoin {
   def matches(sql: String): Boolean =
     """(?i)FOR\s+SYSTEM_TIME\s+AS\s+OF""".r.findFirstIn(sql).isDefined
 
-  private val stRe =
-    ("""(?is)SELECT\s+(.*?)\s+FROM\s+(\w+)(?:\s+(?:AS\s+)?(?!JOIN\b|LEFT\b)(\w+))?""" +
+  // statement shape located on literal/comment-BLANKED text, groups
+  // sliced from the original (FlinkSql.Blanked) — a SELECT-list literal
+  // containing " FROM a JOIN b FOR SYSTEM_TIME ..." cannot steal the
+  // clause (fuzz family 30)
+  private val stRe = new FlinkSql.Blanked(
+    ("""(?is)\s*SELECT\s+(.*?)\s+FROM\s+(\w+)(?:\s+(?:AS\s+)?(?!JOIN\b|LEFT\b)(\w+))?""" +
      """\s+(LEFT\s+)?JOIN\s+(\w+)(?:\s+(?:AS\s+)?(?!FOR\b)(\w+))?""" +
      """\s+FOR\s+SYSTEM_TIME\s+AS\s+OF\s+([\w.]+(?:\(\s*\))?)""" +
-     """\s+ON\s+(.*?)\s*((?:WHERE|ORDER|GROUP|LIMIT)\b.*)?""").r
+     """\s+ON\s+(.*?)\s*((?:WHERE|ORDER|GROUP|LIMIT)\b.*)?""").r)
   private val eqRe = """([\w.]+)\s*=\s*([\w.]+)""".r
 
   private def bare(c: String): String = c.split("\\.").last
@@ -155,7 +159,7 @@ object SystemTimeJoin {
     val nameRe = """(?is)^\s*,?\s*(\w+)\s+AS\s*\(""".r
     var main: Option[String] = None
     while (main.isEmpty) {
-      nameRe.findFirstMatchIn(rest) match {
+      nameRe.findFirstMatchIn(FlinkSql.blankLiteralsAndComments(rest)) match {
         case Some(m) =>
           val (body, after) = balanced(rest, m.end)
           runAny(spark, body).createOrReplaceTempView(m.group(1))
@@ -167,11 +171,15 @@ object SystemTimeJoin {
     runAny(spark, main.get.trim)
   }
 
-  /** `rest(openEnd-1) == '('`: returns (contents, text after the close). */
+  /** `rest(openEnd-1) == '('`: returns (contents, text after the close).
+    * Parens are counted on literal/comment-BLANKED text (lexer-faithful
+    * escapes), so a paren inside a string literal never unbalances the
+    * split; the returned slices are from the ORIGINAL. */
   private def balanced(rest: String, openEnd: Int): (String, String) = {
+    val b = FlinkSql.blankLiteralsAndComments(rest)
     var depth = 1; var i = openEnd
     while (depth > 0) {
-      rest.charAt(i) match {
+      b.charAt(i) match {
         case '(' => depth += 1
         case ')' => depth -= 1
         case _ =>
@@ -185,7 +193,7 @@ object SystemTimeJoin {
     * evaluated body; returns the rewritten statement (identity if none). */
   private def subqueryRewrite(spark: SparkSession, sql: String): String = {
     val fromRe = """(?is)\b(FROM|JOIN)\s*\(""".r
-    fromRe.findFirstMatchIn(sql) match {
+    fromRe.findFirstMatchIn(FlinkSql.blankLiteralsAndComments(sql)) match {
       case Some(m) =>
         val (body, after) = balanced(sql, m.end)
         val aliasRe = """(?is)^\s*(?:AS\s+)?(\w+)""".r

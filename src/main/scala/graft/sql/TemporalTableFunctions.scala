@@ -113,8 +113,11 @@ object TemporalTableFunctions {
   def matches(sql: String): Boolean =
     latHeadRe.findAllMatchIn(sql).exists(m => registry.contains(m.group(1).toLowerCase))
 
-  private val headRe =
-    """(?is)^\s*SELECT\s+(.*?)\s+FROM\s+(\w+)(?:\s+(?:AS\s+)?(\w+))?\s*,\s*(LATERAL\s+TABLE.*)$""".r
+  // located on literal/comment-BLANKED text, groups sliced from the
+  // original (FlinkSql.Blanked) — a SELECT-list literal containing
+  // ", LATERAL TABLE(" cannot steal the lateral head (fuzz family 30)
+  private val headRe = new FlinkSql.Blanked(
+    """(?is)^\s*SELECT\s+(.*?)\s+FROM\s+(\w+)(?:\s+(?:AS\s+)?(\w+))?\s*,\s*(LATERAL\s+TABLE.*)$""".r)
   private val latRe =
     ("""(?is)^LATERAL\s+TABLE\s*\(\s*(\w+)\s*\(\s*([\w.]+(?:\(\s*\))?)\s*\)\s*\)""" +
      """(?:\s+(?:AS\s+)?(\w+))?\s*(.*)$""").r
@@ -144,11 +147,20 @@ object TemporalTableFunctions {
           if (a.startsWith(",")) rest = a.drop(1).trim else { rest = a; done = true }
         case _ => done = true
       }
-      // WHERE conjunction + trailing clauses
-      val whereRe = """(?is)^WHERE\s+(.*?)\s*((?:ORDER|GROUP|LIMIT)\b.*)?$""".r
+      // WHERE conjunction + trailing clauses — clause boundary and AND
+      // cuts located on blanked text (a predicate literal containing
+      // " AND " or " ORDER" stays inside its conjunct)
+      val whereRe = new FlinkSql.Blanked(
+        """(?is)^WHERE\s+(.*?)\s*((?:ORDER|GROUP|LIMIT)\b.*)?$""".r)
       val (conjuncts, tail) = rest match {
         case whereRe(conds, t) =>
-          (conds.split("""(?i)\s+AND\s+""").toVector.map(_.trim), Option(t).getOrElse(""))
+          val cuts = """(?i)\s+AND\s+""".r
+            .findAllMatchIn(FlinkSql.blankLiteralsAndComments(conds)).toVector
+          var pos = 0
+          val parts = Vector.newBuilder[String]
+          cuts.foreach { c => parts += conds.substring(pos, c.start).trim; pos = c.end }
+          parts += conds.substring(pos).trim
+          (parts.result().filter(_.nonEmpty), Option(t).getOrElse(""))
         case "" => (Vector.empty[String], "")
         case t => (Vector.empty[String], t)
       }

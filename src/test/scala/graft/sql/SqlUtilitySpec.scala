@@ -691,8 +691,10 @@ class SqlUtilitySpec extends SparkSpec {
     assert(fns.count() > 100)
     // qualified/pattern SHOW forms stay native Spark
     assert(spark.sql("SHOW TABLES IN default").columns.length > 1)
+    // six-column DESCRIBE now covers every relation — a plain temp view
+    // renders its resolved schema with empty key/extras/watermark
     val desc = spark.sql("DESCRIBE util_probe_view").collect()
-    assert(desc.exists(r => r.getString(0) == "id" && r.getString(1) == "bigint"))
+    assert(desc.exists(r => r.getString(0) == "id" && r.getString(1) == "BIGINT"))
   }
 
   test("DESCRIBE on a connector table: the reference's six-column result in declaration order") {
@@ -748,6 +750,46 @@ class SqlUtilitySpec extends SparkSpec {
       Seq("name", "type", "null", "key", "extras", "watermark"))
     assert(q.collect().map(r => (r.getString(0), r.getString(1), r.getBoolean(2))).toSeq ==
       Seq(("x", "BIGINT", false), ("y", "STRING", true)))
+  }
+
+  test("DESCRIBE fidelity: derived nullability, ROW field-name case, every relation six-column") {
+    val dir = freshDir("descfid")
+    val s = spark
+    import s.implicits._
+    Seq((1L, 2L), (3L, 4L)).toDF("nn", "m").write.mode("overwrite").parquet(dir)
+    // a computed column over a NOT NULL physical column with a
+    // null-preserving expression derives NOT NULL — the reference renders
+    // the DERIVED type's isNullable() (TableEnvironmentImpl.java:1112-1117)
+    spark.sql(s"""CREATE TABLE desc_nn (
+                    nn BIGINT NOT NULL,
+                    m BIGINT,
+                    c AS CAST(nn AS BIGINT),
+                    cm AS m * 2
+                  ) WITH ('connector' = 'filesystem', 'path' = '$dir',
+                          'format' = 'parquet')""")
+    val byName = spark.sql("DESCRIBE desc_nn").collect()
+      .map(r => r.getString(0) -> r.getBoolean(2)).toMap
+    assert(byName("c") == false, "computed over NOT NULL must derive NOT NULL")
+    assert(byName("cm") == true, "computed over nullable stays nullable")
+    // declared-type rendering preserves identifier case inside ROW<...>
+    // (asSummaryString renders field names verbatim); keywords uppercase
+    assert(ConnectorTables.normType("row<name string, Age int>") ==
+      "ROW<name STRING, Age INT>")
+    assert(ConnectorTables.normType("map<string, row<`Quoted Id` double>>") ==
+      "MAP<STRING, ROW<`Quoted Id` DOUBLE>>")
+    assert(ConnectorTables.normType("decimal(10,2)") == "DECIMAL(10, 2)")
+    assert(ConnectorTables.normType("timestamp(3) with local time zone") ==
+      "TIMESTAMP(3) WITH LOCAL TIME ZONE")
+    // every relation DESCRIBEs six-column: temp views and native tables
+    spark.range(3).selectExpr("id", "CAST(id AS STRING) AS s")
+      .createOrReplaceTempView("desc_plain_v")
+    val v = spark.sql("DESCRIBE desc_plain_v")
+    assert(v.schema.fieldNames.toSeq ==
+      Seq("name", "type", "null", "key", "extras", "watermark"))
+    assert(v.collect().map(r => (r.getString(0), r.getString(1))).toSeq ==
+      Seq(("id", "BIGINT"), ("s", "STRING")))
+    // non-relation DESCRIBE spellings stay native Spark
+    assert(spark.sql("DESCRIBE FUNCTION abs").collect().nonEmpty)
   }
 
   test("ALTER TABLE SET keeps schema metadata: DESCRIBE unchanged after a property change") {
@@ -862,15 +904,118 @@ class SqlUtilitySpec extends SparkSpec {
     } finally spark.sql("USE CATALOG spark_catalog")
   }
 
+  test("per-catalog object scoping: two catalogs isolate same-named tables; USE switches resolution") {
+    val s = spark
+    val dirA = freshDir("catscopeA")
+    val dirB = freshDir("catscopeB")
+    // two same-named parquet tables with DIFFERENT schemas
+    locally {
+      import s.implicits._
+      Seq((1L, "alpha"), (2L, "beta")).toDF("id", "tag")
+        .write.mode("overwrite").parquet(dirA)
+      Seq((10L, 1.5), (20L, 2.5), (30L, 3.5)).toDF("id", "score")
+        .write.mode("overwrite").parquet(dirB)
+    }
+    try {
+      spark.sql("CREATE CATALOG scope_a WITH ('type' = 'generic_in_memory')")
+      spark.sql("CREATE CATALOG scope_b WITH ('type' = 'generic_in_memory')")
+      // unqualified CREATE lands in the CURRENT catalog.database
+      spark.sql("USE CATALOG scope_a")
+      spark.sql(s"CREATE TABLE items (id BIGINT, tag STRING) WITH " +
+        s"('connector' = 'filesystem', 'path' = '$dirA', 'format' = 'parquet')")
+      spark.sql("USE CATALOG scope_b")
+      spark.sql(s"CREATE TABLE items (id BIGINT, score DOUBLE) WITH " +
+        s"('connector' = 'filesystem', 'path' = '$dirB', 'format' = 'parquet')")
+      // SHOW TABLES lists only the current namespace's objects
+      assert(spark.sql("SHOW TABLES").collect().map(_.getString(0)).toSeq == Seq("items"))
+      // bare-name resolution follows the current catalog
+      assert(spark.sql("SELECT count(*) AS n FROM items").collect().head.getLong(0) == 3L)
+      assert(spark.table("items").schema.fieldNames.toSeq == Seq("id", "score"))
+      spark.sql("USE CATALOG scope_a")
+      assert(spark.sql("SELECT count(*) AS n FROM items").collect().head.getLong(0) == 2L)
+      assert(spark.table("items").schema.fieldNames.toSeq == Seq("id", "tag"))
+      // DESCRIBE resolves through the namespace too (declared list)
+      val d = spark.sql("DESCRIBE items").collect()
+      assert(d.map(_.getString(0)).toSeq == Seq("id", "tag"))
+      // fully-qualified cross-catalog reads work from any current catalog
+      val x = spark.sql(
+        """SELECT a.id, a.tag, b.score FROM scope_a.default.items a
+           JOIN scope_b.default.items b ON a.id * 10 = b.id ORDER BY a.id""").collect()
+      assert(x.map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq ==
+        Seq((1L, "alpha", 1.5), (2L, "beta", 2.5)))
+      // partial `db.t` resolves against the CURRENT catalog
+      assert(spark.sql("SELECT count(*) AS n FROM default.items").collect()
+        .head.getLong(0) == 2L)
+      // CREATE/USE DATABASE inside a DDL catalog; db-qualified create
+      spark.sql("CREATE DATABASE staging WITH ('owner' = 'graft')")
+      assert(spark.sql("SHOW DATABASES").collect().map(_.getString(0)).toSeq ==
+        Seq("default", "staging"))
+      val dup = intercept[Exception] { spark.sql("CREATE DATABASE staging") }
+      assert(dup.getMessage == "Database staging already exists in Catalog scope_a.")
+      spark.sql("CREATE DATABASE IF NOT EXISTS staging") // no-op
+      spark.sql("USE staging")
+      assert(spark.sql("SHOW CURRENT DATABASE").collect().head.getString(0) == "staging")
+      spark.sql(s"CREATE TABLE st_items (id BIGINT, tag STRING) WITH " +
+        s"('connector' = 'filesystem', 'path' = '$dirA', 'format' = 'parquet')")
+      assert(spark.sql("SHOW TABLES").collect().map(_.getString(0)).toSeq == Seq("st_items"))
+      // the default database's items is NOT visible unqualified from staging
+      assert(spark.sql("SHOW TABLES").collect().forall(_.getString(0) != "items"))
+      assert(spark.sql("SELECT count(*) AS n FROM default.items").collect()
+        .head.getLong(0) == 2L)
+      // creating into a db that does not exist is the reference's error
+      val noDb = intercept[Exception] {
+        spark.sql(s"CREATE TABLE nodb.t (id BIGINT) WITH " +
+          s"('connector' = 'filesystem', 'path' = '$dirA', 'format' = 'parquet')")
+      }
+      assert(noDb.getMessage == "Database nodb does not exist in Catalog scope_a.")
+      // DROP DATABASE: RESTRICT refuses a non-empty db, CASCADE drops it
+      val notEmpty = intercept[Exception] { spark.sql("USE default"); spark.sql("DROP DATABASE staging") }
+      assert(notEmpty.getMessage == "Database staging in catalog scope_a is not empty.")
+      spark.sql("DROP DATABASE staging CASCADE")
+      assert(spark.sql("SHOW DATABASES").collect().map(_.getString(0)).toSeq == Seq("default"))
+      val gone = intercept[Exception] { spark.sql("DROP DATABASE staging") }
+      assert(gone.getMessage == "Database staging does not exist in Catalog scope_a.")
+      // ALTER DATABASE on the in-memory catalog's db set
+      spark.sql("ALTER DATABASE default SET ('k' = 'v')")
+      // DROP CATALOG of the CURRENT catalog resets to the native catalog
+      // (divergence from the reference's dangling-name NPE, documented)
+      spark.sql("DROP CATALOG scope_a")
+      assert(spark.sql("SHOW CURRENT CATALOG").collect().head.getString(0) == "spark_catalog")
+      spark.sql("USE default") // native USE works again after the reset
+      // the other catalog's table is STILL readable fully-qualified
+      assert(spark.sql("SELECT count(*) AS n FROM scope_b.default.items").collect()
+        .head.getLong(0) == 3L)
+    } finally {
+      spark.sql("DROP CATALOG IF EXISTS scope_a")
+      spark.sql("DROP CATALOG IF EXISTS scope_b")
+      spark.sql("USE CATALOG spark_catalog")
+    }
+  }
+
   test("ALTER FUNCTION re-registers; the reference's temporary-function refusals") {
     val s = spark
     import s.implicits._
-    spark.sql("CREATE TEMPORARY FUNCTION alt_fn AS 'graft.functions.VowelCountFn'")
+    spark.sql("CREATE FUNCTION alt_fn AS 'graft.functions.VowelCountFn'")
     Seq("banana").toDF("w").createOrReplaceTempView("alt_words")
     assert(spark.sql("SELECT alt_fn(w) FROM alt_words").collect().head.getInt(0) == 3)
     // re-registration switches the implementation in place
     spark.sql("ALTER FUNCTION alt_fn AS 'graft.functions.LetterCountFn'")
     assert(spark.sql("SELECT alt_fn(w) FROM alt_words").collect().head.getInt(0) == 6)
+    // the namespaces are separate: a name created TEMPORARY is invisible
+    // to non-TEMPORARY ALTER (Catalog.alterFunction →
+    // FunctionNotExistException), and DROP FUNCTION evicts
+    spark.sql("CREATE TEMPORARY FUNCTION alt_tmp AS 'graft.functions.VowelCountFn'")
+    val eTmp = intercept[Exception] {
+      spark.sql("ALTER FUNCTION alt_tmp AS 'graft.functions.LetterCountFn'")
+    }
+    assert(eTmp.getMessage.contains("Function alt_tmp does not exist."))
+    // (the UDF registration itself is a Spark temp function either way —
+    // the TEMPORARY spelling is the native drop that reaches it)
+    spark.sql("DROP TEMPORARY FUNCTION IF EXISTS alt_fn")
+    val eDropped = intercept[Exception] {
+      spark.sql("ALTER FUNCTION alt_fn AS 'graft.functions.LetterCountFn'")
+    }
+    assert(eDropped.getMessage.contains("Function alt_fn does not exist."))
     // SqlToOperationConverter.convertAlterFunction:462
     val e1 = intercept[Exception] {
       spark.sql("ALTER TEMPORARY SYSTEM FUNCTION alt_fn AS 'graft.functions.LetterCountFn'")

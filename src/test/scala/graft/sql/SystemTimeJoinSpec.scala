@@ -55,6 +55,49 @@ class SystemTimeJoinSpec extends SparkSpec {
     assert(spark.table("wmd_fs_rates").count() == 2)
   }
 
+  test("arbitrary WATERMARK expressions: identity, composed intervals, non-constant rejection") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("wmexpr").toString
+    Seq((1L, new Timestamp(5000L), 1.0), (1L, new Timestamp(20000L), 2.0))
+      .toDF("rk", "rts", "rate").write.mode("overwrite").parquet(s"$dir/t")
+    def ddl(name: String, wmExpr: String): Unit = spark.sql(
+      s"""CREATE TABLE $name (
+            rk BIGINT, rts TIMESTAMP, rate DOUBLE,
+            WATERMARK FOR rts AS $wmExpr
+          ) WITH ('connector' = 'filesystem', 'path' = '$dir/t', 'format' = 'parquet')""")
+    // WATERMARK FOR ts AS ts — the 0-delay strictly-ascending spelling
+    // (parserImpls.ftl:512-549 admits any expression)
+    ddl("wme_id", "rts")
+    assert(SystemTimeJoin.watermarkOf("wme_id").contains(("rts", "0 seconds")))
+    // composed interval arithmetic: delay folds to a constant 30s
+    ddl("wme_comp", "rts - INTERVAL '1' MINUTE + INTERVAL '30' SECOND")
+    assert(SystemTimeJoin.watermarkOf("wme_comp").contains(("rts", "30000000 microseconds")))
+    // a cast wrapper is 0-delay
+    ddl("wme_cast", "CAST(rts AS TIMESTAMP)")
+    assert(SystemTimeJoin.watermarkOf("wme_cast").contains(("rts", "0 microseconds")))
+    // the view form takes general expressions too
+    spark.table("wme_id").createOrReplaceTempView("wme_src")
+    spark.sql(
+      """CREATE OR REPLACE TEMPORARY VIEW wme_v
+         WATERMARK FOR rts AS rts - INTERVAL '2' MINUTE + INTERVAL '1' MINUTE
+         AS SELECT * FROM wme_src""")
+    assert(SystemTimeJoin.watermarkOf("wme_v").contains(("rts", "60000000 microseconds")))
+    // non-constant offset (date_trunc) is NOT a bounded-delay watermark
+    val eNc = intercept[Exception] { ddl("wme_bad", "date_trunc('DAY', rts)") }
+    assert(eNc.getMessage.contains("not a constant offset"))
+    // an expression AHEAD of the rowtime can never be a watermark
+    val eAhead = intercept[Exception] { ddl("wme_ahead", "rts + INTERVAL '1' SECOND") }
+    assert(eAhead.getMessage.contains("runs AHEAD"))
+    // the structured interval family still renders the reference's
+    // catalog-serialized expression text (DESCRIBE watermark column)
+    ddl("wme_classic", "rts - INTERVAL '10' SECOND")
+    assert(SystemTimeJoin.watermarkExprOf("wme_classic")
+      .contains("`rts` - INTERVAL '10' SECOND"))
+    assert(SystemTimeJoin.watermarkExprOf("wme_comp")
+      .contains("`rts` - INTERVAL '1' MINUTE + INTERVAL '30' SECOND"))
+  }
+
   test("aliases + multi-key conjunction compose a struct as-of key") {
     val s = spark
     import s.implicits._
