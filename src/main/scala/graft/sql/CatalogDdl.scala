@@ -36,7 +36,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * tables) are session-global, not catalog-scoped — SHOW VIEWS and a bare
   * view reference behave the same under any current catalog. The reference
   * scopes temporary views per catalog.database too; Spark's temp-view layer
-  * has no namespace axis to hang that on.
+  * has no namespace axis to hang that on. FUNCTIONS registered via CREATE
+  * FUNCTION are likewise session-global (Spark's UDF registry has no
+  * catalog axis); the reference scopes catalog functions per
+  * catalog.database.
   *
   * DROP CATALOG of the CURRENT catalog: the reference's unregisterCatalog
   * (CatalogManager.java:202-212) removes the catalog but leaves

@@ -992,6 +992,48 @@ class SqlUtilitySpec extends SparkSpec {
     }
   }
 
+  test("cross-catalog composition: LIKE a namespaced base, qualified INSERT/DESCRIBE from outside") {
+    val s = spark
+    import s.implicits._
+    val dirBase = freshDir("xcatBase")
+    val dirDrv = freshDir("xcatDrv")
+    Seq((1L, "a", new java.sql.Timestamp(5000L)), (2L, "b", new java.sql.Timestamp(15000L)))
+      .toDF("id", "tag", "rts").write.mode("overwrite").parquet(dirBase)
+    try {
+      spark.sql("CREATE CATALOG xcat WITH ('type' = 'generic_in_memory')")
+      spark.sql("USE CATALOG xcat")
+      spark.sql(s"""CREATE TABLE xbase (
+                      id BIGINT NOT NULL, tag STRING, rts TIMESTAMP,
+                      PRIMARY KEY (id) NOT ENFORCED,
+                      WATERMARK FOR rts AS rts - INTERVAL '5' SECOND
+                    ) WITH ('connector' = 'filesystem', 'path' = '$dirBase',
+                            'format' = 'parquet')""")
+      spark.sql("USE CATALOG spark_catalog")
+      // LIKE with a fully-qualified cross-catalog base resolves through the
+      // namespace registry (CatalogManager.resolveCompoundIdentifier); bare
+      // LIKE defaults OPTIONS→OVERWRITING so the derived path wins, and
+      // everything else (schema/GENERATED/WATERMARKS/CONSTRAINTS) inherits
+      spark.sql(s"""CREATE TABLE xderived WITH ('path' = '$dirDrv')
+                    LIKE xcat.default.xbase""")
+      // inherited schema metadata: PK + watermark ride the LIKE
+      val d = spark.sql("DESCRIBE xderived").collect()
+        .map(r => (r.getString(0), r.getString(3), r.getString(5))).toSeq
+      assert(d.map(_._1) == Seq("id", "tag", "rts"))
+      assert(d.head._2 == "PRI(id)")
+      assert(d.last._3 == "`rts` - INTERVAL '5' SECOND")
+      // qualified INSERT into the namespaced table from OUTSIDE its catalog
+      spark.sql("INSERT INTO xcat.default.xbase SELECT 3, 'c', TIMESTAMP '1970-01-01 00:00:25'")
+      assert(spark.sql("SELECT count(*) AS n FROM xcat.default.xbase")
+        .collect().head.getLong(0) == 3L)
+      // DESCRIBE of the qualified name renders the declared six columns
+      val q = spark.sql("DESCRIBE xcat.default.xbase").collect()
+      assert(q.map(_.getString(0)).toSeq == Seq("id", "tag", "rts"))
+    } finally {
+      spark.sql("USE CATALOG spark_catalog")
+      spark.sql("DROP CATALOG IF EXISTS xcat")
+    }
+  }
+
   test("ALTER FUNCTION re-registers; the reference's temporary-function refusals") {
     val s = spark
     import s.implicits._
