@@ -218,7 +218,17 @@ class DdlCompositionFuzzSpec extends SparkSpec {
     var casesRun = 0; var errorsPredicted = 0; var mergesChecked = 0
     (0 until 3).foreach { si =>
       val r = new scala.util.Random(baseSeed + 280 + si)
-      (0 until 10).foreach { ci =>
+      // seed 2 runs its whole chain INSIDE a DDL-catalog namespace: every
+      // registration/lookup/LIKE/DESCRIBE/hint then goes through the
+      // (catalog, database, name) canonical keys and the bare-name mounts
+      // — the round-15 scoping machinery under the heaviest DDL path
+      val namespaced = si == 2
+      if (namespaced) {
+        spark.sql(s"DROP CATALOG IF EXISTS fz28cat_$si")
+        spark.sql(s"CREATE CATALOG fz28cat_$si WITH ('type' = 'generic_in_memory')")
+        spark.sql(s"USE CATALOG fz28cat_$si")
+      }
+      try (0 until 10).foreach { ci =>
         casesRun += 1
         var freshId = 0
         def fresh(): String = { freshId += 1; s"g${si}_${ci}_$freshId" }
@@ -281,7 +291,8 @@ class DdlCompositionFuzzSpec extends SparkSpec {
                     s"got ${tbl.computed}\nexp ${next.computed}")
                 assert(tbl.partitions == next.partitions,
                   s"family28 s$si c$ci h$hi partitions mismatch\nDDL: $ddl")
-                val gotWm = SystemTimeJoin.watermarkOf(name)
+                val gotWm = SystemTimeJoin.watermarkOf(
+                  ConnectorTables.canonical(spark, name))
                 assert(gotWm == next.wm,
                   s"family28 s$si c$ci h$hi watermark mismatch\nDDL: $ddl\n" +
                     s"got $gotWm exp ${next.wm}")
@@ -296,7 +307,8 @@ class DdlCompositionFuzzSpec extends SparkSpec {
                   s"family28 s$si c$ci h$hi DESCRIBE order mismatch\nDDL: $ddl\n" +
                     s"got $descNames\nexp ${next.declNames}")
                 // the readable view exists and the computed columns resolve
-                assert(spark.table(ConnectorTables.viewName(name)).count() == 2)
+                assert(spark.table(ConnectorTables.viewName(
+                  ConnectorTables.canonical(spark, name))).count() == 2)
                 model = next
                 prevName = name
             }
@@ -315,6 +327,9 @@ class DdlCompositionFuzzSpec extends SparkSpec {
               s"family28 s$si c$ci: OPTIONS hint leaked into the registration")
           } finally spark.conf.unset(OptionsHint.ConfKey)
         }
+      } finally if (namespaced) {
+        spark.sql("USE CATALOG spark_catalog")
+        spark.sql(s"DROP CATALOG fz28cat_$si")
       }
     }
     println(s"[fuzz] family28 cases=$casesRun merges=$mergesChecked errors=$errorsPredicted")
