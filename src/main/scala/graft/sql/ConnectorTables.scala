@@ -187,13 +187,17 @@ object ConnectorTables {
   // a greedy (.*) would swallow it and backtrack straight to WITH.
   // Table names may be database- or catalog-qualified (db.t / cat.db.t) —
   // see resolveQualified and canonical.
-  private val createRe =
-    """(?is)\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?((?:\w+\.){0,2}\w+)\s*\((.*?)\)\s*(?:PARTITIONED\s+BY\s*\(([^)]*)\)\s*)?WITH\s*\((.*?)\)\s*""".r
-  private val likeRe =
-    """(?is)\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?((?:\w+\.){0,2}\w+)\s*(?:\((.*?)\)\s*)?(?:PARTITIONED\s+BY\s*\(([^)]*)\)\s*)?WITH\s*\((.*?)\)\s*LIKE\s+((?:\w+\.){0,2}\w+)\s*(?:\(\s*(.*?)\s*\))?\s*;?\s*""".r
+  // statement shapes are located on literal/comment-BLANKED text with
+  // groups sliced from the original (FlinkSql.Blanked) — a prop VALUE
+  // containing ')' / 'WITH (' / 'LIKE x' can neither terminate a capture
+  // early nor steal a clause (fuzz family 30 discipline)
+  private val createRe = new FlinkSql.Blanked(
+    """(?is)\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?((?:\w+\.){0,2}\w+)\s*\((.*?)\)\s*(?:PARTITIONED\s+BY\s*\(([^)]*)\)\s*)?WITH\s*\((.*?)\)\s*""".r)
+  private val likeRe = new FlinkSql.Blanked(
+    """(?is)\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?((?:\w+\.){0,2}\w+)\s*(?:\((.*?)\)\s*)?(?:PARTITIONED\s+BY\s*\(([^)]*)\)\s*)?WITH\s*\((.*?)\)\s*LIKE\s+((?:\w+\.){0,2}\w+)\s*(?:\(\s*(.*?)\s*\))?\s*;?\s*""".r)
   // INSERT INTO|OVERWRITE t [PARTITION (p='v'[, ...])] SELECT ...
-  private val insertRe =
-    """(?is)\s*INSERT\s+(INTO|OVERWRITE)\s+(?:TABLE\s+)?((?:\w+\.){0,2}\w+)\s*(?:PARTITION\s*\(([^)]*)\)\s*)?(SELECT\s+.*|VALUES\s*\(.*)""".r
+  private val insertRe = new FlinkSql.Blanked(
+    """(?is)\s*INSERT\s+(INTO|OVERWRITE)\s+(?:TABLE\s+)?((?:\w+\.){0,2}\w+)\s*(?:PARTITION\s*\(([^)]*)\)\s*)?(SELECT\s+.*|VALUES\s*\(.*)""".r)
   private val propRe = """'([^']+)'\s*=\s*'([^']*)'""".r
   private val pkRe = """(?i)(?:CONSTRAINT\s+(\w+)\s+)?PRIMARY\s+KEY\s*\(([^)]*)\)""".r
 
@@ -307,11 +311,11 @@ object ConnectorTables {
   def matchesAlterOrDrop(probe: String): Boolean =
     """(?i)^\s*(ALTER|DROP)\s+TABLE\b""".r.findFirstIn(probe).isDefined
 
-  private val showPartsRe =
-    """(?is)^\s*SHOW\s+PARTITIONS\s+((?:\w+\.){0,2}\w+)\s*(?:PARTITION\s*\(([^)]*)\)\s*)?;?\s*$""".r
+  private val showPartsRe = new FlinkSql.Blanked(
+    """(?is)^\s*SHOW\s+PARTITIONS\s+((?:\w+\.){0,2}\w+)\s*(?:PARTITION\s*\(([^)]*)\)\s*)?;?\s*$""".r)
 
   def matchesShowPartitions(probe: String): Boolean =
-    showPartsRe.findFirstIn(probe).isDefined
+    showPartsRe.matches(probe)
 
   /** SHOW PARTITIONS t [PARTITION (partial spec)] on a registered
     * partitioned connector table — the reference's result shape: one
@@ -340,16 +344,16 @@ object ConnectorTables {
     case _ => None
   }
 
-  private val alterSetRe =
-    """(?is)\s*ALTER\s+TABLE\s+((?:\w+\.){0,2}\w+)\s+SET\s*\((.*)\)\s*""".r
-  private val alterAddConstraintRe =
-    """(?is)\s*ALTER\s+TABLE\s+((?:\w+\.){0,2}\w+)\s+ADD\s+(?:CONSTRAINT\s+(\w+)\s+)?(PRIMARY\s+KEY|UNIQUE)\s*\(([^)]*)\)\s*(NOT\s+ENFORCED)?\s*;?\s*""".r
-  private val alterDropConstraintRe =
-    """(?is)\s*ALTER\s+TABLE\s+((?:\w+\.){0,2}\w+)\s+DROP\s+CONSTRAINT\s+(\w+)\s*;?\s*""".r
-  private val alterRenameRe =
-    """(?is)\s*ALTER\s+TABLE\s+((?:\w+\.){0,2}\w+)\s+RENAME\s+TO\s+((?:\w+\.){0,2}\w+)\s*""".r
-  private val dropRe =
-    """(?is)\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?((?:\w+\.){0,2}\w+)\s*""".r
+  private val alterSetRe = new FlinkSql.Blanked(
+    """(?is)\s*ALTER\s+TABLE\s+((?:\w+\.){0,2}\w+)\s+SET\s*\((.*)\)\s*""".r)
+  private val alterAddConstraintRe = new FlinkSql.Blanked(
+    """(?is)\s*ALTER\s+TABLE\s+((?:\w+\.){0,2}\w+)\s+ADD\s+(?:CONSTRAINT\s+(\w+)\s+)?(PRIMARY\s+KEY|UNIQUE)\s*\(([^)]*)\)\s*(NOT\s+ENFORCED)?\s*;?\s*""".r)
+  private val alterDropConstraintRe = new FlinkSql.Blanked(
+    """(?is)\s*ALTER\s+TABLE\s+((?:\w+\.){0,2}\w+)\s+DROP\s+CONSTRAINT\s+(\w+)\s*;?\s*""".r)
+  private val alterRenameRe = new FlinkSql.Blanked(
+    """(?is)\s*ALTER\s+TABLE\s+((?:\w+\.){0,2}\w+)\s+RENAME\s+TO\s+((?:\w+\.){0,2}\w+)\s*""".r)
+  private val dropRe = new FlinkSql.Blanked(
+    """(?is)\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?((?:\w+\.){0,2}\w+)\s*""".r)
 
   /** ALTER TABLE ... SET (props) / RENAME TO / DROP TABLE on registered
     * connector tables (SqlAlterTableProperties.java:33,

@@ -189,6 +189,7 @@ object FlinkSql {
     * original. FULL-match semantics, exactly like Scala's own
     * Regex.unapplySeq. */
   private[sql] class Blanked(re: scala.util.matching.Regex) {
+    def matches(sql: String): Boolean = unapplySeq(sql).isDefined
     def unapplySeq(sql: String): Option[List[String]] = {
       val m = re.pattern.matcher(blankLiteralsAndComments(sql))
       if (!m.matches()) None

@@ -244,6 +244,37 @@ class DispatchSafetyFuzzSpec extends SparkSpec {
       }
     }
 
+    // --- connector DDL: hazard OPTION VALUES — a ')' or a front-end
+    // clause inside a property string must neither terminate the WITH
+    // capture early nor reroute the statement (the shape regexes match on
+    // blanked text and slice values from the original)
+    (0 until 3).foreach { si =>
+      val r = new scala.util.Random(baseSeed + 310 + si)
+      val hzd = Seq(
+        ") WITH (",
+        "x) PARTITIONED BY (y",
+        "LIKE zzz (INCLUDING ALL)",
+        " FROM t GROUP BY TUMBLE(ts, INTERVAL '1' MINUTE)".replace("'", ""),
+        "INSERT OVERWRITE q PARTITION (p = v)")(r.nextInt(5))
+      val dir = java.nio.file.Files.createTempDirectory(s"fz30ct$si").toString
+      spark.range(2).selectExpr("id", "CAST(id * 2.5 AS DOUBLE) AS v")
+        .write.mode("overwrite").parquet(dir)
+      val t = s"fz30_ct_$si"
+      spark.sql(s"""CREATE TABLE $t (id BIGINT, v DOUBLE)
+                    WITH ('connector' = 'filesystem', 'path' = '$dir',
+                          'format' = 'parquet', 'probe' = '$hzd')""")
+      val reg = ConnectorTables.lookup(spark, t).getOrElse(
+        fail(s"family30 connector hazard broke registration: $hzd"))
+      assert(reg.props("probe") == hzd, s"family30 option value corrupted: $hzd")
+      assert(spark.sql(s"SELECT count(*) AS n FROM $t").collect().head.getLong(0) == 2L)
+      // ALTER TABLE SET with the same hazard value
+      spark.sql(s"ALTER TABLE $t SET ('probe2' = '$hzd')")
+      assert(ConnectorTables.lookup(spark, t).get.props("probe2") == hzd,
+        s"family30 ALTER SET value corrupted: $hzd")
+      spark.sql(s"DROP TABLE $t")
+      checked += 2
+    }
+
     // --- WATERMARK DDL: a computed-column literal spelling a full
     // WATERMARK clause BEFORE the real one must neither hijack the
     // registration nor hide the computed column
@@ -264,6 +295,6 @@ class DispatchSafetyFuzzSpec extends SparkSpec {
     }
 
     println(s"[fuzz] family30 checked=$checked")
-    assert(checked >= 17)
+    assert(checked >= 23)
   }
 }
