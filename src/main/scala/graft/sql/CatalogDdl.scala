@@ -64,13 +64,17 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object CatalogDdl {
 
-  private[sql] case class Cat(props: Map[String, String]) {
+  private[sql] case class Cat(name: String, props: Map[String, String]) {
     def defaultDatabase: String = props.getOrElse("default-database", "default")
-    /** database name (lowercased) → properties, in creation order — the
-      * reference's GenericInMemoryCatalog LinkedHashMap, seeded with the
-      * default database (GenericInMemoryCatalog.java:72-76). */
-    val databases: scala.collection.mutable.LinkedHashMap[String, Map[String, String]] =
-      scala.collection.mutable.LinkedHashMap(defaultDatabase.toLowerCase -> Map.empty[String, String])
+    /** lowercased database name → (spelled name, properties), in creation
+      * order — the reference's GenericInMemoryCatalog LinkedHashMap,
+      * seeded with the default database
+      * (GenericInMemoryCatalog.java:72-76). Spelled names are kept so
+      * SHOW DATABASES/SHOW CURRENT DATABASE render the case the user
+      * declared, like the reference. */
+    val databases: scala.collection.mutable.LinkedHashMap[String, (String, Map[String, String])] =
+      scala.collection.mutable.LinkedHashMap(
+        defaultDatabase.toLowerCase -> (defaultDatabase, Map.empty[String, String]))
   }
 
   /** (session identity, catalog name) → catalog; session-keyed like
@@ -90,8 +94,9 @@ object CatalogDdl {
   private[sql] def currentOverride(spark: SparkSession): Option[Cat] =
     current.get(skey(spark)).flatMap(c => catalogs.get(key(spark, c._1)))
 
+  /** Current catalog's SPELLED name (the case the user declared). */
   private[sql] def currentOverrideName(spark: SparkSession): Option[String] =
-    current.get(skey(spark)).map(_._1)
+    currentOverride(spark).map(_.name)
 
   /** The (catalog, database) namespace that identifier resolution runs in,
     * while a DDL-registered catalog is current — the repo's
@@ -167,7 +172,7 @@ object CatalogDdl {
               "(only 'generic_in_memory' is available without extra jars)")
         if (catalogs.contains(key(spark, name)))
           throw new IllegalArgumentException(s"Catalog $name already exists.")
-        catalogs.put(key(spark, name), Cat(props)): Unit
+        catalogs.put(key(spark, name), Cat(name, props)): Unit
         spark.emptyDataFrame
       case dropRe(ifExists, name) =>
         if (catalogs.remove(key(spark, name)).isEmpty && ifExists == null)
@@ -184,7 +189,8 @@ object CatalogDdl {
         val (cat, _) = ns.get
         if (!databaseExists(spark, cat, db))
           throw new IllegalArgumentException(
-            s"A database with name [$db] does not exist in the catalog: [$cat].")
+            s"A database with name [$db] does not exist in the catalog: " +
+              s"[${catalogs(key(spark, cat)).name}].")
         current(skey(spark)) = (cat, db.toLowerCase)
         ConnectorTables.remount(spark)
         spark.emptyDataFrame
@@ -193,12 +199,12 @@ object CatalogDdl {
         if (cat.databases.contains(db.toLowerCase)) {
           if (ifNotExists == null) // DatabaseAlreadyExistException message
             throw new IllegalArgumentException(
-              s"Database $db already exists in Catalog ${ns.get._1}.")
+              s"Database $db already exists in Catalog ${cat.name}.")
         } else {
           val props = Option(propsBody).map(b =>
             propRe.findAllMatchIn(b).map(m => m.group(1).toLowerCase -> m.group(2)).toMap)
             .getOrElse(Map.empty)
-          cat.databases(db.toLowerCase) = props
+          cat.databases(db.toLowerCase) = (db, props)
         }
         spark.emptyDataFrame
       case dropDbRe(ifExists, db, mode) if ns.isDefined =>
@@ -207,14 +213,14 @@ object CatalogDdl {
         if (!cat.databases.contains(db.toLowerCase)) {
           if (ifExists == null) // DatabaseNotExistException message
             throw new IllegalArgumentException(
-              s"Database $db does not exist in Catalog $catName.")
+              s"Database $db does not exist in Catalog ${cat.name}.")
         } else {
           val members = ConnectorTables.listNamespace(spark, catName, db)
           if (members.nonEmpty && !"CASCADE".equalsIgnoreCase(Option(mode).getOrElse("")))
             // DatabaseNotEmptyException message (RESTRICT is the default,
             // SqlDropDatabase grammar)
             throw new IllegalArgumentException(
-              s"Database $db in catalog $catName is not empty.")
+              s"Database $db in catalog ${cat.name} is not empty.")
           members.foreach(t =>
             ConnectorTables.dropNamespaced(spark, catName, db, t))
           cat.databases.remove(db.toLowerCase): Unit
@@ -225,12 +231,13 @@ object CatalogDdl {
         val cat = catalogs(key(spark, catName))
         if (!cat.databases.contains(db.toLowerCase))
           throw new IllegalArgumentException(
-            s"Database $db does not exist in Catalog $catName.")
+            s"Database $db does not exist in Catalog ${cat.name}.")
         val props = propRe.findAllMatchIn(propsBody)
           .map(m => m.group(1).toLowerCase -> m.group(2)).toMap
         // AlterDatabaseOperation replaces matching keys on the existing
         // CatalogDatabase (GenericInMemoryCatalog.alterDatabase)
-        cat.databases(db.toLowerCase) = cat.databases(db.toLowerCase) ++ props
+        val (spelled, old) = cat.databases(db.toLowerCase)
+        cat.databases(db.toLowerCase) = (spelled, old ++ props)
         spark.emptyDataFrame
       case useRe(name) =>
         if (catalogs.contains(key(spark, name))) {
@@ -259,15 +266,17 @@ object CatalogDdl {
         // listCatalogs() (TableEnvironmentImpl.java:513-518 .sorted())
         val nativeNames = native("SHOW CATALOGS").collect().map(_.getString(0)).toSeq
         val prefix = s"${skey(spark)}:"
-        val ddlNames = catalogs.keys.filter(_.startsWith(prefix))
-          .map(_.stripPrefix(prefix)).toSeq
+        val ddlNames = catalogs.collect {
+          case (k, c) if k.startsWith(prefix) => c.name }.toSeq
         (nativeNames ++ ddlNames :+ "spark_catalog").distinct.sorted
           .toDF("catalog name")
       case _ if showCurrentCatRe.findFirstIn(sql).isDefined =>
         currentOverrideName(spark).map(Seq(_).toDF("current catalog name"))
           .getOrElse(native("SELECT current_catalog() AS `current catalog name`"))
       case _ if showCurrentDbRe.findFirstIn(sql).isDefined =>
-        currentNamespace(spark).map(n => Seq(n._2).toDF("current database name"))
+        currentNamespace(spark)
+          .map(n => Seq(catalogs(key(spark, n._1)).databases(n._2)._1)
+            .toDF("current database name"))
           .getOrElse(native("SELECT current_database() AS `current database name`"))
       case _ if descCatRe.findFirstIn(sql).isDefined =>
         // DESCRIBE CATALOG — parsed, never converted (no operation in the
@@ -284,5 +293,6 @@ object CatalogDdl {
     * DATABASES under an override (GenericInMemoryCatalog.listDatabases
     * preserves the LinkedHashMap order, default database first). */
   private[sql] def listDatabases(spark: SparkSession): Option[Seq[String]] =
-    currentNamespace(spark).map(n => catalogs(key(spark, n._1)).databases.keys.toSeq)
+    currentNamespace(spark).map(n =>
+      catalogs(key(spark, n._1)).databases.values.map(_._1).toSeq)
 }

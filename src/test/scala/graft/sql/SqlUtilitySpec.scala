@@ -992,6 +992,67 @@ class SqlUtilitySpec extends SparkSpec {
     }
   }
 
+  test("catalog/database names keep their SPELLED case in SHOW results; resolution stays case-insensitive") {
+    try {
+      spark.sql("CREATE CATALOG MixedCase WITH ('type' = 'generic_in_memory', " +
+        "'default-database' = 'MyDb')")
+      spark.sql("USE CATALOG mixedcase") // resolution is case-insensitive
+      assert(spark.sql("SHOW CURRENT CATALOG").collect().head.getString(0) == "MixedCase")
+      assert(spark.sql("SHOW CURRENT DATABASE").collect().head.getString(0) == "MyDb")
+      spark.sql("CREATE DATABASE StagingX")
+      assert(spark.sql("SHOW DATABASES").collect().map(_.getString(0)).toSeq ==
+        Seq("MyDb", "StagingX"))
+      assert(spark.sql("SHOW CATALOGS").collect().map(_.getString(0)).contains("MixedCase"))
+      spark.sql("USE stagingx")
+      assert(spark.sql("SHOW CURRENT DATABASE").collect().head.getString(0) == "StagingX")
+    } finally {
+      spark.sql("USE CATALOG spark_catalog")
+      spark.sql("DROP CATALOG IF EXISTS MixedCase")
+    }
+  }
+
+  test("namespace shadowing: a session-global table shadowed by a namespaced same-name table is restored on exit") {
+    val s = spark
+    import s.implicits._
+    val dirG = freshDir("shadG"); val dirN = freshDir("shadN"); val dirN2 = freshDir("shadN2")
+    Seq((1L, "global")).toDF("id", "src").write.mode("overwrite").parquet(dirG)
+    Seq((1L, "ns_default"), (2L, "ns_default")).toDF("id", "src")
+      .write.mode("overwrite").parquet(dirN)
+    Seq((1L, "ns_staging"), (2L, "ns_staging"), (3L, "ns_staging")).toDF("id", "src")
+      .write.mode("overwrite").parquet(dirN2)
+    try {
+      // session-global registration first — the bare view reads the global data
+      spark.sql(s"CREATE TABLE shad_t (id BIGINT, src STRING) WITH " +
+        s"('connector' = 'filesystem', 'path' = '$dirG', 'format' = 'parquet')")
+      assert(spark.sql("SELECT count(*) AS n FROM shad_t").collect().head.getLong(0) == 1L)
+      spark.sql("CREATE CATALOG shad_cat WITH ('type' = 'generic_in_memory')")
+      spark.sql("USE CATALOG shad_cat")
+      spark.sql("CREATE DATABASE staging")
+      // a namespaced SAME-NAME table shadows the bare name while current
+      spark.sql(s"CREATE TABLE shad_t (id BIGINT, src STRING) WITH " +
+        s"('connector' = 'filesystem', 'path' = '$dirN', 'format' = 'parquet')")
+      assert(spark.sql("SELECT count(*) AS n FROM shad_t").collect().head.getLong(0) == 2L)
+      // USE <db> swaps the mounts: staging's own same-name table takes over
+      spark.sql("USE staging")
+      spark.sql(s"CREATE TABLE shad_t (id BIGINT, src STRING) WITH " +
+        s"('connector' = 'filesystem', 'path' = '$dirN2', 'format' = 'parquet')")
+      assert(spark.sql("SELECT count(*) AS n FROM shad_t").collect().head.getLong(0) == 3L)
+      spark.sql("USE default")
+      assert(spark.sql("SELECT count(*) AS n FROM shad_t").collect().head.getLong(0) == 2L)
+      // leaving the catalog RESTORES the shadowed session-global view
+      spark.sql("USE CATALOG spark_catalog")
+      val back = spark.sql("SELECT src FROM shad_t").collect().map(_.getString(0)).toSeq
+      assert(back == Seq("global"), s"legacy view not restored, got $back")
+      // the namespaced variants remain reachable fully-qualified
+      assert(spark.sql("SELECT count(*) AS n FROM shad_cat.staging.shad_t")
+        .collect().head.getLong(0) == 3L)
+    } finally {
+      spark.sql("USE CATALOG spark_catalog")
+      spark.sql("DROP CATALOG IF EXISTS shad_cat")
+      spark.sql("DROP TABLE IF EXISTS shad_t")
+    }
+  }
+
   test("cross-catalog composition: LIKE a namespaced base, qualified INSERT/DESCRIBE from outside") {
     val s = spark
     import s.implicits._
