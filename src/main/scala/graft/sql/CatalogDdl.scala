@@ -175,8 +175,14 @@ object CatalogDdl {
         catalogs.put(key(spark, name), Cat(name, props)): Unit
         spark.emptyDataFrame
       case dropRe(ifExists, name) =>
-        if (catalogs.remove(key(spark, name)).isEmpty && ifExists == null)
+        val removed = catalogs.remove(key(spark, name))
+        if (removed.isEmpty && ifExists == null)
           throw new IllegalArgumentException(s"Catalog $name does not exist.")
+        // the in-memory catalog's objects die with it — a later CREATE
+        // CATALOG of the same name starts empty, never resurrecting
+        // stale tables (GenericInMemoryCatalog holds its objects; DROP
+        // discards the instance)
+        if (removed.isDefined) ConnectorTables.dropCatalogNamespace(spark, name)
         // dropping the CURRENT catalog resets to Spark's native catalog
         // (the reference leaves currentCatalogName dangling and NPEs on
         // the next setCurrentDatabase — divergence documented above)

@@ -148,6 +148,24 @@ object ConnectorTables {
     b.result()
   }
 
+  /** Evict EVERY table registered under a catalog's namespaces — DROP
+    * CATALOG destroys the in-memory catalog and all its objects (the
+    * reference's GenericInMemoryCatalog simply ceases to exist); without
+    * this, re-creating a same-named catalog would resurrect stale tables. */
+  private[sql] def dropCatalogNamespace(spark: SparkSession, cat: String): Unit = {
+    val prefix = s"${skey(spark)}:@${cat.toLowerCase}."
+    val it = tables.keys()
+    val doomed = Seq.newBuilder[String]
+    while (it.hasMoreElements) {
+      val k = it.nextElement()
+      if (k.startsWith(prefix)) doomed += k
+    }
+    doomed.result().foreach { k =>
+      val parts = k.stripPrefix(s"${skey(spark)}:@").split("\\.")
+      dropNamespaced(spark, parts(0), parts(1), parts(2))
+    }
+  }
+
   /** Drop a namespaced table's registration and views (DROP DATABASE
     * CASCADE's per-table cleanup). */
   private[sql] def dropNamespaced(spark: SparkSession, cat: String, db: String,

@@ -992,6 +992,34 @@ class SqlUtilitySpec extends SparkSpec {
     }
   }
 
+  test("DROP CATALOG destroys the catalog's objects: a re-created same-name catalog starts empty") {
+    val s = spark
+    import s.implicits._
+    val dir = freshDir("catdrop")
+    Seq((1L, "x")).toDF("id", "tag").write.mode("overwrite").parquet(dir)
+    try {
+      spark.sql("CREATE CATALOG drop_cat WITH ('type' = 'generic_in_memory')")
+      spark.sql("USE CATALOG drop_cat")
+      spark.sql(s"CREATE TABLE dt (id BIGINT, tag STRING) WITH " +
+        s"('connector' = 'filesystem', 'path' = '$dir', 'format' = 'parquet')")
+      assert(spark.sql("SHOW TABLES").collect().map(_.getString(0)).toSeq == Seq("dt"))
+      spark.sql("USE CATALOG spark_catalog")
+      spark.sql("DROP CATALOG drop_cat")
+      // the in-memory catalog's objects died with it — the same name
+      // re-created is EMPTY and the old qualified reference is gone
+      spark.sql("CREATE CATALOG drop_cat WITH ('type' = 'generic_in_memory')")
+      spark.sql("USE CATALOG drop_cat")
+      assert(spark.sql("SHOW TABLES").collect().isEmpty,
+        "stale tables resurrected in a re-created catalog")
+      // the old qualified reference no longer resolves through the
+      // registry — it reaches Spark's native parser and fails there
+      intercept[Exception] { spark.sql("SELECT * FROM drop_cat.default.dt") }
+    } finally {
+      spark.sql("USE CATALOG spark_catalog")
+      spark.sql("DROP CATALOG IF EXISTS drop_cat")
+    }
+  }
+
   test("catalog/database names keep their SPELLED case in SHOW results; resolution stays case-insensitive") {
     try {
       spark.sql("CREATE CATALOG MixedCase WITH ('type' = 'generic_in_memory', " +
