@@ -280,8 +280,11 @@ object CatalogDdl {
         currentOverrideName(spark).map(Seq(_).toDF("current catalog name"))
           .getOrElse(native("SELECT current_catalog() AS `current catalog name`"))
       case _ if showCurrentDbRe.findFirstIn(sql).isDefined =>
+        // a DROPped-while-current database leaves the stored name dangling
+        // — report it like the reference's currentDatabaseName (no crash)
         currentNamespace(spark)
-          .map(n => Seq(catalogs(key(spark, n._1)).databases(n._2)._1)
+          .map(n => Seq(catalogs(key(spark, n._1)).databases.get(n._2)
+              .map(_._1).getOrElse(n._2))
             .toDF("current database name"))
           .getOrElse(native("SELECT current_database() AS `current database name`"))
       case _ if descCatRe.findFirstIn(sql).isDefined =>

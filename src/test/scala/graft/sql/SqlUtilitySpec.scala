@@ -1014,6 +1014,19 @@ class SqlUtilitySpec extends SparkSpec {
       // the old qualified reference no longer resolves through the
       // registry — it reaches Spark's native parser and fails there
       intercept[Exception] { spark.sql("SELECT * FROM drop_cat.default.dt") }
+      // dropping the CURRENT database leaves the current name dangling
+      // (the reference's currentDatabaseName is not cleared); SHOW CURRENT
+      // DATABASE still reports it, and an unqualified CREATE then fails
+      // with the DatabaseNotExist error rather than crashing
+      spark.sql("CREATE DATABASE tmpdb")
+      spark.sql("USE tmpdb")
+      spark.sql("DROP DATABASE tmpdb")
+      assert(spark.sql("SHOW CURRENT DATABASE").collect().head.getString(0) == "tmpdb")
+      val eGone = intercept[Exception] {
+        spark.sql(s"CREATE TABLE ghost (id BIGINT) WITH " +
+          s"('connector' = 'filesystem', 'path' = '$dir', 'format' = 'parquet')")
+      }
+      assert(eGone.getMessage.contains("Database tmpdb does not exist"))
     } finally {
       spark.sql("USE CATALOG spark_catalog")
       spark.sql("DROP CATALOG IF EXISTS drop_cat")
