@@ -118,10 +118,14 @@ class DispatchSafetyFuzzSpec extends SparkSpec {
         i * 1.5)).toDF("user_id", "ts", "event_type", "v")
     ev.createOrReplaceTempView("fz30_ev")
 
-    def esc(p: String) = p.replace("'", "''")
+    // both lexer escape spellings must survive the blanked-match path;
+    // the mode is seeded per hazard (blankLiteralsAndComments honors both)
+    def escWith(r: scala.util.Random)(p: String): String =
+      if (r.nextBoolean()) p.replace("'", "''") else p.replace("'", "\\'")
 
     (0 until 3).foreach { si =>
       val r = new scala.util.Random(baseSeed + 300 + si)
+      val esc = escWith(r) _
 
       // --- group windows (plain rewrite path): hazard in the select list
       locally {
