@@ -522,6 +522,16 @@ object Dedup {
     // k seeds by deterministic LCG score over the full sampled id set
     // (ids only — the vector is fetched through the group representative);
     // TakeOrdered top-k, then the rank window runs over k rows only
+    // Intermediates below are cut with eager localCheckpoint, not persist:
+    // the Lloyd chain REUSES each stage several times (c1 twice in c2, dAsg
+    // three times in the pair search), so the composed logical tree grows
+    // exponentially — persist caches the DATA but every action still
+    // re-analyzes and canonicalizes the full tree, which measured 3-5 s of
+    // pure driver planning PER ACTION at sf0.1 (guide §3.3: huge plans make
+    // planning itself the bottleneck; truncate lineage). localCheckpoint
+    // collapses each stage to a LogicalRDD leaf; the checkpointed rows are
+    // per-stage O(k) or O(distinct vectors) — tiny at any scale relative to
+    // the corpus — and are GC-reclaimed when the query's references die.
     val seeds = members.filter(col("vec_id") % 2 === 0)
       .withColumn("score", (col("vec_id") * lit(1103515245L) + lit(12345L)) %
         lit(2147483648L))
@@ -530,7 +540,7 @@ object Dedup {
         Window.orderBy(col("score"), col("vec_id"))))
       .join(dvec.select(col("rep"), col("v").as("cv")), "rep")
       .select(col("rn"), col("vec_id").as("cid"), col("cv"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     val coarse = seeds.filter(col("rn") <= k1)
       .select(col("cid").as("ccid"), col("cv").as("ccv"))
     // frozen fine→coarse cell map from ORIGINAL seed positions; coarse
@@ -541,7 +551,7 @@ object Dedup {
       .agg(min(struct(d2(col("cv"), col("ccv")), col("ccid"))).as("m"))
       .select(col("cid"),
         when(col("rn") <= k1, col("cid")).otherwise(col("m.ccid")).as("cell"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     def assignCoarse(vecs: DataFrame): DataFrame =
       vecs.crossJoin(broadcast(coarse))
         .groupBy(col("vec_id"))
@@ -577,13 +587,18 @@ object Dedup {
         .select(col("cid"), coalesce(col("mv"), col("pv")).as("cv"))
     }
     val seeds0 = seeds.select(col("cid"), col("cv"))
-    val acS = assignCoarse(sampleD).persist(StorageLevel.MEMORY_AND_DISK)
+    val acS = assignCoarse(sampleD).localCheckpoint()
     val c1 = update(sampleD, assign(sampleD, seeds0, acS), seeds0)
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val c2 = update(sampleD, assign(sampleD, c1, acS), c1)
+      .localCheckpoint()
+    // c2 is consumed once, but uncut it would carry c1's tree twice into
+    // every downstream plan; dAsg is consumed THREE times (both pair-search
+    // sides + the self-close bound) — uncut, the assignment pass also
+    // EXECUTED three times
+    val c2 = update(sampleD, assign(sampleD, c1, acS), c1).localCheckpoint()
     // full-corpus assignment on distinct vectors; (rep, v, norm, cid)
     val dAsg = dvec.join(
       assign(dv, c2, assignCoarse(dv)).withColumnRenamed("vec_id", "rep"), "rep")
+      .localCheckpoint()
     // close DISTINCT-vector pairs within a fine cluster (both directions:
     // each group must see every close neighbor's rep)
     val crossBound = dAsg.as("x").join(dAsg.as("y"),
@@ -603,7 +618,7 @@ object Dedup {
     val thr = selfBound.join(crossBound, Seq("rep"), "left")
       .select(col("rep"), col("cid"),
         least(col("sb"), coalesce(col("cb"), lit(Long.MaxValue))).as("thr"))
-    releasing(tagged, dvec, seeds, cellmap, acS, c1) {
+    releasing(tagged, dvec) {
       members.join(thr, "rep")
         .filter(col("vec_id") <= col("thr"))
         .select(col("vec_id"), col("cid"))
