@@ -162,9 +162,15 @@ object Dedup {
   private val NumHashes = 16
   private val BandSize = 4 // → 4 bands
 
-  /** MinHash + LSH banding: sub-quadratic candidate generation, then exact
-    * Jaccard verification of candidates only. */
-  private def minhashLsh(s: SparkSession, dir: String): DataFrame = {
+  /** Rep-level MinHash-LSH core shared by [[minhashLsh]] (which expands
+    * pairs back to the member level) and [[closureLabels]] (which clusters
+    * — membership expansion distributes over transitive closure, so the
+    * closure never needs the expanded pair set at all).
+    *
+    * Returns (verified rep pairs (ri, rj, jaccard), members (doc_id, rep),
+    * sizes (rep, sz), caches for the caller to release). */
+  private def minhashVerified(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame, Seq[DataFrame]) = {
     // Docs with identical shingle arrays collapse to one representative
     // before the band self-join (the [[ngramJaccard]] discipline): the
     // minhash signature is a function of the shingle array alone, so every
@@ -220,6 +226,14 @@ object Dedup {
         (size(col("sh_i")) + size(col("sh_j")) - col("shared")))
       .filter(col("jaccard") >= 0.5)
       .select(col("i").as("ri"), col("j").as("rj"), col("jaccard"))
+    val sizes = d.select(col("doc_id").as("rep"), size(col("sh")).as("sz"))
+    (verified, members, sizes, Seq(all, shingled, bands0))
+  }
+
+  /** MinHash + LSH banding: sub-quadratic candidate generation, then exact
+    * Jaccard verification of candidates only. */
+  private def minhashLsh(s: SparkSession, dir: String): DataFrame = {
+    val (verified, members, sizes, caches) = minhashVerified(s, dir)
     // member expansion, hash-pinned on BOTH sides (see ngramJaccard: the
     // unpinned side becomes the stream side when the other broadcasts, and
     // both lineages can be tiny-partitioned at scale)
@@ -232,7 +246,6 @@ object Dedup {
               greatest(col("mi"), col("mj")).as("j"), col("jaccard"))
     // identical shingle sets: shared == sz, so jaccard == sz/(2sz−sz) == 1.0
     // with the exact expression shape the oracle evaluates per pair
-    val sizes = d.select(col("doc_id").as("rep"), size(col("sh")).as("sz"))
     val within = mem.select(col("rep"), col("doc_id").as("mi"))
       .join(mem.select(col("rep"), col("doc_id").as("mj")), "rep")
       .filter(col("mi") < col("mj"))
@@ -240,7 +253,7 @@ object Dedup {
       .withColumn("jaccard",
         col("sz").cast("double") / (col("sz") + col("sz") - col("sz")))
       .select(col("mi").as("i"), col("mj").as("j"), col("jaccard"))
-    releasing(all, shingled, bands0) {
+    releasing(caches: _*) {
       cross.unionByName(within)
         .select(col("i"), col("j"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy(col("i"), col("j"))
@@ -651,23 +664,31 @@ object Dedup {
     * [[clusters]] (adds sizes) and [[splitAssign]] (leakage-safe split
     * keys). */
   private def closureLabels(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.storage.StorageLevel
-    val pairs = minhashLsh(s, dir).select(col("i"), col("j"))
-    // the pair graph is orders of magnitude smaller than the corpus (it is
-    // the *verified near-duplicate* edge set), so the closure loop sizes its
-    // partitioning to the edge count rather than inheriting the session
-    // default — 32 reduce tasks over a few hundred rows is pure scheduling
-    // overhead, and at 10^9 pairs the same formula scales the loop back up.
-    // pairs is already materialized (minhashLsh counts it), so this count
-    // reads the cache.
-    val p = math.max(1, math.min(32, (pairs.count() * 2 / 100000L).toInt))
-    // hash(node) layout cached once: the superstep join broadcasts labels,
+    // Closure runs on the REPRESENTATIVE pair graph, not the member-expanded
+    // one: membership expansion distributes over transitive closure. Every
+    // group (docs sharing one shingle array) is internally complete with
+    // jaccard 1.0, so a member-level component is exactly a union of whole
+    // groups; its min doc_id is the min rep over the connected groups
+    // (rep(G) = min member of G by construction). Doc-level labels are
+    // therefore the rep-graph closure joined back through membership — the
+    // expansion join, the expanded pair materialization, and a closure loop
+    // quadratic in duplication depth are all skipped (r16; same result,
+    // proven by the unchanged dedup_clusters/split_leakage/audit oracles).
+    val (verified, members, _, caches) = minhashVerified(s, dir)
+    // eager checkpoint: the loop below takes many actions over this frame —
+    // truncate the LSH lineage once (guide §3.3) and size the loop's
+    // partitioning to the (tiny) edge count, not the session default
+    val repPairs = verified.select(col("ri").as("i"), col("rj").as("j"))
+      .localCheckpoint()
+    val p = math.max(1, math.min(32, (repPairs.count() * 2 / 100000L).toInt))
+    // hash(node) layout fixed once: the superstep join broadcasts labels,
     // so the neighbor-min pre-aggregate below runs with NO exchange (same
-    // discipline as graph/Graphs after round 4)
-    val und = pairs.union(pairs.select(col("j"), col("i")))
+    // discipline as graph/Graphs after round 4); localCheckpoint keeps the
+    // repartition's output partitioning in the LogicalRDD leaf
+    val und = repPairs.union(repPairs.select(col("j"), col("i")))
       .toDF("node", "nbr")
       .repartition(p, col("node"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     var labels = und.select(col("node")).distinct()
       .withColumn("label", col("node"))
       .localCheckpoint(eager = true)
@@ -694,8 +715,19 @@ object Dedup {
       last = sum2
       labels = next
     } finally s.conf.set(aqeKey, aqePrev)
-    und.unpersist(blocking = false)
-    labels
+    // membership expansion: a group joins its rep's component when the rep
+    // has a cross edge; a multi-member group with NO cross edge is still a
+    // component of its own (its within pairs are jaccard 1.0), labeled by
+    // its rep; a singleton group with no cross edge emits no pair and so
+    // carries no label — exactly the member-level node set
+    val gsz = members.groupBy(col("rep")).agg(count(lit(1)).as("gn"))
+    releasing(caches: _*) {
+      members.join(gsz, "rep")
+        .join(labels.withColumnRenamed("node", "rep"), Seq("rep"), "left")
+        .filter(col("label").isNotNull || col("gn") > 1)
+        .select(col("doc_id").as("node"),
+          coalesce(col("label"), col("rep")).as("label"))
+    }
   }
 
   /** Leakage-safe train/val/test split assignment: hashing raw doc_ids
