@@ -126,6 +126,15 @@ object GraftSession {
       // state ≫ heap — the StateScaleProbe drives it to 10 M keys.
       .config("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      // Changelog checkpointing: commit the per-batch DELTA instead of a
+      // full RocksDB snapshot zip per partition per micro-batch (snapshots
+      // still happen, asynchronously in maintenance). The default
+      // full-snapshot mode measured ~0.5-1 s of pure commit overhead per
+      // stateful micro-batch at 32 partitions even with KB-scale state
+      // (StreamFloorProbe r16), and at production state sizes snapshot-per-
+      // commit is the scale killer changelog mode exists to fix. Recovery
+      // semantics are unchanged (snapshot + changelog replay).
+      .config("spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
       // events.ts is parquet TIMESTAMP(NANOS) — read as long, see Tables.load
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")

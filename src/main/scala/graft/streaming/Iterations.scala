@@ -71,10 +71,15 @@ object Iterations {
         // edge-expanded messages to ONE proposal per destination before
         // they hit the channel — the written feedback is O(vertices), not
         // O(edges), per round (the batch Pregel's pre-aggregation)
+        // persist+count once: the old `isEmpty` probe followed by `write`
+        // executed the expansion join TWICE per round (r16; the loop pays
+        // this every superstep, so it halved the per-round batch work)
         val fb = batch.toDF().join(edges, col("node") === col("src"))
           .groupBy(col("dst").as("node"))
           .agg(min(col("label")).as("label"))
-        if (!fb.isEmpty) fb.write.mode("append").parquet(chan)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try { if (fb.count() > 0) fb.write.mode("append").parquet(chan) }
+        finally fb.unpersist(blocking = false)
       }
       .start()
     try q.processAllAvailable() finally q.stop()
