@@ -28,8 +28,22 @@ object Tables {
     * depending on the testdata generation. Normalize both to µs NTZ — the
     * documented TIMESTAMP(9)→TIMESTAMP(6) degradation from SURVEY.md §1.2
     * in the nanos case, an identity re-tag otherwise. */
+  /** (session identity, table path) → parquet schema. Schema inference runs
+    * a footer-reading Spark job per `spark.read.parquet` call; every query
+    * constructor calls [[load]] 1-4 times and the bench re-invokes each
+    * query, so the same static fixture footer was read thousands of times
+    * per run. Only the SCHEMA is memoized — the file index is rebuilt per
+    * call, so a regenerated dir is still re-listed; per-session key, so a
+    * rebuilt session re-infers. */
+  private val schemaCache = new java.util.concurrent.ConcurrentHashMap[
+    (Int, String), org.apache.spark.sql.types.StructType]()
+
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    val df = spark.read.parquet(path(sfDir, name))
+    val p = path(sfDir, name)
+    val schema = schemaCache.computeIfAbsent(
+      (System.identityHashCode(spark), p),
+      _ => spark.read.parquet(p).schema)
+    val df = spark.read.schema(schema).parquet(p)
     if (name == "events")
       df.schema("ts").dataType match {
         case org.apache.spark.sql.types.LongType =>

@@ -51,16 +51,15 @@ object Dedup {
       .select(col("keep_id"), col("n_copies"))
       .orderBy(col("keep_id"))
 
-  /** Distinct word-trigram shingles per doc, with per-doc set size.
-    * Persisted: both dedup queries reference it from several plan branches
-    * (sizes, both self-join sides), and it is tiny relative to the raw text
-    * (at 100 TB you would materialize it the same way — shingle once,
-    * join many). */
+  /** Distinct word-trigram shingles per doc, with per-doc set size. Not
+    * cached here: both consumers immediately derive the rep-tagged frame
+    * `all` from it and materialize THAT (shingle once, join many — the
+    * 100 TB discipline); a second cache of the same rows was pure extra
+    * storage (r16). */
   private def docShingles(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
       .select(col("doc_id"), array_distinct(shinglesOf(col("text"), MinTokens)).as("sh"))
       .filter(size(col("sh")) > 0)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
   /** Materialize the (small) pair result while the upstream caches are
     * alive, then release them — otherwise every dedup query leaves its
@@ -90,11 +89,14 @@ object Dedup {
     * within-group pairs share the full shingle set, so their jaccard is
     * sz/sz = 1.0 by the identical fp expression both engines evaluate. */
   private def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
-    val shingled = docShingles(s, dir)
-    val all = shingled
+    // eager localCheckpoint, not persist: `all` feeds members/d/sizes/ex and
+    // each re-appears several times in the final plan (both self-join sides,
+    // both expansion joins) — truncating to a LogicalRDD leaf keeps the one
+    // planning pass linear in the plan, not in subtree copies (guide §3.3)
+    val all = docShingles(s, dir)
       .withColumn("rep", min(col("doc_id")).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("sh"))))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     val members = all.select(col("doc_id"), col("rep"))
     val d = all.filter(col("doc_id") === col("rep"))
       .select(col("doc_id"), col("sh"))
@@ -152,7 +154,7 @@ object Dedup {
       .withColumn("jaccard",
         col("sz").cast("double") / (col("sz") + col("sz") - col("sz")))
       .select(col("mi").as("i"), col("mj").as("j"), col("jaccard"))
-    releasing(all, shingled) {
+    releasing() {
       cross.unionByName(within)
         .select(col("i"), col("j"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy(col("i"), col("j"))
@@ -182,11 +184,14 @@ object Dedup {
     // doc-level pair set (identical arrays ⇒ identical bands ⇒ within-group
     // pairs are always candidates, jaccard sz/(2sz−sz) = 1.0 in the same fp
     // shape the oracle evaluates).
-    val shingled = docShingles(s, dir)
-    val all = shingled
+    // eager localCheckpoint, not persist (guide §3.3): `all` re-appears in
+    // the final plan through members/d/sizes several times and `bands0`
+    // three times (hot-key filter + both self-join sides) — truncation keeps
+    // the single planning pass linear in the plan, not in subtree copies
+    val all = docShingles(s, dir)
       .withColumn("rep", min(col("doc_id")).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("sh"))))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     val members = all.select(col("doc_id"), col("rep"))
     val d = all.filter(col("doc_id") === col("rep"))
       .select(col("doc_id"), col("sh"))
@@ -195,15 +200,13 @@ object Dedup {
     val sig = d.select(
       col("doc_id"), col("sh"),
       call_function("minhash_sig", col("hs"), lit(NumHashes)).as("sig"))
-    // persisted: the hot-key filter and both self-join sides would otherwise
-    // recompute the whole hash→signature chain (4 band rows per doc — tiny)
     val bands0 = sig.select(col("doc_id"),
         explode(array((0 until NumHashes / BandSize).map { b =>
           struct(lit(b).as("band"),
             concat_ws("_", (0 until BandSize).map(r => col("sig")(b * BandSize + r)): _*).as("key"))
         }: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band"), col("bk.key"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     // band keys hit by a single rep produce no cross-cluster candidates —
     // prefilter them (within-cluster pairs never ride the band join at all)
     val hot = bands0.groupBy(col("band"), col("key"))
@@ -227,7 +230,7 @@ object Dedup {
       .filter(col("jaccard") >= 0.5)
       .select(col("i").as("ri"), col("j").as("rj"), col("jaccard"))
     val sizes = d.select(col("doc_id").as("rep"), size(col("sh")).as("sz"))
-    (verified, members, sizes, Seq(all, shingled, bands0))
+    (verified, members, sizes, Seq.empty)
   }
 
   /** MinHash + LSH banding: sub-quadratic candidate generation, then exact
@@ -295,8 +298,11 @@ object Dedup {
       .withColumn("th", transform(col("toks"), t => polyHash(t)))
     // bit j of the signature: majority vote of a per-bit rehash — one native
     // pass (SimHash63) instead of 63 interpreted aggregate() sweeps
+    // eager localCheckpoint (guide §3.3): sig re-appears in the final plan
+    // five times (distinct → bands ×2, both expansion sides, the
+    // within-cluster self-join ×2) — truncate once instead of replanning
     val sig = d.select(col("doc_id"), call_function("simhash63", col("th")).as("sig"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     val sigs = sig.select(col("sig")).distinct()
     val bands = sigs.select(col("sig"),
         explode(array(SimBandOffsets.zip(SimBandWidths).zipWithIndex.map {
@@ -331,7 +337,7 @@ object Dedup {
         col("x.sig") === col("y.sig") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("i"), col("y.doc_id").as("j"),
         lit(0).as("hamming"))
-    releasing(sig) {
+    releasing() {
       cross.unionAll(within).orderBy(col("i"), col("j"))
     }
   }
@@ -388,10 +394,13 @@ object Dedup {
     // are expanded back through membership at the end. The result set is
     // bit-identical (a signature is a function of the vector alone), so the
     // DuckDB oracle is unchanged.
+    // eager localCheckpoint (guide §3.3): tagged re-appears in the final
+    // plan through members/d many times; the count below doubles as its
+    // materializing read
     val tagged = Tables.load(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("rep", min(col("vec_id")).over(Window.partitionBy(col("v"))))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     val bb = bandBitsFor(tagged.count()) // full-corpus N (oracle parity)
     val members = tagged.select(col("vec_id"), col("rep"))
     val d = tagged.filter(col("vec_id") === col("rep"))
@@ -401,6 +410,8 @@ object Dedup {
       (call_function("dot_f64", col("v"), typedLit(planes(band * MaxBandBits + r))) > 0)
         .cast("long").as(s"b_${band}_$r")
     val sig = d.select(col("vec_id") +: bits: _*)
+    // checkpointed: both candidate self-join sides re-plan (and without a
+    // cut re-EXECUTE) the 4·bb signature dot products otherwise
     val bands = sig.select(col("vec_id"),
         explode(array((0 until NumBands).map { band =>
           struct(lit(band).as("band"),
@@ -408,6 +419,7 @@ object Dedup {
               .reduce(_ + _).as("bits"))
         }: _*)).as("bk"))
       .select(col("vec_id"), col("bk.band"), col("bk.bits"))
+      .localCheckpoint()
     val cand = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bits") === col("y.bits") &&
         col("x.vec_id") < col("y.vec_id"))
@@ -446,7 +458,7 @@ object Dedup {
       .filter(col("mi") < col("mj"))
       .join(selfOk, "rep")
       .select(col("mi").as("i"), col("mj").as("j"), col("cosine"))
-    releasing(tagged) {
+    releasing() {
       cross.unionByName(within)
         .select(col("i"), col("j"), round(col("cosine"), 6).as("cosine"))
         .orderBy(col("i"), col("j"))
