@@ -633,7 +633,12 @@ object MatchRecognize {
     val matchesDs = Cep.matchBatch(rows,
       Cep.Pattern(steps, spec.withinMs, spec.afterMatch),
       prePartitionedByKey = keyMapOpt.isEmpty)
+    // eagerly pinned: the MEASURES branch joins two derivations of this
+    // frame on __mid — uncut, the NFA scan executed once per side and the
+    // nondeterministic id relied on bit-identical re-execution; the
+    // checkpoint runs the NFA once and freezes the ids (r16)
     val m = matchesDs.toDF().withColumn("__mid", monotonically_increasing_id())
+      .localCheckpoint()
     val base = m.select(col("key").as("__pkey"), col("start_ts"), col("end_ts"),
       size(col("ids")).cast("long").as("n_rows"), col("__mid"), col("ids"), col("labels"))
     // restore the partition columns on a match-level frame (ONE ROW paths);

@@ -33,6 +33,21 @@ object QueryableState {
     * state the job maintains and an external reader queries. */
   private[streaming] case class UserAgg(n: Long, sumMicros: Long)
 
+  /** Run `body` (a state-WRITING job whose checkpoint will be point-read
+    * with [[getKvState]]) with per-version full RocksDB snapshots instead
+    * of the session default changelog commits: fine-grained replay
+    * (`snapshotStartBatchId`/`snapshotPartitionId`) loads a SNAPSHOT at the
+    * requested version, and under changelog checkpointing snapshots only
+    * appear via async maintenance — a short-lived job may have none at all.
+    * State declared queryable trades commit latency for read-side
+    * serveability, the same trade the reference's KV server makes. */
+  def withSnapshotCommits[T](s: SparkSession)(body: => T): T = {
+    val key = "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+    val prev = s.conf.get(key, "true")
+    s.conf.set(key, "false")
+    try body finally s.conf.set(key, prev)
+  }
+
   def qQueryableState(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val token = dir.replaceAll("[^a-zA-Z0-9]", "_")
@@ -45,17 +60,19 @@ object QueryableState {
     // the job: maintain the keyed state (asQueryableState registers the
     // descriptor; here the checkpoint IS the registration) — emissions go
     // to a noop sink, the STATE is the product
-    val q = rows.groupByKey(_._1)
-      .mapGroupsWithState[UserAgg, Long](GroupStateTimeout.NoTimeout()) {
-        case (key, it, st) =>
-          var cur = st.getOption.getOrElse(UserAgg(0L, 0L))
-          it.foreach(r => cur = UserAgg(cur.n + 1, cur.sumMicros + r._2))
-          st.update(cur)
-          key
-      }
-      .writeStream.outputMode("update").format("noop")
-      .option("checkpointLocation", ckpt).start()
-    try q.processAllAvailable() finally q.stop()
+    withSnapshotCommits(s) {
+      val q = rows.groupByKey(_._1)
+        .mapGroupsWithState[UserAgg, Long](GroupStateTimeout.NoTimeout()) {
+          case (key, it, st) =>
+            var cur = st.getOption.getOrElse(UserAgg(0L, 0L))
+            it.foreach(r => cur = UserAgg(cur.n + 1, cur.sumMicros + r._2))
+            st.update(cur)
+            key
+        }
+        .writeStream.outputMode("update").format("noop")
+        .option("checkpointLocation", ckpt).start()
+      try q.processAllAvailable() finally q.stop()
+    }
     // the external reader: a DIFFERENT job scans the keyed state
     // (QueryableStateClient.getKvState, but set-oriented)
     // state row schema: key = the grouping key struct, value.groupState =

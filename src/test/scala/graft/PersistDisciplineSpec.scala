@@ -31,11 +31,11 @@ class PersistDisciplineSpec extends AnyFunSuite {
   /** file (relative to src/main/scala/graft) -> expected persist/cache
     * call-site count, with the classification of each site. */
   private val classified: Map[String, Int] = Map(
-    // RELEASED ×1 (docShingles — callers release via `releasing`),
     // RESULT ×1 (releasing()'s out, registered at Dedup.scala:77),
-    // RELEASED ×12 (minhash/simhash/embedding/semantic intermediates, all
-    //   passed to `releasing(...)` or unpersisted in-query)
-    "pipeline/Dedup.scala" -> 14,
+    // RELEASED ×2 (semantic's tagged/dvec, passed to `releasing(...)`) —
+    //   the other former intermediates are eager localCheckpoints since
+    //   r16 (lineage truncation; reclaimed by the ContextCleaner)
+    "pipeline/Dedup.scala" -> 3,
     // RELEASED ×1 (lshTopK's vector cache `e`, unpersisted in-query),
     // RESULT ×1 (lshTopK's ranked result, registered at CorpusOps.scala:349)
     "pipeline/CorpusOps.scala" -> 2,
@@ -50,6 +50,10 @@ class PersistDisciplineSpec extends AnyFunSuite {
     // RELEASED ×2 (pagerank's `linked` layout, HITS' dst-keyed copy — both
     //   unpersisted at the end of their algorithm)
     "graph/Graphs.scala" -> 4,
+    // RELEASED ×1 (stream_iterate_components' per-round feedback frame:
+    //   persisted so count+write execute the expansion join once, then
+    //   unpersisted in the same foreachBatch round — r16)
+    "streaming/Iterations.scala" -> 1,
   )
 
   private def scalaFiles(dir: File): Seq[File] = {

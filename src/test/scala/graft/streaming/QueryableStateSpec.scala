@@ -17,22 +17,27 @@ class QueryableStateSpec extends SparkSpec {
     implicit val ctx = s.sqlContext
     val ckpt = java.nio.file.Files.createTempDirectory("qs_point").toString
     val in = MemoryStream[(Long, Long)]
-    val q = in.toDS().groupByKey(_._1)
-      .mapGroupsWithState[QueryableState.UserAgg, Long](GroupStateTimeout.NoTimeout()) {
-        case (key, it, st) =>
-          var cur = st.getOption.getOrElse(QueryableState.UserAgg(0L, 0L))
-          it.foreach(r => cur = QueryableState.UserAgg(cur.n + 1, cur.sumMicros + r._2))
-          st.update(cur)
-          key
-      }
-      .writeStream.outputMode("update").format("noop")
-      .option("checkpointLocation", ckpt).start()
-    try {
-      in.addData((0L until 40L).map(k => (k, k * 10)): _*)
-      q.processAllAvailable()
-      in.addData((0L until 40L).map(k => (k, 1L)): _*)
-      q.processAllAvailable()
-    } finally q.stop()
+    // snapshot commits, like every state writer whose checkpoint is
+    // point-read: fine-grained replay loads a per-version snapshot, which
+    // changelog mode only writes via async maintenance
+    QueryableState.withSnapshotCommits(s) {
+      val q = in.toDS().groupByKey(_._1)
+        .mapGroupsWithState[QueryableState.UserAgg, Long](GroupStateTimeout.NoTimeout()) {
+          case (key, it, st) =>
+            var cur = st.getOption.getOrElse(QueryableState.UserAgg(0L, 0L))
+            it.foreach(r => cur = QueryableState.UserAgg(cur.n + 1, cur.sumMicros + r._2))
+            st.update(cur)
+            key
+        }
+        .writeStream.outputMode("update").format("noop")
+        .option("checkpointLocation", ckpt).start()
+      try {
+        in.addData((0L until 40L).map(k => (k, k * 10)): _*)
+        q.processAllAvailable()
+        in.addData((0L until 40L).map(k => (k, 1L)): _*)
+        q.processAllAvailable()
+      } finally q.stop()
+    }
 
     val lookup = QueryableState.getKvState(s, ckpt, 17L)
     // the point read restricts the scan to the key's ONE state partition
