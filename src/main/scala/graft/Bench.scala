@@ -134,49 +134,76 @@ object Bench {
     // doubles a multi-minute query's cost; the default 2 stays the
     // steal-defended gate configuration
     val samples = sys.env.get("GRAFT_BENCH_SAMPLES").map(_.toInt).getOrElse(2)
-    val firstPass = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (name, _) => only.forall(_.contains(name)) }
-      .filter { case (name, _) =>
-        only.isDefined || isGateData || !gateOnly.contains(name) }
-      .map { case (name, fn) =>
-        val t = try {
-          val first = once(fn)
-          // a flake on the retry alone doesn't fail the query
-          if (samples < 2) first
-          else try math.min(first, once(fn)) catch { case _: Throwable => first }
-        } catch { case e: Throwable => // a crash must surface, not pose as a timing
-          errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(160)
-          0.0
-        }
-        name -> t
-      }
-    // CPU-steal defense, part 2: re-measure outliers once more and keep the
-    // min. Two triggers, each bounded to one extra execution per query:
-    //   (a) HISTORY drift — the min-of-2 exceeds 2x the committed time of
-    //       the same query at the same sf (and a 0.15s floor so micro-query
-    //       jitter isn't re-run). The r13 gate landed 25% high on exactly
-    //       this shape: dozens of small rows each 2-2.4x their stamped
-    //       time, none large enough for the old median rule, summing to a
-    //       phantom regression (`remeasured: 0` on a 365s run whose
-    //       same-day min-of-2 was 277s).
-    //   (b) no-history fallback — min-of-2 above 4x the set's median and a
-    //       0.5s floor (new queries / first run at an sf).
-    val timed = firstPass.collect { case (n, t) if t > 0 => t }.sorted
-    val median = if (timed.isEmpty) 0.0 else timed(timed.size / 2)
     var remeasured = 0
-    val results = firstPass.map { case (name, t) =>
-      val spiky = history.get(name) match {
-        case Some(h) => t > 2 * h && t > 0.15
-        case None => t > math.max(4 * median, 0.5)
-      }
-      if (!spiky || errors.contains(name)) name -> t
-      else {
-        remeasured += 1
-        val t2 = try math.min(t, once(SparkEntry.queries(name)))
-                 catch { case _: Throwable => t }
-        name -> t2
+    def measurePass(): Seq[(String, Double)] = {
+      val firstPass = SparkEntry.queries.toSeq.sortBy(_._1)
+        .filter { case (name, _) => only.forall(_.contains(name)) }
+        .filter { case (name, _) =>
+          only.isDefined || isGateData || !gateOnly.contains(name) }
+        .map { case (name, fn) =>
+          val t = try {
+            val first = once(fn)
+            // a flake on the retry alone doesn't fail the query
+            if (samples < 2) first
+            else try math.min(first, once(fn)) catch { case _: Throwable => first }
+          } catch { case e: Throwable => // a crash must surface, not pose as a timing
+            errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(160)
+            0.0
+          }
+          name -> t
+        }
+      // CPU-steal defense, part 2: re-measure outliers once more and keep the
+      // min. Two triggers, each bounded to one extra execution per query:
+      //   (a) HISTORY drift — the min-of-2 exceeds 2x the committed time of
+      //       the same query at the same sf (and a 0.15s floor so micro-query
+      //       jitter isn't re-run). The r13 gate landed 25% high on exactly
+      //       this shape: dozens of small rows each 2-2.4x their stamped
+      //       time, none large enough for the old median rule, summing to a
+      //       phantom regression (`remeasured: 0` on a 365s run whose
+      //       same-day min-of-2 was 277s).
+      //   (b) no-history fallback — min-of-2 above 4x the set's median and a
+      //       0.5s floor (new queries / first run at an sf).
+      val timed = firstPass.collect { case (n, t) if t > 0 => t }.sorted
+      val median = if (timed.isEmpty) 0.0 else timed(timed.size / 2)
+      firstPass.map { case (name, t) =>
+        val spiky = history.get(name) match {
+          case Some(h) => t > 2 * h && t > 0.15
+          case None => t > math.max(4 * median, 0.5)
+        }
+        if (!spiky || errors.contains(name)) name -> t
+        else {
+          remeasured += 1
+          val t2 = try math.min(t, once(SparkEntry.queries(name)))
+                   catch { case _: Throwable => t }
+          name -> t2
+        }
       }
     }
+    val pass1 = measurePass()
+    // CPU-steal defense, part 3 (r16, the r15 gate-window lesson): the
+    // per-row >2x rule cannot catch a UNIFORM noise window — the r15 gate
+    // landed a 1.13x median above its own same-code closing captures with
+    // zero rows tripping the row rule. If this FULL run's median per-query
+    // ratio against the committed same-sf map exceeds 1.10x, run the whole
+    // gate once more and keep the per-query min — the closing-capture
+    // min-across-runs discipline, automated and stamped (`gate_rerun`).
+    val medianRatio: Option[Double] = {
+      val ratios = pass1.collect {
+        case (n, t) if t > 0 && history.get(n).exists(_ > 0.05) => t / history(n)
+      }.sorted
+      if (ratios.size >= 20) Some(ratios(ratios.size / 2)) else None
+    }
+    var gateRerun = 0
+    val results =
+      if (only.isEmpty && medianRatio.exists(_ > 1.10)) {
+        gateRerun = 1
+        val byName = pass1.toMap
+        measurePass().map { case (n, t2) =>
+          val t1 = byName.getOrElse(n, t2)
+          n -> (if (t1 > 0 && t2 > 0) math.min(t1, t2)
+                else math.max(t1, t2)) // an errored pass (0.0) must not mask a timing
+        }
+      } else pass1
     def ms(v: Double): Double = math.rint(v * 1000) / 1000
     def jstr(s: String): String =
       "\"" + s.flatMap {
@@ -195,7 +222,7 @@ object Bench {
     // honest-cold — the two modes differ up to ~6x on fixture-heavy rows
     // (graph_adamic_adar sf10: 5.5 s cold vs 0.98 s min-of-2) and MUST
     // never be compared against each other (round-14 root-cause)
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_errors":${errors.size},"remeasured":$remeasured,"samples":$samples,"errors":$errJson,"queries":${qmap(results)},"sf":"$sfDir"}"""
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_errors":${errors.size},"remeasured":$remeasured,"samples":$samples,"gate_rerun":$gateRerun,"errors":$errJson,"queries":${qmap(results)},"sf":"$sfDir"}"""
     // BENCH_FULL.json is overwritten by every FULL run (a judge's re-run has
     // erased the driver's round map before it was committed), so each run
     // also writes a timestamped copy that later runs can't clobber —
@@ -220,7 +247,7 @@ object Bench {
       try stamped.println(full) finally stamped.close()
     } catch { case _: Throwable => }
     val head = results.filter { case (k, _) => headline.contains(k) }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_errors":${errors.size},"remeasured":$remeasured,"samples":$samples,"errors":$errJson,"queries":${qmap(head)},"detail":"BENCH_FULL.json","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_errors":${errors.size},"remeasured":$remeasured,"samples":$samples,"gate_rerun":$gateRerun,"errors":$errJson,"queries":${qmap(head)},"detail":"BENCH_FULL.json","sf":"$sfDir"}""")
     GraftSession.shutdown(spark)
   }
 }

@@ -133,6 +133,20 @@ object CatalogDdl {
   private val alterDbRe =
     """(?is)^\s*ALTER\s+DATABASE\s+(\w+)\s+SET\s+(?:DBPROPERTIES\s+)?\((.*)\)\s*;?\s*$""".r
 
+  // Blanked extractors (FlinkSql.Blanked): [[matches]] tests the BLANKED
+  // probe, so [[run]] must decide its branch on the same text — a literal
+  // hazard (COMMENT 'it''s') that blanks clean would otherwise pass matches
+  // and then miss every original-text regex, landing in the catch-all
+  // (ADVICE r15). Group contents are sliced from the ORIGINAL, so property
+  // values stay intact.
+  private val createB = new FlinkSql.Blanked(createRe)
+  private val dropB = new FlinkSql.Blanked(dropRe)
+  private val useB = new FlinkSql.Blanked(useRe)
+  private val useDbB = new FlinkSql.Blanked(useDbRe)
+  private val createDbB = new FlinkSql.Blanked(createDbRe)
+  private val dropDbB = new FlinkSql.Blanked(dropDbRe)
+  private val alterDbB = new FlinkSql.Blanked(alterDbRe)
+
   /** The statements this front-end owns. The database-DDL and bare-USE
     * shapes are owned only while a DDL-registered catalog is current —
     * [[run]] handles exactly this set (same predicates, so a captured
@@ -156,8 +170,9 @@ object CatalogDdl {
   def run(spark: SparkSession, sql: String, native: String => DataFrame): DataFrame = {
     import spark.implicits._
     val ns = currentNamespace(spark)
+    val probe = FlinkSql.blankLiteralsAndComments(sql)
     sql match {
-      case createRe(name, propsBody) =>
+      case createB(name, propsBody) =>
         val props = Option(propsBody).map(b =>
           propRe.findAllMatchIn(b).map(m => m.group(1).toLowerCase -> m.group(2)).toMap)
           .getOrElse(Map.empty)
@@ -174,7 +189,7 @@ object CatalogDdl {
           throw new IllegalArgumentException(s"Catalog $name already exists.")
         catalogs.put(key(spark, name), Cat(name, props)): Unit
         spark.emptyDataFrame
-      case dropRe(ifExists, name) =>
+      case dropB(ifExists, name) =>
         val removed = catalogs.remove(key(spark, name))
         if (removed.isEmpty && ifExists == null)
           throw new IllegalArgumentException(s"Catalog $name does not exist.")
@@ -191,7 +206,7 @@ object CatalogDdl {
           ConnectorTables.remount(spark)
         }
         spark.emptyDataFrame
-      case useDbRe(db) if ns.isDefined =>
+      case useDbB(db) if ns.isDefined =>
         val (cat, _) = ns.get
         if (!databaseExists(spark, cat, db))
           throw new IllegalArgumentException(
@@ -200,7 +215,7 @@ object CatalogDdl {
         current(skey(spark)) = (cat, db.toLowerCase)
         ConnectorTables.remount(spark)
         spark.emptyDataFrame
-      case createDbRe(ifNotExists, db, propsBody) if ns.isDefined =>
+      case createDbB(ifNotExists, db, propsBody) if ns.isDefined =>
         val cat = catalogs(key(spark, ns.get._1))
         if (cat.databases.contains(db.toLowerCase)) {
           if (ifNotExists == null) // DatabaseAlreadyExistException message
@@ -213,7 +228,7 @@ object CatalogDdl {
           cat.databases(db.toLowerCase) = (db, props)
         }
         spark.emptyDataFrame
-      case dropDbRe(ifExists, db, mode) if ns.isDefined =>
+      case dropDbB(ifExists, db, mode) if ns.isDefined =>
         val catName = ns.get._1
         val cat = catalogs(key(spark, catName))
         if (!cat.databases.contains(db.toLowerCase)) {
@@ -232,7 +247,7 @@ object CatalogDdl {
           cat.databases.remove(db.toLowerCase): Unit
         }
         spark.emptyDataFrame
-      case alterDbRe(db, propsBody) if ns.isDefined =>
+      case alterDbB(db, propsBody) if ns.isDefined =>
         val catName = ns.get._1
         val cat = catalogs(key(spark, catName))
         if (!cat.databases.contains(db.toLowerCase))
@@ -245,7 +260,7 @@ object CatalogDdl {
         val (spelled, old) = cat.databases(db.toLowerCase)
         cat.databases(db.toLowerCase) = (spelled, old ++ props)
         spark.emptyDataFrame
-      case useRe(name) =>
+      case useB(name) =>
         if (catalogs.contains(key(spark, name))) {
           // no-op when already current — the current database is KEPT
           // (setCurrentCatalog:248 switches the db only on a real change)
@@ -267,7 +282,7 @@ object CatalogDdl {
           if (current.remove(skey(spark)).isDefined) ConnectorTables.remount(spark)
           out
         }
-      case _ if showRe.findFirstIn(sql).isDefined =>
+      case _ if showRe.findFirstIn(probe).isDefined =>
         // native catalogs ∪ DDL-registered ones, sorted — the reference's
         // listCatalogs() (TableEnvironmentImpl.java:513-518 .sorted())
         val nativeNames = native("SHOW CATALOGS").collect().map(_.getString(0)).toSeq
@@ -276,10 +291,10 @@ object CatalogDdl {
           case (k, c) if k.startsWith(prefix) => c.name }.toSeq
         (nativeNames ++ ddlNames :+ "spark_catalog").distinct.sorted
           .toDF("catalog name")
-      case _ if showCurrentCatRe.findFirstIn(sql).isDefined =>
+      case _ if showCurrentCatRe.findFirstIn(probe).isDefined =>
         currentOverrideName(spark).map(Seq(_).toDF("current catalog name"))
           .getOrElse(native("SELECT current_catalog() AS `current catalog name`"))
-      case _ if showCurrentDbRe.findFirstIn(sql).isDefined =>
+      case _ if showCurrentDbRe.findFirstIn(probe).isDefined =>
         // a DROPped-while-current database leaves the stored name dangling
         // — report it like the reference's currentDatabaseName (no crash)
         currentNamespace(spark)
@@ -287,7 +302,7 @@ object CatalogDdl {
               .map(_._1).getOrElse(n._2))
             .toDF("current database name"))
           .getOrElse(native("SELECT current_database() AS `current database name`"))
-      case _ if descCatRe.findFirstIn(sql).isDefined =>
+      case _ if descCatRe.findFirstIn(probe).isDefined =>
         // DESCRIBE CATALOG — parsed, never converted (no operation in the
         // 1.12 blink planner); ParserImpl.java:79
         throw new UnsupportedOperationException(s"Unsupported query: ${sql.trim}")

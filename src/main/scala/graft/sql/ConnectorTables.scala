@@ -111,6 +111,39 @@ object ConnectorTables {
   private val mounted =
     scala.collection.concurrent.TrieMap.empty[String, Set[String]]
 
+  /** (session:bare) → a USER-created temp view the mount displaced (ADVICE
+    * r15): a plain temp view that is neither registry-owned nor one of our
+    * mounts is captured before the bare name is re-pointed and restored
+    * verbatim on unmount — the reference keeps temporary views resolvable
+    * (they in fact SHADOW catalog tables; this surface mounts catalog
+    * tables as temp views, so capture/restore is the faithful analogue). */
+  private val shadowedUserViews = scala.collection.concurrent.TrieMap
+    .empty[String, org.apache.spark.sql.catalyst.catalog.TemporaryViewRelation]
+
+  /** Capture the user's temp view about to be displaced by mounting `bare`
+    * (no-op when the existing view is our own mount or a registry table's
+    * restorable legacy view). */
+  private def captureUserView(spark: SparkSession, bare: String): Unit = {
+    val sk = skey(spark)
+    if (!mounted.getOrElse(sk, Set.empty).contains(bare) &&
+        !tables.containsKey(s"$sk:$bare") &&
+        !shadowedUserViews.contains(s"$sk:$bare"))
+      spark.sessionState.catalog.getRawTempView(bare).foreach {
+        case v: org.apache.spark.sql.catalyst.catalog.TemporaryViewRelation =>
+          shadowedUserViews.put(s"$sk:$bare", v): Unit
+        case _ => () // non-relation raw view shapes: nothing to restore
+      }
+  }
+
+  /** Restore a previously captured user view for `bare`; true if restored. */
+  private def restoreUserView(spark: SparkSession, bare: String): Boolean =
+    shadowedUserViews.remove(s"${skey(spark)}:$bare") match {
+      case Some(v) =>
+        spark.sessionState.catalog.createTempView(bare, v, overrideIfExists = true)
+        true
+      case None => false
+    }
+
   /** Re-point bare-name temp views at the current namespace's tables —
     * called by [[CatalogDdl]] on USE CATALOG / USE <db> / DROP CATALOG.
     * Aliases of the previous namespace are dropped (a shadowed
@@ -120,14 +153,17 @@ object ConnectorTables {
     val sk = skey(spark)
     mounted.getOrElse(sk, Set.empty).foreach { bare =>
       spark.catalog.dropTempView(bare): Unit
-      Option(tables.get(s"$sk:$bare")).foreach { legacy =>
-        if (hasData(legacy)) read(spark, legacy).createOrReplaceTempView(bare)
+      val legacy = Option(tables.get(s"$sk:$bare"))
+      legacy match {
+        case Some(t) if hasData(t) => read(spark, t).createOrReplaceTempView(bare)
+        case _ => restoreUserView(spark, bare): Unit
       }
     }
     val newMounts = CatalogDdl.currentNamespace(spark).toSeq.flatMap { case (cat, db) =>
       listNamespace(spark, cat, db).flatMap { bare =>
         val v = viewName(s"@$cat.$db.$bare")
         if (spark.catalog.tableExists(v)) {
+          captureUserView(spark, bare)
           spark.table(v).createOrReplaceTempView(bare)
           Some(bare)
         } else None
@@ -177,6 +213,7 @@ object ConnectorTables {
     if (mounted.getOrElse(sk, Set.empty).contains(bare.toLowerCase)) {
       spark.catalog.dropTempView(bare): Unit
       mounted(sk) = mounted(sk) - bare.toLowerCase
+      restoreUserView(spark, bare.toLowerCase): Unit
     }
   }
 
@@ -194,6 +231,7 @@ object ConnectorTables {
     if (cname.startsWith("@")) {
       val parts = cname.drop(1).split("\\.")
       if (CatalogDdl.currentNamespace(spark).contains((parts(0), parts(1)))) {
+        captureUserView(spark, parts(2))
         df.createOrReplaceTempView(parts(2))
         val sk = skey(spark)
         mounted(sk) = mounted.getOrElse(sk, Set.empty) + parts(2)
@@ -519,15 +557,17 @@ object ConnectorTables {
   /** Split a column list on top-level commas (ignores commas inside
     * parens like DECIMAL(10,2) and inside quoted strings). */
   private def splitTop(s: String): Seq[String] = {
+    // structure from the literal-blanked text (escape-faithful — see
+    // EmitStrategy.splitTop, ADVICE r15), slices from the original
+    val b = FlinkSql.blankLiteralsAndComments(s)
     val out = Seq.newBuilder[String]
-    var depth = 0; var start = 0; var inStr = false
+    var depth = 0; var start = 0
     var i = 0
-    while (i < s.length) {
-      s.charAt(i) match {
-        case '\'' => inStr = !inStr
-        case '(' | '<' if !inStr => depth += 1
-        case ')' | '>' if !inStr => depth -= 1
-        case ',' if depth == 0 && !inStr =>
+    while (i < b.length) {
+      b.charAt(i) match {
+        case '(' | '<' => depth += 1
+        case ')' | '>' => depth -= 1
+        case ',' if depth == 0 =>
           out += s.substring(start, i); start = i + 1
         case _ =>
       }
@@ -753,8 +793,14 @@ object ConnectorTables {
         matchesShowPartitions(probe) || DescribeTable.matches(spark, probe))
       return sqlText
     var text = sqlText
-    // longest patterns first so `cat.db.t` wins over a same-suffix `db.t`
-    quals.sortBy(-_._1.length).foreach { case (q, cname) =>
+    // longest patterns first so `cat.db.t` wins over a same-suffix `db.t`;
+    // on EQUAL-length collisions (a legacy session-global `db.t` vs the
+    // current catalog's `@cat.db.t` exposed under the same `db.t` spelling)
+    // the namespaced canonical wins deterministically — matching
+    // [[canonical]]'s current-catalog completion (ADVICE r15; the previous
+    // tie followed hash-iteration order)
+    quals.sortBy { case (q, cname) =>
+      (-q.length, if (cname.startsWith("@")) 0 else 1) }.foreach { case (q, cname) =>
       // trailing `.col` stays correct: `db.t.col` becomes `<view>.col`
       val re = ("(?i)(?<![\\w.`])" + java.util.regex.Pattern.quote(q) + "(?!\\w)").r
       val blanked = FlinkSql.blankLiteralsAndComments(text)

@@ -521,14 +521,18 @@ object CumulateSql {
 /** Shared split helper (top-level commas, paren/quote aware). */
 private[sql] object FlinkSqlSupport {
   def splitTop(s: String): Seq[String] = {
+    // cut offsets computed on the literal-blanked text (lexer-faithful:
+    // honors backslash and '' escapes — a naive quote toggle flipped the
+    // string state on escaped quotes and split mid-literal, ADVICE r15);
+    // slices come from the ORIGINAL (blanking preserves offsets)
+    val b = FlinkSql.blankLiteralsAndComments(s)
     val out = Seq.newBuilder[String]
-    var depth = 0; var start = 0; var inStr = false
-    s.zipWithIndex.foreach { case (c, i) =>
+    var depth = 0; var start = 0
+    b.zipWithIndex.foreach { case (c, i) =>
       c match {
-        case '\'' => inStr = !inStr
-        case '(' if !inStr => depth += 1
-        case ')' if !inStr => depth -= 1
-        case ',' if depth == 0 && !inStr => out += s.substring(start, i).trim; start = i + 1
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case ',' if depth == 0 => out += s.substring(start, i).trim; start = i + 1
         case _ =>
       }
     }

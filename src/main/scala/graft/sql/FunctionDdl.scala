@@ -41,15 +41,19 @@ object FunctionDdl {
   private val alterRe =
     """(?is)\s*ALTER\s+(TEMPORARY\s+SYSTEM\s+|TEMPORARY\s+)?FUNCTION\s+(?:(IF\s+EXISTS)\s+)?((?:\w+\.)*\w+)\s+AS\s+'([\w.$]+)'\s*(?:LANGUAGE\s+\w+\s*)?;?\s*""".r
   private val dropRe =
-    """(?is)^\s*DROP\s+(?:TEMPORARY\s+)?(?:SYSTEM\s+)?FUNCTION\s+(?:IF\s+EXISTS\s+)?((?:\w+\.)*\w+)\s*;?\s*$""".r
+    """(?is)^\s*DROP\s+(TEMPORARY\s+)?(?:SYSTEM\s+)?FUNCTION\s+(?:IF\s+EXISTS\s+)?((?:\w+\.)*\w+)\s*;?\s*$""".r
 
-  /** session identity + function name → (class name, created TEMPORARY),
-    * recorded by CREATE so ALTER can distinguish "exists as a catalog
-    * function" / "temporary only" / "never created here" — the reference
-    * keeps temporary and catalog function namespaces separate
-    * (FunctionCatalog temp registry vs Catalog.alterFunction). */
-  private val registered =
-    scala.collection.concurrent.TrieMap.empty[String, (String, Boolean)]
+  /** session identity + function name → (catalog-registered class,
+    * temp-registered class) — TWO slots per name, because the reference
+    * keeps temporary and catalog function namespaces SEPARATE
+    * (FunctionCatalog temp registry vs Catalog.alterFunction): CREATE
+    * TEMPORARY FUNCTION f after CREATE FUNCTION f must not hide the
+    * catalog entry from a later ALTER, and DROP TEMPORARY FUNCTION must
+    * not evict the catalog one (ADVICE r15; the previous single entry did
+    * both). Spark's UDF registry itself is flat — these slots are the
+    * namespace bookkeeping layered on top. */
+  private val registered = scala.collection.concurrent.TrieMap
+    .empty[String, (Option[String], Option[String])]
 
   private def key(s: SparkSession, name: String) =
     s"${System.identityHashCode(s)}:${name.toLowerCase}"
@@ -72,7 +76,10 @@ object FunctionDdl {
       inst match {
         case f: GraftSqlFunction =>
           f.register(spark, name)
-          registered(key(spark, name)) = (className, temp != null)
+          val k = key(spark, name)
+          val (cat, tmp) = registered.getOrElse(k, (None, None))
+          registered(k) =
+            if (temp != null) (cat, Some(className)) else (Some(className), tmp)
           Some(spark.emptyDataFrame)
         case _ => None
       }
@@ -83,8 +90,22 @@ object FunctionDdl {
     * (Spark drops the UDF registration); this just forgets the CREATE
     * bookkeeping so a later ALTER FUNCTION sees the function as gone. */
   def noteDrop(spark: SparkSession, probe: String): Unit = probe match {
-    case dropRe(name) =>
-      registered.remove(key(spark, name.split("\\.").last)): Unit
+    case dropRe(temp, name) =>
+      val k = key(spark, name.split("\\.").last)
+      registered.get(k).foreach { case (cat, tmp) =>
+        // DROP TEMPORARY FUNCTION evicts the temp slot when one exists —
+        // a same-named catalog function SURVIVES it (the reference's two
+        // namespaces; previously the single entry was evicted outright).
+        // When no temp slot exists the TEMPORARY spelling falls back to
+        // the catalog slot: Spark's registry is flat, so that native drop
+        // really did remove the function — bookkeeping follows it. Plain
+        // DROP FUNCTION evicts the catalog slot (Catalog.dropFunction).
+        val next =
+          if (temp != null) { if (tmp.isDefined) (cat, None) else (None, tmp) }
+          else (None, tmp)
+        if (next == ((None, None))) registered.remove(k): Unit
+        else registered(k) = next
+      }
     case _ =>
   }
 
@@ -104,7 +125,7 @@ object FunctionDdl {
       // only — a name created via CREATE TEMPORARY FUNCTION is invisible
       // to it (alterCatalogFunction goes to Catalog.alterFunction, which
       // throws FunctionNotExistException for a temp-only name)
-      if (!registered.get(key(spark, bare)).exists(!_._2)) {
+      if (!registered.get(key(spark, bare)).exists(_._1.isDefined)) {
         if (ifExists == null)
           // FunctionNotExistException message shape
           throw new IllegalArgumentException(s"Function $name does not exist.")
@@ -117,7 +138,9 @@ object FunctionDdl {
         inst match {
           case f: GraftSqlFunction =>
             f.register(spark, bare) // spark.udf.register replaces in place
-            registered(key(spark, bare)) = (className, false)
+            val k = key(spark, bare)
+            val tmp = registered.get(k).flatMap(_._2)
+            registered(k) = (Some(className), tmp)
             spark.emptyDataFrame
           case _ => throw new IllegalArgumentException(
             s"ALTER FUNCTION $name: '$className' is not a GraftSqlFunction")

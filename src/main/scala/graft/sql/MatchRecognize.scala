@@ -153,14 +153,16 @@ object MatchRecognize {
     // split on top-level commas (measure exprs may contain nested parens
     // and string literals — both respected)
     val items = {
+      // structure from the literal-blanked text (escape-faithful — see
+      // EmitStrategy.splitTop, ADVICE r15), slices from the original
+      val b = FlinkSql.blankLiteralsAndComments(clause)
       val out = Seq.newBuilder[String]
-      var depth = 0; var start = 0; var inStr = false
-      clause.zipWithIndex.foreach { case (c, i) =>
+      var depth = 0; var start = 0
+      b.zipWithIndex.foreach { case (c, i) =>
         c match {
-          case '\'' => inStr = !inStr
-          case '(' if !inStr => depth += 1
-          case ')' if !inStr => depth -= 1
-          case ',' if depth == 0 && !inStr =>
+          case '(' => depth += 1
+          case ')' => depth -= 1
+          case ',' if depth == 0 =>
             out += clause.substring(start, i).trim; start = i + 1
           case _ =>
         }

@@ -1094,6 +1094,57 @@ class SqlUtilitySpec extends SparkSpec {
     }
   }
 
+  test("database DDL with escaped-quote hazards in COMMENT/properties runs (ADVICE r15)") {
+    try {
+      spark.sql("CREATE CATALOG hz_cat WITH ('type' = 'generic_in_memory')")
+      spark.sql("USE CATALOG hz_cat")
+      // matches() tests the blanked probe; run() must agree on the same
+      // text — an escaped quote inside COMMENT previously fell through to
+      // the unsupported-statement catch-all
+      spark.sql("CREATE DATABASE hz_db COMMENT 'it''s -- not a comment'")
+      val dbs = spark.sql("SHOW DATABASES").collect().map(_.getString(0)).toSet
+      assert(dbs.contains("hz_db"), s"hz_db missing from $dbs")
+      spark.sql("ALTER DATABASE hz_db SET ('note' = 'a''b')")
+      spark.sql("DROP DATABASE hz_db")
+    } finally {
+      spark.sql("USE CATALOG spark_catalog")
+      spark.sql("DROP CATALOG IF EXISTS hz_cat")
+    }
+  }
+
+  test("a USER temp view displaced by a namespaced mount is restored on exit (ADVICE r15)") {
+    val s = spark
+    import s.implicits._
+    val dirN = freshDir("uvN")
+    Seq((1L, "ns"), (2L, "ns")).toDF("id", "src").write.mode("overwrite").parquet(dirN)
+    try {
+      // a PLAIN temp view (not a connector table) owns the bare name first
+      Seq((7L, "user_view")).toDF("id", "src").createOrReplaceTempView("uv_t")
+      assert(spark.sql("SELECT src FROM uv_t").collect().head.getString(0) == "user_view")
+      spark.sql("CREATE CATALOG uv_cat WITH ('type' = 'generic_in_memory')")
+      spark.sql("USE CATALOG uv_cat")
+      // the namespaced same-name table mounts over the user's view
+      spark.sql(s"CREATE TABLE uv_t (id BIGINT, src STRING) WITH " +
+        s"('connector' = 'filesystem', 'path' = '$dirN', 'format' = 'parquet')")
+      assert(spark.sql("SELECT count(*) AS n FROM uv_t").collect().head.getLong(0) == 2L)
+      // leaving the namespace RESTORES the user's temp view verbatim —
+      // previously the mount destroyed it permanently
+      spark.sql("USE CATALOG spark_catalog")
+      val back = spark.sql("SELECT src FROM uv_t").collect().map(_.getString(0)).toSeq
+      assert(back == Seq("user_view"), s"user temp view not restored, got $back")
+      // DROP CATALOG with the namespace current must also restore it
+      spark.sql("USE CATALOG uv_cat")
+      assert(spark.sql("SELECT count(*) AS n FROM uv_t").collect().head.getLong(0) == 2L)
+      spark.sql("DROP CATALOG uv_cat")
+      val back2 = spark.sql("SELECT src FROM uv_t").collect().map(_.getString(0)).toSeq
+      assert(back2 == Seq("user_view"), s"user temp view not restored after DROP CATALOG, got $back2")
+    } finally {
+      spark.sql("USE CATALOG spark_catalog")
+      spark.sql("DROP CATALOG IF EXISTS uv_cat")
+      spark.catalog.dropTempView("uv_t")
+    }
+  }
+
   test("cross-catalog composition: LIKE a namespaced base, qualified INSERT/DESCRIBE from outside") {
     val s = spark
     import s.implicits._
@@ -1153,6 +1204,15 @@ class SqlUtilitySpec extends SparkSpec {
       spark.sql("ALTER FUNCTION alt_tmp AS 'graft.functions.LetterCountFn'")
     }
     assert(eTmp.getMessage.contains("Function alt_tmp does not exist."))
+    // the two namespaces hold a name INDEPENDENTLY (ADVICE r15): a later
+    // CREATE TEMPORARY of an existing catalog name must not hide the
+    // catalog entry from ALTER, and DROP TEMPORARY evicts only the temp one
+    spark.sql("CREATE TEMPORARY FUNCTION alt_fn AS 'graft.functions.VowelCountFn'")
+    spark.sql("ALTER FUNCTION alt_fn AS 'graft.functions.LetterCountFn'")
+    assert(spark.sql("SELECT alt_fn(w) FROM alt_words").collect().head.getInt(0) == 6)
+    spark.sql("DROP TEMPORARY FUNCTION alt_fn") // evicts the TEMP slot only
+    spark.sql("ALTER FUNCTION alt_fn AS 'graft.functions.VowelCountFn'")
+    assert(spark.sql("SELECT alt_fn(w) FROM alt_words").collect().head.getInt(0) == 3)
     // (the UDF registration itself is a Spark temp function either way —
     // the TEMPORARY spelling is the native drop that reaches it)
     spark.sql("DROP TEMPORARY FUNCTION IF EXISTS alt_fn")
