@@ -135,6 +135,16 @@ object GraftSession {
       // commit is the scale killer changelog mode exists to fix. Recovery
       // semantics are unchanged (snapshot + changelog replay).
       .config("spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
+      // Stream-stream join state format v3 (virtual column families): ONE
+      // RocksDB instance per partition instead of four (left/right ×
+      // keyToNumValues/keyWithIndexToValue). The v2 default ran 4× the
+      // store instances, each paying its own open + changelog-commit fsync
+      // per micro-batch — measured 27 s aggregate fsync across 128
+      // instances on a 200 k-row join batch (StreamJoinProbe r16); v3 cut
+      // the row 9-12 s → 3.4 s at identical output. Applies to NEW
+      // checkpoints only (every checkpoint here is per-run), semantics
+      // unchanged.
+      .config("spark.sql.streaming.join.stateFormatVersion", "3")
       // events.ts is parquet TIMESTAMP(NANOS) — read as long, see Tables.load
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
