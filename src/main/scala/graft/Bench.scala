@@ -90,7 +90,12 @@ object Bench {
       operators.Windows.queries("win_rank"),            // window exec
       graph.Graphs.queries("graph_connected_components"), // Pregel loop machinery
       operators.DatasetOps.queries("ds_cogroup"),       // typed Dataset + encoders
-      operators.UdfSurface.queries("udaf_single_value") // Aggregator (udaf) path
+      operators.UdfSurface.queries("udaf_single_value"), // Aggregator (udaf) path
+      // one REAL streaming lifecycle (micro-batch machinery, RocksDB JNI +
+      // store open, streaming parquet sink): without it the alphabetically
+      // first streaming row paid that classloading/JIT inside its timed
+      // first sample
+      operators.TimeOps.queries("stream_interval_join")
     ).foreach { fn =>
       try { fn(spark, warmSf).count() }
       catch { case e: Throwable =>
